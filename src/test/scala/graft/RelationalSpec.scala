@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle-checked query key has matching columns in its SQL") {
+    // sanity: every oracleSql key exists in queries
+    SparkEntry.oracleSql.keys.foreach(k => assert(SparkEntry.queries.contains(k)))
+  }
+
+  test("all relational queries run non-empty on sf0.001") {
+    val empty = Seq("q18_anti_join") // may legitimately be small
+    queries.Relational.queries.foreach { q =>
+      val n = q.run(spark, sf).count()
+      assert(n >= 0, s"${q.name} failed")
+      if (!empty.contains(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("q02 pricing summary is exact") {
+    val rows = SparkEntry.queries("q02_agg_pricing")(spark, sf).collect()
+    assert(rows.length == 6) // 3 returnflags x 2 linestatus
+    val counts = rows.map(_.getAs[Long]("count_order")).sum
+    val total = Tables.lineitem(spark, sf)
+      .filter("l_shipdate <= timestamp'2001-09-01'").count()
+    assert(counts == total)
+  }
+
+  test("q07 top-n per group never exceeds 3 per brand") {
+    val rows = SparkEntry.queries("q07_topn_per_group")(spark, sf).collect()
+    val perBrand = rows.groupBy(_.getAs[String]("p_brand")).view.mapValues(_.length)
+    assert(perBrand.values.forall(_ <= 3))
+  }
+
+  test("q10 exact distinct matches dropDuplicates count") {
+    val got = SparkEntry.queries("q10_count_distinct")(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Long]("n_customers")).toMap
+    val o = Tables.orders(spark, sf)
+    val expect = o.select("o_orderstatus", "o_custkey").distinct()
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Long]("count")).toMap
+    assert(got == expect)
+  }
+}
