@@ -1,24 +1,60 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology (VERDICT r1 items 3/4):
+  *  - results are MATERIALIZED via a noop-format V2 write, so sorts and
+  *    projections are paid (a bare `count()` lets Catalyst eliminate the
+  *    global ORDER BY and prune every projected column);
+  *  - fixed alphabetical query order + one untimed warmup query so JVM /
+  *    codegen warmup doesn't land on a random query;
+  *  - the cube is built once, untimed, before the query loop (Kylin
+  *    builds offline too) and reported separately as `cube_build_sec`;
+  *  - a failing query aborts the run loudly (exit 1) instead of being
+  *    recorded as a plausible timing.
+  */
 object Bench {
+  def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Untimed warmup: spins up executors, codegen, parquet footer caches.
+    materialize(SparkEntry.queries("q02_agg_pricing")(spark, sfDir))
+
+    // Untimed cube build (offline in Kylin's model); timed separately.
+    val tCube0 = System.nanoTime()
+    cube.CubeManager.ensureBuilt(spark, sfDir)
+    val cubeBuildSec = (System.nanoTime() - tCube0) / 1e9
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(fn(spark, sfDir))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          spark.stop()
+          sys.exit(1)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cube_build_sec":$cubeBuildSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,7 +10,7 @@ import graft.queries._
 object SparkEntry {
 
   /** All operator groups (SURVEY.md §2.1–§2.4). */
-  private def groups: Seq[QueryGroup] = Seq(Relational)
+  private def groups: Seq[QueryGroup] = Seq(Relational, CubeQueries)
 
   private lazy val all: Seq[Q] = groups.flatMap(_.queries)
 

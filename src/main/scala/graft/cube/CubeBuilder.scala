@@ -1,0 +1,105 @@
+package graft.cube
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** A built cube on disk: parquet layout `<root>/<cube>/<segment>/
+  * cuboid=<id>/` (reference: ParquetStorage.scala:1-34), plus the
+  * row-count metadata the router uses to pick the cheapest cuboid.
+  */
+final case class CubeInstance(
+    cube: CubeDef,
+    root: String,
+    rows: Map[(String, Long), Long]) { // (segmentName, cuboidId) -> rows
+
+  def cuboidPath(seg: String, id: Long): String =
+    s"$root/${cube.name}/$seg/cuboid=$id"
+
+  def totalRows(c: Set[String]): Long = {
+    val id = cube.cuboidId(c)
+    cube.segments.map(s => rows.getOrElse((s.name, id), 0L)).sum
+  }
+}
+
+/** Layered spanning-tree cuboid build (reference: CubeBuildJob.java:
+  * 100-205 `ForestSpanningTree`/`buildLayer` + CuboidAggregator.scala:
+  * 50-131): the base cuboid aggregates the flat table once; every child
+  * cuboid re-aggregates its CHEAPEST already-built parent — at 100 TB
+  * this is the difference between scanning the flat table 2^d times
+  * and scanning it once, with each further layer shrinking geometrically.
+  * Mergeable measure state (bitmap/HLL/TopN/KLL bytes, decimal partial
+  * sums) is carried between layers so e.g. exact count-distinct stays
+  * exact through re-aggregation.
+  */
+object CubeBuilder {
+
+  /** Build all segments of `cube` from `flat` (the materialized star
+    * join). Returns the instance with per-cuboid row counts. */
+  def build(spark: SparkSession, flat: DataFrame, cube: CubeDef,
+            root: String): CubeInstance = {
+    val stateAggs = cube.measures.map(m => m.fromRaw.as(m.stateCol))
+    val reAggs = cube.measures.map(m => m.fromState(m.stateCol).as(m.stateCol))
+    // base first, then descending dim-count so parents exist before children
+    val order = cube.cuboids.sortBy(c => (-c.size, cube.cuboidId(c)))
+    var rows = Map.empty[(String, Long), Long]
+
+    cube.segments.foreach { seg =>
+      val segFlat = flat.filter(
+        col(cube.segmentCol) >= lit(seg.start).cast(TimestampType) &&
+        col(cube.segmentCol) < lit(seg.end).cast(TimestampType))
+      // (dims, id, rowCount) of cuboids already built in this segment
+      var built = List.empty[(Set[String], Long, Long)]
+      order.foreach { c =>
+        val id = cube.cuboidId(c)
+        val dimCols = cube.cuboidDims(c).map(col)
+        val df =
+          if (c == cube.dims.toSet)
+            segFlat.groupBy(dimCols: _*).agg(stateAggs.head, stateAggs.tail: _*)
+          else {
+            // cheapest-parent selection (CuboidLayoutChooser.scala:25)
+            val (pDims, pId, _) = built.filter(b => c.subsetOf(b._1))
+              .minBy(b => (b._3, b._1.size))
+            val _ = pDims
+            spark.read.parquet(cuboidPath(root, cube, seg.name, pId))
+              .groupBy(dimCols: _*).agg(reAggs.head, reAggs.tail: _*)
+          }
+        val path = cuboidPath(root, cube, seg.name, id)
+        // Local build writes few files; a cluster deployment would
+        // repartition on a shard-by dim here (FilePruner pruneShards).
+        df.coalesce(4).write.mode("overwrite").parquet(path)
+        val n = spark.read.parquet(path).count()
+        built ::= (c, id, n)
+        rows += (seg.name, id) -> n
+      }
+    }
+    CubeInstance(cube, root, rows)
+  }
+
+  /** Merge segments into one (reference: cube merge job): per cuboid,
+    * union the per-segment parquet and re-aggregate states with the
+    * same fromState exprs used in the layered build. */
+  def mergeSegments(spark: SparkSession, inst: CubeInstance,
+                    mergedName: String): CubeInstance = {
+    val cube = inst.cube
+    val reAggs = cube.measures.map(m => m.fromState(m.stateCol).as(m.stateCol))
+    val merged = Segment(mergedName,
+      cube.segments.map(_.start).min, cube.segments.map(_.end).max)
+    var rows = Map.empty[(String, Long), Long]
+    cube.cuboids.foreach { c =>
+      val id = cube.cuboidId(c)
+      val dimCols = cube.cuboidDims(c).map(col)
+      val paths = cube.segments.map(s => inst.cuboidPath(s.name, id))
+      val df = spark.read.parquet(paths: _*)
+        .groupBy(dimCols: _*).agg(reAggs.head, reAggs.tail: _*)
+      val path = cuboidPath(inst.root, cube, mergedName, id)
+      df.coalesce(4).write.mode("overwrite").parquet(path)
+      rows += (mergedName, id) -> spark.read.parquet(path).count()
+    }
+    CubeInstance(cube.copy(segments = Seq(merged)), inst.root, rows)
+  }
+
+  private def cuboidPath(root: String, cube: CubeDef, seg: String,
+                         id: Long): String =
+    s"$root/${cube.name}/$seg/cuboid=$id"
+}

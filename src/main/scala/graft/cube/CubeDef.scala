@@ -1,0 +1,59 @@
+package graft.cube
+
+import org.apache.spark.sql.Column
+
+/** One cube measure, defined by its three lifecycle expressions
+  * (mirrors the reference's measure dispatch in kylin-spark-engine
+  * CuboidAggregator.scala:79-110):
+  *
+  *  - `fromRaw`   : aggregate over the flat table → mergeable state
+  *                  (base-cuboid build)
+  *  - `fromState` : aggregate over a parent cuboid's state column →
+  *                  state (layered child build, segment merge, and
+  *                  query-time post-aggregation — all the same op)
+  *  - `present`  : state → user-facing value (query side only)
+  */
+final case class Measure(
+    name: String,
+    fromRaw: Column,
+    fromState: String => Column,
+    present: Column => Column = identity) {
+  /** state column name in cuboid parquet */
+  def stateCol: String = s"m_$name"
+}
+
+/** A time segment: rows with segmentCol in [start, end). Segments are
+  * the unit of incremental build, merge, and pruning (reference:
+  * FilePruner.scala:153-221 pruneSegments). */
+final case class Segment(name: String, start: String, end: String)
+
+/** Cube definition: star-model dims + measures + materialized cuboid
+  * lattice subset (reference: core-metadata cube desc + agg groups).
+  *
+  * A cuboid is identified by the subset of `dims` it retains; its id is
+  * the bitmask over `dims` order (bit i ⇔ dims(i) present) — same
+  * scheme as the reference's cuboid ids (core-cube CuboidUtil).
+  */
+final case class CubeDef(
+    name: String,
+    dims: Seq[String],
+    measures: Seq[Measure],
+    segmentCol: String,
+    segments: Seq[Segment],
+    cuboids: Seq[Set[String]]) {
+
+  require(cuboids.exists(_ == dims.toSet),
+    "materialized set must include the base cuboid (all dims)")
+  require(cuboids.forall(_.subsetOf(dims.toSet)),
+    "cuboid dims must be cube dims")
+
+  def cuboidId(c: Set[String]): Long =
+    dims.zipWithIndex.collect { case (d, i) if c(d) => 1L << i }.sum
+
+  /** dims of a cuboid in canonical (cube dim order) sequence */
+  def cuboidDims(c: Set[String]): Seq[String] = dims.filter(c)
+
+  def measure(n: String): Measure =
+    measures.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(s"no measure $n"))
+}

@@ -1,0 +1,279 @@
+package graft.functions
+
+import java.io._
+
+import scala.collection.mutable
+
+import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union => HllUnionSketch}
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+import org.roaringbitmap.longlong.Roaring64NavigableMap
+
+/** Mergeable measure sketches — the currency of the cube's layered build
+  * (SURVEY §3). Each measure has two aggregate forms:
+  *   - `*Agg`   : raw column → serialized state  (base-cuboid build)
+  *   - `*Union` : serialized states → serialized state (child-from-parent
+  *                re-agg + query-time post-aggregation)
+  * plus a scalar finalizer (state → value) applied once per result row.
+  *
+  * Semantics follow the reference's measure families
+  * (core-metadata/src/main/java/org/apache/kylin/measure/{bitmap,hllc,
+  * topn,percentile}/, dispatched in kylin-spark-engine
+  * CuboidAggregator.scala:79-110), re-expressed as Spark `Aggregator`s:
+  * Spark keeps the buffer object deserialized per group inside
+  * ObjectHashAggregate, serializing only at shuffle boundaries — so a
+  * cuboid build shuffles O(|groups| * sketch_size), not O(|rows|).
+  */
+object Measures {
+
+  // ───────────────────────────── bitmap (exact distinct, Kylin `bitmap`)
+
+  /** Buffer wrapping Roaring64NavigableMap (Externalizable → works with
+    * the java-serialization buffer encoder). */
+  final class BitmapBuf(var bm: Roaring64NavigableMap) extends Serializable
+
+  def bitmapToBytes(bm: Roaring64NavigableMap): Array[Byte] = {
+    bm.runOptimize()
+    val bos = new ByteArrayOutputStream()
+    bm.serialize(new DataOutputStream(bos))
+    bos.toByteArray
+  }
+
+  def bitmapFromBytes(b: Array[Byte]): Roaring64NavigableMap = {
+    val bm = new Roaring64NavigableMap()
+    bm.deserialize(new DataInputStream(new ByteArrayInputStream(b)))
+    bm
+  }
+
+  private object BitmapAggregator
+      extends Aggregator[Long, BitmapBuf, Array[Byte]] {
+    def zero: BitmapBuf = new BitmapBuf(new Roaring64NavigableMap())
+    def reduce(b: BitmapBuf, a: Long): BitmapBuf = { b.bm.addLong(a); b }
+    def merge(x: BitmapBuf, y: BitmapBuf): BitmapBuf = { x.bm.or(y.bm); x }
+    def finish(b: BitmapBuf): Array[Byte] = bitmapToBytes(b.bm)
+    def bufferEncoder: Encoder[BitmapBuf] =
+      Encoders.javaSerialization[BitmapBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  private object BitmapUnionAggregator
+      extends Aggregator[Array[Byte], BitmapBuf, Array[Byte]] {
+    def zero: BitmapBuf = new BitmapBuf(new Roaring64NavigableMap())
+    def reduce(b: BitmapBuf, a: Array[Byte]): BitmapBuf = {
+      if (a != null && a.nonEmpty) b.bm.or(bitmapFromBytes(a)); b
+    }
+    def merge(x: BitmapBuf, y: BitmapBuf): BitmapBuf = { x.bm.or(y.bm); x }
+    def finish(b: BitmapBuf): Array[Byte] = bitmapToBytes(b.bm)
+    def bufferEncoder: Encoder[BitmapBuf] =
+      Encoders.javaSerialization[BitmapBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** long column → serialized exact-distinct bitmap state */
+  lazy val bitmapAgg = udaf(BitmapAggregator, Encoders.scalaLong)
+  /** serialized bitmap states → merged state */
+  lazy val bitmapUnion = udaf(BitmapUnionAggregator, Encoders.BINARY)
+  /** finalizer: state → exact distinct count */
+  lazy val bitmapCount =
+    org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
+      if (b == null || b.isEmpty) 0L else bitmapFromBytes(b).getLongCardinality)
+
+  // ───────────────────────────── HLL (approx distinct, Kylin `hllc`)
+
+  private val HllLgK = 12 // ~0.8% rel err, matches hllc precision class
+
+  final class HllBuf(@transient var sk: HllSketch) extends Serializable {
+    private def writeObject(out: ObjectOutputStream): Unit = {
+      val b = sk.toCompactByteArray
+      out.writeInt(b.length); out.write(b)
+    }
+    private def readObject(in: ObjectInputStream): Unit = {
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      sk = HllSketch.heapify(Memory.wrap(b))
+    }
+  }
+
+  private object HllAggregator extends Aggregator[Long, HllBuf, Array[Byte]] {
+    def zero: HllBuf = new HllBuf(new HllSketch(HllLgK, TgtHllType.HLL_4))
+    def reduce(b: HllBuf, a: Long): HllBuf = { b.sk.update(a); b }
+    def merge(x: HllBuf, y: HllBuf): HllBuf = {
+      val u = new HllUnionSketch(HllLgK)
+      u.update(x.sk); u.update(y.sk)
+      new HllBuf(u.getResult(TgtHllType.HLL_4))
+    }
+    def finish(b: HllBuf): Array[Byte] = b.sk.toCompactByteArray
+    def bufferEncoder: Encoder[HllBuf] = Encoders.javaSerialization[HllBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  final class HllUnionBuf(@transient var u: HllUnionSketch)
+      extends Serializable {
+    private def writeObject(out: ObjectOutputStream): Unit = {
+      val b = u.getResult(TgtHllType.HLL_4).toCompactByteArray
+      out.writeInt(b.length); out.write(b)
+    }
+    private def readObject(in: ObjectInputStream): Unit = {
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      u = new HllUnionSketch(HllLgK)
+      u.update(HllSketch.heapify(Memory.wrap(b)))
+    }
+  }
+
+  private object HllUnionAggregator
+      extends Aggregator[Array[Byte], HllUnionBuf, Array[Byte]] {
+    def zero: HllUnionBuf = new HllUnionBuf(new HllUnionSketch(HllLgK))
+    def reduce(b: HllUnionBuf, a: Array[Byte]): HllUnionBuf = {
+      if (a != null && a.nonEmpty) b.u.update(HllSketch.heapify(Memory.wrap(a)))
+      b
+    }
+    def merge(x: HllUnionBuf, y: HllUnionBuf): HllUnionBuf = {
+      x.u.update(y.u.getResult(TgtHllType.HLL_4)); x
+    }
+    def finish(b: HllUnionBuf): Array[Byte] =
+      b.u.getResult(TgtHllType.HLL_4).toCompactByteArray
+    def bufferEncoder: Encoder[HllUnionBuf] =
+      Encoders.javaSerialization[HllUnionBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  lazy val hllAgg = udaf(HllAggregator, Encoders.scalaLong)
+  lazy val hllUnion = udaf(HllUnionAggregator, Encoders.BINARY)
+  /** finalizer: state → rounded estimate */
+  lazy val hllEstimate =
+    org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
+      if (b == null || b.isEmpty) 0L
+      else math.round(HllSketch.heapify(Memory.wrap(b)).getEstimate))
+
+  // ───────────────────────────── TopN (Kylin `topn`, SpaceSaving-style)
+
+  /** Bounded (dim → exact-integer sum) counter. Values are kept as scaled
+    * longs (micros) so merge order never perturbs a double sum — the
+    * finalized value is bit-stable for the oracle hash gate. When the map
+    * overflows `capacity`, the smallest entries are evicted (SpaceSaving
+    * truncation, same retain-on-merge policy as the reference's
+    * TopNCounter). Exact whenever per-group cardinality ≤ capacity.
+    */
+  final class TopNBuf(val capacity: Int,
+                      val m: mutable.HashMap[String, Long])
+      extends Serializable {
+    def add(dim: String, v: Long): Unit = {
+      m.update(dim, m.getOrElse(dim, 0L) + v)
+      if (m.size > capacity * 2) trim()
+    }
+    def mergeIn(o: TopNBuf): Unit = {
+      o.m.foreach { case (k, v) => m.update(k, m.getOrElse(k, 0L) + v) }
+      if (m.size > capacity * 2) trim()
+    }
+    private def trim(): Unit = {
+      val keep = m.toSeq.sortBy { case (k, v) => (-v, k) }.take(capacity)
+      m.clear(); m ++= keep
+    }
+    def toBytes: Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val d = new DataOutputStream(bos)
+      d.writeInt(capacity); d.writeInt(m.size)
+      m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        d.writeUTF(k); d.writeLong(v)
+      }
+      d.close(); bos.toByteArray
+    }
+  }
+
+  object TopNBuf {
+    val DefaultCapacity = 4096
+    def empty: TopNBuf =
+      new TopNBuf(DefaultCapacity, mutable.HashMap.empty)
+    def fromBytes(b: Array[Byte]): TopNBuf = {
+      val d = new DataInputStream(new ByteArrayInputStream(b))
+      val cap = d.readInt(); val n = d.readInt()
+      val m = mutable.HashMap.empty[String, Long]
+      (0 until n).foreach(_ => m.update(d.readUTF(), d.readLong()))
+      new TopNBuf(cap, m)
+    }
+  }
+
+  private object TopNAggregator
+      extends Aggregator[(String, Long), TopNBuf, Array[Byte]] {
+    def zero: TopNBuf = TopNBuf.empty
+    def reduce(b: TopNBuf, a: (String, Long)): TopNBuf = {
+      if (a._1 != null) b.add(a._1, a._2); b
+    }
+    def merge(x: TopNBuf, y: TopNBuf): TopNBuf = { x.mergeIn(y); x }
+    def finish(b: TopNBuf): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[TopNBuf] = Encoders.javaSerialization[TopNBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  private object TopNUnionAggregator
+      extends Aggregator[Array[Byte], TopNBuf, Array[Byte]] {
+    def zero: TopNBuf = TopNBuf.empty
+    def reduce(b: TopNBuf, a: Array[Byte]): TopNBuf = {
+      if (a != null && a.nonEmpty) b.mergeIn(TopNBuf.fromBytes(a)); b
+    }
+    def merge(x: TopNBuf, y: TopNBuf): TopNBuf = { x.mergeIn(y); x }
+    def finish(b: TopNBuf): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[TopNBuf] = Encoders.javaSerialization[TopNBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  lazy val topnAgg = udaf(TopNAggregator, Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+  lazy val topnUnion = udaf(TopNUnionAggregator, Encoders.BINARY)
+  /** finalizer: state → top-n (dim, scaled-long value) descending, dim
+    * tie-break ascending. Caller explodes + unscales. */
+  lazy val topnExtract = org.apache.spark.sql.functions.udf(
+    (b: Array[Byte], n: Int) =>
+      if (b == null || b.isEmpty) Array.empty[(String, Long)]
+      else TopNBuf.fromBytes(b).m.toSeq
+        .sortBy { case (k, v) => (-v, k) }.take(n).toArray)
+
+  // ───────────────────────────── percentile (Kylin `percentile` → KLL)
+
+  private val KllK = 200 // ~1.65% normalized rank error
+
+  final class KllBuf(@transient var sk: KllDoublesSketch)
+      extends Serializable {
+    private def writeObject(out: ObjectOutputStream): Unit = {
+      val b = sk.toByteArray
+      out.writeInt(b.length); out.write(b)
+    }
+    private def readObject(in: ObjectInputStream): Unit = {
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      sk = KllDoublesSketch.heapify(Memory.wrap(b))
+    }
+  }
+
+  private object KllAggregator
+      extends Aggregator[Double, KllBuf, Array[Byte]] {
+    def zero: KllBuf = new KllBuf(KllDoublesSketch.newHeapInstance(KllK))
+    def reduce(b: KllBuf, a: Double): KllBuf = { b.sk.update(a); b }
+    def merge(x: KllBuf, y: KllBuf): KllBuf = { x.sk.merge(y.sk); x }
+    def finish(b: KllBuf): Array[Byte] = b.sk.toByteArray
+    def bufferEncoder: Encoder[KllBuf] = Encoders.javaSerialization[KllBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  private object KllUnionAggregator
+      extends Aggregator[Array[Byte], KllBuf, Array[Byte]] {
+    def zero: KllBuf = new KllBuf(KllDoublesSketch.newHeapInstance(KllK))
+    def reduce(b: KllBuf, a: Array[Byte]): KllBuf = {
+      if (a != null && a.nonEmpty)
+        b.sk.merge(KllDoublesSketch.heapify(Memory.wrap(a)))
+      b
+    }
+    def merge(x: KllBuf, y: KllBuf): KllBuf = { x.sk.merge(y.sk); x }
+    def finish(b: KllBuf): Array[Byte] = b.sk.toByteArray
+    def bufferEncoder: Encoder[KllBuf] = Encoders.javaSerialization[KllBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  lazy val kllAgg = udaf(KllAggregator, Encoders.scalaDouble)
+  lazy val kllUnion = udaf(KllUnionAggregator, Encoders.BINARY)
+  /** finalizer: state → approximate quantile at rank q */
+  lazy val kllQuantile = org.apache.spark.sql.functions.udf(
+    (b: Array[Byte], q: Double) =>
+      if (b == null || b.isEmpty) Double.NaN
+      else KllDoublesSketch.heapify(Memory.wrap(b)).getQuantile(q))
+}

@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.cube._
+import graft.functions.Measures
+
+/** SURVEY.md §2.2 — the cube engine: pre-aggregated cuboids on parquet,
+  * layered spanning-tree build, smallest-covering-cuboid routing,
+  * mergeable measures, segment prune/merge, pushdown fallback.
+  * Every query routes through the built cube (CubeManager memoizes one
+  * build per sf dir per JVM); oracles recompute from the raw star
+  * tables in DuckDB, so a pass proves the whole build→route→re-agg
+  * pipeline end to end.
+  */
+object CubeQueries extends QueryGroup {
+
+  private def noFallback: Nothing =
+    sys.error("query should have routed to a cuboid")
+
+  val queries: Seq[Q] = Seq(
+
+    // 26 ──────────────── flat-table build (star join materialization;
+    //     reference CreateFlatTable.scala:1-241)
+    Q("cube_flat_table",
+      (s, d) => CubeManager.flatTable(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("r_name"),
+                col("p_brand"), col("o_orderstatus"),
+                col("disc_price").cast(DoubleType).as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, r_name, p_brand, o_orderstatus,
+             |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN part ON l_partkey = p_partkey
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // 27 ──────────────── exact-match cuboid routing: the group-by set
+    //     IS a materialized cuboid
+    Q("cube_exact_match",
+      (s, d) => {
+        val inst = CubeManager.ensureBuilt(s, d)
+        QueryRouter.route(s, inst, CubeQuery(
+          Seq("o_orderstatus", "l_returnflag"),
+          Seq("revenue" -> "revenue", "nrows" -> "n_rows")))(noFallback)
+          .df.orderBy("o_orderstatus", "l_returnflag")
+      },
+      Some("""SELECT o_orderstatus, l_returnflag,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus, l_returnflag
+             |ORDER BY o_orderstatus, l_returnflag""".stripMargin)),
+
+    // 28 ──────────────── partial-match: coarser query re-aggregated
+    //     from a finer cuboid's mergeable state
+    Q("cube_reagg",
+      (s, d) => {
+        val inst = CubeManager.ensureBuilt(s, d)
+        QueryRouter.route(s, inst, CubeQuery(
+          Seq("l_returnflag"),
+          Seq("revenue" -> "revenue", "qty" -> "sum_qty",
+              "nrows" -> "n_rows")))(noFallback)
+          .df.orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // 29 ──────────────── bitmap measure: exact count-distinct that
+    //     survives re-aggregation (RoaringBitmap union across cuboid
+    //     rows + segments)
+    Q("cube_bitmap_distinct",
+      (s, d) => {
+        val inst = CubeManager.ensureBuilt(s, d)
+        QueryRouter.route(s, inst, CubeQuery(
+          Seq("r_name"),
+          Seq("cust_bitmap" -> "n_cust", "nrows" -> "n_rows")))(noFallback)
+          .df.orderBy("r_name")
+      },
+      Some("""SELECT r_name, COUNT(DISTINCT o_custkey) AS n_cust,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // 30 ──────────────── HLL measure: approx distinct, hash-checked
+    //     via exact counts + a within-5% flag (estimates are engine-
+    //     specific, so the estimate itself stays out of the hash)
+    Q("cube_hll_distinct",
+      (s, d) => {
+        val inst = CubeManager.ensureBuilt(s, d)
+        val hll = QueryRouter.route(s, inst, CubeQuery(
+          Seq("c_mktsegment"), Seq("cust_hll" -> "hll_cust")))(noFallback).df
+        val exact = CubeManager.flatTable(s, d)
+          .groupBy("c_mktsegment")
+          .agg(countDistinct(col("o_custkey")).as("exact_cust"))
+        exact.join(hll, "c_mktsegment")
+          .select(col("c_mktsegment"), col("exact_cust"),
+            (abs(col("hll_cust") - col("exact_cust")) <=
+               col("exact_cust") * 0.05).as("hll_ok"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(DISTINCT o_custkey) AS exact_cust,
+             |  TRUE AS hll_ok
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // 31 ──────────────── TopN measure (SpaceSaving-style, exact-integer
+    //     sums → bit-stable values through merge)
+    Q("cube_topn_measure",
+      (s, d) => {
+        val inst = CubeManager.ensureBuilt(s, d)
+        val r = QueryRouter.route(s, inst, CubeQuery(
+          Seq("l_returnflag"), Seq("brand_topn" -> "topn_state")))(noFallback)
+        r.df.select(col("l_returnflag"),
+            posexplode(Measures.topnExtract(col("topn_state"), lit(5))))
+          .select(col("l_returnflag"),
+            (col("pos") + 1).cast(LongType).as("rn"),
+            col("col._1").as("p_brand"),
+            (col("col._2").cast(DoubleType) / 10000.0).as("brand_rev"))
+          .orderBy("l_returnflag", "rn")
+      },
+      Some("""SELECT l_returnflag, rn, p_brand, brand_rev FROM (
+             |  SELECT l_returnflag, p_brand,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS brand_rev,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |      ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC, p_brand) AS BIGINT) AS rn
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY l_returnflag, p_brand)
+             |WHERE rn <= 5
+             |ORDER BY l_returnflag, rn""".stripMargin)),
+
+    // 32 ──────────────── percentile measure (KLL sketch): exact value
+    //     hash-checked, sketch asserted within tolerance
+    Q("cube_percentile",
+      (s, d) => {
+        val inst = CubeManager.ensureBuilt(s, d)
+        val approx = QueryRouter.route(s, inst, CubeQuery(
+          Seq("o_orderstatus"), Seq("qty_kll" -> "approx_p50")))(noFallback).df
+        val exact = CubeManager.flatTable(s, d)
+          .groupBy("o_orderstatus")
+          .agg(expr("percentile(l_quantity, 0.5)").as("ex"))
+        exact.join(approx, "o_orderstatus")
+          .select(col("o_orderstatus"), round(col("ex"), 4).as("exact_p50"),
+            (abs(col("approx_p50") - col("ex")) <= 2.5).as("p50_ok"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS exact_p50,
+             |  TRUE AS p50_ok
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // 33 ──────────────── segment pruning: time-range query reads only
+    //     overlapping segment dirs (FilePruner.scala:204-221)
+    Q("cube_segment_prune",
+      (s, d) => {
+        val inst = CubeManager.ensureBuilt(s, d)
+        QueryRouter.route(s, inst, CubeQuery(
+          Seq("o_month"),
+          Seq("revenue" -> "revenue", "nrows" -> "n_rows"),
+          timeRange = Some(("1997-01-01", "1999-01-01"))))(noFallback)
+          .df.orderBy("o_month")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate < TIMESTAMP '1999-01-01'
+             |GROUP BY 1 ORDER BY o_month""".stripMargin)),
+
+    // 34 ──────────────── segment merge: all segments merged into one,
+    //     measure states (incl. bitmap) re-aggregated losslessly
+    Q("cube_segment_merge",
+      (s, d) => {
+        val inst = CubeManager.ensureMerged(s, d)
+        QueryRouter.route(s, inst, CubeQuery(
+          Seq("o_orderstatus"),
+          Seq("revenue" -> "revenue", "cust_bitmap" -> "n_cust",
+              "nrows" -> "n_rows")))(noFallback)
+          .df.orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+             |  COUNT(DISTINCT o_custkey) AS n_cust,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // 35 ──────────────── pushdown fallback: no covering cuboid → the
+    //     source star join answers (kylin-spark-query pushdown)
+    Q("cube_pushdown_fallback",
+      (s, d) => {
+        val inst = CubeManager.ensureBuilt(s, d)
+        val r = QueryRouter.route(s, inst, CubeQuery(
+          Seq("o_orderpriority"),
+          Seq("revenue" -> "revenue", "nrows" -> "n_rows"))) {
+          CubeManager.flatTable(s, d)
+            .groupBy("o_orderpriority")
+            .agg(sum(col("disc_price")).cast(DoubleType).as("revenue"),
+                 count(lit(1)).as("n_rows"))
+        }
+        assert(r.fallback, "expected pushdown fallback")
+        r.df.orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // 36 ──────────────── RAW measure: per-group value collection
+    //     carried through the cube (reference measure/raw)
+    Q("cube_raw_measure",
+      (s, d) => {
+        val inst = CubeManager.ensureBuilt(s, d)
+        QueryRouter.route(s, inst, CubeQuery(
+          Seq("l_returnflag"), Seq("raw_hi" -> "vals")))(noFallback)
+          .df.select(col("l_returnflag"), explode(col("vals")).as("val"))
+          .orderBy("l_returnflag", "val")
+      },
+      Some("""SELECT l_returnflag, l_extendedprice AS val
+             |FROM lineitem WHERE l_quantity >= 49.5
+             |ORDER BY l_returnflag, val""".stripMargin))
+  )
+}

@@ -68,7 +68,9 @@ object Relational extends QueryGroup {
         .filter(col("l_shipdate") > lit("1997-01-01").cast(TimestampType))
         .join(orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast(TimestampType)),
               col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(customer(s, d).filter(col("c_mktsegment") === "BUILDING")),
+        // customer is unbounded-cardinality (grows with SF): no broadcast
+        // hint — let AQE pick shuffle-hash/sort-merge and handle skew.
+        .join(customer(s, d).filter(col("c_mktsegment") === "BUILDING"),
               col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
@@ -109,7 +111,8 @@ object Relational extends QueryGroup {
                 .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
                         col("o_orderdate") < lit("1999-01-01").cast(TimestampType)),
               col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        // customer scales with the fact table — never broadcast it.
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
               col("n_regionkey") === col("r_regionkey"))
@@ -201,15 +204,15 @@ object Relational extends QueryGroup {
 
     // 9 ───────────────────────── GROUPING SETS
     Q("q09_grouping_sets",
-      (s, d) => {
-        orders(s, d).createOrReplaceTempView("g_orders")
-        s.sql("""SELECT o_orderstatus, o_orderpriority,
-                |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-                |  COUNT(*) AS n_orders
-                |FROM g_orders
-                |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
-                |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
-      },
+      (s, d) => orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(dsum(col("o_totalprice")).as("sum_price"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first),
       Some("""SELECT o_orderstatus, o_orderpriority,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
              |  COUNT(*) AS n_orders
@@ -443,14 +446,27 @@ object Relational extends QueryGroup {
              |ORDER BY p_partkey""".stripMargin)),
 
     // 25 ──────────────────────── approx count distinct (HLL; reference hllc
-    //      measure, core-metadata/measure/hllc). No SQL oracle: estimates
-    //      are engine-specific → driver records rows-only.
+    //      measure, core-metadata/measure/hllc). Estimates are engine-
+    //      specific, so the hash-checked output carries the EXACT counts
+    //      plus a boolean asserting the HLL estimate is within 5% of
+    //      exact — giving the approx path a real D oracle.
     Q("q25_approx_distinct",
       (s, d) => lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-             approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+             countDistinct(col("l_suppkey")).as("exact_supps"),
+             approx_count_distinct(col("l_partkey")).as("ap"),
+             approx_count_distinct(col("l_suppkey")).as("as_"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+          (abs(col("ap") - col("exact_parts")) <=
+             col("exact_parts") * 0.05 &&
+           abs(col("as_") - col("exact_supps")) <=
+             col("exact_supps") * 0.05).as("approx_ok"))
         .orderBy("l_returnflag"),
-      None)
+      Some("""SELECT l_returnflag,
+             |  COUNT(DISTINCT l_partkey) AS exact_parts,
+             |  COUNT(DISTINCT l_suppkey) AS exact_supps,
+             |  TRUE AS approx_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }
