@@ -33,9 +33,11 @@ object Bench {
     // Untimed warmup: spins up executors, codegen, parquet footer caches.
     materialize(SparkEntry.queries("q02_agg_pricing")(spark, sfDir))
 
-    // Untimed cube build (offline in Kylin's model); timed separately.
+    // Untimed cube build + segment merge (offline in Kylin's model);
+    // timed separately so query latencies are pure query cost.
     val tCube0 = System.nanoTime()
     cube.CubeManager.ensureBuilt(spark, sfDir)
+    cube.CubeManager.ensureMerged(spark, sfDir)
     val cubeBuildSec = (System.nanoTime() - tCube0) / 1e9
 
     val names = SparkEntry.queries.keys.toSeq.sorted

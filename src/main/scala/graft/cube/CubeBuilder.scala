@@ -1,6 +1,6 @@
 package graft.cube
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
@@ -38,6 +38,19 @@ object CubeBuilder {
     * join). Returns the instance with per-cuboid row counts. */
   def build(spark: SparkSession, flat: DataFrame, cube: CubeDef,
             root: String): CubeInstance = {
+    // Segments must cover the data: a row outside every segment range
+    // would silently vanish from all cuboids (ADVICE r2). One cheap
+    // min/max job over the segment column catches that at build time.
+    val mm = flat.agg(
+      min(col(cube.segmentCol)).cast("string"),
+      max(col(cube.segmentCol)).cast("string")).head()
+    val (covLo, covHi) =
+      (cube.segments.map(_.start).min, cube.segments.map(_.end).max)
+    require(mm.isNullAt(0) ||
+      (mm.getString(0) >= covLo && mm.getString(1) < covHi),
+      s"cube ${cube.name}: data range [${mm.get(0)}, ${mm.get(1)}] not " +
+        s"covered by segments [$covLo, $covHi) — rows would be dropped")
+
     val stateAggs = cube.measures.map(m => m.fromRaw.as(m.stateCol))
     val reAggs = cube.measures.map(m => m.fromState(m.stateCol).as(m.stateCol))
     // base first, then descending dim-count so parents exist before children
@@ -65,10 +78,14 @@ object CubeBuilder {
               .groupBy(dimCols: _*).agg(reAggs.head, reAggs.tail: _*)
           }
         val path = cuboidPath(root, cube, seg.name, id)
+        // Row count piggybacks on the write via observe — no extra job
+        // re-reading what we just wrote (ADVICE r2).
+        val obs = Observation()
         // Local build writes few files; a cluster deployment would
         // repartition on a shard-by dim here (FilePruner pruneShards).
-        df.coalesce(4).write.mode("overwrite").parquet(path)
-        val n = spark.read.parquet(path).count()
+        df.observe(obs, count(lit(1)).as("n"))
+          .coalesce(4).write.mode("overwrite").parquet(path)
+        val n = obs.get("n").asInstanceOf[Long]
         built ::= (c, id, n)
         rows += (seg.name, id) -> n
       }
@@ -93,8 +110,10 @@ object CubeBuilder {
       val df = spark.read.parquet(paths: _*)
         .groupBy(dimCols: _*).agg(reAggs.head, reAggs.tail: _*)
       val path = cuboidPath(inst.root, cube, mergedName, id)
-      df.coalesce(4).write.mode("overwrite").parquet(path)
-      rows += (mergedName, id) -> spark.read.parquet(path).count()
+      val obs = Observation()
+      df.observe(obs, count(lit(1)).as("n"))
+        .coalesce(4).write.mode("overwrite").parquet(path)
+      rows += (mergedName, id) -> obs.get("n").asInstanceOf[Long]
     }
     CubeInstance(cube.copy(segments = Seq(merged)), inst.root, rows)
   }

@@ -27,6 +27,22 @@ final case class Measure(
   * FilePruner.scala:153-221 pruneSegments). */
 final case class Segment(name: String, start: String, end: String)
 
+/** A time-derived dimension stored in cuboids (e.g. o_month = yyyy-MM of
+  * the segment column). When a query's time range only partially covers
+  * a segment, the router applies a residual row-level filter on this dim
+  * — Kylin likewise applies the time filter in addition to segment
+  * pruning. `toDimValue` maps a range boundary date (yyyy-MM-dd) to the
+  * dim's value iff the boundary is aligned with the dim's granularity
+  * (None → not expressible → the router falls back to the source). */
+final case class TimeDim(name: String, toDimValue: String => Option[String])
+
+object TimeDim {
+  /** month-granularity dim over a yyyy-MM-dd boundary; dim values are
+    * "yyyy-MM" strings, which order lexicographically = chronologically */
+  def month(name: String): TimeDim =
+    TimeDim(name, d => if (d.length == 10 && d.endsWith("-01")) Some(d.substring(0, 7)) else None)
+}
+
 /** Cube definition: star-model dims + measures + materialized cuboid
   * lattice subset (reference: core-metadata cube desc + agg groups).
   *
@@ -40,7 +56,8 @@ final case class CubeDef(
     measures: Seq[Measure],
     segmentCol: String,
     segments: Seq[Segment],
-    cuboids: Seq[Set[String]]) {
+    cuboids: Seq[Set[String]],
+    timeDim: Option[TimeDim] = None) {
 
   require(cuboids.exists(_ == dims.toSet),
     "materialized set must include the base cuboid (all dims)")

@@ -100,7 +100,8 @@ object CubeManager {
       Set("r_name", "n_name"),
       Set("c_mktsegment", "o_month"),
       Set("o_month"))
-    CubeDef("star", dims, measures, "o_orderdate", segs, cuboids)
+    CubeDef("star", dims, measures, "o_orderdate", segs, cuboids,
+      timeDim = Some(TimeDim.month("o_month")))
   }
 
   private val built = TrieMap.empty[String, CubeInstance]

@@ -31,25 +31,62 @@ final case class Routed(
   * and present. Exact-match and partial-match are the same plan — a
   * groupBy over the cuboid — because states must be merged across
   * segments/files either way.
+  *
+  * Time semantics (Kylin applies the time filter IN ADDITION to segment
+  * pruning): segments fully inside the range are read as-is; partially
+  * overlapping segments require a residual row-level filter on the
+  * cube's time-derived dim (`CubeDef.timeDim`). If the range is not
+  * expressible on that dim (boundary not aligned to its granularity, or
+  * the dim isn't materialized in any covering cuboid) the router falls
+  * back to the source rather than silently over-returning rows.
   */
 object QueryRouter {
 
   def route(spark: SparkSession, inst: CubeInstance, q: CubeQuery)
            (fallback: => DataFrame): Routed = {
     val cube = inst.cube
-    val needed = q.groupBy.toSet ++ q.filterDims
+
+    // ── segment pruning + residual-filter requirement
+    val overlapping = cube.segments.filter { s =>
+      q.timeRange.forall { case (qs, qe) => s.start < qe && qs < s.end }
+    }
+    val partial = q.timeRange match {
+      case Some((qs, qe)) => overlapping.filterNot(s => qs <= s.start && s.end <= qe)
+      case None => Nil
+    }
+    // residual filter on the time-derived dim, when needed + expressible
+    val residual: Option[(String, Column)] =
+      if (partial.isEmpty) None
+      else (cube.timeDim, q.timeRange) match {
+        case (Some(td), Some((qs, qe))) =>
+          (td.toDimValue(qs), td.toDimValue(qe)) match {
+            case (Some(lo), Some(hi)) =>
+              Some(td.name -> (col(td.name) >= lit(lo) && col(td.name) < lit(hi)))
+            case _ => return Routed(fallback, None, Nil, fallback = true)
+          }
+        case _ => return Routed(fallback, None, Nil, fallback = true)
+      }
+
+    // ── cuboid choice: must cover groupBy ∪ filter dims ∪ residual dim
+    val needed = q.groupBy.toSet ++ q.filterDims ++ residual.map(_._1)
     val candidates = cube.cuboids.filter(needed.subsetOf(_))
     if (candidates.isEmpty)
       return Routed(fallback, None, Nil, fallback = true)
-
     val chosen = candidates.minBy(c => (inst.totalRows(c), c.size))
     val id = cube.cuboidId(chosen)
-    val segs = cube.segments.filter { s =>
-      q.timeRange.forall { case (qs, qe) => s.start < qe && qs < s.end }
-    }
-    val paths = segs.map(s => inst.cuboidPath(s.name, id))
+
+    // ── scan: empty overlap short-circuits to an empty result with the
+    // right schema (read the cuboid, keep no rows) instead of a
+    // zero-path read, which throws.
+    val (paths, emptyScan) =
+      if (overlapping.nonEmpty) (overlapping.map(s => inst.cuboidPath(s.name, id)), false)
+      else (cube.segments.map(s => inst.cuboidPath(s.name, id)), true)
     var df = spark.read.parquet(paths: _*)
+    if (emptyScan) df = df.filter(lit(false))
+    residual.foreach { case (_, pred) => df = df.filter(pred) }
     q.filter.foreach(f => df = df.filter(f))
+
+    // ── re-aggregate mergeable states, then present
     val aggs = q.measures.map { case (m, _) =>
       cube.measure(m).fromState(cube.measure(m).stateCol)
         .as(cube.measure(m).stateCol)
@@ -60,6 +97,6 @@ object QueryRouter {
       q.groupBy.map(col) ++ q.measures.map { case (m, alias) =>
         cube.measure(m).present(col(cube.measure(m).stateCol)).as(alias)
       }: _*)
-    Routed(out, Some(chosen), segs.map(_.name), fallback = false)
+    Routed(out, Some(chosen), overlapping.map(_.name), fallback = false)
   }
 }

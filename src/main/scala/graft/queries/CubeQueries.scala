@@ -184,6 +184,29 @@ object CubeQueries extends QueryGroup {
              |  AND o_orderdate < TIMESTAMP '1999-01-01'
              |GROUP BY 1 ORDER BY o_month""".stripMargin)),
 
+    // 33b ─────────────── residual time filter: range NOT aligned to
+    //     segment boundaries — partially-overlapping segments get a
+    //     row-level filter on the month dim (Kylin applies the time
+    //     filter in addition to segment pruning; ADVICE r2)
+    Q("cube_prune_residual",
+      (s, d) => {
+        val inst = CubeManager.ensureBuilt(s, d)
+        val r = QueryRouter.route(s, inst, CubeQuery(
+          Seq("o_orderstatus"),
+          Seq("revenue" -> "revenue", "nrows" -> "n_rows"),
+          timeRange = Some(("1996-01-01", "1999-07-01"))))(noFallback)
+        assert(!r.fallback && r.cuboid.exists(_.contains("o_month")),
+          "expected cuboid route through a month-bearing cuboid")
+        r.df.orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1999-07-01'
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // 34 ──────────────── segment merge: all segments merged into one,
     //     measure states (incl. bitmap) re-aggregated losslessly
     Q("cube_segment_merge",
