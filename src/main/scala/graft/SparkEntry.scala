@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
 
   /** All operator groups (SURVEY.md §2.1–§2.4). */
-  private def groups: Seq[QueryGroup] = Seq(Relational, CubeQueries)
+  private def groups: Seq[QueryGroup] =
+    Seq(Relational, CubeQueries, EventQueries)
 
   private lazy val all: Seq[Q] = groups.flatMap(_.queries)
 

@@ -24,7 +24,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = tbl(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = tbl(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = tbl(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame   = tbl(s, d, "events")
+  /** events.parquet carries TIMESTAMP(NANOS) (pyarrow default), which
+    * Spark's reader only surfaces as a long (spark.sql.legacy.parquet.
+    * nanosAsLong, set in every session builder here). Convert to a
+    * micros timestamp at the loader so every query sees a plain
+    * TimestampType `ts`. Integer `div` — nanos ≈ 1.7e18 overflows a
+    * double's 53-bit mantissa, so no floating-point division. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = tbl(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
 }

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.Exact._
+import graft.streaming.EventStream
+
+/** SURVEY.md §2.3 — the events surface (reference stream-core windowed
+  * ingest + real-time query, re-expressed over the batch `events`
+  * table; the genuinely-streaming path shares the same aggregation
+  * code and is exercised with MemoryStream in EventStreamSpec).
+  *
+  * Scale notes: every query below is a single hash-agg or window over
+  * a shuffle keyed by (user_id | window), no collect, no cross join —
+  * at 100 TB the events table shuffles once on the session/window key
+  * and AQE handles skewed users.
+  */
+object EventQueries extends QueryGroup {
+
+  val queries: Seq[Q] = Seq(
+
+    // 37 ──────────────── tumbling-window aggregation on event time
+    Q("ev_tumbling_window",
+      (s, d) => EventStream.tumblingAgg(events(s, d), "1 day", "1 hour")
+        .orderBy("w_start", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '1 day', ts) AS w_start, event_type,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
+
+    // 38 ──────────────── gap-based sessionization (60-min inactivity
+    //     gap), batch form: lag → new-session flag → running sum.
+    //     The streaming form (flatMapGroupsWithState) is
+    //     EventStream.sessionize, spec-checked against this one.
+    Q("ev_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .withColumn("prev_us", expr("unix_micros(lag(ts, 1) over (partition by user_id order by ts, event_id))"))
+          .withColumn("ns",
+            when(col("prev_us").isNull ||
+              expr("unix_micros(ts)") - col("prev_us") > 3600000000L, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum(col("ns")).over(run))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+               min(col("ts")).as("session_start"),
+               (expr("unix_micros(max(ts))") - expr("unix_micros(min(ts))"))
+                 .as("dur_us"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN LAG(ts) OVER w IS NULL
+             |         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 3600000000 THEN 1 ELSE 0 END AS ns
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |  FROM x)
+             |SELECT user_id, session_id, COUNT(*) AS n_events,
+             |  MIN(ts) AS session_start,
+             |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // 39 ──────────────── streaming-equivalent windowed agg: the SAME
+    //     function the streaming cube runs (watermark is a no-op on
+    //     batch), oracle-checked here, MemoryStream-checked in the spec
+    Q("ev_stream_equiv",
+      (s, d) => EventStream.tumblingAgg(events(s, d), "6 hours", "1 hour")
+        .orderBy("w_start", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start,
+             |  event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
+
+    // 40 ──────────────── strict-order funnel view → click → purchase:
+    //     stage N counts users whose first qualifying stage-N event is
+    //     after their first qualifying stage-(N-1) event
+    Q("ev_funnel",
+      (s, d) => {
+        val ev = events(s, d)
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val c = ev.join(v, "user_id")
+          .filter(col("event_type") === "click" && col("ts") > col("t1"))
+          .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        val p = ev.join(c, "user_id")
+          .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        v.select(lit("l1_view").as("stage"), col("user_id"))
+          .union(c.select(lit("l2_click"), col("user_id")))
+          .union(p.select(lit("l3_purchase"), col("user_id")))
+          .groupBy("stage").agg(count(lit(1)).as("n_users"))
+          .orderBy("stage")
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+             |          WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+             |      JOIN v ON e.user_id = v.user_id
+             |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+             |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+             |      JOIN c ON e.user_id = c.user_id
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+             |SELECT stage, COUNT(*) AS n_users FROM (
+             |  SELECT 'l1_view' AS stage, user_id FROM v
+             |  UNION ALL SELECT 'l2_click', user_id FROM c
+             |  UNION ALL SELECT 'l3_purchase', user_id FROM p)
+             |GROUP BY stage ORDER BY stage""".stripMargin))
+  )
+}

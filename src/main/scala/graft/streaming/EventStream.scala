@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Exact.dec
+
+/** Structured-Streaming re-expression of the reference's real-time
+  * cube path (stream-core/src/main/java/org/apache/kylin/stream/core/:
+  * receiver ingest → windowed fragment build → queryable segments).
+  * Here: `readStream` → watermark → tumbling-window agg →
+  * `foreachBatch` appends finalized window rows to a parquet cuboid —
+  * no coordinator/receiver cluster, Spark's own state store carries
+  * the in-flight windows.
+  *
+  * The aggregation body is one function used by BOTH the batch query
+  * (`ev_stream_equiv`, oracle-checked) and the streaming spec
+  * (MemoryStream in EventStreamSpec) — the batch/stream parity Kylin
+  * gets from building both paths on the same cuboid layout.
+  */
+object EventStream {
+
+  /** Tumbling-window event aggregate. On a streaming frame the
+    * watermark bounds state (windows close `lateness` after their end);
+    * on a batch frame `withWatermark` is a no-op and the result is the
+    * exact batch answer — same code, same semantics. Decimal sum keeps
+    * the money column order-independent (exact at any parallelism). */
+  def tumblingAgg(events: DataFrame, windowLen: String,
+                  lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(dec(col("value"))).as("sum_dec"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+              col("n_events"),
+              col("sum_dec").cast(DoubleType).as("sum_value"))
+
+  /** Streaming cube append: finalized (watermark-closed) window rows
+    * land in a parquet dir per micro-batch — the streaming-segment
+    * analogue of the reference's real-time fragment files. Append mode
+    * ⇒ each window row is written exactly once, when it can no longer
+    * change, so the cuboid on disk is immutable like a batch segment. */
+  def startCubeAppend(events: DataFrame, windowLen: String,
+                      lateness: String, path: String,
+                      checkpoint: String): StreamingQuery =
+    tumblingAgg(events, windowLen, lateness)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(path)
+      }
+      .start()
+
+  // ── stateful sessionization (custom state beyond windowed aggs) ──
+
+  final case class Ev(user_id: Long, ts: Timestamp)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              n_events: Int, dur_us: Long)
+
+  /** Gap-based sessionization over a stream via
+    * flatMapGroupsWithState + event-time timeout: a session closes when
+    * the watermark passes last-event + gap, emitting one row — state is
+    * O(open sessions), not O(events). The batch equivalent
+    * (`ev_sessionize`) uses lag/sum windows; this is the
+    * KeyValueGroupedDataset path for genuinely unbounded input. */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int)
+                (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          def us(t: Timestamp): Long = t.getTime * 1000 + t.getNanos / 1000 % 1000
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, new Timestamp(s.start / 1000), s.n,
+              s.last - s.start))
+          } else {
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            evs.toSeq.sortBy(e => us(e.ts)).foreach { e =>
+              val t = us(e.ts)
+              cur match {
+                case Some(s) if t - s.last <= gapUs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(user, new Timestamp(s.start / 1000),
+                    s.n, s.last - s.start)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last / 1000 + gapMinutes * 60000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

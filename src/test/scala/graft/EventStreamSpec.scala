@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Ev
+
+/** top-level so Spark can derive an Encoder (inner classes can't) */
+case class StreamEv(ts: Timestamp, event_type: String, value: Double)
+
+/** The genuinely-streaming half of SURVEY §2.3: the same tumbling agg
+  * the batch oracle checks, driven through MemoryStream with a real
+  * watermark, plus the flatMapGroupsWithState sessionizer. */
+class EventStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(h: Double): Timestamp =
+    new Timestamp(java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .plusMillis((h * 3600 * 1000).toLong).toEpochMilli)
+
+  test("streaming cube append emits exactly the watermark-closed windows") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val path = s"$dir/cuboid"
+    val ckpt = s"$dir/ckpt"
+
+    val ms = MemoryStream[StreamEv]
+    // batch 1: three events in window [0h,6h), one at 7.5h (advances the
+    // watermark past 6h for the NEXT run: wm = 7.5h - 1h = 6.5h)
+    ms.addData(
+      StreamEv(ts(0.5), "click", 1.50), StreamEv(ts(1.0), "click", 2.25),
+      StreamEv(ts(2.0), "view", 4.00), StreamEv(ts(7.5), "view", 8.00))
+    val q1 = EventStream.startCubeAppend(ms.toDF(), "6 hours", "1 hour", path, ckpt)
+    q1.awaitTermination()
+
+    // run 2 resumes from the checkpointed watermark (6.5h), processes
+    // the 20h event (watermark → 19h by run end), and AvailableNow
+    // flushes every window now below the watermark: [0,6h) and [6,12h)
+    // close; the 20h event's own window [18,24h) stays open
+    ms.addData(StreamEv(ts(20.0), "click", 1.00))
+    val q2 = EventStream.startCubeAppend(ms.toDF(), "6 hours", "1 hour", path, ckpt)
+    q2.awaitTermination()
+
+    val got = spark.read.parquet(path)
+      .orderBy("w_start", "event_type")
+      .collect()
+      .map(r => (r.getAs[Timestamp]("w_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+    assert(got.toSeq == Seq(
+      (ts(0), "click", 2L, 3.75),
+      (ts(0), "view", 1L, 4.00),
+      (ts(6), "view", 1L, 8.00)))
+  }
+
+  test("streaming tumbling agg equals the batch query on the same data") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val evs = (0 until 48).map(i =>
+      StreamEv(ts(i * 0.49), if (i % 2 == 0) "click" else "view", i + 0.25))
+
+    val ms = MemoryStream[StreamEv]
+    ms.addData(evs: _*)
+    val q = EventStream.tumblingAgg(ms.toDF(), "6 hours", "1 hour")
+      .writeStream.format("memory").queryName("agg_complete")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("agg_complete")
+      .orderBy("w_start", "event_type").collect().toSeq
+    val batch = EventStream.tumblingAgg(evs.toDF(), "6 hours", "1 hour")
+      .orderBy("w_start", "event_type").collect().toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("stateful sessionizer closes sessions on gap and on timeout") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    val ms = MemoryStream[Ev]
+    val q = EventStream.sessionize(ms.toDS(), 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    // batch 1: user 1 session of two events; user 2 session of one
+    ms.addData(Ev(1L, ts(0)), Ev(1L, ts(0.25)), Ev(2L, ts(0.3)))
+    q.processAllAvailable()
+    // batch 2: user 1 returns after > 30min gap → closes session 1 inline
+    ms.addData(Ev(1L, ts(2.0)))
+    q.processAllAvailable()
+    // batch 3: watermark advance (wm = 5h - 30min) fires user 2's
+    // event-time timeout and will also have timed out user 1's second
+    // session
+    ms.addData(Ev(3L, ts(5.0)))
+    q.processAllAvailable()
+    // batch 4: one more watermark advance so batch-3 state times out
+    ms.addData(Ev(3L, ts(8.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sessions")
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start"), r.getAs[Int]("n_events"),
+        r.getAs[Long]("dur_us")))
+    assert(got.contains((1L, ts(0), 2, 15L * 60 * 1000000)),
+      s"user-1 first session missing from ${got.toSeq}")
+    assert(got.contains((2L, ts(0.3), 1, 0L)),
+      s"user-2 timed-out session missing from ${got.toSeq}")
+    assert(got.contains((1L, ts(2.0), 1, 0L)),
+      s"user-1 second session missing from ${got.toSeq}")
+  }
+}
