@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis primitives for the LLM-data-pipeline surface (SURVEY
+  * §2.4 #41, #48–51). Everything here is a pure Catalyst column
+  * expression — codegen'd, no UDFs, no driver round-trips — and every
+  * function is deliberately expressible in ANSI SQL so the DuckDB
+  * oracle can replay it bit-for-bit: at 100 TB these run inside the
+  * parquet scan's WholeStageCodegen span.
+  */
+object TextAnalysis {
+
+  /** whitespace-collapsed, trimmed, lower-cased view of a text column */
+  def normText(t: Column): Column =
+    regexp_replace(lower(trim(t)), "\\s+", " ")
+
+  /** alphanumeric-only normalization for fingerprinting: lower, strip
+    * non [a-z0-9 ], collapse runs of spaces */
+  def normAlnum(t: Column): Column =
+    regexp_replace(regexp_replace(lower(trim(t)), "[^a-z0-9 ]", ""), " +", " ")
+
+  /** whitespace tokenization (split on runs, trimmed → no empty edge
+    * tokens for non-empty text) */
+  def words(t: Column): Column = split(trim(t), "\\s+")
+
+  /** BPE-ish subword tokens: letter runs, digit runs, single symbols */
+  val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def tokens(t: Column): Column =
+    regexp_extract_all(lower(t), lit(TokenPattern), lit(0))
+
+  /** tiny per-language stopword lists for the lang-id heuristic */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "los", "las", "es", "y", "un"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"))
+
+  /** count of tokens that are stopwords of `lang` (total, not distinct) */
+  def stopHits(ws: Column, lang: String): Column = {
+    val stops = Stopwords.toMap.apply(lang)
+    size(filter(ws, w => stops.map(lit(_) === w).reduce(_ || _)))
+  }
+
+  /** 64-bit fingerprint of the normalized text: first 15 hex chars of
+    * md5 (60 bits, always non-negative in a long) — a content hash
+    * both engines compute identically */
+  def fingerprint64(t: Column): Column =
+    conv(substring(md5(normAlnum(t)), 1, 15), 16, 10).cast(LongType)
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+import graft.pipeline.TextAnalysis._
+
+/** SURVEY.md §2.4 text-analysis ops (#41, #48–51): exact dedup,
+  * language ID, quality scoring, token counting, fingerprinting.
+  * All pure column expressions over the `documents` table; each
+  * oracle replays the identical computation in DuckDB SQL, so these
+  * are hash-exact D checks, not rows-only.
+  *
+  * Scale: every query is scan → project → (hash-agg) with no joins;
+  * at 100 TB they are embarrassingly parallel over parquet splits.
+  */
+object TextQueries extends QueryGroup {
+
+  // SQL twins of TextAnalysis normalizations (DuckDB needs the 'g'
+  // flag where Spark's regexp_replace is global by default)
+  private val sqlNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private val sqlNormAlnum =
+    "regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')"
+  private val sqlWords = "regexp_split_to_array(trim(text), '\\s+')"
+
+  private def sqlStopHits(lang: String): String = {
+    val lst = Stopwords.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($sqlWords, w -> list_contains($lst, w)))"
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // 41 ──────────────── exact dedup: md5 of normalized text, keep the
+    //     min doc_id per hash group (one shuffle keyed by the hash)
+    Q("doc_exact_dedup",
+      (s, d) => documents(s, d)
+        .withColumn("h", md5(normText(col("text"))))
+        .groupBy("h")
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id"),
+      Some(s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY md5($sqlNorm)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // 48 ──────────────── language ID: stopword-hit scores per language,
+    //     argmax with a fixed tie order (en > de > es > fr > und)
+    Q("doc_lang_id",
+      (s, d) => {
+        val ws = words(col("text"))
+        val scored = documents(s, d).select(
+          col("doc_id") +: Stopwords.map { case (l, _) =>
+            stopHits(ws, l).as(s"s_$l") }: _*)
+        val Seq(en, de, es, fr) = Stopwords.map(p => col(s"s_${p._1}"))
+        scored.select(col("doc_id"),
+            when(en >= de && en >= es && en >= fr && en > 0, "en")
+              .when(de >= es && de >= fr && de > 0, "de")
+              .when(es >= fr && es > 0, "es")
+              .when(fr > 0, "fr")
+              .otherwise("und").as("pred_lang"),
+            en.as("s_en"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+             |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+             |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+             |       WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+             |       WHEN s_fr > 0 THEN 'fr'
+             |       ELSE 'und' END AS pred_lang,
+             |  s_en
+             |FROM (SELECT doc_id,
+             |        CAST(${sqlStopHits("en")} AS INT) AS s_en,
+             |        CAST(${sqlStopHits("de")} AS INT) AS s_de,
+             |        CAST(${sqlStopHits("es")} AS INT) AS s_es,
+             |        CAST(${sqlStopHits("fr")} AS INT) AS s_fr
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // 49 ──────────────── quality scoring: length, punctuation ratio,
+    //     stopword ratio, composite score — identical arithmetic (and
+    //     rounding) on both engines
+    Q("doc_quality",
+      (s, d) => {
+        val ws = words(col("text"))
+        documents(s, d).select(
+            col("doc_id"),
+            length(col("text")).cast(LongType).as("len_chars"),
+            size(ws).cast(LongType).as("n_words"),
+            size(filter(ws, w => w.rlike("^[a-z]+$"))).cast(LongType)
+              .as("n_alpha_words"),
+            stopHits(ws, "en").cast(LongType).as("n_stop"))
+        .select(col("doc_id"), col("len_chars"), col("n_words"),
+            round(col("n_alpha_words").cast(DoubleType) / col("n_words"), 4)
+              .as("alpha_ratio"),
+            round(col("n_stop").cast(DoubleType) / col("n_words"), 4)
+              .as("stop_ratio"),
+            round(
+              least(col("n_words").cast(DoubleType) / 100.0, lit(1.0)) * 0.5
+                + (col("n_alpha_words").cast(DoubleType) / col("n_words")) * 0.3
+                + least(col("n_stop").cast(DoubleType) / col("n_words") * 5.0,
+                    lit(1.0)) * 0.2,
+              4).as("quality"))
+        .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, len_chars, n_words,
+             |  ROUND(CAST(n_alpha_words AS DOUBLE) / n_words, 4) AS alpha_ratio,
+             |  ROUND(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
+             |  ROUND(LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+             |    + (CAST(n_alpha_words AS DOUBLE) / n_words) * 0.3
+             |    + LEAST(CAST(n_stop AS DOUBLE) / n_words * 5.0, 1.0) * 0.2,
+             |    4) AS quality
+             |FROM (SELECT doc_id,
+             |        CAST(length(text) AS BIGINT) AS len_chars,
+             |        CAST(len($sqlWords) AS BIGINT) AS n_words,
+             |        CAST(len(list_filter($sqlWords, w -> regexp_full_match(w, '[a-z]+'))) AS BIGINT) AS n_alpha_words,
+             |        CAST(${sqlStopHits("en")} AS BIGINT) AS n_stop
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // 50 ──────────────── token counting: whitespace tokens + BPE-ish
+    //     regex tokens (letter runs / digit runs / single symbols)
+    Q("doc_token_count",
+      (s, d) => documents(s, d).select(
+          col("doc_id"),
+          size(words(col("text"))).cast(LongType).as("n_ws_tokens"),
+          size(tokens(col("text"))).cast(LongType).as("n_sub_tokens"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+             |  CAST(len($sqlWords) AS BIGINT) AS n_ws_tokens,
+             |  CAST(len(regexp_extract_all(lower(text), '$TokenPattern')) AS BIGINT) AS n_sub_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // 51 ──────────────── document fingerprint: 64-bit content hash of
+    //     the alnum-normalized text (md5-derived → engine-independent)
+    Q("doc_fingerprint",
+      (s, d) => documents(s, d).select(
+          col("doc_id"),
+          substring(md5(normAlnum(col("text"))), 1, 16).as("fp_hex"),
+          fingerprint64(col("text")).as("fp64"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+             |  substr(md5($sqlNormAlnum), 1, 16) AS fp_hex,
+             |  CAST(concat('0x', substr(md5($sqlNormAlnum), 1, 15)) AS BIGINT) AS fp64
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
