@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.Tables._
+import graft.pipeline.Dedup
+
+/** SURVEY.md §2.4 near-dup suite (#42–44). Each oracle computes the
+  * GROUND-TRUTH pair set in DuckDB (exact Jaccard / exact hamming over
+  * every qualifying pair, via shingle-inverted-index joins — no LSH),
+  * so a pass proves the Spark side's bucketed candidate generation
+  * missed nothing at the threshold:
+  *  - simhash chunk-banding is lossless by pigeonhole (hamming ≤ 9
+  *    with 10 chunks ⇒ some chunk equal), so equality is guaranteed;
+  *  - minhash banding at J ≥ 0.8 has miss probability ≈ 4e-8 per pair
+  *    and is deterministic given the md5-derived hash family, so the
+  *    gate is stable run-to-run.
+  */
+object DedupQueries extends QueryGroup {
+
+  /** shared ground-truth CTE prefix: normalized words → distinct
+    * 3-word shingles (shl), exploded shingles (shx) */
+  private val shingleCte =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |shl AS (
+      |  SELECT doc_id,
+      |    list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+      |                   for i in range(1, len(ws)-1)]) AS sh
+      |  FROM w WHERE len(ws) >= 3),
+      |shx AS (SELECT doc_id, unnest(sh) AS s FROM shl)""".stripMargin
+
+  private def jaccardSql(threshold: String): String =
+    s"""$shingleCte,
+       |sizes AS (SELECT doc_id, len(sh) AS n FROM shl),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS x
+       |  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  ROUND(CAST(x AS DOUBLE) / (sa.n + sb.n - x), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON id_a = sa.doc_id
+       |JOIN sizes sb ON id_b = sb.doc_id
+       |WHERE ROUND(CAST(x AS DOUBLE) / (sa.n + sb.n - x), 4) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // 42 ──────────────── MinHash + LSH banding (b=16, r=4, md5-derived
+    //     hash family), bucket equi-join, exact-Jaccard verify ≥ 0.8
+    Q("doc_minhash_lsh",
+      (s, d) => Dedup.minhashDupPairs(documents(s, d), 0.8)
+        .orderBy("id_a", "id_b"),
+      Some(jaccardSql("0.8"))),
+
+    // 43 ──────────────── SimHash 60-bit, 10×6-bit chunk buckets,
+    //     hamming ≤ 9 (banding provably lossless at this threshold)
+    Q("doc_simhash",
+      (s, d) => Dedup.simhashDupPairs(documents(s, d), 9)
+        .orderBy("id_a", "id_b"),
+      Some(s"""$shingleCte,
+             |h AS (SELECT doc_id,
+             |        CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS hv
+             |      FROM shx),
+             |bits AS (
+             |  SELECT doc_id, r.range AS j,
+             |    CASE WHEN SUM(CASE WHEN (hv >> CAST(r.range AS INT)) & 1 = 1
+             |                       THEN 1 ELSE -1 END) >= 0
+             |         THEN 1 ELSE 0 END AS b
+             |  FROM h, range(60) r GROUP BY 1, 2),
+             |sig AS (
+             |  SELECT doc_id,
+             |    CAST(SUM(b * (CAST(1 AS BIGINT) << CAST(j AS INT))) AS BIGINT) AS s64
+             |  FROM bits GROUP BY 1)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.s64, b.s64)) AS INT) AS hamming
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.s64, b.s64)) <= 9
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // 44 ──────────────── exact n-gram Jaccard via inverted-index join
+    //     (pairs sharing ≥1 shingle), threshold 0.5
+    Q("doc_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(documents(s, d), 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(jaccardSql("0.5")))
+  )
+}
