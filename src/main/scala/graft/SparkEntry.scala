@@ -11,7 +11,8 @@ object SparkEntry {
 
   /** All operator groups (SURVEY.md §2.1–§2.4). */
   private def groups: Seq[QueryGroup] =
-    Seq(Relational, CubeQueries, EventQueries, TextQueries, DedupQueries)
+    Seq(Relational, CubeQueries, EventQueries, TextQueries, DedupQueries,
+      EmbQueries)
 
   private lazy val all: Seq[Q] = groups.flatMap(_.queries)
 

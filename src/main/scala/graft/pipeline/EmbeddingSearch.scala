@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding similarity for the LLM-data-pipeline surface (SURVEY §2.4
+  * #45–47): exact threshold pairs, brute-force top-k (the baseline),
+  * and random-hyperplane LSH bucketed top-k (the 100 TB path).
+  *
+  * Determinism across engines: float coordinates are quantized to
+  * integers (`floor(v · 2^20)` — exact, floats have 24-bit mantissas),
+  * so dot products and norms are pure int64 arithmetic:
+  * order-independent and bit-identical in Spark and DuckDB. Only the
+  * final `dot / sqrt(na·nb)` touches floating point, in the same
+  * left-to-right op sequence on both engines (IEEE ops are correctly
+  * rounded ⇒ identical bits), then `round(_, 6)`.
+  */
+object EmbeddingSearch {
+
+  val Dim = 64
+  val Scale = 1048576L          // 2^20, a power of two ⇒ v·Scale is exact
+
+  /** float array → exact integer vector */
+  def quantize(e: Column): Column =
+    transform(e, v => floor(v.cast(DoubleType) * Scale).cast(LongType))
+
+  /** exact integer dot product (≤ 2^46 for 64 dims of ≤ 2^20) */
+  def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** cosine from integer dot + squared norms, rounded to 6 dp */
+  def cosine(dot: Column, n2a: Column, n2b: Column): Column =
+    round(dot.cast(DoubleType) /
+      sqrt(n2a.cast(DoubleType) * n2b.cast(DoubleType)), 6)
+
+  /** (vec_id, q, n2): quantized vector + its squared norm */
+  def quantized(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("n2", idot(col("q"), col("q")))
+
+  private def pairCosine(a: String, b: String): Column =
+    cosine(idot(col(s"$a.q"), col(s"$b.q")),
+      col(s"$a.n2"), col(s"$b.n2"))
+
+  /** exact all-pairs cosine ≥ threshold — the O(n²) BASELINE the
+    * bucketed variants are judged against; at scale use `lshTopK` /
+    * LSH candidates instead */
+  def cosineDupPairs(embs: DataFrame, minCos: Double): DataFrame = {
+    val q = quantized(embs)
+    q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        pairCosine("a", "b").as("cosine"))
+      .filter(col("cosine") >= minCos)
+  }
+
+  /** brute-force top-k: broadcast the (tiny) query set against a full
+    * scan of the corpus — one linear pass + a per-query sort of k */
+  def bruteForceTopK(embs: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val q = quantized(embs)
+    val queries = q.filter(col("vec_id") < numQueries)
+    val scored = broadcast(queries).as("a")
+      .join(q.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+        pairCosine("a", "b").as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  // ── random-hyperplane LSH (the scale path) ───────────────────────
+
+  val LshTables = 4
+  val LshBits = 8
+
+  /** deterministic md5-derived hyperplane coefficient in [-1000, 1000]
+    * — reproducible in SQL as
+    * (CAST(concat('0x', substr(md5(t||'_'||j||'_'||i), 1, 8)) AS BIGINT) % 2001) - 1000 */
+  def hCoef(t: Int, j: Int, i: Int): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"${t}_${j}_$i".getBytes(StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+  }
+
+  /** adds one integer bucket column per LSH table: bit j of table t is
+    * the sign of ⟨q, hyperplane(t,j)⟩ (exact integer dot) */
+  def withBuckets(q: DataFrame): DataFrame = {
+    val bucketCols = (0 until LshTables).map { t =>
+      (0 until LshBits).map { j =>
+        val h = typedLit((0 until Dim).map(i => hCoef(t, j, i)))
+        when(idot(col("q"), h) >= 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"bkt$t")
+    }
+    q.select(col("vec_id") +: col("q") +: col("n2") +: bucketCols: _*)
+  }
+
+  /** LSH top-k: candidates = corpus vectors sharing any table's bucket
+    * with the query (equi-join per table on the bucket id — the
+    * all-pairs scan never happens), exact cosine on candidates only,
+    * then top-k. Recall is tunable via tables × bits. */
+  def lshTopK(embs: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val b = withBuckets(quantized(embs))
+    val queries = b.filter(col("vec_id") < numQueries)
+    val perTable = (0 until LshTables).map { t =>
+      broadcast(queries).as("a")
+        .join(b.as("b"),
+          col(s"a.bkt$t") === col(s"b.bkt$t") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+          pairCosine("a", "b").as("cosine"))
+    }
+    rankTopK(perTable.reduce(_ union _).distinct(), k)
+  }
+
+  /** rank by (cosine desc, n_id) — cosine is bit-identical on both
+    * engines, so ranks (ties included) replay exactly in SQL */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cosine")
+  }
+}

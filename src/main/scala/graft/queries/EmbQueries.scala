@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.Tables._
+import graft.pipeline.EmbeddingSearch
+
+/** SURVEY.md §2.4 embedding-similarity ops (#45–47). The oracle SQL
+  * replays the exact same quantized-integer cosine (see
+  * EmbeddingSearch's determinism note), so thresholds, ranks, and tie
+  * breaks replay bit-for-bit in DuckDB — including the LSH variant,
+  * whose md5-derived hyperplanes are reproducible in SQL. */
+object EmbQueries extends QueryGroup {
+
+  /** quantized vectors + squared norms (CTE prefix shared by all) */
+  private val qvCte =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+      |     for i in range(1, len(embedding) + 1)] AS q
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, q,
+      |    CAST(list_sum([q[i] * q[i] for i in range(1, 65)]) AS BIGINT) AS n2
+      |  FROM qv)""".stripMargin
+
+  /** pair cosine between aliases a and b (rounded to 6 dp) */
+  private val cosAB =
+    """ROUND(CAST(list_sum([a.q[i] * b.q[i] for i in range(1, 65)]) AS DOUBLE)
+      |  / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)), 6)""".stripMargin
+
+  private val rankSelect =
+    """SELECT q_id, rank, n_id, cosine FROM (
+      |  SELECT q_id, n_id, cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // 45 ──────────────── exact cosine threshold pairs (the O(n²)
+    //     baseline; LSH below is the scale path)
+    Q("emb_cosine_dup",
+      (s, d) => EmbeddingSearch.cosineDupPairs(embeddings(s, d), 0.4)
+        .orderBy("id_a", "id_b"),
+      Some(s"""$qvCte
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosAB AS cosine
+             |FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |WHERE $cosAB >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // 46 ──────────────── brute-force top-5 for the first 8 query
+    //     vectors: broadcast queries × one linear corpus scan
+    Q("emb_topk_bruteforce",
+      (s, d) => EmbeddingSearch.bruteForceTopK(embeddings(s, d), 8, 5)
+        .orderBy("q_id", "rank"),
+      Some(s"""$qvCte,
+             |scored AS (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, $cosAB AS cosine
+             |  FROM n a JOIN n b ON a.vec_id < 8 AND b.vec_id != a.vec_id)
+             |$rankSelect""".stripMargin)),
+
+    // 47 ──────────────── random-hyperplane LSH top-5: candidates from
+    //     4 tables × 8-bit sign buckets (equi-join per table), exact
+    //     cosine on candidates only
+    Q("emb_topk_lsh",
+      (s, d) => EmbeddingSearch.lshTopK(embeddings(s, d), 8, 5)
+        .orderBy("q_id", "rank"),
+      Some(s"""$qvCte,
+             |hp AS (
+             |  SELECT t.range AS t, j.range AS j, i.range AS i,
+             |    (CAST(concat('0x', substr(md5(
+             |       CAST(t.range AS VARCHAR) || '_' ||
+             |       CAST(j.range AS VARCHAR) || '_' ||
+             |       CAST(i.range AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS hv
+             |  FROM range(4) t, range(8) j, range(64) i),
+             |dots AS (
+             |  SELECT n.vec_id, hp.t, hp.j,
+             |    SUM(n.q[CAST(hp.i AS INT) + 1] * hp.hv) AS dp
+             |  FROM n, hp GROUP BY 1, 2, 3),
+             |bk AS (
+             |  SELECT vec_id, t,
+             |    CAST(SUM(CASE WHEN dp >= 0 THEN (1 << CAST(j AS INT)) ELSE 0 END) AS INT) AS bkt
+             |  FROM dots GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT DISTINCT qa.vec_id AS q_id, qb.vec_id AS n_id
+             |  FROM bk qa JOIN bk qb
+             |    ON qa.t = qb.t AND qa.bkt = qb.bkt
+             |   AND qa.vec_id < 8 AND qb.vec_id != qa.vec_id),
+             |scored AS (
+             |  SELECT cand.q_id, cand.n_id, $cosAB AS cosine
+             |  FROM cand
+             |  JOIN n a ON a.vec_id = cand.q_id
+             |  JOIN n b ON b.vec_id = cand.n_id)
+             |$rankSelect""".stripMargin))
+  )
+}
