@@ -24,6 +24,10 @@ object TextQueries extends QueryGroup {
     "regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')"
   private val sqlWords = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** engine-stable 4-dp truncation (see doc_quality comment) */
+  private def f4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 10000) / 10000
+
   private def sqlStopHits(lang: String): String = {
     val lst = Stopwords.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter($sqlWords, w -> list_contains($lst, w)))"
@@ -91,25 +95,28 @@ object TextQueries extends QueryGroup {
               .as("n_alpha_words"),
             stopHits(ws, "en").cast(LongType).as("n_stop"))
         .select(col("doc_id"), col("len_chars"), col("n_words"),
-            round(col("n_alpha_words").cast(DoubleType) / col("n_words"), 4)
+            // floor(x·10⁴)/10⁴ instead of round(x, 4): ROUND half-up on
+            // a value that lands exactly on a .5 boundary diverges
+            // between engines (Spark rounds the binary double via
+            // BigDecimal, DuckDB scales first); multiply+floor are
+            // single IEEE ops, bit-identical everywhere
+            f4(col("n_alpha_words").cast(DoubleType) / col("n_words"))
               .as("alpha_ratio"),
-            round(col("n_stop").cast(DoubleType) / col("n_words"), 4)
+            f4(col("n_stop").cast(DoubleType) / col("n_words"))
               .as("stop_ratio"),
-            round(
-              least(col("n_words").cast(DoubleType) / 100.0, lit(1.0)) * 0.5
+            f4(least(col("n_words").cast(DoubleType) / 100.0, lit(1.0)) * 0.5
                 + (col("n_alpha_words").cast(DoubleType) / col("n_words")) * 0.3
                 + least(col("n_stop").cast(DoubleType) / col("n_words") * 5.0,
-                    lit(1.0)) * 0.2,
-              4).as("quality"))
+                    lit(1.0)) * 0.2).as("quality"))
         .orderBy("doc_id")
       },
       Some(s"""SELECT doc_id, len_chars, n_words,
-             |  ROUND(CAST(n_alpha_words AS DOUBLE) / n_words, 4) AS alpha_ratio,
-             |  ROUND(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
-             |  ROUND(LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+             |  floor((CAST(n_alpha_words AS DOUBLE) / n_words) * 10000) / 10000 AS alpha_ratio,
+             |  floor((CAST(n_stop AS DOUBLE) / n_words) * 10000) / 10000 AS stop_ratio,
+             |  floor((LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
              |    + (CAST(n_alpha_words AS DOUBLE) / n_words) * 0.3
-             |    + LEAST(CAST(n_stop AS DOUBLE) / n_words * 5.0, 1.0) * 0.2,
-             |    4) AS quality
+             |    + LEAST(CAST(n_stop AS DOUBLE) / n_words * 5.0, 1.0) * 0.2)
+             |    * 10000) / 10000 AS quality
              |FROM (SELECT doc_id,
              |        CAST(length(text) AS BIGINT) AS len_chars,
              |        CAST(len($sqlWords) AS BIGINT) AS n_words,

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cube._
+
+/** Router edge cases from ADVICE r2: empty time-range overlap,
+  * unaligned-range fallback, and residual-filter row parity. */
+class CubeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val inst = CubeManager.ensureBuilt(spark, sf)
+
+  test("time range overlapping no segment returns empty, not an error") {
+    val r = QueryRouter.route(spark, inst, CubeQuery(
+      Seq("o_orderstatus"), Seq("revenue" -> "revenue"),
+      timeRange = Some(("2005-01-01", "2006-01-01"))))(fail("no fallback expected"))
+    assert(!r.fallback)
+    assert(r.df.count() == 0)
+    assert(r.df.columns.toSeq == Seq("o_orderstatus", "revenue"))
+  }
+
+  test("non-month-aligned range falls back instead of over-returning") {
+    var usedFallback = false
+    val r = QueryRouter.route(spark, inst, CubeQuery(
+      Seq("o_orderstatus"), Seq("revenue" -> "revenue"),
+      timeRange = Some(("1996-03-15", "1997-02-10")))) {
+      usedFallback = true
+      spark.emptyDataFrame
+    }
+    assert(r.fallback && usedFallback)
+  }
+
+  test("residual month filter matches a source-side row count exactly") {
+    val r = QueryRouter.route(spark, inst, CubeQuery(
+      Seq("o_orderstatus"), Seq("nrows" -> "n_rows"),
+      timeRange = Some(("1996-01-01", "1999-07-01"))))(fail("no fallback expected"))
+    assert(r.cuboid.exists(_.contains("o_month")),
+      "partial segments must route through a month-bearing cuboid")
+    val cubeN = r.df.agg(sum("n_rows")).head().getLong(0)
+    val srcN = CubeManager.flatTable(spark, sf)
+      .filter("o_orderdate >= '1996-01-01' and o_orderdate < '1999-07-01'")
+      .count()
+    assert(cubeN == srcN)
+  }
+
+  test("bitmap count-distinct stays exact across two re-aggregation layers") {
+    // route the coarsest o_month query (served by the o_month cuboid,
+    // itself built from a parent) and compare with the source
+    val got = QueryRouter.route(spark, inst, CubeQuery(
+      Seq("o_month"), Seq("cust_bitmap" -> "n_cust")))(fail("expected cuboid"))
+      .df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = CubeManager.flatTable(spark, sf)
+      .groupBy("o_month").agg(countDistinct("o_custkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && want.nonEmpty)
+  }
+}
