@@ -47,7 +47,8 @@ object CubeManager {
         (discPrice(col("l_extendedprice"), col("l_discount")) * 10000)
           .cast(LongType).as("disc_price_micros"),
         when(col("l_quantity") >= 49.5, col("l_extendedprice"))
-          .as("raw_hi_price"))
+          .as("raw_hi_price"),
+        col("c_name"))
 
   /** The default cube: 7 dims, 8 measures covering every reference
     * measure family, 2-year segments over o_orderdate, and a 7-cuboid
@@ -85,7 +86,13 @@ object CubeManager {
         present = Measures.kllQuantile(_, lit(0.5))),
       Measure("raw_hi",
         fromRaw = collect_list(col("raw_hi_price")),
-        fromState = s => flatten(collect_list(col(s)))))
+        fromState = s => flatten(collect_list(col(s)))),
+      // bitmap over a STRING column via the global dictionary the build
+      // phase attaches (c_name_id) — reference DFDictionaryBuilder path
+      Measure("cname_bitmap",
+        fromRaw = Measures.bitmapAgg(col("c_name_id")),
+        fromState = s => Measures.bitmapUnion(col(s)),
+        present = Measures.bitmapCount(_)))
     val segs = Seq(
       Segment("s1995", "1995-01-01", "1997-01-01"),
       Segment("s1997", "1997-01-01", "1999-01-01"),
@@ -116,7 +123,12 @@ object CubeManager {
     built.getOrElse(sfDir, lock.synchronized {
       built.getOrElseUpdate(sfDir, {
         val root = s"$cubeRoot/${sfName(sfDir)}"
-        CubeBuilder.build(spark, flatTable(spark, sfDir), defaultCube, root)
+        // dictionary-encode string bitmap inputs before the build
+        // (reference DFTableEncoder: encode once on the flat table)
+        val flat = flatTable(spark, sfDir)
+        val dict = Dictionary.build(flat, "c_name")
+        CubeBuilder.build(spark, Dictionary.encode(flat, dict, "c_name"),
+          defaultCube, root)
       })
     })
 

@@ -1,10 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-
-import TextAnalysis.normText
 
 /** Near-duplicate detection for the LLM-data-pipeline surface (SURVEY
   * §2.4 #42–44): MinHash+LSH banding, SimHash hamming buckets, and an
@@ -13,37 +11,77 @@ import TextAnalysis.normText
   * cross join — so pair generation stays near-linear at 100 TB
   * (SURVEY §5.7). Exact verification runs only on candidates.
   *
-  * Hashes derive from md5 (engine-independent, no JVM hashing), so the
-  * DuckDB oracle can replay signatures bit-for-bit where it needs to.
+  * Layout note: shingling emits (doc_id, shingle) ROWS via one
+  * imperative flatMap kernel instead of per-doc array columns —
+  * Catalyst's higher-order array functions (transform / array_distinct
+  * / concat_ws-per-element) are interpreted, not codegen'd, and
+  * projection collapse re-evaluates them per consumer; the row form
+  * measured ~50× faster at sf0.1 and every downstream op is a plain
+  * codegen'd join/agg.
   */
 object Dedup {
 
   // ── shingling ────────────────────────────────────────────────────
 
-  /** distinct 3-word shingles of the whitespace-normalized text */
-  def shingles(t: Column): Column = {
-    val ws = split(normText(t), " ")
-    when(size(ws) >= 3,
-      array_distinct(transform(sequence(lit(0), size(ws) - 3),
-        i => concat_ws(" ",
-          element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))))
-      .otherwise(typedLit(Seq.empty[String]))
+  /** (doc_id, s): distinct 3-word shingles of the whitespace-normalized
+    * text, one row per shingle. Matches the SQL oracle's
+    * string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'),' ')
+    * tokenization exactly (ASCII data). */
+  def shingleRows(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.trim.toLowerCase.split("\\s+")
+        if (ws.length < 3) Iterator.empty
+        else {
+          val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+          var i = 0
+          while (i <= ws.length - 3) {
+            seen.add(ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
+            i += 1
+          }
+          seen.iterator.map(s => (id, s))
+        }
+      }
+      .toDF("doc_id", "s")
   }
 
-  /** (doc_id, sh) with non-empty shingle sets */
-  def shingled(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
+  /** (doc_id, n): shingle-set size per doc */
+  def shingleSizes(rows: DataFrame): DataFrame =
+    rows.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
   /** 60-bit hash of a string via md5's first 15 hex chars — the one
     * hash primitive both Spark and DuckDB compute identically */
   def h60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
 
-  /** exact Jaccard columns given two shingle-set columns */
-  def jaccard(a: Column, b: Column): Column = {
-    val x = size(array_intersect(a, b)).cast(DoubleType)
-    round(x / (size(a) + size(b) - size(array_intersect(a, b))), 4)
+  // ── exact Jaccard on a pair set (shared verify step) ─────────────
+
+  private def jaccardCol: Column =
+    round(col("x").cast(DoubleType) / (col("n_a") + col("n_b") - col("x")), 4)
+
+  /** exact Jaccard for the given candidate (id_a < id_b) pairs:
+    * semi-join the inverted index down to candidate docs (at scale the
+    * candidates are a vanishing fraction of the corpus), count shared
+    * shingles per pair, join sizes. */
+  def pairJaccard(rows: DataFrame, cand: DataFrame): DataFrame = {
+    val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val r = rows.join(ids, "doc_id")
+    val inter = r.as("a").join(r.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("x"))
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
+    withJaccard(inter, rows)
+  }
+
+  private def withJaccard(inter: DataFrame, rows: DataFrame): DataFrame = {
+    val sizes = shingleSizes(rows)
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccardCol.as("jaccard"))
   }
 
   // ── MinHash + LSH banding ────────────────────────────────────────
@@ -51,17 +89,28 @@ object Dedup {
   val NumHashes = 64
   val BandRows = 4              // b=16 bands × r=4 rows
   val NumBands: Int = NumHashes / BandRows
+  private val MersenneP = 2147483647L   // 2^31 − 1
 
-  /** minhash_j = min over shingles of h60(j || '|' || shingle) */
-  private def minhash(j: Int): Column =
-    array_min(transform(col("sh"), s => h60(concat(lit(s"$j|"), s))))
+  /** minhash signature columns mh0..mh63 from ONE md5 per shingle:
+    * h1/h2 are two 32-bit md5 slices and hash_j = (h1 + j·h2) mod p —
+    * the standard affine family; 64 mins are then plain codegen'd
+    * aggregates, not 64 md5 passes. */
+  def minhashSignatures(rows: DataFrame): DataFrame = {
+    val hashed = rows.select(col("doc_id"),
+      (conv(substring(md5(col("s")), 1, 8), 16, 10).cast(LongType) % MersenneP)
+        .as("h1"),
+      (conv(substring(md5(col("s")), 9, 8), 16, 10).cast(LongType) % MersenneP)
+        .as("h2"))
+    val mins = (0 until NumHashes).map(j =>
+      min((col("h1") + lit(j.toLong) * col("h2")) % MersenneP).as(s"mh$j"))
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
 
-  /** candidate pairs from banded minhash signatures: docs agreeing on
-    * all r rows of any band land in the same bucket; the bucket join is
-    * an equi-join on (band, key). P(candidate | J=0.9) ≈ 1 − 4e-8. */
-  def minhashCandidates(sh: DataFrame): DataFrame = {
-    val sig = sh.select(
-      col("doc_id") +: (0 until NumHashes).map(j => minhash(j).as(s"mh$j")): _*)
+  /** candidate pairs from banded signatures: docs agreeing on all r
+    * rows of any band share a bucket; the bucket join is an equi-join
+    * on (band, key). P(candidate | J=0.9) ≈ 1 − 4e-8. */
+  def minhashCandidates(rows: DataFrame): DataFrame = {
+    val sig = minhashSignatures(rows)
     val bandKeys = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (b * BandRows until (b + 1) * BandRows)
@@ -78,13 +127,10 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pairs, exact-verified at `minJaccard` */
-  def minhashDupPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val sh = shingled(docs)
-    minhashCandidates(sh)
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+  def minhashDupPairs(docs: DataFrame, minJaccard: Double)
+                     (implicit spark: SparkSession): DataFrame = {
+    val rows = shingleRows(docs)
+    pairJaccard(rows, minhashCandidates(rows))
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -95,11 +141,9 @@ object Dedup {
   val NumChunks: Int = SimBits / ChunkBits   // 10 chunks ⇒ hamming ≤ 9
                                              // provably yields a chunk match
   /** per-doc 60-bit simhash: bit j set iff Σ over shingles of
-    * (±1 by hash bit j) ≥ 0. One explode + one hash-agg — no all-pairs
-    * anything. */
-  def simhashSignatures(sh: DataFrame): DataFrame = {
-    val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), h60(col("s")).as("hv"))
+    * (±1 by hash bit j) ≥ 0. One hash-agg over shingle rows. */
+  def simhashSignatures(rows: DataFrame): DataFrame = {
+    val hashed = rows.select(col("doc_id"), h60(col("s")).as("hv"))
     val bitSums = (0 until SimBits).map(j =>
       sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"b$j"))
@@ -114,9 +158,10 @@ object Dedup {
     * chunk banding: split the signature into NumChunks chunks; hamming
     * ≤ NumChunks−1 pairs MUST agree on some chunk (pigeonhole), so for
     * maxHamming ≤ 9 the bucket join is lossless, not probabilistic. */
-  def simhashDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashDupPairs(docs: DataFrame, maxHamming: Int)
+                     (implicit spark: SparkSession): DataFrame = {
     require(maxHamming < NumChunks, "banding only lossless below NumChunks")
-    val sig = simhashSignatures(shingled(docs))
+    val sig = simhashSignatures(shingleRows(docs))
     val chunkCols = (0 until NumChunks).map(c =>
       shiftright(col("s64"), c * ChunkBits).bitwiseAND((1 << ChunkBits) - 1))
     val buckets = sig.select(col("doc_id"), col("s64"),
@@ -138,22 +183,15 @@ object Dedup {
     * inverted-index equi-join on the shingle (shuffle keyed by
     * shingle, AQE handles frequent-shingle skew; a production 100 TB
     * run would additionally cap document frequency to bound the
-    * worst-case bucket — candidates missed by a df-cap share only
+    * worst-case bucket — pairs missed by a df-cap share only
     * ultra-common shingles and sit far below any useful threshold). */
-  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val sh = shingled(docs)
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val inter = ex.as("a").join(ex.as("b"),
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double)
+                       (implicit spark: SparkSession): DataFrame = {
+    val rows = shingleRows(docs)
+    val inter = rows.as("a").join(rows.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("x"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(col("x").cast(DoubleType) / (col("n_a") + col("n_b") - col("x")), 4)
-          .as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+    withJaccard(inter, rows).filter(col("jaccard") >= minJaccard)
   }
 }

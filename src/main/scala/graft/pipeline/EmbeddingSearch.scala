@@ -3,7 +3,7 @@ package graft.pipeline
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -48,13 +48,54 @@ object EmbeddingSearch {
 
   /** exact all-pairs cosine ≥ threshold — the O(n²) BASELINE the
     * bucketed variants are judged against; at scale use `lshTopK` /
-    * LSH candidates instead */
-  def cosineDupPairs(embs: DataFrame, minCos: Double): DataFrame = {
-    val q = quantized(embs)
-    q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        pairCosine("a", "b").as("cosine"))
-      .filter(col("cosine") >= minCos)
+    * LSH candidates instead.
+    *
+    * Implemented as a broadcast-matrix kernel: the quantized vectors
+    * (8·Dim bytes each) broadcast to every executor and each partition
+    * sweeps its slice of row indices over the upper triangle in
+    * primitive-long arithmetic. The Catalyst zip_with/aggregate
+    * formulation is interpreted (higher-order functions break codegen)
+    * and was ~50× slower; the integer math here is identical, so the
+    * oracle still replays bit-for-bit. Rounding replicates Spark's
+    * round(): BigDecimal(double) half-up. */
+  def cosineDupPairs(embs: DataFrame, minCos: Double)
+                    (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val vecs = collectQuantized(embs)
+    val bc = spark.sparkContext.broadcast(vecs)
+    val n = vecs.length
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        val v = bc.value
+        it.flatMap { ai =>
+          val a = ai.toInt
+          (a + 1 until v.length).iterator.flatMap { b =>
+            val c = cosineOf(v(a)._2, v(b)._2, v(a)._3, v(b)._3)
+            if (c >= minCos) Iterator((v(a)._1, v(b)._1, c)) else Iterator.empty
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "cosine")
+  }
+
+  /** (vec_id, quantized vector, squared norm) sorted by id — driver
+    * copy for broadcast kernels (1 MB per 2k vectors at Dim=64) */
+  private def collectQuantized(embs: DataFrame): Array[(Long, Array[Long], Long)] =
+    quantized(embs).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+
+  /** same arithmetic as the Catalyst path: exact int64 dot, one double
+    * divide/sqrt, Spark-style half-up rounding to 6 dp */
+  private def cosineOf(qa: Array[Long], qb: Array[Long],
+                       n2a: Long, n2b: Long): Double = {
+    var dot = 0L
+    var i = 0
+    while (i < qa.length) { dot += qa(i) * qb(i); i += 1 }
+    val c = dot.toDouble / math.sqrt(n2a.toDouble * n2b.toDouble)
+    new java.math.BigDecimal(c)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
   /** brute-force top-k: broadcast the (tiny) query set against a full

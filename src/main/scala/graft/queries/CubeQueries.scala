@@ -95,6 +95,26 @@ object CubeQueries extends QueryGroup {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
 
+    // 29b ─────────────── dictionary-encoded bitmap: exact distinct of
+    //     a STRING column (c_name) through the global dictionary built
+    //     in the cube's encode phase (reference DFDictionaryBuilder)
+    Q("cube_dict_bitmap",
+      (s, d) => {
+        val inst = CubeManager.ensureBuilt(s, d)
+        QueryRouter.route(s, inst, CubeQuery(
+          Seq("r_name"),
+          Seq("cname_bitmap" -> "n_names", "nrows" -> "n_rows")))(noFallback)
+          .df.orderBy("r_name")
+      },
+      Some("""SELECT r_name, COUNT(DISTINCT c_name) AS n_names,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
     // 30 ──────────────── HLL measure: approx distinct, hash-checked
     //     via exact counts + a within-5% flag (estimates are engine-
     //     specific, so the estimate itself stays out of the hash)

@@ -50,15 +50,19 @@ object DedupQueries extends QueryGroup {
     // 42 ──────────────── MinHash + LSH banding (b=16, r=4, md5-derived
     //     hash family), bucket equi-join, exact-Jaccard verify ≥ 0.8
     Q("doc_minhash_lsh",
-      (s, d) => Dedup.minhashDupPairs(documents(s, d), 0.8)
-        .orderBy("id_a", "id_b"),
+      (s, d) => {
+        implicit val spark = s
+        Dedup.minhashDupPairs(documents(s, d), 0.8).orderBy("id_a", "id_b")
+      },
       Some(jaccardSql("0.8"))),
 
     // 43 ──────────────── SimHash 60-bit, 10×6-bit chunk buckets,
     //     hamming ≤ 9 (banding provably lossless at this threshold)
     Q("doc_simhash",
-      (s, d) => Dedup.simhashDupPairs(documents(s, d), 9)
-        .orderBy("id_a", "id_b"),
+      (s, d) => {
+        implicit val spark = s
+        Dedup.simhashDupPairs(documents(s, d), 9).orderBy("id_a", "id_b")
+      },
       Some(s"""$shingleCte,
              |h AS (SELECT doc_id,
              |        CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS hv
@@ -82,8 +86,10 @@ object DedupQueries extends QueryGroup {
     // 44 ──────────────── exact n-gram Jaccard via inverted-index join
     //     (pairs sharing ≥1 shingle), threshold 0.5
     Q("doc_ngram_jaccard",
-      (s, d) => Dedup.ngramJaccardPairs(documents(s, d), 0.5)
-        .orderBy("id_a", "id_b"),
+      (s, d) => {
+        implicit val spark = s
+        Dedup.ngramJaccardPairs(documents(s, d), 0.5).orderBy("id_a", "id_b")
+      },
       Some(jaccardSql("0.5")))
   )
 }

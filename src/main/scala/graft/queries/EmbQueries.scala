@@ -40,8 +40,11 @@ object EmbQueries extends QueryGroup {
     // 45 ──────────────── exact cosine threshold pairs (the O(n²)
     //     baseline; LSH below is the scale path)
     Q("emb_cosine_dup",
-      (s, d) => EmbeddingSearch.cosineDupPairs(embeddings(s, d), 0.4)
-        .orderBy("id_a", "id_b"),
+      (s, d) => {
+        implicit val spark = s
+        EmbeddingSearch.cosineDupPairs(embeddings(s, d), 0.4)
+          .orderBy("id_a", "id_b")
+      },
       Some(s"""$qvCte
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosAB AS cosine
              |FROM n a JOIN n b ON a.vec_id < b.vec_id

@@ -11,6 +11,7 @@ import graft.pipeline.{Dedup, EmbeddingSearch}
   * baselines). */
 class PipelineSpec extends AnyFunSuite {
   import TestSpark._
+  private implicit def s: org.apache.spark.sql.SparkSession = spark
 
   private lazy val docs = Tables.documents(spark, sf)
   private lazy val embs = Tables.embeddings(spark, sf)
@@ -25,7 +26,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("simhash chunk banding is lossless: every hamming<=9 pair survives bucketing") {
     // all-pairs ground truth from the signatures themselves
-    val sig = Dedup.simhashSignatures(Dedup.shingled(docs))
+    val sig = Dedup.simhashSignatures(Dedup.shingleRows(docs))
     val truth = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id"),
         expr("bit_count(a.s64 ^ b.s64)").as("h"))
