@@ -81,11 +81,8 @@ object CubeBuilder {
         // Row count piggybacks on the write via observe — no extra job
         // re-reading what we just wrote (ADVICE r2).
         val obs = Observation()
-        // Local build writes few files; a cluster deployment would
-        // repartition on a shard-by dim here (FilePruner pruneShards).
-        df.observe(obs, count(lit(1)).as("n"))
-          .coalesce(4).write.mode("overwrite").parquet(path)
-        val n = obs.get("n").asInstanceOf[Long]
+        val n = writeCuboid(cube, c,
+          df.observe(obs, count(lit(1)).as("n")), path, obs)
         built ::= (c, id, n)
         rows += (seg.name, id) -> n
       }
@@ -107,15 +104,31 @@ object CubeBuilder {
       val id = cube.cuboidId(c)
       val dimCols = cube.cuboidDims(c).map(col)
       val paths = cube.segments.map(s => inst.cuboidPath(s.name, id))
-      val df = spark.read.parquet(paths: _*)
+      val df = paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
         .groupBy(dimCols: _*).agg(reAggs.head, reAggs.tail: _*)
       val path = cuboidPath(inst.root, cube, mergedName, id)
       val obs = Observation()
-      df.observe(obs, count(lit(1)).as("n"))
-        .coalesce(4).write.mode("overwrite").parquet(path)
-      rows += (mergedName, id) -> obs.get("n").asInstanceOf[Long]
+      rows += (mergedName, id) -> writeCuboid(cube, c,
+        df.observe(obs, count(lit(1)).as("n")), path, obs)
     }
     CubeInstance(cube.copy(segments = Seq(merged)), inst.root, rows)
+  }
+
+  /** One cuboid write. Cuboids containing the cube's shard-by dim are
+    * written partitionBy(shardDim) — Hive-style dirs per value — so
+    * queries filtering on it read only matching directories (the
+    * parquet-v2 answer to FilePruner.pruneShards; Catalyst's partition
+    * pruning does the rest). Returns the observed row count. */
+  private def writeCuboid(cube: CubeDef, dims: Set[String], df: DataFrame,
+                          path: String, obs: Observation): Long = {
+    // Local build writes few files; a cluster deployment would also
+    // repartition by the shard dim for file-size balance.
+    val w = df.coalesce(4).write.mode("overwrite")
+    cube.shardBy.filter(dims.contains) match {
+      case Some(shard) => w.partitionBy(shard).parquet(path)
+      case None => w.parquet(path)
+    }
+    obs.get("n").asInstanceOf[Long]
   }
 
   private def cuboidPath(root: String, cube: CubeDef, seg: String,

@@ -57,7 +57,8 @@ final case class CubeDef(
     segmentCol: String,
     segments: Seq[Segment],
     cuboids: Seq[Set[String]],
-    timeDim: Option[TimeDim] = None) {
+    timeDim: Option[TimeDim] = None,
+    shardBy: Option[String] = None) {
 
   require(cuboids.exists(_ == dims.toSet),
     "materialized set must include the base cuboid (all dims)")

@@ -108,7 +108,8 @@ object CubeManager {
       Set("c_mktsegment", "o_month"),
       Set("o_month"))
     CubeDef("star", dims, measures, "o_orderdate", segs, cuboids,
-      timeDim = Some(TimeDim.month("o_month")))
+      timeDim = Some(TimeDim.month("o_month")),
+      shardBy = Some("r_name"))
   }
 
   private val built = TrieMap.empty[String, CubeInstance]

@@ -43,7 +43,19 @@ final case class Routed(
 object QueryRouter {
 
   def route(spark: SparkSession, inst: CubeInstance, q: CubeQuery)
-           (fallback: => DataFrame): Routed = {
+           (fallback: => DataFrame): Routed =
+    routeImpl(spark, inst, q, present = true)(fallback)
+
+  /** like route, but measures come back as their mergeable STATES
+    * (aliased, no finalizer) — for composite post-processing such as
+    * bitmap intersections (Kylin intersect_count) */
+  def routeStates(spark: SparkSession, inst: CubeInstance, q: CubeQuery)
+                 (fallback: => DataFrame): Routed =
+    routeImpl(spark, inst, q, present = false)(fallback)
+
+  private def routeImpl(spark: SparkSession, inst: CubeInstance,
+                        q: CubeQuery, present: Boolean)
+                       (fallback: => DataFrame): Routed = {
     val cube = inst.cube
 
     // ── segment pruning + residual-filter requirement
@@ -81,7 +93,9 @@ object QueryRouter {
     val (paths, emptyScan) =
       if (overlapping.nonEmpty) (overlapping.map(s => inst.cuboidPath(s.name, id)), false)
       else (cube.segments.map(s => inst.cuboidPath(s.name, id)), true)
-    var df = spark.read.parquet(paths: _*)
+    // one read per segment root, unioned: multi-root reads break
+    // partition discovery for shard-partitioned cuboid dirs
+    var df = paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
     if (emptyScan) df = df.filter(lit(false))
     residual.foreach { case (_, pred) => df = df.filter(pred) }
     q.filter.foreach(f => df = df.filter(f))
@@ -95,7 +109,8 @@ object QueryRouter {
       .agg(aggs.head, aggs.tail: _*)
     val out = grouped.select(
       q.groupBy.map(col) ++ q.measures.map { case (m, alias) =>
-        cube.measure(m).present(col(cube.measure(m).stateCol)).as(alias)
+        val state = col(cube.measure(m).stateCol)
+        (if (present) cube.measure(m).present(state) else state).as(alias)
       }: _*)
     Routed(out, Some(chosen), overlapping.map(_.name), fallback = false)
   }

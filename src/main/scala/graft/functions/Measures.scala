@@ -81,6 +81,18 @@ object Measures {
     org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
       if (b == null || b.isEmpty) 0L else bitmapFromBytes(b).getLongCardinality)
 
+  /** |A ∩ B| of two bitmap states — the kernel of Kylin's
+    * intersect_count retention function (reference:
+    * core-metadata/.../measure/bitmap/BitmapIntersectDistinctCountAggFunc.java) */
+  lazy val bitmapAndCount =
+    org.apache.spark.sql.functions.udf((a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || a.isEmpty || b == null || b.isEmpty) 0L
+      else {
+        val x = bitmapFromBytes(a)
+        x.and(bitmapFromBytes(b))
+        x.getLongCardinality
+      })
+
   // ───────────────────────────── HLL (approx distinct, Kylin `hllc`)
 
   private val HllLgK = 12 // ~0.8% rel err, matches hllc precision class

@@ -115,6 +115,58 @@ object CubeQueries extends QueryGroup {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
 
+    // 29c ─────────────── intersect_count: customers active in BOTH
+    //     months via bitmap AND over routed states (reference
+    //     measure/bitmap/BitmapIntersectDistinctCountAggFunc — Kylin's
+    //     retention/funnel function; states stay distributed, only two
+    //     1-row bitmap frames meet in the final cross join)
+    Q("cube_intersect_count",
+      (s, d) => {
+        val inst = CubeManager.ensureBuilt(s, d)
+        val r = QueryRouter.routeStates(s, inst, CubeQuery(
+          Seq("o_month"), Seq("cust_bitmap" -> "bm"),
+          filter = Some(col("o_month").isin("1996-03", "1996-04")),
+          filterDims = Set("o_month")))(noFallback)
+        val a = r.df.filter(col("o_month") === "1996-03")
+          .select(col("bm").as("bm_a"))
+        val b = r.df.filter(col("o_month") === "1996-04")
+          .select(col("bm").as("bm_b"))
+        a.crossJoin(b).select(
+          Measures.bitmapAndCount(col("bm_a"), col("bm_b")).as("n_retained"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_retained FROM (
+             |  SELECT DISTINCT o_custkey FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE strftime(o_orderdate, '%Y-%m') = '1996-03'
+             |  INTERSECT
+             |  SELECT DISTINCT o_custkey FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE strftime(o_orderdate, '%Y-%m') = '1996-04')""".stripMargin)),
+
+    // 33c ─────────────── shard-by pruning: the r_name-sharded cuboid
+    //     is laid out as one directory per region value, so an
+    //     equality filter reads only the matching dirs
+    //     (FilePruner.pruneShards; spec asserts PartitionFilters)
+    Q("cube_shard_prune",
+      (s, d) => {
+        val inst = CubeManager.ensureBuilt(s, d)
+        QueryRouter.route(s, inst, CubeQuery(
+          Seq("n_name"), Seq("revenue" -> "revenue", "nrows" -> "n_rows"),
+          filter = Some(col("r_name") === "ASIA"),
+          filterDims = Set("r_name")))(noFallback)
+          .df.orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
     // 30 ──────────────── HLL measure: approx distinct, hash-checked
     //     via exact counts + a within-5% flag (estimates are engine-
     //     specific, so the estimate itself stays out of the hash)

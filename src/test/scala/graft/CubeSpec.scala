@@ -45,6 +45,17 @@ class CubeSpec extends AnyFunSuite {
     assert(cubeN == srcN)
   }
 
+  test("shard-by filter prunes partition directories, not just rows") {
+    val r = QueryRouter.route(spark, inst, CubeQuery(
+      Seq("n_name"), Seq("revenue" -> "revenue"),
+      filter = Some(col("r_name") === "ASIA"),
+      filterDims = Set("r_name")))(fail("expected cuboid"))
+    val plan = r.df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(r_name") &&
+      plan.contains("= ASIA)"),
+      s"expected partition pruning on r_name, plan:\n${plan.take(2000)}")
+  }
+
   test("bitmap count-distinct stays exact across two re-aggregation layers") {
     // route the coarsest o_month query (served by the o_month cuboid,
     // itself built from a parent) and compare with the source
