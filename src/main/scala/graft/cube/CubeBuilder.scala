@@ -51,43 +51,63 @@ object CubeBuilder {
       s"cube ${cube.name}: data range [${mm.get(0)}, ${mm.get(1)}] not " +
         s"covered by segments [$covLo, $covHi) — rows would be dropped")
 
+    var rows = Map.empty[(String, Long), Long]
+    cube.segments.foreach { seg =>
+      rows ++= buildSegment(spark, flat, cube, root, seg)
+    }
+    CubeInstance(cube, root, rows)
+  }
+
+  /** Build ONE segment's cuboids (the unit of Kylin's incremental
+    * build job — a new day/partition of data is one buildSegment call,
+    * never a full rebuild). Returns per-cuboid row counts. */
+  def buildSegment(spark: SparkSession, flat: DataFrame, cube: CubeDef,
+                   root: String, seg: Segment): Map[(String, Long), Long] = {
     val stateAggs = cube.measures.map(m => m.fromRaw.as(m.stateCol))
     val reAggs = cube.measures.map(m => m.fromState(m.stateCol).as(m.stateCol))
     // base first, then descending dim-count so parents exist before children
     val order = cube.cuboids.sortBy(c => (-c.size, cube.cuboidId(c)))
     var rows = Map.empty[(String, Long), Long]
-
-    cube.segments.foreach { seg =>
-      val segFlat = flat.filter(
-        col(cube.segmentCol) >= lit(seg.start).cast(TimestampType) &&
-        col(cube.segmentCol) < lit(seg.end).cast(TimestampType))
-      // (dims, id, rowCount) of cuboids already built in this segment
-      var built = List.empty[(Set[String], Long, Long)]
-      order.foreach { c =>
-        val id = cube.cuboidId(c)
-        val dimCols = cube.cuboidDims(c).map(col)
-        val df =
-          if (c == cube.dims.toSet)
-            segFlat.groupBy(dimCols: _*).agg(stateAggs.head, stateAggs.tail: _*)
-          else {
-            // cheapest-parent selection (CuboidLayoutChooser.scala:25)
-            val (pDims, pId, _) = built.filter(b => c.subsetOf(b._1))
-              .minBy(b => (b._3, b._1.size))
-            val _ = pDims
-            spark.read.parquet(cuboidPath(root, cube, seg.name, pId))
-              .groupBy(dimCols: _*).agg(reAggs.head, reAggs.tail: _*)
-          }
-        val path = cuboidPath(root, cube, seg.name, id)
-        // Row count piggybacks on the write via observe — no extra job
-        // re-reading what we just wrote (ADVICE r2).
-        val obs = Observation()
-        val n = writeCuboid(cube, c,
-          df.observe(obs, count(lit(1)).as("n")), path, obs)
-        built ::= (c, id, n)
-        rows += (seg.name, id) -> n
-      }
+    val segFlat = flat.filter(
+      col(cube.segmentCol) >= lit(seg.start).cast(TimestampType) &&
+      col(cube.segmentCol) < lit(seg.end).cast(TimestampType))
+    // (dims, id, rowCount) of cuboids already built in this segment
+    var built = List.empty[(Set[String], Long, Long)]
+    order.foreach { c =>
+      val id = cube.cuboidId(c)
+      val dimCols = cube.cuboidDims(c).map(col)
+      val df =
+        if (c == cube.dims.toSet)
+          segFlat.groupBy(dimCols: _*).agg(stateAggs.head, stateAggs.tail: _*)
+        else {
+          // cheapest-parent selection (CuboidLayoutChooser.scala:25)
+          val (_, pId, _) = built.filter(b => c.subsetOf(b._1))
+            .minBy(b => (b._3, b._1.size))
+          spark.read.parquet(cuboidPath(root, cube, seg.name, pId))
+            .groupBy(dimCols: _*).agg(reAggs.head, reAggs.tail: _*)
+        }
+      val path = cuboidPath(root, cube, seg.name, id)
+      // Row count piggybacks on the write via observe — no extra job
+      // re-reading what we just wrote (ADVICE r2).
+      val obs = Observation()
+      val n = writeCuboid(cube, c,
+        df.observe(obs, count(lit(1)).as("n")), path, obs)
+      built ::= (c, id, n)
+      rows += (seg.name, id) -> n
     }
-    CubeInstance(cube, root, rows)
+    rows
+  }
+
+  /** Incremental append: build one NEW segment into an existing
+    * instance (the daily-build lifecycle). The new segment must not
+    * overlap existing ones. */
+  def appendSegment(spark: SparkSession, inst: CubeInstance,
+                    flat: DataFrame, seg: Segment): CubeInstance = {
+    require(inst.cube.segments.forall(s => seg.end <= s.start || s.end <= seg.start),
+      s"segment ${seg.name} [${seg.start},${seg.end}) overlaps an existing segment")
+    val rows = buildSegment(spark, flat, inst.cube, inst.root, seg)
+    val segs = (inst.cube.segments :+ seg).sortBy(_.start)
+    CubeInstance(inst.cube.copy(segments = segs), inst.root, inst.rows ++ rows)
   }
 
   /** Merge segments into one (reference: cube merge job): per cuboid,

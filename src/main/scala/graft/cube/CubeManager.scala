@@ -28,13 +28,24 @@ object CubeManager {
     * cardinality at any SF); orders ride the fact-key shuffle.
     */
   def flatTable(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
-      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+    flatTableFrom(lineitem(s, d), orders(s, d), customer(s, d),
+      nation(s, d), region(s, d), supplier(s, d), part(s, d))
+
+  /** flat table over explicit inputs — the build path passes
+    * snapshot-backed lookup tables (reference DFSnapshotBuilder) so a
+    * segment rebuild joins the same dimension rows the cube was built
+    * with even if the live tables changed since */
+  def flatTableFrom(lineitem: DataFrame, orders: DataFrame,
+                    customer: DataFrame, nation: DataFrame,
+                    region: DataFrame, supplier: DataFrame,
+                    part: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .select(
         col("l_orderkey"), col("l_linenumber"),
         col("r_name"), col("n_name"), col("c_mktsegment"),
@@ -124,9 +135,15 @@ object CubeManager {
     built.getOrElse(sfDir, lock.synchronized {
       built.getOrElseUpdate(sfDir, {
         val root = s"$cubeRoot/${sfName(sfDir)}"
+        // lookup tables are snapshotted under the cube root (write-once)
+        // so rebuilds join frozen dimension rows — DFSnapshotBuilder
+        val snap = (n: String) =>
+          Snapshot.ensure(spark, tbl(spark, sfDir, n), root, n)
+        val flat = flatTableFrom(
+          lineitem(spark, sfDir), orders(spark, sfDir), snap("customer"),
+          snap("nation"), snap("region"), snap("supplier"), snap("part"))
         // dictionary-encode string bitmap inputs before the build
         // (reference DFTableEncoder: encode once on the flat table)
-        val flat = flatTable(spark, sfDir)
         val dict = Dictionary.build(flat, "c_name")
         CubeBuilder.build(spark, Dictionary.encode(flat, dict, "c_name"),
           defaultCube, root)

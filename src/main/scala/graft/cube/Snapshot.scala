@@ -1,0 +1,24 @@
+package graft.cube
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Write-once lookup-table snapshots (reference: kylin-spark-engine
+  * builder/DFSnapshotBuilder.scala): dimension tables are frozen under
+  * the cube root at build time, so segment rebuilds and queries join
+  * against the same dimension rows the cube was built with even if the
+  * live source table changes between builds. */
+object Snapshot {
+
+  def path(root: String, name: String): String = s"$root/snapshots/$name"
+
+  /** snapshot `df` under the cube root once (no-op if present) and
+    * return the snapshot-backed frame */
+  def ensure(spark: SparkSession, df: DataFrame, root: String,
+             name: String): DataFrame = {
+    val p = path(root, name)
+    val fs = new java.io.File(new java.net.URI("file://" + p).getPath)
+    if (!fs.exists())
+      df.write.mode("ignore").parquet(p)
+    spark.read.parquet(p)
+  }
+}

@@ -56,6 +56,42 @@ class CubeSpec extends AnyFunSuite {
       s"expected partition pruning on r_name, plan:\n${plan.take(2000)}")
   }
 
+  test("lookup-table snapshots are written once under the cube root") {
+    val root = inst.root
+    Seq("customer", "nation", "region", "supplier", "part").foreach { n =>
+      assert(new java.io.File(Snapshot.path(root, n)).exists(),
+        s"missing snapshot for $n")
+    }
+  }
+
+  test("incremental segment append equals a full build") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val cube = CubeManager.defaultCube
+    val flat = {
+      val f = CubeManager.flatTable(spark, sf)
+      val dict = Dictionary.build(f, "c_name")
+      Dictionary.encode(f, dict, "c_name")
+    }
+    // build the first 3 segments from pre-2001 data, then append the
+    // 2001 segment incrementally from the full flat table
+    val cube3 = cube.copy(segments = cube.segments.init)
+    val inst3 = CubeBuilder.build(spark,
+      flat.filter(col("o_orderdate") < cube.segments.last.start), cube3, root)
+    val inst4 = CubeBuilder.appendSegment(spark, inst3, flat,
+      cube.segments.last)
+    assert(inst4.cube.segments.map(_.name) == cube.segments.map(_.name))
+
+    val q = CubeQuery(Seq("l_returnflag"),
+      Seq("revenue" -> "revenue", "cust_bitmap" -> "n_cust"))
+    val got = QueryRouter.route(spark, inst4, q)(fail("expected cuboid"))
+      .df.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val want = QueryRouter.route(spark, CubeManager.ensureBuilt(spark, sf), q)(
+      fail("expected cuboid"))
+      .df.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("bitmap count-distinct stays exact across two re-aggregation layers") {
     // route the coarsest o_month query (served by the o_month cuboid,
     // itself built from a parent) and compare with the source
