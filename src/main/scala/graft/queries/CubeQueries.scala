@@ -279,6 +279,49 @@ object CubeQueries extends QueryGroup {
              |  AND o_orderdate < TIMESTAMP '1999-07-01'
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // 35b ─────────────── transparent SQL routing: a plain SQL
+    //     aggregate against the star view is pattern-matched on the
+    //     analyzed plan and answered from the cube (Kylin's
+    //     SparderContext/TableScanPlan, Catalyst standing in for
+    //     Calcite)
+    Q("cube_sql_route",
+      (s, d) => {
+        val (df, routed) = GraftSql.sql(s, d,
+          """SELECT n_name, sum(disc_price) AS revenue, count(*) AS n_rows,
+            |  count(distinct o_custkey) AS n_cust
+            |FROM graft_star WHERE r_name = 'ASIA'
+            |GROUP BY n_name""".stripMargin)
+        assert(routed, "expected the SQL aggregate to route to a cuboid")
+        df.orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_rows,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // 35c ─────────────── SQL routing fallback: unsupported measure /
+    //     non-cube dim → Spark answers from the view (Kylin pushdown)
+    Q("cube_sql_fallback",
+      (s, d) => {
+        val (df, routed) = GraftSql.sql(s, d,
+          """SELECT o_orderpriority, min(l_quantity) AS min_qty,
+            |  count(*) AS n_rows
+            |FROM graft_star GROUP BY o_orderpriority""".stripMargin)
+        assert(!routed, "expected SQL fallback for non-cube shapes")
+        df.orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, MIN(l_quantity) AS min_qty,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // 34 ──────────────── segment merge: all segments merged into one,
     //     measure states (incl. bitmap) re-aggregated losslessly
     Q("cube_segment_merge",
