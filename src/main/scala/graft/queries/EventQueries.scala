@@ -79,6 +79,26 @@ object EventQueries extends QueryGroup {
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
 
+    // 39b ─────────────── the REAL streaming path end-to-end: events as
+    //     a file-source stream → watermark → windowed agg → append-mode
+    //     parquet cuboid (only watermark-closed windows land on disk);
+    //     the oracle recomputes exactly the closed-window set
+    Q("ev_streaming_cube",
+      (s, d) => {
+        val sfName = d.replaceAll("/+$", "").split('/').last
+        val path = EventStream.buildStreamingCube(s, d,
+          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-stream-$sfName")
+        s.read.parquet(path).orderBy("w_start", "event_type")
+      },
+      Some("""SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start,
+             |  event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events
+             |GROUP BY 1, 2
+             |HAVING time_bucket(INTERVAL '6 hours', ts) + INTERVAL 6 HOUR
+             |  <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+             |ORDER BY w_start, event_type""".stripMargin)),
+
     // 40 ──────────────── strict-order funnel view → click → purchase:
     //     stage N counts users whose first qualifying stage-N event is
     //     after their first qualifying stage-(N-1) event

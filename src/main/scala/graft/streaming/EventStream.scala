@@ -58,6 +58,45 @@ object EventStream {
       }
       .start()
 
+  /** the events table as a genuine file-source STREAM (what a Kafka
+    * topic would be in the reference's receiver cluster): explicit
+    * schema (file streams can't infer), nanos→micros conversion as in
+    * Tables.events */
+  def eventsStream(spark: SparkSession, sfDir: String,
+                   srcDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file stream source only accepts directories; expose the
+    // single-file table through a symlink in a scratch dir
+    val dir = java.nio.file.Paths.get(srcDir)
+    java.nio.file.Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    spark.readStream.schema(schema).parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** End-to-end streaming cube build over the events file stream:
+    * one AvailableNow run — the data batch advances the watermark and
+    * the engine's no-data batch then flushes every window at or below
+    * it into the parquet cuboid. Returns the cuboid path. Output dir
+    * and checkpoint are recreated per call (idempotent). */
+  def buildStreamingCube(spark: SparkSession, sfDir: String,
+                         out: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val q = startCubeAppend(eventsStream(spark, sfDir, s"$out/src"),
+      "6 hours", "1 hour", s"$out/cuboid", s"$out/ckpt")
+    q.awaitTermination()
+    s"$out/cuboid"
+  }
+
   // ── stateful sessionization (custom state beyond windowed aggs) ──
 
   final case class Ev(user_id: Long, ts: Timestamp)
