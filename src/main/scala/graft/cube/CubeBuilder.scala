@@ -51,11 +51,20 @@ object CubeBuilder {
       s"cube ${cube.name}: data range [${mm.get(0)}, ${mm.get(1)}] not " +
         s"covered by segments [$covLo, $covHi) — rows would be dropped")
 
-    var rows = Map.empty[(String, Long), Long]
-    cube.segments.foreach { seg =>
-      rows ++= buildSegment(spark, flat, cube, root, seg)
-    }
+    // segments are independent — build them as concurrent job groups
+    // (Kylin schedules them as separate build jobs too); each segment's
+    // small cuboid writes alone underutilize the cluster
+    val rows = awaitAll(cube.segments.map(seg =>
+      () => buildSegment(spark, flat, cube, root, seg)))
+      .reduce(_ ++ _)
     CubeInstance(cube, root, rows)
+  }
+
+  private def awaitAll[T](thunks: Seq[() => T]): Seq[T] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(thunks.map(t => Future(t()))), Duration.Inf)
   }
 
   /** Build ONE segment's cuboids (the unit of Kylin's incremental
@@ -119,8 +128,8 @@ object CubeBuilder {
     val reAggs = cube.measures.map(m => m.fromState(m.stateCol).as(m.stateCol))
     val merged = Segment(mergedName,
       cube.segments.map(_.start).min, cube.segments.map(_.end).max)
-    var rows = Map.empty[(String, Long), Long]
-    cube.cuboids.foreach { c =>
+    // per-cuboid merges are independent — run them concurrently
+    val rows = awaitAll(cube.cuboids.map(c => () => {
       val id = cube.cuboidId(c)
       val dimCols = cube.cuboidDims(c).map(col)
       val paths = cube.segments.map(s => inst.cuboidPath(s.name, id))
@@ -128,9 +137,9 @@ object CubeBuilder {
         .groupBy(dimCols: _*).agg(reAggs.head, reAggs.tail: _*)
       val path = cuboidPath(inst.root, cube, mergedName, id)
       val obs = Observation()
-      rows += (mergedName, id) -> writeCuboid(cube, c,
+      (mergedName, id) -> writeCuboid(cube, c,
         df.observe(obs, count(lit(1)).as("n")), path, obs)
-    }
+    })).toMap
     CubeInstance(cube.copy(segments = Seq(merged)), inst.root, rows)
   }
 
