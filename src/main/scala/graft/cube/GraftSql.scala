@@ -53,8 +53,37 @@ object GraftSql {
       case _ => false
     }
 
-    df.queryExecution.analyzed match {
-      case Aggregate(groups, aggs, child, _) =>
+    // peel ORDER BY / LIMIT above the aggregate into DataFrame
+    // post-ops applied to the routed result (attribute sorts only)
+    def peel(plan: LogicalPlan): Option[(LogicalPlan, DataFrame => DataFrame)] =
+      plan match {
+        case a: Aggregate => Some((a, identity))
+        case Sort(order, true, inner, _) =>
+          val cols = order.map {
+            case SortOrder(a: AttributeReference, Ascending, NullsFirst, _) =>
+              Some(col(a.name).asc_nulls_first)
+            case SortOrder(a: AttributeReference, Ascending, NullsLast, _) =>
+              Some(col(a.name).asc_nulls_last)
+            case SortOrder(a: AttributeReference, Descending, NullsFirst, _) =>
+              Some(col(a.name).desc_nulls_first)
+            case SortOrder(a: AttributeReference, Descending, NullsLast, _) =>
+              Some(col(a.name).desc_nulls_last)
+            case _ => None
+          }
+          if (cols.forall(_.isDefined))
+            peel(inner).map { case (agg, post) =>
+              (agg, (d: DataFrame) => post(d).orderBy(cols.flatten: _*))
+            }
+          else None
+        case GlobalLimit(Literal(n: Int, _), LocalLimit(_, inner)) =>
+          peel(inner).map { case (agg, post) =>
+            (agg, (d: DataFrame) => post(d).limit(n))
+          }
+        case _ => None
+      }
+
+    peel(df.queryExecution.analyzed) match {
+      case Some((Aggregate(groups, aggs, child, _), post)) =>
         // child must be the view, optionally through a dim-only filter
         val (filterSql, filterDims, ok) = child match {
           case c if overView(c) => (None, Set.empty[String], true)
@@ -88,12 +117,13 @@ object GraftSql {
           val routed = QueryRouter.route(spark, inst, q)(df)
           if (routed.fallback) (df, false)
           else {
-            // restore the query's own output column order
+            // restore the query's own output column order, then apply
+            // the peeled ORDER BY / LIMIT
             val outNames = aggs.map {
               case a: AttributeReference => a.name
               case Alias(_, name) => name
             }
-            (routed.df.select(outNames.map(col): _*), true)
+            (post(routed.df.select(outNames.map(col): _*)), true)
           }
         } else (df, false)
       case _ => (df, false)

@@ -306,6 +306,30 @@ object CubeQueries extends QueryGroup {
              |WHERE r_name = 'ASIA'
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    // 35b2 ────────────── SQL routing with ORDER BY + LIMIT peeled
+    //     above the aggregate (the standard reporting top-N shape)
+    Q("cube_sql_topn",
+      (s, d) => {
+        val (df, routed) = GraftSql.sql(s, d,
+          """SELECT c_mktsegment, o_month, sum(disc_price) AS revenue
+            |FROM graft_star
+            |GROUP BY c_mktsegment, o_month
+            |ORDER BY revenue DESC, c_mktsegment, o_month
+            |LIMIT 10""".stripMargin)
+        assert(routed, "expected ORDER BY/LIMIT aggregate to route")
+        df
+      },
+      Some("""SELECT c_mktsegment, o_month,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+             |FROM (SELECT c_mktsegment, strftime(o_orderdate, '%Y-%m') AS o_month,
+             |        l_extendedprice, l_discount
+             |      FROM lineitem
+             |      JOIN orders ON l_orderkey = o_orderkey
+             |      JOIN customer ON o_custkey = c_custkey)
+             |GROUP BY c_mktsegment, o_month
+             |ORDER BY revenue DESC, c_mktsegment, o_month
+             |LIMIT 10""".stripMargin)),
+
     // 35c ─────────────── SQL routing fallback: unsupported measure /
     //     non-cube dim → Spark answers from the view (Kylin pushdown)
     Q("cube_sql_fallback",
