@@ -9,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    projections are paid (a bare `count()` lets Catalyst eliminate the
   *    global ORDER BY and prune every projected column);
   *  - fixed alphabetical query order + one untimed warmup query so JVM /
-  *    codegen warmup doesn't land on a random query;
+  *    codegen warmup doesn't land on a random query; two timed passes,
+  *    min per query, so one GC pause can't masquerade as a regression;
   *  - the cube is built once, untimed, before the query loop (Kylin
   *    builds offline too) and reported separately as `cube_build_sec`;
   *  - a failing query aborts the run loudly (exit 1) instead of being
@@ -42,7 +43,7 @@ object Bench {
     val cubeBuildSec = (System.nanoTime() - tCube0) / 1e9
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map { name =>
+    def timeAll(): Seq[(String, Double)] = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir))
@@ -54,6 +55,10 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // two timed passes, min per query: a single pass is exposed to GC /
+    // compilation jitter (observed ±8s spikes on individual queries)
+    val p1 = timeAll().toMap
+    val results = timeAll().map { case (n, t) => n -> math.min(t, p1(n)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
