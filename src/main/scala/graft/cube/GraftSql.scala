@@ -1,24 +1,33 @@
 package graft.cube
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr, lit, posexplode}
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.Measures
 
 /** Transparent SQL → cuboid routing: the reference's defining feature
   * (kylin-spark-query SparderContext + runtime/plans/TableScanPlan —
   * Calcite matches a SQL aggregate against the cube and swaps in a
   * cuboid scan). graft's version pattern-matches Spark's ANALYZED plan
   * for `Aggregate [dims ⊆ cube dims] [supported measures]` over the
-  * registered star view (optionally through a dim-only Filter) and
-  * answers it from the routed cuboid; anything else falls back to the
-  * original Spark plan — exactly Kylin's query-pushdown behavior, with
-  * Catalyst standing in for Calcite.
+  * registered star view (optionally through a dim-only Filter, with
+  * ORDER BY / LIMIT peeled above) and answers it from the routed
+  * cuboid; the global top-N shape on the TopN measure's literal dim is
+  * answered from the pre-computed TopN SKETCH (Kylin's topn rewrite);
+  * anything else falls back to the original Spark plan — exactly
+  * Kylin's query-pushdown behavior, with Catalyst standing in for
+  * Calcite.
   */
 object GraftSql {
 
   val ViewName = "graft_star"
+
+  /** how a query was answered */
+  final case class SqlResult(df: DataFrame, routed: Boolean, via: String)
 
   /** measure recognition: SQL aggregate shape → cube measure name */
   private def measureOf(e: AggregateExpression): Option[String] = e match {
@@ -38,11 +47,47 @@ object GraftSql {
   def registerView(spark: SparkSession, sfDir: String): Unit =
     CubeManager.flatTable(spark, sfDir).createOrReplaceTempView(ViewName)
 
-  /** Run `query`; if its analyzed plan is a cube-answerable aggregate
-    * over the star view, answer from the cube (routed = true), else
-    * return Spark's own result (routed = false). */
+  /** peeled ORDER BY (as both structure and columns) + LIMIT above the
+    * aggregate; sorts are attribute-only */
+  private final case class Peeled(agg: Aggregate,
+                                  sorts: Seq[(String, Boolean)], // (name, desc)
+                                  sortCols: Seq[Column],
+                                  limit: Option[Int])
+
+  private def peel(plan: LogicalPlan): Option[Peeled] = plan match {
+    case a: Aggregate => Some(Peeled(a, Nil, Nil, None))
+    case Sort(order, true, inner, _) =>
+      val parsed = order.map {
+        case SortOrder(a: AttributeReference, Ascending, NullsFirst, _) =>
+          Some((a.name, false, col(a.name).asc_nulls_first))
+        case SortOrder(a: AttributeReference, Ascending, NullsLast, _) =>
+          Some((a.name, false, col(a.name).asc_nulls_last))
+        case SortOrder(a: AttributeReference, Descending, NullsFirst, _) =>
+          Some((a.name, true, col(a.name).desc_nulls_first))
+        case SortOrder(a: AttributeReference, Descending, NullsLast, _) =>
+          Some((a.name, true, col(a.name).desc_nulls_last))
+        case _ => None
+      }
+      if (parsed.forall(_.isDefined))
+        peel(inner).map(p => p.copy(
+          sorts = parsed.flatten.map(t => (t._1, t._2)) ++ p.sorts,
+          sortCols = parsed.flatten.map(_._3) ++ p.sortCols))
+      else None
+    case GlobalLimit(Literal(n: Int, _), LocalLimit(_, inner)) =>
+      peel(inner).map(_.copy(limit = Some(n)))
+    case _ => None
+  }
+
+  /** Backward-compatible entry: (result, routed?). */
   def sql(spark: SparkSession, sfDir: String, query: String)
     : (DataFrame, Boolean) = {
+    val r = sqlVia(spark, sfDir, query)
+    (r.df, r.routed)
+  }
+
+  /** Run `query`; route to the cube when the analyzed plan matches a
+    * supported shape, else fall back to Spark's own result. */
+  def sqlVia(spark: SparkSession, sfDir: String, query: String): SqlResult = {
     registerView(spark, sfDir)
     val df = spark.sql(query)
     val inst = CubeManager.ensureBuilt(spark, sfDir)
@@ -53,37 +98,8 @@ object GraftSql {
       case _ => false
     }
 
-    // peel ORDER BY / LIMIT above the aggregate into DataFrame
-    // post-ops applied to the routed result (attribute sorts only)
-    def peel(plan: LogicalPlan): Option[(LogicalPlan, DataFrame => DataFrame)] =
-      plan match {
-        case a: Aggregate => Some((a, identity))
-        case Sort(order, true, inner, _) =>
-          val cols = order.map {
-            case SortOrder(a: AttributeReference, Ascending, NullsFirst, _) =>
-              Some(col(a.name).asc_nulls_first)
-            case SortOrder(a: AttributeReference, Ascending, NullsLast, _) =>
-              Some(col(a.name).asc_nulls_last)
-            case SortOrder(a: AttributeReference, Descending, NullsFirst, _) =>
-              Some(col(a.name).desc_nulls_first)
-            case SortOrder(a: AttributeReference, Descending, NullsLast, _) =>
-              Some(col(a.name).desc_nulls_last)
-            case _ => None
-          }
-          if (cols.forall(_.isDefined))
-            peel(inner).map { case (agg, post) =>
-              (agg, (d: DataFrame) => post(d).orderBy(cols.flatten: _*))
-            }
-          else None
-        case GlobalLimit(Literal(n: Int, _), LocalLimit(_, inner)) =>
-          peel(inner).map { case (agg, post) =>
-            (agg, (d: DataFrame) => post(d).limit(n))
-          }
-        case _ => None
-      }
-
     peel(df.queryExecution.analyzed) match {
-      case Some((Aggregate(groups, aggs, child, _), post)) =>
+      case Some(p @ Peeled(Aggregate(groups, aggs, child, _), _, _, _)) =>
         // child must be the view, optionally through a dim-only filter
         val (filterSql, filterDims, ok) = child match {
           case c if overView(c) => (None, Set.empty[String], true)
@@ -109,24 +125,56 @@ object GraftSql {
           case Alias(_: AggregateExpression, _) => true
           case _ => false
         }
-        if (ok && groupsOk && outputOk && measures.forall(_.isDefined)
-            && measures.nonEmpty) {
-          val q = CubeQuery(groupNames, measures.flatten,
-            filter = filterSql.map(org.apache.spark.sql.functions.expr),
-            filterDims = filterDims)
-          val routed = QueryRouter.route(spark, inst, q)(df)
-          if (routed.fallback) (df, false)
-          else {
-            // restore the query's own output column order, then apply
-            // the peeled ORDER BY / LIMIT
+        if (!(ok && groupsOk && outputOk && measures.forall(_.isDefined)
+            && measures.nonEmpty))
+          return SqlResult(df, routed = false, "fallback")
+
+        // ── TopN-measure rewrite: global `GROUP BY p_brand ORDER BY
+        // sum(disc_price) DESC LIMIT n` is the pre-computed brand_topn
+        // sketch, merged across any cuboid — no brand-level scan at all
+        val topn = (groupNames, measures.flatten, p.limit) match {
+          case (Seq("p_brand"), Seq(("revenue", revName)), Some(n))
+              if filterSql.isEmpty && n <= 4096 &&
+                p.sorts.headOption.contains((revName, true)) &&
+                p.sorts.tail.forall(_ == ("p_brand", false)) =>
+            val r = QueryRouter.routeStates(spark, inst,
+              CubeQuery(Nil, Seq("brand_topn" -> "state")))(df)
+            if (r.fallback) None
+            else Some(r.df
+              .select(posexplode(Measures.topnExtract(col("state"), lit(n))))
+              .select(col("col._1").as("p_brand"),
+                (col("col._2").cast(DoubleType) / 10000.0).as(revName))
+              .orderBy(col(revName).desc, col("p_brand")))
+          case _ => None
+        }
+        topn match {
+          case Some(t) =>
             val outNames = aggs.map {
               case a: AttributeReference => a.name
               case Alias(_, name) => name
             }
-            (post(routed.df.select(outNames.map(col): _*)), true)
-          }
-        } else (df, false)
-      case _ => (df, false)
+            SqlResult(t.select(outNames.map(col): _*), routed = true,
+              "topn-measure")
+          case None =>
+            val q = CubeQuery(groupNames, measures.flatten,
+              filter = filterSql.map(expr),
+              filterDims = filterDims)
+            val routed = QueryRouter.route(spark, inst, q)(df)
+            if (routed.fallback) SqlResult(df, routed = false, "fallback")
+            else {
+              // restore the query's own output column order, then
+              // apply the peeled ORDER BY / LIMIT
+              val outNames = aggs.map {
+                case a: AttributeReference => a.name
+                case Alias(_, name) => name
+              }
+              var out = routed.df.select(outNames.map(col): _*)
+              if (p.sortCols.nonEmpty) out = out.orderBy(p.sortCols: _*)
+              p.limit.foreach(n => out = out.limit(n))
+              SqlResult(out, routed = true, "cuboid")
+            }
+        }
+      case _ => SqlResult(df, routed = false, "fallback")
     }
   }
 }

@@ -330,6 +330,29 @@ object CubeQueries extends QueryGroup {
              |ORDER BY revenue DESC, c_mktsegment, o_month
              |LIMIT 10""".stripMargin)),
 
+    // 35b3 ────────────── TopN-MEASURE rewrite: the global brand top-N
+    //     SQL is answered from the pre-computed SpaceSaving sketch
+    //     (merged across cuboid rows), not a brand-level aggregation —
+    //     Kylin's topn query rewrite
+    Q("cube_sql_topn_measure",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT p_brand, sum(disc_price) AS revenue
+            |FROM graft_star
+            |GROUP BY p_brand
+            |ORDER BY revenue DESC, p_brand
+            |LIMIT 5""".stripMargin)
+        assert(r.routed && r.via == "topn-measure",
+          s"expected the TopN-measure rewrite, got ${r.via}")
+        r.df
+      },
+      Some("""SELECT p_brand,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand
+             |ORDER BY revenue DESC, p_brand
+             |LIMIT 5""".stripMargin)),
+
     // 35c ─────────────── SQL routing fallback: unsupported measure /
     //     non-cube dim → Spark answers from the view (Kylin pushdown)
     Q("cube_sql_fallback",
