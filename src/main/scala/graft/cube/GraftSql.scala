@@ -29,16 +29,30 @@ object GraftSql {
   /** how a query was answered */
   final case class SqlResult(df: DataFrame, routed: Boolean, via: String)
 
-  /** measure recognition: SQL aggregate shape → cube measure name */
-  private def measureOf(e: AggregateExpression): Option[String] = e match {
+  /** recognized output shapes: a routed measure, or a derived
+    * combination of routed measures (Kylin rewrites avg the same way) */
+  private sealed trait MOut { def measures: Seq[String] }
+  private final case class MCol(m: String) extends MOut {
+    def measures: Seq[String] = Seq(m)
+  }
+  private case object MAvgQty extends MOut {
+    def measures: Seq[String] = Seq("qty", "nrows")
+  }
+
+  /** measure recognition: SQL aggregate shape → output spec */
+  private def measureOf(e: AggregateExpression): Option[MOut] = e match {
     case AggregateExpression(Sum(a: AttributeReference, _), _, false, _, _)
-        if a.name == "disc_price" => Some("revenue")
+        if a.name == "disc_price" => Some(MCol("revenue"))
     case AggregateExpression(Sum(a: AttributeReference, _), _, false, _, _)
-        if a.name == "l_quantity" => Some("qty")
+        if a.name == "l_quantity" => Some(MCol("qty"))
     case AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _) =>
-      Some("nrows")
+      Some(MCol("nrows"))
     case AggregateExpression(Count(Seq(a: AttributeReference)), _, true, _, _)
-        if a.name == "o_custkey" => Some("cust_bitmap")
+        if a.name == "o_custkey" => Some(MCol("cust_bitmap"))
+    // avg = exact decimal sum / count, assembled from two routed
+    // measures — the same rewrite Kylin applies to AVG
+    case AggregateExpression(Average(a: AttributeReference, _), _, false, _, _)
+        if a.name == "l_quantity" => Some(MAvgQty)
     case _ => None
   }
 
@@ -52,10 +66,19 @@ object GraftSql {
   private final case class Peeled(agg: Aggregate,
                                   sorts: Seq[(String, Boolean)], // (name, desc)
                                   sortCols: Seq[Column],
-                                  limit: Option[Int])
+                                  limit: Option[Int],
+                                  havingSql: Option[String] = None)
 
   private def peel(plan: LogicalPlan): Option[Peeled] = plan match {
     case a: Aggregate => Some(Peeled(a, Nil, Nil, None))
+    // HAVING: a filter directly above the aggregate, referencing only
+    // its output attributes (aliases) — re-applied on the routed frame
+    case Filter(cond, a: Aggregate)
+        if cond.references.forall(r => a.output.exists(_.name == r.name)) =>
+      val bare = cond.transform {
+        case at: AttributeReference => at.withQualifier(Seq.empty)
+      }
+      Some(Peeled(a, Nil, Nil, None, Some(bare.sql)))
     case Sort(order, true, inner, _) =>
       val parsed = order.map {
         case SortOrder(a: AttributeReference, Ascending, NullsFirst, _) =>
@@ -99,7 +122,7 @@ object GraftSql {
     }
 
     peel(df.queryExecution.analyzed) match {
-      case Some(p @ Peeled(Aggregate(groups, aggs, child, _), _, _, _)) =>
+      case Some(p @ Peeled(Aggregate(groups, aggs, child, _), _, _, _, _)) =>
         // child must be the view, optionally through a dim-only filter
         val (filterSql, filterDims, ok) = child match {
           case c if overView(c) => (None, Set.empty[String], true)
@@ -114,7 +137,7 @@ object GraftSql {
           case _ => (None, Set.empty[String], false)
         }
         val groupNames = groups.collect { case a: AttributeReference => a.name }
-        val measures = aggs.collect {
+        val specs = aggs.collect {
           case Alias(ae: AggregateExpression, name) => measureOf(ae).map(_ -> name)
         }
         val groupsOk = groups.length == groupNames.length &&
@@ -125,16 +148,17 @@ object GraftSql {
           case Alias(_: AggregateExpression, _) => true
           case _ => false
         }
-        if (!(ok && groupsOk && outputOk && measures.forall(_.isDefined)
-            && measures.nonEmpty))
+        if (!(ok && groupsOk && outputOk && specs.forall(_.isDefined)
+            && specs.nonEmpty))
           return SqlResult(df, routed = false, "fallback")
+        val outs = specs.flatten
 
         // ── TopN-measure rewrite: global `GROUP BY p_brand ORDER BY
         // sum(disc_price) DESC LIMIT n` is the pre-computed brand_topn
         // sketch, merged across any cuboid — no brand-level scan at all
-        val topn = (groupNames, measures.flatten, p.limit) match {
-          case (Seq("p_brand"), Seq(("revenue", revName)), Some(n))
-              if filterSql.isEmpty && n <= 4096 &&
+        val topn = (groupNames, outs, p.limit) match {
+          case (Seq("p_brand"), Seq((MCol("revenue"), revName)), Some(n))
+              if filterSql.isEmpty && p.havingSql.isEmpty && n <= 4096 &&
                 p.sorts.headOption.contains((revName, true)) &&
                 p.sorts.tail.forall(_ == ("p_brand", false)) =>
             val r = QueryRouter.routeStates(spark, inst,
@@ -156,19 +180,26 @@ object GraftSql {
             SqlResult(t.select(outNames.map(col): _*), routed = true,
               "topn-measure")
           case None =>
-            val q = CubeQuery(groupNames, measures.flatten,
+            // route the union of underlying measures (a derived output
+            // like avg needs two), then assemble outputs in SQL order
+            val needed = outs.flatMap(_._1.measures).distinct
+            val q = CubeQuery(groupNames, needed.map(m => m -> s"__m_$m"),
               filter = filterSql.map(expr),
               filterDims = filterDims)
             val routed = QueryRouter.route(spark, inst, q)(df)
             if (routed.fallback) SqlResult(df, routed = false, "fallback")
             else {
-              // restore the query's own output column order, then
-              // apply the peeled ORDER BY / LIMIT
-              val outNames = aggs.map {
-                case a: AttributeReference => a.name
-                case Alias(_, name) => name
+              val outCols = aggs.map {
+                case a: AttributeReference => col(a.name)
+                case Alias(ae: AggregateExpression, name) =>
+                  measureOf(ae).get match {
+                    case MCol(m) => col(s"__m_$m").as(name)
+                    case MAvgQty =>
+                      (col("__m_qty") / col("__m_nrows")).as(name)
+                  }
               }
-              var out = routed.df.select(outNames.map(col): _*)
+              var out = routed.df.select(outCols: _*)
+              p.havingSql.foreach(h => out = out.filter(expr(h)))
               if (p.sortCols.nonEmpty) out = out.orderBy(p.sortCols: _*)
               p.limit.foreach(n => out = out.limit(n))
               SqlResult(out, routed = true, "cuboid")

@@ -353,6 +353,30 @@ object CubeQueries extends QueryGroup {
              |ORDER BY revenue DESC, p_brand
              |LIMIT 5""".stripMargin)),
 
+    // 35b4 ────────────── HAVING + AVG rewrite: avg(l_quantity) is
+    //     assembled from routed sum+count states (Kylin's AVG
+    //     rewrite); the HAVING predicate re-applies on the routed frame
+    Q("cube_sql_having_avg",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT o_orderstatus, avg(l_quantity) AS avg_qty,
+            |  count(*) AS n_rows
+            |FROM graft_star
+            |GROUP BY o_orderstatus
+            |HAVING n_rows > 1000
+            |ORDER BY o_orderstatus""".stripMargin)
+        assert(r.routed && r.via == "cuboid",
+          s"expected cuboid routing for HAVING+AVG, got ${r.via}")
+        r.df
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus
+             |HAVING COUNT(*) > 1000
+             |ORDER BY o_orderstatus""".stripMargin)),
+
     // 35c ─────────────── SQL routing fallback: unsupported measure /
     //     non-cube dim → Spark answers from the view (Kylin pushdown)
     Q("cube_sql_fallback",
