@@ -12,7 +12,7 @@ object SparkEntry {
   /** All operator groups (SURVEY.md §2.1–§2.4). */
   private def groups: Seq[QueryGroup] =
     Seq(Relational, CubeQueries, EventQueries, TextQueries, DedupQueries,
-      EmbQueries, MultimodalQueries)
+      EmbQueries, MultimodalQueries, SourceQueries)
 
   private lazy val all: Seq[Q] = groups.flatMap(_.queries)
 

@@ -123,7 +123,37 @@ object CubeManager {
       shardBy = Some("r_name"))
   }
 
+  // ── a second cube over the events stream table: the engine is
+  // multi-cube generic (Kylin projects hold many cubes); day-granular
+  // segments + residual pruning on ev_day
+  def eventsFlat(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(col("ts"),
+      date_format(col("ts"), "yyyy-MM-dd").as("ev_day"),
+      col("event_type"), col("user_id"), col("value"))
+
+  def eventsCube: CubeDef = {
+    val measures = Seq(
+      Measure("n_events",
+        fromRaw = count(lit(1)),
+        fromState = s => sum(col(s))),
+      Measure("value_sum",
+        fromRaw = sum(dec(col("value"))),
+        fromState = s => sum(col(s)),
+        present = _.cast(DoubleType)),
+      Measure("user_bitmap",
+        fromRaw = Measures.bitmapAgg(col("user_id")),
+        fromState = s => Measures.bitmapUnion(col(s)),
+        present = Measures.bitmapCount(_)))
+    val dims = Seq("ev_day", "event_type")
+    CubeDef("events", dims, measures, "ts",
+      Seq(Segment("s2024m1", "2024-01-01", "2024-02-01")),
+      Seq(dims.toSet, Set("ev_day"), Set("event_type")),
+      // day boundaries are always expressible on ev_day
+      timeDim = Some(TimeDim("ev_day", d => Some(d.substring(0, 10)))))
+  }
+
   private val built = TrieMap.empty[String, CubeInstance]
+  private val evBuilt = TrieMap.empty[String, CubeInstance]
   private val mergedCache = TrieMap.empty[String, CubeInstance]
   private val lock = new Object
 
@@ -147,6 +177,15 @@ object CubeManager {
         val dict = Dictionary.build(flat, "c_name")
         CubeBuilder.build(spark, Dictionary.encode(flat, dict, "c_name"),
           defaultCube, root)
+      })
+    })
+
+  /** Build (once per JVM per sf dir) the events cube. */
+  def ensureEventsBuilt(spark: SparkSession, sfDir: String): CubeInstance =
+    evBuilt.getOrElse(sfDir, lock.synchronized {
+      evBuilt.getOrElseUpdate(sfDir, {
+        val root = s"$cubeRoot/${sfName(sfDir)}-events"
+        CubeBuilder.build(spark, eventsFlat(spark, sfDir), eventsCube, root)
       })
     })
 

@@ -99,6 +99,28 @@ object EventQueries extends QueryGroup {
              |  <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
              |ORDER BY w_start, event_type""".stripMargin)),
 
+    // 39c ─────────────── a SECOND cube, over events (multi-cube
+    //     engine): day-granular residual pruning + bitmap user counts
+    //     routed from pre-aggregated state
+    Q("ev_cube_route",
+      (s, d) => {
+        val inst = graft.cube.CubeManager.ensureEventsBuilt(s, d)
+        val r = graft.cube.QueryRouter.route(s, inst, graft.cube.CubeQuery(
+          Seq("event_type"),
+          Seq("n_events" -> "n_events", "value_sum" -> "sum_value",
+              "user_bitmap" -> "n_users"),
+          timeRange = Some(("2024-01-10", "2024-01-20"))))(
+          sys.error("expected events-cube routing"))
+        assert(!r.fallback, "expected events-cube routing")
+        r.df.orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |  COUNT(DISTINCT user_id) AS n_users
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // 40 ──────────────── strict-order funnel view → click → purchase:
     //     stage N counts users whose first qualifying stage-N event is
     //     after their first qualifying stage-(N-1) event

@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables._
+
+/** Batch source formats beyond parquet (SURVEY §1's source-hive /
+  * source-jdbc row → `spark.read.csv/json/...`): each query writes a
+  * table out in the format and reads it back with an explicit schema —
+  * the oracle compares against the original parquet, so a pass proves
+  * the format round-trips values exactly (CSV/JSON writers emit
+  * shortest-round-trip doubles). */
+object SourceQueries extends QueryGroup {
+
+  private def roundTrip(s: SparkSession, src: DataFrame, fmt: String,
+                        tag: String): DataFrame = {
+    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-src-$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    src.write.format(fmt).option("header", "true").save(out)
+    s.read.format(fmt).option("header", "true").schema(src.schema).load(out)
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    Q("src_csv_roundtrip",
+      (s, d) => roundTrip(s, nation(s, d), "csv",
+          s"csv-${d.replaceAll("/+$", "").split('/').last}")
+        .orderBy("n_nationkey"),
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    Q("src_json_roundtrip",
+      (s, d) => roundTrip(s, supplier(s, d), "json",
+          s"json-${d.replaceAll("/+$", "").split('/').last}")
+        .orderBy("s_suppkey"),
+      Some("SELECT * FROM supplier ORDER BY s_suppkey"))
+  )
+}
