@@ -28,5 +28,6 @@ object GraftFunctions {
     spark.udf.register("graft_kll_agg", Measures.kllAgg)
     spark.udf.register("graft_kll_union", Measures.kllUnion)
     spark.udf.register("graft_kll_quantile", Measures.kllQuantile)
+    Md5Long60.register(spark)   // native expression, codegen'd
   }
 }

@@ -51,9 +51,14 @@ object Dedup {
     rows.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
   /** 60-bit hash of a string via md5's first 15 hex chars — the one
-    * hash primitive both Spark and DuckDB compute identically */
+    * hash primitive both Spark and DuckDB compute identically. Computed
+    * by the native Md5Long60 expression (same value as
+    * conv(substring(md5(s),1,15),16,10), no hex-string round trip —
+    * this runs once per shingle row, the dedup hot path). */
   def h60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Md5Long60(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(s)))
 
   // ── exact Jaccard on a pair set (shared verify step) ─────────────
 
@@ -91,16 +96,15 @@ object Dedup {
   val NumBands: Int = NumHashes / BandRows
   private val MersenneP = 2147483647L   // 2^31 − 1
 
-  /** minhash signature columns mh0..mh63 from ONE md5 per shingle:
-    * h1/h2 are two 32-bit md5 slices and hash_j = (h1 + j·h2) mod p —
-    * the standard affine family; 64 mins are then plain codegen'd
-    * aggregates, not 64 md5 passes. */
+  /** minhash signature columns mh0..mh63 from ONE native md5 per
+    * shingle: h1/h2 are two slices of the 60-bit hash and
+    * hash_j = (h1 + j·h2) mod p — the standard affine family; 64 mins
+    * are then plain codegen'd aggregates, not 64 md5 passes. */
   def minhashSignatures(rows: DataFrame): DataFrame = {
-    val hashed = rows.select(col("doc_id"),
-      (conv(substring(md5(col("s")), 1, 8), 16, 10).cast(LongType) % MersenneP)
-        .as("h1"),
-      (conv(substring(md5(col("s")), 9, 8), 16, 10).cast(LongType) % MersenneP)
-        .as("h2"))
+    val hashed = rows.select(col("doc_id"), h60(col("s")).as("h"))
+      .select(col("doc_id"),
+        (shiftrightunsigned(col("h"), 28) % MersenneP).as("h1"),
+        (col("h").bitwiseAND((1L << 28) - 1).bitwiseOR(1L)).as("h2"))
     val mins = (0 until NumHashes).map(j =>
       min((col("h1") + lit(j.toLong) * col("h2")) % MersenneP).as(s"mh$j"))
     hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)

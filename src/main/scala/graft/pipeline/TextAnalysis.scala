@@ -46,7 +46,10 @@ object TextAnalysis {
 
   /** 64-bit fingerprint of the normalized text: first 15 hex chars of
     * md5 (60 bits, always non-negative in a long) — a content hash
-    * both engines compute identically */
+    * both engines compute identically; native Md5Long60 expression
+    * (same value, no hex round trip) */
   def fingerprint64(t: Column): Column =
-    conv(substring(md5(normAlnum(t)), 1, 15), 16, 10).cast(LongType)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Md5Long60(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(normAlnum(t))))
 }

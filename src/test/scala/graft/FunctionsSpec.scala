@@ -47,6 +47,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == want && want > 0)
   }
 
+  test("native graft_md5_60 equals the SQL builtin hex formulation") {
+    ready
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_v")
+    val bad = spark.sql(
+      """SELECT count(*) FROM docs_v
+        |WHERE graft_md5_60(text)
+        |  != CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)""".stripMargin)
+      .head().getLong(0)
+    assert(bad == 0L)
+  }
+
   test("hll estimate within 5% of exact; kll median within the value range") {
     ready
     val r = spark.sql(
