@@ -15,6 +15,13 @@ class FunctionsSpec extends AnyFunSuite {
     Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem_v")
   }
 
+  test("GraftSession.init wires the full surface in one call") {
+    GraftSession.init(spark, sf)
+    val (df, routed) = graft.cube.GraftSql.sql(spark, sf,
+      "SELECT l_returnflag, count(*) AS n_rows FROM graft_star GROUP BY l_returnflag")
+    assert(routed && df.count() > 0)
+  }
+
   test("bitmap agg + count over SQL equals COUNT(DISTINCT)") {
     ready
     val got = spark.sql(
