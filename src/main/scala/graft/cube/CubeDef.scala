@@ -17,10 +17,47 @@ final case class Measure(
     name: String,
     fromRaw: Column,
     fromState: String => Column,
-    present: Column => Column = identity) {
+    present: Column => Column = identity,
+    answers: Option[SqlAgg] = None,
+    topnShape: Option[TopNShape] = None) {
   /** state column name in cuboid parquet */
   def stateCol: String = s"m_$name"
 }
+
+/** The raw-SQL aggregate shape a measure answers — what lets the SQL
+  * front-end (GraftSql) recognize a user-written aggregate call and
+  * swap in this measure's cuboid state, for ANY cube (the reference
+  * drives the same rewrite from measure metadata:
+  * core-metadata/.../measure/MeasureTypeFactory + query/.../
+  * RealizationChooser — not from hardcoded column names). */
+sealed trait SqlAgg
+object SqlAgg {
+  /** answers `SUM(column)` */
+  final case class SumOf(column: String) extends SqlAgg
+  /** answers `COUNT(*)` */
+  case object CountAll extends SqlAgg
+  /** answers `COUNT(DISTINCT column)` — and, when the measure is a
+    * bitmap, `intersect_count(column, dim, vals)` retention calls */
+  final case class CountDistinctOf(column: String) extends SqlAgg
+}
+
+/** Declares a TopN measure's sketch shape so the SQL front-end can
+  * rewrite `GROUP BY dims ORDER BY SUM(sumOf) DESC LIMIT n` into a
+  * sketch extraction (Kylin's topn rewrite, TopNMeasureType.java:129).
+  * `dims` are the sketch's literal (grouped) columns — one or many;
+  * `sumOf` is the source column of the sketch's sort value, stored
+  * scaled by `scale` (exact integer sums through merges). */
+final case class TopNShape(dims: Seq[String], sumOf: String, scale: Long)
+
+/** A derived dimension: a lookup-table attribute NOT materialized in
+  * any cuboid, answered by joining the lookup snapshot on a host dim
+  * that IS materialized (reference: CubeDesc.java:219 derivedToHostMap
+  * — Kylin answers group-by on such attributes from the cuboid + the
+  * dimension snapshot instead of falling back to the source). `name`
+  * must be unique in the lookup and functionally determined by
+  * `host` (host is the lookup's key column as materialized in the
+  * flat table). */
+final case class DerivedDim(name: String, host: String, lookup: String)
 
 /** A time segment: rows with segmentCol in [start, end). Segments are
   * the unit of incremental build, merge, and pruning (reference:
@@ -58,7 +95,8 @@ final case class CubeDef(
     segments: Seq[Segment],
     cuboids: Seq[Set[String]],
     timeDim: Option[TimeDim] = None,
-    shardBy: Option[String] = None) {
+    shardBy: Option[String] = None,
+    derived: Seq[DerivedDim] = Nil) {
 
   require(cuboids.exists(_ == dims.toSet),
     "materialized set must include the base cuboid (all dims)")
@@ -74,4 +112,14 @@ final case class CubeDef(
   def measure(n: String): Measure =
     measures.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(s"no measure $n"))
+
+  /** the measure answering a given SQL aggregate shape, if any */
+  def measureAnswering(shape: SqlAgg): Option[Measure] =
+    measures.find(_.answers.contains(shape))
+
+  def derivedDim(n: String): Option[DerivedDim] = derived.find(_.name == n)
+
+  /** a group-by name is routable if it's a materialized dim or a
+    * declared derived dim */
+  def routableDim(n: String): Boolean = dims.contains(n) || derivedDim(n).isDefined
 }

@@ -72,25 +72,39 @@ object CubeManager {
       Measure("revenue",
         fromRaw = sum(col("disc_price")),
         fromState = s => sum(col(s)),
-        present = _.cast(DoubleType)),
+        present = _.cast(DoubleType),
+        answers = Some(SqlAgg.SumOf("disc_price"))),
       Measure("qty",
         fromRaw = sum(dec(col("l_quantity"))),
         fromState = s => sum(col(s)),
-        present = _.cast(DoubleType)),
+        present = _.cast(DoubleType),
+        answers = Some(SqlAgg.SumOf("l_quantity"))),
       Measure("nrows",
         fromRaw = count(lit(1)),
-        fromState = s => sum(col(s))),
+        fromState = s => sum(col(s)),
+        answers = Some(SqlAgg.CountAll)),
       Measure("cust_bitmap",
         fromRaw = Measures.bitmapAgg(col("o_custkey")),
         fromState = s => Measures.bitmapUnion(col(s)),
-        present = Measures.bitmapCount(_)),
+        present = Measures.bitmapCount(_),
+        answers = Some(SqlAgg.CountDistinctOf("o_custkey"))),
       Measure("cust_hll",
         fromRaw = Measures.hllAgg(col("o_custkey")),
         fromState = s => Measures.hllUnion(col(s)),
         present = Measures.hllEstimate(_)),
       Measure("brand_topn",
         fromRaw = Measures.topnAgg(col("p_brand"), col("disc_price_micros")),
-        fromState = s => Measures.topnUnion(col(s))),
+        fromState = s => Measures.topnUnion(col(s)),
+        topnShape = Some(TopNShape(Seq("p_brand"), "disc_price", 10000L))),
+      // multi-column TopN (reference TopNMeasureType.java:129-148 groups
+      // by multiple literal columns): sketch keyed on (p_brand,
+      // c_mktsegment), same SpaceSaving state
+      Measure("brandseg_topn",
+        fromRaw = Measures.topnAggMulti(Seq(col("p_brand"),
+          col("c_mktsegment")), col("disc_price_micros")),
+        fromState = s => Measures.topnUnion(col(s)),
+        topnShape = Some(TopNShape(Seq("p_brand", "c_mktsegment"),
+          "disc_price", 10000L))),
       Measure("qty_kll",
         fromRaw = Measures.kllAgg(col("l_quantity")),
         fromState = s => Measures.kllUnion(col(s)),
@@ -120,7 +134,11 @@ object CubeManager {
       Set("o_month"))
     CubeDef("star", dims, measures, "o_orderdate", segs, cuboids,
       timeDim = Some(TimeDim.month("o_month")),
-      shardBy = Some("r_name"))
+      shardBy = Some("r_name"),
+      // nation attributes not materialized in any cuboid, answered by
+      // joining the nation snapshot on n_name (CubeDesc derivedToHostMap)
+      derived = Seq(DerivedDim("n_nationkey", "n_name", "nation"),
+                    DerivedDim("n_regionkey", "n_name", "nation")))
   }
 
   // ── a second cube over the events stream table: the engine is
@@ -135,15 +153,18 @@ object CubeManager {
     val measures = Seq(
       Measure("n_events",
         fromRaw = count(lit(1)),
-        fromState = s => sum(col(s))),
+        fromState = s => sum(col(s)),
+        answers = Some(SqlAgg.CountAll)),
       Measure("value_sum",
         fromRaw = sum(dec(col("value"))),
         fromState = s => sum(col(s)),
-        present = _.cast(DoubleType)),
+        present = _.cast(DoubleType),
+        answers = Some(SqlAgg.SumOf("value"))),
       Measure("user_bitmap",
         fromRaw = Measures.bitmapAgg(col("user_id")),
         fromState = s => Measures.bitmapUnion(col(s)),
-        present = Measures.bitmapCount(_)))
+        present = Measures.bitmapCount(_),
+        answers = Some(SqlAgg.CountDistinctOf("user_id"))))
     val dims = Seq("ev_day", "event_type")
     CubeDef("events", dims, measures, "ts",
       Seq(Segment("s2024m1", "2024-01-01", "2024-02-01")),

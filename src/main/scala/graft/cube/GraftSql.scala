@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
-import org.apache.spark.sql.functions.{col, expr, lit, posexplode}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.execution.aggregate.ScalaAggregator
+import org.apache.spark.sql.functions.{broadcast, col, expr, lit, posexplode, split}
+import org.apache.spark.sql.types.{DoubleType, StringType}
 
 import graft.functions.Measures
 
@@ -13,53 +14,128 @@ import graft.functions.Measures
   * (kylin-spark-query SparderContext + runtime/plans/TableScanPlan —
   * Calcite matches a SQL aggregate against the cube and swaps in a
   * cuboid scan). graft's version pattern-matches Spark's ANALYZED plan
-  * for `Aggregate [dims ⊆ cube dims] [supported measures]` over the
-  * registered star view (optionally through a dim-only Filter, with
-  * ORDER BY / LIMIT peeled above) and answers it from the routed
-  * cuboid; the global top-N shape on the TopN measure's literal dim is
-  * answered from the pre-computed TopN SKETCH (Kylin's topn rewrite);
-  * anything else falls back to the original Spark plan — exactly
-  * Kylin's query-pushdown behavior, with Catalyst standing in for
-  * Calcite.
+  * for `Aggregate [dims ⊆ cube dims ∪ derived dims] [measures the cube
+  * answers]` over a REGISTERED CUBE VIEW (optionally through a dim-only
+  * Filter, with ORDER BY / LIMIT / HAVING peeled above) and answers it
+  * from the routed cuboid; anything else falls back to the original
+  * Spark plan — exactly Kylin's query-pushdown behavior, with Catalyst
+  * standing in for Calcite.
+  *
+  * Measure recognition is METADATA-DRIVEN (`Measure.answers` /
+  * `Measure.topnShape` on the CubeDef — reference:
+  * core-metadata/.../measure/MeasureTypeFactory dispatch +
+  * query/.../RealizationChooser), so ANY registered cube routes, not
+  * just the default star: one view per cube, each bound to its built
+  * instance. Rewrites beyond plain measures:
+  *  - AVG(x)    → routed SUM(x) state / routed COUNT(*) state (Kylin's
+  *    avg rewrite)
+  *  - global `GROUP BY <topn dims> ORDER BY SUM(v) DESC LIMIT n` → the
+  *    pre-computed TopN sketch (TopNMeasureType.java:129), refused if
+  *    any merged state was capacity-trimmed (approximate)
+  *  - `intersect_count(key, dim, array(...))` → bitmap-state AND
+  *    (BitmapIntersectDistinctCountAggFunc.java); the same call is SQL-
+  *    registered as an exact raw-row aggregate so unrouted plans still
+  *    answer correctly
   */
 object GraftSql {
 
   val ViewName = "graft_star"
+  val EventsViewName = "graft_events"
 
   /** how a query was answered */
   final case class SqlResult(df: DataFrame, routed: Boolean, via: String)
 
-  /** recognized output shapes: a routed measure, or a derived
-    * combination of routed measures (Kylin rewrites avg the same way) */
+  /** one SQL-routable cube: registered view name + its flat table (the
+    * view source / fallback) + built-instance supplier */
+  final case class Binding(view: String,
+      flat: (SparkSession, String) => DataFrame,
+      instance: (SparkSession, String) => CubeInstance)
+
+  def bindings: Seq[Binding] = Seq(
+    Binding(ViewName, CubeManager.flatTable, CubeManager.ensureBuilt),
+    Binding(EventsViewName, CubeManager.eventsFlat,
+      CubeManager.ensureEventsBuilt))
+
+  /** recognized output shapes: a routed measure, a derived combination
+    * of routed measures (avg), or a bitmap-state intersection */
   private sealed trait MOut { def measures: Seq[String] }
   private final case class MCol(m: String) extends MOut {
     def measures: Seq[String] = Seq(m)
   }
-  private case object MAvgQty extends MOut {
-    def measures: Seq[String] = Seq("qty", "nrows")
+  private final case class MAvg(sumM: String, cntM: String) extends MOut {
+    def measures: Seq[String] = Seq(sumM, cntM)
+  }
+  private final case class MIntersect(bitmapM: String, dim: String,
+      vals: Seq[String]) extends MOut {
+    def measures: Seq[String] = Seq(bitmapM)
   }
 
-  /** measure recognition: SQL aggregate shape → output spec */
-  private def measureOf(e: AggregateExpression): Option[MOut] = e match {
-    case AggregateExpression(Sum(a: AttributeReference, _), _, false, _, _)
-        if a.name == "disc_price" => Some(MCol("revenue"))
-    case AggregateExpression(Sum(a: AttributeReference, _), _, false, _, _)
-        if a.name == "l_quantity" => Some(MCol("qty"))
-    case AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _) =>
-      Some(MCol("nrows"))
-    case AggregateExpression(Count(Seq(a: AttributeReference)), _, true, _, _)
-        if a.name == "o_custkey" => Some(MCol("cust_bitmap"))
-    // avg = exact decimal sum / count, assembled from two routed
-    // measures — the same rewrite Kylin applies to AVG
-    case AggregateExpression(Average(a: AttributeReference, _), _, false, _, _)
-        if a.name == "l_quantity" => Some(MAvgQty)
+  /** literal string array in an analyzed plan (array('a','b') stays a
+    * CreateArray of literals pre-optimization) */
+  private def constStrings(e: Expression): Option[Seq[String]] = e match {
+    case CreateArray(elems, _)
+        if elems.forall(x => x.isInstanceOf[Literal] && x.dataType == StringType) =>
+      Some(elems.map(_.eval(null).toString))
+    case Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(StringType, _)) =>
+      Some(arr.toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
+        .map(_.toString).toSeq)
     case _ => None
   }
 
-  /** register the star view this router matches (the user-facing model
-    * table, like a Kylin project's fact view) */
+  /** measure recognition: SQL aggregate shape → output spec, driven by
+    * the cube's measure metadata. FILTER (WHERE ...) clauses are
+    * matched as `None` explicitly — a filtered aggregate must fall back
+    * (ADVICE r3: wildcarding the filter would silently drop it). */
+  private def measureOf(cube: CubeDef, e: AggregateExpression): Option[MOut] =
+    e match {
+      case AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _) =>
+        cube.measureAnswering(SqlAgg.SumOf(a.name)).map(m => MCol(m.name))
+      case AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _) =>
+        cube.measureAnswering(SqlAgg.CountAll).map(m => MCol(m.name))
+      case AggregateExpression(Count(Seq(a: AttributeReference)), _, true, None, _) =>
+        cube.measureAnswering(SqlAgg.CountDistinctOf(a.name)).map(m => MCol(m.name))
+      // avg = exact sum state / count state, assembled from two routed
+      // measures — the same rewrite Kylin applies to AVG
+      case AggregateExpression(Average(a: AttributeReference, _), _, false, None, _) =>
+        for {
+          s <- cube.measureAnswering(SqlAgg.SumOf(a.name))
+          c <- cube.measureAnswering(SqlAgg.CountAll)
+        } yield MAvg(s.name, c.name)
+      // intersect_count(key, dim, array('v1','v2',...)) → the bitmap
+      // measure over `key`, intersected across `vals` of cube dim `dim`
+      case AggregateExpression(sa: ScalaAggregator[_, _, _], _, false, None, _)
+          if sa.agg.isInstanceOf[Measures.IntersectCountAggregator] =>
+        sa.children match {
+          case Seq(k: AttributeReference, d: AttributeReference, valsE) =>
+            for {
+              m <- cube.measureAnswering(SqlAgg.CountDistinctOf(k.name))
+              vals <- constStrings(valsE)
+              if cube.dims.contains(d.name)
+            } yield MIntersect(m.name, d.name, vals)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** register every cube view + the intersect_count SQL function */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    bindings.foreach(b =>
+      b.flat(spark, sfDir).createOrReplaceTempView(b.view))
+    Measures.registerIntersectCount(spark)
+  }
+
+  /** back-compat: the default star view only */
   def registerView(spark: SparkSession, sfDir: String): Unit =
-    CubeManager.flatTable(spark, sfDir).createOrReplaceTempView(ViewName)
+    registerViews(spark, sfDir)
+
+  /** a predicate is routable only if it is deterministic, subquery-free
+    * (ADVICE r3: rand() has no references and subqueries don't survive
+    * the expr() round-trip), and references only `allowed` names */
+  private def routablePred(cond: Expression, allowed: String => Boolean): Boolean =
+    cond.deterministic &&
+      !cond.exists(_.isInstanceOf[SubqueryExpression]) &&
+      cond.references.forall(r => allowed(r.name))
 
   /** peeled ORDER BY (as both structure and columns) + LIMIT above the
     * aggregate; sorts are attribute-only */
@@ -74,7 +150,7 @@ object GraftSql {
     // HAVING: a filter directly above the aggregate, referencing only
     // its output attributes (aliases) — re-applied on the routed frame
     case Filter(cond, a: Aggregate)
-        if cond.references.forall(r => a.output.exists(_.name == r.name)) =>
+        if routablePred(cond, r => a.output.exists(_.name == r)) =>
       val bare = cond.transform {
         case at: AttributeReference => at.withQualifier(Seq.empty)
       }
@@ -108,75 +184,74 @@ object GraftSql {
     (r.df, r.routed)
   }
 
-  /** Run `query`; route to the cube when the analyzed plan matches a
-    * supported shape, else fall back to Spark's own result. */
+  /** Run `query`; route to a registered cube when the analyzed plan
+    * matches a supported shape, else fall back to Spark's own result. */
   def sqlVia(spark: SparkSession, sfDir: String, query: String): SqlResult = {
-    registerView(spark, sfDir)
+    registerViews(spark, sfDir)
     val df = spark.sql(query)
-    val inst = CubeManager.ensureBuilt(spark, sfDir)
-    val dims = inst.cube.dims.toSet
 
-    def overView(plan: LogicalPlan): Boolean = plan match {
-      case SubqueryAlias(id, _) => id.name == ViewName
-      case _ => false
+    def viewOf(plan: LogicalPlan): Option[Binding] = plan match {
+      case SubqueryAlias(id, _) => bindings.find(_.view == id.name)
+      case _ => None
     }
 
     peel(df.queryExecution.analyzed) match {
       case Some(p @ Peeled(Aggregate(groups, aggs, child, _), _, _, _, _)) =>
-        // child must be the view, optionally through a dim-only filter
-        val (filterSql, filterDims, ok) = child match {
-          case c if overView(c) => (None, Set.empty[String], true)
-          case Filter(cond, c) if overView(c) &&
-              cond.references.forall(r => dims(r.name)) =>
-            // strip view qualifiers so the predicate resolves against
-            // the cuboid frame on the expr() round-trip
-            val bare = cond.transform {
-              case a: AttributeReference => a.withQualifier(Seq.empty)
-            }
-            (Some(bare.sql), cond.references.map(_.name).toSet, true)
-          case _ => (None, Set.empty[String], false)
+        // child must be a registered cube view, optionally through a
+        // deterministic materialized-dim-only filter
+        val (binding, filterSql, filterDims) = child match {
+          case c if viewOf(c).isDefined =>
+            (viewOf(c), None, Set.empty[String])
+          case Filter(cond, c) if viewOf(c).isDefined =>
+            val b = viewOf(c).get
+            val cube = b.instance(spark, sfDir).cube
+            if (routablePred(cond, cube.dims.contains)) {
+              // strip view qualifiers so the predicate resolves against
+              // the cuboid frame on the expr() round-trip
+              val bare = cond.transform {
+                case a: AttributeReference => a.withQualifier(Seq.empty)
+              }
+              (Some(b), Some(bare.sql), cond.references.map(_.name).toSet)
+            } else (None, None, Set.empty[String])
+          case _ => (None, None, Set.empty[String])
         }
+        if (binding.isEmpty) return SqlResult(df, routed = false, "fallback")
+        val inst = binding.get.instance(spark, sfDir)
+        val cube = inst.cube
+
         val groupNames = groups.collect { case a: AttributeReference => a.name }
         val specs = aggs.collect {
-          case Alias(ae: AggregateExpression, name) => measureOf(ae).map(_ -> name)
+          case Alias(ae: AggregateExpression, name) =>
+            measureOf(cube, ae).map(_ -> name)
         }
         val groupsOk = groups.length == groupNames.length &&
-          groupNames.toSet.subsetOf(dims)
+          groupNames.forall(cube.routableDim)
         // every output is either a grouped dim or a recognized measure
         val outputOk = aggs.forall {
           case _: AttributeReference => true
           case Alias(_: AggregateExpression, _) => true
           case _ => false
         }
-        if (!(ok && groupsOk && outputOk && specs.forall(_.isDefined)
+        if (!(groupsOk && outputOk && specs.forall(_.isDefined)
             && specs.nonEmpty))
           return SqlResult(df, routed = false, "fallback")
         val outs = specs.flatten
-
-        // ── TopN-measure rewrite: global `GROUP BY p_brand ORDER BY
-        // sum(disc_price) DESC LIMIT n` is the pre-computed brand_topn
-        // sketch, merged across any cuboid — no brand-level scan at all
-        val topn = (groupNames, outs, p.limit) match {
-          case (Seq("p_brand"), Seq((MCol("revenue"), revName)), Some(n))
-              if filterSql.isEmpty && p.havingSql.isEmpty && n <= 4096 &&
-                p.sorts.headOption.contains((revName, true)) &&
-                p.sorts.tail.forall(_ == ("p_brand", false)) =>
-            val r = QueryRouter.routeStates(spark, inst,
-              CubeQuery(Nil, Seq("brand_topn" -> "state")))(df)
-            if (r.fallback) None
-            else Some(r.df
-              .select(posexplode(Measures.topnExtract(col("state"), lit(n))))
-              .select(col("col._1").as("p_brand"),
-                (col("col._2").cast(DoubleType) / 10000.0).as(revName))
-              .orderBy(col(revName).desc, col("p_brand")))
-          case _ => None
+        val outNames = aggs.map {
+          case a: AttributeReference => a.name
+          case Alias(_, name) => name
         }
-        topn match {
+
+        // ── intersect_count rewrite: answered from bitmap STATES
+        // (routeStates + AND), never from a raw scan
+        if (outs.exists(_._1.isInstanceOf[MIntersect]))
+          return routeIntersect(spark, df, inst, groupNames, outs, outNames,
+            filterSql, filterDims, p)
+
+        // ── TopN-measure rewrite: a global `GROUP BY <sketch dims>
+        // ORDER BY <the sketch's sum> DESC LIMIT n` is the pre-computed
+        // sketch, merged across any cuboid — no dim-level scan at all
+        routeTopn(spark, df, inst, groupNames, outs, p, filterSql) match {
           case Some(t) =>
-            val outNames = aggs.map {
-              case a: AttributeReference => a.name
-              case Alias(_, name) => name
-            }
             SqlResult(t.select(outNames.map(col): _*), routed = true,
               "topn-measure")
           case None =>
@@ -192,10 +267,12 @@ object GraftSql {
               val outCols = aggs.map {
                 case a: AttributeReference => col(a.name)
                 case Alias(ae: AggregateExpression, name) =>
-                  measureOf(ae).get match {
+                  measureOf(cube, ae).get match {
                     case MCol(m) => col(s"__m_$m").as(name)
-                    case MAvgQty =>
-                      (col("__m_qty") / col("__m_nrows")).as(name)
+                    case MAvg(sm, cm) =>
+                      (col(s"__m_$sm") / col(s"__m_$cm")).as(name)
+                    case _: MIntersect =>
+                      sys.error("intersect handled above")
                   }
               }
               var out = routed.df.select(outCols: _*)
@@ -207,5 +284,87 @@ object GraftSql {
         }
       case _ => SqlResult(df, routed = false, "fallback")
     }
+  }
+
+  /** the TopN-sketch rewrite, driven by Measure.topnShape */
+  private def routeTopn(spark: SparkSession, df: DataFrame,
+      inst: CubeInstance, groupNames: Seq[String],
+      outs: Seq[(MOut, String)], p: Peeled,
+      filterSql: Option[String]): Option[DataFrame] = {
+    val cube = inst.cube
+    for {
+      n <- p.limit
+      if n <= Measures.TopNBuf.DefaultCapacity &&
+        filterSql.isEmpty && p.havingSql.isEmpty
+      (MCol(sumM), valName) <- outs match {
+        case Seq(one @ (MCol(_), _)) => Some(one)
+        case _ => None
+      }
+      tm <- cube.measures.find(_.topnShape.exists(sh =>
+        sh.dims == groupNames &&
+          cube.measureAnswering(SqlAgg.SumOf(sh.sumOf)).exists(_.name == sumM)))
+      sh = tm.topnShape.get
+      // exact replay requires the full tie-break order: value desc,
+      // then the sketch dims ascending
+      if p.sorts == (valName, true) +: sh.dims.map(d => (d, false))
+      r = QueryRouter.routeStates(spark, inst,
+        CubeQuery(Nil, Seq(tm.name -> "state")))(df)
+      if !r.fallback
+      // a capacity-trimmed state is approximate: refuse the rewrite
+      // rather than present it as exact (ADVICE r3). One 1-row probe
+      // job on the merged state — metadata-scale, not a data collect.
+      if !r.df.select(Measures.topnIsTrimmed(col("state")).as("t"))
+        .head().getBoolean(0)
+    } yield {
+      val exploded = r.df
+        .select(posexplode(Measures.topnExtract(col("state"), lit(n))))
+      // composite keys are MultiSep-joined; split back into columns
+      val dimCols = sh.dims.zipWithIndex.map { case (d, i) =>
+        split(col("col._1"), Measures.MultiSep).getItem(i).as(d)
+      }
+      val sortCols = col(valName).desc +: sh.dims.map(col(_).asc)
+      exploded
+        .select(dimCols :+
+          (col("col._2").cast(DoubleType) / sh.scale.toDouble).as(valName): _*)
+        .orderBy(sortCols: _*)
+    }
+  }
+
+  /** the intersect_count rewrite: route bitmap states grouped by
+    * (query dims + the intersect dim), filtered to the requested vals,
+    * then AND per output */
+  private def routeIntersect(spark: SparkSession, df: DataFrame,
+      inst: CubeInstance, groupNames: Seq[String],
+      outs: Seq[(MOut, String)], outNames: Seq[String],
+      filterSql: Option[String], filterDims: Set[String],
+      p: Peeled): SqlResult = {
+    val intersects = outs.collect { case (mi: MIntersect, name) => (mi, name) }
+    // supported shape: every measure output is an intersect over the
+    // SAME dim; no extra WHERE (vals ARE the filter), no HAVING
+    val dims = intersects.map(_._1.dim).distinct
+    if (intersects.size != outs.size || dims.size != 1 ||
+        filterSql.nonEmpty || p.havingSql.nonEmpty ||
+        groupNames.exists(g => !inst.cube.dims.contains(g)))
+      return SqlResult(df, routed = false, "fallback")
+    val dim = dims.head
+    val allVals = intersects.flatMap(_._1.vals).distinct
+    val needed = intersects.map(_._1.bitmapM).distinct
+    val q = CubeQuery(groupNames :+ dim,
+      needed.map(m => m -> s"__st_$m"),
+      filter = Some(col(dim).isin(allVals.map(v => v: Any): _*)),
+      filterDims = Set(dim))
+    val routed = QueryRouter.routeStates(spark, inst, q)(df)
+    if (routed.fallback) return SqlResult(df, routed = false, "fallback")
+    val aggCols = intersects.map { case (mi, name) =>
+      Measures.intersectState(mi.vals)(col(dim), col(s"__st_${mi.bitmapM}"))
+        .as(name)
+    }
+    var out = routed.df
+      .groupBy(groupNames.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(outNames.map(col): _*)
+    if (p.sortCols.nonEmpty) out = out.orderBy(p.sortCols: _*)
+    p.limit.foreach(n => out = out.limit(n))
+    SqlResult(out, routed = true, "intersect-count")
   }
 }

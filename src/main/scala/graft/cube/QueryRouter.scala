@@ -58,6 +58,19 @@ object QueryRouter {
                        (fallback: => DataFrame): Routed = {
     val cube = inst.cube
 
+    // a cube with no segments has nothing to scan (ADVICE r3: the
+    // zero-path reduce below would throw) — clean fallback instead
+    if (cube.segments.isEmpty)
+      return Routed(fallback, None, Nil, fallback = true)
+
+    // ── derived dims (reference: CubeDesc.java:219 derivedToHostMap):
+    // a group-by on a lookup attribute not materialized in any cuboid
+    // is answered by joining the lookup SNAPSHOT on its host dim —
+    // never by falling back to the source. Unknown names → fallback.
+    if (!q.groupBy.forall(cube.routableDim))
+      return Routed(fallback, None, Nil, fallback = true)
+    val derivedUsed = q.groupBy.flatMap(cube.derivedDim).distinct
+
     // ── segment pruning + residual-filter requirement
     val overlapping = cube.segments.filter { s =>
       q.timeRange.forall { case (qs, qe) => s.start < qe && qs < s.end }
@@ -79,8 +92,10 @@ object QueryRouter {
         case _ => return Routed(fallback, None, Nil, fallback = true)
       }
 
-    // ── cuboid choice: must cover groupBy ∪ filter dims ∪ residual dim
-    val needed = q.groupBy.toSet ++ q.filterDims ++ residual.map(_._1)
+    // ── cuboid choice: must cover groupBy (derived dims replaced by
+    // their hosts) ∪ filter dims ∪ residual dim
+    val needed = q.groupBy.filter(cube.dims.contains).toSet ++
+      derivedUsed.map(_.host) ++ q.filterDims ++ residual.map(_._1)
     val candidates = cube.cuboids.filter(needed.subsetOf(_))
     if (candidates.isEmpty)
       return Routed(fallback, None, Nil, fallback = true)
@@ -99,6 +114,16 @@ object QueryRouter {
     if (emptyScan) df = df.filter(lit(false))
     residual.foreach { case (_, pred) => df = df.filter(pred) }
     q.filter.foreach(f => df = df.filter(f))
+
+    // ── attach derived dims: broadcast-join the lookup snapshot on the
+    // host dim (snapshots are written under the cube root at build
+    // time; host is the lookup's key, so the join is 1:1)
+    derivedUsed.foreach { dd =>
+      val snap = spark.read
+        .parquet(Snapshot.path(inst.root, dd.lookup))
+        .select(col(dd.host), col(dd.name))
+      df = df.join(broadcast(snap), Seq(dd.host), "left")
+    }
 
     // ── re-aggregate mergeable states, then present
     val aggs = q.measures.map { case (m, _) =>

@@ -166,10 +166,16 @@ object Measures {
     * finalized value is bit-stable for the oracle hash gate. When the map
     * overflows `capacity`, the smallest entries are evicted (SpaceSaving
     * truncation, same retain-on-merge policy as the reference's
-    * TopNCounter). Exact whenever per-group cardinality ≤ capacity.
+    * TopNCounter) and the state is flagged `trimmed` — a trimmed state is
+    * approximate, and the SQL rewrite falls back rather than presenting
+    * it as exact (ADVICE r3). Exact whenever per-group cardinality ≤
+    * capacity. Multi-column dims are joined with `MultiSep` (a control
+    * char absent from data columns) — the reference's topn likewise keys
+    * on a tuple of literal columns (TopNMeasureType.java:129-148).
     */
   final class TopNBuf(val capacity: Int,
-                      val m: mutable.HashMap[String, Long])
+                      val m: mutable.HashMap[String, Long],
+                      var trimmed: Boolean = false)
       extends Serializable {
     def add(dim: String, v: Long): Unit = {
       m.update(dim, m.getOrElse(dim, 0L) + v)
@@ -177,16 +183,18 @@ object Measures {
     }
     def mergeIn(o: TopNBuf): Unit = {
       o.m.foreach { case (k, v) => m.update(k, m.getOrElse(k, 0L) + v) }
+      trimmed ||= o.trimmed
       if (m.size > capacity * 2) trim()
     }
     private def trim(): Unit = {
       val keep = m.toSeq.sortBy { case (k, v) => (-v, k) }.take(capacity)
       m.clear(); m ++= keep
+      trimmed = true
     }
     def toBytes: Array[Byte] = {
       val bos = new ByteArrayOutputStream()
       val d = new DataOutputStream(bos)
-      d.writeInt(capacity); d.writeInt(m.size)
+      d.writeInt(capacity); d.writeBoolean(trimmed); d.writeInt(m.size)
       m.toSeq.sortBy(_._1).foreach { case (k, v) =>
         d.writeUTF(k); d.writeLong(v)
       }
@@ -200,12 +208,16 @@ object Measures {
       new TopNBuf(DefaultCapacity, mutable.HashMap.empty)
     def fromBytes(b: Array[Byte]): TopNBuf = {
       val d = new DataInputStream(new ByteArrayInputStream(b))
-      val cap = d.readInt(); val n = d.readInt()
+      val cap = d.readInt(); val trimmed = d.readBoolean(); val n = d.readInt()
       val m = mutable.HashMap.empty[String, Long]
       (0 until n).foreach(_ => m.update(d.readUTF(), d.readLong()))
-      new TopNBuf(cap, m)
+      new TopNBuf(cap, m, trimmed)
     }
   }
+
+  /** separator for composite TopN dim keys (U+0001, absent from text
+    * dim columns) */
+  val MultiSep = "\u0001"
 
   private object TopNAggregator
       extends Aggregator[(String, Long), TopNBuf, Array[Byte]] {
@@ -233,13 +245,111 @@ object Measures {
 
   lazy val topnAgg = udaf(TopNAggregator, Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
   lazy val topnUnion = udaf(TopNUnionAggregator, Encoders.BINARY)
+
+  /** TopN over a COMPOSITE dim tuple: the sketch key is the dims joined
+    * with MultiSep; extraction splits the key back into columns
+    * (reference TopNMeasureType.java:129-148 — topn groups by multiple
+    * literal columns). */
+  def topnAggMulti(dims: Seq[Column], value: Column): Column =
+    topnAgg(org.apache.spark.sql.functions.concat_ws(MultiSep, dims: _*),
+      value)
+
   /** finalizer: state → top-n (dim, scaled-long value) descending, dim
-    * tie-break ascending. Caller explodes + unscales. */
+    * tie-break ascending. Caller explodes + unscales (and splits the
+    * key on MultiSep for composite dims). */
   lazy val topnExtract = org.apache.spark.sql.functions.udf(
     (b: Array[Byte], n: Int) =>
       if (b == null || b.isEmpty) Array.empty[(String, Long)]
       else TopNBuf.fromBytes(b).m.toSeq
         .sortBy { case (k, v) => (-v, k) }.take(n).toArray)
+
+  /** true iff the state was ever capacity-trimmed (⇒ approximate): the
+    * SQL topn rewrite refuses to present a trimmed state as exact */
+  lazy val topnIsTrimmed = org.apache.spark.sql.functions.udf(
+    (b: Array[Byte]) => b != null && b.nonEmpty && TopNBuf.fromBytes(b).trimmed)
+
+  // ───────────────────────────── intersect_count (Kylin retention UDAF)
+
+  /** Buffer: one bitmap per requested dim value (reference:
+    * core-metadata/.../measure/bitmap/BitmapIntersectDistinctCountAggFunc
+    * .java — Kylin's retention function holds a RetentionPartialResult
+    * keyed by the filter values). `vals` is null until the first row
+    * fixes the requested value list (it is a per-query literal). */
+  final class IntersectBuf(var vals: Array[String],
+                           var ms: Array[Roaring64NavigableMap])
+      extends Serializable
+
+  private def intersectFinish(b: IntersectBuf): Long =
+    if (b.vals == null || b.ms.isEmpty) 0L
+    else {
+      val x = new Roaring64NavigableMap()
+      x.or(b.ms(0))
+      b.ms.iterator.drop(1).foreach(x.and)
+      x.getLongCardinality
+    }
+
+  /** Raw-row form, SQL-registered as `intersect_count(key, dim, vals)`:
+    * exact |∩ over vals of {key : dim = val}| — the fallback path when
+    * no cube routes; GraftSql recognizes this aggregate in the analyzed
+    * plan and answers it from routed bitmap states instead. */
+  final class IntersectCountAggregator
+      extends Aggregator[(Long, String, Seq[String]), IntersectBuf, Long] {
+    def zero: IntersectBuf = new IntersectBuf(null, null)
+    def reduce(b: IntersectBuf, a: (Long, String, Seq[String])): IntersectBuf = {
+      if (b.vals == null) {
+        b.vals = a._3.toArray
+        b.ms = Array.fill(b.vals.length)(new Roaring64NavigableMap())
+      }
+      val i = b.vals.indexOf(a._2)
+      if (i >= 0) b.ms(i).addLong(a._1)
+      b
+    }
+    def merge(x: IntersectBuf, y: IntersectBuf): IntersectBuf =
+      if (x.vals == null) y
+      else {
+        if (y.vals != null)
+          x.ms.indices.foreach(i => x.ms(i).or(y.ms(i)))
+        x
+      }
+    def finish(b: IntersectBuf): Long = intersectFinish(b)
+    def bufferEncoder: Encoder[IntersectBuf] =
+      Encoders.javaSerialization[IntersectBuf]
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** register the SQL surface (idempotent per session) */
+  def registerIntersectCount(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.udf.register("intersect_count", udaf(new IntersectCountAggregator,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, String, Seq[String])]()))
+
+  /** Routed form over (dim value, bitmap STATE) rows: or-merges each
+    * val's states (multi-segment), then intersects — the aggregation
+    * GraftSql swaps in for a recognized intersect_count call. */
+  final class IntersectStateAggregator(vals: Seq[String])
+      extends Aggregator[(String, Array[Byte]), IntersectBuf, Long] {
+    private val va = vals.toArray
+    def zero: IntersectBuf =
+      new IntersectBuf(va, Array.fill(va.length)(new Roaring64NavigableMap()))
+    def reduce(b: IntersectBuf, a: (String, Array[Byte])): IntersectBuf = {
+      val i = b.vals.indexOf(a._1)
+      if (i >= 0 && a._2 != null && a._2.nonEmpty)
+        b.ms(i).or(bitmapFromBytes(a._2))
+      b
+    }
+    def merge(x: IntersectBuf, y: IntersectBuf): IntersectBuf = {
+      x.ms.indices.foreach(i => x.ms(i).or(y.ms(i)))
+      x
+    }
+    def finish(b: IntersectBuf): Long = intersectFinish(b)
+    def bufferEncoder: Encoder[IntersectBuf] =
+      Encoders.javaSerialization[IntersectBuf]
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** (dim, state) → intersect count for the given literal vals */
+  def intersectState(vals: Seq[String]) =
+    udaf(new IntersectStateAggregator(vals),
+      Encoders.tuple(Encoders.STRING, Encoders.BINARY))
 
   // ───────────────────────────── percentile (Kylin `percentile` → KLL)
 

@@ -377,6 +377,88 @@ object CubeQueries extends QueryGroup {
              |HAVING COUNT(*) > 1000
              |ORDER BY o_orderstatus""".stripMargin)),
 
+    // 35b5 ────────────── intersect_count SQL surface: the retention
+    //     call routes through bitmap STATES (Kylin's
+    //     BitmapIntersectDistinctCountAggFunc); the same function is
+    //     SQL-registered as an exact raw-row aggregate, so an unrouted
+    //     plan still answers correctly
+    Q("cube_sql_intersect",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT intersect_count(o_custkey, o_month,
+            |    array('1996-03', '1996-04')) AS n_retained,
+            |  intersect_count(o_custkey, o_month,
+            |    array('1996-03')) AS n_first
+            |FROM graft_star""".stripMargin)
+        assert(r.routed && r.via == "intersect-count",
+          s"expected the intersect-count rewrite, got ${r.via}")
+        r.df
+      },
+      Some("""SELECT
+             |  CAST((SELECT COUNT(*) FROM (
+             |    SELECT DISTINCT o_custkey FROM lineitem
+             |    JOIN orders ON l_orderkey = o_orderkey
+             |    WHERE strftime(o_orderdate, '%Y-%m') = '1996-03'
+             |    INTERSECT
+             |    SELECT DISTINCT o_custkey FROM lineitem
+             |    JOIN orders ON l_orderkey = o_orderkey
+             |    WHERE strftime(o_orderdate, '%Y-%m') = '1996-04')) AS BIGINT) AS n_retained,
+             |  CAST((SELECT COUNT(DISTINCT o_custkey) FROM lineitem
+             |    JOIN orders ON l_orderkey = o_orderkey
+             |    WHERE strftime(o_orderdate, '%Y-%m') = '1996-03') AS BIGINT) AS n_first""".stripMargin)),
+
+    // 35d ─────────────── derived dimension: group-by on a lookup
+    //     attribute (n_nationkey) NOT materialized in any cuboid — the
+    //     router joins the nation snapshot on the host dim n_name and
+    //     re-aggregates states (CubeDesc.java:219 derivedToHostMap);
+    //     never a source-scan fallback
+    Q("cube_derived_dim",
+      (s, d) => {
+        val inst = CubeManager.ensureBuilt(s, d)
+        val r = QueryRouter.route(s, inst, CubeQuery(
+          Seq("n_nationkey"),
+          Seq("revenue" -> "revenue", "cust_bitmap" -> "n_cust",
+              "nrows" -> "n_rows")))(noFallback)
+        assert(!r.fallback && r.cuboid.exists(_.contains("n_name")),
+          "expected a derived-dim route through an n_name cuboid")
+        r.df.orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+             |  COUNT(DISTINCT o_custkey) AS n_cust,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin)),
+
+    // 31b ─────────────── multi-column TopN measure: the sketch keys on
+    //     the (p_brand, c_mktsegment) tuple (TopNMeasureType.java:
+    //     129-148 — topn over multiple literal columns); answered via
+    //     the SQL topn rewrite, no pair-level scan
+    Q("cube_topn_multi",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT p_brand, c_mktsegment, sum(disc_price) AS revenue
+            |FROM graft_star
+            |GROUP BY p_brand, c_mktsegment
+            |ORDER BY revenue DESC, p_brand, c_mktsegment
+            |LIMIT 5""".stripMargin)
+        assert(r.routed && r.via == "topn-measure",
+          s"expected the multi-dim TopN rewrite, got ${r.via}")
+        r.df
+      },
+      Some("""SELECT p_brand, c_mktsegment,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand, c_mktsegment
+             |ORDER BY revenue DESC, p_brand, c_mktsegment
+             |LIMIT 5""".stripMargin)),
+
     // 35c ─────────────── SQL routing fallback: unsupported measure /
     //     non-cube dim → Spark answers from the view (Kylin pushdown)
     Q("cube_sql_fallback",

@@ -121,6 +121,27 @@ object EventQueries extends QueryGroup {
              |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // 39d ─────────────── transparent SQL routing of the EVENTS cube:
+    //     measure recognition is metadata-driven (Measure.answers), so
+    //     the same front-end that routes graft_star routes any
+    //     registered cube view (reference TableScanPlan.scala:43-51 —
+    //     realization chosen per model, not hardcoded)
+    Q("ev_sql_route",
+      (s, d) => {
+        val r = graft.cube.GraftSql.sqlVia(s, d,
+          """SELECT ev_day, count(*) AS n_events,
+            |  count(distinct user_id) AS n_users
+            |FROM graft_events
+            |GROUP BY ev_day
+            |ORDER BY ev_day""".stripMargin)
+        assert(r.routed && r.via == "cuboid",
+          s"expected the events cube to route, got ${r.via}")
+        r.df
+      },
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS ev_day,
+             |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY 1 ORDER BY ev_day""".stripMargin)),
+
     // 40 ──────────────── strict-order funnel view → click → purchase:
     //     stage N counts users whose first qualifying stage-N event is
     //     after their first qualifying stage-(N-1) event

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cube._
+import graft.functions.Measures
+
+/** SQL-routing guards and the metadata-driven rewrites (ADVICE r3 +
+  * VERDICT r3 next-round items 1/5/6/7). */
+class GraftSqlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("filtered aggregates fall back instead of dropping the FILTER") {
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus,
+        |  sum(disc_price) FILTER (WHERE l_returnflag = 'R') AS r_rev
+        |FROM graft_star GROUP BY o_orderstatus""".stripMargin)
+    assert(!r.routed, "FILTER (WHERE ...) must not route")
+    // and the fallback answer honors the filter
+    val want = CubeManager.flatTable(spark, sf)
+      .filter(col("l_returnflag") === "R")
+      .groupBy("o_orderstatus").agg(sum("disc_price").as("r_rev"))
+      .collect().map(x => x.getString(0) -> x.getDecimal(1)).toMap
+    val got = r.df.collect().map(x => x.getString(0) -> x.getDecimal(1)).toMap
+    assert(got == want)
+  }
+
+  test("non-deterministic WHERE predicates fall back") {
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(*) AS n FROM graft_star
+        |WHERE rand() < 0.5 GROUP BY o_orderstatus""".stripMargin)
+    assert(!r.routed)
+  }
+
+  test("subquery WHERE predicates fall back instead of crashing") {
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(*) AS n FROM graft_star
+        |WHERE r_name = (SELECT max(r_name) FROM graft_star)
+        |GROUP BY o_orderstatus""".stripMargin)
+    assert(!r.routed)
+    assert(r.df.count() > 0)
+  }
+
+  test("the events cube routes through the same metadata-driven front-end") {
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT event_type, sum(value) AS total, count(*) AS n
+        |FROM graft_events GROUP BY event_type""".stripMargin)
+    assert(r.routed && r.via == "cuboid", s"got ${r.via}")
+    val want = CubeManager.eventsFlat(spark, sf)
+      .groupBy("event_type")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .collect().map(x => (x.getString(0), x.getDouble(1), x.getLong(2))).toSet
+    val got = r.df.collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getLong(2))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("intersect_count SQL: routed answer equals the raw-row UDAF answer") {
+    val q =
+      """SELECT intersect_count(o_custkey, o_month,
+        |  array('1996-03', '1996-04', '1996-05')) AS n3
+        |FROM graft_star""".stripMargin
+    val routed = GraftSql.sqlVia(spark, sf, q)
+    assert(routed.routed && routed.via == "intersect-count")
+    // the registered function computes the same thing from raw rows
+    Measures.registerIntersectCount(spark)
+    GraftSql.registerViews(spark, sf)
+    val raw = spark.sql(q).head().getLong(0)
+    assert(routed.df.head().getLong(0) == raw)
+    // and grouped: per-r_name retention
+    val g = GraftSql.sqlVia(spark, sf,
+      """SELECT r_name, intersect_count(o_custkey, o_month,
+        |  array('1996-03', '1996-04')) AS ret
+        |FROM graft_star GROUP BY r_name ORDER BY r_name""".stripMargin)
+    assert(g.routed && g.via == "intersect-count")
+    val gotG = g.df.collect().map(x => x.getString(0) -> x.getLong(1)).toSeq
+    val wantG = spark.sql(
+      """SELECT r_name, intersect_count(o_custkey, o_month,
+        |  array('1996-03', '1996-04')) AS ret
+        |FROM graft_star GROUP BY r_name ORDER BY r_name""".stripMargin)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toSeq
+    assert(gotG == wantG && gotG.nonEmpty)
+  }
+
+  test("derived dim group-by routes via snapshot join and matches source") {
+    val inst = CubeManager.ensureBuilt(spark, sf)
+    val r = QueryRouter.route(spark, inst, CubeQuery(
+      Seq("n_regionkey"), Seq("nrows" -> "n")))(fail("expected route"))
+    assert(r.cuboid.exists(_.contains("n_name")))
+    val got = r.df.collect().map(x => x.get(0) -> x.getLong(1)).toMap
+    val want = CubeManager.flatTable(spark, sf)
+      .join(graft.Tables.nation(spark, sf), "n_name")
+      .groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+      .collect().map(x => x.get(0) -> x.getLong(1)).toMap
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("a cube with zero segments falls back cleanly") {
+    val inst0 = {
+      val i = CubeManager.ensureBuilt(spark, sf)
+      i.copy(cube = i.cube.copy(segments = Nil))
+    }
+    var usedFallback = false
+    val r = QueryRouter.route(spark, inst0, CubeQuery(
+      Seq("r_name"), Seq("nrows" -> "n"))) {
+      usedFallback = true
+      spark.emptyDataFrame
+    }
+    assert(r.fallback && usedFallback)
+  }
+
+  test("TopNBuf trim sets the trimmed flag and it survives serde + merge") {
+    val b = new Measures.TopNBuf(2, scala.collection.mutable.HashMap.empty)
+    (1 to 10).foreach(i => b.add(s"k$i", i.toLong))
+    assert(b.trimmed, "overflow past 2*capacity must trim")
+    val round = Measures.TopNBuf.fromBytes(b.toBytes)
+    assert(round.trimmed)
+    val clean = Measures.TopNBuf.empty
+    clean.mergeIn(round)
+    assert(clean.trimmed, "merge must propagate the trimmed flag")
+    val cleanRound = Measures.TopNBuf.fromBytes(Measures.TopNBuf.empty.toBytes)
+    assert(!cleanRound.trimmed)
+  }
+
+  test("multi-column TopN extraction splits composite keys losslessly") {
+    val b = Measures.TopNBuf.empty
+    b.add("Brand#1" + Measures.MultiSep + "AUTOMOBILE", 100L)
+    b.add("Brand#2" + Measures.MultiSep + "BUILDING", 50L)
+    val top = Measures.TopNBuf.fromBytes(b.toBytes).m.toSeq.sortBy(-_._2)
+    assert(top.head._1.split(Measures.MultiSep) sameElements
+      Array("Brand#1", "AUTOMOBILE"))
+  }
+}
