@@ -96,7 +96,12 @@ final case class CubeDef(
     cuboids: Seq[Set[String]],
     timeDim: Option[TimeDim] = None,
     shardBy: Option[String] = None,
-    derived: Seq[DerivedDim] = Nil) {
+    derived: Seq[DerivedDim] = Nil,
+    /** flat-table columns the cube author guarantees non-null (a NOT
+      * NULL contract, like DDL): gates rewrites whose algebra assumes
+      * no nulls — e.g. AVG(x) → SUM(x)/COUNT(*) is only exact when x
+      * never misses a row */
+    notNull: Set[String] = Set.empty) {
 
   require(cuboids.exists(_ == dims.toSet),
     "materialized set must include the base cuboid (all dims)")

@@ -138,7 +138,9 @@ object CubeManager {
       // nation attributes not materialized in any cuboid, answered by
       // joining the nation snapshot on n_name (CubeDesc derivedToHostMap)
       derived = Seq(DerivedDim("n_nationkey", "n_name", "nation"),
-                    DerivedDim("n_regionkey", "n_name", "nation")))
+                    DerivedDim("n_regionkey", "n_name", "nation")),
+      // TPC-H NOT NULL contract — gates the AVG → SUM/COUNT(*) rewrite
+      notNull = Set("disc_price", "l_quantity", "l_extendedprice"))
   }
 
   // ── a second cube over the events stream table: the engine is
@@ -170,7 +172,8 @@ object CubeManager {
       Seq(Segment("s2024m1", "2024-01-01", "2024-02-01")),
       Seq(dims.toSet, Set("ev_day"), Set("event_type")),
       // day boundaries are always expressible on ev_day
-      timeDim = Some(TimeDim("ev_day", d => Some(d.substring(0, 10)))))
+      timeDim = Some(TimeDim("ev_day", d => Some(d.substring(0, 10)))),
+      notNull = Set("value"))
   }
 
   private val built = TrieMap.empty[String, CubeInstance]
@@ -194,8 +197,10 @@ object CubeManager {
           lineitem(spark, sfDir), orders(spark, sfDir), snap("customer"),
           snap("nation"), snap("region"), snap("supplier"), snap("part"))
         // dictionary-encode string bitmap inputs before the build
-        // (reference DFTableEncoder: encode once on the flat table)
-        val dict = Dictionary.build(flat, "c_name")
+        // (reference DFTableEncoder: encode once on the flat table).
+        // buildOrAppend persists the dictionary under the cube root and
+        // keeps ids append-stable across incremental builds.
+        val dict = Dictionary.buildOrAppend(spark, flat, "c_name", root)
         CubeBuilder.build(spark, Dictionary.encode(flat, dict, "c_name"),
           defaultCube, root)
       })

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.aggregate.ScalaAggregator
-import org.apache.spark.sql.functions.{broadcast, col, expr, lit, posexplode, split}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit, posexplode, split}
 import org.apache.spark.sql.types.{DoubleType, StringType}
 
 import graft.functions.Measures
@@ -58,28 +58,31 @@ object GraftSql {
 
   /** recognized output shapes: a routed measure, a derived combination
     * of routed measures (avg), or a bitmap-state intersection */
-  private sealed trait MOut { def measures: Seq[String] }
-  private final case class MCol(m: String) extends MOut {
+  private[graft] sealed trait MOut { def measures: Seq[String] }
+  private[graft] final case class MCol(m: String) extends MOut {
     def measures: Seq[String] = Seq(m)
   }
-  private final case class MAvg(sumM: String, cntM: String) extends MOut {
+  private[graft] final case class MAvg(sumM: String, cntM: String) extends MOut {
     def measures: Seq[String] = Seq(sumM, cntM)
   }
-  private final case class MIntersect(bitmapM: String, dim: String,
+  private[graft] final case class MIntersect(bitmapM: String, dim: String,
       vals: Seq[String]) extends MOut {
     def measures: Seq[String] = Seq(bitmapM)
   }
 
   /** literal string array in an analyzed plan (array('a','b') stays a
-    * CreateArray of literals pre-optimization) */
+    * CreateArray of literals pre-optimization). A NULL element anywhere
+    * means the shape is NOT recognized (clean fallback) — coercing it
+    * would NPE mid-route (ADVICE r4). */
   private def constStrings(e: Expression): Option[Seq[String]] = e match {
     case CreateArray(elems, _)
-        if elems.forall(x => x.isInstanceOf[Literal] && x.dataType == StringType) =>
+        if elems.forall(x => x.isInstanceOf[Literal] &&
+          x.dataType == StringType && x.eval(null) != null) =>
       Some(elems.map(_.eval(null).toString))
     case Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
         org.apache.spark.sql.types.ArrayType(StringType, _)) =>
-      Some(arr.toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
-        .map(_.toString).toSeq)
+      val vals = arr.toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
+      if (vals.contains(null)) None else Some(vals.map(_.toString).toSeq)
     case _ => None
   }
 
@@ -87,7 +90,7 @@ object GraftSql {
     * the cube's measure metadata. FILTER (WHERE ...) clauses are
     * matched as `None` explicitly — a filtered aggregate must fall back
     * (ADVICE r3: wildcarding the filter would silently drop it). */
-  private def measureOf(cube: CubeDef, e: AggregateExpression): Option[MOut] =
+  private[graft] def measureOf(cube: CubeDef, e: AggregateExpression): Option[MOut] =
     e match {
       case AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _) =>
         cube.measureAnswering(SqlAgg.SumOf(a.name)).map(m => MCol(m.name))
@@ -96,8 +99,12 @@ object GraftSql {
       case AggregateExpression(Count(Seq(a: AttributeReference)), _, true, None, _) =>
         cube.measureAnswering(SqlAgg.CountDistinctOf(a.name)).map(m => MCol(m.name))
       // avg = exact sum state / count state, assembled from two routed
-      // measures — the same rewrite Kylin applies to AVG
-      case AggregateExpression(Average(a: AttributeReference, _), _, false, None, _) =>
+      // measures — the same rewrite Kylin applies to AVG. Spark's AVG
+      // divides by COUNT(x) (non-null rows), our rewrite by COUNT(*):
+      // only equivalent when the cube declares the column non-null in
+      // its flat table (ADVICE r4) — nullable columns fall back.
+      case AggregateExpression(Average(a: AttributeReference, _), _, false, None, _)
+          if cube.notNull.contains(a.name) =>
         for {
           s <- cube.measureAnswering(SqlAgg.SumOf(a.name))
           c <- cube.measureAnswering(SqlAgg.CountAll)
@@ -118,12 +125,18 @@ object GraftSql {
       case _ => None
     }
 
-  /** register every cube view + the intersect_count SQL function */
-  def registerViews(spark: SparkSession, sfDir: String): Unit = {
-    bindings.foreach(b =>
-      b.flat(spark, sfDir).createOrReplaceTempView(b.view))
-    Measures.registerIntersectCount(spark)
-  }
+  private val viewsRegistered =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
+
+  /** register every cube view + the intersect_count SQL function (once
+    * per session/sf pair — re-analysis per query is wasted work at
+    * high QPS) */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    viewsRegistered.getOrElseUpdate((spark, sfDir), {
+      bindings.foreach(b =>
+        b.flat(spark, sfDir).createOrReplaceTempView(b.view))
+      Measures.registerIntersectCount(spark)
+    })
 
   /** back-compat: the default star view only */
   def registerView(spark: SparkSession, sfDir: String): Unit =
@@ -340,10 +353,13 @@ object GraftSql {
       p: Peeled): SqlResult = {
     val intersects = outs.collect { case (mi: MIntersect, name) => (mi, name) }
     // supported shape: every measure output is an intersect over the
-    // SAME dim; no extra WHERE (vals ARE the filter), no HAVING
+    // SAME dim; no extra WHERE (vals ARE the filter), no HAVING; the
+    // intersect dim must not itself be grouped (a duplicate grouping
+    // column would make the routed aggregate ambiguous — ADVICE r4)
     val dims = intersects.map(_._1.dim).distinct
     if (intersects.size != outs.size || dims.size != 1 ||
         filterSql.nonEmpty || p.havingSql.nonEmpty ||
+        groupNames.contains(dims.head) ||
         groupNames.exists(g => !inst.cube.dims.contains(g)))
       return SqlResult(df, routed = false, "fallback")
     val dim = dims.head
@@ -359,10 +375,27 @@ object GraftSql {
       Measures.intersectState(mi.vals)(col(dim), col(s"__st_${mi.bitmapM}"))
         .as(name)
     }
-    var out = routed.df
+    val grouped = routed.df
       .groupBy(groupNames.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
-      .select(outNames.map(col): _*)
+    // The `dim isin vals` pushdown drops groups with zero rows in ALL
+    // requested vals, but raw-row semantics (and the reference's
+    // RetentionPartialResult) return those groups with count 0
+    // (ADVICE r4). Re-attach them: group keys from an UNFILTERED
+    // cuboid scan (metadata-scale), left-join, default 0.
+    val completed =
+      if (groupNames.isEmpty) grouped
+      else {
+        val keysR = QueryRouter.routeStates(spark, inst,
+          CubeQuery(groupNames, Seq(needed.head -> "__k")))(df)
+        if (keysR.fallback) return SqlResult(df, routed = false, "fallback")
+        keysR.df.select(groupNames.map(col): _*)
+          .join(grouped, groupNames, "left")
+          .select(groupNames.map(col) ++ intersects.map { case (_, name) =>
+            coalesce(col(name), lit(0L)).as(name)
+          }: _*)
+      }
+    var out = completed.select(outNames.map(col): _*)
     if (p.sortCols.nonEmpty) out = out.orderBy(p.sortCols: _*)
     p.limit.foreach(n => out = out.limit(n))
     SqlResult(out, routed = true, "intersect-count")

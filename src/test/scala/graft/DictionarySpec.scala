@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cube._
+import graft.functions.Measures
+
+/** The append-stable dictionary contract (VERDICT r4 item 1, reference
+  * AppendTrieDictionary.java:66): existing values keep their ids across
+  * rebuilds, new values get ids strictly above max(existing), and
+  * bitmap states built against DIFFERENT dictionary versions merge to
+  * exact counts. */
+class DictionarySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("append keeps existing ids; new values get ids above the old max") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-dict").toString
+    val d1 = Dictionary.buildOrAppend(spark,
+      Seq("b", "a", "c", "a").toDF("v"), "v", root)
+    val m1 = d1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m1.keySet == Set("a", "b", "c"))
+    assert(m1.values.toSeq.sorted == Seq(1L, 2L, 3L), "dense from 1")
+
+    val d2 = Dictionary.buildOrAppend(spark,
+      Seq("c", "e", "b", "d").toDF("v"), "v", root)
+    val m2 = d2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m2.keySet == Set("a", "b", "c", "d", "e"))
+    m1.foreach { case (v, id) =>
+      assert(m2(v) == id, s"existing id for $v must not change")
+    }
+    assert(Seq("d", "e").forall(v => m2(v) > 3L), "new ids above old max")
+    assert(m2.values.toSet.size == 5, "injective")
+
+    // no new values ⇒ no new version, same mapping
+    val d3 = Dictionary.buildOrAppend(spark, Seq("a", "e").toDF("v"), "v", root)
+    val m3 = d3.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m3 == m2)
+  }
+
+  test("bitmap states built against successive dict versions merge exactly") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-dict-bm").toString
+    val seg1 = Seq(("g1", "alice"), ("g1", "bob"), ("g2", "alice"))
+      .toDF("g", "name")
+    val seg2 = Seq(("g1", "carol"), ("g2", "bob"), ("g2", "dave"),
+      ("g2", "alice")).toDF("g", "name")
+
+    // seg1 encoded with dict v1; seg2 with the appended v2 — the old
+    // states must still be valid under v2 (ids never reassigned)
+    val dict1 = Dictionary.buildOrAppend(spark, seg1, "name", root)
+    val st1 = Dictionary.encode(seg1, dict1, "name")
+      .groupBy("g").agg(Measures.bitmapAgg(col("name_id")).as("st"))
+    val dict2 = Dictionary.buildOrAppend(spark, seg2, "name", root)
+    val st2 = Dictionary.encode(seg2, dict2, "name")
+      .groupBy("g").agg(Measures.bitmapAgg(col("name_id")).as("st"))
+
+    val got = st1.unionByName(st2)
+      .groupBy("g").agg(Measures.bitmapUnion(col("st")).as("st"))
+      .select(col("g"), Measures.bitmapCount(col("st")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = seg1.unionByName(seg2)
+      .groupBy("g").agg(countDistinct("name").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("cube append with NEW c_name values keeps the dict bitmap exact") {
+    // End-to-end: build segment 1 with a dictionary from ONLY its data,
+    // then append segment 2 — which introduces c_name values unseen in
+    // segment 1 — with the APPENDED dictionary. The routed bitmap count
+    // over both segments must equal the source exactly. (Under the old
+    // rank-based dictionary the rebuild reassigned ids and this query
+    // silently miscounted.)
+    val root = Files.createTempDirectory("graft-dict-cube").toString
+    val cube = CubeManager.defaultCube
+    val Seq(seg1, seg2) = cube.segments.take(2)
+    val rawFlat = CubeManager.flatTable(spark, sf)
+      .filter(col("o_orderdate") < seg2.end)
+
+    val flat1 = rawFlat.filter(col("o_orderdate") < seg1.end)
+    val dict1 = Dictionary.buildOrAppend(spark, flat1, "c_name", root)
+    val inst1 = CubeBuilder.build(spark,
+      Dictionary.encode(flat1, dict1, "c_name"),
+      cube.copy(segments = Seq(seg1)), root)
+
+    val flat2 = rawFlat.filter(col("o_orderdate") >= seg2.start)
+    val newNames = flat2.select("c_name").distinct()
+      .join(dict1, Seq("c_name"), "left_anti").count()
+    assert(newNames > 0,
+      "appended segment must introduce new c_name values (else vacuous)")
+
+    val dict2 = Dictionary.buildOrAppend(spark, flat2, "c_name", root)
+    val inst2 = CubeBuilder.appendSegment(spark, inst1,
+      Dictionary.encode(flat2, dict2, "c_name"), seg2)
+
+    val got = QueryRouter.route(spark, inst2, CubeQuery(
+      Seq("r_name"), Seq("cname_bitmap" -> "n_names")))(fail("expected route"))
+      .df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = rawFlat.groupBy("r_name")
+      .agg(countDistinct("c_name").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && want.nonEmpty)
+  }
+}

@@ -84,6 +84,60 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(gotG == wantG && gotG.nonEmpty)
   }
 
+  test("grouped intersect_count keeps groups with zero rows in all vals") {
+    // 1996-04 covers only 22 of 25 brands: the routed answer must still
+    // return all 25 groups (absent ones as 0), exactly like the raw-row
+    // UDAF fallback (ADVICE r4 high)
+    val q =
+      """SELECT p_brand, intersect_count(o_custkey, o_month,
+        |  array('1996-04')) AS m
+        |FROM graft_star GROUP BY p_brand ORDER BY p_brand""".stripMargin
+    val routed = GraftSql.sqlVia(spark, sf, q)
+    assert(routed.routed && routed.via == "intersect-count")
+    val got = routed.df.collect().map(x => x.getString(0) -> x.getLong(1)).toSeq
+    GraftSql.registerViews(spark, sf)
+    val want = spark.sql(q).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toSeq
+    assert(got == want)
+    assert(got.exists(_._2 == 0L), "test needs at least one zero group")
+    assert(got.size == 25, "all brands present, including zero groups")
+  }
+
+  test("intersect_count with a NULL literal val falls back, not NPEs") {
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT intersect_count(o_custkey, o_month,
+        |  array('1996-03', NULL)) AS m
+        |FROM graft_star""".stripMargin)
+    assert(!r.routed)
+    assert(r.df.count() == 1)
+  }
+
+  test("intersect dim appearing in GROUP BY falls back cleanly") {
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT o_month, intersect_count(o_custkey, o_month,
+        |  array('1996-03')) AS m
+        |FROM graft_star GROUP BY o_month""".stripMargin)
+    assert(!r.routed)
+    assert(r.df.count() > 0)
+  }
+
+  test("AVG rewrite is gated on the cube's NOT NULL contract") {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    GraftSql.registerViews(spark, sf)
+    val plan = spark.sql("SELECT avg(l_quantity) AS a FROM graft_star")
+      .queryExecution.analyzed
+    val ae = plan.collectFirst { case Aggregate(_, aggs, _, _) =>
+      aggs.collectFirst { case Alias(e: AggregateExpression, _) => e }
+    }.flatten.get
+    val cube = CubeManager.defaultCube
+    assert(GraftSql.measureOf(cube, ae).isDefined,
+      "declared non-null column must route")
+    assert(GraftSql.measureOf(cube.copy(notNull = Set.empty), ae).isEmpty,
+      "AVG over a column without the NOT NULL contract must fall back")
+  }
+
   test("derived dim group-by routes via snapshot join and matches source") {
     val inst = CubeManager.ensureBuilt(spark, sf)
     val r = QueryRouter.route(spark, inst, CubeQuery(
