@@ -46,45 +46,69 @@ object EmbeddingSearch {
     cosine(idot(col(s"$a.q"), col(s"$b.q")),
       col(s"$a.n2"), col(s"$b.n2"))
 
+  /** default block count for the distributed all-pairs kernel: 16
+    * blocks = 136 triangular block-pair tasks, each holding 2·(n/16)
+    * vectors in memory. At larger corpora pick B ≈ n / target-block-
+    * size so one block pair (2·n/B vectors · ~8·Dim bytes) fits an
+    * executor core comfortably; compute stays O(n²) regardless — that
+    * is what the LSH variants are for. */
+  val CosineBlocks = 16
+
+  /** quantized vector row for the typed block-pair kernel */
+  final case class QVec(vec_id: Long, q: Array[Long], n2: Long)
+
   /** exact all-pairs cosine ≥ threshold — the O(n²) BASELINE the
     * bucketed variants are judged against; at scale use `lshTopK` /
     * LSH candidates instead.
     *
-    * Implemented as a broadcast-matrix kernel: the quantized vectors
-    * (8·Dim bytes each) broadcast to every executor and each partition
-    * sweeps its slice of row indices over the upper triangle in
-    * primitive-long arithmetic. The Catalyst zip_with/aggregate
-    * formulation is interpreted (higher-order functions break codegen)
-    * and was ~50× slower; the integer math here is identical, so the
-    * oracle still replays bit-for-bit. Rounding replicates Spark's
-    * round(): BigDecimal(double) half-up. */
-  def cosineDupPairs(embs: DataFrame, minCos: Double)
+    * Fully distributed triangular block join (no driver collect, no
+    * whole-corpus broadcast): vectors land in B blocks by id; each of
+    * the B(B+1)/2 unordered block pairs becomes one cogroup key, and
+    * each vector is shipped to exactly the block pairs it participates
+    * in (B replicas). Within a block pair a primitive-long kernel
+    * sweeps the cross product (the upper triangle on the diagonal
+    * pairs) — the Catalyst zip_with/aggregate formulation is
+    * interpreted (higher-order functions break codegen) and was ~50×
+    * slower; the integer math here is identical, so the oracle still
+    * replays bit-for-bit. Rounding replicates Spark's round():
+    * BigDecimal(double) half-up. */
+  def cosineDupPairs(embs: DataFrame, minCos: Double,
+                     blocks: Int = CosineBlocks)
                     (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val vecs = collectQuantized(embs)
-    val bc = spark.sparkContext.broadcast(vecs)
-    val n = vecs.length
-    spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
-      .as[Long]
-      .mapPartitions { it =>
-        val v = bc.value
-        it.flatMap { ai =>
-          val a = ai.toInt
-          (a + 1 until v.length).iterator.flatMap { b =>
-            val c = cosineOf(v(a)._2, v(b)._2, v(a)._3, v(b)._3)
-            if (c >= minCos) Iterator((v(a)._1, v(b)._1, c)) else Iterator.empty
+    val b = blocks
+    val vecs = quantized(embs).as[QVec]
+    // A-side: a vector in block i serves block pairs (i, j), j ≥ i;
+    // B-side: block pairs (i, j), i ≤ j. A pair of blocks (i ≤ j) meets
+    // at key i*B+j exactly once, with the lower block on the A side.
+    val aSide = vecs.flatMap { v =>
+      val blk = (v.vec_id % b).toInt
+      (blk until b).map(j => (blk * b + j, v))
+    }
+    val bSide = vecs.flatMap { v =>
+      val blk = (v.vec_id % b).toInt
+      (0 to blk).map(i => (i * b + blk, v))
+    }
+    aSide.groupByKey(_._1).cogroup(bSide.groupByKey(_._1)) { (key, as, bs) =>
+      val diagonal = key / b == key % b
+      val av = as.map(_._2).toArray
+      val bv = bs.map(_._2).toArray
+      av.iterator.flatMap { u =>
+        bv.iterator.flatMap { w =>
+          // same-block pairs: upper triangle only (each unordered pair
+          // once); cross-block pairs appear once per construction
+          if (diagonal && u.vec_id >= w.vec_id) Iterator.empty
+          else {
+            val c = cosineOf(u.q, w.q, u.n2, w.n2)
+            if (c >= minCos)
+              Iterator((math.min(u.vec_id, w.vec_id),
+                math.max(u.vec_id, w.vec_id), c))
+            else Iterator.empty
           }
         }
       }
-      .toDF("id_a", "id_b", "cosine")
+    }.toDF("id_a", "id_b", "cosine")
   }
-
-  /** (vec_id, quantized vector, squared norm) sorted by id — driver
-    * copy for broadcast kernels (1 MB per 2k vectors at Dim=64) */
-  private def collectQuantized(embs: DataFrame): Array[(Long, Array[Long], Long)] =
-    quantized(embs).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
-      .sortBy(_._1)
 
   /** same arithmetic as the Catalyst path: exact int64 dot, one double
     * divide/sqrt, Spark-style half-up rounding to 6 dp */

@@ -50,6 +50,54 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("df-capped n-gram join loses no pair at J >= 0.5 when the cap prunes") {
+    import spark.implicits._
+    // 30 docs sharing one boilerplate sentence (shingle df = 30 > cap)
+    // plus unique filler, and 3 true near-dup pairs
+    val boiler = "all rights reserved by the original author of record"
+    val base = (0 until 30).map { i =>
+      val unique = (0 until 12).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, s"$boiler $unique")
+    }
+    val dups = Seq(
+      (100L, base(0)._2 + " extra"), (101L, base(1)._2 + " tail"),
+      (102L, base(2)._2))
+    val docs2 = (base ++ dups).toDF("doc_id", "text")
+    val cap = 10
+    // the cap must actually prune on this corpus (else vacuous)
+    val maxDf = Dedup.shingleRows(docs2).groupBy("s").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxDf > cap, s"boilerplate shingles must exceed the cap ($maxDf)")
+    val capped = Dedup.ngramJaccardPairs(docs2, 0.5, dfCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = Dedup.ngramJaccardPairs(docs2, 0.5, dfCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == uncapped && uncapped.nonEmpty)
+  }
+
+  test("blocked all-pairs cosine is block-count invariant (exact join)") {
+    val one = EmbeddingSearch.cosineDupPairs(embs, 0.4, blocks = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val many = EmbeddingSearch.cosineDupPairs(embs, 0.4, blocks = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(one == many && one.nonEmpty,
+      "triangular block decomposition must cover every pair exactly once")
+  }
+
+  test("no driver-side collect in any query/pipeline source path") {
+    // the scale gate from VERDICT r4: query paths must stay distributed
+    val roots = Seq("pipeline", "queries", "cube", "streaming")
+      .map(d => new java.io.File(s"src/main/scala/graft/$d"))
+    val offenders = roots.flatMap(_.listFiles()).flatMap { f =>
+      scala.io.Source.fromFile(f, "UTF-8").getLines().zipWithIndex.collect {
+        case (line, i) if line.contains(".collect()") =>
+          s"${f.getName}:${i + 1}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"driver-side collect in query paths: ${offenders.mkString(", ")}")
+  }
+
   test("exact dedup keeps one survivor per distinct normalized text") {
     val out = SparkEntry.queries("doc_exact_dedup")(spark, sf)
     val distinctTexts = docs
