@@ -61,6 +61,18 @@ object CubeManager {
           .as("raw_hi_price"),
         col("c_name"))
 
+  /** The star model behind the default cube (reference: core-metadata
+    * DataModelDesc): lineitem fact, each lookup joined through its
+    * PK-FK edge. User SQL written as these explicit joins routes to
+    * the cube via ModelMatcher. */
+  def starModel: ModelDef = ModelDef("lineitem", Seq(
+    ModelEdge("orders", "lineitem", "o_orderkey", "l_orderkey"),
+    ModelEdge("customer", "orders", "c_custkey", "o_custkey"),
+    ModelEdge("nation", "customer", "n_nationkey", "c_nationkey"),
+    ModelEdge("region", "nation", "r_regionkey", "n_regionkey"),
+    ModelEdge("supplier", "lineitem", "s_suppkey", "l_suppkey"),
+    ModelEdge("part", "lineitem", "p_partkey", "l_partkey")))
+
   /** The default cube: 7 dims, 8 measures covering every reference
     * measure family, 2-year segments over o_orderdate, and a 7-cuboid
     * materialized lattice subset (agg-group-pruned, like the

@@ -46,13 +46,19 @@ object GraftSql {
   final case class SqlResult(df: DataFrame, routed: Boolean, via: String)
 
   /** one SQL-routable cube: registered view name + its flat table (the
-    * view source / fallback) + built-instance supplier */
+    * view source / fallback) + built-instance supplier + optionally a
+    * star model (so user-written joins over `rawTables` route too) */
   final case class Binding(view: String,
       flat: (SparkSession, String) => DataFrame,
-      instance: (SparkSession, String) => CubeInstance)
+      instance: (SparkSession, String) => CubeInstance,
+      model: Option[ModelDef] = None,
+      rawTables: Seq[String] = Nil)
 
   def bindings: Seq[Binding] = Seq(
-    Binding(ViewName, CubeManager.flatTable, CubeManager.ensureBuilt),
+    Binding(ViewName, CubeManager.flatTable, CubeManager.ensureBuilt,
+      model = Some(CubeManager.starModel),
+      rawTables = Seq("lineitem", "orders", "customer", "nation",
+        "region", "supplier", "part")),
     Binding(EventsViewName, CubeManager.eventsFlat,
       CubeManager.ensureEventsBuilt))
 
@@ -133,8 +139,12 @@ object GraftSql {
     * high QPS) */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     viewsRegistered.getOrElseUpdate((spark, sfDir), {
-      bindings.foreach(b =>
-        b.flat(spark, sfDir).createOrReplaceTempView(b.view))
+      bindings.foreach { b =>
+        b.flat(spark, sfDir).createOrReplaceTempView(b.view)
+        // raw star tables, so user-written model joins resolve
+        b.rawTables.foreach(n =>
+          graft.Tables.tbl(spark, sfDir, n).createOrReplaceTempView(n))
+      }
       Measures.registerIntersectCount(spark)
     })
 
@@ -203,15 +213,19 @@ object GraftSql {
     registerViews(spark, sfDir)
     val df = spark.sql(query)
 
+    // a registered cube view — or a user-written join tree matching a
+    // binding's declared star model (Kylin's OLAPJoinRule: explicit
+    // model joins route exactly like the pre-joined view)
     def viewOf(plan: LogicalPlan): Option[Binding] = plan match {
       case SubqueryAlias(id, _) => bindings.find(_.view == id.name)
-      case _ => None
+      case _ =>
+        bindings.find(_.model.exists(ModelMatcher.matches(plan, _)))
     }
 
     peel(df.queryExecution.analyzed) match {
       case Some(p @ Peeled(Aggregate(groups, aggs, child, _), _, _, _, _)) =>
-        // child must be a registered cube view, optionally through a
-        // deterministic materialized-dim-only filter
+        // child must be a registered cube view or model join, optionally
+        // through a deterministic materialized-dim-only filter
         val (binding, filterSql, filterDims) = child match {
           case c if viewOf(c).isDefined =>
             (viewOf(c), None, Set.empty[String])

@@ -306,6 +306,39 @@ object CubeQueries extends QueryGroup {
              |WHERE r_name = 'ASIA'
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    // 35e ─────────────── model matching over user-written join SQL:
+    //     the query spells out the star join over the RAW tables; the
+    //     analyzed join tree is matched against the declared model
+    //     (fact + PK-FK edges) and answered from the cube, exactly like
+    //     the view path (OLAPJoinRule.java:37, TableScanPlan.scala:51-66)
+    Q("cube_sql_join_route",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT n_name, sum(l_quantity) AS sum_qty, count(*) AS n_rows,
+            |  count(distinct o_custkey) AS n_cust
+            |FROM lineitem
+            |JOIN orders ON l_orderkey = o_orderkey
+            |JOIN customer ON o_custkey = c_custkey
+            |JOIN nation ON c_nationkey = n_nationkey
+            |JOIN region ON n_regionkey = r_regionkey
+            |WHERE r_name = 'ASIA'
+            |GROUP BY n_name""".stripMargin)
+        assert(r.routed,
+          "expected the explicit star join to match the model and route")
+        r.df.orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS n_rows,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
     // 35b2 ────────────── SQL routing with ORDER BY + LIMIT peeled
     //     above the aggregate (the standard reporting top-N shape)
     Q("cube_sql_topn",

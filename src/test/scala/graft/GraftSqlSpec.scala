@@ -138,6 +138,48 @@ class GraftSqlSpec extends AnyFunSuite {
       "AVG over a column without the NOT NULL contract must fall back")
   }
 
+  test("explicit model join routes and equals the view-path answer") {
+    val joined = GraftSql.sqlVia(spark, sf,
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin)
+    assert(joined.routed, "model join must route")
+    val view = GraftSql.sqlVia(spark, sf,
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM graft_star GROUP BY l_returnflag""".stripMargin)
+    assert(view.routed)
+    val a = joined.df.collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getLong(2))).toSet
+    val b = view.df.collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getLong(2))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("wrong join keys, disconnected lookups, non-equi joins fall back") {
+    // key pair not a declared model edge
+    val wrongKey = GraftSql.sqlVia(spark, sf,
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem JOIN orders ON l_partkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin)
+    assert(!wrongKey.routed)
+    // region joined without nation: its FK carrier is missing
+    val disconnected = GraftSql.sqlVia(spark, sf,
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON n_regionkey = o_custkey
+        |GROUP BY l_returnflag""".stripMargin)
+    assert(!disconnected.routed)
+    // extra predicate inside ON: not a pure PK-FK equi-edge
+    val nonEqui = GraftSql.sqlVia(spark, sf,
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |GROUP BY l_returnflag""".stripMargin)
+    assert(!nonEqui.routed)
+    assert(nonEqui.df.count() > 0, "fallback still answers")
+  }
+
   test("derived dim group-by routes via snapshot join and matches source") {
     val inst = CubeManager.ensureBuilt(spark, sf)
     val r = QueryRouter.route(spark, inst, CubeQuery(
