@@ -34,6 +34,19 @@ final case class CubeInstance(
   */
 object CubeBuilder {
 
+  /** per-phase build timing (VERDICT r4 item 5): one line per cuboid
+    * write and per lifecycle phase, so build-time regressions point at
+    * the phase that caused them instead of one opaque total */
+  private[cube] def logPhase(phase: String, detail: String, sec: Double): Unit =
+    System.err.println(f"[graft-build] $phase $detail ${sec}%.1fs")
+
+  private[cube] def timed[T](phase: String, detail: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    logPhase(phase, detail, (System.nanoTime() - t0) / 1e9)
+    r
+  }
+
   /** Build all segments of `cube` from `flat` (the materialized star
     * join). Returns the instance with per-cuboid row counts. */
   def build(spark: SparkSession, flat: DataFrame, cube: CubeDef,
@@ -99,8 +112,10 @@ object CubeBuilder {
       // Row count piggybacks on the write via observe — no extra job
       // re-reading what we just wrote (ADVICE r2).
       val obs = Observation()
-      val n = writeCuboid(cube, c,
-        df.observe(obs, count(lit(1)).as("n")), path, obs)
+      val n = timed("cuboid", s"${cube.name}/${seg.name}/$id(${c.size}d)") {
+        writeCuboid(cube, c,
+          df.observe(obs, count(lit(1)).as("n")), path, obs)
+      }
       built ::= (c, id, n)
       rows += (seg.name, id) -> n
     }
@@ -137,8 +152,10 @@ object CubeBuilder {
         .groupBy(dimCols: _*).agg(reAggs.head, reAggs.tail: _*)
       val path = cuboidPath(inst.root, cube, mergedName, id)
       val obs = Observation()
-      (mergedName, id) -> writeCuboid(cube, c,
-        df.observe(obs, count(lit(1)).as("n")), path, obs)
+      (mergedName, id) -> timed("merge", s"${cube.name}/$mergedName/$id") {
+        writeCuboid(cube, c,
+          df.observe(obs, count(lit(1)).as("n")), path, obs)
+      }
     })).toMap
     CubeInstance(cube.copy(segments = Seq(merged)), inst.root, rows)
   }

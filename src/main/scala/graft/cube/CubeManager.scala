@@ -205,15 +205,29 @@ object CubeManager {
         // so rebuilds join frozen dimension rows — DFSnapshotBuilder
         val snap = (n: String) =>
           Snapshot.ensure(spark, tbl(spark, sfDir, n), root, n)
-        val flat = flatTableFrom(
-          lineitem(spark, sfDir), orders(spark, sfDir), snap("customer"),
-          snap("nation"), snap("region"), snap("supplier"), snap("part"))
+        val flat = CubeBuilder.timed("snapshots", "star") {
+          flatTableFrom(
+            lineitem(spark, sfDir), orders(spark, sfDir), snap("customer"),
+            snap("nation"), snap("region"), snap("supplier"), snap("part"))
+        }
         // dictionary-encode string bitmap inputs before the build
         // (reference DFTableEncoder: encode once on the flat table).
         // buildOrAppend persists the dictionary under the cube root and
         // keeps ids append-stable across incremental builds.
-        val dict = Dictionary.buildOrAppend(spark, flat, "c_name", root)
-        CubeBuilder.build(spark, Dictionary.encode(flat, dict, "c_name"),
+        val dict = CubeBuilder.timed("dictionary", "c_name") {
+          Dictionary.buildOrAppend(spark, flat, "c_name", root)
+        }
+        // Materialize the encoded flat table once (reference
+        // CreateFlatTable writes it to storage before the cuboid
+        // build): the four concurrent segment builds then read a
+        // pruned, predicate-pushed parquet scan instead of each
+        // recomputing the star join.
+        val flatPath = s"$root/flat"
+        CubeBuilder.timed("flat-write", "star") {
+          Dictionary.encode(flat, dict, "c_name")
+            .write.mode("overwrite").parquet(flatPath)
+        }
+        CubeBuilder.build(spark, spark.read.parquet(flatPath),
           defaultCube, root)
       })
     })

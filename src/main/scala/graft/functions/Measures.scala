@@ -173,13 +173,25 @@ object Measures {
     * char absent from data columns) — the reference's topn likewise keys
     * on a tuple of literal columns (TopNMeasureType.java:129-148).
     */
-  final class TopNBuf(val capacity: Int,
-                      val m: mutable.HashMap[String, Long],
+  final class TopNBuf(var capacity: Int,
+                      var m: mutable.HashMap[String, Long],
                       var trimmed: Boolean = false)
       extends Serializable {
     def add(dim: String, v: Long): Unit = {
       m.update(dim, m.getOrElse(dim, 0L) + v)
       if (m.size > capacity * 2) trim()
+    }
+    // shuffle serde via the compact byte format: Java-serializing the
+    // HashMap (class metadata + boxed entries) dominated base-cuboid
+    // build time with ~10^5 groups × 2 TopN states
+    private def writeObject(out: ObjectOutputStream): Unit = {
+      val b = toBytes
+      out.writeInt(b.length); out.write(b)
+    }
+    private def readObject(in: ObjectInputStream): Unit = {
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      val t = TopNBuf.fromBytes(b)
+      capacity = t.capacity; m = t.m; trimmed = t.trimmed
     }
     def mergeIn(o: TopNBuf): Unit = {
       o.m.foreach { case (k, v) => m.update(k, m.getOrElse(k, 0L) + v) }
