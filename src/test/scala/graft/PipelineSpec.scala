@@ -98,6 +98,27 @@ class PipelineSpec extends AnyFunSuite {
       s"driver-side collect in query paths: ${offenders.mkString(", ")}")
   }
 
+  test("corpus top-k: shuffle-join plan (no broadcast) and query-set parity") {
+    // with auto-broadcast off, the corpus variant must still plan as
+    // shuffle joins end to end — no side of the candidate join is
+    // collected or broadcast (the 100 TB corpus-vs-corpus shape)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = EmbeddingSearch.lshTopKCorpus(embs, 3)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"corpus ANN must not broadcast either side:\n${plan.take(1500)}")
+      // its answers for the first 8 vectors agree with the query-set
+      // variant (same tables/buckets ⇒ same candidates ⇒ same top-k)
+      val corpus = df.filter(col("q_id") < 8).filter(col("rank") <= 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSet
+      val querySet = EmbeddingSearch.lshTopK(embs, 8, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSet
+      assert(corpus == querySet && corpus.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("exact dedup keeps one survivor per distinct normalized text") {
     val out = SparkEntry.queries("doc_exact_dedup")(spark, sf)
     val distinctTexts = docs
