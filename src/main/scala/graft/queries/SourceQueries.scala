@@ -34,6 +34,25 @@ object SourceQueries extends QueryGroup {
       (s, d) => roundTrip(s, supplier(s, d), "json",
           s"json-${d.replaceAll("/+$", "").split('/').last}")
         .orderBy("s_suppkey"),
-      Some("SELECT * FROM supplier ORDER BY s_suppkey"))
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
+    // JDBC source (reference: source-jdbc module): write region into an
+    // embedded Derby database via spark.write.jdbc, read it back via
+    // spark.read.jdbc — proving the real JDBC relation path (dialect
+    // type mapping, partitioned reads available via options) end to end
+    Q("src_jdbc_roundtrip",
+      (s, d) => {
+        val tag = d.replaceAll("/+$", "").split('/').last
+        val dbDir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-derby-$tag"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(dbDir), true)
+        val url = s"jdbc:derby:$dbDir;create=true"
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+        region(s, d).write.mode("overwrite").jdbc(url, "region", props)
+        s.read.jdbc(url, "region", props).orderBy("r_regionkey")
+      },
+      Some("SELECT * FROM region ORDER BY r_regionkey"))
   )
 }

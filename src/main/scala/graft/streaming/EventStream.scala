@@ -58,44 +58,34 @@ object EventStream {
       }
       .start()
 
-  /** the events table as a genuine file-source STREAM (what a Kafka
-    * topic would be in the reference's receiver cluster): explicit
-    * schema (file streams can't infer), nanos→micros conversion as in
-    * Tables.events */
+  /** the events table as a genuine file-source STREAM — kept as the
+    * default binding of the pluggable `StreamSource` SPI (a Kafka
+    * deployment swaps in `KafkaEventSource`, specs use `FrameSource`
+    * over a MemoryStream; reference: stream-source-kafka) */
   def eventsStream(spark: SparkSession, sfDir: String,
-                   srcDir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    // the file stream source only accepts directories; expose the
-    // single-file table through a symlink in a scratch dir
-    val dir = java.nio.file.Paths.get(srcDir)
-    java.nio.file.Files.createDirectories(dir)
-    val link = dir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    spark.readStream.schema(schema).parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+                   srcDir: String): DataFrame =
+    FileEventSource(sfDir, srcDir).load(spark)
 
-  /** End-to-end streaming cube build over the events file stream:
-    * one AvailableNow run — the data batch advances the watermark and
-    * the engine's no-data batch then flushes every window at or below
-    * it into the parquet cuboid. Returns the cuboid path. Output dir
-    * and checkpoint are recreated per call (idempotent). */
-  def buildStreamingCube(spark: SparkSession, sfDir: String,
+  /** End-to-end streaming cube build over ANY stream source: one
+    * AvailableNow run — the data batch advances the watermark and the
+    * engine's no-data batch then flushes every window at or below it
+    * into the parquet cuboid. Returns the cuboid path. Output dir and
+    * checkpoint are recreated per call (idempotent). */
+  def buildStreamingCube(spark: SparkSession, source: StreamSource,
                          out: String): String = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(out), true)
-    val q = startCubeAppend(eventsStream(spark, sfDir, s"$out/src"),
+    val q = startCubeAppend(source.load(spark),
       "6 hours", "1 hour", s"$out/cuboid", s"$out/ckpt")
     q.awaitTermination()
     s"$out/cuboid"
   }
+
+  /** back-compat: the file source over the driver's events table */
+  def buildStreamingCube(spark: SparkSession, sfDir: String,
+                         out: String): String =
+    buildStreamingCube(spark, FileEventSource(sfDir, s"$out/src"), out)
 
   // ── stateful sessionization (custom state beyond windowed aggs) ──
 

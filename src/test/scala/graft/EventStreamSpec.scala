@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, FrameSource, KafkaEventSource}
 import graft.streaming.EventStream.Ev
 
 /** top-level so Spark can derive an Encoder (inner classes can't) */
@@ -56,6 +56,43 @@ class EventStreamSpec extends AnyFunSuite {
       (ts(0), "click", 2L, 3.75),
       (ts(0), "view", 1L, 4.00),
       (ts(6), "view", 1L, 8.00)))
+  }
+
+  test("the streaming cube builds through the pluggable source SPI") {
+    // same pipeline as the file-source path, driven by a FrameSource
+    // over a MemoryStream — proving the cube append is source-agnostic
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-spi").toString
+    val ms = MemoryStream[StreamEv]
+    ms.addData(
+      StreamEv(ts(1.0), "click", 2.00), StreamEv(ts(2.0), "view", 3.00),
+      StreamEv(ts(9.0), "click", 5.00))
+    val path = EventStream.buildStreamingCube(spark, FrameSource(ms.toDF()), dir)
+    val got = spark.read.parquet(path).orderBy("w_start", "event_type")
+      .collect()
+      .map(r => (r.getAs[Timestamp]("w_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+    // watermark after the batch = 9h - 1h = 8h ⇒ window [0,6h) closed
+    assert(got.toSeq == Seq((ts(0), "click", 1L, 2.00), (ts(0), "view", 1L, 3.00)))
+  }
+
+  test("kafka record decoding yields the canonical event frame") {
+    import spark.implicits._
+    // a kafka batch frame: value carries the JSON-encoded event with
+    // nanos ts — decodeJson is the same code the streaming source runs
+    val nanos = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z
+    val json =
+      s"""{"event_id":7,"ts":$nanos,"user_id":42,"event_type":"click",
+         |"value":1.5,"props":"{}"}""".stripMargin.replace("\n", "")
+    val raw = Seq(json).toDF("v")
+      .select(col("v").cast("binary").as("value"))
+    val got = KafkaEventSource.decodeJson(raw).collect().head
+    assert(got.getAs[Long]("event_id") == 7L)
+    assert(got.getAs[Long]("user_id") == 42L)
+    assert(got.getAs[String]("event_type") == "click")
+    assert(got.getAs[Double]("value") == 1.5)
+    assert(got.getAs[Timestamp]("ts") == ts(0))
   }
 
   test("streaming tumbling agg equals the batch query on the same data") {
