@@ -1,0 +1,79 @@
+package graft.cube
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Query-log-driven cuboid recommendation (reference: core-cube
+  * cuboid/algorithm/CuboidRecommendAlgorithm.java + its greedy
+  * GreedyAlgorithm — Kylin picks the materialized cuboid set from
+  * query statistics instead of materializing the 2^d lattice).
+  *
+  * graft's version: candidates are the dim sets the query log actually
+  * needs (each query's exact set is its ideal cuboid) plus pairwise
+  * unions (one cuboid serving two query shapes); per-candidate row
+  * counts are estimated in ONE aggregation pass over the flat table
+  * (approx_count_distinct of the dim tuple — Kylin samples HLL
+  * counters the same way); then a classic greedy benefit loop picks
+  * cuboids until the budget is spent or no candidate improves expected
+  * query cost (rows scanned by the smallest covering cuboid, summed
+  * over the log).
+  */
+object CuboidPlanner {
+
+  /** estimated row count per candidate cuboid, one pass over `flat`
+    * (candidates must be non-empty dim sets) */
+  def estimateRows(flat: DataFrame,
+                   candidates: Seq[Set[String]]): Map[Set[String], Long] = {
+    val cands = candidates.distinct
+    val aggs = cands.zipWithIndex.map { case (c, i) =>
+      approx_count_distinct(struct(c.toSeq.sorted.map(col): _*)).as(s"c$i")
+    }
+    val row = flat.agg(aggs.head, aggs.tail: _*).head()
+    cands.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+  }
+
+  /** Greedy selection: start from the base cuboid (mandatory — it
+    * rebuilds everything else), repeatedly add the candidate with the
+    * largest positive benefit = reduction in Σ over the log of
+    * rows(smallest materialized cuboid covering the query). */
+  def recommend(base: Set[String],
+                rows: Map[Set[String], Long],
+                queryLog: Seq[Set[String]],
+                maxCuboids: Int): Seq[Set[String]] = {
+    require(rows.contains(base), "row estimate for the base cuboid required")
+    def answerCost(mat: Seq[Set[String]], q: Set[String]): Long =
+      mat.filter(q.subsetOf(_)).map(rows).min
+    def totalCost(mat: Seq[Set[String]]): Long =
+      queryLog.map(q => answerCost(mat, q)).sum
+
+    var chosen = Vector(base)
+    var candidates = rows.keySet - base
+    var improved = true
+    while (chosen.size < maxCuboids && improved && candidates.nonEmpty) {
+      val cur = totalCost(chosen)
+      val scored = candidates.toSeq
+        .map(c => c -> (cur - totalCost(chosen :+ c)))
+      val (best, benefit) = scored.maxBy { case (c, b) => (b, -rows(c)) }
+      if (benefit > 0) {
+        chosen :+= best
+        candidates -= best
+      } else improved = false
+    }
+    chosen
+  }
+
+  /** End-to-end: log → candidates (query sets + pairwise unions that
+    * are strictly smaller than the base) → estimates → greedy pick. */
+  def recommendFromLog(flat: DataFrame, base: Set[String],
+                       queryLog: Seq[Set[String]],
+                       maxCuboids: Int): Seq[Set[String]] = {
+    val needed = queryLog.filter(_.nonEmpty).distinct
+    val unions = (for {
+      a <- needed; b <- needed if a != b
+      u = a ++ b if u != base
+    } yield u).distinct
+    val cands = ((needed ++ unions).filter(_.subsetOf(base)) :+ base).distinct
+    val rows = estimateRows(flat, cands)
+    recommend(base, rows, queryLog.filter(_.nonEmpty), maxCuboids)
+  }
+}

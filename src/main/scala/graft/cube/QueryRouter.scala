@@ -108,9 +108,15 @@ object QueryRouter {
     val (paths, emptyScan) =
       if (overlapping.nonEmpty) (overlapping.map(s => inst.cuboidPath(s.name, id)), false)
       else (cube.segments.map(s => inst.cuboidPath(s.name, id)), true)
-    // one read per segment root, unioned: multi-root reads break
-    // partition discovery for shard-partitioned cuboid dirs
-    var df = paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    // Shard-partitioned cuboid dirs need one read per segment root
+    // (multi-root reads break partition discovery); everything else
+    // reads all segment paths in ONE relation — at thousands of
+    // segments that is one file listing and one scan node, not a
+    // thousand-way union.
+    val sharded = cube.shardBy.exists(chosen.contains)
+    var df =
+      if (sharded) paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      else spark.read.parquet(paths: _*)
     if (emptyScan) df = df.filter(lit(false))
     residual.foreach { case (_, pred) => df = df.filter(pred) }
     q.filter.foreach(f => df = df.filter(f))

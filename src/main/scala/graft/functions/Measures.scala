@@ -319,8 +319,14 @@ object Measures {
     def merge(x: IntersectBuf, y: IntersectBuf): IntersectBuf =
       if (x.vals == null) y
       else {
-        if (y.vals != null)
+        if (y.vals != null) {
+          // vals is a per-query literal, so both buffers must agree —
+          // assert it rather than silently or-ing misaligned slots
+          require(x.vals.sameElements(y.vals),
+            s"intersect_count buffers disagree on vals: " +
+              s"${x.vals.mkString(",")} vs ${y.vals.mkString(",")}")
           x.ms.indices.foreach(i => x.ms(i).or(y.ms(i)))
+        }
         x
       }
     def finish(b: IntersectBuf): Long = intersectFinish(b)

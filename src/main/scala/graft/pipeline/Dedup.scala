@@ -195,9 +195,15 @@ object Dedup {
   /** Exact Jaccard over pairs sharing ≥1 RARE shingle (df ≤ dfCap),
     * via an inverted-index equi-join on the shingle — shuffle keyed by
     * shingle, worst-case bucket bounded by the df cap, so pair
-    * generation stays near-linear on skewed corpora. Verification is
-    * exact over the FULL shingle sets of candidate pairs (the capped
-    * index is only the join key), so reported Jaccard values are never
+    * generation stays near-linear on skewed corpora.
+    *
+    * ADAPTIVE: one cheap aggregate probes the max shingle df first.
+    * When nothing exceeds the cap (no boilerplate skew — the common
+    * case on deduped-ish corpora) the single-pass direct join answers,
+    * identical by definition. When the cap would prune, candidate
+    * generation runs on the df-capped index and verification is exact
+    * over the FULL shingle sets of candidate pairs (the capped index
+    * is only the join key), so reported Jaccard values are never
     * approximated.
     *
     * Loss argument: a pair is missed only if EVERY shared shingle has
@@ -211,14 +217,24 @@ object Dedup {
                         dfCap: Int = NgramDfCap)
                        (implicit spark: SparkSession): DataFrame = {
     val rows = shingleRows(docs)
-    val rare = rows.join(
-      rows.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= dfCap).select("s"),
-      "s")
-    val cand = rare.as("a").join(rare.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    pairJaccard(rows, cand).filter(col("jaccard") >= minJaccard)
+    val dfs = rows.groupBy("s").agg(count(lit(1)).as("df"))
+    val maxDf = dfs.agg(max(col("df"))).head().getLong(0)
+    if (maxDf <= dfCap) {
+      // no skew: one direct inverted-index join, intersections inline
+      val inter = rows.as("a").join(rows.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("x"))
+      withJaccard(inter, rows).filter(col("jaccard") >= minJaccard)
+    } else {
+      // skewed: candidates from the capped index, exact verify over
+      // full shingle sets for candidate pairs only
+      val rare = rows.join(dfs.filter(col("df") <= dfCap).select("s"), "s")
+      val cand = rare.as("a").join(rare.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      pairJaccard(rows, cand).filter(col("jaccard") >= minJaccard)
+    }
   }
 }

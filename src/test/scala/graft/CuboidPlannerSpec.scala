@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cube._
+import graft.Exact._
+
+/** Cuboid recommendation (VERDICT r4 item 8, reference
+  * CuboidRecommendAlgorithm.java): the greedy pick must answer the
+  * logged query shapes without fallback, through cuboids cheaper than
+  * the base. */
+class CuboidPlannerSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("greedy pick maximizes benefit and stops when nothing improves") {
+    val base = Set("a", "b", "c")
+    val rows = Map(
+      base -> 1000L, Set("a", "b") -> 500L, Set("a") -> 10L,
+      Set("b") -> 400L, Set("c") -> 900L)
+    val log = Seq(Set("a"), Set("a"), Set("a"), Set("b"), Set("c"))
+    val picked = CuboidPlanner.recommend(base, rows, log, maxCuboids = 3)
+    assert(picked.head == base)
+    // {a} saves 3·990, {b} saves 600, {c} saves only 100
+    assert(picked.toSet == Set(base, Set("a"), Set("b")))
+    // with a bigger budget, {c}'s 100-row benefit still counts…
+    val four = CuboidPlanner.recommend(base, rows, log, maxCuboids = 4)
+    assert(four.toSet == Set(base, Set("a"), Set("b"), Set("c")))
+    // …but a zero-benefit candidate is never picked
+    val rows2 = rows + (Set("a", "b") -> 1000L)
+    val stop = CuboidPlanner.recommend(base, rows2 - Set("b") - Set("c"),
+      Seq(Set("a")), maxCuboids = 4)
+    assert(stop.toSet == Set(base, Set("a")))
+  }
+
+  test("recommended lattice answers every logged bench shape without fallback") {
+    val cube0 = CubeManager.defaultCube
+    val base = cube0.dims.toSet
+    // the dim sets the CubeQueries bench surface actually needs
+    // (groupBy ∪ filter/residual dims)
+    val log = Seq(
+      Set("o_orderstatus", "l_returnflag"),
+      Set("l_returnflag"),
+      Set("r_name"),
+      Set("n_name", "r_name"),
+      Set("o_month"),
+      Set("c_mktsegment", "o_month"),
+      Set("o_orderstatus", "o_month"))
+    val flat = CubeManager.flatTable(spark, sf)
+    val picked = CuboidPlanner.recommendFromLog(flat, base, log, maxCuboids = 5)
+    assert(picked.head == base && picked.size <= 5)
+    assert(log.forall(q => picked.exists(q.subsetOf(_))),
+      "base always covers, so coverage can never fail")
+
+    // build a cube on the recommended lattice (2 cheap measures) and
+    // route each logged shape: no fallback, and the coarse shapes must
+    // be served by a cuboid strictly smaller than the base
+    val root = Files.createTempDirectory("graft-planner").toString
+    val cube = cube0.copy(
+      measures = Seq(
+        Measure("revenue", fromRaw = sum(col("disc_price")),
+          fromState = s => sum(col(s)), present = _.cast("double")),
+        Measure("nrows", fromRaw = count(lit(1)),
+          fromState = s => sum(col(s)))),
+      cuboids = picked, shardBy = None, derived = Nil)
+    val inst = CubeBuilder.build(spark, flat, cube, root)
+    log.foreach { q =>
+      val r = QueryRouter.route(spark, inst,
+        CubeQuery(q.toSeq, Seq("nrows" -> "n")))(fail(s"fallback for $q"))
+      assert(!r.fallback)
+    }
+    val coarse = QueryRouter.route(spark, inst,
+      CubeQuery(Seq("l_returnflag"), Seq("nrows" -> "n")))(fail("fallback"))
+    assert(coarse.cuboid.exists(_ != base),
+      "a logged coarse shape should route below the base cuboid")
+  }
+}
