@@ -39,6 +39,11 @@ object SqlAgg {
   /** answers `COUNT(DISTINCT column)` — and, when the measure is a
     * bitmap, `intersect_count(column, dim, vals)` retention calls */
   final case class CountDistinctOf(column: String) extends SqlAgg
+  /** answers `MIN(column)` (reference basic measure family — min/max
+    * states merge losslessly through any re-aggregation) */
+  final case class MinOf(column: String) extends SqlAgg
+  /** answers `MAX(column)` */
+  final case class MaxOf(column: String) extends SqlAgg
 }
 
 /** Declares a TopN measure's sketch shape so the SQL front-end can

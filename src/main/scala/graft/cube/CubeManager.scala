@@ -95,6 +95,16 @@ object CubeManager {
         fromRaw = count(lit(1)),
         fromState = s => sum(col(s)),
         answers = Some(SqlAgg.CountAll)),
+      // basic min/max family (reference measure/basic): states merge
+      // losslessly through layered re-agg; exact on doubles (no sums)
+      Measure("qty_min",
+        fromRaw = min(col("l_quantity")),
+        fromState = s => min(col(s)),
+        answers = Some(SqlAgg.MinOf("l_quantity"))),
+      Measure("price_max",
+        fromRaw = max(col("l_extendedprice")),
+        fromState = s => max(col(s)),
+        answers = Some(SqlAgg.MaxOf("l_extendedprice"))),
       Measure("cust_bitmap",
         fromRaw = Measures.bitmapAgg(col("o_custkey")),
         fromState = s => Measures.bitmapUnion(col(s)),

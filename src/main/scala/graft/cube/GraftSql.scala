@@ -104,6 +104,10 @@ object GraftSql {
         cube.measureAnswering(SqlAgg.CountAll).map(m => MCol(m.name))
       case AggregateExpression(Count(Seq(a: AttributeReference)), _, true, None, _) =>
         cube.measureAnswering(SqlAgg.CountDistinctOf(a.name)).map(m => MCol(m.name))
+      case AggregateExpression(Min(a: AttributeReference), _, false, None, _) =>
+        cube.measureAnswering(SqlAgg.MinOf(a.name)).map(m => MCol(m.name))
+      case AggregateExpression(Max(a: AttributeReference), _, false, None, _) =>
+        cube.measureAnswering(SqlAgg.MaxOf(a.name)).map(m => MCol(m.name))
       // avg = exact sum state / count state, assembled from two routed
       // measures — the same rewrite Kylin applies to AVG. Spark's AVG
       // divides by COUNT(x) (non-null rows), our rewrite by COUNT(*):

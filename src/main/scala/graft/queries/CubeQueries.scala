@@ -339,6 +339,49 @@ object CubeQueries extends QueryGroup {
              |WHERE r_name = 'ASIA'
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    // 29d ─────────────── basic min/max measure family (reference
+    //     measure/basic): lossless through layered re-agg, routed from
+    //     SQL like any other measure
+    Q("cube_minmax_measure",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT o_orderstatus, min(l_quantity) AS min_qty,
+            |  max(l_extendedprice) AS max_price, count(*) AS n_rows
+            |FROM graft_star GROUP BY o_orderstatus""".stripMargin)
+        assert(r.routed && r.via == "cuboid",
+          s"expected min/max to route, got ${r.via}")
+        r.df.orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, MIN(l_quantity) AS min_qty,
+             |  MAX(l_extendedprice) AS max_price, COUNT(*) AS n_rows
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // 35e2 ────────────── derived dim through the model-join path: the
+    //     user groups the explicit star join by a lookup attribute not
+    //     materialized in any cuboid; the route goes model match →
+    //     cuboid on the host dim → snapshot join
+    Q("cube_sql_join_derived",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT n_nationkey, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+            |FROM lineitem
+            |JOIN orders ON l_orderkey = o_orderkey
+            |JOIN customer ON o_custkey = c_custkey
+            |JOIN nation ON c_nationkey = n_nationkey
+            |GROUP BY n_nationkey""".stripMargin)
+        assert(r.routed, "derived dim over the model join must route")
+        r.df.orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin)),
+
     // 35b2 ────────────── SQL routing with ORDER BY + LIMIT peeled
     //     above the aggregate (the standard reporting top-N shape)
     Q("cube_sql_topn",
