@@ -134,20 +134,33 @@ object CubeBuilder {
     CubeInstance(inst.cube.copy(segments = segs), inst.root, inst.rows ++ rows)
   }
 
-  /** Merge segments into one (reference: cube merge job): per cuboid,
-    * union the per-segment parquet and re-aggregate states with the
-    * same fromState exprs used in the layered build. */
+  /** Merge ALL segments into one (reference: cube merge job). */
   def mergeSegments(spark: SparkSession, inst: CubeInstance,
-                    mergedName: String): CubeInstance = {
+                    mergedName: String): CubeInstance =
+    mergeSegments(spark, inst, mergedName, inst.cube.segments)
+
+  /** Merge a CONTIGUOUS run of segments into one (the general form of
+    * the reference's merge job — Kylin merges adjacent segments, never
+    * ranges with a hole): per cuboid, union the run's parquet and
+    * re-aggregate states with the same fromState exprs used in the
+    * layered build. Untouched segments keep their dirs and row counts;
+    * the returned instance swaps the run for the merged segment. */
+  def mergeSegments(spark: SparkSession, inst: CubeInstance,
+                    mergedName: String, toMerge: Seq[Segment]): CubeInstance = {
     val cube = inst.cube
+    require(toMerge.nonEmpty && toMerge.forall(cube.segments.contains),
+      "can only merge existing segments")
+    val sortedAll = cube.segments.sortBy(_.start)
+    val run = toMerge.sortBy(_.start)
+    require(sortedAll.indexOfSlice(run) >= 0,
+      s"merged segments must be a contiguous run, got ${run.map(_.name)}")
     val reAggs = cube.measures.map(m => m.fromState(m.stateCol).as(m.stateCol))
-    val merged = Segment(mergedName,
-      cube.segments.map(_.start).min, cube.segments.map(_.end).max)
+    val merged = Segment(mergedName, run.head.start, run.last.end)
     // per-cuboid merges are independent — run them concurrently
     val rows = awaitAll(cube.cuboids.map(c => () => {
       val id = cube.cuboidId(c)
       val dimCols = cube.cuboidDims(c).map(col)
-      val paths = cube.segments.map(s => inst.cuboidPath(s.name, id))
+      val paths = run.map(s => inst.cuboidPath(s.name, id))
       val df = paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
         .groupBy(dimCols: _*).agg(reAggs.head, reAggs.tail: _*)
       val path = cuboidPath(inst.root, cube, mergedName, id)
@@ -157,7 +170,30 @@ object CubeBuilder {
           df.observe(obs, count(lit(1)).as("n")), path, obs)
       }
     })).toMap
-    CubeInstance(cube.copy(segments = Seq(merged)), inst.root, rows)
+    val kept = cube.segments.filterNot(run.contains)
+    val keptRows = inst.rows.filter { case ((seg, _), _) =>
+      !run.exists(_.name == seg) }
+    CubeInstance(
+      cube.copy(segments = (kept :+ merged).sortBy(_.start)),
+      inst.root, keptRows ++ rows)
+  }
+
+  /** Auto-merge policy (reference: CubeDesc auto-merge thresholds +
+    * SegmentAutoMergeUtil — Kylin compacts old small segments as new
+    * ones accumulate): when more than `maxSegments` segments exist,
+    * merge the OLDEST run (everything but the latest maxSegments-1)
+    * into one — history compacts, fresh segments stay granular for
+    * cheap incremental builds. */
+  def autoMerge(spark: SparkSession, inst: CubeInstance,
+                maxSegments: Int): CubeInstance = {
+    require(maxSegments >= 2, "need room for one merged + one fresh segment")
+    val sorted = inst.cube.segments.sortBy(_.start)
+    if (sorted.size <= maxSegments) inst
+    else {
+      val run = sorted.dropRight(maxSegments - 1)
+      mergeSegments(spark, inst,
+        s"am-${run.head.name}-${run.last.name}", run)
+    }
   }
 
   /** One cuboid write. Cuboids containing the cube's shard-by dim are

@@ -92,6 +92,29 @@ class CubeSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("auto-merge compacts the oldest run and answers stay identical") {
+    val merged = CubeBuilder.autoMerge(spark, inst, maxSegments = 3)
+    val names = merged.cube.segments.map(_.name)
+    assert(names.size == 3 && names.head.startsWith("am-"),
+      s"expected the two oldest segments compacted, got $names")
+    assert(merged.cube.segments.sortBy(_.start) == merged.cube.segments,
+      "segments stay time-ordered")
+    val q = CubeQuery(Seq("o_orderstatus"),
+      Seq("revenue" -> "revenue", "cust_bitmap" -> "n_cust"))
+    val got = QueryRouter.route(spark, merged, q)(fail("expected cuboid"))
+      .df.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val want = QueryRouter.route(spark, inst, q)(fail("expected cuboid"))
+      .df.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == want && want.nonEmpty)
+    // below the threshold: a no-op returning the same instance
+    assert(CubeBuilder.autoMerge(spark, merged, maxSegments = 3) eq merged)
+    // non-contiguous merge requests are rejected
+    val Seq(a, _, c) = merged.cube.segments
+    intercept[IllegalArgumentException] {
+      CubeBuilder.mergeSegments(spark, merged, "bad", Seq(a, c))
+    }
+  }
+
   test("bitmap count-distinct stays exact across two re-aggregation layers") {
     // route the coarsest o_month query (served by the o_month cuboid,
     // itself built from a parent) and compare with the source
