@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables._
 import graft.Exact._
@@ -141,6 +142,43 @@ object EventQueries extends QueryGroup {
       Some("""SELECT strftime(ts, '%Y-%m-%d') AS ev_day,
              |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
              |FROM events GROUP BY 1 ORDER BY ev_day""".stripMargin)),
+
+    // 39f ─────────────── lambda/hybrid query: historical days answered
+    //     by the BATCH events cube, the fresh tail by the STREAMING
+    //     cuboid, unioned and re-aggregated (the reference's real-time
+    //     query path unions historical segments with receiver
+    //     fragments — stream-core query). Window sums round-trip
+    //     through DECIMAL(18,2) so the re-sum stays order-independent
+    //     and hash-exact.
+    Q("ev_hybrid",
+      (s, d) => {
+        val inst = graft.cube.CubeManager.ensureEventsBuilt(s, d)
+        val hist = graft.cube.QueryRouter.route(s, inst, graft.cube.CubeQuery(
+          Seq("event_type"),
+          Seq("n_events" -> "n_events", "value_sum" -> "sum_value"),
+          timeRange = Some(("2024-01-01", "2024-01-10"))))(
+          sys.error("expected events-cube routing")).df
+        val sfName = d.replaceAll("/+$", "").split('/').last
+        val streamPath = EventStream.buildStreamingCube(s, d,
+          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-hybrid-$sfName")
+        // every 6h window in [01-10, 01-20) is watermark-closed (data
+        // runs to 01-30), so the tail read is deterministic
+        val tail = s.read.parquet(streamPath)
+          .filter(col("w_start") >= lit("2024-01-10").cast("timestamp") &&
+                  col("w_start") < lit("2024-01-20").cast("timestamp"))
+          .select(col("event_type"), col("n_events"), col("sum_value"))
+        hist.select(col("event_type"), col("n_events"), col("sum_value"))
+          .unionByName(tail)
+          .groupBy("event_type")
+          .agg(sum(col("n_events")).as("n_events"),
+               sum(dec(col("sum_value"))).cast(DoubleType).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-20'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // 40 ──────────────── strict-order funnel view → click → purchase:
     //     stage N counts users whose first qualifying stage-N event is
