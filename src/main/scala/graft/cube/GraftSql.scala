@@ -72,7 +72,7 @@ object GraftSql {
     def measures: Seq[String] = Seq(sumM, cntM)
   }
   private[graft] final case class MIntersect(bitmapM: String, dim: String,
-      vals: Seq[String]) extends MOut {
+      vals: Seq[String], value: Boolean = false) extends MOut {
     def measures: Seq[String] = Seq(bitmapM)
   }
 
@@ -119,17 +119,20 @@ object GraftSql {
           s <- cube.measureAnswering(SqlAgg.SumOf(a.name))
           c <- cube.measureAnswering(SqlAgg.CountAll)
         } yield MAvg(s.name, c.name)
-      // intersect_count(key, dim, array('v1','v2',...)) → the bitmap
-      // measure over `key`, intersected across `vals` of cube dim `dim`
+      // intersect_count / intersect_value (key, dim, array(...)) → the
+      // bitmap measure over `key`, intersected across `vals` of cube
+      // dim `dim`; _value returns the member ids instead of the count
       case AggregateExpression(sa: ScalaAggregator[_, _, _], _, false, None, _)
-          if sa.agg.isInstanceOf[Measures.IntersectCountAggregator] =>
+          if sa.agg.isInstanceOf[Measures.IntersectCountAggregator] ||
+            sa.agg.isInstanceOf[Measures.IntersectValueAggregator] =>
         sa.children match {
           case Seq(k: AttributeReference, d: AttributeReference, valsE) =>
             for {
               m <- cube.measureAnswering(SqlAgg.CountDistinctOf(k.name))
               vals <- constStrings(valsE)
               if cube.dims.contains(d.name)
-            } yield MIntersect(m.name, d.name, vals)
+            } yield MIntersect(m.name, d.name, vals,
+              value = sa.agg.isInstanceOf[Measures.IntersectValueAggregator])
           case _ => None
         }
       case _ => None
@@ -390,8 +393,10 @@ object GraftSql {
     val routed = QueryRouter.routeStates(spark, inst, q)(df)
     if (routed.fallback) return SqlResult(df, routed = false, "fallback")
     val aggCols = intersects.map { case (mi, name) =>
-      Measures.intersectState(mi.vals)(col(dim), col(s"__st_${mi.bitmapM}"))
-        .as(name)
+      val agg =
+        if (mi.value) Measures.intersectValueState(mi.vals)
+        else Measures.intersectState(mi.vals)
+      agg(col(dim), col(s"__st_${mi.bitmapM}")).as(name)
     }
     val grouped = routed.df
       .groupBy(groupNames.map(col): _*)
@@ -409,8 +414,12 @@ object GraftSql {
         if (keysR.fallback) return SqlResult(df, routed = false, "fallback")
         keysR.df.select(groupNames.map(col): _*)
           .join(grouped, groupNames, "left")
-          .select(groupNames.map(col) ++ intersects.map { case (_, name) =>
-            coalesce(col(name), lit(0L)).as(name)
+          .select(groupNames.map(col) ++ intersects.map { case (mi, name) =>
+            val empty: Column =
+              if (mi.value) org.apache.spark.sql.functions
+                .typedLit(Array.empty[Long])
+              else lit(0L)
+            coalesce(col(name), empty).as(name)
           }: _*)
       }
     var out = completed.select(outNames.map(col): _*)

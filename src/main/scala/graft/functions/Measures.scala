@@ -335,10 +335,61 @@ object Measures {
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  private def intersectMembers(b: IntersectBuf): Array[Long] =
+    if (b.vals == null || b.ms.isEmpty) Array.empty[Long]
+    else {
+      val x = new Roaring64NavigableMap()
+      x.or(b.ms(0))
+      b.ms.iterator.drop(1).foreach(x.and)
+      x.toArray // ascending — deterministic for the oracle
+    }
+
+  /** Raw-row form of Kylin's INTERSECT_VALUE (reference:
+    * measure/bitmap/BitmapIntersectValueAggFunc.java): the intersected
+    * MEMBER ids themselves, ascending, instead of their count. */
+  final class IntersectValueAggregator
+      extends Aggregator[(Long, String, Seq[String]), IntersectBuf, Array[Long]] {
+    private val counter = new IntersectCountAggregator
+    def zero: IntersectBuf = counter.zero
+    def reduce(b: IntersectBuf, a: (Long, String, Seq[String])): IntersectBuf =
+      counter.reduce(b, a)
+    def merge(x: IntersectBuf, y: IntersectBuf): IntersectBuf =
+      counter.merge(x, y)
+    def finish(b: IntersectBuf): Array[Long] = intersectMembers(b)
+    def bufferEncoder: Encoder[IntersectBuf] =
+      Encoders.javaSerialization[IntersectBuf]
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Routed INTERSECT_VALUE over (dim value, bitmap STATE) rows. */
+  final class IntersectValueStateAggregator(vals: Seq[String])
+      extends Aggregator[(String, Array[Byte]), IntersectBuf, Array[Long]] {
+    private val counter = new IntersectStateAggregator(vals)
+    def zero: IntersectBuf = counter.zero
+    def reduce(b: IntersectBuf, a: (String, Array[Byte])): IntersectBuf =
+      counter.reduce(b, a)
+    def merge(x: IntersectBuf, y: IntersectBuf): IntersectBuf =
+      counter.merge(x, y)
+    def finish(b: IntersectBuf): Array[Long] = intersectMembers(b)
+    def bufferEncoder: Encoder[IntersectBuf] =
+      Encoders.javaSerialization[IntersectBuf]
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** (dim, state) → ascending intersected member ids for literal vals */
+  def intersectValueState(vals: Seq[String]) =
+    udaf(new IntersectValueStateAggregator(vals),
+      Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+
   /** register the SQL surface (idempotent per session) */
-  def registerIntersectCount(spark: org.apache.spark.sql.SparkSession): Unit =
+  def registerIntersectCount(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("intersect_count", udaf(new IntersectCountAggregator,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, String, Seq[String])]()))
+    spark.udf.register("intersect_value", udaf(new IntersectValueAggregator,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, String, Seq[String])]()))
+  }
 
   /** Routed form over (dim value, bitmap STATE) rows: or-merges each
     * val's states (multi-segment), then intersects — the aggregation

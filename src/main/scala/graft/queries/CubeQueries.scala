@@ -483,6 +483,31 @@ object CubeQueries extends QueryGroup {
              |    JOIN orders ON l_orderkey = o_orderkey
              |    WHERE strftime(o_orderdate, '%Y-%m') = '1996-03') AS BIGINT) AS n_first""".stripMargin)),
 
+    // 29e ─────────────── INTERSECT_VALUE (reference
+    //     BitmapIntersectValueAggFunc): the intersected MEMBER ids
+    //     themselves, answered from routed bitmap states like
+    //     intersect_count; exploded to rows for the oracle
+    Q("cube_intersect_value",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT intersect_value(o_custkey, o_month,
+            |  array('1996-03', '1996-04')) AS members
+            |FROM graft_star""".stripMargin)
+        assert(r.routed && r.via == "intersect-count",
+          s"expected the intersect rewrite, got ${r.via}")
+        r.df.select(explode(col("members")).as("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM (
+             |  SELECT DISTINCT o_custkey FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE strftime(o_orderdate, '%Y-%m') = '1996-03'
+             |  INTERSECT
+             |  SELECT DISTINCT o_custkey FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE strftime(o_orderdate, '%Y-%m') = '1996-04')
+             |ORDER BY o_custkey""".stripMargin)),
+
     // 35d ─────────────── derived dimension: group-by on a lookup
     //     attribute (n_nationkey) NOT materialized in any cuboid — the
     //     router joins the nation snapshot on the host dim n_name and

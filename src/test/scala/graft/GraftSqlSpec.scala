@@ -84,6 +84,22 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(gotG == wantG && gotG.nonEmpty)
   }
 
+  test("intersect_value: routed members equal the raw-row UDAF answer") {
+    val q =
+      """SELECT r_name, intersect_value(o_custkey, o_month,
+        |  array('1996-03', '1996-04')) AS members
+        |FROM graft_star GROUP BY r_name ORDER BY r_name""".stripMargin
+    val routed = GraftSql.sqlVia(spark, sf, q)
+    assert(routed.routed && routed.via == "intersect-count")
+    GraftSql.registerViews(spark, sf)
+    val got = routed.df.collect()
+      .map(x => x.getString(0) -> x.getSeq[Long](1).toSeq).toMap
+    val want = spark.sql(q).collect()
+      .map(x => x.getString(0) -> x.getSeq[Long](1).toSeq).toMap
+    assert(got == want && want.nonEmpty)
+    assert(want.values.exists(_.nonEmpty), "some region retains members")
+  }
+
   test("grouped intersect_count keeps groups with zero rows in all vals") {
     // 1996-04 covers only 22 of 25 brands: the routed answer must still
     // return all 25 groups (absent ones as 0), exactly like the raw-row
