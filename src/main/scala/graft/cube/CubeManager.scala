@@ -105,6 +105,15 @@ object CubeManager {
         fromRaw = max(col("l_extendedprice")),
         fromState = s => max(col(s)),
         answers = Some(SqlAgg.MaxOf("l_extendedprice"))),
+      // DimCountDistinct family (reference measure/dim/
+      // DimCountDistinctMeasureType): exact distinct via the value SET
+      // itself — for low-cardinality columns with no dictionary/bitmap;
+      // the reference guards cardinality the same way
+      Measure("prio_set",
+        fromRaw = collect_set(col("o_orderpriority")),
+        fromState = s => array_distinct(flatten(collect_list(col(s)))),
+        present = c => size(c).cast(LongType),
+        answers = Some(SqlAgg.CountDistinctOf("o_orderpriority"))),
       Measure("cust_bitmap",
         fromRaw = Measures.bitmapAgg(col("o_custkey")),
         fromState = s => Measures.bitmapUnion(col(s)),

@@ -19,6 +19,7 @@ object GraftFunctions {
     spark.udf.register("graft_bitmap_union", Measures.bitmapUnion)
     spark.udf.register("graft_bitmap_count", Measures.bitmapCount)
     spark.udf.register("graft_intersect_count", Measures.bitmapAndCount)
+    spark.udf.register("graft_intersect_value", Measures.bitmapAndValues)
     spark.udf.register("graft_hll_agg", Measures.hllAgg)
     spark.udf.register("graft_hll_union", Measures.hllUnion)
     spark.udf.register("graft_hll_estimate", Measures.hllEstimate)

@@ -93,6 +93,17 @@ object Measures {
         x.getLongCardinality
       })
 
+  /** A ∩ B member ids (ascending) of two bitmap states — the
+    * INTERSECT_VALUE kernel (BitmapIntersectValueAggFunc.java) */
+  lazy val bitmapAndValues =
+    org.apache.spark.sql.functions.udf((a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || a.isEmpty || b == null || b.isEmpty) Array.empty[Long]
+      else {
+        val x = bitmapFromBytes(a)
+        x.and(bitmapFromBytes(b))
+        x.toArray
+      })
+
   // ───────────────────────────── HLL (approx distinct, Kylin `hllc`)
 
   private val HllLgK = 12 // ~0.8% rel err, matches hllc precision class

@@ -483,6 +483,28 @@ object CubeQueries extends QueryGroup {
              |    JOIN orders ON l_orderkey = o_orderkey
              |    WHERE strftime(o_orderdate, '%Y-%m') = '1996-03') AS BIGINT) AS n_first""".stripMargin)),
 
+    // 29f ─────────────── DimCountDistinct (reference measure/dim):
+    //     exact distinct of a low-cardinality column carried as its
+    //     value SET through re-aggregation — no dictionary, no bitmap
+    Q("cube_dim_distinct",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT r_name, count(distinct o_orderpriority) AS n_prio,
+            |  count(*) AS n_rows
+            |FROM graft_star GROUP BY r_name""".stripMargin)
+        assert(r.routed && r.via == "cuboid",
+          s"expected the set measure to route, got ${r.via}")
+        r.df.orderBy("r_name")
+      },
+      Some("""SELECT r_name, COUNT(DISTINCT o_orderpriority) AS n_prio,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
     // 29e ─────────────── INTERSECT_VALUE (reference
     //     BitmapIntersectValueAggFunc): the intersected MEMBER ids
     //     themselves, answered from routed bitmap states like
