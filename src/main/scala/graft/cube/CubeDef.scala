@@ -64,6 +64,14 @@ final case class TopNShape(dims: Seq[String], sumOf: String, scale: Long)
   * flat table). */
 final case class DerivedDim(name: String, host: String, lookup: String)
 
+/** An extended column (reference: measure/extendedcolumn/
+  * ExtendedColumnMeasureType.java): a flat-table column functionally
+  * determined by a host dim, carried as a MEASURE (its single value
+  * per host) instead of a cuboid dim — queries grouping by host may
+  * select/group the extended column and the router answers it from
+  * `measure`, keeping cuboid cardinality at the host's grain. */
+final case class ExtendedColumn(name: String, host: String, measure: String)
+
 /** A time segment: rows with segmentCol in [start, end). Segments are
   * the unit of incremental build, merge, and pruning (reference:
   * FilePruner.scala:153-221 pruneSegments). */
@@ -106,7 +114,8 @@ final case class CubeDef(
       * NULL contract, like DDL): gates rewrites whose algebra assumes
       * no nulls — e.g. AVG(x) → SUM(x)/COUNT(*) is only exact when x
       * never misses a row */
-    notNull: Set[String] = Set.empty) {
+    notNull: Set[String] = Set.empty,
+    extended: Seq[ExtendedColumn] = Nil) {
 
   require(cuboids.exists(_ == dims.toSet),
     "materialized set must include the base cuboid (all dims)")
@@ -129,7 +138,12 @@ final case class CubeDef(
 
   def derivedDim(n: String): Option[DerivedDim] = derived.find(_.name == n)
 
-  /** a group-by name is routable if it's a materialized dim or a
-    * declared derived dim */
-  def routableDim(n: String): Boolean = dims.contains(n) || derivedDim(n).isDefined
+  def extendedCol(n: String): Option[ExtendedColumn] =
+    extended.find(_.name == n)
+
+  /** a group-by name is routable if it's a materialized dim, a
+    * declared derived dim, or an extended column (whose host must
+    * also be grouped — the router enforces that) */
+  def routableDim(n: String): Boolean =
+    dims.contains(n) || derivedDim(n).isDefined || extendedCol(n).isDefined
 }

@@ -52,6 +52,7 @@ object CubeManager {
         col("o_orderstatus"), col("o_orderpriority"),
         col("l_returnflag"), col("p_brand"),
         date_format(col("o_orderdate"), "yyyy-MM").as("o_month"),
+        date_format(col("o_orderdate"), "yyyy").as("o_year"),
         col("o_orderdate"),
         col("l_quantity"), col("o_custkey"), col("l_extendedprice"),
         discPrice(col("l_extendedprice"), col("l_discount")).as("disc_price"),
@@ -114,6 +115,12 @@ object CubeManager {
         fromState = s => array_distinct(flatten(collect_list(col(s)))),
         present = c => size(c).cast(LongType),
         answers = Some(SqlAgg.CountDistinctOf("o_orderpriority"))),
+      // extended-column value measure: o_year is functionally
+      // determined by o_month, so max() IS the value
+      // (ExtendedColumnMeasureType — keeps o_year out of cuboid dims)
+      Measure("o_year_ext",
+        fromRaw = max(col("o_year")),
+        fromState = s => max(col(s))),
       Measure("cust_bitmap",
         fromRaw = Measures.bitmapAgg(col("o_custkey")),
         fromState = s => Measures.bitmapUnion(col(s)),
@@ -171,7 +178,8 @@ object CubeManager {
       derived = Seq(DerivedDim("n_nationkey", "n_name", "nation"),
                     DerivedDim("n_regionkey", "n_name", "nation")),
       // TPC-H NOT NULL contract — gates the AVG → SUM/COUNT(*) rewrite
-      notNull = Set("disc_price", "l_quantity", "l_extendedprice"))
+      notNull = Set("disc_price", "l_quantity", "l_extendedprice"),
+      extended = Seq(ExtendedColumn("o_year", "o_month", "o_year_ext")))
   }
 
   // ── a second cube over the events stream table: the engine is

@@ -71,6 +71,16 @@ object QueryRouter {
       return Routed(fallback, None, Nil, fallback = true)
     val derivedUsed = q.groupBy.flatMap(cube.derivedDim).distinct
 
+    // ── extended columns (ExtendedColumnMeasureType): functionally
+    // determined by a grouped host dim, answered from their measure —
+    // the host MUST be grouped too (Kylin's contract); the extended
+    // name is stripped from the cuboid group-by and re-attached from
+    // the measure value after aggregation
+    val extUsed = q.groupBy.flatMap(cube.extendedCol).distinct
+    if (extUsed.exists(e => !q.groupBy.contains(e.host)))
+      return Routed(fallback, None, Nil, fallback = true)
+    val realGroup = q.groupBy.filterNot(n => extUsed.exists(_.name == n))
+
     // ── segment pruning + residual-filter requirement
     val overlapping = cube.segments.filter { s =>
       q.timeRange.forall { case (qs, qe) => s.start < qe && qs < s.end }
@@ -93,8 +103,9 @@ object QueryRouter {
       }
 
     // ── cuboid choice: must cover groupBy (derived dims replaced by
-    // their hosts) ∪ filter dims ∪ residual dim
-    val needed = q.groupBy.filter(cube.dims.contains).toSet ++
+    // their hosts, extended columns dropped — their hosts are already
+    // grouped) ∪ filter dims ∪ residual dim
+    val needed = realGroup.filter(cube.dims.contains).toSet ++
       derivedUsed.map(_.host) ++ q.filterDims ++ residual.map(_._1)
     val candidates = cube.cuboids.filter(needed.subsetOf(_))
     if (candidates.isEmpty)
@@ -131,15 +142,24 @@ object QueryRouter {
       df = df.join(broadcast(snap), Seq(dd.host), "left")
     }
 
-    // ── re-aggregate mergeable states, then present
-    val aggs = q.measures.map { case (m, _) =>
-      cube.measure(m).fromState(cube.measure(m).stateCol)
-        .as(cube.measure(m).stateCol)
-    }
-    val grouped = df.groupBy(q.groupBy.map(col): _*)
+    // ── re-aggregate mergeable states (incl. extended-column value
+    // measures), then present: group cols in the REQUESTED order, with
+    // extended names served from their measures
+    val aggs = (q.measures.map(_._1) ++ extUsed.map(_.measure)).distinct
+      .map(m => cube.measure(m).fromState(cube.measure(m).stateCol)
+        .as(cube.measure(m).stateCol))
+    val grouped = df.groupBy(realGroup.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+    val groupCols = q.groupBy.map { n =>
+      extUsed.find(_.name == n) match {
+        case Some(e) =>
+          val m = cube.measure(e.measure)
+          m.present(col(m.stateCol)).as(n)
+        case None => col(n)
+      }
+    }
     val out = grouped.select(
-      q.groupBy.map(col) ++ q.measures.map { case (m, alias) =>
+      groupCols ++ q.measures.map { case (m, alias) =>
         val state = col(cube.measure(m).stateCol)
         (if (present) cube.measure(m).present(state) else state).as(alias)
       }: _*)

@@ -505,6 +505,25 @@ object CubeQueries extends QueryGroup {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
 
+    // 29g ─────────────── extended column (reference
+    //     ExtendedColumnMeasureType): o_year rides as a value measure
+    //     keyed by its host dim o_month — grouped and selected in SQL
+    //     without ever being a cuboid dim
+    Q("cube_extended_col",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT o_month, o_year, sum(disc_price) AS revenue
+            |FROM graft_star GROUP BY o_month, o_year""".stripMargin)
+        assert(r.routed && r.via == "cuboid",
+          s"expected the extended column to route, got ${r.via}")
+        r.df.orderBy("o_month")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+             |  strftime(o_orderdate, '%Y') AS o_year,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1, 2 ORDER BY o_month""".stripMargin)),
+
     // 29e ─────────────── INTERSECT_VALUE (reference
     //     BitmapIntersectValueAggFunc): the intersected MEMBER ids
     //     themselves, answered from routed bitmap states like

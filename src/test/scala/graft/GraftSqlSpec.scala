@@ -196,6 +196,18 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(nonEqui.df.count() > 0, "fallback still answers")
   }
 
+  test("extended column without its host dim falls back") {
+    val inst = CubeManager.ensureBuilt(spark, sf)
+    var usedFallback = false
+    val r = QueryRouter.route(spark, inst, CubeQuery(
+      Seq("o_year"), Seq("nrows" -> "n"))) {
+      usedFallback = true
+      spark.emptyDataFrame
+    }
+    assert(r.fallback && usedFallback,
+      "grouping an extended column without its host must not route")
+  }
+
   test("derived dim group-by routes via snapshot join and matches source") {
     val inst = CubeManager.ensureBuilt(spark, sf)
     val r = QueryRouter.route(spark, inst, CubeQuery(
