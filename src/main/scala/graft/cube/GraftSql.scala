@@ -168,15 +168,62 @@ object GraftSql {
       cond.references.forall(r => allowed(r.name))
 
   /** peeled ORDER BY (as both structure and columns) + LIMIT above the
-    * aggregate; sorts are attribute-only */
+    * aggregate; sorts are attribute-only. `winCols` are window
+    * expressions computed ABOVE the aggregate (OLAPWindowRule parity —
+    * Kylin computes window functions over the cube result), re-applied
+    * on the routed frame; `finalNames` is the outer projection. */
   private final case class Peeled(agg: Aggregate,
                                   sorts: Seq[(String, Boolean)], // (name, desc)
                                   sortCols: Seq[Column],
                                   limit: Option[Int],
-                                  havingSql: Option[String] = None)
+                                  havingSql: Option[String] = None,
+                                  winCols: Seq[(String, String)] = Nil,
+                                  finalNames: Seq[String] = Nil)
+
+  /** Walks a Project/Window/SubqueryAlias stack above the aggregate:
+    * pass-through projections of plain attributes, plus any number of
+    * Window layers whose expressions are deterministic and
+    * subquery-free. Returns (outer projection names, window exprs as
+    * (sql, alias), the plan below the stack) — None when no Window is
+    * present or anything else appears. */
+  private def peelWindowStack(plan: LogicalPlan,
+      outNames: Option[Seq[String]] = None,
+      wins: Seq[(String, String)] = Nil)
+    : Option[(Seq[String], Seq[(String, String)], LogicalPlan)] = plan match {
+    case Project(projs, c) if projs.forall(_.isInstanceOf[AttributeReference]) =>
+      peelWindowStack(c, outNames.orElse(Some(projs.map(_.name))), wins)
+    case Window(winExprs, _, _, c, _) =>
+      val parsed = winExprs.map {
+        case a @ Alias(we, name)
+            if a.deterministic &&
+              !we.exists(_.isInstanceOf[SubqueryExpression]) =>
+          val bare = we.transform {
+            case at: AttributeReference => at.withQualifier(Seq.empty)
+          }
+          Some((bare.sql, name))
+        case _ => None
+      }
+      if (parsed.forall(_.isDefined))
+        peelWindowStack(c, outNames, parsed.flatten ++ wins)
+      else None
+    case SubqueryAlias(_, c) => peelWindowStack(c, outNames, wins)
+    case other if wins.nonEmpty =>
+      Some((outNames.getOrElse(Nil), wins, other))
+    case _ => None
+  }
 
   private def peel(plan: LogicalPlan): Option[Peeled] = plan match {
     case a: Aggregate => Some(Peeled(a, Nil, Nil, None))
+    // window functions computed over the aggregate result: peel the
+    // Project/Window stack, route the aggregate below it, re-apply the
+    // windows on the routed frame (reference: OLAPWindowRule — Kylin
+    // evaluates window calls on top of the cube scan)
+    case p: Project =>
+      for {
+        (outNames, wins, inner) <- peelWindowStack(p)
+        peeled <- peel(inner)
+        if peeled.winCols.isEmpty // one window stack, directly above agg
+      } yield peeled.copy(winCols = wins, finalNames = outNames)
     // HAVING: a filter directly above the aggregate, referencing only
     // its output attributes (aliases) — re-applied on the routed frame
     case Filter(cond, a: Aggregate)
@@ -230,7 +277,7 @@ object GraftSql {
     }
 
     peel(df.queryExecution.analyzed) match {
-      case Some(p @ Peeled(Aggregate(groups, aggs, child, _), _, _, _, _)) =>
+      case Some(p @ Peeled(Aggregate(groups, aggs, child, _), _, _, _, _, _, _)) =>
         // child must be a registered cube view or model join, optionally
         // through a deterministic materialized-dim-only filter
         val (binding, filterSql, filterDims) = child match {
@@ -309,11 +356,24 @@ object GraftSql {
                       sys.error("intersect handled above")
                   }
               }
-              var out = routed.df.select(outCols: _*)
-              p.havingSql.foreach(h => out = out.filter(expr(h)))
-              if (p.sortCols.nonEmpty) out = out.orderBy(p.sortCols: _*)
-              p.limit.foreach(n => out = out.limit(n))
-              SqlResult(out, routed = true, "cuboid")
+              // window re-application can fail on exotic frame SQL —
+              // fall back to Spark's own answer rather than erroring
+              scala.util.Try {
+                var out = routed.df.select(outCols: _*)
+                p.havingSql.foreach(h => out = out.filter(expr(h)))
+                if (p.winCols.nonEmpty) {
+                  out = out.select(out.columns.map(col) ++
+                    p.winCols.map { case (sql, name) =>
+                      expr(sql).as(name)
+                    }: _*)
+                  if (p.finalNames.nonEmpty)
+                    out = out.select(p.finalNames.map(col): _*)
+                }
+                if (p.sortCols.nonEmpty) out = out.orderBy(p.sortCols: _*)
+                p.limit.foreach(n => out = out.limit(n))
+                out.queryExecution.analyzed // force analysis errors here
+                SqlResult(out, routed = true, "cuboid")
+              }.getOrElse(SqlResult(df, routed = false, "fallback"))
             }
         }
       case _ => SqlResult(df, routed = false, "fallback")
@@ -329,7 +389,7 @@ object GraftSql {
     for {
       n <- p.limit
       if n <= Measures.TopNBuf.DefaultCapacity &&
-        filterSql.isEmpty && p.havingSql.isEmpty
+        filterSql.isEmpty && p.havingSql.isEmpty && p.winCols.isEmpty
       (MCol(sumM), valName) <- outs match {
         case Seq(one @ (MCol(_), _)) => Some(one)
         case _ => None
@@ -379,7 +439,7 @@ object GraftSql {
     // column would make the routed aggregate ambiguous — ADVICE r4)
     val dims = intersects.map(_._1.dim).distinct
     if (intersects.size != outs.size || dims.size != 1 ||
-        filterSql.nonEmpty || p.havingSql.nonEmpty ||
+        filterSql.nonEmpty || p.havingSql.nonEmpty || p.winCols.nonEmpty ||
         groupNames.contains(dims.head) ||
         groupNames.exists(g => !inst.cube.dims.contains(g)))
       return SqlResult(df, routed = false, "fallback")

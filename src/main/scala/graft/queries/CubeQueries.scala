@@ -601,6 +601,30 @@ object CubeQueries extends QueryGroup {
              |ORDER BY revenue DESC, p_brand, c_mktsegment
              |LIMIT 5""".stripMargin)),
 
+    // 35f ─────────────── window function over the routed aggregate
+    //     (reference OLAPWindowRule: Kylin computes window calls on top
+    //     of the cube scan) — the rank is re-applied on the cuboid
+    //     answer, not on a source scan
+    Q("cube_sql_window",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT o_orderstatus, revenue,
+            |  rank() OVER (ORDER BY revenue DESC) AS rnk
+            |FROM (SELECT o_orderstatus, sum(disc_price) AS revenue
+            |      FROM graft_star GROUP BY o_orderstatus)
+            |ORDER BY rnk, o_orderstatus""".stripMargin)
+        assert(r.routed && r.via == "cuboid",
+          s"expected the window to ride the routed aggregate, got ${r.via}")
+        r.df
+      },
+      Some("""SELECT o_orderstatus, revenue,
+             |  CAST(RANK() OVER (ORDER BY revenue DESC) AS BIGINT) AS rnk
+             |FROM (SELECT o_orderstatus,
+             |        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+             |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |      GROUP BY o_orderstatus)
+             |ORDER BY rnk, o_orderstatus""".stripMargin)),
+
     // 35c ─────────────── SQL routing fallback: unsupported measure /
     //     non-cube dim → Spark answers from the view (Kylin pushdown)
     Q("cube_sql_fallback",

@@ -196,6 +196,35 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(nonEqui.df.count() > 0, "fallback still answers")
   }
 
+  test("window over a routed aggregate equals Spark's own answer") {
+    val q =
+      """SELECT c_mktsegment, n_cust,
+        |  row_number() OVER (PARTITION BY big ORDER BY n_cust DESC, c_mktsegment) AS rn
+        |FROM (SELECT c_mktsegment, count(distinct o_custkey) AS n_cust,
+        |        count(*) > 10000 AS big
+        |      FROM graft_star GROUP BY c_mktsegment)
+        |ORDER BY rn, c_mktsegment""".stripMargin
+    // `big` is a derived (non-attribute) output → this shape must NOT
+    // route, but still answer
+    val complex = GraftSql.sqlVia(spark, sf, q)
+    assert(!complex.routed && complex.df.count() > 0)
+
+    val simple =
+      """SELECT c_mktsegment, n_cust,
+        |  row_number() OVER (ORDER BY n_cust DESC, c_mktsegment) AS rn
+        |FROM (SELECT c_mktsegment, count(distinct o_custkey) AS n_cust
+        |      FROM graft_star GROUP BY c_mktsegment)
+        |ORDER BY rn""".stripMargin
+    val routed = GraftSql.sqlVia(spark, sf, simple)
+    assert(routed.routed && routed.via == "cuboid", s"got ${routed.via}")
+    GraftSql.registerViews(spark, sf)
+    val got = routed.df.collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getInt(2))).toSeq
+    val want = spark.sql(simple).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getInt(2))).toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
   test("extended column without its host dim falls back") {
     val inst = CubeManager.ensureBuilt(spark, sf)
     var usedFallback = false
