@@ -41,8 +41,12 @@ object CuboidPlanner {
                 queryLog: Seq[Set[String]],
                 maxCuboids: Int): Seq[Set[String]] = {
     require(rows.contains(base), "row estimate for the base cuboid required")
-    def answerCost(mat: Seq[Set[String]], q: Set[String]): Long =
-      mat.filter(q.subsetOf(_)).map(rows).min
+    // a query no materialized cuboid covers (not ⊆ base) costs a base
+    // scan — it must not crash the planner (ADVICE r5: .min on empty)
+    def answerCost(mat: Seq[Set[String]], q: Set[String]): Long = {
+      val covering = mat.filter(q.subsetOf(_))
+      if (covering.isEmpty) rows(base) else covering.map(rows).min
+    }
     def totalCost(mat: Seq[Set[String]]): Long =
       queryLog.map(q => answerCost(mat, q)).sum
 

@@ -1,5 +1,6 @@
 package graft.cube
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructType}
@@ -41,19 +42,27 @@ object Dictionary {
   private def versionPath(root: String, column: String, v: Int): String =
     s"${dictRoot(root, column)}/v$v"
 
-  /** newest persisted version (0 = no dictionary yet) */
-  private def latestVersion(root: String, column: String): Int = {
-    val dir = new java.io.File(dictRoot(root, column))
-    if (!dir.isDirectory) 0
-    else dir.listFiles().iterator
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toInt)
+  /** Newest persisted version (0 = no dictionary yet). Listed through the
+    * Hadoop FileSystem resolved from the cube root's own scheme so the
+    * same code works on file://, hdfs:// and s3a:// roots — the versioned
+    * parquet is written through Spark/Hadoop paths, and reading the
+    * version listing through java.io would silently return 0 on any
+    * non-local root, making buildOrAppend overwrite v1 and reassign ids
+    * (exactly the append-stability corruption this class forbids). */
+  private[graft] def latestVersion(spark: SparkSession, root: String,
+                                  column: String): Int = {
+    val dir = new Path(dictRoot(root, column))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.drop(1).toInt)
       .foldLeft(0)(math.max)
   }
 
   /** the current persisted dictionary, if one exists */
   def load(spark: SparkSession, root: String, column: String): Option[DataFrame] = {
-    val v = latestVersion(root, column)
+    val v = latestVersion(spark, root, column)
     if (v == 0) None
     else Some(spark.read.parquet(versionPath(root, column, v)))
   }
@@ -102,7 +111,7 @@ object Dictionary {
         else {
           val base = existing.agg(max(col("dict_id"))).head().getLong(0)
           persist(existing.unionByName(assignIds(newVals, column, base)),
-            root, column, latestVersion(root, column) + 1)
+            root, column, latestVersion(spark, root, column) + 1)
         }
     }
   }

@@ -138,22 +138,31 @@ object GraftSql {
       case _ => None
     }
 
+  /** Temp-view names are GLOBAL to a session, so the memo tracks which
+    * sfDir the session's views are CURRENTLY bound to — not the set of
+    * sfDirs ever registered. Keying on (session, sfDir) would skip
+    * re-registration after an intervening sfDir bound the same view
+    * names to different data (ADVICE r5: routing would then use sfA's
+    * cube while fallbacks read sfB's views). */
   private val viewsRegistered =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
 
   /** register every cube view + the intersect_count SQL function (once
-    * per session/sf pair — re-analysis per query is wasted work at
-    * high QPS) */
+    * per session while the sfDir stays the same — re-analysis per query
+    * is wasted work at high QPS) */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    viewsRegistered.getOrElseUpdate((spark, sfDir), {
-      bindings.foreach { b =>
-        b.flat(spark, sfDir).createOrReplaceTempView(b.view)
-        // raw star tables, so user-written model joins resolve
-        b.rawTables.foreach(n =>
-          graft.Tables.tbl(spark, sfDir, n).createOrReplaceTempView(n))
+    if (!viewsRegistered.get(spark).contains(sfDir)) synchronized {
+      if (!viewsRegistered.get(spark).contains(sfDir)) {
+        bindings.foreach { b =>
+          b.flat(spark, sfDir).createOrReplaceTempView(b.view)
+          // raw star tables, so user-written model joins resolve
+          b.rawTables.foreach(n =>
+            graft.Tables.tbl(spark, sfDir, n).createOrReplaceTempView(n))
+        }
+        Measures.registerIntersectCount(spark)
+        viewsRegistered.put(spark, sfDir)
       }
-      Measures.registerIntersectCount(spark)
-    })
+    }
 
   /** back-compat: the default star view only */
   def registerView(spark: SparkSession, sfDir: String): Unit =

@@ -40,11 +40,26 @@ final case class ModelDef(fact: String, edges: Seq[ModelEdge]) {
   */
 object ModelMatcher {
 
+  /** An alias counts as a model table only when it stands directly over
+    * a base relation (possibly through further alias/view wrappers). A
+    * derived table that merely REUSES a model table's name — e.g.
+    * `FROM (SELECT * FROM lineitem WHERE ...) lineitem` — must NOT
+    * match: routing it to the cube would silently drop the inner
+    * predicate/projection. Kylin's OLAPJoinRule likewise only fires on
+    * actual table scans. */
+  private def isBaseRelation(p: LogicalPlan): Boolean = p match {
+    case _: LeafNode => true
+    case SubqueryAlias(_, c) => isBaseRelation(c)
+    case v: View => isBaseRelation(v.child)
+    case _ => false
+  }
+
   /** (tables, equi-join conjunct name pairs) of a pure inner-join tree
     * over aliased base relations; None if any other node appears */
   private def walk(p: LogicalPlan): Option[(Set[String], Seq[(String, String)])] =
     p match {
-      case SubqueryAlias(id, _) => Some((Set(id.name.toLowerCase), Nil))
+      case SubqueryAlias(id, child) if isBaseRelation(child) =>
+        Some((Set(id.name.toLowerCase), Nil))
       case Join(l, r, Inner, Some(cond), _) =>
         for {
           (lt, lc) <- walk(l)

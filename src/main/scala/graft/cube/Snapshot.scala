@@ -1,5 +1,6 @@
 package graft.cube
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Write-once lookup-table snapshots (reference: kylin-spark-engine
@@ -15,10 +16,10 @@ object Snapshot {
     * return the snapshot-backed frame */
   def ensure(spark: SparkSession, df: DataFrame, root: String,
              name: String): DataFrame = {
-    val p = path(root, name)
-    val fs = new java.io.File(new java.net.URI("file://" + p).getPath)
-    if (!fs.exists())
-      df.write.mode("ignore").parquet(p)
-    spark.read.parquet(p)
+    val p = new Path(path(root, name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      df.write.mode("ignore").parquet(p.toString)
+    spark.read.parquet(p.toString)
   }
 }

@@ -35,6 +35,25 @@ class CuboidPlannerSpec extends AnyFunSuite {
     assert(stop.toSet == Set(base, Set("a")))
   }
 
+  test("a logged query outside the base lattice costs a base scan, no crash") {
+    // ADVICE r5: a non-subset log entry left answerCost's covering set
+    // empty and .min threw. It must instead price as an (uncoverable)
+    // base scan and never crash recommend/recommendFromLog.
+    val base = Set("a", "b")
+    val rows = Map(base -> 100L, Set("a") -> 10L)
+    val log = Seq(Set("a"), Set("z"), Set("a", "z"))
+    val picked = CuboidPlanner.recommend(base, rows, log, maxCuboids = 3)
+    assert(picked.head == base && picked.contains(Set("a")))
+
+    val flat = CubeManager.flatTable(spark, sf)
+    val picked2 = CuboidPlanner.recommendFromLog(flat,
+      Set("l_returnflag", "o_orderstatus"),
+      Seq(Set("l_returnflag"), Set("not_a_dim"), Set.empty),
+      maxCuboids = 3)
+    assert(picked2.head == Set("l_returnflag", "o_orderstatus"))
+    assert(picked2.contains(Set("l_returnflag")))
+  }
+
   test("recommended lattice answers every logged bench shape without fallback") {
     val cube0 = CubeManager.defaultCube
     val base = cube0.dims.toSet

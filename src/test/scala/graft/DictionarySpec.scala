@@ -41,6 +41,35 @@ class DictionarySpec extends AnyFunSuite {
     assert(m3 == m2)
   }
 
+  test("scheme-qualified cube root: version listing goes through Hadoop FS") {
+    // Deployment shape: on hdfs:// or s3a:// roots a java.io.File listing
+    // silently returns version 0, so buildOrAppend would overwrite v1 and
+    // reassign every id. Pin that the listing resolves through the Hadoop
+    // FileSystem of the root's own scheme by running the whole
+    // build→append cycle against an explicit file:/// URI root.
+    import spark.implicits._
+    val root = "file://" + Files.createTempDirectory("graft-dict-fs").toString
+    assert(Dictionary.latestVersion(spark, root, "v") == 0)
+    val d1 = Dictionary.buildOrAppend(spark,
+      Seq("b", "a").toDF("v"), "v", root)
+    assert(Dictionary.latestVersion(spark, root, "v") == 1)
+    val m1 = d1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val d2 = Dictionary.buildOrAppend(spark,
+      Seq("c", "a").toDF("v"), "v", root)
+    assert(Dictionary.latestVersion(spark, root, "v") == 2,
+      "append must create v2, not overwrite v1")
+    val m2 = d2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    m1.foreach { case (v, id) => assert(m2(v) == id) }
+    assert(m2("c") > m1.values.max)
+
+    // snapshots resolve through the same FS machinery
+    val snap = Snapshot.ensure(spark, Seq((1, "x")).toDF("k", "s"), root, "t")
+    assert(snap.count() == 1)
+    assert(Snapshot.ensure(spark, Seq((2, "y")).toDF("k", "s"), root, "t")
+      .collect().map(_.getInt(0)).toSeq == Seq(1), "snapshot is write-once")
+  }
+
   test("bitmap states built against successive dict versions merge exactly") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-dict-bm").toString

@@ -171,6 +171,44 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("a derived table aliased to a model table name falls back") {
+    // ADVICE r5: alias-name matching alone would route this to the cube
+    // and silently drop the inner predicate. The alias must stand over a
+    // base relation, not a subquery that merely reuses the name.
+    val q =
+      """SELECT l_returnflag, count(*) AS n
+        |FROM (SELECT * FROM lineitem WHERE l_quantity > 30) lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin
+    val r = GraftSql.sqlVia(spark, sf, q)
+    assert(!r.routed, "derived-table alias must not match the model")
+    // and the fallback answer honors the inner predicate
+    val all = GraftSql.sqlVia(spark, sf,
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin)
+    val nFiltered = r.df.agg(org.apache.spark.sql.functions.sum("n"))
+      .head().getLong(0)
+    val nAll = all.df.agg(org.apache.spark.sql.functions.sum("n"))
+      .head().getLong(0)
+    assert(nFiltered < nAll)
+  }
+
+  test("re-registering views follows the requested sfDir") {
+    // ADVICE r5: the memo must track the CURRENT binding per session —
+    // after pointing the views at another sf dir, asking for the first
+    // again must re-register, not hit a stale (session, sfDir) key.
+    val sfB = "/root/testdata/sf0.01"
+    GraftSql.registerViews(spark, sf)
+    val nA = spark.table("lineitem").count()
+    GraftSql.registerViews(spark, sfB)
+    val nB = spark.table("lineitem").count()
+    assert(nB != nA, "views must re-bind to the new sf dir")
+    GraftSql.registerViews(spark, sf)
+    assert(spark.table("lineitem").count() == nA,
+      "returning to the first sf dir must re-register its views")
+  }
+
   test("wrong join keys, disconnected lookups, non-equi joins fall back") {
     // key pair not a declared model edge
     val wrongKey = GraftSql.sqlVia(spark, sf,
