@@ -44,6 +44,18 @@ object SqlAgg {
   final case class MinOf(column: String) extends SqlAgg
   /** answers `MAX(column)` */
   final case class MaxOf(column: String) extends SqlAgg
+  /** answers `approx_count_distinct(column)` from an HLL-sketch state
+    * (reference: measure/hllc/HLLCMeasureType.java:40-47 rewrites
+    * approximate count-distinct onto the hllc measure). The requested
+    * relative-error argument is ignored — the sketch was sized at build
+    * time, exactly as in the reference. */
+  final case class ApproxDistinctOf(column: String) extends SqlAgg
+  /** answers `percentile_approx(column, p)` for ANY scalar p from a
+    * quantile-sketch state (reference: measure/percentile/
+    * PercentileMeasureType.java:83-95 rewrites percentile_approx onto
+    * the percentile measure) — the state is percentile-agnostic, so
+    * the rewrite evaluates it at the query's own p. */
+  final case class PercentileOf(column: String) extends SqlAgg
 }
 
 /** Declares a TopN measure's sketch shape so the SQL front-end can

@@ -129,7 +129,8 @@ object CubeManager {
       Measure("cust_hll",
         fromRaw = Measures.hllAgg(col("o_custkey")),
         fromState = s => Measures.hllUnion(col(s)),
-        present = Measures.hllEstimate(_)),
+        present = Measures.hllEstimate(_),
+        answers = Some(SqlAgg.ApproxDistinctOf("o_custkey"))),
       Measure("brand_topn",
         fromRaw = Measures.topnAgg(col("p_brand"), col("disc_price_micros")),
         fromState = s => Measures.topnUnion(col(s)),
@@ -146,7 +147,8 @@ object CubeManager {
       Measure("qty_kll",
         fromRaw = Measures.kllAgg(col("l_quantity")),
         fromState = s => Measures.kllUnion(col(s)),
-        present = Measures.kllQuantile(_, lit(0.5))),
+        present = Measures.kllQuantile(_, lit(0.5)),
+        answers = Some(SqlAgg.PercentileOf("l_quantity"))),
       Measure("raw_hi",
         fromRaw = collect_list(col("raw_hi_price")),
         fromState = s => flatten(collect_list(col(s)))),

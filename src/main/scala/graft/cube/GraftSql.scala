@@ -75,6 +75,13 @@ object GraftSql {
       vals: Seq[String], value: Boolean = false) extends MOut {
     def measures: Seq[String] = Seq(bitmapM)
   }
+  /** percentile_approx(col, p) answered by evaluating the measure's
+    * quantile-sketch state at the query's own p (the declared present
+    * is percentile-agnostic state → one default rank; the SQL surface
+    * must honor the requested rank — PercentileMeasureType.java:83-95) */
+  private[graft] final case class MQuantile(m: String, p: Double) extends MOut {
+    def measures: Seq[String] = Seq(m)
+  }
 
   /** literal string array in an analyzed plan (array('a','b') stays a
     * CreateArray of literals pre-optimization). A NULL element anywhere
@@ -119,6 +126,32 @@ object GraftSql {
           s <- cube.measureAnswering(SqlAgg.SumOf(a.name))
           c <- cube.measureAnswering(SqlAgg.CountAll)
         } yield MAvg(s.name, c.name)
+      // approx_count_distinct → the HLL measure's estimate (Kylin's
+      // hllc rewrite). The rsd argument is ignored: the sketch was
+      // sized at build time, as in the reference.
+      case AggregateExpression(
+          hll: HyperLogLogPlusPlus, _, false, None, _) =>
+        hll.child match {
+          case a: AttributeReference =>
+            cube.measureAnswering(SqlAgg.ApproxDistinctOf(a.name))
+              .map(m => MCol(m.name))
+          case _ => None
+        }
+      // percentile_approx(col, p [, accuracy]) → the quantile sketch
+      // evaluated at p; only a scalar literal p routes (an array p
+      // returns an array — different shape, clean fallback)
+      case AggregateExpression(
+          ap: ApproximatePercentile, _, false, None, _) =>
+        // the analyzed percentage is often Cast(decimal-literal) —
+        // foldable, but not a bare Literal until the optimizer runs
+        (ap.child, ap.percentageExpression) match {
+          case (a: AttributeReference, pe)
+              if pe.foldable && pe.dataType == DoubleType &&
+                pe.eval(null) != null =>
+            cube.measureAnswering(SqlAgg.PercentileOf(a.name))
+              .map(m => MQuantile(m.name, pe.eval(null).asInstanceOf[Double]))
+          case _ => None
+        }
       // intersect_count / intersect_value (key, dim, array(...)) → the
       // bitmap measure over `key`, intersected across `vals` of cube
       // dim `dim`; _value returns the member ids instead of the count
@@ -345,22 +378,28 @@ object GraftSql {
             SqlResult(t.select(outNames.map(col): _*), routed = true,
               "topn-measure")
           case None =>
-            // route the union of underlying measures (a derived output
-            // like avg needs two), then assemble outputs in SQL order
+            // route the union of underlying measures as STATES (a
+            // derived output like avg needs two; a quantile output
+            // evaluates the sketch at its own rank), then present in
+            // SQL output order
             val needed = outs.flatMap(_._1.measures).distinct
             val q = CubeQuery(groupNames, needed.map(m => m -> s"__m_$m"),
               filter = filterSql.map(expr),
               filterDims = filterDims)
-            val routed = QueryRouter.route(spark, inst, q)(df)
+            val routed = QueryRouter.routeStates(spark, inst, q)(df)
             if (routed.fallback) SqlResult(df, routed = false, "fallback")
             else {
+              def presented(m: String): Column =
+                cube.measure(m).present(col(s"__m_$m"))
               val outCols = aggs.map {
                 case a: AttributeReference => col(a.name)
                 case Alias(ae: AggregateExpression, name) =>
                   measureOf(cube, ae).get match {
-                    case MCol(m) => col(s"__m_$m").as(name)
+                    case MCol(m) => presented(m).as(name)
                     case MAvg(sm, cm) =>
-                      (col(s"__m_$sm") / col(s"__m_$cm")).as(name)
+                      (presented(sm) / presented(cm)).as(name)
+                    case MQuantile(m, p) =>
+                      Measures.kllQuantile(col(s"__m_$m"), lit(p)).as(name)
                     case _: MIntersect =>
                       sys.error("intersect handled above")
                   }

@@ -453,6 +453,59 @@ object CubeQueries extends QueryGroup {
              |HAVING COUNT(*) > 1000
              |ORDER BY o_orderstatus""".stripMargin)),
 
+    // 35b6 ────────────── approx_count_distinct SQL rewrite: the HLL
+    //     sketch built into the cube answers a user's
+    //     approx_count_distinct call (HLLCMeasureType.java:40-47) —
+    //     checked like cube_hll_distinct: exact counts hashed, the
+    //     routed estimate asserted within 5%
+    Q("cube_sql_approx_distinct",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT c_mktsegment, approx_count_distinct(o_custkey) AS hll_cust
+            |FROM graft_star GROUP BY c_mktsegment""".stripMargin)
+        assert(r.routed && r.via == "cuboid",
+          s"expected approx_count_distinct to route to the hll measure, got ${r.via}")
+        val exact = CubeManager.flatTable(s, d)
+          .groupBy("c_mktsegment")
+          .agg(countDistinct(col("o_custkey")).as("exact_cust"))
+        exact.join(r.df, "c_mktsegment")
+          .select(col("c_mktsegment"), col("exact_cust"),
+            (abs(col("hll_cust") - col("exact_cust")) <=
+               col("exact_cust") * 0.05).as("hll_ok"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(DISTINCT o_custkey) AS exact_cust,
+             |  TRUE AS hll_ok
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // 35b7 ────────────── percentile_approx SQL rewrite: the KLL sketch
+    //     answers percentile_approx at the QUERY'S OWN rank (0.25 here —
+    //     not the measure's default 0.5, proving the state is evaluated
+    //     per-query; PercentileMeasureType.java:83-95)
+    Q("cube_sql_percentile",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT o_orderstatus, percentile_approx(l_quantity, 0.25) AS approx_p25
+            |FROM graft_star GROUP BY o_orderstatus""".stripMargin)
+        assert(r.routed && r.via == "cuboid",
+          s"expected percentile_approx to route to the kll measure, got ${r.via}")
+        val exact = CubeManager.flatTable(s, d)
+          .groupBy("o_orderstatus")
+          .agg(expr("percentile(l_quantity, 0.25)").as("ex"))
+        exact.join(r.df, "o_orderstatus")
+          .select(col("o_orderstatus"), round(col("ex"), 4).as("exact_p25"),
+            (abs(col("approx_p25") - col("ex")) <= 2.5).as("p25_ok"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  ROUND(quantile_cont(l_quantity, 0.25), 4) AS exact_p25,
+             |  TRUE AS p25_ok
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // 35b5 ────────────── intersect_count SQL surface: the retention
     //     call routes through bitmap STATES (Kylin's
     //     BitmapIntersectDistinctCountAggFunc); the same function is
