@@ -39,13 +39,13 @@ object CubeManager {
                     customer: DataFrame, nation: DataFrame,
                     region: DataFrame, supplier: DataFrame,
                     part: DataFrame): DataFrame =
-    lineitem
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(customer, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    // joins come from the MODEL (each edge's declared inner/left type),
+    // so the built flat table and the SQL matcher can never disagree;
+    // bounded-cardinality lookups are broadcast-hinted here
+    starModel.flatten(Map(
+      "lineitem" -> lineitem, "orders" -> orders, "customer" -> customer,
+      "nation" -> broadcast(nation), "region" -> broadcast(region),
+      "supplier" -> broadcast(supplier), "part" -> broadcast(part)))
       .select(
         col("l_orderkey"), col("l_linenumber"),
         col("r_name"), col("n_name"), col("c_mktsegment"),
@@ -64,15 +64,19 @@ object CubeManager {
 
   /** The star model behind the default cube (reference: core-metadata
     * DataModelDesc): lineitem fact, each lookup joined through its
-    * PK-FK edge. User SQL written as these explicit joins routes to
-    * the cube via ModelMatcher. */
+    * PK-FK edge. User SQL written as these explicit joins — with each
+    * join TYPED as declared — routes to the cube via ModelMatcher. The
+    * part edge is declared LEFT (the common production choice,
+    * JoinDesc.java:35-40): fact rows keep flowing even if a part row
+    * is missing, and only user-written LEFT JOIN part queries match. */
   def starModel: ModelDef = ModelDef("lineitem", Seq(
     ModelEdge("orders", "lineitem", "o_orderkey", "l_orderkey"),
     ModelEdge("customer", "orders", "c_custkey", "o_custkey"),
     ModelEdge("nation", "customer", "n_nationkey", "c_nationkey"),
     ModelEdge("region", "nation", "r_regionkey", "n_regionkey"),
     ModelEdge("supplier", "lineitem", "s_suppkey", "l_suppkey"),
-    ModelEdge("part", "lineitem", "p_partkey", "l_partkey")))
+    ModelEdge("part", "lineitem", "p_partkey", "l_partkey",
+      joinType = "left")))
 
   /** The default cube: 7 dims, 8 measures covering every reference
     * measure family, 2-year segments over o_orderdate, and a 7-cuboid

@@ -1,24 +1,45 @@
 package graft.cube
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions.col
 
 /** One PK-FK join edge of a star model: `lookup` (whose `lookupKey` is
   * its primary key) joins to the model through `via` — the table that
-  * carries the foreign key. Inner-joining along a declared edge is
-  * row-preserving on the fact side (every FK matches exactly one PK
-  * row), which is what makes answering a user-written join from the
-  * pre-joined flat table sound — the same PK-FK contract Kylin's data
-  * model declares. */
+  * carries the foreign key. `joinType` is "inner" or "left" (reference:
+  * core-metadata JoinDesc.java:35-40 — each model join declares its
+  * type; production models mostly declare LEFT so fact rows without a
+  * dim match aren't dropped). An inner edge is row-preserving on the
+  * fact side only under the PK-FK completeness contract; a left edge is
+  * row-preserving unconditionally (unmatched fact rows keep null dims). */
 final case class ModelEdge(lookup: String, via: String,
-                           lookupKey: String, foreignKey: String)
+                           lookupKey: String, foreignKey: String,
+                           joinType: String = "inner") {
+  require(joinType == "inner" || joinType == "left",
+    s"joinType must be inner or left, got $joinType")
+}
 
 /** A star model: fact table + lookup edges (reference: core-metadata
   * DataModelDesc — fact/lookups/join conditions). */
 final case class ModelDef(fact: String, edges: Seq[ModelEdge]) {
   require(edges.map(_.lookup).distinct.size == edges.size,
     "one edge per lookup table")
+
+  /** Materialize the model's flat join over the given tables, honoring
+    * each edge's DECLARED join type — the single place the type is
+    * interpreted, so the built flat table and the query matcher can
+    * never disagree (reference: CreateFlatTable joins lookups with the
+    * model's JoinDesc type). Edges must be declared in an order where
+    * each `via` is the fact or an earlier lookup. Callers pass
+    * broadcast-hinted frames where a lookup should broadcast. */
+  def flatten(tables: String => DataFrame): DataFrame =
+    edges.foldLeft(tables(fact)) { (acc, e) =>
+      val how = if (e.joinType == "left") "left" else "inner"
+      acc.join(tables(e.lookup),
+        col(e.foreignKey) === col(e.lookupKey), how)
+    }
 }
 
 /** Matches a user-written explicit join tree against a declared star
@@ -30,15 +51,25 @@ final case class ModelDef(fact: String, edges: Seq[ModelEdge]) {
   * the cuboid scan in). Catalyst's analyzed `Join` tree stands in for
   * the Calcite rel tree.
   *
-  * A plan matches iff it is a pure inner-join tree over base relations
-  * where: the fact table is present; every other table is a model
-  * lookup whose FK carrier is also present (connectivity — a lookup
-  * can't join in through a missing intermediate); and the ON conjuncts
-  * are EXACTLY the declared PK-FK equi-edges of the used tables, one
-  * each. Extra predicates in ON clauses, non-model tables, outer
-  * joins, or wrong keys all fail the match → clean fallback.
+  * A plan matches iff it is a join tree over base relations where: the
+  * fact table is present; every other table is a model lookup whose FK
+  * carrier is also present (connectivity — a lookup can't join in
+  * through a missing intermediate); the ON conjuncts are EXACTLY the
+  * declared PK-FK equi-edges of the used tables, one each; and each
+  * join's TYPE equals the edge's declared type (JoinDesc.java:35-40 —
+  * an inner-written join over a left-declared edge, or vice versa,
+  * differs in row preservation and must fall back). A LEFT join only
+  * matches with the lookup alone on the null-producing right side —
+  * anything else preserves the wrong rows. Extra ON predicates,
+  * non-model tables, other join types, or wrong keys all fail the
+  * match → clean fallback.
   */
 object ModelMatcher {
+
+  /** one ON conjunct: its key pair, whether its join was LEFT, and the
+    * tables of that join's right subtree */
+  private final case class Cond(keys: Set[String], leftJoin: Boolean,
+                                rightTables: Set[String])
 
   /** An alias counts as a model table only when it stands directly over
     * a base relation (possibly through further alias/view wrappers). A
@@ -54,18 +85,24 @@ object ModelMatcher {
     case _ => false
   }
 
-  /** (tables, equi-join conjunct name pairs) of a pure inner-join tree
-    * over aliased base relations; None if any other node appears */
-  private def walk(p: LogicalPlan): Option[(Set[String], Seq[(String, String)])] =
+  /** (tables, tagged ON conjuncts) of an inner/left join tree over
+    * aliased base relations; None if any other node appears. A LEFT
+    * node must attach exactly one table through exactly one conjunct —
+    * the shape whose preserved side is everything joined so far. */
+  private def walk(p: LogicalPlan): Option[(Set[String], Seq[Cond])] =
     p match {
       case SubqueryAlias(id, child) if isBaseRelation(child) =>
         Some((Set(id.name.toLowerCase), Nil))
-      case Join(l, r, Inner, Some(cond), _) =>
+      case Join(l, r, jt, Some(cond), _) if jt == Inner || jt == LeftOuter =>
         for {
           (lt, lc) <- walk(l)
           (rt, rc) <- walk(r)
           pairs <- eqPairs(cond)
-        } yield (lt ++ rt, lc ++ rc ++ pairs)
+          if jt == Inner ||
+            (rt.size == 1 && rc.isEmpty && pairs.size == 1)
+        } yield (lt ++ rt,
+          lc ++ rc ++ pairs.map(pr => Cond(Set(pr._1, pr._2),
+            jt == LeftOuter, rt)))
       case _ => None
     }
 
@@ -80,16 +117,22 @@ object ModelMatcher {
     }
 
   /** true iff `plan` is exactly the model's star join over a subset of
-    * its tables */
+    * its tables, with every join typed as its edge declares */
   def matches(plan: LogicalPlan, model: ModelDef): Boolean =
     walk(plan).exists { case (tables, conds) =>
       val used = model.edges.filter(e => tables.contains(e.lookup))
-      val condSets = conds.map { case (a, b) => Set(a, b) }
+      val condSets = conds.map(_.keys)
       tables.contains(model.fact) &&
         tables == used.map(_.lookup).toSet + model.fact &&
         used.forall(e => tables.contains(e.via)) &&
         conds.size == used.size &&
         condSets.distinct.size == condSets.size &&
+        used.forall { e =>
+          conds.exists(c => c.keys == Set(e.lookupKey, e.foreignKey) &&
+            (if (e.joinType == "left")
+               c.leftJoin && c.rightTables == Set(e.lookup)
+             else !c.leftJoin))
+        } &&
         condSets.toSet == used.map(e => Set(e.lookupKey, e.foreignKey)).toSet
     }
 }

@@ -28,7 +28,10 @@ object CubeQueries extends QueryGroup {
         .select(col("l_orderkey"), col("l_linenumber"), col("r_name"),
                 col("p_brand"), col("o_orderstatus"),
                 col("disc_price").cast(DoubleType).as("revenue"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // data — order by every output column for a total sort
+        .orderBy("l_orderkey", "l_linenumber", "r_name", "p_brand",
+                 "o_orderstatus", "revenue"),
       Some("""SELECT l_orderkey, l_linenumber, r_name, p_brand, o_orderstatus,
              |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
              |FROM lineitem
@@ -37,8 +40,9 @@ object CubeQueries extends QueryGroup {
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
              |JOIN supplier ON l_suppkey = s_suppkey
-             |JOIN part ON l_partkey = p_partkey
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |LEFT JOIN part ON l_partkey = p_partkey
+             |ORDER BY l_orderkey, l_linenumber, r_name, p_brand,
+             |  o_orderstatus, revenue""".stripMargin)),
 
     // 27 ──────────────── exact-match cuboid routing: the group-by set
     //     IS a materialized cuboid
@@ -211,7 +215,7 @@ object CubeQueries extends QueryGroup {
              |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS brand_rev,
              |    CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
              |      ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC, p_brand) AS BIGINT) AS rn
-             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
              |  GROUP BY l_returnflag, p_brand)
              |WHERE rn <= 5
              |ORDER BY l_returnflag, rn""".stripMargin)),
@@ -382,6 +386,27 @@ object CubeQueries extends QueryGroup {
              |JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin)),
 
+    // 35e3 ────────────── LEFT-declared model edge: the part lookup is
+    //     declared LEFT (JoinDesc.java:35-40), the flat table is built
+    //     with that type, and a user-written LEFT JOIN part query
+    //     matches the model and routes — while an inner-written JOIN
+    //     part falls back (row preservation differs; spec-pinned)
+    Q("cube_sql_left_model",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+            |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+            |GROUP BY p_brand""".stripMargin)
+        assert(r.routed,
+          "LEFT JOIN over the left-declared edge must match the model")
+        r.df.orderBy("p_brand")
+      },
+      Some("""SELECT p_brand,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
     // 35b2 ────────────── SQL routing with ORDER BY + LIMIT peeled
     //     above the aggregate (the standard reporting top-N shape)
     Q("cube_sql_topn",
@@ -424,7 +449,7 @@ object CubeQueries extends QueryGroup {
       },
       Some("""SELECT p_brand,
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
-             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand
              |ORDER BY revenue DESC, p_brand
              |LIMIT 5""".stripMargin)),
@@ -649,7 +674,7 @@ object CubeQueries extends QueryGroup {
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
-             |JOIN part ON l_partkey = p_partkey
+             |LEFT JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand, c_mktsegment
              |ORDER BY revenue DESC, p_brand, c_mktsegment
              |LIMIT 5""".stripMargin)),

@@ -171,6 +171,55 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("join type must match the declared edge type exactly") {
+    // part is LEFT-declared: an inner-written join differs in row
+    // preservation and must fall back (JoinDesc.java:35-40)
+    val inner = GraftSql.sqlVia(spark, sf,
+      """SELECT p_brand, count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin)
+    assert(!inner.routed, "inner join over a left-declared edge must fall back")
+    // orders is INNER-declared: a left-written join must fall back too
+    val left = GraftSql.sqlVia(spark, sf,
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin)
+    assert(!left.routed, "left join over an inner-declared edge must fall back")
+    // the declared type routes — and equals the view-path answer
+    val declared = GraftSql.sqlVia(spark, sf,
+      """SELECT p_brand, count(*) AS n
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin)
+    assert(declared.routed, "the declared LEFT type must route")
+    val view = GraftSql.sqlVia(spark, sf,
+      "SELECT p_brand, count(*) AS n FROM graft_star GROUP BY p_brand")
+    assert(view.routed)
+    val a = declared.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = view.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("a left-declared edge preserves fact rows without a lookup match") {
+    import spark.implicits._
+    // fact row fk=99 has no lookup match: the LEFT model keeps it (null
+    // dim), the inner model drops it — ModelDef.flatten is the single
+    // place the declared type is interpreted (CreateFlatTable parity)
+    val fact = Seq((10, 1), (99, 2)).toDF("fk", "v")
+    val lookup = Seq((10, "x")).toDF("pk", "name")
+    val tables: String => org.apache.spark.sql.DataFrame = {
+      case "f" => fact
+      case "lk" => lookup
+    }
+    val leftFlat = ModelDef("f",
+      Seq(ModelEdge("lk", "f", "pk", "fk", joinType = "left")))
+      .flatten(tables)
+    assert(leftFlat.count() == 2)
+    assert(leftFlat.filter(col("fk") === 99 && col("name").isNull).count() == 1)
+    val innerFlat = ModelDef("f", Seq(ModelEdge("lk", "f", "pk", "fk")))
+      .flatten(tables)
+    assert(innerFlat.count() == 1)
+  }
+
   test("a derived table aliased to a model table name falls back") {
     // ADVICE r5: alias-name matching alone would route this to the cube
     // and silently drop the inner predicate. The alias must stand over a
