@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.aggregate.ScalaAggregator
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit, posexplode, split}
-import org.apache.spark.sql.types.{DoubleType, StringType}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit, max, posexplode, split}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
 
 import graft.functions.Measures
 
@@ -220,20 +220,34 @@ object GraftSql {
                                   limit: Option[Int],
                                   havingSql: Option[String] = None,
                                   winCols: Seq[(String, String)] = Nil,
-                                  finalNames: Seq[String] = Nil)
+                                  finalNames: Seq[String] = Nil,
+                                  winRaw: Seq[(Expression, String)] = Nil,
+                                  winFilters: Seq[Expression] = Nil,
+                                  winFilterSqls: Seq[String] = Nil)
 
-  /** Walks a Project/Window/SubqueryAlias stack above the aggregate:
-    * pass-through projections of plain attributes, plus any number of
-    * Window layers whose expressions are deterministic and
-    * subquery-free. Returns (outer projection names, window exprs as
-    * (sql, alias), the plan below the stack) — None when no Window is
-    * present or anything else appears. */
+  /** Walks a Project/Filter/Window/SubqueryAlias stack above the
+    * aggregate: pass-through projections of plain attributes, filters
+    * (validated by the caller to sit ABOVE a window — they must
+    * reference a window output), plus any number of Window layers whose
+    * expressions are deterministic and subquery-free. Returns (outer
+    * projection names, window exprs as (sql, alias, raw), filters, the
+    * plan below the stack) — None when no Window is present or anything
+    * else appears. The rank-filter shape this admits — row_number()
+    * in a subquery, WHERE rn <= n outside — is the standard per-group
+    * top-N idiom the reference's topn rewrite recognizes
+    * (TopNMeasureType.java:129-170). */
   private def peelWindowStack(plan: LogicalPlan,
       outNames: Option[Seq[String]] = None,
-      wins: Seq[(String, String)] = Nil)
-    : Option[(Seq[String], Seq[(String, String)], LogicalPlan)] = plan match {
+      wins: Seq[(String, String, Expression)] = Nil,
+      filters: Seq[Expression] = Nil)
+    : Option[(Seq[String], Seq[(String, String, Expression)],
+              Seq[Expression], LogicalPlan)] = plan match {
     case Project(projs, c) if projs.forall(_.isInstanceOf[AttributeReference]) =>
-      peelWindowStack(c, outNames.orElse(Some(projs.map(_.name))), wins)
+      peelWindowStack(c, outNames.orElse(Some(projs.map(_.name))), wins, filters)
+    case Filter(cond, c)
+        if cond.deterministic &&
+          !cond.exists(_.isInstanceOf[SubqueryExpression]) =>
+      peelWindowStack(c, outNames, wins, filters :+ cond)
     case Window(winExprs, _, _, c, _) =>
       val parsed = winExprs.map {
         case a @ Alias(we, name)
@@ -242,30 +256,43 @@ object GraftSql {
           val bare = we.transform {
             case at: AttributeReference => at.withQualifier(Seq.empty)
           }
-          Some((bare.sql, name))
+          Some((bare.sql, name, bare))
         case _ => None
       }
       if (parsed.forall(_.isDefined))
-        peelWindowStack(c, outNames, parsed.flatten ++ wins)
+        peelWindowStack(c, outNames, parsed.flatten ++ wins, filters)
       else None
-    case SubqueryAlias(_, c) => peelWindowStack(c, outNames, wins)
+    case SubqueryAlias(_, c) => peelWindowStack(c, outNames, wins, filters)
     case other if wins.nonEmpty =>
-      Some((outNames.getOrElse(Nil), wins, other))
+      Some((outNames.getOrElse(Nil), wins, filters, other))
     case _ => None
   }
 
   private def peel(plan: LogicalPlan): Option[Peeled] = plan match {
     case a: Aggregate => Some(Peeled(a, Nil, Nil, None))
     // window functions computed over the aggregate result: peel the
-    // Project/Window stack, route the aggregate below it, re-apply the
-    // windows on the routed frame (reference: OLAPWindowRule — Kylin
-    // evaluates window calls on top of the cube scan)
+    // Project/Filter/Window stack, route the aggregate below it,
+    // re-apply windows + rank filters on the routed frame (reference:
+    // OLAPWindowRule — Kylin evaluates window calls on top of the cube
+    // scan)
     case p: Project =>
       for {
-        (outNames, wins, inner) <- peelWindowStack(p)
+        (outNames, wins, filters, inner) <- peelWindowStack(p)
         peeled <- peel(inner)
         if peeled.winCols.isEmpty // one window stack, directly above agg
-      } yield peeled.copy(winCols = wins, finalNames = outNames)
+        // a peeled filter must reference a window output: that pins it
+        // ABOVE the Window node (below it those attributes don't
+        // exist), so re-applying it after the windows is sound
+        winNames = wins.map(_._2).toSet
+        if filters.forall(_.references.exists(r => winNames(r.name)))
+      } yield peeled.copy(
+        winCols = wins.map(w => (w._1, w._2)),
+        winRaw = wins.map(w => (w._3, w._2)),
+        winFilters = filters,
+        winFilterSqls = filters.map(_.transform {
+          case at: AttributeReference => at.withQualifier(Seq.empty)
+        }.sql),
+        finalNames = outNames)
     // HAVING: a filter directly above the aggregate, referencing only
     // its output attributes (aliases) — re-applied on the routed frame
     case Filter(cond, a: Aggregate)
@@ -319,7 +346,10 @@ object GraftSql {
     }
 
     peel(df.queryExecution.analyzed) match {
-      case Some(p @ Peeled(Aggregate(groups, aggs, child, _), _, _, _, _, _, _)) =>
+      case Some(p) =>
+        val groups = p.agg.groupingExpressions
+        val aggs = p.agg.aggregateExpressions
+        val child = p.agg.child
         // child must be a registered cube view or model join, optionally
         // through a deterministic materialized-dim-only filter
         val (binding, filterSql, filterDims) = child match {
@@ -373,10 +403,12 @@ object GraftSql {
         // ── TopN-measure rewrite: a global `GROUP BY <sketch dims>
         // ORDER BY <the sketch's sum> DESC LIMIT n` is the pre-computed
         // sketch, merged across any cuboid — no dim-level scan at all
-        routeTopn(spark, df, inst, groupNames, outs, p, filterSql) match {
+        routeTopn(spark, df, inst, groupNames, outs, p, filterSql)
+            .map(_.select(outNames.map(col): _*))
+            .orElse(routeTopnGrouped(spark, df, inst, groupNames, outs, p,
+              filterSql)) match {
           case Some(t) =>
-            SqlResult(t.select(outNames.map(col): _*), routed = true,
-              "topn-measure")
+            SqlResult(t, routed = true, "topn-measure")
           case None =>
             // route the union of underlying measures as STATES (a
             // derived output like avg needs two; a quantile output
@@ -414,6 +446,9 @@ object GraftSql {
                     p.winCols.map { case (sql, name) =>
                       expr(sql).as(name)
                     }: _*)
+                  // rank filters (WHERE rn <= n outside the subquery)
+                  // re-apply after the windows they reference
+                  p.winFilterSqls.foreach(f => out = out.filter(expr(f)))
                   if (p.finalNames.nonEmpty)
                     out = out.select(p.finalNames.map(col): _*)
                 }
@@ -469,6 +504,90 @@ object GraftSql {
         .select(dimCols :+
           (col("col._2").cast(DoubleType) / sh.scale.toDouble).as(valName): _*)
         .orderBy(sortCols: _*)
+    }
+  }
+
+  /** The GROUPED TopN-sketch rewrite (TopNMeasureType.java:129-170:
+    * the query group-by may extend the sketch dims with cuboid dims —
+    * Kylin expands each row's sketch and answers per-group). Recognized
+    * shape: `GROUP BY extra ++ sketch dims`, a single SUM output
+    * matching the sketch's value, one `row_number() OVER (PARTITION BY
+    * extra ORDER BY value DESC, sketch dims)` window, and a `rn <= n`
+    * rank filter — the standard per-group top-N idiom. Answered by
+    * routing the sketch STATES grouped by `extra` (no sketch-dim-level
+    * scan) and exploding each merged state's top n; refused when any
+    * merged state was capacity-trimmed (approximate — ADVICE r3). */
+  private def routeTopnGrouped(spark: SparkSession, df: DataFrame,
+      inst: CubeInstance, groupNames: Seq[String],
+      outs: Seq[(MOut, String)], p: Peeled,
+      filterSql: Option[String]): Option[DataFrame] = {
+    val cube = inst.cube
+    for {
+      _ <- Some(())
+      if filterSql.isEmpty && p.havingSql.isEmpty
+      (rawWin, rnName) <- p.winRaw match {
+        case Seq(w) => Some(w)
+        case _ => None
+      }
+      spec <- rawWin match {
+        case WindowExpression(_: RowNumber, s: WindowSpecDefinition) => Some(s)
+        case _ => None
+      }
+      partNames <- Some(spec.partitionSpec.collect {
+        case a: AttributeReference => a.name
+      })
+      if partNames.nonEmpty && partNames.size == spec.partitionSpec.size
+      n <- p.winFilters match {
+        case Seq(LessThanOrEqual(a: AttributeReference, Literal(v: Int, _)))
+            if a.name == rnName => Some(v)
+        case Seq(LessThan(a: AttributeReference, Literal(v: Int, _)))
+            if a.name == rnName => Some(v - 1)
+        case _ => None
+      }
+      if n >= 1 && n <= Measures.TopNBuf.DefaultCapacity
+      // every aggregate output is the SAME sum measure (the analyzer
+      // duplicates the window's ORDER BY sum as an extra `_w0` output)
+      sumOuts <- Some(outs.collect { case (MCol(m), nm) => (m, nm) })
+      if sumOuts.size == outs.size && sumOuts.nonEmpty &&
+        sumOuts.map(_._1).distinct.size == 1
+      sumM = sumOuts.head._1
+      valNames = sumOuts.map(_._2)
+      tm <- cube.measures.find(_.topnShape.exists { sh =>
+        sh.dims.forall(groupNames.contains) &&
+          (groupNames.toSet -- sh.dims) == partNames.toSet &&
+          cube.measureAnswering(SqlAgg.SumOf(sh.sumOf)).exists(_.name == sumM)
+      })
+      sh = tm.topnShape.get
+      // exact replay requires the window's full tie-break order:
+      // value desc, then the sketch dims ascending
+      ordered <- Some(spec.orderSpec.collect {
+        case SortOrder(a: AttributeReference, dir, _, _) => (a.name, dir)
+      })
+      if ordered.size == spec.orderSpec.size &&
+        ordered.headOption.exists { case (nm, dir) =>
+          valNames.contains(nm) && dir == Descending } &&
+        ordered.drop(1) == sh.dims.map(d => (d, Ascending))
+      r = QueryRouter.routeStates(spark, inst,
+        CubeQuery(partNames, Seq(tm.name -> "state")))(df)
+      if !r.fallback
+      // one cuboid-scale probe: any trimmed merged state ⇒ approximate
+      // ⇒ refuse the rewrite (the generic cuboid path still answers)
+      if !r.df.agg(coalesce(max(Measures.topnIsTrimmed(col("state"))),
+          lit(false))).head().getBoolean(0)
+    } yield {
+      val exploded = r.df.select(partNames.map(col) :+
+        posexplode(Measures.topnExtract(col("state"), lit(n))): _*)
+      val dimCols = sh.dims.zipWithIndex.map { case (d, i) =>
+        split(col("col._1"), Measures.MultiSep).getItem(i).as(d)
+      }
+      val valCols = valNames.map(nm =>
+        (col("col._2").cast(DoubleType) / sh.scale.toDouble).as(nm))
+      var out = exploded.select(partNames.map(col) ++ dimCols ++ valCols :+
+        (col("pos") + 1).cast(IntegerType).as(rnName): _*)
+      if (p.finalNames.nonEmpty) out = out.select(p.finalNames.map(col): _*)
+      if (p.sortCols.nonEmpty) out = out.orderBy(p.sortCols: _*)
+      p.limit.foreach(l => out = out.limit(l))
+      out
     }
   }
 

@@ -454,6 +454,38 @@ object CubeQueries extends QueryGroup {
              |ORDER BY revenue DESC, p_brand
              |LIMIT 5""".stripMargin)),
 
+    // 35b8 ────────────── GROUPED TopN rewrite: per-returnflag brand
+    //     top-5 written as the standard rank-filter SQL idiom is
+    //     answered from the SpaceSaving sketch states grouped by
+    //     l_returnflag — no brand-level cuboid scan
+    //     (TopNMeasureType.java:129-170: query group-by extends the
+    //     sketch dims with cuboid dims)
+    Q("cube_sql_topn_group",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT l_returnflag, p_brand, revenue FROM (
+            |  SELECT l_returnflag, p_brand,
+            |    sum(disc_price) AS revenue,
+            |    row_number() OVER (PARTITION BY l_returnflag
+            |      ORDER BY sum(disc_price) DESC, p_brand) AS rn
+            |  FROM graft_star
+            |  GROUP BY l_returnflag, p_brand) t
+            |WHERE rn <= 5
+            |ORDER BY l_returnflag, p_brand""".stripMargin)
+        assert(r.routed && r.via == "topn-measure",
+          s"expected the grouped TopN-measure rewrite, got ${r.via}")
+        r.df
+      },
+      Some("""SELECT l_returnflag, p_brand, revenue FROM (
+             |  SELECT l_returnflag, p_brand,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+             |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |      ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC, p_brand) AS rn
+             |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+             |  GROUP BY l_returnflag, p_brand) t
+             |WHERE rn <= 5
+             |ORDER BY l_returnflag, p_brand""".stripMargin)),
+
     // 35b4 ────────────── HAVING + AVG rewrite: avg(l_quantity) is
     //     assembled from routed sum+count states (Kylin's AVG
     //     rewrite); the HAVING predicate re-applies on the routed frame

@@ -283,6 +283,33 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(nonEqui.df.count() > 0, "fallback still answers")
   }
 
+  test("grouped rank-filter: sketch shape routes via topn-measure, near-miss via cuboid") {
+    def q(tieBreak: String) =
+      s"""SELECT l_returnflag, p_brand, revenue FROM (
+         |  SELECT l_returnflag, p_brand, sum(disc_price) AS revenue,
+         |    row_number() OVER (PARTITION BY l_returnflag
+         |      ORDER BY sum(disc_price) DESC$tieBreak) AS rn
+         |  FROM graft_star
+         |  GROUP BY l_returnflag, p_brand) t
+         |WHERE rn <= 3
+         |ORDER BY l_returnflag, p_brand""".stripMargin
+    val sketch = GraftSql.sqlVia(spark, sf, q(", p_brand"))
+    assert(sketch.routed && sketch.via == "topn-measure")
+    // no deterministic tie-break ⇒ the sketch's replay order can't be
+    // proven equal to the query's ⇒ generic cuboid route instead
+    val loose = GraftSql.sqlVia(spark, sf, q(""))
+    assert(loose.routed && loose.via == "cuboid",
+      s"expected the generic cuboid route, got ${loose.via}")
+    // both agree with Spark's own answer on the deterministic query
+    // (the routed frame presents sums as DOUBLE, raw Spark as DECIMAL)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1),
+        BigDecimal(r.get(2).toString).toDouble)).toSet
+    val own = rows(spark.sql(q(", p_brand")))
+    val got = rows(sketch.df)
+    assert(got == own && got.nonEmpty)
+  }
+
   test("window over a routed aggregate equals Spark's own answer") {
     val q =
       """SELECT c_mktsegment, n_cust,
