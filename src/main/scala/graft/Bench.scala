@@ -62,7 +62,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cube_build_sec":$cubeBuildSec,"sf":"$sfDir"}""")
+    // per-phase build breakdown (snapshots/dictionary/flat-write/
+    // cuboid/merge) so a build regression names its phase
+    val phases = cube.CubeBuilder.phaseTotals.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cube_build_sec":$cubeBuildSec,"build_phases":$phases,"sf":"$sfDir"}"""
+    println(json)
+    // also persist the full map: the driver's stdout tail truncated in
+    // round 5 and lost the fast keys from round-over-round comparison
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }

@@ -36,9 +36,20 @@ object CubeBuilder {
 
   /** per-phase build timing (VERDICT r4 item 5): one line per cuboid
     * write and per lifecycle phase, so build-time regressions point at
-    * the phase that caused them instead of one opaque total */
-  private[cube] def logPhase(phase: String, detail: String, sec: Double): Unit =
+    * the phase that caused them instead of one opaque total. Totals
+    * also accumulate per phase for the bench report (`build_phases`). */
+  private val phaseAcc = scala.collection.mutable.HashMap.empty[String, Double]
+
+  /** accumulated seconds per phase since JVM start (or last reset) */
+  def phaseTotals: Map[String, Double] =
+    phaseAcc.synchronized(phaseAcc.toMap)
+
+  private[cube] def logPhase(phase: String, detail: String, sec: Double): Unit = {
+    phaseAcc.synchronized {
+      phaseAcc.update(phase, phaseAcc.getOrElse(phase, 0.0) + sec)
+    }
     System.err.println(f"[graft-build] $phase $detail ${sec}%.1fs")
+  }
 
   private[cube] def timed[T](phase: String, detail: String)(body: => T): T = {
     val t0 = System.nanoTime()

@@ -105,6 +105,58 @@ object TimeDim {
     TimeDim(name, d => if (d.length == 10 && d.endsWith("-01")) Some(d.substring(0, 7)) else None)
 }
 
+/** Declarative aggregation group (reference: core-cube
+  * AggregationGroup.java:47-75, expanded by CuboidScheduler): instead
+  * of hand-listing cuboids, declare dimension RELATIONSHIPS and expand
+  * the rule-pruned lattice:
+  *
+  *  - `includes`: the dims this group spans (all subsets start here)
+  *  - `mandatory`: present in every cuboid of the group — queries
+  *    always group/filter by them, so the lattice shrinks by
+  *    2^|mandatory|
+  *  - `hierarchies`: ordered coarse→fine lists (region→nation,
+  *    year→month); only PREFIXES materialize — nation without region
+  *    is never built, a nation-only query re-aggs from the prefix
+  *    cuboid that carries both
+  *  - `joints`: all-or-none sets (dims always queried together)
+  *
+  * Every dim may be governed by at most one rule; remaining includes
+  * are free (in/out). `expand` is the cartesian product of the rule
+  * choices — exactly the reference's scheduler semantics. */
+final case class AggGroup(includes: Seq[String],
+    mandatory: Set[String] = Set.empty,
+    hierarchies: Seq[Seq[String]] = Nil,
+    joints: Seq[Set[String]] = Nil) {
+  private val inc = includes.toSet
+  require(includes.distinct.size == includes.size, "duplicate include")
+  require(mandatory.subsetOf(inc), "mandatory dims must be included")
+  require(hierarchies.forall(_.forall(inc)), "hierarchy dims must be included")
+  require(joints.forall(_.forall(inc)), "joint dims must be included")
+  private val ruled = hierarchies.flatten ++ joints.flatten
+  require(ruled.distinct.size == ruled.size,
+    "a dim may be governed by at most one hierarchy/joint rule")
+  require(!ruled.exists(mandatory), "mandatory dims can't also be ruled")
+
+  /** the cuboids this group materializes */
+  def expand: Seq[Set[String]] = {
+    val free = includes.filterNot(d => mandatory(d) || ruled.contains(d))
+    val unitChoices: Seq[Seq[Set[String]]] =
+      hierarchies.map(h => (0 to h.size).map(i => h.take(i).toSet)) ++
+        joints.map(j => Seq(Set.empty[String], j)) ++
+        free.map(d => Seq(Set.empty[String], Set(d)))
+    unitChoices.foldLeft(Seq(mandatory)) { (acc, choices) =>
+      for { a <- acc; c <- choices } yield a ++ c
+    }.distinct
+  }
+}
+
+object AggGroup {
+  /** the materialized set for a cube: group expansions ∪ the base
+    * cuboid (always required — it rebuilds everything else) */
+  def cuboids(dims: Seq[String], groups: Seq[AggGroup]): Seq[Set[String]] =
+    (groups.flatMap(_.expand).filter(_.nonEmpty) :+ dims.toSet).distinct
+}
+
 /** Cube definition: star-model dims + measures + materialized cuboid
   * lattice subset (reference: core-metadata cube desc + agg groups).
   *

@@ -86,9 +86,7 @@ object EventQueries extends QueryGroup {
     //     the oracle recomputes exactly the closed-window set
     Q("ev_streaming_cube",
       (s, d) => {
-        val sfName = d.replaceAll("/+$", "").split('/').last
-        val path = EventStream.buildStreamingCube(s, d,
-          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-stream-$sfName")
+        val path = EventStream.ensureStreamingCube(s, d)
         s.read.parquet(path).orderBy("w_start", "event_type")
       },
       Some("""SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start,
@@ -158,9 +156,10 @@ object EventQueries extends QueryGroup {
           Seq("n_events" -> "n_events", "value_sum" -> "sum_value"),
           timeRange = Some(("2024-01-01", "2024-01-10"))))(
           sys.error("expected events-cube routing")).df
-        val sfName = d.replaceAll("/+$", "").split('/').last
-        val streamPath = EventStream.buildStreamingCube(s, d,
-          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-hybrid-$sfName")
+        // the ONE memoized streaming cuboid (shared with
+        // ev_streaming_cube — the lambda architecture has a single
+        // speed layer, not one per query)
+        val streamPath = EventStream.ensureStreamingCube(s, d)
         // every 6h window in [01-10, 01-20) is watermark-closed (data
         // runs to 01-30), so the tail read is deterministic
         val tail = s.read.parquet(streamPath)

@@ -87,6 +87,24 @@ object EventStream {
                          out: String): String =
     buildStreamingCube(spark, FileEventSource(sfDir, s"$out/src"), out)
 
+  private val streamingCubes =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val streamLock = new Object
+
+  /** ONE streaming cuboid per sf dir per JVM (memoized like
+    * CubeManager's batch cubes): every AvailableNow run pays ~2 s of
+    * fixed state-store setup, so consumers that share the same source
+    * — the pure streaming key and the lambda/hybrid query — must share
+    * one build instead of each paying it (VERDICT r5). */
+  def ensureStreamingCube(spark: SparkSession, sfDir: String): String =
+    streamingCubes.getOrElse(sfDir, streamLock.synchronized {
+      streamingCubes.getOrElseUpdate(sfDir, {
+        val sfName = sfDir.replaceAll("/+$", "").split('/').last
+        buildStreamingCube(spark, sfDir,
+          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-stream-$sfName")
+      })
+    })
+
   // ── stateful sessionization (custom state beyond windowed aggs) ──
 
   final case class Ev(user_id: Long, ts: Timestamp)

@@ -115,6 +115,61 @@ class CubeSpec extends AnyFunSuite {
     }
   }
 
+  test("agg-group expansion matches the hand-computed pruned lattice") {
+    // reference AggregationGroup.java:47-75 semantics: mandatory in
+    // every cuboid, hierarchy prefixes only, joints all-or-none
+    val g = AggGroup(
+      includes = Seq("r_name", "n_name", "o_orderstatus", "l_returnflag"),
+      mandatory = Set("o_orderstatus"),
+      hierarchies = Seq(Seq("r_name", "n_name")))
+    val want = Set(
+      Set("o_orderstatus"),
+      Set("o_orderstatus", "l_returnflag"),
+      Set("o_orderstatus", "r_name"),
+      Set("o_orderstatus", "r_name", "l_returnflag"),
+      Set("o_orderstatus", "r_name", "n_name"),
+      Set("o_orderstatus", "r_name", "n_name", "l_returnflag"))
+    assert(g.expand.toSet == want)
+    // the hierarchy-violating cuboid (nation without region) is pruned
+    assert(!g.expand.exists(c => c("n_name") && !c("r_name")))
+    // joints are all-or-none
+    val gj = AggGroup(Seq("a", "b", "c"), joints = Seq(Set("a", "b")))
+    assert(gj.expand.toSet == Set(Set.empty[String], Set("c"),
+      Set("a", "b"), Set("a", "b", "c")))
+    // a dim can't be governed by two rules
+    intercept[IllegalArgumentException] {
+      AggGroup(Seq("a", "b"), hierarchies = Seq(Seq("a", "b")),
+        joints = Seq(Set("b")))
+    }
+  }
+
+  test("a cube built on an agg-group lattice routes pruned shapes by re-agg") {
+    val root = java.nio.file.Files.createTempDirectory("graft-agggroup").toString
+    val dims = Seq("r_name", "n_name", "o_orderstatus", "l_returnflag")
+    val groups = Seq(AggGroup(dims,
+      mandatory = Set("o_orderstatus"),
+      hierarchies = Seq(Seq("r_name", "n_name"))))
+    val cube0 = CubeManager.defaultCube
+    val cube = cube0.copy(name = "agggroup", dims = dims,
+      cuboids = AggGroup.cuboids(dims, groups),
+      measures = cube0.measures.filter(m => Set("revenue", "nrows")(m.name)),
+      shardBy = None, derived = Nil, extended = Nil)
+    val built = CubeBuilder.build(spark,
+      CubeManager.flatTable(spark, sf), cube, root)
+    // n_name alone was PRUNED (hierarchy): the query routes through the
+    // (o_orderstatus, r_name, n_name) prefix cuboid and re-aggregates
+    val r = QueryRouter.route(spark, built, CubeQuery(
+      Seq("n_name"), Seq("nrows" -> "n")))(fail("expected cuboid route"))
+    assert(!r.fallback)
+    assert(r.cuboid.exists(c => c("r_name") && c("n_name") && c != dims.toSet),
+      s"expected the hierarchy prefix cuboid, got ${r.cuboid}")
+    val got = r.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val want = CubeManager.flatTable(spark, sf)
+      .groupBy("n_name").agg(count(lit(1)).as("n"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got == want && want.nonEmpty)
+  }
+
   test("bitmap count-distinct stays exact across two re-aggregation layers") {
     // route the coarsest o_month query (served by the o_month cuboid,
     // itself built from a parent) and compare with the source
