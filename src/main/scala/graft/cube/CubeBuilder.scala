@@ -208,18 +208,26 @@ object CubeBuilder {
   }
 
   /** One cuboid write. Cuboids containing the cube's shard-by dim are
-    * written partitionBy(shardDim) — Hive-style dirs per value — so
-    * queries filtering on it read only matching directories (the
-    * parquet-v2 answer to FilePruner.pruneShards; Catalyst's partition
-    * pruning does the rest). Returns the observed row count. */
+    * REPARTITIONED ON the shard dim and written partitionBy(shardDim)
+    * — Hive-style dirs per value, with each shard's rows owned by the
+    * task(s) hashing to it, so dir count × task count can't explode
+    * into tiny files at cluster parallelism and queries filtering on
+    * the shard read only matching directories (the parquet-v2 answer
+    * to FilePruner.pruneShards; Catalyst's partition pruning does the
+    * rest). Unsharded cuboids coalesce to a bounded file count.
+    * `graft.build.filesPerCuboid` sizes both paths (default 4 suits
+    * local/test; a cluster sets it so cuboid_bytes / files ≈ an HDFS
+    * block). Returns the observed row count. */
   private def writeCuboid(cube: CubeDef, dims: Set[String], df: DataFrame,
                           path: String, obs: Observation): Long = {
-    // Local build writes few files; a cluster deployment would also
-    // repartition by the shard dim for file-size balance.
-    val w = df.coalesce(4).write.mode("overwrite")
+    val files = df.sparkSession.conf
+      .getOption("graft.build.filesPerCuboid").map(_.toInt).getOrElse(4)
     cube.shardBy.filter(dims.contains) match {
-      case Some(shard) => w.partitionBy(shard).parquet(path)
-      case None => w.parquet(path)
+      case Some(shard) =>
+        df.repartition(files, org.apache.spark.sql.functions.col(shard))
+          .write.mode("overwrite").partitionBy(shard).parquet(path)
+      case None =>
+        df.coalesce(files).write.mode("overwrite").parquet(path)
     }
     obs.get("n").asInstanceOf[Long]
   }

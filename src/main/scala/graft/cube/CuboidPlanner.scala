@@ -20,16 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object CuboidPlanner {
 
-  /** estimated row count per candidate cuboid, one pass over `flat`
-    * (candidates must be non-empty dim sets) */
+  /** Estimated row count per candidate cuboid, over `flat` (candidates
+    * must be non-empty dim sets). Candidates are CHUNKED so one
+    * aggregation row never carries hundreds of HLL buffers (each is a
+    * KB-scale sketch; an unbounded row would bloat the agg buffer and
+    * the driver result) — tens of counters per pass keeps each pass a
+    * plain one-row hash aggregate. */
+  val EstimateChunk = 32
+
   def estimateRows(flat: DataFrame,
                    candidates: Seq[Set[String]]): Map[Set[String], Long] = {
-    val cands = candidates.distinct
-    val aggs = cands.zipWithIndex.map { case (c, i) =>
-      approx_count_distinct(struct(c.toSeq.sorted.map(col): _*)).as(s"c$i")
-    }
-    val row = flat.agg(aggs.head, aggs.tail: _*).head()
-    cands.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+    candidates.distinct.grouped(EstimateChunk).flatMap { chunk =>
+      val aggs = chunk.zipWithIndex.map { case (c, i) =>
+        approx_count_distinct(struct(c.toSeq.sorted.map(col): _*)).as(s"c$i")
+      }
+      val row = flat.agg(aggs.head, aggs.tail: _*).head()
+      chunk.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }
+    }.toMap
   }
 
   /** Greedy selection: start from the base cuboid (mandatory — it
