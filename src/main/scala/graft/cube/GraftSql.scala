@@ -358,7 +358,11 @@ object GraftSql {
           case Filter(cond, c) if viewOf(c).isDefined =>
             val b = viewOf(c).get
             val cube = b.instance(spark, sfDir).cube
-            if (routablePred(cond, cube.dims.contains)) {
+            // dims AND derived dims are filterable — the router
+            // translates lookup-attribute predicates through the
+            // snapshot onto host dims (DerivedFilterTranslator parity)
+            if (routablePred(cond, n =>
+                cube.dims.contains(n) || cube.derivedDim(n).isDefined)) {
               // strip view qualifiers so the predicate resolves against
               // the cuboid frame on the expr() round-trip
               val bare = cond.transform {

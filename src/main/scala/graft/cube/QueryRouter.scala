@@ -102,11 +102,22 @@ object QueryRouter {
         case _ => return Routed(fallback, None, Nil, fallback = true)
       }
 
+    // ── derived dims in the FILTER route the same way (reference:
+    // cube/kv/RowKeyDecoder + DerivedFilterTranslator — Kylin answers
+    // lookup-attribute predicates through the snapshot on the host):
+    // the cuboid only needs the HOSTS; the lookup attaches before the
+    // predicate applies. Unknown filter names → clean fallback.
+    if (!q.filterDims.forall(n =>
+        cube.dims.contains(n) || cube.derivedDim(n).isDefined))
+      return Routed(fallback, None, Nil, fallback = true)
+    val filterDerived = q.filterDims.toSeq.flatMap(cube.derivedDim).distinct
+
     // ── cuboid choice: must cover groupBy (derived dims replaced by
     // their hosts, extended columns dropped — their hosts are already
-    // grouped) ∪ filter dims ∪ residual dim
+    // grouped) ∪ filter dims (derived → hosts) ∪ residual dim
     val needed = realGroup.filter(cube.dims.contains).toSet ++
-      derivedUsed.map(_.host) ++ q.filterDims ++ residual.map(_._1)
+      derivedUsed.map(_.host) ++ q.filterDims.filter(cube.dims.contains) ++
+      filterDerived.map(_.host) ++ residual.map(_._1)
     val candidates = cube.cuboids.filter(needed.subsetOf(_))
     if (candidates.isEmpty)
       return Routed(fallback, None, Nil, fallback = true)
@@ -130,17 +141,19 @@ object QueryRouter {
       else spark.read.parquet(paths: _*)
     if (emptyScan) df = df.filter(lit(false))
     residual.foreach { case (_, pred) => df = df.filter(pred) }
-    q.filter.foreach(f => df = df.filter(f))
 
-    // ── attach derived dims: broadcast-join the lookup snapshot on the
-    // host dim (snapshots are written under the cube root at build
-    // time; host is the lookup's key, so the join is 1:1)
-    derivedUsed.foreach { dd =>
+    // ── attach derived dims (grouped AND filtered ones): broadcast-
+    // join the lookup snapshot on the host dim (snapshots are written
+    // under the cube root at build time; host is the lookup's key, so
+    // the join is 1:1). The query filter applies AFTER the attach so
+    // lookup-attribute predicates resolve.
+    (derivedUsed ++ filterDerived).distinct.foreach { dd =>
       val snap = spark.read
         .parquet(Snapshot.path(inst.root, dd.lookup))
         .select(col(dd.host), col(dd.name))
       df = df.join(broadcast(snap), Seq(dd.host), "left")
     }
+    q.filter.foreach(f => df = df.filter(f))
 
     // ── re-aggregate mergeable states (incl. extended-column value
     // measures), then present: group cols in the REQUESTED order, with

@@ -386,6 +386,35 @@ object CubeQueries extends QueryGroup {
              |JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin)),
 
+    // 35e4 ────────────── derived-dim FILTER: a lookup-attribute
+    //     predicate (n_nationkey < 5) routes through the snapshot onto
+    //     the host dim — the cuboid carries only n_name; the filter
+    //     applies after the snapshot attach (Kylin's
+    //     DerivedFilterTranslator answers lookup filters from the cube)
+    Q("cube_sql_derived_filter",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT o_orderstatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+            |FROM lineitem
+            |JOIN orders ON l_orderkey = o_orderkey
+            |JOIN customer ON o_custkey = c_custkey
+            |JOIN nation ON c_nationkey = n_nationkey
+            |WHERE n_nationkey < 5
+            |GROUP BY o_orderstatus""".stripMargin)
+        assert(r.routed && r.via == "cuboid",
+          s"expected the derived filter to route, got ${r.via}")
+        r.df.orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE n_nationkey < 5
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // 35e3 ────────────── LEFT-declared model edge: the part lookup is
     //     declared LEFT (JoinDesc.java:35-40), the flat table is built
     //     with that type, and a user-written LEFT JOIN part query

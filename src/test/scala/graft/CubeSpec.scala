@@ -115,6 +115,34 @@ class CubeSpec extends AnyFunSuite {
     }
   }
 
+  test("derived-dim filter routes via snapshot and matches the source") {
+    // DerivedFilterTranslator parity: the predicate names a lookup
+    // attribute no cuboid materializes; routing attaches the snapshot
+    // on the host and filters there
+    val r = QueryRouter.route(spark, inst, CubeQuery(
+      Seq("o_orderstatus"), Seq("nrows" -> "n"),
+      filter = Some(col("n_nationkey") < 5),
+      filterDims = Set("n_nationkey")))(fail("expected cuboid route"))
+    assert(!r.fallback)
+    assert(r.cuboid.exists(c => c("n_name") && !c("n_nationkey")),
+      s"cuboid must cover the HOST dim, got ${r.cuboid}")
+    val got = r.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val want = CubeManager.flatTable(spark, sf)
+      .join(graft.Tables.nation(spark, sf).select("n_name", "n_nationkey"),
+        Seq("n_name"))
+      .filter(col("n_nationkey") < 5)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got == want && want.nonEmpty)
+    // unknown filter names still fall back cleanly
+    var fell = false
+    QueryRouter.route(spark, inst, CubeQuery(
+      Seq("o_orderstatus"), Seq("nrows" -> "n"),
+      filter = Some(col("o_orderstatus") === "F"),
+      filterDims = Set("not_a_dim"))) { fell = true; spark.emptyDataFrame }
+    assert(fell)
+  }
+
   test("agg-group expansion matches the hand-computed pruned lattice") {
     // reference AggregationGroup.java:47-75 semantics: mandatory in
     // every cuboid, hierarchy prefixes only, joints all-or-none
