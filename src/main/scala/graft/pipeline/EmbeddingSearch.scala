@@ -208,6 +208,58 @@ object EmbeddingSearch {
     rankTopK(scored, k)
   }
 
+  // ── IVF (inverted-file) ANN — the second scale path ──────────────
+
+  val IvfCells = 16
+  val IvfProbes = 4
+
+  /** Deterministic coarse quantizer: the centroids are the quantized
+    * vectors of the `IvfCells` lowest vec_ids — a deterministic sample
+    * standing in for a trained k-means codebook. The IVF STRUCTURE is
+    * what matters at scale (one linear assignment pass against a
+    * broadcast codebook, cell-keyed candidate join, nprobe recall
+    * knob); training only shifts which cell a vector lands in, and a
+    * sampled codebook keeps every stage replayable bit-for-bit in the
+    * SQL oracle (FAISS IVF-Flat's layout, deterministic flavor). */
+  private def cellRanks(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    vecs.as("v").join(broadcast(cents).as("c"))
+      .select(col("v.vec_id"), col("c.vec_id").as("c_id"),
+        cosine(idot(col("v.q"), col("c.q")),
+          col("v.n2"), col("c.n2")).as("cc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cc").desc, col("c_id"))))
+  }
+
+  /** IVF top-k: assign every corpus vector to its nearest centroid's
+    * cell (argmax cosine, ties to the lower centroid id — one linear
+    * pass, codebook broadcast); each query probes its `IvfProbes`
+    * nearest cells; candidates are the vectors in probed cells
+    * (cell-keyed equi-join — the all-pairs scan never happens); exact
+    * cosine on candidates only, then top-k. Recall tunes via cells ×
+    * probes exactly like a production IVF index. */
+  def ivfTopK(embs: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val q = quantized(embs)
+    val cents = q.filter(col("vec_id") < IvfCells)
+    val asn = cellRanks(q, cents).filter(col("rn") === 1)
+      .select(col("vec_id").as("n_id"), col("c_id").as("cell"))
+    val probes = cellRanks(q.filter(col("vec_id") < numQueries), cents)
+      .filter(col("rn") <= IvfProbes)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    // ids only ride the candidate join; wide vectors re-attach after
+    val cand = probes.join(asn, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id").distinct()
+    val scored = cand
+      .join(q.select(col("vec_id").as("q_id"),
+        col("q").as("qa"), col("n2").as("na")), "q_id")
+      .join(q.select(col("vec_id").as("n_id"),
+        col("q").as("qb"), col("n2").as("nb")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        cosine(idot(col("qa"), col("qb")), col("na"), col("nb")).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** rank by (cosine desc, n_id) — cosine is bit-identical on both
     * engines, so ranks (ties included) replay exactly in SQL */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {

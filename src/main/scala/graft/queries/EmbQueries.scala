@@ -101,6 +101,39 @@ object EmbQueries extends QueryGroup {
              |  FROM scored)
              |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
 
+    // 47c ─────────────── IVF top-5: deterministic coarse quantizer
+    //     (16 sampled centroids), one linear assignment pass against
+    //     the broadcast codebook, queries probe their 4 nearest cells,
+    //     exact cosine on cell candidates only (FAISS IVF-Flat layout;
+    //     the second scale path next to LSH)
+    Q("emb_topk_ivf",
+      (s, d) => EmbeddingSearch.ivfTopK(embeddings(s, d), 8, 5)
+        .orderBy("q_id", "rank"),
+      Some(s"""$qvCte,
+             |cents AS (SELECT vec_id AS c_id, q, n2 FROM n WHERE vec_id < 16),
+             |cellrank AS (
+             |  SELECT v.vec_id, c.c_id,
+             |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             |      ROUND(CAST(list_sum([v.q[i] * c.q[i] for i in range(1, 65)]) AS DOUBLE)
+             |        / sqrt(CAST(v.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)), 6) DESC,
+             |      c.c_id) AS rn
+             |  FROM n v, cents c),
+             |asn AS (
+             |  SELECT vec_id AS n_id, c_id AS cell FROM cellrank WHERE rn = 1),
+             |probes AS (
+             |  SELECT vec_id AS q_id, c_id AS cell FROM cellrank
+             |  WHERE rn <= 4 AND vec_id < 8),
+             |cand AS (
+             |  SELECT DISTINCT p.q_id, a.n_id
+             |  FROM probes p JOIN asn a ON a.cell = p.cell
+             |  WHERE a.n_id != p.q_id),
+             |scored AS (
+             |  SELECT cand.q_id, cand.n_id, $cosAB AS cosine
+             |  FROM cand
+             |  JOIN n a ON a.vec_id = cand.q_id
+             |  JOIN n b ON b.vec_id = cand.n_id)
+             |$rankSelect""".stripMargin)),
+
     // 47 ──────────────── random-hyperplane LSH top-5: candidates from
     //     4 tables × 8-bit sign buckets (equi-join per table), exact
     //     cosine on candidates only

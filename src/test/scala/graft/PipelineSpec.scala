@@ -75,6 +75,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped == uncapped && uncapped.nonEmpty)
   }
 
+  test("IVF top-k cosines are bounded by brute-force top-k rank-for-rank") {
+    val bf = EmbeddingSearch.bruteForceTopK(embs, 8, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val ivf = EmbeddingSearch.ivfTopK(embs, 8, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, rank, cos) =>
+      val bfCos = bf((q, rank))
+      assert(cos <= bfCos + 1e-9,
+        s"IVF rank-$rank cosine $cos for query $q beats brute force $bfCos")
+    }
+  }
+
   test("blocked all-pairs cosine is block-count invariant (exact join)") {
     val one = EmbeddingSearch.cosineDupPairs(embs, 0.4, blocks = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
