@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.aggregate.ScalaAggregator
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit, max, posexplode, split}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, countDistinct, expr, lit, max, min, posexplode, split}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
 
 import graft.functions.Measures
@@ -82,6 +82,14 @@ object GraftSql {
   private[graft] final case class MQuantile(m: String, p: Double) extends MOut {
     def measures: Seq[String] = Seq(m)
   }
+  /** MIN/MAX/COUNT DISTINCT over a DIMENSION column with no declared
+    * measure: dims are exact in every cuboid, so the query routes by
+    * adding the dim to the cuboid group-by and post-aggregating
+    * (Kylin's dimension-as-measure answering — query/.../
+    * FunctionDesc.java DIMENSION_AS_MEASURE). `op` ∈ min/max/cd. */
+  private[graft] final case class MDimAgg(dim: String, op: String) extends MOut {
+    def measures: Seq[String] = Nil
+  }
 
   /** literal string array in an analyzed plan (array('a','b') stays a
     * CreateArray of literals pre-optimization). A NULL element anywhere
@@ -109,12 +117,24 @@ object GraftSql {
         cube.measureAnswering(SqlAgg.SumOf(a.name)).map(m => MCol(m.name))
       case AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _) =>
         cube.measureAnswering(SqlAgg.CountAll).map(m => MCol(m.name))
+      // declared measures win; a DIMENSION column answers min/max/
+      // count-distinct by itself (dims are exact in every cuboid —
+      // Kylin's dimension-as-measure)
       case AggregateExpression(Count(Seq(a: AttributeReference)), _, true, None, _) =>
-        cube.measureAnswering(SqlAgg.CountDistinctOf(a.name)).map(m => MCol(m.name))
+        cube.measureAnswering(SqlAgg.CountDistinctOf(a.name))
+          .map(m => MCol(m.name): MOut)
+          .orElse(if (cube.dims.contains(a.name))
+            Some(MDimAgg(a.name, "cd")) else None)
       case AggregateExpression(Min(a: AttributeReference), _, false, None, _) =>
-        cube.measureAnswering(SqlAgg.MinOf(a.name)).map(m => MCol(m.name))
+        cube.measureAnswering(SqlAgg.MinOf(a.name))
+          .map(m => MCol(m.name): MOut)
+          .orElse(if (cube.dims.contains(a.name))
+            Some(MDimAgg(a.name, "min")) else None)
       case AggregateExpression(Max(a: AttributeReference), _, false, None, _) =>
-        cube.measureAnswering(SqlAgg.MaxOf(a.name)).map(m => MCol(m.name))
+        cube.measureAnswering(SqlAgg.MaxOf(a.name))
+          .map(m => MCol(m.name): MOut)
+          .orElse(if (cube.dims.contains(a.name))
+            Some(MDimAgg(a.name, "max")) else None)
       // avg = exact sum state / count state, assembled from two routed
       // measures — the same rewrite Kylin applies to AVG. Spark's AVG
       // divides by COUNT(x) (non-null rows), our rewrite by COUNT(*):
@@ -404,6 +424,12 @@ object GraftSql {
           return routeIntersect(spark, df, inst, groupNames, outs, outNames,
             filterSql, filterDims, p)
 
+        // ── dimension-as-measure: add the dim to the routed group-by
+        // and post-aggregate (dims are exact in every cuboid)
+        if (outs.exists(_._1.isInstanceOf[MDimAgg]))
+          return routeDimAgg(spark, df, inst, groupNames, aggs,
+            filterSql, filterDims, p)
+
         // ── TopN-measure rewrite: a global `GROUP BY <sketch dims>
         // ORDER BY <the sketch's sum> DESC LIMIT n` is the pre-computed
         // sketch, merged across any cuboid — no dim-level scan at all
@@ -593,6 +619,78 @@ object GraftSql {
       p.limit.foreach(l => out = out.limit(l))
       out
     }
+  }
+
+  /** Dimension-as-measure routing (Kylin answers MIN/MAX/COUNT
+    * DISTINCT over dimension columns with no declared measure —
+    * dimensions are exact in every cuboid): route the measure STATES
+    * grouped by (query dims ∪ the aggregated dims), then one
+    * post-aggregation back to the query grain — dim columns aggregate
+    * directly, measure states re-merge through their own fromState
+    * (the same arbitrary-re-agg contract the layered build relies on).
+    * The post-agg runs at cuboid-cell scale, never on raw rows. */
+  private def routeDimAgg(spark: SparkSession, df: DataFrame,
+      inst: CubeInstance, groupNames: Seq[String],
+      aggs: Seq[NamedExpression],
+      filterSql: Option[String], filterDims: Set[String],
+      p: Peeled): SqlResult = {
+    val cube = inst.cube
+    def fallback = SqlResult(df, routed = false, "fallback")
+    if (p.winCols.nonEmpty) return fallback
+    val outs = aggs.collect {
+      case Alias(ae: AggregateExpression, name) => (measureOf(cube, ae), name)
+    }
+    val specs = outs.collect { case (Some(m), name) => (m, name) }
+    val supported = specs.forall {
+      case (_: MCol | _: MAvg | _: MDimAgg, _) => true
+      case _ => false
+    }
+    if (specs.size != outs.size || !supported) return fallback
+    val dimAggs = specs.collect { case (d: MDimAgg, _) => d }.distinct
+    val extra = dimAggs.map(_.dim).distinct.filterNot(groupNames.contains)
+    // group names must be plain dims here: derived/extended handling
+    // happens inside the router per-query, and a second aggregation
+    // above it would need their semantics re-applied
+    if (!(groupNames ++ extra).forall(cube.dims.contains)) return fallback
+    val needed = specs.flatMap(_._1.measures).distinct
+    val q = CubeQuery(groupNames ++ extra,
+      needed.map(m => m -> s"__m_$m"),
+      filter = filterSql.map(expr), filterDims = filterDims)
+    val routed = QueryRouter.routeStates(spark, inst, q)(df)
+    if (routed.fallback) return fallback
+    val aggExprs =
+      needed.map(m => cube.measure(m).fromState(s"__m_$m").as(s"__m_$m")) ++
+        dimAggs.map { da =>
+          (da.op match {
+            case "min" => min(col(da.dim))
+            case "max" => max(col(da.dim))
+            case "cd" => countDistinct(col(da.dim))
+          }).as(s"__d_${da.op}_${da.dim}")
+        }
+    val merged =
+      if (groupNames.isEmpty) routed.df.agg(aggExprs.head, aggExprs.tail: _*)
+      else routed.df.groupBy(groupNames.map(col): _*)
+        .agg(aggExprs.head, aggExprs.tail: _*)
+    def presented(m: String): Column =
+      cube.measure(m).present(col(s"__m_$m"))
+    scala.util.Try {
+      val outCols = aggs.map {
+        case a: AttributeReference => col(a.name)
+        case Alias(ae: AggregateExpression, name) =>
+          measureOf(cube, ae).get match {
+            case MCol(m) => presented(m).as(name)
+            case MAvg(sm, cm) => (presented(sm) / presented(cm)).as(name)
+            case MDimAgg(dim, op) => col(s"__d_${op}_$dim").as(name)
+            case _ => sys.error("unsupported mix")
+          }
+      }
+      var out = merged.select(outCols: _*)
+      p.havingSql.foreach(h => out = out.filter(expr(h)))
+      if (p.sortCols.nonEmpty) out = out.orderBy(p.sortCols: _*)
+      p.limit.foreach(n => out = out.limit(n))
+      out.queryExecution.analyzed
+      SqlResult(out, routed = true, "cuboid-dimagg")
+    }.getOrElse(fallback)
   }
 
   /** the intersect_count rewrite: route bitmap states grouped by

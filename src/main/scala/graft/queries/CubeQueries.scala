@@ -483,6 +483,32 @@ object CubeQueries extends QueryGroup {
              |ORDER BY revenue DESC, p_brand
              |LIMIT 5""".stripMargin)),
 
+    // 35b9 ────────────── dimension-as-measure: MIN/MAX/COUNT DISTINCT
+    //     over DIMENSION columns with no declared measure — the dim
+    //     joins the routed group-by and one cuboid-cell-scale post-agg
+    //     answers (Kylin's dimension-as-measure; dims are exact in
+    //     every cuboid)
+    Q("cube_sql_dim_agg",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT l_returnflag, max(o_month) AS max_month,
+            |  min(o_month) AS min_month,
+            |  count(distinct p_brand) AS n_brands, count(*) AS n_rows
+            |FROM graft_star GROUP BY l_returnflag""".stripMargin)
+        assert(r.routed && r.via == "cuboid-dimagg",
+          s"expected dimension-as-measure routing, got ${r.via}")
+        r.df.orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  MAX(strftime(o_orderdate, '%Y-%m')) AS max_month,
+             |  MIN(strftime(o_orderdate, '%Y-%m')) AS min_month,
+             |  COUNT(DISTINCT p_brand) AS n_brands,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |LEFT JOIN part ON l_partkey = p_partkey
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // 35b8 ────────────── GROUPED TopN rewrite: per-returnflag brand
     //     top-5 written as the standard rank-filter SQL idiom is
     //     answered from the SpaceSaving sketch states grouped by
