@@ -370,6 +370,16 @@ object GraftSql {
         val groups = p.agg.groupingExpressions
         val aggs = p.agg.aggregateExpressions
         val child = p.agg.child
+
+        // ── GROUPING SETS / ROLLUP / CUBE appear as Aggregate over
+        // Expand: route the full-dims cells once, then answer every
+        // grouping set by one cuboid-cell-scale re-aggregation
+        child match {
+          case e: Expand =>
+            return routeGroupingSets(spark, sfDir, df, p, groups, aggs,
+              e, viewOf)
+          case _ => ()
+        }
         // child must be a registered cube view or model join, optionally
         // through a deterministic materialized-dim-only filter
         val (binding, filterSql, filterDims) = child match {
@@ -619,6 +629,141 @@ object GraftSql {
       p.limit.foreach(l => out = out.limit(l))
       out
     }
+  }
+
+  /** GROUPING SETS / ROLLUP / CUBE routing (Kylin's Calcite surface
+    * answers these from the cube; Spark analyzes them as an Aggregate
+    * whose child is an Expand replicating each row per set with nulled
+    * grouping columns + a spark_grouping_id). Rather than replaying
+    * the Expand on raw rows, route the measure STATES grouped by ALL
+    * grouping dims once, then answer each set with one re-aggregation
+    * of those cuboid-scale cells and union in set order — the
+    * reference's pre-aggregation wins apply to every set at once.
+    * grouping()/grouping_id() outputs are reconstructed per set by
+    * substituting the set's literal id into the output expression. */
+  private def routeGroupingSets(spark: SparkSession, sfDir: String,
+      df: DataFrame, p: Peeled, groups: Seq[Expression],
+      aggs: Seq[NamedExpression], expand: Expand,
+      viewOf: LogicalPlan => Option[Binding]): SqlResult = {
+    def fb = SqlResult(df, routed = false, "fallback")
+    if (p.winCols.nonEmpty) return fb
+    val base = expand.child match {
+      case Project(_, b) => b
+      case _ => return fb
+    }
+    val binding = viewOf(base) match {
+      case Some(b) => b
+      case None => return fb
+    }
+    val inst = binding.instance(spark, sfDir)
+    val cube = inst.cube
+
+    // Expand output = source columns ++ grouping-attr copies ++ gid;
+    // the Aggregate groups by exactly (grouping attrs, gid), which
+    // fixes k — the source prefix width follows
+    val out = expand.output
+    val gidAttr = out.last
+    if (gidAttr.name != "spark_grouping_id") return fb
+    val k = groups.size - 1
+    if (k <= 0) return fb
+    val baseN = out.size - k - 1
+    if (baseN <= 0) return fb
+    val gdimAttrs = out.slice(baseN, baseN + k)
+    val groupIds = groups.collect { case a: AttributeReference => a.exprId }
+    if (groupIds.size != groups.size ||
+        groupIds.toSet != (gdimAttrs :+ gidAttr).map(_.exprId).toSet)
+      return fb
+
+    // original dim name per grouping attr, through the Project aliases
+    // the projections reference (Alias(origAttr, name))
+    val aliasById = expand.child.asInstanceOf[Project].projectList.collect {
+      case al @ Alias(orig: AttributeReference, _) => al.exprId -> orig.name
+    }.toMap
+    val dims: Seq[String] = (0 until k).flatMap { i =>
+      expand.projections.iterator.map(_(baseN + i)).collectFirst {
+        case a: AttributeReference if aliasById.contains(a.exprId) =>
+          aliasById(a.exprId)
+      }
+    }
+    if (dims.size != k) return fb
+    val dimByExprId = gdimAttrs.map(_.exprId).zip(dims).toMap
+    if (!dims.forall(n => cube.dims.contains(n) || cube.derivedDim(n).isDefined))
+      return fb
+
+    // grouping sets from the projections: which dims stay, plus gid
+    val sets: Seq[(Set[String], Long)] = expand.projections.map { pr =>
+      val grouped = (0 until k).flatMap { i =>
+        pr(baseN + i) match {
+          case _: AttributeReference => Some(dims(i))
+          case Literal(null, _) => None
+          case _ => return fb
+        }
+      }.toSet
+      pr.last match {
+        case Literal(g: Long, _) => (grouped, g)
+        case Literal(g: Int, _) => (grouped, g.toLong)
+        case _ => return fb
+      }
+    }
+
+    val needed = aggs.collect { case Alias(ae: AggregateExpression, _) =>
+      measureOf(cube, ae) match {
+        case Some(m: MCol) => m.measures
+        case Some(m: MAvg) => m.measures
+        case _ => return fb
+      }
+    }.flatten.distinct
+    if (needed.isEmpty) return fb
+
+    val routed = QueryRouter.routeStates(spark, inst,
+      CubeQuery(dims, needed.map(m => m -> s"__m_$m")))(df)
+    if (routed.fallback) return fb
+    val cells = routed.df
+    def presented(m: String): Column =
+      cube.measure(m).present(col(s"__m_$m"))
+
+    scala.util.Try {
+      val frames = sets.map { case (set, gid) =>
+        val aggExprs = needed.map(m =>
+          cube.measure(m).fromState(s"__m_$m").as(s"__m_$m"))
+        // dummy grouping key: the empty set must yield ZERO rows on an
+        // empty cell frame (Expand semantics), which a bare agg() won't
+        val grouped = cells
+          .groupBy(lit(1).as("__g") +: set.toSeq.map(col): _*)
+          .agg(aggExprs.head, aggExprs.tail: _*)
+        val outCols = aggs.map {
+          case a: AttributeReference if dimByExprId.contains(a.exprId) =>
+            val dim = dimByExprId(a.exprId)
+            (if (set(dim)) col(dim)
+             else lit(null).cast(cells.schema(dim).dataType)).as(a.name)
+          case Alias(ae: AggregateExpression, name) =>
+            measureOf(cube, ae).get match {
+              case MCol(m) => presented(m).as(name)
+              case MAvg(sm, cm) => (presented(sm) / presented(cm)).as(name)
+              case _ => sys.error("unsupported grouping-set output")
+            }
+          // grouping()/grouping_id(): a pure function of the gid —
+          // substitute this set's literal id and fold
+          case Alias(e, name)
+              if e.deterministic && e.references.nonEmpty &&
+                e.references.forall(_.exprId == gidAttr.exprId) =>
+            val folded = e.transform {
+              case a: AttributeReference if a.exprId == gidAttr.exprId =>
+                Literal(gid, org.apache.spark.sql.types.LongType)
+            }.eval(null)
+            org.apache.spark.sql.graftbridge.ColumnBridge
+              .column(Literal.create(folded, e.dataType)).as(name)
+          case _ => sys.error("unsupported grouping-set output")
+        }
+        grouped.select(outCols: _*)
+      }
+      var result = frames.reduce(_ union _)
+      p.havingSql.foreach(h => result = result.filter(expr(h)))
+      if (p.sortCols.nonEmpty) result = result.orderBy(p.sortCols: _*)
+      p.limit.foreach(n => result = result.limit(n))
+      result.queryExecution.analyzed
+      SqlResult(result, routed = true, "cuboid-gsets")
+    }.getOrElse(fb)
   }
 
   /** Dimension-as-measure routing (Kylin answers MIN/MAX/COUNT

@@ -483,6 +483,54 @@ object CubeQueries extends QueryGroup {
              |ORDER BY revenue DESC, p_brand
              |LIMIT 5""".stripMargin)),
 
+    // 35b10 ───────────── ROLLUP over the cube: Aggregate-over-Expand
+    //     routed once as full-dims cells, every grouping set answered
+    //     by one cuboid-cell-scale re-agg (Kylin's Calcite surface
+    //     answers rollups from the cube the same way)
+    Q("cube_sql_rollup",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT o_orderstatus, l_returnflag, sum(l_quantity) AS sum_qty,
+            |  count(*) AS n_rows
+            |FROM graft_star
+            |GROUP BY ROLLUP(o_orderstatus, l_returnflag)
+            |ORDER BY o_orderstatus ASC NULLS FIRST, l_returnflag ASC NULLS FIRST""".stripMargin)
+        assert(r.routed && r.via == "cuboid-gsets",
+          s"expected grouping-sets routing, got ${r.via}")
+        r.df
+      },
+      Some("""SELECT o_orderstatus, l_returnflag,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY ROLLUP(o_orderstatus, l_returnflag)
+             |ORDER BY o_orderstatus ASC NULLS FIRST, l_returnflag ASC NULLS FIRST""".stripMargin)),
+
+    // 35b11 ───────────── GROUPING SETS + grouping() over the cube:
+    //     the grouping-indicator outputs are reconstructed per set
+    //     from the set's grouping id
+    Q("cube_sql_gsets",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT o_orderstatus, l_returnflag,
+            |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+            |  sum(disc_price) AS revenue
+            |FROM graft_star
+            |GROUP BY GROUPING SETS ((o_orderstatus, l_returnflag),
+            |  (o_orderstatus), ())
+            |ORDER BY o_orderstatus ASC NULLS FIRST, l_returnflag ASC NULLS FIRST""".stripMargin)
+        assert(r.routed && r.via == "cuboid-gsets",
+          s"expected grouping-sets routing, got ${r.via}")
+        r.df
+      },
+      Some("""SELECT o_orderstatus, l_returnflag,
+             |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY GROUPING SETS ((o_orderstatus, l_returnflag),
+             |  (o_orderstatus), ())
+             |ORDER BY o_orderstatus ASC NULLS FIRST, l_returnflag ASC NULLS FIRST""".stripMargin)),
+
     // 35b9 ────────────── dimension-as-measure: MIN/MAX/COUNT DISTINCT
     //     over DIMENSION columns with no declared measure — the dim
     //     joins the routed group-by and one cuboid-cell-scale post-agg

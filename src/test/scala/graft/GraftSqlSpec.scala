@@ -310,6 +310,26 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(got == own && got.nonEmpty)
   }
 
+  test("CUBE() routes via grouping-sets and equals Spark's own answer") {
+    val q =
+      """SELECT o_orderstatus, l_returnflag, sum(l_quantity) AS sum_qty
+        |FROM graft_star
+        |GROUP BY CUBE(o_orderstatus, l_returnflag)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, l_returnflag ASC NULLS FIRST""".stripMargin
+    val r = GraftSql.sqlVia(spark, sf, q)
+    assert(r.routed && r.via == "cuboid-gsets", s"got ${r.via}")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (Option(x.getString(0)), Option(x.getString(1)),
+        BigDecimal(x.get(2).toString))).toSeq
+    assert(rows(r.df) == rows(spark.sql(q)))
+    // rollup touching a NON-dim column cannot route
+    val bad = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderpriority, sum(l_quantity) AS sum_qty
+        |FROM graft_star GROUP BY ROLLUP(o_orderpriority)""".stripMargin)
+    assert(!bad.routed, "non-dim rollup must fall back")
+    assert(bad.df.count() > 0)
+  }
+
   test("window over a routed aggregate equals Spark's own answer") {
     val q =
       """SELECT c_mktsegment, n_cust,
