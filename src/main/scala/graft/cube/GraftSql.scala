@@ -443,10 +443,11 @@ object GraftSql {
         // ── TopN-measure rewrite: a global `GROUP BY <sketch dims>
         // ORDER BY <the sketch's sum> DESC LIMIT n` is the pre-computed
         // sketch, merged across any cuboid — no dim-level scan at all
-        routeTopn(spark, df, inst, groupNames, outs, p, filterSql)
+        routeTopn(spark, df, inst, groupNames, outs, p, filterSql,
+            filterDims)
             .map(_.select(outNames.map(col): _*))
             .orElse(routeTopnGrouped(spark, df, inst, groupNames, outs, p,
-              filterSql)) match {
+              filterSql, filterDims)) match {
           case Some(t) =>
             SqlResult(t, routed = true, "topn-measure")
           case None =>
@@ -507,12 +508,13 @@ object GraftSql {
   private def routeTopn(spark: SparkSession, df: DataFrame,
       inst: CubeInstance, groupNames: Seq[String],
       outs: Seq[(MOut, String)], p: Peeled,
-      filterSql: Option[String]): Option[DataFrame] = {
+      filterSql: Option[String],
+      filterDims: Set[String]): Option[DataFrame] = {
     val cube = inst.cube
     for {
       n <- p.limit
       if n <= Measures.TopNBuf.DefaultCapacity &&
-        filterSql.isEmpty && p.havingSql.isEmpty && p.winCols.isEmpty
+        p.havingSql.isEmpty && p.winCols.isEmpty
       (MCol(sumM), valName) <- outs match {
         case Seq(one @ (MCol(_), _)) => Some(one)
         case _ => None
@@ -524,8 +526,14 @@ object GraftSql {
       // exact replay requires the full tie-break order: value desc,
       // then the sketch dims ascending
       if p.sorts == (valName, true) +: sh.dims.map(d => (d, false))
+      // a dim filter NOT touching the sketch dims applies to the cells
+      // BEFORE the sketch merge — exact (TopNMeasureType allows the
+      // same); a filter on a sketch dim would change top-n semantics
+      // after the fact, so it refuses and the cuboid path answers
+      if filterDims.intersect(sh.dims.toSet).isEmpty
       r = QueryRouter.routeStates(spark, inst,
-        CubeQuery(Nil, Seq(tm.name -> "state")))(df)
+        CubeQuery(Nil, Seq(tm.name -> "state"),
+          filter = filterSql.map(expr), filterDims = filterDims))(df)
       if !r.fallback
       // a capacity-trimmed state is approximate: refuse the rewrite
       // rather than present it as exact (ADVICE r3). One 1-row probe
@@ -560,11 +568,12 @@ object GraftSql {
   private def routeTopnGrouped(spark: SparkSession, df: DataFrame,
       inst: CubeInstance, groupNames: Seq[String],
       outs: Seq[(MOut, String)], p: Peeled,
-      filterSql: Option[String]): Option[DataFrame] = {
+      filterSql: Option[String],
+      filterDims: Set[String]): Option[DataFrame] = {
     val cube = inst.cube
     for {
       _ <- Some(())
-      if filterSql.isEmpty && p.havingSql.isEmpty
+      if p.havingSql.isEmpty
       (rawWin, rnName) <- p.winRaw match {
         case Seq(w) => Some(w)
         case _ => None
@@ -607,8 +616,12 @@ object GraftSql {
         ordered.headOption.exists { case (nm, dir) =>
           valNames.contains(nm) && dir == Descending } &&
         ordered.drop(1) == sh.dims.map(d => (d, Ascending))
+      // pre-merge dim filters are exact as long as they avoid the
+      // sketch dims (same argument as the global rewrite)
+      if filterDims.intersect(sh.dims.toSet).isEmpty
       r = QueryRouter.routeStates(spark, inst,
-        CubeQuery(partNames, Seq(tm.name -> "state")))(df)
+        CubeQuery(partNames, Seq(tm.name -> "state"),
+          filter = filterSql.map(expr), filterDims = filterDims))(df)
       if !r.fallback
       // one cuboid-scale probe: any trimmed merged state ⇒ approximate
       // ⇒ refuse the rewrite (the generic cuboid path still answers)

@@ -310,6 +310,29 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(got == own && got.nonEmpty)
   }
 
+  test("TopN rewrites accept dim filters off the sketch dims") {
+    // pre-merge filter on a NON-sketch dim: still the sketch rewrite
+    def q(where: String) =
+      s"""SELECT p_brand, sum(disc_price) AS revenue
+         |FROM graft_star $where
+         |GROUP BY p_brand
+         |ORDER BY revenue DESC, p_brand
+         |LIMIT 5""".stripMargin
+    val filtered = GraftSql.sqlVia(spark, sf, q("WHERE o_orderstatus = 'F'"))
+    assert(filtered.routed && filtered.via == "topn-measure",
+      s"got ${filtered.via}")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), BigDecimal(r.get(1).toString))).toSeq
+    assert(rows(filtered.df) ==
+      rows(spark.sql(q("WHERE o_orderstatus = 'F'"))))
+    // a filter ON a sketch dim would change top-n semantics after the
+    // merge: the sketch refuses, the generic cuboid route answers
+    val onSketch = GraftSql.sqlVia(spark, sf, q("WHERE p_brand <> 'Brand#11'"))
+    assert(onSketch.routed && onSketch.via == "cuboid", s"got ${onSketch.via}")
+    assert(rows(onSketch.df) ==
+      rows(spark.sql(q("WHERE p_brand <> 'Brand#11'"))))
+  }
+
   test("CUBE() routes via grouping-sets and equals Spark's own answer") {
     val q =
       """SELECT o_orderstatus, l_returnflag, sum(l_quantity) AS sum_qty
