@@ -31,6 +31,23 @@ object EventQueries extends QueryGroup {
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
 
+    // 37b ─────────────── sliding-window aggregation: each event lands
+    //     in windowLen/slide overlapping windows (batch form of the
+    //     streaming sliding agg; the oracle replicates the overlap by
+    //     fanning each event to its 2 member windows)
+    Q("ev_sliding_window",
+      (s, d) => EventStream.slidingAgg(events(s, d), "6 hours", "3 hours",
+          "1 hour")
+        .orderBy("w_start", "event_type"),
+      Some("""SELECT w_start, event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM (
+             |  SELECT time_bucket(INTERVAL '3 hours', ts)
+             |      - o.k * INTERVAL 3 HOUR AS w_start,
+             |    event_type, value
+             |  FROM events, (VALUES (0), (1)) o(k))
+             |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
+
     // 38 ──────────────── gap-based sessionization (60-min inactivity
     //     gap), batch form: lag → new-session flag → running sum.
     //     The streaming form (flatMapGroupsWithState) is

@@ -40,6 +40,21 @@ object EventStream {
               col("n_events"),
               col("sum_dec").cast(DoubleType).as("sum_value"))
 
+  /** Sliding-window variant: each event lands in windowLen/slide
+    * overlapping windows (Spark's window() with a slide duration —
+    * the reference's stream-core serves sliding aggregations from the
+    * same fragment layout). Batch/stream parity as tumblingAgg. */
+  def slidingAgg(events: DataFrame, windowLen: String, slide: String,
+                 lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(dec(col("value"))).as("sum_dec"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+              col("n_events"),
+              col("sum_dec").cast(DoubleType).as("sum_value"))
+
   /** Streaming cube append: finalized (watermark-closed) window rows
     * land in a parquet dir per micro-batch — the streaming-segment
     * analogue of the reference's real-time fragment files. Append mode

@@ -116,6 +116,31 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming sliding agg equals the batch query on the same data") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val evs = (0 until 48).map(i =>
+      StreamEv(ts(i * 0.49), if (i % 2 == 0) "click" else "view", i + 0.25))
+
+    val ms = MemoryStream[StreamEv]
+    ms.addData(evs: _*)
+    val q = EventStream.slidingAgg(ms.toDF(), "6 hours", "3 hours", "1 hour")
+      .writeStream.format("memory").queryName("sliding_complete")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sliding_complete")
+      .orderBy("w_start", "event_type").collect().toSeq
+    val batch = EventStream.slidingAgg(evs.toDF(), "6 hours", "3 hours",
+        "1 hour")
+      .orderBy("w_start", "event_type").collect().toSeq
+    assert(streamed == batch && batch.nonEmpty)
+    // overlap sanity: every event lands in exactly len/slide windows
+    val n = batch.map(_.getLong(2)).sum
+    assert(n == evs.size * 2L, s"expected 2x fan-out, got $n")
+  }
+
   test("stateful sessionizer closes sessions on gap and on timeout") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
