@@ -29,13 +29,25 @@ import graft.functions.Measures
   * instance. Rewrites beyond plain measures:
   *  - AVG(x)    → routed SUM(x) state / routed COUNT(*) state (Kylin's
   *    avg rewrite)
-  *  - global `GROUP BY <topn dims> ORDER BY SUM(v) DESC LIMIT n` → the
-  *    pre-computed TopN sketch (TopNMeasureType.java:129), refused if
-  *    any merged state was capacity-trimmed (approximate)
+  *  - approx_count_distinct → HLL measure estimate
+  *    (HLLCMeasureType.java:40-47); percentile_approx(col, p) → the
+  *    quantile-sketch state evaluated at the query's own p
+  *    (PercentileMeasureType.java:83-95)
+  *  - `GROUP BY <topn dims> ORDER BY SUM(v) DESC LIMIT n` → the
+  *    pre-computed TopN sketch (TopNMeasureType.java:129), global or
+  *    per-group (rank-filter idiom), with dim filters off the sketch
+  *    dims applied pre-merge; refused if any merged state was
+  *    capacity-trimmed (approximate)
   *  - `intersect_count(key, dim, array(...))` → bitmap-state AND
   *    (BitmapIntersectDistinctCountAggFunc.java); the same call is SQL-
   *    registered as an exact raw-row aggregate so unrouted plans still
   *    answer correctly
+  *  - MIN/MAX/COUNT DISTINCT over DIM columns with no declared measure
+  *    → cuboid-cell post-aggregation (dimension-as-measure)
+  *  - GROUPING SETS / ROLLUP / CUBE → full-dims cells routed once,
+  *    each set answered by one cuboid-cell re-aggregation
+  *  - user-written model joins (typed per edge, incl LEFT) and
+  *    derived-dim group-bys/filters via lookup snapshots
   */
 object GraftSql {
 

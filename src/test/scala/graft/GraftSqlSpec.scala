@@ -353,6 +353,19 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(bad.df.count() > 0)
   }
 
+  test("HAVING over a routed ROLLUP re-applies on the unioned sets") {
+    val q =
+      """SELECT o_orderstatus, l_returnflag, count(*) AS n_rows
+        |FROM graft_star
+        |GROUP BY ROLLUP(o_orderstatus, l_returnflag)
+        |HAVING n_rows > 1500
+        |ORDER BY o_orderstatus ASC NULLS FIRST, l_returnflag ASC NULLS FIRST""".stripMargin
+    val r = GraftSql.sqlVia(spark, sf, q)
+    assert(r.routed && r.via == "cuboid-gsets", s"got ${r.via}")
+    val own = spark.sql(q).collect().map(_.toString).toSeq
+    assert(r.df.collect().map(_.toString).toSeq == own && own.nonEmpty)
+  }
+
   test("window over a routed aggregate equals Spark's own answer") {
     val q =
       """SELECT c_mktsegment, n_cust,
