@@ -81,7 +81,11 @@ object CubeBuilder {
     val rows = awaitAll(cube.segments.map(seg =>
       () => buildSegment(spark, flat, cube, root, seg)))
       .reduce(_ ++ _)
-    CubeInstance(cube, root, rows)
+    val inst = CubeInstance(cube, root, rows)
+    // metadata commit LAST: a crashed build never publishes a partial
+    // cube; a restarted process loads this instead of rebuilding
+    CubeMeta.save(spark, inst)
+    inst
   }
 
   private def awaitAll[T](thunks: Seq[() => T]): Seq[T] = {
@@ -142,7 +146,10 @@ object CubeBuilder {
       s"segment ${seg.name} [${seg.start},${seg.end}) overlaps an existing segment")
     val rows = buildSegment(spark, flat, inst.cube, inst.root, seg)
     val segs = (inst.cube.segments :+ seg).sortBy(_.start)
-    CubeInstance(inst.cube.copy(segments = segs), inst.root, inst.rows ++ rows)
+    val next =
+      CubeInstance(inst.cube.copy(segments = segs), inst.root, inst.rows ++ rows)
+    CubeMeta.save(spark, next) // the appended segment list is the new truth
+    next
   }
 
   /** Merge ALL segments into one (reference: cube merge job). */

@@ -226,58 +226,86 @@ object CubeManager {
   private val mergedCache = TrieMap.empty[String, CubeInstance]
   private val lock = new Object
 
+  /** drop the per-JVM memo (simulated process restart in specs): the
+    * next ensure* must come back through CubeMeta.load, not a rebuild */
+  private[graft] def resetMemos(): Unit = {
+    built.clear(); evBuilt.clear(); mergedCache.clear()
+  }
+
   private def sfName(sfDir: String): String =
     sfDir.replaceAll("/+$", "").split('/').last
 
-  /** Build (once per JVM per sf dir) and return the instance. */
+  /** Load-or-build (once per JVM per sf dir) and return the instance.
+    * A fresh process finds the metadata a previous build committed
+    * (CubeMeta — reference CubeManager.java:143 loads CubeInstance from
+    * the ResourceStore) and routes immediately; only a miss — no meta,
+    * fingerprint drift, incomplete layout — pays the build. */
   def ensureBuilt(spark: SparkSession, sfDir: String): CubeInstance =
     built.getOrElse(sfDir, lock.synchronized {
       built.getOrElseUpdate(sfDir, {
         val root = s"$cubeRoot/${sfName(sfDir)}"
-        // lookup tables are snapshotted under the cube root (write-once)
-        // so rebuilds join frozen dimension rows — DFSnapshotBuilder
-        val snap = (n: String) =>
-          Snapshot.ensure(spark, tbl(spark, sfDir, n), root, n)
-        val flat = CubeBuilder.timed("snapshots", "star") {
-          flatTableFrom(
-            lineitem(spark, sfDir), orders(spark, sfDir), snap("customer"),
-            snap("nation"), snap("region"), snap("supplier"), snap("part"))
+        CubeMeta.load(spark, defaultCube, root).map(_.inst).getOrElse {
+          // lookup tables are snapshotted under the cube root (write-
+          // once) so rebuilds join frozen dimension rows —
+          // DFSnapshotBuilder
+          val snap = (n: String) =>
+            Snapshot.ensure(spark, tbl(spark, sfDir, n), root, n)
+          val flat = CubeBuilder.timed("snapshots", "star") {
+            flatTableFrom(
+              lineitem(spark, sfDir), orders(spark, sfDir), snap("customer"),
+              snap("nation"), snap("region"), snap("supplier"), snap("part"))
+          }
+          // dictionary-encode string bitmap inputs before the build
+          // (reference DFTableEncoder: encode once on the flat table).
+          // buildOrAppend persists the dictionary under the cube root
+          // and keeps ids append-stable across incremental builds.
+          val dict = CubeBuilder.timed("dictionary", "c_name") {
+            Dictionary.buildOrAppend(spark, flat, "c_name", root)
+          }
+          // Materialize the encoded flat table once (reference
+          // CreateFlatTable writes it to storage before the cuboid
+          // build): the four concurrent segment builds then read a
+          // pruned, predicate-pushed parquet scan instead of each
+          // recomputing the star join.
+          val flatPath = s"$root/flat"
+          CubeBuilder.timed("flat-write", "star") {
+            Dictionary.encode(flat, dict, "c_name")
+              .write.mode("overwrite").parquet(flatPath)
+          }
+          CubeBuilder.build(spark, spark.read.parquet(flatPath),
+            defaultCube, root)
         }
-        // dictionary-encode string bitmap inputs before the build
-        // (reference DFTableEncoder: encode once on the flat table).
-        // buildOrAppend persists the dictionary under the cube root and
-        // keeps ids append-stable across incremental builds.
-        val dict = CubeBuilder.timed("dictionary", "c_name") {
-          Dictionary.buildOrAppend(spark, flat, "c_name", root)
-        }
-        // Materialize the encoded flat table once (reference
-        // CreateFlatTable writes it to storage before the cuboid
-        // build): the four concurrent segment builds then read a
-        // pruned, predicate-pushed parquet scan instead of each
-        // recomputing the star join.
-        val flatPath = s"$root/flat"
-        CubeBuilder.timed("flat-write", "star") {
-          Dictionary.encode(flat, dict, "c_name")
-            .write.mode("overwrite").parquet(flatPath)
-        }
-        CubeBuilder.build(spark, spark.read.parquet(flatPath),
-          defaultCube, root)
       })
     })
 
-  /** Build (once per JVM per sf dir) the events cube. */
+  /** Load-or-build (once per JVM per sf dir) the events cube. */
   def ensureEventsBuilt(spark: SparkSession, sfDir: String): CubeInstance =
     evBuilt.getOrElse(sfDir, lock.synchronized {
       evBuilt.getOrElseUpdate(sfDir, {
         val root = s"$cubeRoot/${sfName(sfDir)}-events"
-        CubeBuilder.build(spark, eventsFlat(spark, sfDir), eventsCube, root)
+        CubeMeta.load(spark, eventsCube, root).map(_.inst).getOrElse(
+          CubeBuilder.build(spark, eventsFlat(spark, sfDir), eventsCube, root))
       })
     })
 
-  /** All segments merged into one (cube_segment_merge path). */
+  /** All segments merged into one (cube_segment_merge path). The merged
+    * realization persists alongside the primary (meta-merged.json) and
+    * is chained to the base build it merged FROM — a rebuilt base
+    * invalidates it, so a restart never routes against a merge of
+    * parquet that no longer exists. */
   def ensureMerged(spark: SparkSession, sfDir: String): CubeInstance =
     mergedCache.getOrElse(sfDir, lock.synchronized {
-      mergedCache.getOrElseUpdate(sfDir,
-        CubeBuilder.mergeSegments(spark, ensureBuilt(spark, sfDir), "merged"))
+      mergedCache.getOrElseUpdate(sfDir, {
+        val base = ensureBuilt(spark, sfDir)
+        val baseId = CubeMeta.load(spark, defaultCube, base.root).map(_.buildId)
+        CubeMeta.load(spark, defaultCube, base.root, CubeMeta.MergedFile)
+          .filter(l => baseId.isDefined && l.baseBuildId == baseId)
+          .map(_.inst)
+          .getOrElse {
+            val m = CubeBuilder.mergeSegments(spark, base, "merged")
+            CubeMeta.save(spark, m, CubeMeta.MergedFile, baseBuildId = baseId)
+            m
+          }
+      })
     })
 }

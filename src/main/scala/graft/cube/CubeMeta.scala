@@ -1,0 +1,133 @@
+package graft.cube
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.json4s.DefaultFormats
+import org.json4s.jackson.Serialization
+
+/** Persisted cube-instance metadata (reference: core-cube/.../
+  * CubeManager.java:143 — `CachedCrudAssist<CubeInstance>` backed by the
+  * ResourceStore persists segments/statuses/sizes so a query server can
+  * load and route on startup without rebuilding). graft's version: one
+  * small `meta.json` per cube root, written as the LAST step of a
+  * build/append (the metadata commit — cuboid parquet is unreachable
+  * until the meta lands, so a crashed build never publishes a partial
+  * cube), loaded by `CubeManager.ensure*` before any build fires.
+  *
+  * The `fingerprint` pins everything that shapes the on-disk layout
+  * (dims order, materialized cuboid ids, measure state columns, shard,
+  * derived/extended declarations): a CubeDef edit invalidates the
+  * stored instance and forces a rebuild instead of routing queries
+  * against stale parquet. `buildId` chains dependent artifacts — the
+  * merged realization records the base build it was merged FROM and is
+  * ignored (re-merged) when the base has been rebuilt since.
+  */
+object CubeMeta {
+
+  /** the primary (multi-segment) realization */
+  val MetaFile = "meta.json"
+  /** the all-segments-merged realization kept alongside the primary
+    * (a production swap would promote it to MetaFile; this harness
+    * keeps both realizations queryable) */
+  val MergedFile = "meta-merged.json"
+
+  final case class Loaded(inst: CubeInstance, buildId: String,
+                          baseBuildId: Option[String])
+
+  private final case class SegJson(name: String, start: String, end: String)
+  private final case class RowJson(segment: String, cuboid: Long, rows: Long)
+  private final case class MetaJson(cube: String, fingerprint: String,
+      buildId: String, baseBuildId: Option[String],
+      segments: Seq[SegJson], rows: Seq[RowJson])
+
+  private implicit val fmts: DefaultFormats = DefaultFormats
+
+  /** canonical descriptor of the layout-shaping parts of a CubeDef —
+    * human-readable on purpose (a mismatch names the drifted part) */
+  def fingerprint(cube: CubeDef): String = {
+    val ms = cube.measures.map(m =>
+      s"${m.name}:${m.answers.getOrElse("")}:${m.topnShape.getOrElse("")}")
+    Seq(
+      s"dims=${cube.dims.mkString(",")}",
+      s"cuboids=${cube.cuboids.map(cube.cuboidId).sorted.mkString(",")}",
+      s"measures=${ms.mkString(";")}",
+      s"segCol=${cube.segmentCol}",
+      s"timeDim=${cube.timeDim.map(_.name).getOrElse("")}",
+      s"shard=${cube.shardBy.getOrElse("")}",
+      s"derived=${cube.derived.mkString(";")}",
+      s"extended=${cube.extended.mkString(";")}",
+      s"notNull=${cube.notNull.toSeq.sorted.mkString(",")}").mkString("|")
+  }
+
+  private def metaPath(root: String, cube: String, file: String): Path =
+    new Path(s"$root/$cube/$file")
+
+  /** Persist `inst` under its root. Returns the buildId written. */
+  def save(spark: SparkSession, inst: CubeInstance,
+           file: String = MetaFile,
+           baseBuildId: Option[String] = None): String = {
+    val buildId = java.util.UUID.randomUUID().toString
+    val meta = MetaJson(inst.cube.name, fingerprint(inst.cube), buildId,
+      baseBuildId,
+      inst.cube.segments.map(s => SegJson(s.name, s.start, s.end)),
+      inst.rows.toSeq.sortBy(r => (r._1._1, r._1._2))
+        .map { case ((seg, id), n) => RowJson(seg, id, n) })
+    val p = metaPath(inst.root, inst.cube.name, file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // write-then-rename: readers never observe a torn meta file
+    val tmp = new Path(p.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(Serialization.write(meta).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+    buildId
+  }
+
+  /** Load a persisted instance for `cube` from `root`, or None when
+    * the meta is absent/torn, the fingerprint doesn't match the code's
+    * CubeDef, or the on-disk layout is missing pieces (base cuboid per
+    * segment, snapshots for declared derived dims) — any miss means
+    * the caller rebuilds, never routes against stale parquet. The
+    * returned instance carries the PERSISTED segment list (appends and
+    * merges evolve it past the def's declared seed segments). */
+  def load(spark: SparkSession, cube: CubeDef, root: String,
+           file: String = MetaFile): Option[Loaded] =
+    scala.util.Try {
+      val p = metaPath(root, cube.name, file)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bytes =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](8192)
+            Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
+              .foreach(n => buf.write(chunk, 0, n))
+            buf.toString(StandardCharsets.UTF_8.name())
+          } finally in.close()
+        val meta = Serialization.read[MetaJson](bytes)
+        if (meta.cube != cube.name || meta.fingerprint != fingerprint(cube)
+            || meta.segments.isEmpty) None
+        else {
+          val segs = meta.segments.map(s => Segment(s.name, s.start, s.end))
+          val inst = CubeInstance(cube.copy(segments = segs), root,
+            meta.rows.map(r => (r.segment, r.cuboid) -> r.rows).toMap)
+          // spot-check the layout the meta points at: the base cuboid
+          // of every segment plus one snapshot per derived-dim lookup
+          // (O(n) metadata calls, once per process)
+          val baseId = cube.cuboidId(cube.dims.toSet)
+          val complete =
+            segs.forall(s =>
+              fs.exists(new Path(inst.cuboidPath(s.name, baseId)))) &&
+              inst.cube.derived.map(_.lookup).distinct.forall(l =>
+                fs.exists(new Path(Snapshot.path(root, l))))
+          if (complete) Some(Loaded(inst, meta.buildId, meta.baseBuildId))
+          else None
+        }
+      }
+    }.toOption.flatten
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cube._
+
+/** VERDICT r7 item 1: persisted cube-instance metadata. A restarted
+  * process (simulated by clearing the per-JVM memo) must LOAD the
+  * committed meta.json and route queries with no build phase firing —
+  * the missing half of the build-once/query-many lifecycle. */
+class CubeMetaSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("a restarted process loads the persisted instance and routes " +
+      "without rebuilding") {
+    // first ensure (builds, or loads a previous run's commit) — either
+    // way meta.json is on disk afterwards
+    val first = CubeManager.ensureBuilt(spark, sf)
+    CubeManager.ensureEventsBuilt(spark, sf)
+
+    CubeManager.resetMemos() // simulated restart
+    val phasesBefore = CubeBuilder.phaseTotals
+
+    val inst = CubeManager.ensureBuilt(spark, sf)
+    val evInst = CubeManager.ensureEventsBuilt(spark, sf)
+
+    // identical instance state: segments AND per-(segment, cuboid)
+    // row counts round-tripped through the meta file
+    assert(inst.cube.segments == first.cube.segments)
+    assert(inst.rows == first.rows && inst.rows.nonEmpty)
+    assert(evInst.rows.nonEmpty)
+
+    // the loaded instance answers the cube_sql_route shape hash-exactly
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT n_name, sum(disc_price) AS revenue, count(*) AS n_rows
+        |FROM graft_star WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin)
+    assert(r.routed && r.via == "cuboid", s"expected cuboid route, got ${r.via}")
+    val got = r.df.collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getLong(2))).toSet
+    val want = CubeManager.flatTable(spark, sf)
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(sum(col("disc_price")).cast("double").as("revenue"),
+           count(lit(1)).as("n_rows"))
+      .collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getLong(2))).toSet
+    assert(got == want && want.nonEmpty)
+
+    // NO [graft-build] phase fired after the simulated restart: the
+    // loaded metadata answered everything
+    assert(CubeBuilder.phaseTotals == phasesBefore,
+      s"a build phase fired on what should be a pure metadata load: " +
+        s"before=$phasesBefore after=${CubeBuilder.phaseTotals}")
+  }
+
+  test("fingerprint drift or a torn meta file forces a rebuild, " +
+      "never a stale route") {
+    val root = java.nio.file.Files.createTempDirectory("graft-meta").toString
+    val inst = CubeBuilder.build(spark,
+      CubeManager.eventsFlat(spark, sf), CubeManager.eventsCube, root)
+    assert(CubeMeta.load(spark, CubeManager.eventsCube, root)
+      .exists(_.inst.rows == inst.rows))
+
+    // a def edit that changes the materialized lattice must invalidate
+    val drifted = CubeManager.eventsCube
+    val fewer = drifted.copy(cuboids = Seq(drifted.dims.toSet))
+    assert(CubeMeta.load(spark, fewer, root).isEmpty,
+      "a drifted CubeDef must not load the old layout")
+
+    // torn/corrupt meta reads as a miss, not an exception
+    val metaFile = new java.io.File(
+      s"$root/${drifted.name}/${CubeMeta.MetaFile}")
+    java.nio.file.Files.write(metaFile.toPath,
+      "{not json".getBytes("UTF-8"))
+    assert(CubeMeta.load(spark, drifted, root).isEmpty)
+  }
+
+  test("the merged realization is chained to its base build") {
+    // ensureMerged persists meta-merged.json with the base buildId; a
+    // matching chain loads, a broken chain re-merges — never a stale mix
+    CubeManager.ensureMerged(spark, sf)
+    val root = CubeManager.ensureBuilt(spark, sf).root
+    val merged = CubeMeta.load(spark, CubeManager.defaultCube, root,
+      CubeMeta.MergedFile)
+    val base = CubeMeta.load(spark, CubeManager.defaultCube, root)
+    assert(merged.isDefined && base.isDefined)
+    assert(merged.get.baseBuildId.contains(base.get.buildId),
+      "merged meta must record the base build it merged from")
+    assert(merged.get.inst.cube.segments.map(_.name) == Seq("merged"))
+  }
+}
