@@ -23,14 +23,33 @@ final case class Routed(
     segments: Seq[String],
     fallback: Boolean)
 
+/** The routing DECISION, made from metadata alone — which cuboid, which
+  * segments, what post-processing — before any data is touched. Split
+  * from execution so realization choice (Kylin's RealizationChooser)
+  * can cost-compare candidate cubes without paying file listings for
+  * the losers. `estRows` is the planned scan size: the chosen cuboid's
+  * persisted row count summed over the overlapping segments. */
+final case class RoutePlan(
+    chosen: Set[String],
+    overlapping: Seq[Segment],
+    emptyScan: Boolean,
+    residual: Option[(String, Column)],
+    derivedUsed: Seq[DerivedDim],
+    filterDerived: Seq[DerivedDim],
+    extUsed: Seq[ExtendedColumn],
+    realGroup: Seq[String],
+    estRows: Long)
+
 /** Smallest-covering-cuboid routing (reference:
   * CuboidLayoutChooser.scala:25 selectLayoutForBuild, query side
   * TableScanPlan.scala): a cuboid can answer the query iff its dim set
   * ⊇ (groupBy ∪ filter dims); among candidates pick the fewest-rows
   * one, prune segments by time-range overlap, then re-aggregate states
-  * and present. Exact-match and partial-match are the same plan — a
-  * groupBy over the cuboid — because states must be merged across
-  * segments/files either way.
+  * and present. Partial-match is a groupBy over the cuboid (states must
+  * merge across segments/files); an EXACT match on a single segment
+  * needs no re-aggregation at all — the cuboid rows ARE the answer —
+  * and short-circuits to a plain scan+present (the reference's
+  * exact-match fast path: storage returns cells, no post-agg).
   *
   * Time semantics (Kylin applies the time filter IN ADDITION to segment
   * pruning): segments fully inside the range are read as-is; partially
@@ -53,22 +72,45 @@ object QueryRouter {
                  (fallback: => DataFrame): Routed =
     routeImpl(spark, inst, q, present = false)(fallback)
 
-  private def routeImpl(spark: SparkSession, inst: CubeInstance,
-                        q: CubeQuery, present: Boolean)
-                       (fallback: => DataFrame): Routed = {
+  /** Multi-realization routing (reference: query/.../
+    * RealizationChooser.java — all realizations answering the model are
+    * sorted by cost and the cheapest covering one answers): plan the
+    * query against every registered instance, pick the smallest
+    * estimated routed-cuboid scan, execute only the winner. Returns the
+    * winning instance alongside the result so callers can attribute
+    * the answer. */
+  def routeBest(spark: SparkSession, insts: Seq[CubeInstance], q: CubeQuery,
+                present: Boolean = true)
+               (fallback: => DataFrame): (Routed, Option[CubeInstance]) = {
+    val planned = insts.flatMap(i => plan(i, q).map(i -> _))
+    if (planned.isEmpty) (Routed(fallback, None, Nil, fallback = true), None)
+    else {
+      val (inst, p) = planned.minBy { case (_, pl) =>
+        (pl.estRows, pl.chosen.size) }
+      (execute(spark, inst, q, p, present), Some(inst))
+    }
+  }
+
+  /** The routing decision from metadata alone: None ⇔ this instance
+    * cannot answer the query (missing dim/measure coverage, or a time
+    * range not expressible on the cube's time dim). */
+  def plan(inst: CubeInstance, q: CubeQuery): Option[RoutePlan] = {
     val cube = inst.cube
 
     // a cube with no segments has nothing to scan (ADVICE r3: the
-    // zero-path reduce below would throw) — clean fallback instead
-    if (cube.segments.isEmpty)
-      return Routed(fallback, None, Nil, fallback = true)
+    // zero-path reduce below would throw)
+    if (cube.segments.isEmpty) return None
+
+    // every requested measure must exist in THIS cube (a narrower
+    // realization legitimately lacks some)
+    if (!q.measures.forall { case (m, _) => cube.measures.exists(_.name == m) })
+      return None
 
     // ── derived dims (reference: CubeDesc.java:219 derivedToHostMap):
     // a group-by on a lookup attribute not materialized in any cuboid
     // is answered by joining the lookup SNAPSHOT on its host dim —
-    // never by falling back to the source. Unknown names → fallback.
-    if (!q.groupBy.forall(cube.routableDim))
-      return Routed(fallback, None, Nil, fallback = true)
+    // never by falling back to the source. Unknown names → no plan.
+    if (!q.groupBy.forall(cube.routableDim)) return None
     val derivedUsed = q.groupBy.flatMap(cube.derivedDim).distinct
 
     // ── extended columns (ExtendedColumnMeasureType): functionally
@@ -77,8 +119,7 @@ object QueryRouter {
     // name is stripped from the cuboid group-by and re-attached from
     // the measure value after aggregation
     val extUsed = q.groupBy.flatMap(cube.extendedCol).distinct
-    if (extUsed.exists(e => !q.groupBy.contains(e.host)))
-      return Routed(fallback, None, Nil, fallback = true)
+    if (extUsed.exists(e => !q.groupBy.contains(e.host))) return None
     val realGroup = q.groupBy.filterNot(n => extUsed.exists(_.name == n))
 
     // ── segment pruning + residual-filter requirement
@@ -97,19 +138,19 @@ object QueryRouter {
           (td.toDimValue(qs), td.toDimValue(qe)) match {
             case (Some(lo), Some(hi)) =>
               Some(td.name -> (col(td.name) >= lit(lo) && col(td.name) < lit(hi)))
-            case _ => return Routed(fallback, None, Nil, fallback = true)
+            case _ => return None
           }
-        case _ => return Routed(fallback, None, Nil, fallback = true)
+        case _ => return None
       }
 
     // ── derived dims in the FILTER route the same way (reference:
     // cube/kv/RowKeyDecoder + DerivedFilterTranslator — Kylin answers
     // lookup-attribute predicates through the snapshot on the host):
     // the cuboid only needs the HOSTS; the lookup attaches before the
-    // predicate applies. Unknown filter names → clean fallback.
+    // predicate applies. Unknown filter names → no plan.
     if (!q.filterDims.forall(n =>
         cube.dims.contains(n) || cube.derivedDim(n).isDefined))
-      return Routed(fallback, None, Nil, fallback = true)
+      return None
     val filterDerived = q.filterDims.toSeq.flatMap(cube.derivedDim).distinct
 
     // ── cuboid choice: must cover groupBy (derived dims replaced by
@@ -119,35 +160,59 @@ object QueryRouter {
       derivedUsed.map(_.host) ++ q.filterDims.filter(cube.dims.contains) ++
       filterDerived.map(_.host) ++ residual.map(_._1)
     val candidates = cube.cuboids.filter(needed.subsetOf(_))
-    if (candidates.isEmpty)
-      return Routed(fallback, None, Nil, fallback = true)
+    if (candidates.isEmpty) return None
     val chosen = candidates.minBy(c => (inst.totalRows(c), c.size))
     val id = cube.cuboidId(chosen)
+    val emptyScan = overlapping.isEmpty
+    val estRows =
+      if (emptyScan) 0L
+      else overlapping.map(s => inst.rows.getOrElse((s.name, id), 0L)).sum
+    Some(RoutePlan(chosen, overlapping, emptyScan, residual, derivedUsed,
+      filterDerived, extUsed, realGroup, estRows))
+  }
+
+  private def routeImpl(spark: SparkSession, inst: CubeInstance,
+                        q: CubeQuery, present: Boolean)
+                       (fallback: => DataFrame): Routed =
+    plan(inst, q) match {
+      case None => Routed(fallback, None, Nil, fallback = true)
+      case Some(p) => execute(spark, inst, q, p, present)
+    }
+
+  /** Execute a plan: scan the chosen cuboid over the surviving
+    * segments, apply residual/derived/filter processing, then either
+    * re-aggregate mergeable states (the general partial-match path) or
+    * — when the cuboid grain IS the query grain on one segment with no
+    * reprocessing — present the stored cells directly. */
+  private def execute(spark: SparkSession, inst: CubeInstance, q: CubeQuery,
+                      p: RoutePlan, present: Boolean): Routed = {
+    val cube = inst.cube
+    val id = cube.cuboidId(p.chosen)
 
     // ── scan: empty overlap short-circuits to an empty result with the
     // right schema (read the cuboid, keep no rows) instead of a
     // zero-path read, which throws.
-    val (paths, emptyScan) =
-      if (overlapping.nonEmpty) (overlapping.map(s => inst.cuboidPath(s.name, id)), false)
-      else (cube.segments.map(s => inst.cuboidPath(s.name, id)), true)
+    val paths =
+      if (p.emptyScan) cube.segments.map(s => inst.cuboidPath(s.name, id))
+      else p.overlapping.map(s => inst.cuboidPath(s.name, id))
     // Shard-partitioned cuboid dirs need one read per segment root
     // (multi-root reads break partition discovery); everything else
     // reads all segment paths in ONE relation — at thousands of
     // segments that is one file listing and one scan node, not a
     // thousand-way union.
-    val sharded = cube.shardBy.exists(chosen.contains)
+    val sharded = cube.shardBy.exists(p.chosen.contains)
     var df =
       if (sharded) paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
       else spark.read.parquet(paths: _*)
-    if (emptyScan) df = df.filter(lit(false))
-    residual.foreach { case (_, pred) => df = df.filter(pred) }
+    if (p.emptyScan) df = df.filter(lit(false))
+    p.residual.foreach { case (_, pred) => df = df.filter(pred) }
 
     // ── attach derived dims (grouped AND filtered ones): broadcast-
     // join the lookup snapshot on the host dim (snapshots are written
     // under the cube root at build time; host is the lookup's key, so
     // the join is 1:1). The query filter applies AFTER the attach so
     // lookup-attribute predicates resolve.
-    (derivedUsed ++ filterDerived).distinct.foreach { dd =>
+    (p.derivedUsed ++ p.filterDerived).distinct.foreach { dd =>
       val snap = spark.read
         .parquet(Snapshot.path(inst.root, dd.lookup))
         .select(col(dd.host), col(dd.name))
@@ -155,16 +220,35 @@ object QueryRouter {
     }
     q.filter.foreach(f => df = df.filter(f))
 
+    // ── exact-match short-circuit (the reference's storage fast path:
+    // when the cuboid's dims equal the query group-by on a single
+    // segment with no derived/extended/residual processing, each group
+    // is exactly one stored row — the re-aggregation groupBy would
+    // merge nothing, so skip it and present the cells directly)
+    val exactMatch = p.overlapping.size == 1 && !p.emptyScan &&
+      p.residual.isEmpty && p.derivedUsed.isEmpty &&
+      p.filterDerived.isEmpty && p.extUsed.isEmpty &&
+      p.chosen == p.realGroup.toSet
+    if (exactMatch) {
+      val out = df.select(
+        q.groupBy.map(col) ++ q.measures.map { case (m, alias) =>
+          val state = col(cube.measure(m).stateCol)
+          (if (present) cube.measure(m).present(state) else state).as(alias)
+        }: _*)
+      return Routed(out, Some(p.chosen), p.overlapping.map(_.name),
+        fallback = false)
+    }
+
     // ── re-aggregate mergeable states (incl. extended-column value
     // measures), then present: group cols in the REQUESTED order, with
     // extended names served from their measures
-    val aggs = (q.measures.map(_._1) ++ extUsed.map(_.measure)).distinct
+    val aggs = (q.measures.map(_._1) ++ p.extUsed.map(_.measure)).distinct
       .map(m => cube.measure(m).fromState(cube.measure(m).stateCol)
         .as(cube.measure(m).stateCol))
-    val grouped = df.groupBy(realGroup.map(col): _*)
+    val grouped = df.groupBy(p.realGroup.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     val groupCols = q.groupBy.map { n =>
-      extUsed.find(_.name == n) match {
+      p.extUsed.find(_.name == n) match {
         case Some(e) =>
           val m = cube.measure(e.measure)
           m.present(col(m.stateCol)).as(n)
@@ -176,6 +260,6 @@ object QueryRouter {
         val state = col(cube.measure(m).stateCol)
         (if (present) cube.measure(m).present(state) else state).as(alias)
       }: _*)
-    Routed(out, Some(chosen), overlapping.map(_.name), fallback = false)
+    Routed(out, Some(p.chosen), p.overlapping.map(_.name), fallback = false)
   }
 }
