@@ -19,7 +19,13 @@ final case class Measure(
     fromState: String => Column,
     present: Column => Column = identity,
     answers: Option[SqlAgg] = None,
-    topnShape: Option[TopNShape] = None) {
+    topnShape: Option[TopNShape] = None,
+    /** the raw expression this measure SUMs, when it is a sum over a
+      * composite expression: lets the SQL front-end match a user-
+      * written `SUM(<expr>)` by canonicalized tree equality (reference:
+      * FunctionDesc parameter matching) in addition to the plain-column
+      * `answers` shape */
+    answersSumOf: Option[Column] = None) {
   /** state column name in cuboid parquet */
   def stateCol: String = s"m_$name"
 }
@@ -199,6 +205,15 @@ final case class CubeDef(
   /** the measure answering a given SQL aggregate shape, if any */
   def measureAnswering(shape: SqlAgg): Option[Measure] =
     measures.find(_.answers.contains(shape))
+
+  /** the measure answering `SUM(<expr>)` for a composite expression,
+    * by canonicalized-tree equality with the measure's declared
+    * defining expression (FunctionDesc parameter matching) */
+  def measureAnsweringSumExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+    : Option[Measure] =
+    measures.find(_.answersSumOf.exists(c => ExprCanon.same(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expressionTree(c), e)))
 
   def derivedDim(n: String): Option[DerivedDim] = derived.find(_.name == n)
 

@@ -55,6 +55,10 @@ object CubeManager {
         date_format(col("o_orderdate"), "yyyy").as("o_year"),
         col("o_orderdate"),
         col("l_quantity"), col("o_custkey"), col("l_extendedprice"),
+        // the raw discount rides along so user SQL can spell out the
+        // revenue algebra literally (SUM(l_extendedprice*(1-l_discount)))
+        // and still match the pre-computed measure
+        col("l_discount"),
         discPrice(col("l_extendedprice"), col("l_discount")).as("disc_price"),
         (discPrice(col("l_extendedprice"), col("l_discount")) * 10000)
           .cast(LongType).as("disc_price_micros"),
@@ -90,7 +94,11 @@ object CubeManager {
         fromRaw = sum(col("disc_price")),
         fromState = s => sum(col(s)),
         present = _.cast(DoubleType),
-        answers = Some(SqlAgg.SumOf("disc_price"))),
+        answers = Some(SqlAgg.SumOf("disc_price")),
+        // the literal TPC-H algebra also answers from this measure
+        // (FunctionDesc parameter matching, canonicalized-tree equality)
+        answersSumOf =
+          Some(discPrice(col("l_extendedprice"), col("l_discount")))),
       Measure("qty",
         fromRaw = sum(dec(col("l_quantity"))),
         fromState = s => sum(col(s)),

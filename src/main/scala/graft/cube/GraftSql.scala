@@ -59,12 +59,29 @@ object GraftSql {
 
   /** one SQL-routable cube: registered view name + its flat table (the
     * view source / fallback) + built-instance supplier + optionally a
-    * star model (so user-written joins over `rawTables` route too) */
+    * star model (so user-written joins over `rawTables` route too).
+    * `alternates` are additional REALIZATIONS of the same view (Kylin:
+    * many cubes per model) — the front-end picks the cheapest covering
+    * one per query (RealizationChooser). */
   final case class Binding(view: String,
       flat: (SparkSession, String) => DataFrame,
       instance: (SparkSession, String) => CubeInstance,
       model: Option[ModelDef] = None,
-      rawTables: Seq[String] = Nil)
+      rawTables: Seq[String] = Nil,
+      alternates: Seq[(SparkSession, String) => CubeInstance] = Nil) {
+    def realizations: Seq[(SparkSession, String) => CubeInstance] =
+      instance +: alternates
+  }
+
+  /** extension point: additional cube views registered at runtime
+    * (specs, multi-cube deployments) — keyed by view name, replacing */
+  private val extraBindings =
+    scala.collection.concurrent.TrieMap.empty[String, Binding]
+
+  def registerBinding(b: Binding): Unit = {
+    extraBindings.put(b.view, b)
+    viewsRegistered.clear() // force view re-registration on next query
+  }
 
   def bindings: Seq[Binding] = Seq(
     Binding(ViewName, CubeManager.flatTable, CubeManager.ensureBuilt,
@@ -72,7 +89,7 @@ object GraftSql {
       rawTables = Seq("lineitem", "orders", "customer", "nation",
         "region", "supplier", "part")),
     Binding(EventsViewName, CubeManager.eventsFlat,
-      CubeManager.ensureEventsBuilt))
+      CubeManager.ensureEventsBuilt)) ++ extraBindings.values
 
   /** recognized output shapes: a routed measure, a derived combination
     * of routed measures (avg), or a bitmap-state intersection */
@@ -127,6 +144,12 @@ object GraftSql {
     e match {
       case AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _) =>
         cube.measureAnswering(SqlAgg.SumOf(a.name)).map(m => MCol(m.name))
+      // SUM over a composite expression: matched against a measure's
+      // DEFINING expression by canonicalized tree equality, so the
+      // literal `SUM(l_extendedprice * (1 - l_discount))` answers from
+      // the pre-computed revenue state (FunctionDesc parameter matching)
+      case AggregateExpression(Sum(e, _), _, false, None, _) =>
+        cube.measureAnsweringSumExpr(e).map(m => MCol(m.name))
       case AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _) =>
         cube.measureAnswering(SqlAgg.CountAll).map(m => MCol(m.name))
       // declared measures win; a DIMENSION column answers min/max/
@@ -240,6 +263,104 @@ object GraftSql {
     cond.deterministic &&
       !cond.exists(_.isInstanceOf[SubqueryExpression]) &&
       cond.references.forall(r => allowed(r.name))
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** a foldable timestamp/date bound as a calendar day, iff it sits
+    * exactly on midnight in the session time zone (a mid-day instant
+    * is not expressible as a segment/day range — the caller refuses
+    * and Spark answers the query) */
+  private def dayOf(spark: SparkSession, e: Expression): Option[String] =
+    e match {
+      case _ if !e.foldable => None
+      case _ if e.dataType == org.apache.spark.sql.types.TimestampType =>
+        Option(e.eval(null)).collect { case micros: Long =>
+          val zid = java.time.ZoneId.of(
+            spark.sessionState.conf.sessionLocalTimeZone)
+          val ldt = java.time.Instant
+            .ofEpochSecond(Math.floorDiv(micros, 1000000L),
+              Math.floorMod(micros, 1000000L) * 1000L)
+            .atZone(zid).toLocalDateTime
+          if (ldt.toLocalTime == java.time.LocalTime.MIDNIGHT)
+            Some(ldt.toLocalDate.toString)
+          else None
+        }.flatten
+      case _ if e.dataType == org.apache.spark.sql.types.DateType =>
+        Option(e.eval(null)).collect { case days: Int =>
+          java.time.LocalDate.ofEpochDay(days.toLong).toString
+        }
+      case _ => None
+    }
+
+  /** Derive a segment-pruning time range from WHERE conjuncts over the
+    * cube's segment column (reference: FilePruner.scala:198-286
+    * pruneSegments derives segment ranges from the query's pushed
+    * filters). Only `segCol >= <midnight literal>` and `segCol <
+    * <midnight literal>` (either operand order) are exact as a
+    * [day, day) range; anything else refuses so the router falls back
+    * rather than over- or under-returning rows. One-sided ranges get
+    * open sentinel bounds. */
+  private def deriveTimeRange(spark: SparkSession, segCol: String,
+      preds: Seq[Expression]): Option[(String, String)] = {
+    // the segment column, possibly under the analyzer's widening cast
+    // (date/ntz column compared to a timestamp literal) — the cast is
+    // day-preserving so the derived range stays exact
+    object SegAttr {
+      def unapply(e: Expression): Boolean = e match {
+        case a: AttributeReference => a.name == segCol
+        case Cast(a: AttributeReference, _, _, _) => a.name == segCol
+        case _ => false
+      }
+    }
+    // scala.Left = lower bound (inclusive), scala.Right = upper
+    // (exclusive) — fully qualified, catalyst has Left/Right exprs
+    val bounds: Seq[Option[Either[String, String]]] = preds.map {
+      case GreaterThanOrEqual(SegAttr(), v) => dayOf(spark, v).map(scala.Left(_))
+      case LessThanOrEqual(v, SegAttr()) => dayOf(spark, v).map(scala.Left(_))
+      case LessThan(SegAttr(), v) => dayOf(spark, v).map(scala.Right(_))
+      case GreaterThan(v, SegAttr()) => dayOf(spark, v).map(scala.Right(_))
+      case _ => None
+    }
+    if (bounds.exists(_.isEmpty)) None
+    else {
+      val lo = bounds.flatten.collect { case scala.Left(d) => d }
+        .maxOption.getOrElse("0000-01-01")
+      val hi = bounds.flatten.collect { case scala.Right(d) => d }
+        .minOption.getOrElse("9999-12-31")
+      Some((lo, hi))
+    }
+  }
+
+  /** Split a WHERE condition below the aggregate into (routable dim
+    * predicate SQL, its dims, derived segment time range): conjuncts
+    * referencing only the segment column become the time range; every
+    * other conjunct must be deterministic, subquery-free and reference
+    * only materialized/derived dims. None ⇔ the filter can't route
+    * against this cube. */
+  private def splitFilter(spark: SparkSession, cube: CubeDef,
+      cond: Expression)
+    : Option[(Option[String], Set[String], Option[(String, String)])] = {
+    val conjuncts = splitConjuncts(cond)
+    val (timeParts, rest) = conjuncts.partition(c =>
+      c.references.nonEmpty && c.references.forall(_.name == cube.segmentCol))
+    val restOk = rest.forall(c => routablePred(c, n =>
+      cube.dims.contains(n) || cube.derivedDim(n).isDefined))
+    if (!restOk) None
+    else {
+      val range =
+        if (timeParts.isEmpty) Some(None)
+        else deriveTimeRange(spark, cube.segmentCol, timeParts).map(Some(_))
+      range.map { tr =>
+        val restSql = rest.reduceOption(And.apply).map(_.transform {
+          case a: AttributeReference => a.withQualifier(Seq.empty)
+        }.sql)
+        (restSql, rest.flatMap(_.references.map(_.name)).toSet, tr)
+      }
+    }
+  }
 
   /** peeled ORDER BY (as both structure and columns) + LIMIT above the
     * aggregate; sorts are attribute-only. `winCols` are window
@@ -377,63 +498,100 @@ object GraftSql {
         bindings.find(_.model.exists(ModelMatcher.matches(plan, _)))
     }
 
-    peel(df.queryExecution.analyzed) match {
-      case Some(p) =>
+    // one peeled aggregate stack → routed result, or None when no
+    // registered realization answers it
+    def routeOne(plan: LogicalPlan): Option[SqlResult] =
+      peel(plan).flatMap { p =>
         val groups = p.agg.groupingExpressions
         val aggs = p.agg.aggregateExpressions
-        val child = p.agg.child
-
-        // ── GROUPING SETS / ROLLUP / CUBE appear as Aggregate over
-        // Expand: route the full-dims cells once, then answer every
-        // grouping set by one cuboid-cell-scale re-aggregation
-        child match {
+        p.agg.child match {
+          // ── GROUPING SETS / ROLLUP / CUBE appear as Aggregate over
+          // Expand: route the full-dims cells once, then answer every
+          // grouping set by one cuboid-cell-scale re-aggregation
           case e: Expand =>
-            return routeGroupingSets(spark, sfDir, df, p, groups, aggs,
+            val r = routeGroupingSets(spark, sfDir, df, p, groups, aggs,
               e, viewOf)
-          case _ => ()
+            if (r.routed) Some(r) else None
+          // child must be a registered cube view or model join,
+          // optionally through a Filter the per-realization split
+          // validates (dim predicates + a derived segment time range)
+          case child =>
+            val (bOpt, cond) = child match {
+              case c if viewOf(c).isDefined => (viewOf(c), None)
+              case Filter(fc, c) if viewOf(c).isDefined =>
+                (viewOf(c), Some(fc))
+              case _ => (None, None)
+            }
+            val groupNames =
+              groups.collect { case a: AttributeReference => a.name }
+            if (bOpt.isEmpty || groups.length != groupNames.length) None
+            else {
+              val insts = bOpt.get.realizations.map(f => f(spark, sfDir))
+              // RealizationChooser: candidates cheapest-covering-first
+              // (cost = planned cuboid rows for the grouped dims); the
+              // first realization that recognizes every output answers
+              val ordered =
+                if (insts.sizeIs == 1) insts
+                else insts.sortBy(i =>
+                  QueryRouter.plan(i, CubeQuery(groupNames, Nil))
+                    .map(_.estRows).getOrElse(Long.MaxValue))
+              ordered.iterator
+                .map(i => tryInstance(spark, df, i, p, groupNames, aggs,
+                  cond))
+                .collectFirst { case Some(r) => r }
+            }
         }
-        // child must be a registered cube view or model join, optionally
-        // through a deterministic materialized-dim-only filter
-        val (binding, filterSql, filterDims) = child match {
-          case c if viewOf(c).isDefined =>
-            (viewOf(c), None, Set.empty[String])
-          case Filter(cond, c) if viewOf(c).isDefined =>
-            val b = viewOf(c).get
-            val cube = b.instance(spark, sfDir).cube
-            // dims AND derived dims are filterable — the router
-            // translates lookup-attribute predicates through the
-            // snapshot onto host dims (DerivedFilterTranslator parity)
-            if (routablePred(cond, n =>
-                cube.dims.contains(n) || cube.derivedDim(n).isDefined)) {
-              // strip view qualifiers so the predicate resolves against
-              // the cuboid frame on the expr() round-trip
-              val bare = cond.transform {
-                case a: AttributeReference => a.withQualifier(Seq.empty)
-              }
-              (Some(b), Some(bare.sql), cond.references.map(_.name).toSet)
-            } else (None, None, Set.empty[String])
-          case _ => (None, None, Set.empty[String])
-        }
-        if (binding.isEmpty) return SqlResult(df, routed = false, "fallback")
-        val inst = binding.get.instance(spark, sfDir)
-        val cube = inst.cube
+      }
 
-        val groupNames = groups.collect { case a: AttributeReference => a.name }
-        val specs = aggs.collect {
-          case Alias(ae: AggregateExpression, name) =>
-            measureOf(cube, ae).map(_ -> name)
-        }
-        val groupsOk = groups.length == groupNames.length &&
-          groupNames.forall(cube.routableDim)
-        // every output is either a grouped dim or a recognized measure
-        val outputOk = aggs.forall {
-          case _: AttributeReference => true
-          case Alias(_: AggregateExpression, _) => true
-          case _ => false
-        }
-        if (!(groupsOk && outputOk && specs.forall(_.isDefined)
-            && specs.nonEmpty))
-          return SqlResult(df, routed = false, "fallback")
+    df.queryExecution.analyzed match {
+      // ── UNION ALL of routable aggregates (OLAPUnionRule.java:33):
+      // each branch routes independently against its own best
+      // realization; ANY branch refusing falls the WHOLE query back —
+      // mixing pre-aggregated and raw-scan branches would answer the
+      // same query from two different consistencies
+      case u: Union if !u.byName =>
+        val branches = u.children.map(routeOne)
+        if (branches.forall(_.isDefined))
+          scala.util.Try {
+            val out = branches.flatten.map(_.df).reduce(_ union _)
+            out.queryExecution.analyzed // force analysis errors here
+            SqlResult(out, routed = true, "cuboid-union")
+          }.getOrElse(SqlResult(df, routed = false, "fallback"))
+        else SqlResult(df, routed = false, "fallback")
+      case p => routeOne(p).getOrElse(SqlResult(df, routed = false, "fallback"))
+    }
+  }
+
+  /** Attempt the peeled aggregate against ONE realization: split the
+    * WHERE into routable dim predicates + a derived segment time range,
+    * recognize every output against this cube's measures, then dispatch
+    * to the specialized rewrites. None ⇔ this realization can't answer
+    * (the caller tries the next, then Spark answers). */
+  private def tryInstance(spark: SparkSession, df: DataFrame,
+      inst: CubeInstance, p: Peeled, groupNames: Seq[String],
+      aggs: Seq[NamedExpression],
+      cond: Option[Expression]): Option[SqlResult] = {
+    val cube = inst.cube
+    val split = cond match {
+      case None => Some((Option.empty[String], Set.empty[String],
+        Option.empty[(String, String)]))
+      case Some(c) => splitFilter(spark, cube, c)
+    }
+    split.flatMap { case (filterSql, filterDims, timeRange) =>
+      val specs = aggs.collect {
+        case Alias(ae: AggregateExpression, name) =>
+          measureOf(cube, ae).map(_ -> name)
+      }
+      val groupsOk = groupNames.forall(cube.routableDim)
+      // every output is either a grouped dim or a recognized measure
+      val outputOk = aggs.forall {
+        case _: AttributeReference => true
+        case Alias(_: AggregateExpression, _) => true
+        case _ => false
+      }
+      if (!(groupsOk && outputOk && specs.forall(_.isDefined)
+          && specs.nonEmpty)) None
+      else {
         val outs = specs.flatten
         val outNames = aggs.map {
           case a: AttributeReference => a.name
@@ -441,78 +599,95 @@ object GraftSql {
         }
 
         // ── intersect_count rewrite: answered from bitmap STATES
-        // (routeStates + AND), never from a raw scan
-        if (outs.exists(_._1.isInstanceOf[MIntersect]))
-          return routeIntersect(spark, df, inst, groupNames, outs, outNames,
-            filterSql, filterDims, p)
-
+        // (routeStates + AND), never from a raw scan; the vals ARE the
+        // filter — no extra WHERE or time range supported
+        if (outs.exists(_._1.isInstanceOf[MIntersect])) {
+          if (timeRange.nonEmpty) None
+          else {
+            val r = routeIntersect(spark, df, inst, groupNames, outs,
+              outNames, filterSql, filterDims, p)
+            if (r.routed) Some(r) else None
+          }
+        }
         // ── dimension-as-measure: add the dim to the routed group-by
         // and post-aggregate (dims are exact in every cuboid)
-        if (outs.exists(_._1.isInstanceOf[MDimAgg]))
-          return routeDimAgg(spark, df, inst, groupNames, aggs,
-            filterSql, filterDims, p)
-
+        else if (outs.exists(_._1.isInstanceOf[MDimAgg])) {
+          val r = routeDimAgg(spark, df, inst, groupNames, aggs,
+            filterSql, filterDims, timeRange, p)
+          if (r.routed) Some(r) else None
+        }
         // ── TopN-measure rewrite: a global `GROUP BY <sketch dims>
         // ORDER BY <the sketch's sum> DESC LIMIT n` is the pre-computed
         // sketch, merged across any cuboid — no dim-level scan at all
-        routeTopn(spark, df, inst, groupNames, outs, p, filterSql,
-            filterDims)
-            .map(_.select(outNames.map(col): _*))
-            .orElse(routeTopnGrouped(spark, df, inst, groupNames, outs, p,
-              filterSql, filterDims)) match {
-          case Some(t) =>
-            SqlResult(t, routed = true, "topn-measure")
-          case None =>
-            // route the union of underlying measures as STATES (a
-            // derived output like avg needs two; a quantile output
-            // evaluates the sketch at its own rank), then present in
-            // SQL output order
-            val needed = outs.flatMap(_._1.measures).distinct
-            val q = CubeQuery(groupNames, needed.map(m => m -> s"__m_$m"),
-              filter = filterSql.map(expr),
-              filterDims = filterDims)
-            val routed = QueryRouter.routeStates(spark, inst, q)(df)
-            if (routed.fallback) SqlResult(df, routed = false, "fallback")
-            else {
-              def presented(m: String): Column =
-                cube.measure(m).present(col(s"__m_$m"))
-              val outCols = aggs.map {
-                case a: AttributeReference => col(a.name)
-                case Alias(ae: AggregateExpression, name) =>
-                  measureOf(cube, ae).get match {
-                    case MCol(m) => presented(m).as(name)
-                    case MAvg(sm, cm) =>
-                      (presented(sm) / presented(cm)).as(name)
-                    case MQuantile(m, p) =>
-                      Measures.kllQuantile(col(s"__m_$m"), lit(p)).as(name)
-                    case _: MIntersect =>
-                      sys.error("intersect handled above")
-                  }
-              }
-              // window re-application can fail on exotic frame SQL —
-              // fall back to Spark's own answer rather than erroring
-              scala.util.Try {
-                var out = routed.df.select(outCols: _*)
-                p.havingSql.foreach(h => out = out.filter(expr(h)))
-                if (p.winCols.nonEmpty) {
-                  out = out.select(out.columns.map(col) ++
-                    p.winCols.map { case (sql, name) =>
-                      expr(sql).as(name)
-                    }: _*)
-                  // rank filters (WHERE rn <= n outside the subquery)
-                  // re-apply after the windows they reference
-                  p.winFilterSqls.foreach(f => out = out.filter(expr(f)))
-                  if (p.finalNames.nonEmpty)
-                    out = out.select(p.finalNames.map(col): _*)
-                }
-                if (p.sortCols.nonEmpty) out = out.orderBy(p.sortCols: _*)
-                p.limit.foreach(n => out = out.limit(n))
-                out.queryExecution.analyzed // force analysis errors here
-                SqlResult(out, routed = true, "cuboid")
-              }.getOrElse(SqlResult(df, routed = false, "fallback"))
-            }
+        else routeTopn(spark, df, inst, groupNames, outs, p, filterSql,
+            filterDims, timeRange)
+          .map(t => SqlResult(t.select(outNames.map(col): _*),
+            routed = true, "topn-measure"))
+          .orElse(routeTopnGrouped(spark, df, inst, groupNames, outs, p,
+            filterSql, filterDims, timeRange)
+            .map(t => SqlResult(t, routed = true, "topn-measure")))
+          .orElse(routeGeneric(spark, df, inst, p, aggs, groupNames, outs,
+            filterSql, filterDims, timeRange))
+      }
+    }
+  }
+
+  /** the generic cuboid path: route the union of underlying measures as
+    * STATES (a derived output like avg needs two; a quantile output
+    * evaluates the sketch at its own rank), then present in SQL output
+    * order and re-apply HAVING / windows / sort / limit. */
+  private def routeGeneric(spark: SparkSession, df: DataFrame,
+      inst: CubeInstance, p: Peeled, aggs: Seq[NamedExpression],
+      groupNames: Seq[String], outs: Seq[(MOut, String)],
+      filterSql: Option[String], filterDims: Set[String],
+      timeRange: Option[(String, String)]): Option[SqlResult] = {
+    val cube = inst.cube
+    val needed = outs.flatMap(_._1.measures).distinct
+    val q = CubeQuery(groupNames, needed.map(m => m -> s"__m_$m"),
+      filter = filterSql.map(expr),
+      filterDims = filterDims,
+      timeRange = timeRange)
+    val routed = QueryRouter.routeStates(spark, inst, q)(df)
+    if (routed.fallback) None
+    else {
+      def presented(m: String): Column =
+        cube.measure(m).present(col(s"__m_$m"))
+      val outCols = aggs.map {
+        case a: AttributeReference => col(a.name)
+        case Alias(ae: AggregateExpression, name) =>
+          measureOf(cube, ae).get match {
+            case MCol(m) => presented(m).as(name)
+            case MAvg(sm, cm) =>
+              (presented(sm) / presented(cm)).as(name)
+            case MQuantile(m, p) =>
+              Measures.kllQuantile(col(s"__m_$m"), lit(p)).as(name)
+            case _: MIntersect =>
+              sys.error("intersect handled above")
+            case _: MDimAgg =>
+              sys.error("dim aggregates handled above")
+          }
+      }
+      // window re-application can fail on exotic frame SQL —
+      // fall back to Spark's own answer rather than erroring
+      scala.util.Try {
+        var out = routed.df.select(outCols: _*)
+        p.havingSql.foreach(h => out = out.filter(expr(h)))
+        if (p.winCols.nonEmpty) {
+          out = out.select(out.columns.map(col) ++
+            p.winCols.map { case (sql, name) =>
+              expr(sql).as(name)
+            }: _*)
+          // rank filters (WHERE rn <= n outside the subquery)
+          // re-apply after the windows they reference
+          p.winFilterSqls.foreach(f => out = out.filter(expr(f)))
+          if (p.finalNames.nonEmpty)
+            out = out.select(p.finalNames.map(col): _*)
         }
-      case _ => SqlResult(df, routed = false, "fallback")
+        if (p.sortCols.nonEmpty) out = out.orderBy(p.sortCols: _*)
+        p.limit.foreach(n => out = out.limit(n))
+        out.queryExecution.analyzed // force analysis errors here
+        SqlResult(out, routed = true, "cuboid")
+      }.toOption
     }
   }
 
@@ -521,7 +696,8 @@ object GraftSql {
       inst: CubeInstance, groupNames: Seq[String],
       outs: Seq[(MOut, String)], p: Peeled,
       filterSql: Option[String],
-      filterDims: Set[String]): Option[DataFrame] = {
+      filterDims: Set[String],
+      timeRange: Option[(String, String)]): Option[DataFrame] = {
     val cube = inst.cube
     for {
       n <- p.limit
@@ -541,11 +717,16 @@ object GraftSql {
       // a dim filter NOT touching the sketch dims applies to the cells
       // BEFORE the sketch merge — exact (TopNMeasureType allows the
       // same); a filter on a sketch dim would change top-n semantics
-      // after the fact, so it refuses and the cuboid path answers
+      // after the fact, so it refuses and the cuboid path answers. The
+      // same rule covers a derived time range: its residual filter
+      // lands on the time dim, which must not be a sketch dim.
       if filterDims.intersect(sh.dims.toSet).isEmpty
+      if timeRange.isEmpty ||
+        !cube.timeDim.exists(td => sh.dims.contains(td.name))
       r = QueryRouter.routeStates(spark, inst,
         CubeQuery(Nil, Seq(tm.name -> "state"),
-          filter = filterSql.map(expr), filterDims = filterDims))(df)
+          filter = filterSql.map(expr), filterDims = filterDims,
+          timeRange = timeRange))(df)
       if !r.fallback
       // a capacity-trimmed state is approximate: refuse the rewrite
       // rather than present it as exact (ADVICE r3). One 1-row probe
@@ -581,7 +762,8 @@ object GraftSql {
       inst: CubeInstance, groupNames: Seq[String],
       outs: Seq[(MOut, String)], p: Peeled,
       filterSql: Option[String],
-      filterDims: Set[String]): Option[DataFrame] = {
+      filterDims: Set[String],
+      timeRange: Option[(String, String)]): Option[DataFrame] = {
     val cube = inst.cube
     for {
       _ <- Some(())
@@ -629,11 +811,15 @@ object GraftSql {
           valNames.contains(nm) && dir == Descending } &&
         ordered.drop(1) == sh.dims.map(d => (d, Ascending))
       // pre-merge dim filters are exact as long as they avoid the
-      // sketch dims (same argument as the global rewrite)
+      // sketch dims (same argument as the global rewrite); ditto the
+      // residual filter of a derived time range
       if filterDims.intersect(sh.dims.toSet).isEmpty
+      if timeRange.isEmpty ||
+        !cube.timeDim.exists(td => sh.dims.contains(td.name))
       r = QueryRouter.routeStates(spark, inst,
         CubeQuery(partNames, Seq(tm.name -> "state"),
-          filter = filterSql.map(expr), filterDims = filterDims))(df)
+          filter = filterSql.map(expr), filterDims = filterDims,
+          timeRange = timeRange))(df)
       if !r.fallback
       // one cuboid-scale probe: any trimmed merged state ⇒ approximate
       // ⇒ refuse the rewrite (the generic cuboid path still answers)
@@ -803,6 +989,7 @@ object GraftSql {
       inst: CubeInstance, groupNames: Seq[String],
       aggs: Seq[NamedExpression],
       filterSql: Option[String], filterDims: Set[String],
+      timeRange: Option[(String, String)],
       p: Peeled): SqlResult = {
     val cube = inst.cube
     def fallback = SqlResult(df, routed = false, "fallback")
@@ -825,7 +1012,8 @@ object GraftSql {
     val needed = specs.flatMap(_._1.measures).distinct
     val q = CubeQuery(groupNames ++ extra,
       needed.map(m => m -> s"__m_$m"),
-      filter = filterSql.map(expr), filterDims = filterDims)
+      filter = filterSql.map(expr), filterDims = filterDims,
+      timeRange = timeRange)
     val routed = QueryRouter.routeStates(spark, inst, q)(df)
     if (routed.fallback) return fallback
     val aggExprs =

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
 
 /** Column ↔ Expression bridge. Spark 4 made these converters
   * private[sql]; extension libraries conventionally expose them from a
@@ -12,4 +12,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** the EAGER converted tree (ExpressionUtils.expression returns a
+    * lazy ColumnNodeExpression wrapper whose children aren't walkable
+    * until analysis) — for structural matching of a Column's algebra */
+  def expressionTree(c: Column): Expression =
+    ColumnNodeToExpressionConverter(c.node)
 }

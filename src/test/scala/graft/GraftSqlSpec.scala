@@ -455,4 +455,125 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(top.head._1.split(Measures.MultiSep) sameElements
       Array("Brand#1", "AUTOMOBILE"))
   }
+
+  // ── VERDICT r7 item 2: SQL-derived segment pruning ────────────────
+
+  test("a one-sided WHERE range on the segment column prunes segments") {
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(*) AS n_rows FROM graft_star
+        |WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |GROUP BY o_orderstatus""".stripMargin)
+    assert(r.routed && r.via == "cuboid", s"got ${r.via}")
+    val files = r.df.inputFiles
+    assert(files.nonEmpty &&
+      files.forall(f => f.contains("/s1999/") || f.contains("/s2001/")),
+      s"s1995/s1997 must be pruned, got ${files.take(3).toSeq}")
+    val got = r.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val want = CubeManager.flatTable(spark, sf)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .groupBy("o_orderstatus").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("a dim predicate AND a time range route together") {
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT n_name, sum(l_quantity) AS sum_qty FROM graft_star
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name""".stripMargin)
+    assert(r.routed && r.via == "cuboid", s"got ${r.via}")
+    assert(r.df.inputFiles.filter(_.contains("cuboid="))
+      .forall(_.contains("/s1997/")))
+    val got = r.df.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val want = CubeManager.flatTable(spark, sf)
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .groupBy("n_name")
+      .agg(sum(col("l_quantity")).cast("double").as("q"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("time bounds that aren't exact day/segment ranges fall back") {
+    // mid-day instant: not expressible as a [day, day) range
+    val midday = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(*) AS n FROM graft_star
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 12:30:00'
+        |GROUP BY o_orderstatus""".stripMargin)
+    assert(!midday.routed)
+    // strict > at midnight: excludes only the exact instant — refused
+    val strict = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(*) AS n FROM graft_star
+        |WHERE o_orderdate > TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderstatus""".stripMargin)
+    assert(!strict.routed)
+    // day-aligned but mid-month: partial segment, residual not
+    // expressible at month granularity — router refuses
+    val midmonth = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(*) AS n FROM graft_star
+        |WHERE o_orderdate >= TIMESTAMP '1997-03-15'
+        |GROUP BY o_orderstatus""".stripMargin)
+    assert(!midmonth.routed)
+    // and every fallback still answers correctly
+    assert(midday.df.count() > 0 && strict.df.count() > 0 &&
+      midmonth.df.count() > 0)
+  }
+
+  test("a month-aligned unaligned-to-segment range routes via residual") {
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(*) AS n_rows FROM graft_star
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-07-01'
+        |GROUP BY o_orderstatus""".stripMargin)
+    assert(r.routed && r.via == "cuboid", s"got ${r.via}")
+    val got = r.df.agg(sum("n_rows")).head().getLong(0)
+    val want = CubeManager.flatTable(spark, sf)
+      .filter("o_orderdate >= '1996-01-01' and o_orderdate < '1999-07-01'")
+      .count()
+    assert(got == want)
+  }
+
+  // ── VERDICT r7 item 3: UNION ALL routing ──────────────────────────
+
+  test("UNION ALL with an unroutable branch falls back whole") {
+    // first branch routable on its own; second groups by a non-dim
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(*) AS n FROM graft_star
+        |GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT o_orderpriority, count(*) AS n FROM graft_star
+        |GROUP BY o_orderpriority""".stripMargin)
+    assert(!r.routed, "a non-dim branch must refuse the whole union")
+    assert(r.df.count() > 0)
+  }
+
+  // ── VERDICT r7 item 4: expression-defined measures ────────────────
+
+  test("only the declared defining expression matches the measure") {
+    // (1 + l_discount) is NOT the revenue algebra — must not route
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT l_returnflag,
+        |  sum(l_extendedprice * (1 + l_discount)) AS x
+        |FROM graft_star GROUP BY l_returnflag""".stripMargin)
+    assert(!r.routed)
+    assert(r.df.count() > 0)
+  }
+
+  test("the literal revenue algebra routes through the model-join path") {
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT l_returnflag,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin)
+    assert(r.routed && r.via == "cuboid", s"got ${r.via}")
+    val got = r.df.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val want = CubeManager.flatTable(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(sum(col("disc_price")).cast("double").as("revenue"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(got == want && want.nonEmpty)
+  }
 }

@@ -125,4 +125,42 @@ class RealizationSpec extends AnyFunSuite {
     }
     assert(r4.fallback && fb && win4.isEmpty)
   }
+
+  test("the SQL front-end picks the cheapest realization per query") {
+    val wideRoot = CubeManager.ensureBuilt(spark, sf).root
+    narrowInst // force the narrow build before registering
+    GraftSql.registerBinding(GraftSql.Binding("graft_star_mr",
+      CubeManager.flatTable, CubeManager.ensureBuilt,
+      alternates = Seq((_, _) => narrowInst)))
+
+    // both cover: the narrow realization's cuboid is smaller → it wins
+    val r1 = GraftSql.sqlVia(spark, sf,
+      """SELECT l_returnflag, sum(disc_price) AS revenue, count(*) AS n
+        |FROM graft_star_mr GROUP BY l_returnflag""".stripMargin)
+    assert(r1.routed && r1.via == "cuboid", s"got ${r1.via}")
+    assert(r1.df.inputFiles.nonEmpty &&
+      r1.df.inputFiles.forall(_.contains(narrowRoot)),
+      s"expected the narrow realization, got ${r1.df.inputFiles.headOption}")
+
+    // a dim only the wide cube materializes → wide answers
+    val r2 = GraftSql.sqlVia(spark, sf,
+      """SELECT n_name, sum(disc_price) AS revenue
+        |FROM graft_star_mr GROUP BY n_name""".stripMargin)
+    assert(r2.routed && r2.df.inputFiles.forall(_.contains(wideRoot)))
+
+    // a measure only the wide cube declares → wide answers
+    val r3 = GraftSql.sqlVia(spark, sf,
+      """SELECT l_returnflag, count(distinct o_custkey) AS n_cust
+        |FROM graft_star_mr GROUP BY l_returnflag""".stripMargin)
+    assert(r3.routed && r3.df.inputFiles.forall(_.contains(wideRoot)))
+
+    // narrow answer values equal the wide cube's
+    val viaWide = GraftSql.sqlVia(spark, sf,
+      """SELECT l_returnflag, sum(disc_price) AS revenue, count(*) AS n
+        |FROM graft_star GROUP BY l_returnflag""".stripMargin)
+    assert(r1.df.collect().map(x => (x.getString(0), x.getDouble(1),
+      x.getLong(2))).toSet ==
+      viaWide.df.collect().map(x => (x.getString(0), x.getDouble(1),
+        x.getLong(2))).toSet)
+  }
 }
