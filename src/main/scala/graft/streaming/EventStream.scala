@@ -73,6 +73,63 @@ object EventStream {
       }
       .start()
 
+  /** The HOT-TAIL flush (reference: stream-core serves queries from
+    * receivers' in-memory/real-time fragments BEFORE a window is
+    * sealed): update mode emits every window a micro-batch touched —
+    * including windows still inside the watermark — and each batch
+    * lands under the hot dir stamped with its batch id. `hotTail`
+    * then keeps the LATEST row per window: a newer batch's row
+    * supersedes the older one exactly like a receiver fragment being
+    * replaced. A production deployment TTLs hot files once their
+    * windows seal into the append cuboid (they're superseded by
+    * construction), keeping the dir O(open windows × recent batches). */
+  def startHotUpdate(events: DataFrame, windowLen: String,
+                     lateness: String, path: String,
+                     checkpoint: String): StreamingQuery =
+    tumblingAgg(events, windowLen, lateness)
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(path)
+      }
+      .start()
+
+  /** latest-wins view of the hot dir: one row per (w_start,
+    * event_type) from the highest batch id that touched it (counts are
+    * cumulative per window, so the newest row is the truth) */
+  def hotTail(spark: SparkSession, hotPath: String): DataFrame =
+    spark.read.parquet(hotPath)
+      .groupBy(col("w_start"), col("event_type"))
+      .agg(max(struct(col("batch_id"), col("n_events"),
+        col("sum_value"))).as("s"))
+      .select(col("w_start"), col("event_type"),
+        col("s.n_events").as("n_events"),
+        col("s.sum_value").as("sum_value"))
+
+  /** The lambda read (reference: stream-core's real-time query path
+    * unions historical segments with receiver fragments): every sealed
+    * (append-flushed) window, plus the freshest in-flight hot row for
+    * windows NOT yet sealed — so events inside the watermark are
+    * queryable. Sealed windows always win over their own stale hot
+    * rows (anti-join), keeping the two layers disjoint. */
+  def lambdaWindows(spark: SparkSession, closedPath: String,
+                    hotPath: String): DataFrame = {
+    val closed = spark.read.parquet(closedPath)
+      .select("w_start", "event_type", "n_events", "sum_value")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(hotPath))) closed
+    else {
+      val hotOnly = hotTail(spark, hotPath)
+        .join(closed.select("w_start", "event_type"),
+          Seq("w_start", "event_type"), "left_anti")
+      closed.unionByName(hotOnly)
+    }
+  }
+
   /** the events table as a genuine file-source STREAM — kept as the
     * default binding of the pluggable `StreamSource` SPI (a Kafka
     * deployment swaps in `KafkaEventSource`, specs use `FrameSource`
@@ -102,23 +159,38 @@ object EventStream {
                          out: String): String =
     buildStreamingCube(spark, FileEventSource(sfDir, s"$out/src"), out)
 
+  /** both lambda layers over one source: the sealed append cuboid and
+    * the in-watermark hot tail. Returns (closedPath, hotPath). */
+  def buildLambdaCube(spark: SparkSession, source: StreamSource,
+                      out: String): (String, String) = {
+    val closed = buildStreamingCube(spark, source, out)
+    val hot = startHotUpdate(source.load(spark), "6 hours", "1 hour",
+      s"$out/hot", s"$out/hot-ckpt")
+    hot.awaitTermination()
+    (closed, s"$out/hot")
+  }
+
   private val streamingCubes =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private val streamLock = new Object
 
-  /** ONE streaming cuboid per sf dir per JVM (memoized like
-    * CubeManager's batch cubes): every AvailableNow run pays ~2 s of
-    * fixed state-store setup, so consumers that share the same source
-    * — the pure streaming key and the lambda/hybrid query — must share
-    * one build instead of each paying it (VERDICT r5). */
-  def ensureStreamingCube(spark: SparkSession, sfDir: String): String =
+  /** ONE streaming build (sealed cuboid + hot tail) per sf dir per JVM
+    * (memoized like CubeManager's batch cubes): every AvailableNow run
+    * pays ~2 s of fixed state-store setup, so consumers that share the
+    * same source — the pure streaming key and the lambda/hybrid query —
+    * must share one build instead of each paying it (VERDICT r5). */
+  def ensureLambda(spark: SparkSession, sfDir: String): (String, String) =
     streamingCubes.getOrElse(sfDir, streamLock.synchronized {
       streamingCubes.getOrElseUpdate(sfDir, {
         val sfName = sfDir.replaceAll("/+$", "").split('/').last
-        buildStreamingCube(spark, sfDir,
-          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-stream-$sfName")
+        val out =
+          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-stream-$sfName"
+        buildLambdaCube(spark, FileEventSource(sfDir, s"$out/src"), out)
       })
     })
+
+  def ensureStreamingCube(spark: SparkSession, sfDir: String): String =
+    ensureLambda(spark, sfDir)._1
 
   // ── stateful sessionization (custom state beyond windowed aggs) ──
 

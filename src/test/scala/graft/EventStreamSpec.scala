@@ -58,6 +58,51 @@ class EventStreamSpec extends AnyFunSuite {
       (ts(6), "view", 1L, 8.00)))
   }
 
+  test("hot tail serves in-watermark windows the append cuboid can't") {
+    // VERDICT r7 item 5: the freshest `lateness` of events must be
+    // queryable — append mode only flushes sealed windows, the hot
+    // update-mode layer carries the open ones
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lambda").toString
+    // one MemoryStream per sink: MemoryStream purges data its consumer
+    // committed, so two sequential queries can't share one (the real
+    // file/Kafka sources retain data and share fine)
+    val msA = MemoryStream[StreamEv]
+    val ms = MemoryStream[StreamEv]
+    // watermark after the batch = 11.5h - 1h = 10.5h: window [0,6h)
+    // seals, window [6,12h) (two events) is still inside the watermark
+    val batch1 = Seq(
+      StreamEv(ts(0.5), "click", 1.00), StreamEv(ts(6.5), "click", 2.00),
+      StreamEv(ts(11.5), "click", 4.00))
+    msA.addData(batch1)
+    ms.addData(batch1)
+    EventStream.startCubeAppend(msA.toDF(), "6 hours", "1 hour",
+      s"$dir/cuboid", s"$dir/ckpt").awaitTermination()
+    EventStream.startHotUpdate(ms.toDF(), "6 hours", "1 hour",
+      s"$dir/hot", s"$dir/hot-ckpt").awaitTermination()
+
+    val closedN = spark.read.parquet(s"$dir/cuboid")
+      .agg(sum("n_events")).head().getLong(0)
+    assert(closedN == 1, "append mode must not see in-watermark events")
+    val lambda1 = EventStream.lambdaWindows(spark, s"$dir/cuboid", s"$dir/hot")
+      .collect().map(r => (r.getAs[Timestamp]("w_start"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    assert(lambda1 == Set((ts(0), 1L, 1.00), (ts(6), 2L, 6.00)),
+      s"hybrid must include the open window, got $lambda1")
+
+    // a later batch updates the open window: latest-wins supersedes
+    // the older hot row (receiver fragment replacement)
+    ms.addData(StreamEv(ts(11.7), "click", 8.00))
+    EventStream.startHotUpdate(ms.toDF(), "6 hours", "1 hour",
+      s"$dir/hot", s"$dir/hot-ckpt").awaitTermination()
+    val lambda2 = EventStream.lambdaWindows(spark, s"$dir/cuboid", s"$dir/hot")
+      .collect().map(r => (r.getAs[Timestamp]("w_start"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    assert(lambda2 == Set((ts(0), 1L, 1.00), (ts(6), 3L, 14.00)),
+      s"latest hot row must win, got $lambda2")
+  }
+
   test("the streaming cube builds through the pluggable source SPI") {
     // same pipeline as the file-source path, driven by a FrameSource
     // over a MemoryStream — proving the cube append is source-agnostic
