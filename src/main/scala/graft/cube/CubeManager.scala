@@ -192,7 +192,9 @@ object CubeManager {
       derived = Seq(DerivedDim("n_nationkey", "n_name", "nation"),
                     DerivedDim("n_regionkey", "n_name", "nation")),
       // TPC-H NOT NULL contract — gates the AVG → SUM/COUNT(*) rewrite
-      notNull = Set("disc_price", "l_quantity", "l_extendedprice"),
+      // (and its expression form, which checks the INPUT columns)
+      notNull = Set("disc_price", "l_quantity", "l_extendedprice",
+        "l_discount"),
       extended = Seq(ExtendedColumn("o_year", "o_month", "o_year_ext")))
   }
 

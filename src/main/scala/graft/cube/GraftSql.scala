@@ -152,6 +152,12 @@ object GraftSql {
         cube.measureAnsweringSumExpr(e).map(m => MCol(m.name))
       case AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _) =>
         cube.measureAnswering(SqlAgg.CountAll).map(m => MCol(m.name))
+      // COUNT(col) counts non-null rows — equal to COUNT(*) only under
+      // the cube's NOT NULL contract (Kylin rewrites count(col) onto
+      // the row counter the same way; a nullable column falls back)
+      case AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _)
+          if cube.notNull.contains(a.name) =>
+        cube.measureAnswering(SqlAgg.CountAll).map(m => MCol(m.name))
       // declared measures win; a DIMENSION column answers min/max/
       // count-distinct by itself (dims are exact in every cuboid —
       // Kylin's dimension-as-measure)
@@ -179,6 +185,18 @@ object GraftSql {
           if cube.notNull.contains(a.name) =>
         for {
           s <- cube.measureAnswering(SqlAgg.SumOf(a.name))
+          c <- cube.measureAnswering(SqlAgg.CountAll)
+        } yield MAvg(s.name, c.name)
+      // AVG over a composite expression: sum-expr state / COUNT(*),
+      // sound when every input column is non-null (arithmetic over
+      // non-null inputs is non-null — except division, which yields
+      // NULL on a zero divisor, so Divide refuses)
+      case AggregateExpression(Average(e, _), _, false, None, _)
+          if e.references.nonEmpty &&
+            e.references.forall(r => cube.notNull.contains(r.name)) &&
+            !e.exists(_.isInstanceOf[Divide]) =>
+        for {
+          s <- cube.measureAnsweringSumExpr(e)
           c <- cube.measureAnswering(SqlAgg.CountAll)
         } yield MAvg(s.name, c.name)
       // approx_count_distinct → the HLL measure's estimate (Kylin's
@@ -549,17 +567,52 @@ object GraftSql {
       // realization; ANY branch refusing falls the WHOLE query back —
       // mixing pre-aggregated and raw-scan branches would answer the
       // same query from two different consistencies
-      case u: Union if !u.byName =>
+      case UnionShape(u, sorts, limit) =>
         val branches = u.children.map(routeOne)
         if (branches.forall(_.isDefined))
           scala.util.Try {
-            val out = branches.flatten.map(_.df).reduce(_ union _)
+            var out = branches.flatten.map(_.df).reduce(_ union _)
+            if (sorts.nonEmpty) out = out.orderBy(sorts: _*)
+            limit.foreach(n => out = out.limit(n))
             out.queryExecution.analyzed // force analysis errors here
             SqlResult(out, routed = true, "cuboid-union")
           }.getOrElse(SqlResult(df, routed = false, "fallback"))
         else SqlResult(df, routed = false, "fallback")
       case p => routeOne(p).getOrElse(SqlResult(df, routed = false, "fallback"))
     }
+  }
+
+  /** matcher for a Union optionally under attribute-only Sort / Limit */
+  private object UnionShape {
+    def unapply(plan: LogicalPlan)
+      : Option[(Union, Seq[Column], Option[Int])] = plan match {
+      case u: Union if !u.byName => Some((u, Nil, None))
+      case Sort(_, true, _, _) | GlobalLimit(_, _) => walk(plan, Nil, None)
+      case _ => None
+    }
+    private def walk(plan: LogicalPlan, sorts: Seq[Column],
+        limit: Option[Int]): Option[(Union, Seq[Column], Option[Int])] =
+      plan match {
+        case u: Union if !u.byName => Some((u, sorts, limit))
+        case Sort(order, true, inner, _) =>
+          val parsed = order.map {
+            case SortOrder(a: AttributeReference, Ascending, NullsFirst, _) =>
+              Some(col(a.name).asc_nulls_first)
+            case SortOrder(a: AttributeReference, Ascending, NullsLast, _) =>
+              Some(col(a.name).asc_nulls_last)
+            case SortOrder(a: AttributeReference, Descending, NullsFirst, _) =>
+              Some(col(a.name).desc_nulls_first)
+            case SortOrder(a: AttributeReference, Descending, NullsLast, _) =>
+              Some(col(a.name).desc_nulls_last)
+            case _ => None
+          }
+          if (parsed.forall(_.isDefined))
+            walk(inner, parsed.flatten ++ sorts, limit)
+          else None
+        case GlobalLimit(Literal(n: Int, _), LocalLimit(_, inner)) =>
+          walk(inner, sorts, Some(n))
+        case _ => None
+      }
   }
 
   /** Attempt the peeled aggregate against ONE realization: split the

@@ -978,6 +978,28 @@ object CubeQueries extends QueryGroup {
              |FROM lineitem
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // 35h2 ────────────── AVG over the defining expression + COUNT(col)
+    //     under the NOT NULL contract: avg(l_extendedprice*(1-l_disc))
+    //     assembles from the routed sum-expr state and the row counter;
+    //     count(l_quantity) rides the row counter (Kylin's count/avg
+    //     rewrites over FunctionDesc-matched measures)
+    Q("cube_sql_avg_expr",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT o_orderstatus,
+            |  avg(l_extendedprice * (1 - l_discount)) AS avg_rev,
+            |  count(l_quantity) AS n_rows
+            |FROM graft_star GROUP BY o_orderstatus""".stripMargin)
+        assert(r.routed && r.via == "cuboid",
+          s"expected the avg-expression to route, got ${r.via}")
+        r.df.orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) / COUNT(*) AS avg_rev,
+             |  COUNT(l_quantity) AS n_rows
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // 36 ──────────────── RAW measure: per-group value collection
     //     carried through the cube (reference measure/raw)
     Q("cube_raw_measure",

@@ -562,6 +562,63 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(r.df.count() > 0)
   }
 
+  test("ORDER BY and LIMIT above a routed UNION ALL peel and re-apply") {
+    val sql =
+      """SELECT n_name, sum(disc_price) AS revenue
+        |FROM graft_star WHERE r_name = 'ASIA' GROUP BY n_name
+        |UNION ALL
+        |SELECT n_name, sum(disc_price) AS revenue
+        |FROM graft_star WHERE r_name = 'EUROPE' GROUP BY n_name
+        |ORDER BY revenue DESC, n_name
+        |LIMIT 7""".stripMargin
+    val r = GraftSql.sqlVia(spark, sf, sql)
+    assert(r.routed && r.via == "cuboid-union", s"got ${r.via}")
+    // the routed answer PRESENTS the decimal state as double (same as
+    // every routed measure); Spark's own answer keeps the decimal
+    def num(x: Any): Double = x match {
+      case d: java.math.BigDecimal => d.doubleValue
+      case d: Double => d
+    }
+    val got = r.df.collect().map(x => (x.getString(0), num(x.get(1)))).toSeq
+    val want = spark.sql(sql).collect()
+      .map(x => (x.getString(0), num(x.get(1)))).toSeq
+    assert(got == want && got.size == 7)
+  }
+
+  test("COUNT(col) routes onto the row counter only under NOT NULL") {
+    // l_quantity is declared NOT NULL → count(l_quantity) == count(*)
+    val ok = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(l_quantity) AS n
+        |FROM graft_star GROUP BY o_orderstatus""".stripMargin)
+    assert(ok.routed && ok.via == "cuboid", s"got ${ok.via}")
+    val got = ok.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val want = CubeManager.flatTable(spark, sf)
+      .groupBy("o_orderstatus").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got == want && want.nonEmpty)
+    // p_brand rides a LEFT edge (nullable): count(p_brand) must NOT
+    // borrow the row counter
+    val no = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(p_brand) AS n
+        |FROM graft_star GROUP BY o_orderstatus""".stripMargin)
+    assert(!no.routed)
+  }
+
+  test("AVG over the defining expression routes as sum state / count") {
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT l_returnflag,
+        |  avg(l_extendedprice * (1 - l_discount)) AS avg_rev
+        |FROM graft_star GROUP BY l_returnflag""".stripMargin)
+    assert(r.routed && r.via == "cuboid", s"got ${r.via}")
+    val got = r.df.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val want = CubeManager.flatTable(spark, sf)
+      .groupBy("l_returnflag")
+      .agg((sum(col("disc_price")).cast("double") / count(lit(1)))
+        .as("avg_rev"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(got == want && want.nonEmpty)
+  }
+
   test("the literal revenue algebra routes through the model-join path") {
     val r = GraftSql.sqlVia(spark, sf,
       """SELECT l_returnflag,
