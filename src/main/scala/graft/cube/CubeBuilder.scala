@@ -152,6 +152,24 @@ object CubeBuilder {
     next
   }
 
+  /** Refresh ONE existing segment from (possibly corrected) source
+    * data (reference: Kylin's REFRESH job — RebuildSegment rebuilds a
+    * segment in place when late corrections land, leaving every other
+    * segment's parquet untouched). The cuboid writes are
+    * mode("overwrite") per dir, so the refresh replaces exactly this
+    * segment's layout; the meta commit (inside the row-count update)
+    * publishes the new truth last. */
+  def refreshSegment(spark: SparkSession, inst: CubeInstance,
+                     flat: DataFrame, segmentName: String): CubeInstance = {
+    val seg = inst.cube.segments.find(_.name == segmentName)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no segment $segmentName to refresh"))
+    val rows = buildSegment(spark, flat, inst.cube, inst.root, seg)
+    val next = CubeInstance(inst.cube, inst.root, inst.rows ++ rows)
+    CubeMeta.save(spark, next)
+    next
+  }
+
   /** Merge ALL segments into one (reference: cube merge job). */
   def mergeSegments(spark: SparkSession, inst: CubeInstance,
                     mergedName: String): CubeInstance =

@@ -77,6 +77,32 @@ class CubeMetaSpec extends AnyFunSuite {
     assert(CubeMeta.load(spark, drifted, root).isEmpty)
   }
 
+  test("refreshing one segment replaces its data and commits new meta") {
+    val root = java.nio.file.Files.createTempDirectory("graft-refresh").toString
+    val flat = CubeManager.eventsFlat(spark, sf)
+    val cube = CubeManager.eventsCube
+    val inst = CubeBuilder.build(spark, flat, cube, root)
+    val before = QueryRouter.route(spark, inst, CubeQuery(
+      Seq("event_type"), Seq("value_sum" -> "v")))(fail("expected cuboid"))
+      .df.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+
+    // corrected source: every value doubled — refresh the one segment
+    val corrected = flat.withColumn("value", col("value") * 2)
+    val refreshed = CubeBuilder.refreshSegment(spark, inst, corrected,
+      cube.segments.head.name)
+    val after = QueryRouter.route(spark, refreshed, CubeQuery(
+      Seq("event_type"), Seq("value_sum" -> "v")))(fail("expected cuboid"))
+      .df.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(after.keySet == before.keySet)
+    before.foreach { case (k, v) =>
+      assert(math.abs(after(k) - 2 * v) < 1e-6,
+        s"$k: expected ${2 * v}, got ${after(k)}")
+    }
+    // the refresh committed meta: a fresh load sees the new row counts
+    val loaded = CubeMeta.load(spark, cube, root)
+    assert(loaded.exists(_.inst.rows == refreshed.rows))
+  }
+
   test("the merged realization is chained to its base build") {
     // ensureMerged persists meta-merged.json with the base buildId; a
     // matching chain loads, a broken chain re-merges — never a stale mix

@@ -536,6 +536,27 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("the events cube derives day-granular time pruning from SQL") {
+    // ts range unaligned to the (single, month) segment → residual
+    // filter on the day dim; the same front-end logic, second cube
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT event_type, count(*) AS n_events,
+        |  count(distinct user_id) AS n_users
+        |FROM graft_events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+        |GROUP BY event_type""".stripMargin)
+    assert(r.routed && r.via == "cuboid", s"got ${r.via}")
+    val got = r.df.collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    val want = CubeManager.eventsFlat(spark, sf)
+      .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+        col("ts") < lit("2024-01-20").cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   // ── VERDICT r7 item 3: UNION ALL routing ──────────────────────────
 
   test("UNION ALL with an unroutable branch falls back whole") {
