@@ -21,9 +21,14 @@ final case class ModelEdge(lookup: String, via: String,
     s"joinType must be inner or left, got $joinType")
 }
 
-/** A star model: fact table + lookup edges (reference: core-metadata
-  * DataModelDesc — fact/lookups/join conditions). */
-final case class ModelDef(fact: String, edges: Seq[ModelEdge]) {
+/** A star model: fact table + lookup edges + an optional model-level
+  * filter (reference: core-metadata DataModelDesc —
+  * fact/lookups/join conditions/filterCondition). The filter scopes
+  * the model's data universe (e.g. `status <> 'CANCELLED'`): it
+  * applies once in `flatten`, so the built cube, the registered view,
+  * and the pushdown fallback all see the same filtered rows. */
+final case class ModelDef(fact: String, edges: Seq[ModelEdge],
+                          filter: Option[org.apache.spark.sql.Column] = None) {
   require(edges.map(_.lookup).distinct.size == edges.size,
     "one edge per lookup table")
 
@@ -31,15 +36,18 @@ final case class ModelDef(fact: String, edges: Seq[ModelEdge]) {
     * each edge's DECLARED join type — the single place the type is
     * interpreted, so the built flat table and the query matcher can
     * never disagree (reference: CreateFlatTable joins lookups with the
-    * model's JoinDesc type). Edges must be declared in an order where
-    * each `via` is the fact or an earlier lookup. Callers pass
-    * broadcast-hinted frames where a lookup should broadcast. */
-  def flatten(tables: String => DataFrame): DataFrame =
-    edges.foldLeft(tables(fact)) { (acc, e) =>
+    * model's JoinDesc type, then applies the model filter). Edges must
+    * be declared in an order where each `via` is the fact or an
+    * earlier lookup. Callers pass broadcast-hinted frames where a
+    * lookup should broadcast. */
+  def flatten(tables: String => DataFrame): DataFrame = {
+    val joined = edges.foldLeft(tables(fact)) { (acc, e) =>
       val how = if (e.joinType == "left") "left" else "inner"
       acc.join(tables(e.lookup),
         col(e.foreignKey) === col(e.lookupKey), how)
     }
+    filter.fold(joined)(joined.filter)
+  }
 }
 
 /** Matches a user-written explicit join tree against a declared star
@@ -117,9 +125,13 @@ object ModelMatcher {
     }
 
   /** true iff `plan` is exactly the model's star join over a subset of
-    * its tables, with every join typed as its edge declares */
+    * its tables, with every join typed as its edge declares. A model
+    * with a filterCondition never matches explicit-join SQL: the raw
+    * tables contain rows the cube excludes, so routing would silently
+    * apply the model filter to a query that didn't ask for it — only
+    * the registered view (which carries the filter) routes. */
   def matches(plan: LogicalPlan, model: ModelDef): Boolean =
-    walk(plan).exists { case (tables, conds) =>
+    model.filter.isEmpty && walk(plan).exists { case (tables, conds) =>
       val used = model.edges.filter(e => tables.contains(e.lookup))
       val condSets = conds.map(_.keys)
       tables.contains(model.fact) &&

@@ -115,6 +115,35 @@ class CubeSpec extends AnyFunSuite {
     }
   }
 
+  test("a model filterCondition scopes the flat table and blocks " +
+      "explicit-join matching") {
+    import graft.Tables.{lineitem, orders}
+    val m = ModelDef("lineitem",
+      Seq(ModelEdge("orders", "lineitem", "o_orderkey", "l_orderkey")),
+      filter = Some(col("l_quantity") > 25))
+    val tables = Map("lineitem" -> lineitem(spark, sf),
+      "orders" -> orders(spark, sf))
+    val flat = m.flatten(tables)
+    assert(flat.filter(col("l_quantity") <= 25).count() == 0)
+    val expect = tables("lineitem").filter(col("l_quantity") > 25)
+      .join(tables("orders"), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(flat.count() == expect && expect > 0)
+    // a filtered model must NOT match raw-table join SQL — the raw
+    // tables contain rows the cube excludes
+    GraftSql.registerViews(spark, sf) // raw star tables as temp views
+    val plan = spark.sql(
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin)
+      .queryExecution.analyzed
+    val joinTree = plan.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a.child
+    }.get
+    assert(!ModelMatcher.matches(joinTree, m))
+    assert(ModelMatcher.matches(joinTree, m.copy(filter = None)))
+  }
+
   test("derived-dim filter routes via snapshot and matches the source") {
     // DerivedFilterTranslator parity: the predicate names a lookup
     // attribute no cuboid materializes; routing attaches the snapshot
