@@ -911,8 +911,12 @@ object GraftSql {
       viewOf: LogicalPlan => Option[Binding]): SqlResult = {
     def fb = SqlResult(df, routed = false, "fallback")
     if (p.winCols.nonEmpty) return fb
-    val base = expand.child match {
-      case Project(_, b) => b
+    // a WHERE below the grouping sets sits between Expand's Project and
+    // the view: split it like any routed filter (dim predicates + a
+    // derived segment time range)
+    val (base, cond) = expand.child match {
+      case Project(_, Filter(c, b)) => (b, Some(c))
+      case Project(_, b) => (b, Option.empty[Expression])
       case _ => return fb
     }
     val binding = viewOf(base) match {
@@ -921,6 +925,15 @@ object GraftSql {
     }
     val inst = binding.instance(spark, sfDir)
     val cube = inst.cube
+    val (filterSql, filterDims, timeRange) = cond match {
+      case None =>
+        (Option.empty[String], Set.empty[String],
+          Option.empty[(String, String)])
+      case Some(c) => splitFilter(spark, cube, c) match {
+        case None => return fb
+        case Some(t) => t
+      }
+    }
 
     // Expand output = source columns ++ grouping-attr copies ++ gid;
     // the Aggregate groups by exactly (grouping attrs, gid), which
@@ -980,7 +993,9 @@ object GraftSql {
     if (needed.isEmpty) return fb
 
     val routed = QueryRouter.routeStates(spark, inst,
-      CubeQuery(dims, needed.map(m => m -> s"__m_$m")))(df)
+      CubeQuery(dims, needed.map(m => m -> s"__m_$m"),
+        filter = filterSql.map(expr), filterDims = filterDims,
+        timeRange = timeRange))(df)
     if (routed.fallback) return fb
     val cells = routed.df
     def presented(m: String): Column =

@@ -978,6 +978,39 @@ object CubeQueries extends QueryGroup {
              |FROM lineitem
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // 35b12 ───────────── ROLLUP under a WHERE: the filter (dim
+    //     predicate + segment time range) splits and routes below the
+    //     grouping sets, every set still answered from one
+    //     cuboid-cell re-aggregation
+    Q("cube_sql_rollup_where",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT r_name, n_name, sum(disc_price) AS revenue,
+            |  count(*) AS n_rows
+            |FROM graft_star
+            |WHERE c_mktsegment = 'BUILDING'
+            |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+            |  AND o_orderdate < TIMESTAMP '1999-01-01'
+            |GROUP BY ROLLUP(r_name, n_name)
+            |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+        assert(r.routed && r.via == "cuboid-gsets",
+          s"expected filtered grouping-sets routing, got ${r.via}")
+        r.df
+      },
+      Some("""SELECT r_name, n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate < TIMESTAMP '1999-01-01'
+             |GROUP BY ROLLUP(r_name, n_name)
+             |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
+
     // 35h2 ────────────── AVG over the defining expression + COUNT(col)
     //     under the NOT NULL contract: avg(l_extendedprice*(1-l_disc))
     //     assembles from the routed sum-expr state and the row counter;
