@@ -258,4 +258,51 @@ object Dedup {
       pairJaccard(rows, cand).filter(col("jaccard") >= minJaccard)
     }
   }
+
+  // ── transitive dup clusters (connected components) ───────────────
+
+  /** Transitive duplicate clusters over a near-dup pair list: every
+    * doc in a connected component labeled with the component's MIN
+    * doc_id — the canonical keep-one representative a training
+    * pipeline dedups against (near-dup is not transitive, so pairwise
+    * removal alone either over- or under-deletes; clustering is the
+    * standard resolution). Returns (doc_id, cluster_id) for every doc
+    * that appears in a pair.
+    *
+    * Implementation: iterative min-label propagation — each round is
+    * ONE shuffle (edges ⋈ labels, then a min-agg), lineage truncated
+    * per round with localCheckpoint so the plan stays flat; rounds =
+    * O(max component diameter), and dup components are shallow (a
+    * handful of rounds even at web scale). The two-phase
+    * large-star/small-star variant drops in behind the same contract
+    * if a corpus ever produces deep chains. */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("src"),
+          col("cluster_id").as("src_label")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("src_label")).as("neighbor_label"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+            coalesce(col("neighbor_label"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("doc_id"),
+          col("cluster_id").as("prev")), "doc_id")
+        .filter(col("cluster_id") =!= col("prev"))
+        .isEmpty
+      labels = next
+    }
+    labels
+  }
 }

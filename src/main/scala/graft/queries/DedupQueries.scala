@@ -90,6 +90,41 @@ object DedupQueries extends QueryGroup {
         implicit val spark = s
         Dedup.ngramJaccardPairs(documents(s, d), 0.5).orderBy("id_a", "id_b")
       },
-      Some(jaccardSql("0.5")))
+      Some(jaccardSql("0.5"))),
+
+    // 42b ─────────────── transitive dup clusters: near-dup is not
+    //     transitive, so the training-pipeline keep-one semantics need
+    //     connected components over the pair graph — every member
+    //     labeled with its component's min doc_id. Oracle recomputes
+    //     the closure with a recursive CTE over the exact-Jaccard
+    //     ground-truth pairs.
+    Q("doc_dup_clusters",
+      (s, d) => {
+        implicit val spark = s
+        val pairs = Dedup.minhashDupPairs(documents(s, d), 0.8)
+          .select("id_a", "id_b")
+        Dedup.dupClusters(pairs).orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
+             |sizes AS (SELECT doc_id, len(sh) AS n FROM shl),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS x
+             |  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM inter
+             |  JOIN sizes sa ON id_a = sa.doc_id
+             |  JOIN sizes sb ON id_b = sb.doc_id
+             |  WHERE ROUND(CAST(x AS DOUBLE) / (sa.n + sb.n - x), 4) >= 0.8),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT DISTINCT src AS id, src AS r FROM edges
+             |  UNION
+             |  SELECT reach.id, e.dst AS r
+             |  FROM reach JOIN edges e ON e.src = reach.r)
+             |SELECT id AS doc_id, MIN(r) AS cluster_id
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -132,6 +132,18 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("dup clusters label every component member with its min id") {
+    import spark.implicits._
+    // two components: a 4-chain (1-2, 2-3, 3-4) that pairwise dedup
+    // would mishandle (1-3 is NOT a pair), and an isolated pair (8-9)
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      8L -> 8L, 9L -> 8L))
+  }
+
   test("exact dedup keeps one survivor per distinct normalized text") {
     val out = SparkEntry.queries("doc_exact_dedup")(spark, sf)
     val distinctTexts = docs
