@@ -1,5 +1,6 @@
 package graft.cube
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
@@ -212,6 +213,35 @@ object CubeBuilder {
     CubeInstance(
       cube.copy(segments = (kept :+ merged).sortBy(_.start)),
       inst.root, keptRows ++ rows)
+  }
+
+  /** Retention policy (reference: CubeDesc.retentionRange +
+    * SegmentAutoMergeUtil — Kylin drops whole segments whose range has
+    * aged out as new ones land): segments ending at or before `cutoff`
+    * leave the instance: the meta commit publishes the shrunken list
+    * FIRST (no reader can load a meta pointing at dirs about to
+    * vanish), then the dirs are reclaimed — a crash in between leaves
+    * orphaned dirs, which are garbage, not corruption. Whole-segment
+    * drops are the reason time-partitioned segments are the retention
+    * unit: no row-level delete, just dir removals. */
+  def applyRetention(spark: SparkSession, inst: CubeInstance,
+                     cutoff: String): CubeInstance = {
+    val (dropped, kept) = inst.cube.segments.partition(_.end <= cutoff)
+    if (dropped.isEmpty) inst
+    else {
+      require(kept.nonEmpty, "retention must keep at least one segment")
+      val keptRows = inst.rows.filter { case ((seg, _), _) =>
+        !dropped.exists(_.name == seg) }
+      val next =
+        CubeInstance(inst.cube.copy(segments = kept), inst.root, keptRows)
+      CubeMeta.save(spark, next) // publish the shrunken list first…
+      val fs = new Path(inst.root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      dropped.foreach { s => // …then reclaim the dirs
+        fs.delete(new Path(s"${inst.root}/${inst.cube.name}/${s.name}"), true)
+      }
+      next
+    }
   }
 
   /** Auto-merge policy (reference: CubeDesc auto-merge thresholds +

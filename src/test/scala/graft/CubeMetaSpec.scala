@@ -103,6 +103,35 @@ class CubeMetaSpec extends AnyFunSuite {
     assert(loaded.exists(_.inst.rows == refreshed.rows))
   }
 
+  test("retention drops aged segments, reclaims dirs, and survives reload") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ret").toString
+    // no derived dims: this root carries no lookup snapshots, and the
+    // load-time completeness check would (rightly) refuse them
+    val cube = CubeManager.defaultCube.copy(derived = Nil)
+    val flat = {
+      val f = CubeManager.flatTable(spark, sf)
+      Dictionary.encode(f, Dictionary.build(f, "c_name"), "c_name")
+    }
+    val inst = CubeBuilder.build(spark, flat, cube, root)
+    val kept = CubeBuilder.applyRetention(spark, inst, "1999-01-01")
+    assert(kept.cube.segments.map(_.name) == Seq("s1999", "s2001"))
+    // dropped dirs are gone, kept dirs remain
+    assert(!new java.io.File(s"$root/${cube.name}/s1995").exists())
+    assert(new java.io.File(s"$root/${cube.name}/s1999").exists())
+    // a fresh load sees the shrunken list and routes only kept data
+    val loaded = CubeMeta.load(spark, cube, root)
+    assert(loaded.exists(_.inst.cube.segments.map(_.name) ==
+      Seq("s1999", "s2001")))
+    val got = QueryRouter.route(spark, loaded.get.inst, CubeQuery(
+      Seq("o_orderstatus"), Seq("nrows" -> "n")))(fail("expected cuboid"))
+      .df.agg(sum("n")).head().getLong(0)
+    val want = flat.filter(col("o_orderdate") >= lit("1999-01-01")
+      .cast("timestamp")).count()
+    assert(got == want && want > 0)
+    // no-op below the cutoff returns the same instance
+    assert(CubeBuilder.applyRetention(spark, kept, "1999-01-01") eq kept)
+  }
+
   test("the merged realization is chained to its base build") {
     // ensureMerged persists meta-merged.json with the base buildId; a
     // matching chain loads, a broken chain re-merges — never a stale mix
