@@ -276,6 +276,18 @@ object Dedup {
     * handful of rounds even at web scale). The two-phase
     * large-star/small-star variant drops in behind the same contract
     * if a corpus ever produces deep chains. */
+  /** The deduped corpus: one representative (the min doc_id) per
+    * near-dup cluster survives, unique docs pass through. The drop
+    * list is cluster members ≠ representative — a broadcast-or-shuffle
+    * anti-join against the corpus, sized by duplicates (small), not by
+    * the corpus. */
+  def dedupKeepOne(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val drop = dupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   def dupClusters(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

@@ -125,6 +125,41 @@ object DedupQueries extends QueryGroup {
              |  SELECT reach.id, e.dst AS r
              |  FROM reach JOIN edges e ON e.src = reach.r)
              |SELECT id AS doc_id, MIN(r) AS cluster_id
-             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    // 42c ─────────────── the deduped corpus: one representative per
+    //     cluster survives, uniques pass through — the actual output a
+    //     training pipeline feeds downstream
+    Q("doc_dedup_keep",
+      (s, d) => {
+        implicit val spark = s
+        val docs = documents(s, d)
+        val pairs = Dedup.minhashDupPairs(docs, 0.8).select("id_a", "id_b")
+        Dedup.dedupKeepOne(docs, pairs).select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
+             |sizes AS (SELECT doc_id, len(sh) AS n FROM shl),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS x
+             |  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM inter
+             |  JOIN sizes sa ON id_a = sa.doc_id
+             |  JOIN sizes sb ON id_b = sb.doc_id
+             |  WHERE ROUND(CAST(x AS DOUBLE) / (sa.n + sb.n - x), 4) >= 0.8),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT DISTINCT src AS id, src AS r FROM edges
+             |  UNION
+             |  SELECT reach.id, e.dst AS r
+             |  FROM reach JOIN edges e ON e.src = reach.r),
+             |drop_ids AS (
+             |  SELECT id FROM reach GROUP BY id HAVING id <> MIN(r))
+             |SELECT doc_id FROM documents
+             |WHERE doc_id NOT IN (SELECT id FROM drop_ids)
+             |ORDER BY doc_id""".stripMargin))
   )
 }
