@@ -154,18 +154,29 @@ object CubeBuilder {
   }
 
   /** Refresh ONE existing segment from (possibly corrected) source
-    * data (reference: Kylin's REFRESH job — RebuildSegment rebuilds a
-    * segment in place when late corrections land, leaving every other
-    * segment's parquet untouched). The cuboid writes are
-    * mode("overwrite") per dir, so the refresh replaces exactly this
-    * segment's layout; the meta commit (inside the row-count update)
-    * publishes the new truth last. */
+    * data (reference: Kylin's REFRESH job — RebuildSegment builds the
+    * replacement aside and swaps, leaving every other segment's
+    * parquet untouched). STAGED, not in-place: the rebuild lands under
+    * `<seg>.refreshing` while the live segment keeps serving; only a
+    * completed rebuild swaps in. Crash windows: during staging — live
+    * untouched, stale staging dir is garbage; between delete and
+    * rename — the live dir is missing, which the next metadata load's
+    * base-cuboid spot-check catches (miss ⇒ rebuild); after rename
+    * before the meta commit — data is new, row-count ESTIMATES are
+    * stale, which only skews cuboid choice, never answers. */
   def refreshSegment(spark: SparkSession, inst: CubeInstance,
                      flat: DataFrame, segmentName: String): CubeInstance = {
     val seg = inst.cube.segments.find(_.name == segmentName)
       .getOrElse(throw new IllegalArgumentException(
         s"no segment $segmentName to refresh"))
-    val rows = buildSegment(spark, flat, inst.cube, inst.root, seg)
+    val staged = seg.copy(name = s"${seg.name}.refreshing")
+    val stagedRows = buildSegment(spark, flat, inst.cube, inst.root, staged)
+    val live = new Path(s"${inst.root}/${inst.cube.name}/${seg.name}")
+    val tmp = new Path(s"${inst.root}/${inst.cube.name}/${staged.name}")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(live, true)
+    fs.rename(tmp, live)
+    val rows = stagedRows.map { case ((_, id), n) => (seg.name, id) -> n }
     val next = CubeInstance(inst.cube, inst.root, inst.rows ++ rows)
     CubeMeta.save(spark, next)
     next
@@ -223,7 +234,10 @@ object CubeBuilder {
     * vanish), then the dirs are reclaimed — a crash in between leaves
     * orphaned dirs, which are garbage, not corruption. Whole-segment
     * drops are the reason time-partitioned segments are the retention
-    * unit: no row-level delete, just dir removals. */
+    * unit: no row-level delete, just dir removals. Callers holding a
+    * MEMOIZED instance must swap it for the returned one
+    * (`CubeManager.retain` does) — a stale memo routes to deleted
+    * dirs. */
   def applyRetention(spark: SparkSession, inst: CubeInstance,
                      cutoff: String): CubeInstance = {
     val (dropped, kept) = inst.cube.segments.partition(_.end <= cutoff)

@@ -298,6 +298,21 @@ object CubeManager {
       })
     })
 
+  /** Retention over the MEMOIZED default instance: applies the policy
+    * and swaps the memo in one step, so this process's own readers see
+    * the shrunken instance immediately — a stale memo would route to
+    * the deleted dirs. The merged-realization memo drops too (it may
+    * contain aged-out rows; its meta chain to the new buildId is
+    * broken, so the next ensureMerged re-merges). */
+  def retain(spark: SparkSession, sfDir: String,
+             cutoff: String): CubeInstance = lock.synchronized {
+    val next =
+      CubeBuilder.applyRetention(spark, ensureBuilt(spark, sfDir), cutoff)
+    built.put(sfDir, next)
+    mergedCache.remove(sfDir)
+    next
+  }
+
   /** All segments merged into one (cube_segment_merge path). The merged
     * realization persists alongside the primary (meta-merged.json) and
     * is chained to the base build it merged FROM — a rebuilt base

@@ -45,10 +45,18 @@ object CubeMeta {
   private implicit val fmts: DefaultFormats = DefaultFormats
 
   /** canonical descriptor of the layout-shaping parts of a CubeDef —
-    * human-readable on purpose (a mismatch names the drifted part) */
+    * human-readable on purpose (a mismatch names the drifted part).
+    * Each measure pins its DEFINING aggregate expression too: editing a
+    * measure's algebra without renaming it must invalidate the stored
+    * states, or routed answers would silently diverge from the
+    * fallback view. */
   def fingerprint(cube: CubeDef): String = {
+    def algebra(m: Measure): String =
+      scala.util.Try(org.apache.spark.sql.graftbridge.ColumnBridge
+        .expressionTree(m.fromRaw).sql).getOrElse(m.fromRaw.toString)
     val ms = cube.measures.map(m =>
-      s"${m.name}:${m.answers.getOrElse("")}:${m.topnShape.getOrElse("")}")
+      s"${m.name}:${m.answers.getOrElse("")}:${m.topnShape.getOrElse("")}:" +
+        algebra(m))
     Seq(
       s"dims=${cube.dims.mkString(",")}",
       s"cuboids=${cube.cuboids.map(cube.cuboidId).sorted.mkString(",")}",

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.aggregate.ScalaAggregator
 import org.apache.spark.sql.functions.{broadcast, coalesce, col, countDistinct, expr, lit, max, min, posexplode, split}
-import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, NumericType, StringType}
 
 import graft.functions.Measures
 
@@ -62,7 +62,11 @@ object GraftSql {
     * star model (so user-written joins over `rawTables` route too).
     * `alternates` are additional REALIZATIONS of the same view (Kylin:
     * many cubes per model) — the front-end picks the cheapest covering
-    * one per query (RealizationChooser). */
+    * one per query (RealizationChooser). Every realization supplier is
+    * consulted per routed query, so suppliers MUST be cheap after
+    * their first call (memoized and metadata-backed, like the
+    * CubeManager.ensure* family) — an unmemoized builder would pay its
+    * build even for queries it loses. */
   final case class Binding(view: String,
       flat: (SparkSession, String) => DataFrame,
       instance: (SparkSession, String) => CubeInstance,
@@ -74,7 +78,9 @@ object GraftSql {
   }
 
   /** extension point: additional cube views registered at runtime
-    * (specs, multi-cube deployments) — keyed by view name, replacing */
+    * (specs, multi-cube deployments) — keyed by view name; registering
+    * a built-in name REPLACES the built-in everywhere (routing and view
+    * data come from one binding, never a mix) */
   private val extraBindings =
     scala.collection.concurrent.TrieMap.empty[String, Binding]
 
@@ -83,13 +89,17 @@ object GraftSql {
     viewsRegistered.clear() // force view re-registration on next query
   }
 
-  def bindings: Seq[Binding] = Seq(
-    Binding(ViewName, CubeManager.flatTable, CubeManager.ensureBuilt,
-      model = Some(CubeManager.starModel),
-      rawTables = Seq("lineitem", "orders", "customer", "nation",
-        "region", "supplier", "part")),
-    Binding(EventsViewName, CubeManager.eventsFlat,
-      CubeManager.ensureEventsBuilt)) ++ extraBindings.values
+  def bindings: Seq[Binding] = {
+    val builtin = Seq(
+      Binding(ViewName, CubeManager.flatTable, CubeManager.ensureBuilt,
+        model = Some(CubeManager.starModel),
+        rawTables = Seq("lineitem", "orders", "customer", "nation",
+          "region", "supplier", "part")),
+      Binding(EventsViewName, CubeManager.eventsFlat,
+        CubeManager.ensureEventsBuilt))
+    builtin.filterNot(b => extraBindings.contains(b.view)) ++
+      extraBindings.values
+  }
 
   /** recognized output shapes: a routed measure, a derived combination
     * of routed measures (avg), or a bitmap-state intersection */
@@ -118,6 +128,23 @@ object GraftSql {
     * FunctionDesc.java DIMENSION_AS_MEASURE). `op` ∈ min/max/cd. */
   private[graft] final case class MDimAgg(dim: String, op: String) extends MOut {
     def measures: Seq[String] = Nil
+  }
+
+  /** non-null inputs ⇒ non-null output: closed add/subtract/multiply
+    * arithmetic over attributes, non-null literals, numeric-to-numeric
+    * casts (never null with ANSI off), and decimal overflow guards —
+    * everything else (Divide, CASE, nullif, string casts) may
+    * introduce nulls and refuses */
+  private def nullSafeArithmetic(e: Expression): Boolean = e match {
+    case _: AttributeReference => true
+    case l: Literal => l.value != null
+    case c: Cast =>
+      c.child.resolved && c.child.dataType.isInstanceOf[NumericType] &&
+        c.dataType.isInstanceOf[NumericType] && nullSafeArithmetic(c.child)
+    case CheckOverflow(child, _, _) => nullSafeArithmetic(child)
+    case b @ (_: Add | _: Subtract | _: Multiply) =>
+      b.children.forall(nullSafeArithmetic)
+    case _ => false
   }
 
   /** literal string array in an analyzed plan (array('a','b') stays a
@@ -188,13 +215,14 @@ object GraftSql {
           c <- cube.measureAnswering(SqlAgg.CountAll)
         } yield MAvg(s.name, c.name)
       // AVG over a composite expression: sum-expr state / COUNT(*),
-      // sound when every input column is non-null (arithmetic over
-      // non-null inputs is non-null — except division, which yields
-      // NULL on a zero divisor, so Divide refuses)
+      // sound when the expression can't produce null from non-null
+      // inputs — a WHITELIST of closed arithmetic, because blacklisting
+      // null sources (Divide on zero, CASE without ELSE, nullif, bad
+      // string casts) is unwinnable
       case AggregateExpression(Average(e, _), _, false, None, _)
           if e.references.nonEmpty &&
             e.references.forall(r => cube.notNull.contains(r.name)) &&
-            !e.exists(_.isInstanceOf[Divide]) =>
+            nullSafeArithmetic(e) =>
         for {
           s <- cube.measureAnsweringSumExpr(e)
           c <- cube.measureAnswering(SqlAgg.CountAll)

@@ -289,8 +289,12 @@ object Dedup {
   }
 
   def dupClusters(pairs: DataFrame): DataFrame = {
+    // materialize the edge list ONCE: it joins in every round, and its
+    // upstream lineage (shingle → minhash → LSH for the usual caller)
+    // must not re-execute per iteration
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint()

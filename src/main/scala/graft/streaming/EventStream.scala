@@ -119,9 +119,11 @@ object EventStream {
                     hotPath: String): DataFrame = {
     val closed = spark.read.parquet(closedPath)
       .select("w_start", "event_type", "n_events", "sum_value")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(hotPath))) closed
+    val hp = new org.apache.hadoop.fs.Path(hotPath)
+    // resolve the fs from the path's own scheme — FileSystem.get would
+    // probe the DEFAULT fs for a path that may live elsewhere
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) closed
     else {
       val hotOnly = hotTail(spark, hotPath)
         .join(closed.select("w_start", "event_type"),

@@ -581,6 +581,21 @@ class GraftSqlSpec extends AnyFunSuite {
         |FROM graft_star GROUP BY l_returnflag""".stripMargin)
     assert(!r.routed)
     assert(r.df.count() > 0)
+    // a NARROWING cast changes the algebra (truncation) — stripping it
+    // would serve the untruncated pre-computed state; must not route
+    val narrowed = GraftSql.sqlVia(spark, sf,
+      """SELECT l_returnflag,
+        |  sum(CAST(l_extendedprice AS INT) * (1 - l_discount)) AS x
+        |FROM graft_star GROUP BY l_returnflag""".stripMargin)
+    assert(!narrowed.routed, "truncating casts must refuse the rewrite")
+    // AVG over a null-capable expression (CASE without ELSE) refuses
+    // even with NOT NULL inputs — COUNT(*) vs non-null count diverge
+    val caseAvg = GraftSql.sqlVia(spark, sf,
+      """SELECT l_returnflag,
+        |  avg(CASE WHEN l_quantity > 25
+        |      THEN l_extendedprice * (1 - l_discount) END) AS x
+        |FROM graft_star GROUP BY l_returnflag""".stripMargin)
+    assert(!caseAvg.routed)
   }
 
   test("ORDER BY and LIMIT above a routed UNION ALL peel and re-apply") {
