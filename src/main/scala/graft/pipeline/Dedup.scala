@@ -288,7 +288,20 @@ object Dedup {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
-  def dupClusters(pairs: DataFrame): DataFrame = {
+  /** clusters memoized per canonicalized pair plan (same pattern as
+    * the shingle frame): the label-propagation loop is several
+    * driver-blocking jobs, and both cluster consumers (doc_dup_clusters
+    * and the keep-one corpus) as well as repeated runs share one pair
+    * graph — recomputing it per caller would dominate the suite */
+  private val clusterCache = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]
+
+  def dupClusters(pairs: DataFrame): DataFrame =
+    clusterCache.getOrElseUpdate(
+      pairs.queryExecution.analyzed.canonicalized,
+      dupClustersUncached(pairs))
+
+  private def dupClustersUncached(pairs: DataFrame): DataFrame = {
     // materialize the edge list ONCE: it joins in every round, and its
     // upstream lineage (shingle → minhash → LSH for the usual caller)
     // must not re-execute per iteration
