@@ -469,6 +469,11 @@ object GraftSql {
 
   private def peel(plan: LogicalPlan): Option[Peeled] = plan match {
     case a: Aggregate => Some(Peeled(a, Nil, Nil, None))
+    // DISTINCT is a measureless aggregate over its child's output (the
+    // optimizer performs the same rewrite; routing happens earlier)
+    case Distinct(child) =>
+      Some(Peeled(Aggregate(child.output, child.output, child), Nil, Nil,
+        None))
     // window functions computed over the aggregate result: peel the
     // Project/Filter/Window stack, route the aggregate below it,
     // re-apply windows + rank filters on the routed frame (reference:
@@ -560,8 +565,20 @@ object GraftSql {
             if (r.routed) Some(r) else None
           // child must be a registered cube view or model join,
           // optionally through a Filter the per-realization split
-          // validates (dim predicates + a derived segment time range)
-          case child =>
+          // validates (dim predicates + a derived segment time range).
+          // Pass-through column-pruning Projects (plain attributes, no
+          // aliases — e.g. what DISTINCT analyzes to) are transparent.
+          case rawChild =>
+            def stripPrune(pl: LogicalPlan): LogicalPlan = pl match {
+              case Project(ps, c)
+                  if ps.forall(_.isInstanceOf[AttributeReference]) =>
+                stripPrune(c)
+              case other => other
+            }
+            val child = stripPrune(rawChild) match {
+              case Filter(fc, c) => Filter(fc, stripPrune(c))
+              case other => other
+            }
             val (bOpt, cond) = child match {
               case c if viewOf(c).isDefined => (viewOf(c), None)
               case Filter(fc, c) if viewOf(c).isDefined =>
@@ -670,8 +687,14 @@ object GraftSql {
         case Alias(_: AggregateExpression, _) => true
         case _ => false
       }
+      // measureless aggregates are DISTINCT projections over dims —
+      // Kylin answers them from the cuboid cells (OLAPAggregateRule);
+      // anything else with zero recognized measures refuses
+      val distinctShape =
+        specs.isEmpty && aggs.forall(_.isInstanceOf[AttributeReference]) &&
+          aggs.nonEmpty
       if (!(groupsOk && outputOk && specs.forall(_.isDefined)
-          && specs.nonEmpty)) None
+          && (specs.nonEmpty || distinctShape))) None
       else {
         val outs = specs.flatten
         val outNames = aggs.map {

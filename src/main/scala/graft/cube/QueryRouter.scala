@@ -239,6 +239,15 @@ object QueryRouter {
         fallback = false)
     }
 
+    // ── measureless query (SELECT DISTINCT dims — Kylin answers
+    // distinct projections from the cuboid): the cells' dim tuples,
+    // deduped across segments/files — never a fact scan
+    if (q.measures.isEmpty && p.extUsed.isEmpty) {
+      val out = df.select(q.groupBy.map(col): _*).distinct()
+      return Routed(out, Some(p.chosen), p.overlapping.map(_.name),
+        fallback = false)
+    }
+
     // ── re-aggregate mergeable states (incl. extended-column value
     // measures), then present: group cols in the REQUESTED order, with
     // extended names served from their measures

@@ -1011,6 +1011,31 @@ object CubeQueries extends QueryGroup {
              |GROUP BY ROLLUP(r_name, n_name)
              |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
 
+    // 35b13 ───────────── DISTINCT dim projection answered from cuboid
+    //     cells (OLAPAggregateRule: a measureless aggregate is a
+    //     distinct projection — never a fact scan)
+    Q("cube_sql_distinct_dims",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT DISTINCT o_orderstatus, l_returnflag
+            |FROM graft_star WHERE r_name = 'ASIA'""".stripMargin)
+        assert(r.routed && r.via == "cuboid",
+          s"expected the distinct projection to route, got ${r.via}")
+        // proof it's cuboid-served: the scan reads cuboid dirs only
+        assert(r.df.inputFiles.nonEmpty &&
+          r.df.inputFiles.forall(_.contains("cuboid=")),
+          "distinct projection must read cuboid cells, not the fact")
+        r.df.orderBy("o_orderstatus", "l_returnflag")
+      },
+      Some("""SELECT DISTINCT o_orderstatus, l_returnflag
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |ORDER BY o_orderstatus, l_returnflag""".stripMargin)),
+
     // 35h2 ────────────── AVG over the defining expression + COUNT(col)
     //     under the NOT NULL contract: avg(l_extendedprice*(1-l_disc))
     //     assembles from the routed sum-expr state and the row counter;

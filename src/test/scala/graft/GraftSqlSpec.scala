@@ -536,6 +536,21 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("DISTINCT dim projections route to cuboid cells") {
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT DISTINCT o_orderstatus, l_returnflag
+        |FROM graft_star WHERE r_name = 'ASIA'""".stripMargin)
+    assert(r.routed && r.via == "cuboid", s"got ${r.via}")
+    assert(r.df.inputFiles.forall(_.contains("cuboid=")))
+    val got = r.df.collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    val want = CubeManager.flatTable(spark, sf)
+      .filter(col("r_name") === "ASIA")
+      .select("o_orderstatus", "l_returnflag").distinct().collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("the events cube derives day-granular time pruning from SQL") {
     // ts range unaligned to the (single, month) segment → residual
     // filter on the day dim; the same front-end logic, second cube
