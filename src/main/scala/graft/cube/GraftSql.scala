@@ -474,13 +474,16 @@ object GraftSql {
     case Distinct(child) =>
       Some(Peeled(Aggregate(child.output, child.output, child), Nil, Nil,
         None))
+    // subquery wrappers (SELECT * FROM (...) t, inlined CTE refs) are
+    // transparent
+    case s: SubqueryAlias => peel(s.child)
     // window functions computed over the aggregate result: peel the
     // Project/Filter/Window stack, route the aggregate below it,
     // re-apply windows + rank filters on the routed frame (reference:
     // OLAPWindowRule — Kylin evaluates window calls on top of the cube
     // scan)
     case p: Project =>
-      for {
+      val viaWindow = for {
         (outNames, wins, filters, inner) <- peelWindowStack(p)
         peeled <- peel(inner)
         if peeled.winCols.isEmpty // one window stack, directly above agg
@@ -497,6 +500,16 @@ object GraftSql {
           case at: AttributeReference => at.withQualifier(Seq.empty)
         }.sql),
         finalNames = outNames)
+      // an IDENTITY projection (same attributes, same order — what
+      // `SELECT * FROM (...)` analyzes to) is transparent; a pruning
+      // or reordering projection is NOT (it changes the output
+      // contract) and refuses
+      viaWindow.orElse {
+        if (p.projectList.forall(_.isInstanceOf[AttributeReference]) &&
+            p.projectList.map(_.exprId) == p.child.output.map(_.exprId))
+          peel(p.child)
+        else None
+      }
     // HAVING: a filter directly above the aggregate, referencing only
     // its output attributes (aliases) — re-applied on the routed frame
     case Filter(cond, a: Aggregate)
@@ -606,7 +619,17 @@ object GraftSql {
         }
       }
 
-    df.queryExecution.analyzed match {
+    // CTEs stay as WithCTE/CTERelationRef until the optimizer; inline
+    // them first (the optimizer's own rule) so `WITH x AS (...) SELECT
+    // ... FROM x` routes like the inlined query
+    val analyzed = df.queryExecution.analyzed match {
+      case w if w.exists(_.isInstanceOf[WithCTE]) =>
+        new org.apache.spark.sql.catalyst.optimizer.InlineCTE(true, false)
+          .apply(w)
+      case p => p
+    }
+
+    analyzed match {
       // ── UNION ALL of routable aggregates (OLAPUnionRule.java:33):
       // each branch routes independently against its own best
       // realization; ANY branch refusing falls the WHOLE query back —

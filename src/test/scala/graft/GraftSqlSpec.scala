@@ -536,6 +536,30 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("CTEs and subquery wrappers route like the inlined query") {
+    val r = GraftSql.sqlVia(spark, sf,
+      """WITH top AS (
+        |  SELECT n_name, sum(disc_price) AS revenue
+        |  FROM graft_star WHERE r_name = 'ASIA' GROUP BY n_name)
+        |SELECT * FROM top ORDER BY revenue DESC, n_name LIMIT 3""".stripMargin)
+    assert(r.routed && r.via == "cuboid", s"got ${r.via}")
+    val got = r.df.collect().map(x => (x.getString(0), x.getDouble(1))).toSeq
+    val want = CubeManager.flatTable(spark, sf)
+      .filter(col("r_name") === "ASIA").groupBy("n_name")
+      .agg(sum(col("disc_price")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name")).limit(3)
+      .collect().map(x => (x.getString(0), x.getDouble(1))).toSeq
+    assert(got == want && got.size == 3)
+    // a PRUNING subquery projection changes the output contract and
+    // must fall back, not route with extra columns
+    val pruned = GraftSql.sqlVia(spark, sf,
+      """SELECT n_name FROM (
+        |  SELECT n_name, sum(disc_price) AS revenue
+        |  FROM graft_star GROUP BY n_name) t""".stripMargin)
+    assert(!pruned.routed)
+    assert(pruned.df.columns.toSeq == Seq("n_name"))
+  }
+
   test("DISTINCT dim projections route to cuboid cells") {
     val r = GraftSql.sqlVia(spark, sf,
       """SELECT DISTINCT o_orderstatus, l_returnflag
