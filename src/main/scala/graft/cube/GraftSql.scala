@@ -555,9 +555,19 @@ object GraftSql {
 
     // a registered cube view — or a user-written join tree matching a
     // binding's declared star model (Kylin's OLAPJoinRule: explicit
-    // model joins route exactly like the pre-joined view)
+    // model joins route exactly like the pre-joined view). The alias
+    // must stand over the REGISTERED VIEW's own View node: a derived
+    // table or foreign relation merely REUSING the view's name would
+    // otherwise route to the cube with its actual contents (filters,
+    // different table) silently ignored.
+    def isViewNode(p: LogicalPlan, name: String): Boolean = p match {
+      case v: View => v.desc.identifier.table == name
+      case SubqueryAlias(_, c) => isViewNode(c, name)
+      case _ => false
+    }
     def viewOf(plan: LogicalPlan): Option[Binding] = plan match {
-      case SubqueryAlias(id, _) => bindings.find(_.view == id.name)
+      case SubqueryAlias(id, child) if isViewNode(child, id.name) =>
+        bindings.find(_.view == id.name)
       case _ =>
         bindings.find(_.model.exists(ModelMatcher.matches(plan, _)))
     }

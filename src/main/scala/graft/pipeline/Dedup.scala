@@ -288,29 +288,38 @@ object Dedup {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
-  /** clusters memoized per canonicalized pair plan (same pattern as
-    * the shingle frame): the label-propagation loop is several
-    * driver-blocking jobs, and both cluster consumers (doc_dup_clusters
-    * and the keep-one corpus) as well as repeated runs share one pair
-    * graph — recomputing it per caller would dominate the suite */
+  /** clusters memoized per (session, canonicalized pair plan), same
+    * pattern as the shingle frame: the label-propagation loop is
+    * several driver-blocking jobs, and both cluster consumers
+    * (doc_dup_clusters and the keep-one corpus) as well as repeated
+    * runs share one pair graph — recomputing per caller would dominate
+    * the suite. Entries are persist()-backed, NOT checkpoint-backed:
+    * lineage survives, so an evicted or executor-lost block recomputes
+    * instead of throwing forever. */
   private val clusterCache = scala.collection.concurrent.TrieMap
-    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]
+    .empty[(SparkSession,
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+           DataFrame]
 
   def dupClusters(pairs: DataFrame): DataFrame =
     clusterCache.getOrElseUpdate(
-      pairs.queryExecution.analyzed.canonicalized,
+      (pairs.sparkSession, pairs.queryExecution.analyzed.canonicalized),
       dupClustersUncached(pairs))
 
   private def dupClustersUncached(pairs: DataFrame): DataFrame = {
     // materialize the edge list ONCE: it joins in every round, and its
     // upstream lineage (shingle → minhash → LSH for the usual caller)
-    // must not re-execute per iteration
+    // must not re-execute per iteration. persist (recomputable on
+    // eviction), not checkpoint: the loop is O(component diameter)
+    // rounds and dup components are shallow, so the linear lineage
+    // growth stays trivial — an adversarially deep graph would swap in
+    // a reliable checkpoint dir here.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     while (!converged) {
       val neighborMin = edges
@@ -324,12 +333,15 @@ object Dedup {
           least(col("cluster_id"),
             coalesce(col("neighbor_label"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
       converged = next
         .join(labels.select(col("doc_id"),
           col("cluster_id").as("prev")), "doc_id")
         .filter(col("cluster_id") =!= col("prev"))
         .isEmpty
+      // the superseded round's blocks free immediately (the new frame
+      // was just materialized by the convergence check)
+      labels.unpersist(blocking = false)
       labels = next
     }
     labels

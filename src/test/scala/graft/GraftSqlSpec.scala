@@ -536,6 +536,35 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("a relation merely aliased as the view name must not route") {
+    // derived table reusing the view name: routing would silently drop
+    // the inner filter
+    val derived = GraftSql.sqlVia(spark, sf,
+      """SELECT n_name, sum(disc_price) AS rev
+        |FROM (SELECT * FROM graft_star WHERE r_name = 'AFRICA') graft_star
+        |GROUP BY n_name""".stripMargin)
+    assert(!derived.routed, "a shadowing derived table must not route")
+    val got = derived.df.collect()
+      .map(x => x.getString(0) -> x.getDecimal(1).doubleValue).toMap
+    val want = CubeManager.flatTable(spark, sf)
+      .filter(col("r_name") === "AFRICA").groupBy("n_name")
+      .agg(sum(col("disc_price")).as("rev"))
+      .collect().map(x => x.getString(0) -> x.getDecimal(1).doubleValue).toMap
+    assert(got == want && want.nonEmpty)
+    // a foreign TABLE aliased as the view name: routing would answer
+    // from the wrong relation entirely
+    val foreign = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders graft_star GROUP BY o_orderstatus""".stripMargin)
+    assert(!foreign.routed, "a shadowing table alias must not route")
+    val gotN = foreign.df.collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val wantN = graft.Tables.orders(spark, sf)
+      .groupBy("o_orderstatus").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(gotN == wantN)
+  }
+
   test("CTEs and subquery wrappers route like the inlined query") {
     val r = GraftSql.sqlVia(spark, sf,
       """WITH top AS (
