@@ -587,6 +587,30 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(gotD == wantD && wantD.nonEmpty)
   }
 
+  test("the TopN-sketch rewrite honors a derived time range") {
+    // pruned segments drop their sketch states whole; the residual
+    // month filter applies to cells PRE-merge (o_month is not a sketch
+    // dim), so the replay stays exact over the requested range
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT p_brand, sum(disc_price) AS revenue
+        |FROM graft_star
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-07-01'
+        |GROUP BY p_brand
+        |ORDER BY revenue DESC, p_brand
+        |LIMIT 5""".stripMargin)
+    assert(r.routed && r.via == "topn-measure", s"got ${r.via}")
+    val got = r.df.collect().map(x => (x.getString(0), x.getDouble(1))).toSeq
+    val want = CubeManager.flatTable(spark, sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-07-01").cast("timestamp"))
+      .groupBy("p_brand")
+      .agg(sum(col("disc_price")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("p_brand")).limit(5)
+      .collect().map(x => (x.getString(0), x.getDouble(1))).toSeq
+    assert(got == want && got.size == 5)
+  }
+
   test("a relation merely aliased as the view name must not route") {
     // derived table reusing the view name: routing would silently drop
     // the inner filter
