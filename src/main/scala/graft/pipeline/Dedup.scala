@@ -293,9 +293,12 @@ object Dedup {
     * several driver-blocking jobs, and both cluster consumers
     * (doc_dup_clusters and the keep-one corpus) as well as repeated
     * runs share one pair graph — recomputing per caller would dominate
-    * the suite. Entries are persist()-backed, NOT checkpoint-backed:
-    * lineage survives, so an evicted or executor-lost block recomputes
-    * instead of throwing forever. */
+    * the suite. Entries are RELIABLE-checkpoint-backed (files under
+    * the context's checkpoint dir): plan trees stay flat through the
+    * iteration (the doubling self-join would otherwise nest the plan
+    * exponentially) and blocks recover from the checkpoint files on
+    * eviction or executor loss — the two failure modes localCheckpoint
+    * and bare persist each get wrong. */
   private val clusterCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession,
             org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
@@ -307,19 +310,21 @@ object Dedup {
       dupClustersUncached(pairs))
 
   private def dupClustersUncached(pairs: DataFrame): DataFrame = {
+    // reliable checkpoints need a dir; default one under tmp for local
+    // runs (a cluster deployment points this at shared storage)
+    val sc = pairs.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-ckpt")
     // materialize the edge list ONCE: it joins in every round, and its
     // upstream lineage (shingle → minhash → LSH for the usual caller)
-    // must not re-execute per iteration. persist (recomputable on
-    // eviction), not checkpoint: the loop is O(component diameter)
-    // rounds and dup components are shallow, so the linear lineage
-    // growth stays trivial — an adversarially deep graph would swap in
-    // a reliable checkpoint dir here.
+    // must not re-execute per iteration
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .checkpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .checkpoint()
     var converged = false
     while (!converged) {
       val neighborMin = edges
@@ -327,21 +332,34 @@ object Dedup {
           col("cluster_id").as("src_label")), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("src_label")).as("neighbor_label"))
-      val next = labels
+      val merged = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"),
             coalesce(col("neighbor_label"), col("cluster_id")))
             .as("cluster_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // pointer doubling: adopt the label's OWN label — the distance
+      // to the component minimum halves every round, so a chain of
+      // diameter d converges in O(log d) rounds instead of O(d)
+      // (labels are always node ids within the component, so the
+      // shortcut join stays inside it; at the fixed point the min
+      // node's label is itself and doubling is the identity)
+      val byLabel = merged.select(col("doc_id").as("pid"),
+        col("cluster_id").as("plabel"))
+      // checkpoint per round: the doubling self-join doubles the plan
+      // tree, so without truncation the logical plan grows 2^rounds
+      val next = merged
+        .join(byLabel, merged("cluster_id") === byLabel("pid"), "left")
+        .select(merged("doc_id"),
+          least(merged("cluster_id"),
+            coalesce(col("plabel"), merged("cluster_id")))
+            .as("cluster_id"))
+        .checkpoint()
       converged = next
         .join(labels.select(col("doc_id"),
           col("cluster_id").as("prev")), "doc_id")
         .filter(col("cluster_id") =!= col("prev"))
         .isEmpty
-      // the superseded round's blocks free immediately (the new frame
-      // was just materialized by the convergence check)
-      labels.unpersist(blocking = false)
       labels = next
     }
     labels

@@ -144,6 +144,19 @@ class PipelineSpec extends AnyFunSuite {
       8L -> 8L, 9L -> 8L))
   }
 
+  test("dup clusters converge fast on a deep chain (pointer doubling)") {
+    import spark.implicits._
+    // a 200-deep path graph: plain min-propagation needs ~200 rounds,
+    // doubling needs ~log2(200) — this finishing in spec time IS the
+    // assertion, plus exact labels
+    val chain = (1L until 201L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.dupClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 201)
+    assert(labels.forall(_._2 == 1L),
+      s"every chain member labels 1, got ${labels.filter(_._2 != 1L).take(3).toSeq}")
+  }
+
   test("exact dedup keeps one survivor per distinct normalized text") {
     val out = SparkEntry.queries("doc_exact_dedup")(spark, sf)
     val distinctTexts = docs
