@@ -810,7 +810,7 @@ object GraftSql {
         var out = routed.df.select(outCols: _*)
         p.havingSql.foreach(h => out = out.filter(expr(h)))
         if (p.winCols.nonEmpty) {
-          out = out.select(out.columns.map(col) ++
+          out = out.select(out.columns.toSeq.map(col) ++
             p.winCols.map { case (sql, name) =>
               expr(sql).as(name)
             }: _*)
