@@ -32,13 +32,29 @@ object ExprCanon {
     case other => other.mapChildren(stripSafeCasts)
   }
 
+  /** the full operand chain of a commutative operator (left-deep or
+    * any other association), so `a*(b*c)` and `(c*a)*b` flatten to the
+    * same multiset */
+  private def operands(e: Expression, mul: Boolean): Seq[Expression] = e match {
+    case Multiply(l, r, _) if mul => operands(l, mul) ++ operands(r, mul)
+    case Add(l, r, _) if !mul => operands(l, mul) ++ operands(r, mul)
+    case other => Seq(other)
+  }
+
+  /** exact decimal rendering of a numeric literal: `1`, `1.0`, and the
+    * analyzer's decimal widenings all canonicalize to "1", while
+    * integral values beyond double precision keep their exact digits
+    * (ADVICE r8: toString.toDouble collapsed 9007199254740992 and ...93) */
+  private def numCanon(v: Any): String =
+    BigDecimal(v.toString).underlying.stripTrailingZeros.toPlainString
+
   private def normalize(e: Expression): Expression =
     stripSafeCasts(e).transformUp {
       case a: AttributeReference => UnresolvedAttribute(a.name.toLowerCase)
       case u: UnresolvedAttribute =>
         UnresolvedAttribute(u.nameParts.last.toLowerCase)
       case l @ Literal(v, _: NumericType) if v != null =>
-        Literal(v.toString.toDouble, DoubleType)
+        Literal(numCanon(v))
       // a Column built from the functions API converts to unresolved
       // arithmetic FUNCTIONS; the analyzed query tree has the concrete
       // operators — unify on the operators
@@ -53,6 +69,17 @@ object ExprCanon {
           case "/" => Divide(a, b)
           case _ => f
         }
+    }.transformUp {
+      // commutative operand order is user-immaterial: flatten the
+      // whole chain and rebuild left-deep in rendered-form order, so
+      // `SUM((1 - l_discount) * l_extendedprice)` matches a measure
+      // defined with the commuted spelling (VERDICT r8 item 3;
+      // reference FunctionDesc parameter matching). Second pass so the
+      // operator-unification above has already run on every child.
+      case m: Multiply =>
+        operands(m, mul = true).sortBy(_.sql).reduceLeft(Multiply(_, _))
+      case a: Add =>
+        operands(a, mul = false).sortBy(_.sql).reduceLeft(Add(_, _))
     }
 
   /** canonical rendering; None when the tree has no SQL form */
