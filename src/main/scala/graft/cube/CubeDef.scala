@@ -185,7 +185,16 @@ final case class CubeDef(
       * no nulls — e.g. AVG(x) → SUM(x)/COUNT(*) is only exact when x
       * never misses a row */
     notNull: Set[String] = Set.empty,
-    extended: Seq[ExtendedColumn] = Nil) {
+    extended: Seq[ExtendedColumn] = Nil,
+    /** the reference's partition-column contract (partition_date_column
+      * with a yyyy-MM-dd format, core-metadata PartitionDesc): every
+      * segmentCol value sits exactly on a day boundary. Lets the SQL
+      * front-end convert closed/equality day predicates (<=, =, >,
+      * BETWEEN) into exact [day, day) ranges — `col <= d` ⇔
+      * `col < d+1day` only when no value can fall strictly between the
+      * two instants. A true-timestamp segment column (mid-day values)
+      * must leave this false. */
+    segDayGranular: Boolean = false) {
 
   require(cuboids.exists(_ == dims.toSet),
     "materialized set must include the base cuboid (all dims)")

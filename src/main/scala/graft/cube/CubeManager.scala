@@ -195,7 +195,11 @@ object CubeManager {
       // (and its expression form, which checks the INPUT columns)
       notNull = Set("disc_price", "l_quantity", "l_extendedprice",
         "l_discount"),
-      extended = Seq(ExtendedColumn("o_year", "o_month", "o_year_ext")))
+      extended = Seq(ExtendedColumn("o_year", "o_month", "o_year_ext")),
+      // TPC-H order dates are calendar days stored at midnight — the
+      // partition-column day contract holds, so BETWEEN/<=/= day
+      // predicates convert to exact [day, day) segment ranges
+      segDayGranular = true)
   }
 
   // ── a second cube over the events stream table: the engine is

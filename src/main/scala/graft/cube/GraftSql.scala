@@ -312,6 +312,12 @@ object GraftSql {
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    // BETWEEN survives analysis as a RuntimeReplaceable node (the
+    // optimizer expands it later) whose replacement hides the input
+    // behind CommonExpressionRef nodes — rebuild the equivalent
+    // `input >= lower AND input <= upper` conjunct pair directly
+    case Between(input, lower, upper, _) =>
+      Seq(GreaterThanOrEqual(input, lower), LessThanOrEqual(input, upper))
     case other => Seq(other)
   }
 
@@ -344,38 +350,71 @@ object GraftSql {
   /** Derive a segment-pruning time range from WHERE conjuncts over the
     * cube's segment column (reference: FilePruner.scala:198-286
     * pruneSegments derives segment ranges from the query's pushed
-    * filters). Only `segCol >= <midnight literal>` and `segCol <
+    * filters). `segCol >= <midnight literal>` and `segCol <
     * <midnight literal>` (either operand order) are exact as a
-    * [day, day) range; anything else refuses so the router falls back
-    * rather than over- or under-returning rows. One-sided ranges get
-    * open sentinel bounds. */
-  private def deriveTimeRange(spark: SparkSession, segCol: String,
+    * [day, day) bound for any temporal type; the closed/equality
+    * shapes (`<=`, `=`, strict `>` below a bound, and BETWEEN — which
+    * analyzes to the >=/<= conjunct pair) additionally need the day
+    * contract: a DATE-typed column, or the cube's declared
+    * `segDayGranular`, guarantees no value sits strictly between
+    * `d` and `d+1day`, so `col <= d` ⇔ `col < d+1day`. Anything else
+    * refuses so the router falls back rather than over- or
+    * under-returning rows. One-sided ranges get open sentinel bounds. */
+  private def deriveTimeRange(spark: SparkSession, cube: CubeDef,
       preds: Seq[Expression]): Option[(String, String)] = {
+    val segCol = cube.segmentCol
     // the segment column, possibly under the analyzer's widening cast
     // (date/ntz column compared to a timestamp literal) — the cast is
     // day-preserving so the derived range stays exact
     object SegAttr {
-      def unapply(e: Expression): Boolean = e match {
-        case a: AttributeReference => a.name == segCol
-        case Cast(a: AttributeReference, _, _, _) => a.name == segCol
-        case _ => false
+      def unapply(e: Expression): Option[AttributeReference] = e match {
+        case a: AttributeReference if a.name == segCol => Some(a)
+        case Cast(a: AttributeReference, _, _, _) if a.name == segCol => Some(a)
+        case _ => None
       }
     }
+    def dayExact(a: AttributeReference): Boolean =
+      a.dataType == org.apache.spark.sql.types.DateType || cube.segDayGranular
+    def nextDay(d: String): String =
+      java.time.LocalDate.parse(d).plusDays(1).toString
     // scala.Left = lower bound (inclusive), scala.Right = upper
     // (exclusive) — fully qualified, catalyst has Left/Right exprs
-    val bounds: Seq[Option[Either[String, String]]] = preds.map {
-      case GreaterThanOrEqual(SegAttr(), v) => dayOf(spark, v).map(scala.Left(_))
-      case LessThanOrEqual(v, SegAttr()) => dayOf(spark, v).map(scala.Left(_))
-      case LessThan(SegAttr(), v) => dayOf(spark, v).map(scala.Right(_))
-      case GreaterThan(v, SegAttr()) => dayOf(spark, v).map(scala.Right(_))
+    val bounds: Seq[Option[Seq[Either[String, String]]]] = preds.map {
+      // half-open midnight bounds: exact for any temporal type
+      case GreaterThanOrEqual(SegAttr(_), v) =>
+        dayOf(spark, v).map(d => Seq(scala.Left(d)))
+      case LessThanOrEqual(v, SegAttr(_)) =>
+        dayOf(spark, v).map(d => Seq(scala.Left(d)))
+      case LessThan(SegAttr(_), v) =>
+        dayOf(spark, v).map(d => Seq(scala.Right(d)))
+      case GreaterThan(v, SegAttr(_)) =>
+        dayOf(spark, v).map(d => Seq(scala.Right(d)))
+      // closed / equality / strict-lower shapes: exact only under the
+      // day contract (VERDICT r8 item 1 — without these, the BETWEEN
+      // spelling of a month-range query silently full-scans)
+      case LessThanOrEqual(SegAttr(a), v) if dayExact(a) =>
+        dayOf(spark, v).map(d => Seq(scala.Right(nextDay(d))))
+      case GreaterThanOrEqual(v, SegAttr(a)) if dayExact(a) =>
+        dayOf(spark, v).map(d => Seq(scala.Right(nextDay(d))))
+      case GreaterThan(SegAttr(a), v) if dayExact(a) =>
+        dayOf(spark, v).map(d => Seq(scala.Left(nextDay(d))))
+      case LessThan(v, SegAttr(a)) if dayExact(a) =>
+        dayOf(spark, v).map(d => Seq(scala.Left(nextDay(d))))
+      case EqualTo(SegAttr(a), v) if dayExact(a) =>
+        dayOf(spark, v).map(d =>
+          Seq(scala.Left(d), scala.Right(nextDay(d))))
+      case EqualTo(v, SegAttr(a)) if dayExact(a) =>
+        dayOf(spark, v).map(d =>
+          Seq(scala.Left(d), scala.Right(nextDay(d))))
       case _ => None
     }
     if (bounds.exists(_.isEmpty)) None
     else {
-      val lo = bounds.flatten.collect { case scala.Left(d) => d }
-        .maxOption.getOrElse("0000-01-01")
-      val hi = bounds.flatten.collect { case scala.Right(d) => d }
-        .minOption.getOrElse("9999-12-31")
+      val flat = bounds.flatten.flatten
+      val lo = flat.collect { case scala.Left(d) => d }
+        .maxOption.getOrElse(QueryRouter.MinDay)
+      val hi = flat.collect { case scala.Right(d) => d }
+        .minOption.getOrElse(QueryRouter.MaxDay)
       Some((lo, hi))
     }
   }
@@ -398,7 +437,7 @@ object GraftSql {
     else {
       val range =
         if (timeParts.isEmpty) Some(None)
-        else deriveTimeRange(spark, cube.segmentCol, timeParts).map(Some(_))
+        else deriveTimeRange(spark, cube, timeParts).map(Some(_))
       range.map { tr =>
         val restSql = rest.reduceOption(And.apply).map(_.transform {
           case a: AttributeReference => a.withQualifier(Seq.empty)

