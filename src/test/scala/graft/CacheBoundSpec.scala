@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Dedup
+
+/** VERDICT r8 item 6: the per-JVM memo caches are size-bounded, and an
+  * evicted entry recomputes to the same answer (no stale results, no
+  * unbounded checkpoint/cache growth across many datasets in one
+  * long-lived session). */
+class CacheBoundSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("cluster memo evicts FIFO and an evicted graph re-clusters correctly") {
+    import spark.implicits._
+    def pairsOf(n: Int) =
+      Seq((1L, 2L), (2L, 3L), (10L + n, 20L + n)).toDF("id_a", "id_b")
+    val first = Dedup.dupClusters(pairsOf(0)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first == Set((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (20L, 10L)))
+    // push more distinct pair graphs through than the memo holds
+    (1 to 6).foreach(i => Dedup.dupClusters(pairsOf(i)).collect())
+    assert(Dedup.clusterCacheSize <= 4,
+      s"cluster memo must stay bounded, size=${Dedup.clusterCacheSize}")
+    // the first graph was evicted (its checkpoint dir reclaimed) —
+    // re-requesting it must recompute the identical answer
+    val again = Dedup.dupClusters(pairsOf(0)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == first)
+  }
+
+  test("shingle memo stays bounded and evicted frames recompute") {
+    import spark.implicits._
+    implicit val s = spark
+    def docsOf(n: Int) =
+      Seq((1L, s"alpha beta gamma delta v$n"),
+          (2L, s"one two three four v$n")).toDF("doc_id", "text")
+    val first = Dedup.cachedShingleRows(docsOf(0)).count()
+    assert(first == 6, "2 docs x 3 shingles")
+    (1 to 10).foreach(i => Dedup.cachedShingleRows(docsOf(i)).count())
+    assert(Dedup.shingleCacheSize <= 8,
+      s"shingle memo must stay bounded, size=${Dedup.shingleCacheSize}")
+    assert(Dedup.cachedShingleRows(docsOf(0)).count() == first)
+  }
+}
