@@ -13,6 +13,12 @@ import graft.streaming.EventStream.Ev
 /** top-level so Spark can derive an Encoder (inner classes can't) */
 case class StreamEv(ts: Timestamp, event_type: String, value: Double)
 
+/** the Kafka connector's record schema (spark-sql-kafka's fixed
+  * columns), so a MemoryStream can stand in for a broker in specs */
+case class KafkaRec(key: Array[Byte], value: Array[Byte], topic: String,
+                    partition: Int, offset: Long, timestamp: Timestamp,
+                    timestampType: Int)
+
 /** The genuinely-streaming half of SURVEY §2.3: the same tumbling agg
   * the batch oracle checks, driven through MemoryStream with a real
   * watermark, plus the flatMapGroupsWithState sessionizer. */
@@ -101,6 +107,83 @@ class EventStreamSpec extends AnyFunSuite {
         r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
     assert(lambda2 == Set((ts(0), 1L, 1.00), (ts(6), 3L, 14.00)),
       s"latest hot row must win, got $lambda2")
+  }
+
+  test("hot-tail compaction retires sealed windows, lambda view unchanged") {
+    // VERDICT r8 item 5: after the append flush seals a window, its
+    // hot rows are dead weight — compactHot must drop them without
+    // changing what lambdaWindows serves
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ttl").toString
+    val msA = MemoryStream[StreamEv]
+    val ms = MemoryStream[StreamEv]
+    // watermark after the batch = 10.5h: [0,6h) seals, [6,12h) stays hot
+    val batch1 = Seq(
+      StreamEv(ts(0.5), "click", 1.00), StreamEv(ts(6.5), "click", 2.00),
+      StreamEv(ts(11.5), "click", 4.00))
+    msA.addData(batch1)
+    ms.addData(batch1)
+    EventStream.startCubeAppend(msA.toDF(), "6 hours", "1 hour",
+      s"$dir/cuboid", s"$dir/ckpt").awaitTermination()
+    EventStream.startHotUpdate(ms.toDF(), "6 hours", "1 hour",
+      s"$dir/hot", s"$dir/hot-ckpt").awaitTermination()
+
+    def lambda(): Set[(Timestamp, Long, Double)] =
+      EventStream.lambdaWindows(spark, s"$dir/cuboid", s"$dir/hot")
+        .collect().map(r => (r.getAs[Timestamp]("w_start"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    val before = spark.read.parquet(s"$dir/hot").count()
+    val lamBefore = lambda()
+    EventStream.compactHot(spark, s"$dir/cuboid", s"$dir/hot")
+    val after = spark.read.parquet(s"$dir/hot").count()
+    assert(after < before,
+      s"the sealed window's hot rows must retire ($before -> $after)")
+    // nothing sealed survives in the hot dir
+    val sealedLeft = spark.read.parquet(s"$dir/hot")
+      .join(spark.read.parquet(s"$dir/cuboid")
+        .select("w_start", "event_type"),
+        Seq("w_start", "event_type"), "left_semi").count()
+    assert(sealedLeft == 0)
+    assert(lambda() == lamBefore, "compaction must not change the view")
+
+    // the hot stream keeps appending into the compacted dir correctly
+    ms.addData(StreamEv(ts(11.7), "click", 8.00))
+    EventStream.startHotUpdate(ms.toDF(), "6 hours", "1 hour",
+      s"$dir/hot", s"$dir/hot-ckpt").awaitTermination()
+    assert(lambda() == Set((ts(0), 1L, 1.00), (ts(6), 3L, 14.00)),
+      s"post-compaction updates must land, got ${lambda()}")
+  }
+
+  test("a kafka-schema stream decodes and builds the cube end to end") {
+    // VERDICT r8 item 7: no broker in the container, so a MemoryStream
+    // of Kafka-connector-schema records (key/value binary, topic,
+    // partition, offset, timestamp) drives the EXACT streaming decode
+    // path — decodeJson over an unbounded frame → tumbling cube append
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kafka").toString
+    def rec(off: Long, h: Double, et: String, v: Double): KafkaRec = {
+      val nanos = (1704067200L + (h * 3600).toLong) * 1000000000L
+      val json = s"""{"event_id":$off,"ts":$nanos,"user_id":1,""" +
+        s""""event_type":"$et","value":$v,"props":"{}"}"""
+      KafkaRec(null, json.getBytes("UTF-8"), "events", 0, off,
+        new Timestamp(0), 0)
+    }
+    val ms = MemoryStream[KafkaRec]
+    ms.addData(rec(0, 1.0, "click", 2.00), rec(1, 2.0, "view", 3.00),
+      rec(2, 9.0, "click", 5.00))
+    val decoded = graft.streaming.KafkaEventSource.decodeJson(ms.toDF())
+    assert(decoded.isStreaming, "the decode must stay unbounded")
+    val path = EventStream.buildStreamingCube(spark,
+      graft.streaming.FrameSource(decoded), dir)
+    val got = spark.read.parquet(path).orderBy("w_start", "event_type")
+      .collect()
+      .map(r => (r.getAs[Timestamp]("w_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+    // watermark after the batch = 9h - 1h = 8h ⇒ window [0,6h) closed
+    assert(got.toSeq == Seq(
+      (ts(0), "click", 1L, 2.00), (ts(0), "view", 1L, 3.00)))
   }
 
   test("the streaming cube builds through the pluggable source SPI") {
