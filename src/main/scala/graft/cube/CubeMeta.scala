@@ -89,8 +89,22 @@ object CubeMeta {
     val out = fs.create(tmp, true)
     try out.write(Serialization.write(meta).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
+    // rename OVER the destination where the FS supports it (HDFS/local
+    // via FileContext are atomic) — delete-then-rename would open a
+    // window where a concurrent reader sees no meta and triggers a
+    // spurious rebuild (ADVICE r8). The fallback keeps the .tmp until
+    // the destination is replaced, and `load` reads the .tmp when the
+    // primary is missing, so even a crash inside the fallback never
+    // presents an empty meta.
+    try {
+      val ctx = org.apache.hadoop.fs.FileContext.getFileContext(
+        p.toUri, spark.sparkContext.hadoopConfiguration)
+      ctx.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: Exception =>
+        if (fs.exists(p)) fs.delete(p, false)
+        fs.rename(tmp, p)
+    }
     buildId
   }
 
@@ -104,8 +118,14 @@ object CubeMeta {
   def load(spark: SparkSession, cube: CubeDef, root: String,
            file: String = MetaFile): Option[Loaded] =
     scala.util.Try {
-      val p = metaPath(root, cube.name, file)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val primary = metaPath(root, cube.name, file)
+      val fs = primary.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // tolerate the in-flight .tmp as a fallback read: on stores where
+      // the overwrite-rename isn't atomic, a reader landing between
+      // delete and rename must not conclude the cube needs a rebuild
+      val p =
+        if (fs.exists(primary)) primary
+        else new Path(primary.toString + ".tmp")
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
