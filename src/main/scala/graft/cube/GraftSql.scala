@@ -53,6 +53,7 @@ object GraftSql {
 
   val ViewName = "graft_star"
   val EventsViewName = "graft_events"
+  val HybridViewName = "graft_star_hybrid"
 
   /** how a query was answered */
   final case class SqlResult(df: DataFrame, routed: Boolean, via: String)
@@ -72,7 +73,12 @@ object GraftSql {
       instance: (SparkSession, String) => CubeInstance,
       model: Option[ModelDef] = None,
       rawTables: Seq[String] = Nil,
-      alternates: Seq[(SparkSession, String) => CubeInstance] = Nil) {
+      alternates: Seq[(SparkSession, String) => CubeInstance] = Nil,
+      /** hybrid (time-spliced multi-cube) realizations of this view —
+        * tried BEFORE the plain realizations, mirroring Kylin's
+        * RealizationChooser where a hybrid outranks its own member
+        * cubes (HybridInstance cost priority) */
+      hybrids: Seq[(SparkSession, String) => HybridInstance] = Nil) {
     def realizations: Seq[(SparkSession, String) => CubeInstance] =
       instance +: alternates
   }
@@ -96,7 +102,12 @@ object GraftSql {
         rawTables = Seq("lineitem", "orders", "customer", "nation",
           "region", "supplier", "part")),
       Binding(EventsViewName, CubeManager.eventsFlat,
-        CubeManager.ensureEventsBuilt))
+        CubeManager.ensureEventsBuilt),
+      // the schema-evolution view: an old/new cube pair spliced at the
+      // cutover answers first; the wide star instance covers whatever
+      // the hybrid refuses (sketch rewrites, non-generic shapes)
+      Binding(HybridViewName, CubeManager.flatTable, CubeManager.ensureBuilt,
+        hybrids = Seq(CubeManager.ensureHybrid)))
     builtin.filterNot(b => extraBindings.contains(b.view)) ++
       extraBindings.values
   }
@@ -651,19 +662,29 @@ object GraftSql {
               groups.collect { case a: AttributeReference => a.name }
             if (bOpt.isEmpty || groups.length != groupNames.length) None
             else {
-              val insts = bOpt.get.realizations.map(f => f(spark, sfDir))
-              // RealizationChooser: candidates cheapest-covering-first
-              // (cost = planned cuboid rows for the grouped dims); the
-              // first realization that recognizes every output answers
-              val ordered =
-                if (insts.sizeIs == 1) insts
-                else insts.sortBy(i =>
-                  QueryRouter.plan(i, CubeQuery(groupNames, Nil))
-                    .map(_.estRows).getOrElse(Long.MaxValue))
-              ordered.iterator
-                .map(i => tryInstance(spark, df, i, p, groupNames, aggs,
-                  cond))
+              // hybrids outrank their member cubes (Kylin's chooser
+              // gives HybridInstance cost priority over realizations
+              // it spans); a refusing hybrid falls through to the
+              // plain realizations below
+              val viaHybrid = bOpt.get.hybrids.iterator
+                .map(f => tryHybrid(spark, df, f(spark, sfDir), p,
+                  groupNames, aggs, cond))
                 .collectFirst { case Some(r) => r }
+              viaHybrid.orElse {
+                val insts = bOpt.get.realizations.map(f => f(spark, sfDir))
+                // RealizationChooser: candidates cheapest-covering-first
+                // (cost = planned cuboid rows for the grouped dims); the
+                // first realization that recognizes every output answers
+                val ordered =
+                  if (insts.sizeIs == 1) insts
+                  else insts.sortBy(i =>
+                    QueryRouter.plan(i, CubeQuery(groupNames, Nil))
+                      .map(_.estRows).getOrElse(Long.MaxValue))
+                ordered.iterator
+                  .map(i => tryInstance(spark, df, i, p, groupNames, aggs,
+                    cond))
+                  .collectFirst { case Some(r) => r }
+              }
             }
         }
       }
@@ -816,14 +837,28 @@ object GraftSql {
       inst: CubeInstance, p: Peeled, aggs: Seq[NamedExpression],
       groupNames: Seq[String], outs: Seq[(MOut, String)],
       filterSql: Option[String], filterDims: Set[String],
-      timeRange: Option[(String, String)]): Option[SqlResult] = {
-    val cube = inst.cube
+      timeRange: Option[(String, String)]): Option[SqlResult] =
+    routeGenericVia(spark, inst.cube,
+      q => QueryRouter.routeStates(spark, inst, q)(df),
+      p, aggs, groupNames, outs, filterSql, filterDims, timeRange,
+      via = "cuboid")
+
+  /** the state-route-then-present body of the generic path, shared by
+    * the single-cube route and the hybrid splice — only the state
+    * supplier differs */
+  private def routeGenericVia(spark: SparkSession, cube: CubeDef,
+      states: CubeQuery => Routed,
+      p: Peeled, aggs: Seq[NamedExpression],
+      groupNames: Seq[String], outs: Seq[(MOut, String)],
+      filterSql: Option[String], filterDims: Set[String],
+      timeRange: Option[(String, String)], via: String)
+    : Option[SqlResult] = {
     val needed = outs.flatMap(_._1.measures).distinct
     val q = CubeQuery(groupNames, needed.map(m => m -> s"__m_$m"),
       filter = filterSql.map(expr),
       filterDims = filterDims,
       timeRange = timeRange)
-    val routed = QueryRouter.routeStates(spark, inst, q)(df)
+    val routed = states(q)
     if (routed.fallback) None
     else {
       def presented(m: String): Column =
@@ -862,8 +897,57 @@ object GraftSql {
         if (p.sortCols.nonEmpty) out = out.orderBy(p.sortCols: _*)
         p.limit.foreach(n => out = out.limit(n))
         out.queryExecution.analyzed // force analysis errors here
-        SqlResult(out, routed = true, "cuboid")
+        SqlResult(out, routed = true, via)
       }.toOption
+    }
+  }
+
+  /** Attempt the peeled aggregate against a HYBRID realization: the
+    * same recognition as tryInstance against the representative member
+    * cube, restricted to the generic measures path (sketch/bitmap/
+    * dimension-as-measure rewrites stay per-cube — the plain
+    * realizations behind the view cover those), with states supplied by
+    * the time-spliced HybridRouter. */
+  private def tryHybrid(spark: SparkSession, df: DataFrame,
+      h: HybridInstance, p: Peeled, groupNames: Seq[String],
+      aggs: Seq[NamedExpression],
+      cond: Option[Expression]): Option[SqlResult] = {
+    val cube = h.cube
+    val split = cond match {
+      case None => Some((Option.empty[String], Set.empty[String],
+        Option.empty[(String, String)]))
+      case Some(c) => splitFilter(spark, cube, c)
+    }
+    split.flatMap { case (filterSql, filterDims, timeRange) =>
+      val specs = aggs.collect {
+        case Alias(ae: AggregateExpression, name) =>
+          measureOf(cube, ae).map(_ -> name)
+      }
+      val groupsOk = groupNames.forall(cube.routableDim)
+      val outputOk = aggs.forall {
+        case _: AttributeReference => true
+        case Alias(_: AggregateExpression, _) => true
+        case _ => false
+      }
+      val distinctShape =
+        specs.isEmpty && aggs.forall(_.isInstanceOf[AttributeReference]) &&
+          aggs.nonEmpty
+      if (!(groupsOk && outputOk && specs.forall(_.isDefined)
+          && (specs.nonEmpty || distinctShape))) None
+      else {
+        val outs = specs.flatten
+        val neededMs = outs.flatMap(_._1.measures).distinct
+        // the generic path only; and every touched member must declare
+        // every needed measure (shared-model contract, checked)
+        if (outs.exists(o => o._1.isInstanceOf[MIntersect] ||
+            o._1.isInstanceOf[MDimAgg])) None
+        else if (!neededMs.forall(m =>
+            h.slices.forall(_.inst.cube.measures.exists(_.name == m)))) None
+        else routeGenericVia(spark, cube,
+          q => HybridRouter.routeStates(spark, h, q)(df),
+          p, aggs, groupNames, outs, filterSql, filterDims, timeRange,
+          via = "hybrid")
+      }
     }
   }
 

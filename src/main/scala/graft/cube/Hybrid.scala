@@ -1,0 +1,84 @@
+package graft.cube
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One time shard of a hybrid realization: `inst` answers queries whose
+  * time range intersects [start, end) — day strings, sentinel-open at
+  * either edge via QueryRouter.MinDay/MaxDay. */
+final case class HybridSlice(inst: CubeInstance, start: String, end: String)
+
+/** Hybrid realization (reference: core-storage/src/main/java/org/
+  * apache/kylin/storage/hybrid/HybridInstance.java:53,133-147 +
+  * HybridStorageQuery.java): ONE query answered from MULTIPLE cubes
+  * covering adjacent time ranges — the standard cube-evolution
+  * mechanism. A redesigned cube serves from its cutover forward, the
+  * retired design keeps serving history, and queries splice the two
+  * transparently instead of forcing a history rebuild.
+  *
+  * Slices must be disjoint and time-ordered; member cubes must share
+  * the model and declare compatible measures for the queries the
+  * hybrid serves (Kylin requires hybrid members to share the model —
+  * the router additionally checks per query that every needed measure
+  * exists in every touched member). */
+final case class HybridInstance(name: String, slices: Seq[HybridSlice]) {
+  require(slices.nonEmpty, "a hybrid needs at least one slice")
+  slices.sliding(2).foreach {
+    case Seq(a, b) =>
+      require(a.end <= b.start,
+        s"hybrid slices must be disjoint and ordered: ${a.end} > ${b.start}")
+    case _ =>
+  }
+
+  /** representative metadata for measure/dim recognition (members share
+    * the model, so any member's def describes the queryable surface) */
+  def cube: CubeDef = slices.head.inst.cube
+}
+
+/** Time-spliced routing over a hybrid: each touched slice answers its
+  * own sub-range through the ordinary per-cube router (segment pruning
+  * and residual filters included), the slices' STATE frames union, and
+  * one more mergeable-state aggregation collapses group keys that span
+  * the cutover — exactly the post-aggregation Kylin runs above
+  * HybridStorageQuery's unioned tuple iterators. */
+object HybridRouter {
+
+  /** the part of [slice.start, slice.end) the query's range touches */
+  private def overlap(range: Option[(String, String)],
+                      s: HybridSlice): Option[(String, String)] = {
+    val (qLo, qHi) = range.getOrElse((QueryRouter.MinDay, QueryRouter.MaxDay))
+    val lo = if (qLo > s.start) qLo else s.start
+    val hi = if (qHi < s.end) qHi else s.end
+    if (lo < hi) Some((lo, hi)) else None
+  }
+
+  /** states-mode route (mirrors QueryRouter.routeStates): fallback=true
+    * iff any touched slice cannot answer its sub-range — a half-routed
+    * splice would mix consistencies, so the whole query falls back. */
+  def routeStates(spark: SparkSession, h: HybridInstance, q: CubeQuery)
+                 (fallback: => DataFrame): Routed = {
+    val parts = h.slices.flatMap(s => overlap(q.timeRange, s).map(s -> _))
+    if (parts.isEmpty)
+      return Routed(fallback, None, Nil, fallback = true)
+    val routed = parts.map { case (s, r) =>
+      QueryRouter.routeStates(spark, s.inst,
+        q.copy(timeRange = Some(r)))(fallback)
+    }
+    if (routed.exists(_.fallback))
+      return Routed(fallback, None, Nil, fallback = true)
+    val all = routed.map(_.df).reduce(_ unionByName _)
+    val merged =
+      if (q.measures.isEmpty) all.distinct()
+      else {
+        val cube = h.cube
+        val aggs = q.measures.map { case (m, alias) =>
+          cube.measure(m).fromState(alias).as(alias)
+        }
+        all.groupBy(q.groupBy.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(q.groupBy.map(col) ++ q.measures.map(x => col(x._2)): _*)
+      }
+    Routed(merged, routed.head.cuboid, routed.flatMap(_.segments),
+      fallback = false)
+  }
+}

@@ -1062,6 +1062,38 @@ object CubeQueries extends QueryGroup {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // 35i ─────────────── hybrid realization: one query answered from
+    //     TWO cubes spliced by time range — the old design serves
+    //     history, the new one serves from the cutover, states merge
+    //     across the splice (HybridInstance.java:53,133-147 +
+    //     HybridStorageQuery.java; VERDICT r8 item 2)
+    Q("cube_sql_hybrid",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT o_orderstatus, sum(disc_price) AS revenue,
+            |  count(*) AS n_rows
+            |FROM graft_star_hybrid
+            |WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01'
+            |  AND TIMESTAMP '2000-12-31'
+            |GROUP BY o_orderstatus""".stripMargin)
+        assert(r.routed && r.via == "hybrid",
+          s"expected the time-spliced hybrid to answer, got ${r.via}")
+        // the splice reads BOTH member cube roots (old pre-cutover,
+        // new post-cutover), nothing from the wide star instance
+        val files = r.df.inputFiles
+        assert(files.exists(_.contains("-star-old/")) &&
+          files.exists(_.contains("-star-new/")),
+          s"expected both hybrid member roots, got ${files.take(3).toSeq}")
+        r.df.orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01'
+             |  AND TIMESTAMP '2000-12-31'
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // 36 ──────────────── RAW measure: per-group value collection
     //     carried through the cube (reference measure/raw)
     Q("cube_raw_measure",

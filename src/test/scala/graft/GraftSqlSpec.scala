@@ -634,6 +634,59 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  // ── VERDICT r8 item 2: hybrid (time-spliced multi-cube) routing ───
+
+  test("a hybrid splices both member cubes and matches the source") {
+    // no time range: each slice serves its full era, states merge
+    // across the cutover
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM graft_star_hybrid GROUP BY o_orderstatus""".stripMargin)
+    assert(r.routed && r.via == "hybrid", s"got ${r.via}")
+    val files = r.df.inputFiles
+    assert(files.exists(_.contains("-star-old/")) &&
+      files.exists(_.contains("-star-new/")),
+      s"both member roots must serve, got ${files.take(3).toSeq}")
+    val got = r.df.collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getLong(2))).toSet
+    val want = CubeManager.flatTable(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(sum(col("l_quantity")).cast("double").as("q"),
+        count(lit(1)).as("n"))
+      .collect().map(x => (x.getString(0), x.getDouble(1), x.getLong(2)))
+      .toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("a range inside one era routes through that member only") {
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(*) AS n_rows FROM graft_star_hybrid
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderstatus""".stripMargin)
+    assert(r.routed && r.via == "hybrid", s"got ${r.via}")
+    val files = r.df.inputFiles.filter(_.contains("cuboid="))
+    assert(files.nonEmpty && files.forall(_.contains("-star-old/")),
+      s"pre-cutover range must stay in the old cube, got ${files.take(3).toSeq}")
+    val got = r.df.agg(sum("n_rows")).head().getLong(0)
+    val want = CubeManager.flatTable(spark, sf)
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .count()
+    assert(got == want && want > 0)
+  }
+
+  test("shapes the hybrid refuses fall through to the star realization") {
+    // approx_count_distinct needs the HLL measure only the wide star
+    // cube declares — the hybrid must step aside, not fall back to a
+    // raw scan
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, approx_count_distinct(o_custkey) AS n_cust
+        |FROM graft_star_hybrid GROUP BY o_orderstatus""".stripMargin)
+    assert(r.routed && r.via == "cuboid",
+      s"the wide realization must cover, got ${r.via}")
+  }
+
   test("a month-aligned unaligned-to-segment range routes via residual") {
     val r = GraftSql.sqlVia(spark, sf,
       """SELECT o_orderstatus, count(*) AS n_rows FROM graft_star
