@@ -145,7 +145,16 @@ object GraftSql {
     * arithmetic over attributes, non-null literals, numeric-to-numeric
     * casts (never null with ANSI off), and decimal overflow guards —
     * everything else (Divide, CASE, nullif, string casts) may
-    * introduce nulls and refuses */
+    * introduce nulls and refuses.
+    *
+    * Caveat (ADVICE r8, documented contract): with ANSI off, DECIMAL
+    * arithmetic that overflows its result precision yields NULL, which
+    * would break the ⇒ above. The whitelist therefore assumes the
+    * declared-non-null columns also don't overflow their widened result
+    * types — the same trust the `notNull` contract itself embodies
+    * (Spark widens decimal results, so TPC-H-scale inputs cannot reach
+    * the 38-digit ceiling; an overflowing model should not declare the
+    * column). */
   private def nullSafeArithmetic(e: Expression): Boolean = e match {
     case _: AttributeReference => true
     case l: Literal => l.value != null
