@@ -341,11 +341,14 @@ object GraftSql {
     case other => Seq(other)
   }
 
-  /** a foldable timestamp/date bound as a calendar day, iff it sits
-    * exactly on midnight in the session time zone (a mid-day instant
-    * is not expressible as a segment/day range — the caller refuses
-    * and Spark answers the query) */
-  private def dayOf(spark: SparkSession, e: Expression): Option[String] =
+  /** a foldable timestamp/date bound as (calendar day it falls in,
+    * whether it sits exactly on midnight) in the session time zone.
+    * Midnight bounds are exact day boundaries for any temporal type;
+    * mid-day instants are only convertible under a cube's day contract
+    * (the caller decides — FilePruner.scala:198-286 likewise derives
+    * general ranges from arbitrary pushed bounds) */
+  private def dayOf(spark: SparkSession, e: Expression)
+    : Option[(String, Boolean)] =
     e match {
       case _ if !e.foldable => None
       case _ if e.dataType == org.apache.spark.sql.types.TimestampType =>
@@ -356,13 +359,12 @@ object GraftSql {
             .ofEpochSecond(Math.floorDiv(micros, 1000000L),
               Math.floorMod(micros, 1000000L) * 1000L)
             .atZone(zid).toLocalDateTime
-          if (ldt.toLocalTime == java.time.LocalTime.MIDNIGHT)
-            Some(ldt.toLocalDate.toString)
-          else None
-        }.flatten
+          (ldt.toLocalDate.toString,
+            ldt.toLocalTime == java.time.LocalTime.MIDNIGHT)
+        }
       case _ if e.dataType == org.apache.spark.sql.types.DateType =>
         Option(e.eval(null)).collect { case days: Int =>
-          java.time.LocalDate.ofEpochDay(days.toLong).toString
+          (java.time.LocalDate.ofEpochDay(days.toLong).toString, true)
         }
       case _ => None
     }
@@ -397,37 +399,56 @@ object GraftSql {
       a.dataType == org.apache.spark.sql.types.DateType || cube.segDayGranular
     def nextDay(d: String): String =
       java.time.LocalDate.parse(d).plusDays(1).toString
-    // scala.Left = lower bound (inclusive), scala.Right = upper
-    // (exclusive) — fully qualified, catalyst has Left/Right exprs
-    val bounds: Seq[Option[Seq[Either[String, String]]]] = preds.map {
-      // half-open midnight bounds: exact for any temporal type
-      case GreaterThanOrEqual(SegAttr(_), v) =>
-        dayOf(spark, v).map(d => Seq(scala.Left(d)))
-      case LessThanOrEqual(v, SegAttr(_)) =>
-        dayOf(spark, v).map(d => Seq(scala.Left(d)))
-      case LessThan(SegAttr(_), v) =>
-        dayOf(spark, v).map(d => Seq(scala.Right(d)))
-      case GreaterThan(v, SegAttr(_)) =>
-        dayOf(spark, v).map(d => Seq(scala.Right(d)))
-      // closed / equality / strict-lower shapes: exact only under the
-      // day contract (VERDICT r8 item 1 — without these, the BETWEEN
-      // spelling of a month-range query silently full-scans)
-      case LessThanOrEqual(SegAttr(a), v) if dayExact(a) =>
-        dayOf(spark, v).map(d => Seq(scala.Right(nextDay(d))))
-      case GreaterThanOrEqual(v, SegAttr(a)) if dayExact(a) =>
-        dayOf(spark, v).map(d => Seq(scala.Right(nextDay(d))))
-      case GreaterThan(SegAttr(a), v) if dayExact(a) =>
-        dayOf(spark, v).map(d => Seq(scala.Left(nextDay(d))))
-      case LessThan(v, SegAttr(a)) if dayExact(a) =>
-        dayOf(spark, v).map(d => Seq(scala.Left(nextDay(d))))
-      case EqualTo(SegAttr(a), v) if dayExact(a) =>
-        dayOf(spark, v).map(d =>
-          Seq(scala.Left(d), scala.Right(nextDay(d))))
-      case EqualTo(v, SegAttr(a)) if dayExact(a) =>
-        dayOf(spark, v).map(d =>
-          Seq(scala.Left(d), scala.Right(nextDay(d))))
+    // normalize to (op against the column on the LEFT, bound expr,
+    // whether the day contract holds for the column)
+    sealed trait Op
+    case object GE extends Op; case object GT extends Op
+    case object LE extends Op; case object LT extends Op
+    case object EQ extends Op
+    val normalized: Seq[Option[(Op, Expression, Boolean)]] = preds.map {
+      case GreaterThanOrEqual(SegAttr(a), v) => Some((GE, v, dayExact(a)))
+      case GreaterThanOrEqual(v, SegAttr(a)) => Some((LE, v, dayExact(a)))
+      case GreaterThan(SegAttr(a), v) => Some((GT, v, dayExact(a)))
+      case GreaterThan(v, SegAttr(a)) => Some((LT, v, dayExact(a)))
+      case LessThan(SegAttr(a), v) => Some((LT, v, dayExact(a)))
+      case LessThan(v, SegAttr(a)) => Some((GT, v, dayExact(a)))
+      case LessThanOrEqual(SegAttr(a), v) => Some((LE, v, dayExact(a)))
+      case LessThanOrEqual(v, SegAttr(a)) => Some((GE, v, dayExact(a)))
+      case EqualTo(SegAttr(a), v) => Some((EQ, v, dayExact(a)))
+      case EqualTo(v, SegAttr(a)) => Some((EQ, v, dayExact(a)))
       case _ => None
     }
+    // scala.Left = lower bound (inclusive), scala.Right = upper
+    // (exclusive) — fully qualified, catalyst has Left/Right exprs.
+    // Midnight >= / < bounds are exact for any temporal type; every
+    // other (op, instant) combination is exact only under the day
+    // contract, where values sit on midnights so a mid-day instant
+    // floors/ceils to the enclosing day boundary (VERDICT r8 item 1;
+    // mid-day equality can match nothing — an intentionally empty
+    // range, which the router answers with an empty scan):
+    //   col >= t → [ceil(t), ∞)      col > t → [ceil(t+ε), ∞)
+    //   col <  t → (-∞, ceil(t))     col <= t → (-∞, ceil(t+ε))
+    //   col =  t → [t, t+1day) at midnight, ∅ otherwise
+    val bounds: Seq[Option[Seq[Either[String, String]]]] =
+      normalized.map(_.flatMap { case (op, v, exact) =>
+        dayOf(spark, v).flatMap { case (d, midnight) =>
+          (op, midnight) match {
+            case (GE, true) => Some(Seq(scala.Left(d)))
+            case (GE, false) if exact => Some(Seq(scala.Left(nextDay(d))))
+            case (GT, _) if exact => Some(Seq(scala.Left(nextDay(d))))
+            case (LT, true) => Some(Seq(scala.Right(d)))
+            case (LT, false) if exact => Some(Seq(scala.Right(nextDay(d))))
+            case (LE, _) if exact => Some(Seq(scala.Right(nextDay(d))))
+            case (EQ, true) if exact =>
+              Some(Seq(scala.Left(d), scala.Right(nextDay(d))))
+            case (EQ, false) if exact =>
+              // no day-contract value equals a mid-day instant:
+              // lo > hi ⇒ zero segments overlap ⇒ empty answer
+              Some(Seq(scala.Left(nextDay(d)), scala.Right(d)))
+            case _ => None
+          }
+        }
+      })
     if (bounds.exists(_.isEmpty)) None
     else {
       val flat = bounds.flatten.flatten

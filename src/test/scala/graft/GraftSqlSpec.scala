@@ -498,7 +498,9 @@ class GraftSqlSpec extends AnyFunSuite {
   }
 
   test("time bounds that aren't exact day/segment ranges fall back") {
-    // mid-day instant: not expressible as a [day, day) range
+    // mid-day instant: ceils to 1997-01-02 under the day contract, but
+    // that is not month-aligned so the partial segment's residual is
+    // inexpressible — refused
     val midday = GraftSql.sqlVia(spark, sf,
       """SELECT o_orderstatus, count(*) AS n FROM graft_star
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 12:30:00'
@@ -560,6 +562,36 @@ class GraftSqlSpec extends AnyFunSuite {
       .groupBy("o_orderstatus").count()
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(got == want && want.nonEmpty)
+  }
+
+  test("a mid-day bound that ceils to a segment boundary routes") {
+    // under the day contract col >= '1996-12-31 12:30' ⇔ col >=
+    // '1997-01-01' (no value sits strictly between the midnights) —
+    // FilePruner derives general ranges from arbitrary pushed bounds
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(*) AS n_rows FROM graft_star
+        |WHERE o_orderdate >= TIMESTAMP '1996-12-31 12:30:00'
+        |GROUP BY o_orderstatus""".stripMargin)
+    assert(r.routed && r.via == "cuboid", s"got ${r.via}")
+    assert(r.df.inputFiles.nonEmpty &&
+      !r.df.inputFiles.exists(_.contains("/s1995/")),
+      "the ceiled bound must prune s1995")
+    val got = r.df.agg(sum("n_rows")).head().getLong(0)
+    val want = CubeManager.flatTable(spark, sf)
+      .filter(col("o_orderdate") >=
+        lit("1996-12-31 12:30:00").cast("timestamp")).count()
+    assert(got == want && want > 0)
+  }
+
+  test("mid-day equality matches nothing and answers empty either way") {
+    // no day-contract value can equal a mid-day instant: whether the
+    // derived empty range routes or the residual refuses, the answer
+    // must be the fallback's zero rows
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(*) AS n_rows FROM graft_star
+        |WHERE o_orderdate = TIMESTAMP '1997-06-15 12:00:00'
+        |GROUP BY o_orderstatus""".stripMargin)
+    assert(r.df.count() == 0)
   }
 
   // ── ADVICE r8: one-sided partial ranges must not require the open
