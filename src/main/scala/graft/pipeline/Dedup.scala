@@ -263,6 +263,39 @@ object Dedup {
     }
   }
 
+  // ── benchmark contamination (train/eval n-gram overlap) ──────────
+
+  /** Benchmark-contamination audit — the GPT-3-style n-gram overlap
+    * check every LLM training pipeline runs before training: an eval
+    * document whose shingles largely appear in the training corpus has
+    * leaked, and benchmark scores on it are meaningless. Returns one
+    * row per eval doc: distinct-shingle count, how many of those
+    * shingles occur ANYWHERE in the corpus, and their ratio.
+    *
+    * Scale shape: the eval set is small by nature (benchmark suites),
+    * so the corpus — the 100 TB side — is ONE scan semi-joined against
+    * the broadcast eval shingle set; the distinct that follows runs
+    * over leaked shingles only (bounded by the eval set). No
+    * corpus-sized groupBy/distinct ever materializes, and no corpus
+    * row survives past the semi-join. */
+  def contamination(corpus: DataFrame, evalDocs: DataFrame)
+                   (implicit spark: SparkSession): DataFrame = {
+    val evalRows = shingleRows(evalDocs)
+    val sizes = shingleSizes(evalRows)
+    val evalShingles = evalRows.select("s").distinct()
+    val leaked = shingleRows(corpus)
+      .join(broadcast(evalShingles), Seq("s"), "left_semi")
+      .select("s").distinct()
+    val hits = evalRows.join(leaked, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    sizes
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / col("n"), 4)
+          .as("contamination"))
+  }
+
   // ── transitive dup clusters (connected components) ───────────────
 
   /** Transitive duplicate clusters over a near-dup pair list: every

@@ -92,6 +92,34 @@ object DedupQueries extends QueryGroup {
       },
       Some(jaccardSql("0.5"))),
 
+    // 44b ─────────────── benchmark contamination: per eval doc, the
+    //     fraction of its 3-word shingles found anywhere in the
+    //     training corpus (GPT-3-style train/test overlap audit);
+    //     deterministic eval split (doc_id % 20)
+    Q("doc_contamination",
+      (s, d) => {
+        implicit val spark = s
+        val docs = documents(s, d)
+        Dedup.contamination(
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 20 =!= 0),
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 20 === 0))
+          .orderBy("doc_id")
+      },
+      Some(s"""$shingleCte,
+             |ev AS (SELECT doc_id, sh FROM shl WHERE doc_id % 20 = 0),
+             |evx AS (SELECT doc_id, unnest(sh) AS s FROM ev),
+             |corpus_s AS (
+             |  SELECT DISTINCT s FROM shx WHERE doc_id % 20 <> 0),
+             |hits AS (
+             |  SELECT evx.doc_id, count(*) AS n_hit
+             |  FROM evx JOIN corpus_s USING (s) GROUP BY 1)
+             |SELECT ev.doc_id, CAST(len(ev.sh) AS BIGINT) AS n_shingles,
+             |  CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+             |  ROUND(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / len(ev.sh), 4)
+             |    AS contamination
+             |FROM ev LEFT JOIN hits ON ev.doc_id = hits.doc_id
+             |ORDER BY ev.doc_id""".stripMargin)),
+
     // 42b ─────────────── transitive dup clusters: near-dup is not
     //     transitive, so the training-pipeline keep-one semantics need
     //     connected components over the pair graph — every member

@@ -157,6 +157,26 @@ class PipelineSpec extends AnyFunSuite {
       s"every chain member labels 1, got ${labels.filter(_._2 != 1L).take(3).toSeq}")
   }
 
+  test("contamination scores leaked eval docs 1.0 and clean ones 0.0") {
+    import spark.implicits._
+    implicit val s = spark
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "the quick brown fox jumps"),        // fully inside doc 1
+      (101L, "entirely novel benchmark prompt"),   // no shingle leaks
+      (102L, "brown fox jumps over whole new half" // 2 of 6 leak
+      )).toDF("doc_id", "text")
+    val got = Dedup.contamination(corpus, eval).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got(100L) == ((3L, 3L, 1.0)), s"leaked doc: ${got(100L)}")
+    assert(got(101L) == ((2L, 0L, 0.0)), s"clean doc: ${got(101L)}")
+    assert(got(102L)._3 > 0.0 && got(102L)._3 < 1.0,
+      s"partial leak must be fractional: ${got(102L)}")
+  }
+
   test("exact dedup keeps one survivor per distinct normalized text") {
     val out = SparkEntry.queries("doc_exact_dedup")(spark, sf)
     val distinctTexts = docs
