@@ -52,4 +52,42 @@ object TextAnalysis {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.Md5Long60(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(normAlnum(t))))
+
+  /** total 3-word windows of the normalized text (distinct or not):
+    * `max(words - 2, 0)` — the denominator of the repetition ratio */
+  def shingleWindows(t: Column): Column =
+    greatest(size(split(normText(t), " ")).cast(LongType) - 2L, lit(0L))
+
+  /** deterministic hash-mod membership for corpus sampling: stable
+    * across runs/engines (md5-derived 60-bit hash of `salt:doc_id`),
+    * uniform across strata by construction — the sampling primitive a
+    * 100 TB pipeline uses instead of rand() (reproducible, pushes into
+    * the scan, no state). Keep rows where `hash % denom == 0` for a
+    * ~1/denom sample. */
+  def sampleHash(docId: Column, salt: String): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Md5Long60(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          concat(lit(salt + ":"), docId.cast(
+            org.apache.spark.sql.types.StringType)))))
+
+  /** PII scrubbing (pipeline hygiene pass): redact emails, US-style
+    * phone numbers, and IPv4 addresses with typed placeholders, and
+    * count the redactions. RE2-compatible patterns (no backrefs/
+    * lookaround) so the same regexes run in any engine. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def scrubPii(t: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+
+  def piiCount(t: Column): Column =
+    Seq(EmailPattern, PhonePattern, Ipv4Pattern)
+      .map(p => size(regexp_extract_all(t, lit(p), lit(0))).cast(LongType))
+      .reduce(_ + _)
 }

@@ -48,6 +48,57 @@ object TextQueries extends QueryGroup {
              |FROM documents GROUP BY md5($sqlNorm)
              |ORDER BY doc_id""".stripMargin)),
 
+    // 41b ─────────────── within-doc repetition ratio (Gopher-style
+    //     quality rule: fraction of duplicate 3-word windows — high
+    //     repetition marks boilerplate/spam for filtering). total
+    //     windows from the normalized text, distinct from the shingle
+    //     kernel; scan → project → one join on doc_id.
+    Q("doc_repetition",
+      (s, d) => {
+        implicit val spark = s
+        val docs = documents(s, d)
+        val windows = docs.select(col("doc_id"),
+          shingleWindows(col("text")).as("n_windows"))
+          .filter(col("n_windows") > 0)
+        val distinctSh = graft.pipeline.Dedup.shingleSizes(
+          graft.pipeline.Dedup.shingleRows(docs))
+          .select(col("doc_id"), col("n").as("n_distinct"))
+        windows.join(distinctSh, "doc_id")
+          .select(col("doc_id"), col("n_windows"), col("n_distinct"),
+            f4(lit(1.0) -
+              col("n_distinct").cast(DoubleType) / col("n_windows"))
+              .as("rep_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (
+             |  SELECT doc_id, string_split($sqlNorm, ' ') AS ws
+             |  FROM documents),
+             |t AS (
+             |  SELECT doc_id, CAST(len(ws) - 2 AS BIGINT) AS n_windows,
+             |    CAST(len(list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+             |                            for i in range(1, len(ws)-1)]))
+             |         AS BIGINT) AS n_distinct
+             |  FROM w WHERE len(ws) >= 3)
+             |SELECT doc_id, n_windows, n_distinct,
+             |  FLOOR((1.0 - CAST(n_distinct AS DOUBLE) / n_windows) * 10000)
+             |    / 10000 AS rep_ratio
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // 41c ─────────────── deterministic hash-mod sampling: the corpus
+    //     sampling primitive at 100 TB — reproducible across runs and
+    //     engines (no rand()), uniform across strata, evaluated inside
+    //     the scan (a plain filter). ~20% sample via h60 % 5.
+    Q("doc_sample_hash",
+      (s, d) => documents(s, d)
+        .filter(sampleHash(col("doc_id"), "graft") % 5 === 0)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE CAST(concat('0x',
+             |    substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15))
+             |  AS BIGINT) % 5 = 0
+             |ORDER BY doc_id""".stripMargin)),
+
     // 48 ──────────────── language ID: stopword-hit scores per language,
     //     argmax with a fixed tie order (en > de > es > fr > und)
     Q("doc_lang_id",

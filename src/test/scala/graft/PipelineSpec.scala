@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Dedup, EmbeddingSearch}
+import graft.pipeline.{Dedup, EmbeddingSearch, TextAnalysis}
 
 /** Invariants of the §2.4 pipeline ops that the DuckDB oracle can't
   * express directly (the oracle checks values; these check the
@@ -175,6 +175,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(101L) == ((2L, 0L, 0.0)), s"clean doc: ${got(101L)}")
     assert(got(102L)._3 > 0.0 && got(102L)._3 < 1.0,
       s"partial leak must be fractional: ${got(102L)}")
+  }
+
+  test("pii scrubber redacts emails, phones, and IPs with counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact bob@example.com or 555-123-4567 at 10.0.0.1 now"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextAnalysis.scrubPii(col("text")).as("clean"),
+      TextAnalysis.piiCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == (("contact <EMAIL> or <PHONE> at <IP> now", 3L)),
+      s"got ${got(1L)}")
+    assert(got(2L) == (("no pii here at all", 0L)))
   }
 
   test("exact dedup keeps one survivor per distinct normalized text") {
