@@ -280,7 +280,10 @@ object Dedup {
     * row survives past the semi-join. */
   def contamination(corpus: DataFrame, evalDocs: DataFrame)
                    (implicit spark: SparkSession): DataFrame = {
-    val evalRows = shingleRows(evalDocs)
+    // three consumers (sizes, the broadcast set, hits) — memoized
+    // persist; the CORPUS shingles stay uncached on purpose: one
+    // streaming pass, nothing corpus-sized may pin memory
+    val evalRows = cachedShingleRows(evalDocs)
     val sizes = shingleSizes(evalRows)
     val evalShingles = evalRows.select("s").distinct()
     val leaked = shingleRows(corpus)

@@ -36,6 +36,15 @@ object SourceQueries extends QueryGroup {
         .orderBy("s_suppkey"),
       Some("SELECT * FROM supplier ORDER BY s_suppkey")),
 
+    // ORC (Spark's second native columnar format; Kylin deployments
+    // read Hive ORC tables through source-hive): same
+    // write-then-read-back proof, via the native vectorized ORC reader
+    Q("src_orc_roundtrip",
+      (s, d) => roundTrip(s, customer(s, d), "orc",
+          s"orc-${d.replaceAll("/+$", "").split('/').last}")
+        .orderBy("c_custkey"),
+      Some("SELECT * FROM customer ORDER BY c_custkey")),
+
     // JDBC source (reference: source-jdbc module): write region into an
     // embedded Derby database via spark.write.jdbc, read it back via
     // spark.read.jdbc — proving the real JDBC relation path (dialect
