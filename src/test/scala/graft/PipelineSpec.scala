@@ -177,6 +177,19 @@ class PipelineSpec extends AnyFunSuite {
       s"partial leak must be fractional: ${got(102L)}")
   }
 
+  test("contamination reduces the corpus via a broadcast semi-join") {
+    implicit val s = spark
+    val out = Dedup.contamination(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+    val plan = out.queryExecution.executedPlan.toString
+    // the 100 TB side must meet the eval shingle set as a BROADCAST
+    // LeftSemi — a shuffled corpus-side join would be the scale bug
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), s"expected broadcast semi-join:\n$plan")
+    assert(out.count() == 25, "one row per eval doc")
+  }
+
   test("pii scrubber redacts emails, phones, and IPs with counts") {
     import spark.implicits._
     val df = Seq(
