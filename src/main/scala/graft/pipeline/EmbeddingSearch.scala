@@ -260,6 +260,82 @@ object EmbeddingSearch {
     rankTopK(scored, k)
   }
 
+  // ── PQ (product quantization) ANN — the compressed-domain path ───
+
+  val PqSubs = 4
+  val PqSubDim: Int = Dim / PqSubs
+  val PqCents = 16
+  val PqOverfetch = 4
+
+  /** exact integer squared-L2 between two subvectors (≤ 2^46 for 16
+    * dims of diffs ≤ 2^21 — no overflow) */
+  private def il2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** per-subspace rows (id, m, sub): subvector m spans dims
+    * [m·PqSubDim, (m+1)·PqSubDim) */
+  private def subRows(df: DataFrame, idAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs),
+      posexplode(array((0 until PqSubs).map(m =>
+        slice(col("q"), m * PqSubDim + 1, PqSubDim)): _*))
+        .as(Seq("m", "sub")))
+
+  /** PQ-ADC top-k (FAISS PQ / asymmetric distance computation — the
+    * compressed-domain scale path next to LSH and IVF): corpus vectors
+    * are ENCODED as `PqSubs` small centroid codes against deterministic
+    * sampled sub-codebooks (same sampled-codebook stance as `ivfTopK` —
+    * the structure is what matters at scale, training only shifts
+    * assignments, and sampling keeps every stage SQL-replayable); each
+    * query precomputes an inner-product table per (subspace, centroid),
+    * and the approximate score of ANY corpus vector is a sum of table
+    * lookups over its codes — the candidate scan touches only the
+    * 4-code rows, never the 64-dim vectors. Top `k·PqOverfetch` by
+    * approximate IP then re-rank by exact cosine. At 100 TB the codes
+    * table is ~100× smaller than the vectors and the tables broadcast
+    * (queries × subspaces × centroids), so the scan is compressed-
+    * domain end to end. */
+  def pqTopK(embs: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = quantized(embs)
+    val cents = subRows(q.filter(col("vec_id") < PqCents), "c_id")
+      .select(col("c_id"), col("m"), col("sub").as("csub"))
+    // encode: nearest sub-centroid per (vector, subspace) by integer
+    // L2, ties to the lower centroid id — one linear pass, codebook
+    // broadcast
+    val codes = subRows(q, "n_id")
+      .join(broadcast(cents), "m")
+      .select(col("n_id"), col("m"), col("c_id"),
+        il2(col("sub"), col("csub")).as("d2"))
+      .withColumn("rn", row_number().over(Window.partitionBy("n_id", "m")
+        .orderBy(col("d2").asc, col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("n_id"), col("m"), col("c_id").as("code"))
+    // asymmetric tables: query subvector · sub-centroid inner products
+    val tables = subRows(q.filter(col("vec_id") < numQueries), "q_id")
+      .join(broadcast(cents), "m")
+      .select(col("q_id"), col("m"), col("c_id").as("code"),
+        idot(col("sub"), col("csub")).as("ip"))
+    // compressed-domain scan: approx IP = Σ_m table[m, code_m]
+    val approx = codes.join(broadcast(tables), Seq("m", "code"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id").agg(sum("ip").as("aip"))
+    val cand = approx.withColumn("arn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("aip").desc, col("n_id"))))
+      .filter(col("arn") <= k * PqOverfetch)
+      .select("q_id", "n_id")
+    // exact re-rank on the overfetched candidates only
+    val scored = cand
+      .join(q.select(col("vec_id").as("q_id"),
+        col("q").as("qa"), col("n2").as("na")), "q_id")
+      .join(q.select(col("vec_id").as("n_id"),
+        col("q").as("qb"), col("n2").as("nb")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        cosine(idot(col("qa"), col("qb")), col("na"), col("nb"))
+          .as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** rank by (cosine desc, n_id) — cosine is bit-identical on both
     * engines, so ranks (ties included) replay exactly in SQL */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {

@@ -134,6 +134,50 @@ object EmbQueries extends QueryGroup {
              |  JOIN n b ON b.vec_id = cand.n_id)
              |$rankSelect""".stripMargin)),
 
+    // 47d ─────────────── PQ-ADC top-5 (FAISS product quantization):
+    //     corpus encoded as 4 sub-centroid codes against sampled
+    //     sub-codebooks; queries precompute per-(subspace, centroid)
+    //     inner-product tables; approximate score = Σ table lookups
+    //     over the CODES (the vectors never enter the candidate scan),
+    //     top-20 overfetch re-ranked by exact cosine — the
+    //     compressed-domain scale path next to LSH and IVF
+    Q("emb_topk_pq",
+      (s, d) => EmbeddingSearch.pqTopK(embeddings(s, d), 8, 5)
+        .orderBy("q_id", "rank"),
+      Some(s"""$qvCte,
+             |cents AS (SELECT vec_id AS c_id, q FROM n WHERE vec_id < 16),
+             |codes AS (
+             |  SELECT n_id, m, code FROM (
+             |    SELECT v.vec_id AS n_id, s.range AS m, c.c_id AS code,
+             |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, s.range ORDER BY
+             |        list_sum([(v.q[CAST(s.range AS INT)*16 + i]
+             |                    - c.q[CAST(s.range AS INT)*16 + i])
+             |                  * (v.q[CAST(s.range AS INT)*16 + i]
+             |                    - c.q[CAST(s.range AS INT)*16 + i])
+             |                  for i in range(1, 17)]) ASC, c.c_id) AS rn
+             |    FROM n v, range(4) s, cents c) WHERE rn = 1),
+             |tbl AS (
+             |  SELECT qr.vec_id AS q_id, s.range AS m, c.c_id AS code,
+             |    CAST(list_sum([qr.q[CAST(s.range AS INT)*16 + i]
+             |                   * c.q[CAST(s.range AS INT)*16 + i]
+             |                   for i in range(1, 17)]) AS BIGINT) AS ip
+             |  FROM n qr, range(4) s, cents c WHERE qr.vec_id < 8),
+             |aip AS (
+             |  SELECT t.q_id, codes.n_id, SUM(t.ip) AS aip
+             |  FROM codes JOIN tbl t ON t.m = codes.m AND t.code = codes.code
+             |  WHERE codes.n_id != t.q_id GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+             |      ORDER BY aip DESC, n_id) AS rn
+             |    FROM aip) WHERE rn <= 20),
+             |scored AS (
+             |  SELECT cand.q_id, cand.n_id, $cosAB AS cosine
+             |  FROM cand
+             |  JOIN n a ON a.vec_id = cand.q_id
+             |  JOIN n b ON b.vec_id = cand.n_id)
+             |$rankSelect""".stripMargin)),
+
     // 47 ──────────────── random-hyperplane LSH top-5: candidates from
     //     4 tables × 8-bit sign buckets (equi-join per table), exact
     //     cosine on candidates only

@@ -88,6 +88,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ top-k cosines are bounded by brute-force top-k rank-for-rank") {
+    val bf = EmbeddingSearch.bruteForceTopK(embs, 8, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val pq = EmbeddingSearch.pqTopK(embs, 8, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pq.nonEmpty)
+    pq.foreach { case (q, rank, cos) =>
+      val bfCos = bf((q, rank))
+      assert(cos <= bfCos + 1e-9,
+        s"PQ rank-$rank cosine $cos for query $q beats brute force $bfCos")
+    }
+  }
+
   test("blocked all-pairs cosine is block-count invariant (exact join)") {
     val one = EmbeddingSearch.cosineDupPairs(embs, 0.4, blocks = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
