@@ -240,6 +240,19 @@ object EventStream {
   def ensureStreamingCube(spark: SparkSession, sfDir: String): String =
     ensureLambda(spark, sfDir)._1
 
+  /** Streaming exact dedup — ingest hygiene for a training-data
+    * pipeline fed by an at-least-once bus (Kafka redeliveries, receiver
+    * retries): keeps the FIRST arrival per key and drops re-deliveries
+    * while their key is inside the watermark. Plain `dropDuplicates`
+    * on a stream is the classic unbounded-state footgun; the
+    * within-watermark variant expires key state at the watermark, so
+    * state is O(keys arriving within `lateness`), not O(stream
+    * history) — the bound that matters on an unbounded source. */
+  def dedupStream(events: DataFrame, lateness: String,
+                  keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
   // ── stateful sessionization (custom state beyond windowed aggs) ──
 
   final case class Ev(user_id: Long, ts: Timestamp)

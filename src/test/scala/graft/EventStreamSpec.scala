@@ -19,6 +19,10 @@ case class KafkaRec(key: Array[Byte], value: Array[Byte], topic: String,
                     partition: Int, offset: Long, timestamp: Timestamp,
                     timestampType: Int)
 
+/** keyed event for the streaming-dedup spec */
+case class DedupEv(event_id: Long, ts: Timestamp, event_type: String,
+                   value: Double)
+
 /** The genuinely-streaming half of SURVEY §2.3: the same tumbling agg
   * the batch oracle checks, driven through MemoryStream with a real
   * watermark, plus the flatMapGroupsWithState sessionizer. */
@@ -267,6 +271,33 @@ class EventStreamSpec extends AnyFunSuite {
     // overlap sanity: every event lands in exactly len/slide windows
     val n = batch.map(_.getLong(2)).sum
     assert(n == evs.size * 2L, s"expected 2x fan-out, got $n")
+  }
+
+  test("streaming dedup keeps the first arrival per key, bounded state") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[DedupEv]
+    val q = EventStream.dedupStream(ms.toDF(), "1 hour", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    // batch 1: id 1 delivered twice (identical redelivery — in-batch
+    // survivor order across partitions is arbitrary, the PAYLOAD is
+    // what must come out once), id 2 once
+    ms.addData(
+      DedupEv(1L, ts(0.5), "click", 1.0), DedupEv(1L, ts(0.5), "click", 1.0),
+      DedupEv(2L, ts(1.0), "view", 2.0))
+    q.processAllAvailable()
+    // batch 2: id 2 redelivered while still inside the watermark —
+    // dropped; id 3 is new
+    ms.addData(DedupEv(2L, ts(1.2), "view", 2.0),
+      DedupEv(3L, ts(1.5), "click", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Timestamp]("ts")))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, ts(0.5)), (2L, ts(1.0)), (3L, ts(1.5))),
+      s"first arrival per key must survive, got ${got.toSeq}")
   }
 
   test("stateful sessionizer closes sessions on gap and on timeout") {
