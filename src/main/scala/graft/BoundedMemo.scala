@@ -18,19 +18,35 @@ final class BoundedMemo[K, V](cap: Int)(onEvict: V => Unit) {
   require(cap > 0, "cap must be positive")
   private val m = scala.collection.mutable.LinkedHashMap.empty[K, V]
 
-  def getOrElseUpdate(k: K, v: => V): V = synchronized {
-    m.get(k) match {
+  /** The monitor guards only map state — the value computation and the
+    * eviction hooks (multi-job Spark work, filesystem deletes) run
+    * OUTSIDE it, so misses on distinct keys stay concurrent. Two
+    * threads racing the SAME key may both compute; the loser's value
+    * is released through onEvict and the winner's is returned — the
+    * same at-most-one-cached guarantee, without serializing every miss
+    * behind the slowest computation. */
+  def getOrElseUpdate(k: K, v: => V): V = {
+    synchronized(m.get(k)) match {
       case Some(x) => x
       case None =>
         val x = v
-        m.put(k, x)
-        while (m.size > cap) {
-          val (ek, ev) = m.head
-          m.remove(ek)
-          // best-effort: a failing release must not poison the memo
-          try onEvict(ev) catch { case _: Exception => }
+        val (ret, toRelease) = synchronized {
+          m.get(k) match {
+            case Some(winner) => (winner, List(x))
+            case None =>
+              m.put(k, x)
+              val ev = List.newBuilder[V]
+              while (m.size > cap) {
+                val (ek, evicted) = m.head
+                m.remove(ek)
+                ev += evicted
+              }
+              (x, ev.result())
+          }
         }
-        x
+        // best-effort: a failing release must not poison the memo
+        toRelease.foreach(e => try onEvict(e) catch { case _: Exception => })
+        ret
     }
   }
 

@@ -397,8 +397,15 @@ object GraftSql {
     }
     def dayExact(a: AttributeReference): Boolean =
       a.dataType == org.apache.spark.sql.types.DateType || cube.segDayGranular
+    // clamped at the open-range sentinel: LocalDate would render the
+    // day after 9999-12-31 as "+10000-01-01", whose leading '+' sorts
+    // lexically BEFORE every real date and silently inverts the
+    // derived range (`<= '9999-12-31'` would answer zero rows). No
+    // representable segment [start, end) can contain the sentinel day
+    // itself (end would have to exceed it), so the clamp loses nothing.
     def nextDay(d: String): String =
-      java.time.LocalDate.parse(d).plusDays(1).toString
+      if (d >= QueryRouter.MaxDay) QueryRouter.MaxDay
+      else java.time.LocalDate.parse(d).plusDays(1).toString
     // normalize to (op against the column on the LEFT, bound expr,
     // whether the day contract holds for the column)
     sealed trait Op
@@ -788,6 +795,33 @@ object GraftSql {
     * recognize every output against this cube's measures, then dispatch
     * to the specialized rewrites. None ⇔ this realization can't answer
     * (the caller tries the next, then Spark answers). */
+  /** Shared output-shape recognition against a realization's cube:
+    * every output must be a grouped dim or a recognized measure, and a
+    * measureless attribute-only output list is the DISTINCT projection
+    * shape (OLAPAggregateRule — Kylin answers it from cuboid cells).
+    * None ⇔ this cube cannot describe the outputs. One definition for
+    * both the single-cube and hybrid paths, so the two routing
+    * surfaces cannot drift. */
+  private def recognizeOutputs(cube: CubeDef, groupNames: Seq[String],
+      aggs: Seq[NamedExpression]): Option[Seq[(MOut, String)]] = {
+    val specs = aggs.collect {
+      case Alias(ae: AggregateExpression, name) =>
+        measureOf(cube, ae).map(_ -> name)
+    }
+    val groupsOk = groupNames.forall(cube.routableDim)
+    val outputOk = aggs.forall {
+      case _: AttributeReference => true
+      case Alias(_: AggregateExpression, _) => true
+      case _ => false
+    }
+    val distinctShape =
+      specs.isEmpty && aggs.forall(_.isInstanceOf[AttributeReference]) &&
+        aggs.nonEmpty
+    if (groupsOk && outputOk && specs.forall(_.isDefined) &&
+        (specs.nonEmpty || distinctShape)) Some(specs.flatten)
+    else None
+  }
+
   private def tryInstance(spark: SparkSession, df: DataFrame,
       inst: CubeInstance, p: Peeled, groupNames: Seq[String],
       aggs: Seq[NamedExpression],
@@ -799,27 +833,7 @@ object GraftSql {
       case Some(c) => splitFilter(spark, cube, c)
     }
     split.flatMap { case (filterSql, filterDims, timeRange) =>
-      val specs = aggs.collect {
-        case Alias(ae: AggregateExpression, name) =>
-          measureOf(cube, ae).map(_ -> name)
-      }
-      val groupsOk = groupNames.forall(cube.routableDim)
-      // every output is either a grouped dim or a recognized measure
-      val outputOk = aggs.forall {
-        case _: AttributeReference => true
-        case Alias(_: AggregateExpression, _) => true
-        case _ => false
-      }
-      // measureless aggregates are DISTINCT projections over dims —
-      // Kylin answers them from the cuboid cells (OLAPAggregateRule);
-      // anything else with zero recognized measures refuses
-      val distinctShape =
-        specs.isEmpty && aggs.forall(_.isInstanceOf[AttributeReference]) &&
-          aggs.nonEmpty
-      if (!(groupsOk && outputOk && specs.forall(_.isDefined)
-          && (specs.nonEmpty || distinctShape))) None
-      else {
-        val outs = specs.flatten
+      recognizeOutputs(cube, groupNames, aggs).flatMap { outs =>
         val outNames = aggs.map {
           case a: AttributeReference => a.name
           case Alias(_, name) => name
@@ -949,23 +963,7 @@ object GraftSql {
       case Some(c) => splitFilter(spark, cube, c)
     }
     split.flatMap { case (filterSql, filterDims, timeRange) =>
-      val specs = aggs.collect {
-        case Alias(ae: AggregateExpression, name) =>
-          measureOf(cube, ae).map(_ -> name)
-      }
-      val groupsOk = groupNames.forall(cube.routableDim)
-      val outputOk = aggs.forall {
-        case _: AttributeReference => true
-        case Alias(_: AggregateExpression, _) => true
-        case _ => false
-      }
-      val distinctShape =
-        specs.isEmpty && aggs.forall(_.isInstanceOf[AttributeReference]) &&
-          aggs.nonEmpty
-      if (!(groupsOk && outputOk && specs.forall(_.isDefined)
-          && (specs.nonEmpty || distinctShape))) None
-      else {
-        val outs = specs.flatten
+      recognizeOutputs(cube, groupNames, aggs).flatMap { outs =>
         val neededMs = outs.flatMap(_._1.measures).distinct
         // the generic path only; and every touched member must declare
         // every needed measure (shared-model contract, checked)

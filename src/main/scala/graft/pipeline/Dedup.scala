@@ -359,20 +359,27 @@ object Dedup {
   def dupClusters(pairs: DataFrame): DataFrame =
     clusterCache.getOrElseUpdate(
       (pairs.sparkSession, pairs.queryExecution.analyzed.canonicalized), {
-        val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
-          s"/graft-ckpt/cluster-${java.util.UUID.randomUUID()}"
-        ClusterEntry(dupClustersUncached(pairs, dir), dir,
+        // per-entry SUBDIR of the deployment's own checkpoint dir when
+        // one is set (on a real cluster that is shared storage —
+        // executors can't read another node's local tmp), else a
+        // local-tmp default for single-node runs
+        val base = pairs.sparkSession.sparkContext.getCheckpointDir
+          .getOrElse(
+            s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-ckpt")
+        val dir = s"$base/cluster-${java.util.UUID.randomUUID()}"
+        ClusterEntry(dupClustersUncached(pairs, dir, base), dir,
           pairs.sparkSession)
       }).df
 
-  private def dupClustersUncached(pairs: DataFrame,
-                                  ckptDir: String): DataFrame = {
+  private def dupClustersUncached(pairs: DataFrame, ckptDir: String,
+                                  base: String): DataFrame = {
     // reliable checkpoints need a dir — a per-entry one, so eviction
     // can reclaim exactly this computation's files. The context's
     // checkpoint dir is global state: set it for the loop, restore the
-    // caller's afterwards (ADVICE r8 — don't leak the side effect; a
-    // cluster deployment overrides the base via java.io.tmpdir or by
-    // pre-setting a shared-storage dir, which is restored untouched)
+    // caller's own dir afterwards (ADVICE r8 — don't leak the side
+    // effect), or the BASE when none was set — never the per-entry
+    // subdir, which a later entry would nest under and eviction of
+    // this one would then delete
     val sc = pairs.sparkSession.sparkContext
     val prevDir = sc.getCheckpointDir
     sc.setCheckpointDir(ckptDir)
@@ -424,6 +431,6 @@ object Dedup {
       labels = next
     }
     labels
-    } finally prevDir.foreach(sc.setCheckpointDir)
+    } finally sc.setCheckpointDir(prevDir.getOrElse(base))
   }
 }

@@ -86,8 +86,16 @@ object TextAnalysis {
         PhonePattern, "<PHONE>"),
       Ipv4Pattern, "<IP>")
 
-  def piiCount(t: Column): Column =
-    Seq(EmailPattern, PhonePattern, Ipv4Pattern)
-      .map(p => size(regexp_extract_all(t, lit(p), lit(0))).cast(LongType))
-      .reduce(_ + _)
+  /** redaction count, staged like the scrub itself so overlapping
+    * matches aren't double-counted (an email whose domain looks like
+    * an IPv4 is ONE redaction — the email pattern consumed it) */
+  def piiCount(t: Column): Column = {
+    val afterEmail = regexp_replace(t, EmailPattern, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhonePattern, "<PHONE>")
+    size(regexp_extract_all(t, lit(EmailPattern), lit(0))).cast(LongType) +
+      size(regexp_extract_all(afterEmail, lit(PhonePattern), lit(0)))
+        .cast(LongType) +
+      size(regexp_extract_all(afterPhone, lit(Ipv4Pattern), lit(0)))
+        .cast(LongType)
+  }
 }

@@ -125,6 +125,9 @@ object EventStream {
     val hp = new org.apache.hadoop.fs.Path(hotPath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hp)) return
+    // snapshot the CURRENT file set — these are what compaction
+    // supersedes; files a concurrent batch appends later are untouched
+    val old = fs.listStatus(hp).map(_.getPath)
     val sealedKeys = spark.read.parquet(closedPath)
       .select("w_start", "event_type")
     val keep = spark.read.parquet(hotPath)
@@ -132,11 +135,22 @@ object EventStream {
     val tmp = new org.apache.hadoop.fs.Path(hotPath + ".compact")
     fs.delete(tmp, true)
     keep.write.parquet(tmp.toString)
-    val retired = new org.apache.hadoop.fs.Path(hotPath + ".retired")
-    fs.delete(retired, true)
-    if (!fs.rename(hp, retired) || !fs.rename(tmp, hp))
-      throw new java.io.IOException(s"hot-dir compaction swap failed: $hotPath")
-    fs.delete(retired, true)
+    // move the compacted files IN first, then drop the superseded
+    // originals — never a whole-dir swap (a crash between two dir
+    // renames would leave no hot dir at all, the race this round
+    // removed from CubeMeta.save). Every intermediate state is
+    // readable and correct: duplicated rows are identity under
+    // hotTail's latest-wins max, and sealed rows not yet deleted are
+    // anti-joined away by lambdaWindows.
+    val stamp = java.util.UUID.randomUUID().toString
+    fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).foreach { f =>
+        if (!fs.rename(f,
+            new org.apache.hadoop.fs.Path(hp, s"compact-$stamp-${f.getName}")))
+          throw new java.io.IOException(s"compaction move failed: $f")
+      }
+    old.foreach(p => fs.delete(p, false))
+    fs.delete(tmp, true)
   }
 
   /** The lambda read (reference: stream-core's real-time query path

@@ -583,6 +583,20 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(got == want && want > 0)
   }
 
+  test("a closed bound at the max ISO day answers everything, not nothing") {
+    // regression: nextDay('9999-12-31') must clamp at the sentinel —
+    // LocalDate renders "+10000-01-01", which sorts BEFORE every real
+    // date and would invert the range into an empty scan
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(*) AS n_rows FROM graft_star
+        |WHERE o_orderdate <= TIMESTAMP '9999-12-31'
+        |GROUP BY o_orderstatus""".stripMargin)
+    assert(r.routed && r.via == "cuboid", s"got ${r.via}")
+    val got = r.df.agg(sum("n_rows")).head().getLong(0)
+    assert(got == CubeManager.flatTable(spark, sf).count(),
+      "the open-ended upper bound must cover the whole corpus")
+  }
+
   test("mid-day equality matches nothing and answers empty either way") {
     // no day-contract value can equal a mid-day instant: whether the
     // derived empty range routes or the residual refuses, the answer

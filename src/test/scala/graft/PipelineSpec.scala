@@ -216,6 +216,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1L) == (("contact <EMAIL> or <PHONE> at <IP> now", 3L)),
       s"got ${got(1L)}")
     assert(got(2L) == (("no pii here at all", 0L)))
+    // an email whose domain looks like an IPv4 is ONE redaction — the
+    // count must mirror the staged scrub, not double-count overlaps
+    val overlap = Seq((3L, "mail a@1.2.3.4.com today"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.scrubPii(col("text")).as("clean"),
+        TextAnalysis.piiCount(col("text")).as("n"))
+      .head()
+    assert(overlap.getString(0) == "mail <EMAIL> today" &&
+      overlap.getLong(1) == 1L,
+      s"got (${overlap.getString(0)}, ${overlap.getLong(1)})")
   }
 
   test("exact dedup keeps one survivor per distinct normalized text") {
