@@ -309,19 +309,22 @@ object CubeManager {
     * forward (HybridInstance.java's dateRange partition) */
   val HybridCutover = "1999-01-01"
 
-  /** a NARROW member design (2 dims, the basic sum/count measures):
-    * hybrid members model the retired/redesigned cube pair, and
-    * keeping them small keeps the extra build a fraction of the star
-    * build's cost */
+  /** a NARROW member design (3 dims incl. the month time-dim, the
+    * basic sum/count measures): hybrid members model the retired/
+    * redesigned cube pair, and keeping them small keeps the extra
+    * build a fraction of the star build's cost. The time dim lets a
+    * query range that cuts INTO a slice route with a per-slice
+    * residual month filter instead of falling back. */
   private def hybridMember(name: String, segs: Seq[Segment]): CubeDef = {
     val wide = defaultCube
-    val dims = Seq("o_orderstatus", "n_name")
+    val dims = Seq("o_orderstatus", "n_name", "o_month")
     wide.copy(name = name, dims = dims,
       measures = wide.measures.filter(m =>
         Set("revenue", "qty", "nrows").contains(m.name)),
       segments = segs,
-      cuboids = Seq(dims.toSet, Set("o_orderstatus")),
-      timeDim = None, shardBy = None, derived = Nil, extended = Nil)
+      cuboids = Seq(dims.toSet, Set("o_orderstatus", "o_month")),
+      timeDim = Some(TimeDim.month("o_month")),
+      shardBy = None, derived = Nil, extended = Nil)
   }
 
   private val hybridBuilt = TrieMap.empty[String, HybridInstance]

@@ -722,6 +722,28 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(got == want && want > 0)
   }
 
+  test("a range cutting into both eras splices with per-slice residuals") {
+    // [1997-07-01, 2000-07-01): partial s1997 in the old cube (lower
+    // residual o_month >= '1997-07'), partial s1999 in the new one
+    // (upper residual o_month < '2000-07') — both route, states merge
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(*) AS n_rows FROM graft_star_hybrid
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '2000-07-01'
+        |GROUP BY o_orderstatus""".stripMargin)
+    assert(r.routed && r.via == "hybrid", s"got ${r.via}")
+    val files = r.df.inputFiles
+    assert(files.exists(_.contains("-star-old/")) &&
+      files.exists(_.contains("-star-new/")),
+      s"both member roots must serve, got ${files.take(3).toSeq}")
+    val got = r.df.agg(sum("n_rows")).head().getLong(0)
+    val want = CubeManager.flatTable(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
+      .count()
+    assert(got == want && want > 0)
+  }
+
   test("shapes the hybrid refuses fall through to the star realization") {
     // approx_count_distinct needs the HLL measure only the wide star
     // cube declares — the hybrid must step aside, not fall back to a
