@@ -744,6 +744,26 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(got == want && want > 0)
   }
 
+  test("AVG merges its two states exactly across the hybrid cutover") {
+    // MAvg = sum state / count state, each merged independently across
+    // the splice — a per-slice avg-of-avgs would be wrong whenever the
+    // eras have different row counts
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, avg(l_quantity) AS avg_qty
+        |FROM graft_star_hybrid GROUP BY o_orderstatus""".stripMargin)
+    assert(r.routed && r.via == "hybrid", s"got ${r.via}")
+    val got = r.df.collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val want = CubeManager.flatTable(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg((sum(graft.Exact.dec(col("l_quantity"))).cast("double") /
+        count(lit(1))).as("a"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(got.keySet == want.keySet && want.nonEmpty)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-9, s"$k: $v vs ${want(k)}") }
+  }
+
   test("shapes the hybrid refuses fall through to the star realization") {
     // approx_count_distinct needs the HLL measure only the wide star
     // cube declares — the hybrid must step aside, not fall back to a
