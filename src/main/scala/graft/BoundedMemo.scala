@@ -18,35 +18,32 @@ final class BoundedMemo[K, V](cap: Int)(onEvict: V => Unit) {
   require(cap > 0, "cap must be positive")
   private val m = scala.collection.mutable.LinkedHashMap.empty[K, V]
 
-  /** The monitor guards only map state — the value computation and the
-    * eviction hooks (multi-job Spark work, filesystem deletes) run
-    * OUTSIDE it, so misses on distinct keys stay concurrent. Two
-    * threads racing the SAME key may both compute; the loser's value
-    * is released through onEvict and the winner's is returned — the
-    * same at-most-one-cached guarantee, without serializing every miss
-    * behind the slowest computation. */
-  def getOrElseUpdate(k: K, v: => V): V = {
-    synchronized(m.get(k)) match {
+  /** Misses compute UNDER the monitor — deliberately. Serializing
+    * misses is part of this memo's contract, not an accident: the
+    * owners' computations carry global side effects that racing
+    * computations would corrupt (the streaming-cube build writes a
+    * DETERMINISTIC per-dataset output dir a concurrent loser would
+    * delete out from under the winner; the cluster loop mutates the
+    * SparkContext-global checkpoint dir, so an interleaved second
+    * computation would redirect the first's checkpoint files into a
+    * dir that eviction later deletes). Hit latency is untouched, and
+    * the burst-per-dataset access pattern these memos see makes
+    * cross-key miss concurrency worth nothing next to those failure
+    * modes. A future caller that needs concurrent misses should use
+    * its own memo instance with a side-effect-free compute. */
+  def getOrElseUpdate(k: K, v: => V): V = synchronized {
+    m.get(k) match {
       case Some(x) => x
       case None =>
         val x = v
-        val (ret, toRelease) = synchronized {
-          m.get(k) match {
-            case Some(winner) => (winner, List(x))
-            case None =>
-              m.put(k, x)
-              val ev = List.newBuilder[V]
-              while (m.size > cap) {
-                val (ek, evicted) = m.head
-                m.remove(ek)
-                ev += evicted
-              }
-              (x, ev.result())
-          }
+        m.put(k, x)
+        while (m.size > cap) {
+          val (ek, evicted) = m.head
+          m.remove(ek)
+          // best-effort: a failing release must not poison the memo
+          try onEvict(evicted) catch { case _: Exception => }
         }
-        // best-effort: a failing release must not poison the memo
-        toRelease.foreach(e => try onEvict(e) catch { case _: Exception => })
-        ret
+        x
     }
   }
 

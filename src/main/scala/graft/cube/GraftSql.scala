@@ -790,11 +790,6 @@ object GraftSql {
       }
   }
 
-  /** Attempt the peeled aggregate against ONE realization: split the
-    * WHERE into routable dim predicates + a derived segment time range,
-    * recognize every output against this cube's measures, then dispatch
-    * to the specialized rewrites. None ⇔ this realization can't answer
-    * (the caller tries the next, then Spark answers). */
   /** Shared output-shape recognition against a realization's cube:
     * every output must be a grouped dim or a recognized measure, and a
     * measureless attribute-only output list is the DISTINCT projection
@@ -822,6 +817,11 @@ object GraftSql {
     else None
   }
 
+  /** Attempt the peeled aggregate against ONE realization: split the
+    * WHERE into routable dim predicates + a derived segment time range,
+    * recognize every output against this cube's measures, then dispatch
+    * to the specialized rewrites. None ⇔ this realization can't answer
+    * (the caller tries the next, then Spark answers). */
   private def tryInstance(spark: SparkSession, df: DataFrame,
       inst: CubeInstance, p: Peeled, groupNames: Seq[String],
       aggs: Seq[NamedExpression],
