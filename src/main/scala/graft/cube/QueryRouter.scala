@@ -38,7 +38,10 @@ final case class RoutePlan(
     filterDerived: Seq[DerivedDim],
     extUsed: Seq[ExtendedColumn],
     realGroup: Seq[String],
-    estRows: Long)
+    estRows: Long,
+    /** the cuboid-relevant dim set this query needs (derived dims
+      * replaced by hosts) — what the usage log records */
+    needed: Set[String] = Set.empty)
 
 /** Smallest-covering-cuboid routing (reference:
   * CuboidLayoutChooser.scala:25 selectLayoutForBuild, query side
@@ -186,7 +189,27 @@ object QueryRouter {
       if (emptyScan) 0L
       else overlapping.map(s => inst.rows.getOrElse((s.name, id), 0L)).sum
     Some(RoutePlan(chosen, overlapping, emptyScan, residual, derivedUsed,
-      filterDerived, extUsed, realGroup, estRows))
+      filterDerived, extUsed, realGroup, estRows, needed))
+  }
+
+  /** Bounded per-JVM query-shape log (reference: Kylin's query metrics
+    * feeding cube planner "phase 2" — CuboidRecommendAlgorithm
+    * optimizes the materialized set from what users actually asked).
+    * Every EXECUTED route records the cuboid-relevant dim set it
+    * needed; `CuboidPlanner.recommendFromLog(flat, base, log(...))`
+    * then closes the loop from workload to materialization. */
+  object QueryStats {
+    val Cap = 1024
+    private val buf =
+      scala.collection.mutable.ArrayDeque.empty[(String, Set[String])]
+    def record(cube: String, dims: Set[String]): Unit = synchronized {
+      buf.append((cube, dims))
+      while (buf.size > Cap) { buf.removeHead(); () }
+    }
+    def log(cube: String): Seq[Set[String]] = synchronized {
+      buf.collect { case (c, d) if c == cube => d }.toSeq
+    }
+    private[graft] def clear(): Unit = synchronized { buf.clear(); () }
   }
 
   private def routeImpl(spark: SparkSession, inst: CubeInstance,
@@ -205,6 +228,9 @@ object QueryRouter {
   private def execute(spark: SparkSession, inst: CubeInstance, q: CubeQuery,
                       p: RoutePlan, present: Boolean): Routed = {
     val cube = inst.cube
+    // usage log feeds the planner: record only EXECUTED routes (one
+    // entry per answered query, not one per costed candidate)
+    QueryStats.record(cube.name, p.needed)
     val id = cube.cuboidId(p.chosen)
 
     // ── scan: empty overlap short-circuits to an empty result with the

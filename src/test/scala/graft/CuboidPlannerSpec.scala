@@ -35,6 +35,32 @@ class CuboidPlannerSpec extends AnyFunSuite {
     assert(stop.toSet == Set(base, Set("a")))
   }
 
+  test("executed routes land in the usage log and feed the planner") {
+    // Kylin's query-metrics → cube-planner-phase-2 loop: real routed
+    // queries record the dim sets they needed, and the planner can
+    // recommend straight from that log
+    QueryRouter.QueryStats.clear()
+    val r1 = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(*) AS n FROM graft_star
+        |GROUP BY o_orderstatus""".stripMargin)
+    val r2 = GraftSql.sqlVia(spark, sf,
+      """SELECT n_name, sum(l_quantity) AS q FROM graft_star
+        |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin)
+    assert(r1.routed && r2.routed)
+    val log = QueryRouter.QueryStats.log("star")
+    assert(log.contains(Set("o_orderstatus")), s"log: $log")
+    assert(log.contains(Set("n_name", "r_name")), s"log: $log")
+    // the loop closes: the logged shapes drive a recommendation that
+    // includes a cuboid covering each shape (beyond the base)
+    val base = CubeManager.defaultCube.dims.toSet
+    val rec = CuboidPlanner.recommendFromLog(
+      CubeManager.flatTable(spark, sf), base, log, maxCuboids = 4)
+    assert(rec.contains(base))
+    log.foreach(q =>
+      assert(rec.exists(c => q.subsetOf(c) && c != base),
+        s"no non-base cuboid covers $q in $rec"))
+  }
+
   test("a logged query outside the base lattice costs a base scan, no crash") {
     // ADVICE r5: a non-subset log entry left answerCost's covering set
     // empty and .min threw. It must instead price as an (uncoverable)
