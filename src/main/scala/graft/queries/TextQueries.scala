@@ -99,6 +99,21 @@ object TextQueries extends QueryGroup {
              |  AS BIGINT) % 5 = 0
              |ORDER BY doc_id""".stripMargin)),
 
+    // 41e ─────────────── corpus mixture report: doc and word totals
+    //     per (lang, source) stratum — the accounting a training-mix
+    //     decision (and every sampling-weight change) reads first.
+    //     One scan, one hash-agg; embarrassingly parallel at 100 TB.
+    Q("doc_mixture",
+      (s, d) => documents(s, d)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(words(col("text"))).cast(LongType)).as("n_words"))
+        .orderBy("lang", "source"),
+      Some(s"""SELECT lang, source, COUNT(*) AS n_docs,
+             |  CAST(SUM(len($sqlWords)) AS BIGINT) AS n_words
+             |FROM documents GROUP BY lang, source
+             |ORDER BY lang, source""".stripMargin)),
+
     // 48 ──────────────── language ID: stopword-hit scores per language,
     //     argmax with a fixed tie order (en > de > es > fr > und)
     Q("doc_lang_id",
