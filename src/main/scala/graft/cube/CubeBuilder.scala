@@ -286,18 +286,47 @@ object CubeBuilder {
     * rest). Unsharded cuboids coalesce to a bounded file count.
     * `graft.build.filesPerCuboid` sizes both paths (default 4 suits
     * local/test; a cluster sets it so cuboid_bytes / files ≈ an HDFS
-    * block). Returns the observed row count. */
+    * block).
+    *
+    * Rows are sorted WITHIN each output partition by the cuboid's dims
+    * in canonical (cube dim order) sequence before writing — the
+    * reference does exactly this at build (CubeBuildJob.java:306,317),
+    * merge (CubeMergeJob.java:96-101) and repartition
+    * (Repartitioner.java:156-161) time. A sorted file's parquet
+    * row-group min/max stats on the leading dims are disjoint ordered
+    * slices, so a residual dim predicate (e.g. a one-day filter hitting
+    * a month-grain segment) prunes whole row groups at the scan instead
+    * of reading the entire segment — invisible at sf0.1, decisive at
+    * 100 TB. `graft.build.rowGroupBytes` optionally sizes parquet row
+    * groups (parquet.block.size) so a cluster can match them to its
+    * scan granularity; unset keeps the parquet default (128 MB).
+    * Returns the observed row count. */
   private def writeCuboid(cube: CubeDef, dims: Set[String], df: DataFrame,
                           path: String, obs: Observation): Long = {
-    val files = df.sparkSession.conf
+    val conf = df.sparkSession.conf
+    val files = conf
       .getOption("graft.build.filesPerCuboid").map(_.toInt).getOrElse(4)
-    cube.shardBy.filter(dims.contains) match {
+    // cube-dim-order sort keys. Sharded cuboids sort (shard, dims…):
+    // the dynamic-partition writer requires an ordering prefixed by the
+    // partition column and would inject its own (unstable, dim-order-
+    // destroying) sort if ours didn't already satisfy it; leading with
+    // the shard keeps one sort that serves both.
+    val shardOpt = cube.shardBy.filter(dims.contains)
+    val dimOrder = cube.cuboidDims(dims)
+    val sortCols = (shardOpt.toSeq ++
+      dimOrder.filterNot(shardOpt.contains)).map(col)
+    def sorted(part: DataFrame): DataFrame =
+      if (sortCols.isEmpty) part else part.sortWithinPartitions(sortCols: _*)
+    val writer = (shardOpt match {
       case Some(shard) =>
-        df.repartition(files, org.apache.spark.sql.functions.col(shard))
-          .write.mode("overwrite").partitionBy(shard).parquet(path)
+        sorted(df.repartition(files, col(shard)))
+          .write.partitionBy(shard)
       case None =>
-        df.coalesce(files).write.mode("overwrite").parquet(path)
-    }
+        sorted(df.coalesce(files)).write
+    }).mode("overwrite")
+    conf.getOption("graft.build.rowGroupBytes")
+      .fold(writer)(b => writer.option("parquet.block.size", b))
+      .parquet(path)
     obs.get("n").asInstanceOf[Long]
   }
 

@@ -87,8 +87,16 @@ object CubeManager {
     * materialized lattice subset (agg-group-pruned, like the
     * reference's aggregation groups). */
   def defaultCube: CubeDef = {
-    val dims = Seq("r_name", "n_name", "c_mktsegment", "o_orderstatus",
-                   "l_returnflag", "p_brand", "o_month")
+    // o_month LEADS the dim (rowkey) order: writeCuboid sorts rows by
+    // this sequence, so the time dim first makes row-group min/max
+    // stats on it disjoint ordered slices — residual month filters
+    // (partially-overlapped segments) prune row groups at the scan.
+    // Matches the reference's rowkey-design guidance of placing the
+    // partition date column at the head of the rowkey
+    // (RowKeyColDesc order in core-cube; Repartitioner.java:156-161
+    // sorts by that order on write).
+    val dims = Seq("o_month", "r_name", "n_name", "c_mktsegment",
+                   "o_orderstatus", "l_returnflag", "p_brand")
     val measures = Seq(
       Measure("revenue",
         fromRaw = sum(col("disc_price")),
@@ -317,7 +325,8 @@ object CubeManager {
     * residual month filter instead of falling back. */
   private def hybridMember(name: String, segs: Seq[Segment]): CubeDef = {
     val wide = defaultCube
-    val dims = Seq("o_orderstatus", "n_name", "o_month")
+    // time dim leads for the same sorted-layout reason as defaultCube
+    val dims = Seq("o_month", "o_orderstatus", "n_name")
     wide.copy(name = name, dims = dims,
       measures = wide.measures.filter(m =>
         Set("revenue", "qty", "nrows").contains(m.name)),
