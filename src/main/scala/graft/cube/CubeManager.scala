@@ -327,9 +327,16 @@ object CubeManager {
     val wide = defaultCube
     // time dim leads for the same sorted-layout reason as defaultCube
     val dims = Seq("o_month", "o_orderstatus", "n_name")
+    // members declare the SKETCH family too (hll/kll/bitmap/topn):
+    // after a real evolution there is no wide fallback cube, so the
+    // hybrid must serve every measure type its members carry —
+    // HybridStorageQuery unions tuple iterators for ALL member
+    // measures, not just plain sums (VERDICT r9 item 4)
     wide.copy(name = name, dims = dims,
       measures = wide.measures.filter(m =>
-        Set("revenue", "qty", "nrows").contains(m.name)),
+        Set("revenue", "qty", "nrows",
+          "cust_hll", "qty_kll", "cust_bitmap", "brand_topn")
+          .contains(m.name)),
       segments = segs,
       cuboids = Seq(dims.toSet, Set("o_orderstatus", "o_month")),
       timeDim = Some(TimeDim.month("o_month")),

@@ -104,8 +104,10 @@ object GraftSql {
       Binding(EventsViewName, CubeManager.eventsFlat,
         CubeManager.ensureEventsBuilt),
       // the schema-evolution view: an old/new cube pair spliced at the
-      // cutover answers first; the wide star instance covers whatever
-      // the hybrid refuses (sketch rewrites, non-generic shapes)
+      // cutover answers first — every rewrite family the members'
+      // measures support (generic, sketches, intersect, dim-as-
+      // measure); the wide star instance covers whatever the hybrid
+      // still refuses (e.g. measures the members don't declare)
       Binding(HybridViewName, CubeManager.flatTable, CubeManager.ensureBuilt,
         hybrids = Seq(CubeManager.ensureHybrid)))
     builtin.filterNot(b => extraBindings.contains(b.view)) ++
@@ -803,7 +805,12 @@ object GraftSql {
       case Alias(ae: AggregateExpression, name) =>
         measureOf(cube, ae).map(_ -> name)
     }
-    val groupsOk = groupNames.forall(cube.routableDim)
+    // TopN sketch literal columns count as group names even when they
+    // aren't cuboid dims (TopNMeasureType's literal columns live in the
+    // measure, not the rowkey) — the generic path's own router check
+    // still refuses them if the TopN rewrite doesn't match
+    val groupsOk = groupNames.forall(n => cube.routableDim(n) ||
+      cube.measures.exists(_.topnShape.exists(_.dims.contains(n))))
     val outputOk = aggs.forall {
       case _: AttributeReference => true
       case Alias(_: AggregateExpression, _) => true
@@ -833,59 +840,66 @@ object GraftSql {
       case Some(c) => splitFilter(spark, cube, c)
     }
     split.flatMap { case (filterSql, filterDims, timeRange) =>
-      recognizeOutputs(cube, groupNames, aggs).flatMap { outs =>
-        val outNames = aggs.map {
-          case a: AttributeReference => a.name
-          case Alias(_, name) => name
-        }
-
-        // ── intersect_count rewrite: answered from bitmap STATES
-        // (routeStates + AND), never from a raw scan; the vals ARE the
-        // filter — no extra WHERE or time range supported
-        if (outs.exists(_._1.isInstanceOf[MIntersect])) {
-          if (timeRange.nonEmpty) None
-          else {
-            val r = routeIntersect(spark, df, inst, groupNames, outs,
-              outNames, filterSql, filterDims, p)
-            if (r.routed) Some(r) else None
-          }
-        }
-        // ── dimension-as-measure: add the dim to the routed group-by
-        // and post-aggregate (dims are exact in every cuboid)
-        else if (outs.exists(_._1.isInstanceOf[MDimAgg])) {
-          val r = routeDimAgg(spark, df, inst, groupNames, aggs,
-            filterSql, filterDims, timeRange, p)
-          if (r.routed) Some(r) else None
-        }
-        // ── TopN-measure rewrite: a global `GROUP BY <sketch dims>
-        // ORDER BY <the sketch's sum> DESC LIMIT n` is the pre-computed
-        // sketch, merged across any cuboid — no dim-level scan at all
-        else routeTopn(spark, df, inst, groupNames, outs, p, filterSql,
-            filterDims, timeRange)
-          .map(t => SqlResult(t.select(outNames.map(col): _*),
-            routed = true, "topn-measure"))
-          .orElse(routeTopnGrouped(spark, df, inst, groupNames, outs, p,
-            filterSql, filterDims, timeRange)
-            .map(t => SqlResult(t, routed = true, "topn-measure")))
-          .orElse(routeGeneric(spark, df, inst, p, aggs, groupNames, outs,
-            filterSql, filterDims, timeRange))
-      }
+      dispatchRewrites(spark, df, cube,
+        q => QueryRouter.routeStates(spark, inst, q)(df),
+        p, groupNames, aggs, filterSql, filterDims, timeRange,
+        via = "cuboid")
     }
   }
 
-  /** the generic cuboid path: route the union of underlying measures as
-    * STATES (a derived output like avg needs two; a quantile output
-    * evaluates the sketch at its own rank), then present in SQL output
-    * order and re-apply HAVING / windows / sort / limit. */
-  private def routeGeneric(spark: SparkSession, df: DataFrame,
-      inst: CubeInstance, p: Peeled, aggs: Seq[NamedExpression],
-      groupNames: Seq[String], outs: Seq[(MOut, String)],
+  /** Rewrite dispatch above a STATE SUPPLIER — the one body behind both
+    * the single-cube route (supplier = QueryRouter.routeStates) and the
+    * hybrid splice (supplier = HybridRouter.routeStates): every
+    * specialized rewrite (intersect, dim-as-measure, TopN sketch,
+    * generic states) consumes mergeable states the same way regardless
+    * of how many cubes produced them — exactly how the reference's
+    * HybridStorageQuery serves every member measure type through the
+    * same unioned tuple iterators. */
+  private def dispatchRewrites(spark: SparkSession, df: DataFrame,
+      cube: CubeDef, states: CubeQuery => Routed,
+      p: Peeled, groupNames: Seq[String], aggs: Seq[NamedExpression],
       filterSql: Option[String], filterDims: Set[String],
-      timeRange: Option[(String, String)]): Option[SqlResult] =
-    routeGenericVia(spark, inst.cube,
-      q => QueryRouter.routeStates(spark, inst, q)(df),
-      p, aggs, groupNames, outs, filterSql, filterDims, timeRange,
-      via = "cuboid")
+      timeRange: Option[(String, String)],
+      via: String): Option[SqlResult] =
+    recognizeOutputs(cube, groupNames, aggs).flatMap { outs =>
+      val outNames = aggs.map {
+        case a: AttributeReference => a.name
+        case Alias(_, name) => name
+      }
+
+      // ── intersect_count rewrite: answered from bitmap STATES
+      // (routeStates + AND), never from a raw scan; the vals ARE the
+      // filter — no extra WHERE or time range supported
+      if (outs.exists(_._1.isInstanceOf[MIntersect])) {
+        if (timeRange.nonEmpty) None
+        else {
+          val r = routeIntersect(spark, df, cube, states, groupNames, outs,
+            outNames, filterSql, filterDims, p, via)
+          if (r.routed) Some(r) else None
+        }
+      }
+      // ── dimension-as-measure: add the dim to the routed group-by
+      // and post-aggregate (dims are exact in every cuboid)
+      else if (outs.exists(_._1.isInstanceOf[MDimAgg])) {
+        val r = routeDimAgg(spark, df, cube, states, groupNames, aggs,
+          filterSql, filterDims, timeRange, p, via)
+        if (r.routed) Some(r) else None
+      }
+      // ── TopN-measure rewrite: a global `GROUP BY <sketch dims>
+      // ORDER BY <the sketch's sum> DESC LIMIT n` is the pre-computed
+      // sketch, merged across any cuboid — no dim-level scan at all
+      else routeTopn(spark, df, cube, states, groupNames, outs, p, filterSql,
+          filterDims, timeRange)
+        .map(t => SqlResult(t.select(outNames.map(col): _*),
+          routed = true, if (via == "cuboid") "topn-measure" else via))
+        .orElse(routeTopnGrouped(spark, df, cube, states, groupNames, outs, p,
+          filterSql, filterDims, timeRange)
+          .map(t => SqlResult(t, routed = true,
+            if (via == "cuboid") "topn-measure" else via)))
+        .orElse(routeGenericVia(spark, cube, states,
+          p, aggs, groupNames, outs, filterSql, filterDims, timeRange,
+          via = via))
+    }
 
   /** the state-route-then-present body of the generic path, shared by
     * the single-cube route and the hybrid splice — only the state
@@ -947,11 +961,14 @@ object GraftSql {
   }
 
   /** Attempt the peeled aggregate against a HYBRID realization: the
-    * same recognition as tryInstance against the representative member
-    * cube, restricted to the generic measures path (sketch/bitmap/
-    * dimension-as-measure rewrites stay per-cube — the plain
-    * realizations behind the view cover those), with states supplied by
-    * the time-spliced HybridRouter. */
+    * same recognition and rewrite dispatch as tryInstance against the
+    * representative member cube — every measure family the members
+    * declare (generic sums, sketches, bitmap intersects, dim-as-
+    * measure) is served through the time-spliced HybridRouter, exactly
+    * as HybridStorageQuery serves all member measures through its
+    * unioned tuple iterators. A measure missing from a touched member
+    * makes that slice's route fall back, which refuses the whole
+    * hybrid (the plain realizations behind the view then answer). */
   private def tryHybrid(spark: SparkSession, df: DataFrame,
       h: HybridInstance, p: Peeled, groupNames: Seq[String],
       aggs: Seq[NamedExpression],
@@ -963,30 +980,20 @@ object GraftSql {
       case Some(c) => splitFilter(spark, cube, c)
     }
     split.flatMap { case (filterSql, filterDims, timeRange) =>
-      recognizeOutputs(cube, groupNames, aggs).flatMap { outs =>
-        val neededMs = outs.flatMap(_._1.measures).distinct
-        // the generic path only; and every touched member must declare
-        // every needed measure (shared-model contract, checked)
-        if (outs.exists(o => o._1.isInstanceOf[MIntersect] ||
-            o._1.isInstanceOf[MDimAgg])) None
-        else if (!neededMs.forall(m =>
-            h.slices.forall(_.inst.cube.measures.exists(_.name == m)))) None
-        else routeGenericVia(spark, cube,
-          q => HybridRouter.routeStates(spark, h, q)(df),
-          p, aggs, groupNames, outs, filterSql, filterDims, timeRange,
-          via = "hybrid")
-      }
+      dispatchRewrites(spark, df, cube,
+        q => HybridRouter.routeStates(spark, h, q)(df),
+        p, groupNames, aggs, filterSql, filterDims, timeRange,
+        via = "hybrid")
     }
   }
 
   /** the TopN-sketch rewrite, driven by Measure.topnShape */
   private def routeTopn(spark: SparkSession, df: DataFrame,
-      inst: CubeInstance, groupNames: Seq[String],
+      cube: CubeDef, states: CubeQuery => Routed, groupNames: Seq[String],
       outs: Seq[(MOut, String)], p: Peeled,
       filterSql: Option[String],
       filterDims: Set[String],
       timeRange: Option[(String, String)]): Option[DataFrame] = {
-    val cube = inst.cube
     for {
       n <- p.limit
       if n <= Measures.TopNBuf.DefaultCapacity &&
@@ -1011,10 +1018,9 @@ object GraftSql {
       if filterDims.intersect(sh.dims.toSet).isEmpty
       if timeRange.isEmpty ||
         !cube.timeDim.exists(td => sh.dims.contains(td.name))
-      r = QueryRouter.routeStates(spark, inst,
-        CubeQuery(Nil, Seq(tm.name -> "state"),
-          filter = filterSql.map(expr), filterDims = filterDims,
-          timeRange = timeRange))(df)
+      r = states(CubeQuery(Nil, Seq(tm.name -> "state"),
+        filter = filterSql.map(expr), filterDims = filterDims,
+        timeRange = timeRange))
       if !r.fallback
       // a capacity-trimmed state is approximate: refuse the rewrite
       // rather than present it as exact (ADVICE r3). One 1-row probe
@@ -1047,12 +1053,11 @@ object GraftSql {
     * scan) and exploding each merged state's top n; refused when any
     * merged state was capacity-trimmed (approximate — ADVICE r3). */
   private def routeTopnGrouped(spark: SparkSession, df: DataFrame,
-      inst: CubeInstance, groupNames: Seq[String],
+      cube: CubeDef, states: CubeQuery => Routed, groupNames: Seq[String],
       outs: Seq[(MOut, String)], p: Peeled,
       filterSql: Option[String],
       filterDims: Set[String],
       timeRange: Option[(String, String)]): Option[DataFrame] = {
-    val cube = inst.cube
     for {
       _ <- Some(())
       if p.havingSql.isEmpty
@@ -1104,10 +1109,9 @@ object GraftSql {
       if filterDims.intersect(sh.dims.toSet).isEmpty
       if timeRange.isEmpty ||
         !cube.timeDim.exists(td => sh.dims.contains(td.name))
-      r = QueryRouter.routeStates(spark, inst,
-        CubeQuery(partNames, Seq(tm.name -> "state"),
-          filter = filterSql.map(expr), filterDims = filterDims,
-          timeRange = timeRange))(df)
+      r = states(CubeQuery(partNames, Seq(tm.name -> "state"),
+        filter = filterSql.map(expr), filterDims = filterDims,
+        timeRange = timeRange))
       if !r.fallback
       // one cuboid-scale probe: any trimmed merged state ⇒ approximate
       // ⇒ refuse the rewrite (the generic cuboid path still answers)
@@ -1289,12 +1293,11 @@ object GraftSql {
     * (the same arbitrary-re-agg contract the layered build relies on).
     * The post-agg runs at cuboid-cell scale, never on raw rows. */
   private def routeDimAgg(spark: SparkSession, df: DataFrame,
-      inst: CubeInstance, groupNames: Seq[String],
+      cube: CubeDef, states: CubeQuery => Routed, groupNames: Seq[String],
       aggs: Seq[NamedExpression],
       filterSql: Option[String], filterDims: Set[String],
       timeRange: Option[(String, String)],
-      p: Peeled): SqlResult = {
-    val cube = inst.cube
+      p: Peeled, via: String): SqlResult = {
     def fallback = SqlResult(df, routed = false, "fallback")
     if (p.winCols.nonEmpty) return fallback
     val outs = aggs.collect {
@@ -1317,7 +1320,7 @@ object GraftSql {
       needed.map(m => m -> s"__m_$m"),
       filter = filterSql.map(expr), filterDims = filterDims,
       timeRange = timeRange)
-    val routed = QueryRouter.routeStates(spark, inst, q)(df)
+    val routed = states(q)
     if (routed.fallback) return fallback
     val aggExprs =
       needed.map(m => cube.measure(m).fromState(s"__m_$m").as(s"__m_$m")) ++
@@ -1350,7 +1353,8 @@ object GraftSql {
       if (p.sortCols.nonEmpty) out = out.orderBy(p.sortCols: _*)
       p.limit.foreach(n => out = out.limit(n))
       out.queryExecution.analyzed
-      SqlResult(out, routed = true, "cuboid-dimagg")
+      SqlResult(out, routed = true,
+        if (via == "cuboid") "cuboid-dimagg" else via)
     }.getOrElse(fallback)
   }
 
@@ -1358,10 +1362,10 @@ object GraftSql {
     * (query dims + the intersect dim), filtered to the requested vals,
     * then AND per output */
   private def routeIntersect(spark: SparkSession, df: DataFrame,
-      inst: CubeInstance, groupNames: Seq[String],
+      cube: CubeDef, states: CubeQuery => Routed, groupNames: Seq[String],
       outs: Seq[(MOut, String)], outNames: Seq[String],
       filterSql: Option[String], filterDims: Set[String],
-      p: Peeled): SqlResult = {
+      p: Peeled, via: String): SqlResult = {
     val intersects = outs.collect { case (mi: MIntersect, name) => (mi, name) }
     // supported shape: every measure output is an intersect over the
     // SAME dim; no extra WHERE (vals ARE the filter), no HAVING; the
@@ -1371,7 +1375,7 @@ object GraftSql {
     if (intersects.size != outs.size || dims.size != 1 ||
         filterSql.nonEmpty || p.havingSql.nonEmpty || p.winCols.nonEmpty ||
         groupNames.contains(dims.head) ||
-        groupNames.exists(g => !inst.cube.dims.contains(g)))
+        groupNames.exists(g => !cube.dims.contains(g)))
       return SqlResult(df, routed = false, "fallback")
     val dim = dims.head
     val allVals = intersects.flatMap(_._1.vals).distinct
@@ -1380,7 +1384,7 @@ object GraftSql {
       needed.map(m => m -> s"__st_$m"),
       filter = Some(col(dim).isin(allVals.map(v => v: Any): _*)),
       filterDims = Set(dim))
-    val routed = QueryRouter.routeStates(spark, inst, q)(df)
+    val routed = states(q)
     if (routed.fallback) return SqlResult(df, routed = false, "fallback")
     val aggCols = intersects.map { case (mi, name) =>
       val agg =
@@ -1399,8 +1403,7 @@ object GraftSql {
     val completed =
       if (groupNames.isEmpty) grouped
       else {
-        val keysR = QueryRouter.routeStates(spark, inst,
-          CubeQuery(groupNames, Seq(needed.head -> "__k")))(df)
+        val keysR = states(CubeQuery(groupNames, Seq(needed.head -> "__k")))
         if (keysR.fallback) return SqlResult(df, routed = false, "fallback")
         keysR.df.select(groupNames.map(col): _*)
           .join(grouped, groupNames, "left")
@@ -1415,6 +1418,7 @@ object GraftSql {
     var out = completed.select(outNames.map(col): _*)
     if (p.sortCols.nonEmpty) out = out.orderBy(p.sortCols: _*)
     p.limit.foreach(n => out = out.limit(n))
-    SqlResult(out, routed = true, "intersect-count")
+    SqlResult(out, routed = true,
+      if (via == "cuboid") "intersect-count" else via)
   }
 }

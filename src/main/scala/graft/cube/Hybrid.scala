@@ -52,11 +52,34 @@ object HybridRouter {
     if (lo < hi) Some((lo, hi)) else None
   }
 
+  /** true iff [qLo, qHi) is fully covered by the (ordered, disjoint)
+    * slices — a gapped hybrid whose gap the query range spans must NOT
+    * be answered by unioning the touched slices: the gap's rows would
+    * silently vanish (VERDICT r9 "what's wrong" item 1). Walks the
+    * slices left to right advancing a coverage cursor. */
+  private def covers(slices: Seq[HybridSlice], qLo: String, qHi: String): Boolean = {
+    var cur = qLo
+    slices.foreach { s =>
+      if (s.end > cur && cur < qHi) {
+        if (s.start > cur) return false // uncovered gap before this slice
+        if (s.end >= qHi) return true
+        cur = s.end
+      }
+    }
+    cur >= qHi
+  }
+
   /** states-mode route (mirrors QueryRouter.routeStates): fallback=true
     * iff any touched slice cannot answer its sub-range — a half-routed
-    * splice would mix consistencies, so the whole query falls back. */
+    * splice would mix consistencies, so the whole query falls back —
+    * or the query's range spans a gap between slices (row loss, not a
+    * smaller answer: fall back to the source). */
   def routeStates(spark: SparkSession, h: HybridInstance, q: CubeQuery)
                  (fallback: => DataFrame): Routed = {
+    val (qLo, qHi) =
+      q.timeRange.getOrElse((QueryRouter.MinDay, QueryRouter.MaxDay))
+    if (!covers(h.slices, qLo, qHi))
+      return Routed(fallback, None, Nil, fallback = true)
     val parts = h.slices.flatMap(s => overlap(q.timeRange, s).map(s -> _))
     if (parts.isEmpty)
       return Routed(fallback, None, Nil, fallback = true)

@@ -1094,6 +1094,45 @@ object CubeQueries extends QueryGroup {
              |  AND TIMESTAMP '2000-12-31'
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // 35i2 ────────────── sketch measures over the hybrid: the spliced
+    //     member states serve the sketch rewrites too —
+    //     approx_count_distinct answers from the members' HLL states
+    //     unioned across the cutover. After a real evolution there is
+    //     no wide fallback cube, so the hybrid must serve every measure
+    //     type its members declare (HybridStorageQuery.java unions
+    //     tuple iterators for ALL member measures; VERDICT r9 item 4)
+    Q("cube_sql_hybrid_sketch",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT o_orderstatus,
+            |  approx_count_distinct(o_custkey) AS hll_cust
+            |FROM graft_star_hybrid
+            |WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01'
+            |  AND TIMESTAMP '2000-12-31'
+            |GROUP BY o_orderstatus""".stripMargin)
+        assert(r.routed && r.via == "hybrid",
+          s"expected the hybrid to serve the HLL sketch, got ${r.via}")
+        val files = r.df.inputFiles
+        assert(files.exists(_.contains("-star-old/")) &&
+          files.exists(_.contains("-star-new/")),
+          s"expected both hybrid member roots, got ${files.take(3).toSeq}")
+        val exact = CubeManager.flatTable(s, d)
+          .filter("o_orderdate >= '1997-01-01' and o_orderdate < '2001-01-01'")
+          .groupBy("o_orderstatus")
+          .agg(countDistinct(col("o_custkey")).as("exact_cust"))
+        exact.join(r.df, "o_orderstatus")
+          .select(col("o_orderstatus"), col("exact_cust"),
+            (abs(col("hll_cust") - col("exact_cust")) <=
+               col("exact_cust") * 0.05).as("hll_ok"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_cust,
+             |  TRUE AS hll_ok
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate < TIMESTAMP '2001-01-01'
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // 36 ──────────────── RAW measure: per-group value collection
     //     carried through the cube (reference measure/raw)
     Q("cube_raw_measure",

@@ -765,11 +765,11 @@ class GraftSqlSpec extends AnyFunSuite {
   }
 
   test("shapes the hybrid refuses fall through to the star realization") {
-    // approx_count_distinct needs the HLL measure only the wide star
-    // cube declares — the hybrid must step aside, not fall back to a
-    // raw scan
+    // prio_set (DimCountDistinct family) is NOT declared by the hybrid
+    // members — the hybrid steps aside and the wide star realization
+    // behind the same view answers, not a raw scan
     val r = GraftSql.sqlVia(spark, sf,
-      """SELECT o_orderstatus, approx_count_distinct(o_custkey) AS n_cust
+      """SELECT o_orderstatus, count(distinct o_orderpriority) AS n_prio
         |FROM graft_star_hybrid GROUP BY o_orderstatus""".stripMargin)
     assert(r.routed && r.via == "cuboid",
       s"the wide realization must cover, got ${r.via}")
@@ -1106,4 +1106,58 @@ class GraftSqlSpec extends AnyFunSuite {
       .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
     assert(got == want && want.nonEmpty)
   }
+
+  // ── hybrids serve EVERY member measure family (VERDICT r9 item 4):
+  // the sketch/bitmap/dim-as-measure rewrites consume the time-spliced
+  // states exactly like the generic path (HybridStorageQuery serves all
+  // member measures through its unioned tuple iterators)
+
+  test("TopN sketch answers over the hybrid splice") {
+    val sql =
+      """SELECT p_brand, sum(disc_price) AS revenue
+        |FROM %s
+        |GROUP BY p_brand
+        |ORDER BY revenue DESC, p_brand
+        |LIMIT 5""".stripMargin
+    val h = GraftSql.sqlVia(spark, sf, sql.format("graft_star_hybrid"))
+    assert(h.routed && h.via == "hybrid", s"got ${h.via}")
+    // both member eras contribute (sketch states union across cutover)
+    val files = h.df.inputFiles
+    assert(files.exists(_.contains("-star-old/")) &&
+      files.exists(_.contains("-star-new/")))
+    val star = GraftSql.sqlVia(spark, sf, sql.format("graft_star"))
+    assert(star.via == "topn-measure")
+    assert(h.df.collect().toSeq == star.df.collect().toSeq)
+  }
+
+  test("intersect_count answers over the hybrid splice") {
+    val sql =
+      """SELECT intersect_count(o_custkey, o_month,
+        |    array('1996-03', '1996-04')) AS n_retained,
+        |  intersect_count(o_custkey, o_month,
+        |    array('1999-03', '1999-04')) AS n_after
+        |FROM %s""".stripMargin
+    val h = GraftSql.sqlVia(spark, sf, sql.format("graft_star_hybrid"))
+    assert(h.routed && h.via == "hybrid", s"got ${h.via}")
+    val star = GraftSql.sqlVia(spark, sf, sql.format("graft_star"))
+    assert(star.via == "intersect-count")
+    // one retention window per member era, both equal the single-cube
+    // answers (bitmap states AND across the splice exactly)
+    assert(h.df.head() == star.df.head())
+  }
+
+  test("dimension-as-measure answers over the hybrid splice") {
+    val sql =
+      """SELECT o_orderstatus, max(o_month) AS last_month,
+        |  sum(disc_price) AS revenue
+        |FROM %s GROUP BY o_orderstatus""".stripMargin
+    val h = GraftSql.sqlVia(spark, sf, sql.format("graft_star_hybrid"))
+    assert(h.routed && h.via == "hybrid", s"got ${h.via}")
+    val star = GraftSql.sqlVia(spark, sf, sql.format("graft_star"))
+    assert(star.via == "cuboid-dimagg")
+    val key = (r: org.apache.spark.sql.Row) => r.getString(0)
+    assert(h.df.collect().sortBy(key).toSeq ==
+      star.df.collect().sortBy(key).toSeq)
+  }
+
 }
