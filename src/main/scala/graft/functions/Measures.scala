@@ -48,10 +48,16 @@ object Measures {
     bm
   }
 
+  // boxed input on purpose: SQL count-distinct semantics skip NULL, and
+  // a primitive encoder would silently coerce NULL to 0 — inflating the
+  // bitmap by a phantom value (the reference's dictionary machinery
+  // encodes NULL explicitly and excludes it from distinct counts)
   private object BitmapAggregator
-      extends Aggregator[Long, BitmapBuf, Array[Byte]] {
+      extends Aggregator[java.lang.Long, BitmapBuf, Array[Byte]] {
     def zero: BitmapBuf = new BitmapBuf(new Roaring64NavigableMap())
-    def reduce(b: BitmapBuf, a: Long): BitmapBuf = { b.bm.addLong(a); b }
+    def reduce(b: BitmapBuf, a: java.lang.Long): BitmapBuf = {
+      if (a != null) b.bm.addLong(a); b
+    }
     def merge(x: BitmapBuf, y: BitmapBuf): BitmapBuf = { x.bm.or(y.bm); x }
     def finish(b: BitmapBuf): Array[Byte] = bitmapToBytes(b.bm)
     def bufferEncoder: Encoder[BitmapBuf] =
@@ -73,7 +79,7 @@ object Measures {
   }
 
   /** long column → serialized exact-distinct bitmap state */
-  lazy val bitmapAgg = udaf(BitmapAggregator, Encoders.scalaLong)
+  lazy val bitmapAgg = udaf(BitmapAggregator, Encoders.LONG)
   /** serialized bitmap states → merged state */
   lazy val bitmapUnion = udaf(BitmapUnionAggregator, Encoders.BINARY)
   /** finalizer: state → exact distinct count */
@@ -119,9 +125,13 @@ object Measures {
     }
   }
 
-  private object HllAggregator extends Aggregator[Long, HllBuf, Array[Byte]] {
+  // boxed input: NULL must not hash into the sketch (see BitmapAggregator)
+  private object HllAggregator
+      extends Aggregator[java.lang.Long, HllBuf, Array[Byte]] {
     def zero: HllBuf = new HllBuf(new HllSketch(HllLgK, TgtHllType.HLL_4))
-    def reduce(b: HllBuf, a: Long): HllBuf = { b.sk.update(a); b }
+    def reduce(b: HllBuf, a: java.lang.Long): HllBuf = {
+      if (a != null) b.sk.update(a); b
+    }
     def merge(x: HllBuf, y: HllBuf): HllBuf = {
       val u = new HllUnionSketch(HllLgK)
       u.update(x.sk); u.update(y.sk)
@@ -162,7 +172,7 @@ object Measures {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  lazy val hllAgg = udaf(HllAggregator, Encoders.scalaLong)
+  lazy val hllAgg = udaf(HllAggregator, Encoders.LONG)
   lazy val hllUnion = udaf(HllUnionAggregator, Encoders.BINARY)
   /** finalizer: state → rounded estimate */
   lazy val hllEstimate =
@@ -447,10 +457,14 @@ object Measures {
     }
   }
 
+  // boxed input: percentile semantics skip NULL — a primitive encoder
+  // would insert a phantom 0.0 and shift every quantile
   private object KllAggregator
-      extends Aggregator[Double, KllBuf, Array[Byte]] {
+      extends Aggregator[java.lang.Double, KllBuf, Array[Byte]] {
     def zero: KllBuf = new KllBuf(KllDoublesSketch.newHeapInstance(KllK))
-    def reduce(b: KllBuf, a: Double): KllBuf = { b.sk.update(a); b }
+    def reduce(b: KllBuf, a: java.lang.Double): KllBuf = {
+      if (a != null) b.sk.update(a); b
+    }
     def merge(x: KllBuf, y: KllBuf): KllBuf = { x.sk.merge(y.sk); x }
     def finish(b: KllBuf): Array[Byte] = b.sk.toByteArray
     def bufferEncoder: Encoder[KllBuf] = Encoders.javaSerialization[KllBuf]
@@ -471,7 +485,7 @@ object Measures {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  lazy val kllAgg = udaf(KllAggregator, Encoders.scalaDouble)
+  lazy val kllAgg = udaf(KllAggregator, Encoders.DOUBLE)
   lazy val kllUnion = udaf(KllUnionAggregator, Encoders.BINARY)
   /** finalizer: state → approximate quantile at rank q */
   lazy val kllQuantile = org.apache.spark.sql.functions.udf(
