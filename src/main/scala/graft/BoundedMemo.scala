@@ -11,9 +11,13 @@ package graft
   * per dataset and then move on, so the stalest dataset is the right
   * victim and the structure stays trivial. The contract eviction
   * imposes on callers: a memoized frame must be consumed before `cap`
-  * newer datasets go through the same memo — after that it recomputes
-  * (correct, just not free).
-  */
+  * newer datasets go through the same memo — after that a NEW request
+  * recomputes (correct, just not free). How harsh eviction is on a
+  * still-held value is the hook's business: an unpersist hook degrades
+  * it to recompute-on-action, while a hook that deletes checkpoint
+  * files kills it outright — owners of such entries should defer the
+  * destructive step (see Dedup's cluster memo) and document the
+  * stronger contract. */
 final class BoundedMemo[K, V](cap: Int)(onEvict: V => Unit) {
   require(cap > 0, "cap must be positive")
   private val m = scala.collection.mutable.LinkedHashMap.empty[K, V]

@@ -122,10 +122,22 @@ object CubeMeta {
       val fs = primary.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // tolerate the in-flight .tmp as a fallback read: on stores where
       // the overwrite-rename isn't atomic, a reader landing between
-      // delete and rename must not conclude the cube needs a rebuild
+      // delete and rename must not conclude the cube needs a rebuild.
+      // Only a FRESH .tmp qualifies — save's write→rename window is
+      // milliseconds, so a .tmp older than a minute is an orphan from
+      // a crashed save, and trusting it would resurrect stale metadata
+      // as current (e.g. after the primary was deleted to force a
+      // rebuild). Age-gating instead of delete-after-read keeps
+      // readers from racing a concurrent save's freshly-written .tmp.
+      val tmpP = new Path(primary.toString + ".tmp")
+      def tmpFresh: Boolean = scala.util.Try {
+        System.currentTimeMillis() -
+          fs.getFileStatus(tmpP).getModificationTime < 60000L
+      }.getOrElse(false)
       val p =
         if (fs.exists(primary)) primary
-        else new Path(primary.toString + ".tmp")
+        else if (tmpFresh) tmpP
+        else primary
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)

@@ -41,6 +41,29 @@ object ExprCanon {
     case other => Seq(other)
   }
 
+  /** Refuse the whole canonicalization when any arithmetic node
+    * carries a non-session-default eval context (ADVICE r9): the
+    * user's `try_multiply(a,b)` analyzes to Multiply with
+    * EvalMode.TRY, but `.sql` renders modes invisibly — both the
+    * commutative REBUILD (default-apply constructors) and the final
+    * rendering would erase TRY, so `sum(try_multiply(a,b))` would
+    * canonicalize identically to the plain measure and the router
+    * would serve overflow-erroring (or wrapping) pre-computed state
+    * for an overflow-tolerant query. Refusing makes `canon` return
+    * None, so such queries fall through to the raw scan — correct,
+    * just not served from the cube. Covers +,-,*,/ uniformly. */
+  private def refuseNonDefaultEvalModes(e: Expression): Unit = {
+    // the context a default-constructed node gets under the session
+    // conf — the same constructor the commutative rebuild below uses
+    val default = Add(Literal(0), Literal(0)).evalContext
+    e.foreach {
+      case b: BinaryArithmetic if b.evalContext != default =>
+        throw new IllegalArgumentException(
+          s"non-default eval mode in $b: refusing measure match")
+      case _ => ()
+    }
+  }
+
   /** exact decimal rendering of a numeric literal: `1`, `1.0`, and the
     * analyzer's decimal widenings all canonicalize to "1", while
     * integral values beyond double precision keep their exact digits
@@ -48,7 +71,8 @@ object ExprCanon {
   private def numCanon(v: Any): String =
     BigDecimal(v.toString).underlying.stripTrailingZeros.toPlainString
 
-  private def normalize(e: Expression): Expression =
+  private def normalize(e: Expression): Expression = {
+    refuseNonDefaultEvalModes(e)
     stripSafeCasts(e).transformUp {
       case a: AttributeReference => UnresolvedAttribute(a.name.toLowerCase)
       case u: UnresolvedAttribute =>
@@ -81,6 +105,7 @@ object ExprCanon {
       case a: Add =>
         operands(a, mul = false).sortBy(_.sql).reduceLeft(Add(_, _))
     }
+  }
 
   /** canonical rendering; None when the tree has no SQL form */
   def canon(e: Expression): Option[String] =

@@ -339,19 +339,32 @@ object Dedup {
     * exponentially) and blocks recover from the checkpoint files on
     * eviction or executor loss — the two failure modes localCheckpoint
     * and bare persist each get wrong. The memo is size-bounded
-    * (VERDICT r8 item 6): eviction deletes the entry's checkpoint dir,
+    * (VERDICT r8 item 6): eviction retires the entry's checkpoint dir,
     * so a long-lived session over many corpora keeps O(cap) checkpoint
-    * trees on disk, and an evicted pair graph simply re-clusters on
-    * its next request. */
+    * trees on disk, and an evicted pair graph re-clusters on its next
+    * request THROUGH `dupClusters`. Eviction is harsher here than the
+    * shingle memo's unpersist (ADVICE r9): a checkpoint-truncated plan
+    * cannot recompute once its files are gone, so deletion is deferred
+    * one eviction generation — the evicted dir is only parked, and the
+    * NEXT eviction deletes it. A caller still holding an already-
+    * evicted DataFrame thus keeps a full eviction cycle (cap newer
+    * corpora, then one more) of grace; a frame held longer than that
+    * fails on its next action and must be re-requested. */
   private final case class ClusterEntry(df: DataFrame, ckptDir: String,
                                         session: SparkSession)
   private val ClusterCacheCap = 4
-  private val clusterCache = new graft.BoundedMemo[
-    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
-    ClusterEntry](ClusterCacheCap)(e => {
+  // guarded by the memo's monitor: onEvict runs inside getOrElseUpdate
+  private var retiredEntry: Option[ClusterEntry] = None
+  private def deleteEntry(e: ClusterEntry): Unit = {
     val p = new org.apache.hadoop.fs.Path(e.ckptDir)
     p.getFileSystem(e.session.sparkContext.hadoopConfiguration)
       .delete(p, true): Unit
+  }
+  private val clusterCache = new graft.BoundedMemo[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    ClusterEntry](ClusterCacheCap)(e => {
+    retiredEntry.foreach(deleteEntry)
+    retiredEntry = Some(e)
   })
 
   private[graft] def clusterCacheSize: Int = clusterCache.size

@@ -143,12 +143,20 @@ object EventStream {
     // hotTail's latest-wins max, and sealed rows not yet deleted are
     // anti-joined away by lambdaWindows.
     val stamp = java.util.UUID.randomUUID().toString
-    fs.listStatus(tmp).map(_.getPath)
-      .filter(_.getName.startsWith("part-")).foreach { f =>
-        if (!fs.rename(f,
-            new org.apache.hadoop.fs.Path(hp, s"compact-$stamp-${f.getName}")))
-          throw new java.io.IOException(s"compaction move failed: $f")
-      }
+    val compacted = fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+    // Every-window-sealed edge: an empty keep-set can write ZERO part
+    // files, and moving nothing in then deleting every original would
+    // leave a parquet-less hot dir that hotTail/lambdaWindows cannot
+    // even infer a schema from. Leave the originals in place — their
+    // sealed rows are anti-joined away by lambdaWindows, so the skip
+    // costs only the bytes this edge case would have reclaimed.
+    if (compacted.isEmpty) { fs.delete(tmp, true); return }
+    compacted.foreach { f =>
+      if (!fs.rename(f,
+          new org.apache.hadoop.fs.Path(hp, s"compact-$stamp-${f.getName}")))
+        throw new java.io.IOException(s"compaction move failed: $f")
+    }
     old.foreach(p => fs.delete(p, false))
     fs.delete(tmp, true)
   }

@@ -30,6 +30,29 @@ class CacheBoundSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("a held cluster frame survives its own eviction by one " +
+      "generation (ADVICE r9: deferred checkpoint-dir deletion)") {
+    import spark.implicits._
+    def pairsOf(n: Int) =
+      Seq((100L + n, 200L + n), (200L + n, 300L + n)).toDF("id_a", "id_b")
+    // flush the JVM-global memo to a known state (cap 4), so the held
+    // entry's eviction point is deterministic regardless of what other
+    // suites pushed through this memo earlier
+    (40 to 43).foreach(i => Dedup.dupClusters(pairsOf(i)).collect())
+    // hold the next graph's frame across exactly enough fresh graphs
+    // to evict it: its checkpoint dir is only PARKED by that eviction,
+    // so the held frame must still collect — the old immediate delete
+    // would have truncated a lineage that cannot recompute
+    val held = Dedup.dupClusters(pairsOf(50))
+    val want = held.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (51 to 54).foreach(i => Dedup.dupClusters(pairsOf(i)).collect())
+    assert(Dedup.clusterCacheSize <= 4)
+    val again = held.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == want,
+      "an evicted-but-held cluster frame must stay usable until the " +
+        "next eviction generation")
+  }
+
   test("shingle memo stays bounded and evicted frames recompute") {
     import spark.implicits._
     implicit val s = spark

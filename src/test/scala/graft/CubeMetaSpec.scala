@@ -77,6 +77,36 @@ class CubeMetaSpec extends AnyFunSuite {
     assert(CubeMeta.load(spark, drifted, root).isEmpty)
   }
 
+  test("a stale orphaned .tmp never resurrects as current meta; a " +
+      "fresh in-flight .tmp still reads (ADVICE r9)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tmp").toString
+    val cube = CubeManager.eventsCube
+    val inst = CubeBuilder.build(spark,
+      CubeManager.eventsFlat(spark, sf), cube, root)
+    assert(CubeMeta.load(spark, cube, root)
+      .exists(_.inst.rows == inst.rows))
+
+    // simulate a long-past crashed save: an hours-old .tmp orphan next
+    // to a primary the operator then deleted to force a rebuild
+    val primary = new java.io.File(
+      s"$root/${cube.name}/${CubeMeta.MetaFile}")
+    val tmp = new java.io.File(primary.getPath + ".tmp")
+    java.nio.file.Files.copy(primary.toPath, tmp.toPath)
+    assert(tmp.setLastModified(
+      System.currentTimeMillis() - 2 * 3600 * 1000L))
+    assert(primary.delete())
+    assert(CubeMeta.load(spark, cube, root).isEmpty,
+      "an aged .tmp orphan must read as a miss (rebuild), not as " +
+        "current metadata")
+
+    // the same .tmp freshly written (a save's rename window) DOES
+    // serve — readers landing mid-rename must not see an empty meta
+    assert(tmp.setLastModified(System.currentTimeMillis()))
+    assert(CubeMeta.load(spark, cube, root)
+      .exists(_.inst.rows == inst.rows),
+      "a fresh in-flight .tmp must still serve the fallback read")
+  }
+
   test("refreshing one segment replaces its data and commits new meta") {
     val root = java.nio.file.Files.createTempDirectory("graft-refresh").toString
     val flat = CubeManager.eventsFlat(spark, sf)

@@ -1035,6 +1035,29 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(!ExprCanon.same(sub1, sub2))
   }
 
+  test("canonicalization preserves EvalMode: try_multiply never matches " +
+      "the plain measure algebra (ADVICE r9)") {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{
+      EvalMode, Multiply, NumericEvalContext}
+    val a = UnresolvedAttribute("a")
+    val b = UnresolvedAttribute("b")
+    val tryMode = NumericEvalContext(EvalMode.TRY)
+    // sum(try_multiply(a,b)) must NOT canonicalize to sum(a*b): the
+    // cube's plain-multiply state overflow-errors (or wraps) where TRY
+    // nulls — serving it would silently change overflow semantics.
+    // `.sql` renders eval modes invisibly, so the only safe contract
+    // is refusal: canon is None for any non-default-mode arithmetic,
+    // and the query falls through to the raw scan
+    assert(ExprCanon.canon(Multiply(a, b, tryMode)).isEmpty,
+      "TRY-mode arithmetic must refuse canonicalization")
+    assert(!ExprCanon.same(Multiply(a, b, tryMode), Multiply(a, b)),
+      "TRY-mode multiply must not collapse onto the plain measure")
+    // the session-default context still canonicalizes (the guard
+    // refuses only NON-default modes)
+    assert(ExprCanon.same(Multiply(a, b), Multiply(b, a)))
+  }
+
   test("ORDER BY and LIMIT above a routed UNION ALL peel and re-apply") {
     val sql =
       """SELECT n_name, sum(disc_price) AS revenue
