@@ -20,6 +20,44 @@ object Bench {
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Usage-log → planner loop over the REAL workload the bench just
+    * ran (reference: CuboidRecommendAlgorithm, cube planner phase 2):
+    * every route the two timed passes executed is in
+    * `QueryRouter.QueryStats`; feed that log to `recommendFromLog` and
+    * report the recommended lattice next to the hand-declared one —
+    * materialized planned rows (build cost) and Σ smallest-covering-
+    * cuboid rows over the log (query cost) for each. */
+  private def plannerReport(spark: SparkSession, sfDir: String): String =
+    try {
+      val inst = cube.CubeManager.ensureBuilt(spark, sfDir)
+      val base = inst.cube.dims.toSet
+      val log = cube.QueryRouter.QueryStats.log(inst.cube.name)
+        .filter(_.nonEmpty)
+      if (log.isEmpty) return """{"logged":0}"""
+      val flat = cube.CubeManager.flatTable(spark, sfDir)
+      val rec = cube.CuboidPlanner.recommendFromLog(
+        flat, base, log, maxCuboids = inst.cube.cuboids.size)
+      val declared = inst.cube.cuboids
+      val rows = cube.CuboidPlanner.estimateRows(
+        flat, (rec ++ declared).distinct)
+      def planned(mat: Seq[Set[String]]): Long = mat.map(rows).sum
+      def workloadCost(mat: Seq[Set[String]]): Long = log.map { q =>
+        val covering = mat.filter(q.subsetOf(_))
+        if (covering.isEmpty) rows(base) else covering.map(rows).min
+      }.sum
+      val covered = log.forall(q => rec.exists(q.subsetOf(_)))
+      s"""{"logged":${log.size},"distinct_shapes":${log.distinct.size},""" +
+        s""""recommended_cuboids":${rec.size},""" +
+        s""""declared_cuboids":${declared.size},""" +
+        s""""planned_rows_recommended":${planned(rec)},""" +
+        s""""planned_rows_declared":${planned(declared)},""" +
+        s""""workload_rows_recommended":${workloadCost(rec)},""" +
+        s""""workload_rows_declared":${workloadCost(declared)},""" +
+        s""""covers_log":$covered}"""
+    } catch {
+      case e: Exception => s"""{"error":"${e.getClass.getSimpleName}"}"""
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,6 +67,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // The default generated-class cache (100 entries, JVM-wide) is
+      // sized for one repeated query, not a 105-key workload: each key
+      // compiles several projections/encoders, so by the time pass 2
+      // replays a key its classes were evicted and Janino recompiles
+      // them — measured +0.7 s on the typed-cogroup key alone. A
+      // long-running query server should size this to its distinct
+      // plan count (static conf — must precede the first session).
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -67,8 +113,9 @@ object Bench {
     val phases = cube.CubeBuilder.phaseTotals.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
+    val planner = plannerReport(spark, sfDir)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cube_build_sec":$cubeBuildSec,"build_phases":$phases,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cube_build_sec":$cubeBuildSec,"build_phases":$phases,"planner":$planner,"sf":"$sfDir"}"""
     println(json)
     // also persist the full map: the driver's stdout tail truncated in
     // round 5 and lost the fast keys from round-over-round comparison
