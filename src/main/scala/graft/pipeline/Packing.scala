@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data pipelines: documents are
+  * concatenated in a stable order (doc_id) and cut into fixed
+  * token-budget context windows; each document is mapped to the range
+  * of chunks it occupies (GPT-style concat-then-chunk packing — the
+  * accounting a dataloader needs to slice a packed corpus without
+  * materializing the concatenation).
+  *
+  * The scale problem is the GLOBAL running offset: the naive
+  * `Window.orderBy(doc_id)` cumsum moves the whole corpus through one
+  * reducer. This uses the classic two-phase scan instead:
+  *
+  *  1. range-partition by the order key; per-partition cumsum runs in
+  *     parallel (each range partition is one window group);
+  *  2. per-partition token totals — a PARTITIONS-sized frame — get
+  *     their own tiny cumsum (single reducer over ~10² rows, not 10¹²)
+  *     and broadcast back as each partition's starting offset.
+  *
+  * The result is partitioning-independent: local cumsum + partition
+  * prefix reconstructs the exact serial offset whatever the range
+  * boundaries were, so the output is deterministic even though range
+  * partitioning samples. */
+object Packing {
+
+  /** `start_off` per row: the sum of `valueCol` over all rows with a
+    * smaller `orderCol` (the exclusive running total). One extra
+    * shuffle vs a naive global window, but every corpus-sized step is
+    * parallel. */
+  def withRunningOffset(df: DataFrame, orderCol: String, valueCol: String,
+                        partitions: Int = 32): DataFrame = {
+    val byRange = df.repartitionByRange(partitions, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+    val localW = Window.partitionBy("_pid").orderBy(orderCol)
+    // the prefix frame has ≤ `partitions` rows: the unpartitioned
+    // window below is a deliberate single-reducer over that tiny frame
+    val prefixW = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = byRange.groupBy("_pid")
+      .agg(sum(col(valueCol)).as("_psum"))
+      .withColumn("_prefix",
+        coalesce(sum(col("_psum")).over(prefixW), lit(0L)))
+      .select("_pid", "_prefix")
+    byRange.withColumn("_lcum", sum(col(valueCol)).over(localW))
+      .join(broadcast(prefix), "_pid")
+      .withColumn("start_off",
+        col("_prefix") + col("_lcum") - col(valueCol))
+      .drop("_pid", "_lcum")
+  }
+
+  /** Chunk range per document (requires every `n_tokens` ≥ 1, which
+    * whitespace tokenization guarantees — an empty text is one empty
+    * token): `chunk_first`/`chunk_last` index the `budget`-token
+    * windows of the doc_id-ordered concatenation this doc's tokens
+    * land in; `n_chunks` is how many windows it straddles. */
+  def packChunks(docTokens: DataFrame, budget: Long): DataFrame =
+    withRunningOffset(docTokens, "doc_id", "n_tokens")
+      .withColumn("chunk_first",
+        floor(col("start_off") / budget.toDouble).cast("long"))
+      .withColumn("chunk_last",
+        floor((col("start_off") + col("n_tokens") - 1) / budget.toDouble)
+          .cast("long"))
+      .withColumn("n_chunks",
+        col("chunk_last") - col("chunk_first") + 1L)
+}

@@ -114,6 +114,86 @@ object TextQueries extends QueryGroup {
              |FROM documents GROUP BY lang, source
              |ORDER BY lang, source""".stripMargin)),
 
+    // 53 ─────────────── corpus vocabulary top-k: token frequencies,
+    //     the accounting behind tokenizer training and vocab-coverage
+    //     checks. explode → hash-agg (map-side partial sums shrink the
+    //     shuffle to vocab size) → global top-k; ties broken on the
+    //     token so the cutoff row is engine-deterministic.
+    Q("doc_vocab_topk",
+      (s, d) => documents(s, d)
+        .select(explode(words(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20),
+      Some(s"""SELECT token, COUNT(*) AS n
+             |FROM (SELECT unnest($sqlWords) AS token FROM documents)
+             |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
+    // 54 ─────────────── per-source document cap: keep the k
+    //     longest-by-tokens docs per source (per-domain caps are how a
+    //     crawl corpus stops one site from dominating the mix). Skew-
+    //     safe two-stage top-k: a row outside its input partition's
+    //     top-k cannot be in the source's global top-k, so stage 1
+    //     prefilters per (source, partition) and the final per-source
+    //     window sees ≤ k·partitions rows — a hot source never funnels
+    //     its full row set through one reducer.
+    Q("doc_source_cap",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = documents(s, d).select(col("source"), col("doc_id"),
+          size(words(col("text"))).cast(LongType).as("n_words"))
+        val order = Seq(col("n_words").desc, col("doc_id").asc)
+        val byPart = Window.partitionBy(col("source"), col("_pid"))
+          .orderBy(order: _*)
+        val cand = docs.withColumn("_pid", spark_partition_id())
+          .withColumn("_lrk", row_number().over(byPart))
+          .filter(col("_lrk") <= 3).drop("_pid", "_lrk")
+        val bySource = Window.partitionBy("source").orderBy(order: _*)
+        cand.withColumn("rk", row_number().over(bySource).cast(LongType))
+          .filter(col("rk") <= 3)
+          .select("source", "doc_id", "n_words", "rk")
+          .orderBy("source", "doc_id")
+      },
+      Some(s"""SELECT source, doc_id, n_words, rk FROM (
+             |  SELECT source, doc_id,
+             |    CAST(len($sqlWords) AS BIGINT) AS n_words,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY len($sqlWords) DESC, doc_id) AS BIGINT) AS rk
+             |  FROM documents)
+             |WHERE rk <= 3 ORDER BY source, doc_id""".stripMargin)),
+
+    // 55 ─────────────── sequence packing (concat-then-chunk): each
+    //     doc's chunk range in the 256-token windows of the
+    //     doc_id-ordered concatenation — what a dataloader needs to
+    //     slice a packed corpus. The global running offset comes from
+    //     Packing's two-phase scan (parallel per-range cumsum + tiny
+    //     broadcast prefix), NOT a single-reducer global window.
+    Q("doc_pack_chunks",
+      (s, d) => {
+        val toks = documents(s, d).select(col("doc_id"),
+          size(words(col("text"))).cast(LongType).as("n_tokens"))
+        graft.pipeline.Packing.packChunks(toks, 256)
+          .select("doc_id", "n_tokens", "start_off",
+            "chunk_first", "chunk_last", "n_chunks")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+             |    CAST(len($sqlWords) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS BIGINT) AS start_off
+             |  FROM t)
+             |SELECT doc_id, n_tokens, start_off,
+             |  CAST(floor(start_off / 256.0) AS BIGINT) AS chunk_first,
+             |  CAST(floor((start_off + n_tokens - 1) / 256.0) AS BIGINT)
+             |    AS chunk_last,
+             |  CAST(floor((start_off + n_tokens - 1) / 256.0) AS BIGINT)
+             |    - CAST(floor(start_off / 256.0) AS BIGINT) + 1 AS n_chunks
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // 48 ──────────────── language ID: stopword-hit scores per language,
     //     argmax with a fixed tie order (en > de > es > fr > und)
     Q("doc_lang_id",

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Dedup, EmbeddingSearch, TextAnalysis}
+import graft.pipeline.{Dedup, EmbeddingSearch, Packing, TextAnalysis}
 
 /** Invariants of the §2.4 pipeline ops that the DuckDB oracle can't
   * express directly (the oracle checks values; these check the
@@ -253,5 +253,32 @@ class PipelineSpec extends AnyFunSuite {
       val exact = dot / math.sqrt(va.map(x => x * x).sum * vb.map(x => x * x).sum)
       assert(math.abs(c - exact) < 1e-4, s"pair ($a,$b): $c vs $exact")
     }
+  }
+
+  test("packing offsets match the serial scan for ANY partition count") {
+    import spark.implicits._
+    val toks = Seq(1L -> 5L, 2L -> 7L, 3L -> 250L, 4L -> 10L, 5L -> 300L,
+      6L -> 1L, 7L -> 256L).toDF("doc_id", "n_tokens")
+    // serial ground truth: exclusive running sum in doc_id order
+    val serialOff = Map(1L -> 0L, 2L -> 5L, 3L -> 12L, 4L -> 262L,
+      5L -> 272L, 6L -> 572L, 7L -> 573L)
+    for (p <- Seq(1, 3, 16)) {
+      val got = Packing.withRunningOffset(toks, "doc_id", "n_tokens", p)
+        .select("doc_id", "start_off").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == serialOff,
+        s"two-phase offset must be partitioning-independent (p=$p): $got")
+    }
+    // chunk ranges: doc 3 (off 12, 250 toks) ends inside window 1;
+    // doc 5 (off 272, 300 toks) straddles windows 1..2; doc 7 starts
+    // exactly on a window boundary (off 573 -> window 2, 256 toks ->
+    // ends at 828 in window 3)
+    val chunks = Packing.packChunks(toks, 256)
+      .select("doc_id", "chunk_first", "chunk_last", "n_chunks")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(chunks(3L) == ((0L, 1L, 2L)), s"doc3: ${chunks(3L)}")
+    assert(chunks(5L) == ((1L, 2L, 2L)), s"doc5: ${chunks(5L)}")
+    assert(chunks(7L) == ((2L, 3L, 2L)), s"doc7: ${chunks(7L)}")
   }
 }
