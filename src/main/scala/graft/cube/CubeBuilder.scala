@@ -12,7 +12,13 @@ import org.apache.spark.sql.types.TimestampType
 final case class CubeInstance(
     cube: CubeDef,
     root: String,
-    rows: Map[(String, Long), Long]) { // (segmentName, cuboidId) -> rows
+    rows: Map[(String, Long), Long], // (segmentName, cuboidId) -> rows
+    /** cuboids materialized by `optimizeCuboids` AFTER the declared
+      * build (cube-planner phase 2): part of `cube.cuboids` for
+      * routing/building, but excluded from the metadata fingerprint —
+      * lattice evolution must not read as a CubeDef drift that forces
+      * a rebuild */
+    extraCuboids: Seq[Set[String]] = Nil) {
 
   def cuboidPath(seg: String, id: Long): String =
     s"$root/${cube.name}/$seg/cuboid=$id"
@@ -148,7 +154,8 @@ object CubeBuilder {
     val rows = buildSegment(spark, flat, inst.cube, inst.root, seg)
     val segs = (inst.cube.segments :+ seg).sortBy(_.start)
     val next =
-      CubeInstance(inst.cube.copy(segments = segs), inst.root, inst.rows ++ rows)
+      CubeInstance(inst.cube.copy(segments = segs), inst.root,
+        inst.rows ++ rows, inst.extraCuboids)
     CubeMeta.save(spark, next) // the appended segment list is the new truth
     next
   }
@@ -177,7 +184,8 @@ object CubeBuilder {
     fs.delete(live, true)
     fs.rename(tmp, live)
     val rows = stagedRows.map { case ((_, id), n) => (seg.name, id) -> n }
-    val next = CubeInstance(inst.cube, inst.root, inst.rows ++ rows)
+    val next = CubeInstance(inst.cube, inst.root, inst.rows ++ rows,
+      inst.extraCuboids)
     CubeMeta.save(spark, next)
     next
   }
@@ -223,7 +231,7 @@ object CubeBuilder {
       !run.exists(_.name == seg) }
     CubeInstance(
       cube.copy(segments = (kept :+ merged).sortBy(_.start)),
-      inst.root, keptRows ++ rows)
+      inst.root, keptRows ++ rows, inst.extraCuboids)
   }
 
   /** Retention policy (reference: CubeDesc.retentionRange +
@@ -246,8 +254,8 @@ object CubeBuilder {
       require(kept.nonEmpty, "retention must keep at least one segment")
       val keptRows = inst.rows.filter { case ((seg, _), _) =>
         !dropped.exists(_.name == seg) }
-      val next =
-        CubeInstance(inst.cube.copy(segments = kept), inst.root, keptRows)
+      val next = CubeInstance(inst.cube.copy(segments = kept), inst.root,
+        keptRows, inst.extraCuboids)
       CubeMeta.save(spark, next) // publish the shrunken list first…
       val fs = new Path(inst.root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -256,6 +264,67 @@ object CubeBuilder {
       }
       next
     }
+  }
+
+  /** Cube-planner phase 2: materialize ADDITIONAL cuboids onto a LIVE
+    * instance (reference: Kylin's optimize-cube job — the consumer of
+    * CuboidRecommendAlgorithm's output, which adds recommended layouts
+    * to built segments without rebuilding them). Each new cuboid
+    * aggregates from its cheapest already-materialized parent in that
+    * segment — the same layered rule as the initial build, never a
+    * flat-table rescan — so the cost is proportional to the PARENT
+    * cuboid sizes, not the corpus.
+    *
+    * Queries keep serving throughout: existing cuboid dirs are
+    * untouched, the new dirs land before the metadata commit flips
+    * the widened lattice, and a crash in between leaves orphan dirs a
+    * re-run overwrites. The added cuboids ride `extraCuboids` in the
+    * metadata (outside the CubeDef fingerprint), so a restarted
+    * process loads the evolved lattice instead of reading the
+    * evolution as def drift and rebuilding. Cuboids already declared,
+    * not a subset of the dims, or empty are skipped; when nothing
+    * remains the instance is returned unchanged (idempotent). */
+  def optimizeCuboids(spark: SparkSession, inst: CubeInstance,
+                      add: Seq[Set[String]]): CubeInstance = {
+    val cube = inst.cube
+    val existing = cube.cuboids.toSet
+    val fresh = add.distinct.filter(c =>
+      c.nonEmpty && c.subsetOf(cube.dims.toSet) && !existing.contains(c))
+    if (fresh.isEmpty) return inst
+    val reAggs = cube.measures.map(m => m.fromState(m.stateCol).as(m.stateCol))
+    var rows = inst.rows
+    // segments are independent — optimize them as concurrent job
+    // groups, like build does
+    val segRows = awaitAll(cube.segments.map(seg => () => {
+      var built = cube.cuboids.map(c => {
+        val id = cube.cuboidId(c)
+        (c, id, inst.rows.getOrElse((seg.name, id), 0L))
+      }).toList
+      var mine = Map.empty[(String, Long), Long]
+      // widest first, so an added cuboid can parent a narrower one
+      fresh.sortBy(c => (-c.size, cube.cuboidId(c))).foreach { c =>
+        val id = cube.cuboidId(c)
+        val dimCols = cube.cuboidDims(c).map(col)
+        val (_, pId, _) = built.filter(b => c.subsetOf(b._1))
+          .minBy(b => (b._3, b._1.size))
+        val df = spark.read.parquet(inst.cuboidPath(seg.name, pId))
+          .groupBy(dimCols: _*).agg(reAggs.head, reAggs.tail: _*)
+        val obs = Observation()
+        val n = timed("optimize", s"${cube.name}/${seg.name}/$id(${c.size}d)") {
+          writeCuboid(cube, c,
+            df.observe(obs, count(lit(1)).as("n")),
+            inst.cuboidPath(seg.name, id), obs)
+        }
+        built ::= (c, id, n)
+        mine += (seg.name, id) -> n
+      }
+      mine
+    }))
+    segRows.foreach(rows ++= _)
+    val next = CubeInstance(cube.copy(cuboids = cube.cuboids ++ fresh),
+      inst.root, rows, inst.extraCuboids ++ fresh)
+    CubeMeta.save(spark, next) // commit the widened lattice LAST
+    next
   }
 
   /** Auto-merge policy (reference: CubeDesc auto-merge thresholds +

@@ -40,7 +40,11 @@ object CubeMeta {
   private final case class RowJson(segment: String, cuboid: Long, rows: Long)
   private final case class MetaJson(cube: String, fingerprint: String,
       buildId: String, baseBuildId: Option[String],
-      segments: Seq[SegJson], rows: Seq[RowJson])
+      segments: Seq[SegJson], rows: Seq[RowJson],
+      /** post-build lattice evolution (optimizeCuboids): dim-name
+        * lists of the added cuboids, OUTSIDE the fingerprint — a
+        * metadata fact, not part of the declared CubeDef */
+      extraCuboids: Option[Seq[Seq[String]]] = None)
 
   private implicit val fmts: DefaultFormats = DefaultFormats
 
@@ -77,11 +81,18 @@ object CubeMeta {
            file: String = MetaFile,
            baseBuildId: Option[String] = None): String = {
     val buildId = java.util.UUID.randomUUID().toString
-    val meta = MetaJson(inst.cube.name, fingerprint(inst.cube), buildId,
+    // fingerprint the DECLARED def: cuboids added by optimizeCuboids
+    // live in extraCuboids and must not read as def drift on load
+    val declared = inst.cube.copy(cuboids =
+      inst.cube.cuboids.filterNot(inst.extraCuboids.toSet))
+    val meta = MetaJson(inst.cube.name, fingerprint(declared), buildId,
       baseBuildId,
       inst.cube.segments.map(s => SegJson(s.name, s.start, s.end)),
       inst.rows.toSeq.sortBy(r => (r._1._1, r._1._2))
-        .map { case ((seg, id), n) => RowJson(seg, id, n) })
+        .map { case ((seg, id), n) => RowJson(seg, id, n) },
+      extraCuboids =
+        if (inst.extraCuboids.isEmpty) None
+        else Some(inst.extraCuboids.map(_.toSeq.sorted)))
     val p = metaPath(inst.root, inst.cube.name, file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // write-then-rename: readers never observe a torn meta file
@@ -154,8 +165,17 @@ object CubeMeta {
             || meta.segments.isEmpty) None
         else {
           val segs = meta.segments.map(s => Segment(s.name, s.start, s.end))
-          val inst = CubeInstance(cube.copy(segments = segs), root,
-            meta.rows.map(r => (r.segment, r.cuboid) -> r.rows).toMap)
+          // re-attach the evolved lattice: cuboids optimizeCuboids
+          // materialized after the declared build (metadata-only — the
+          // fingerprint above compared the DECLARED def)
+          val extras = meta.extraCuboids.getOrElse(Nil).map(_.toSet)
+            .filter(c => c.nonEmpty && c.subsetOf(cube.dims.toSet) &&
+              !cube.cuboids.contains(c))
+          val inst = CubeInstance(
+            cube.copy(segments = segs, cuboids = cube.cuboids ++ extras),
+            root,
+            meta.rows.map(r => (r.segment, r.cuboid) -> r.rows).toMap,
+            extras)
           // spot-check the layout the meta points at: the base cuboid
           // of every segment plus one snapshot per derived-dim lookup
           // (O(n) metadata calls, once per process)

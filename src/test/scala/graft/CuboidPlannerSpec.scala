@@ -80,6 +80,66 @@ class CuboidPlannerSpec extends AnyFunSuite {
     assert(picked2.contains(Set("l_returnflag")))
   }
 
+  test("optimizeCuboids materializes a recommended cuboid on live " +
+      "segments, routes onto it, and survives reload") {
+    // cube-planner phase 2 end to end: a usage-logged shape missing
+    // from the declared lattice gets materialized onto the BUILT
+    // instance (from each segment's cheapest parent, no flat rescan),
+    // the router immediately serves it, and a restarted process loads
+    // the evolved lattice instead of reading it as def drift
+    val flat = CubeManager.flatTable(spark, sf)
+    val root = Files.createTempDirectory("graft-optimize").toString
+    val cube = CubeManager.defaultCube.copy(
+      measures = Seq(
+        Measure("revenue", fromRaw = sum(col("disc_price")),
+          fromState = s => sum(col(s)), present = _.cast("double")),
+        Measure("nrows", fromRaw = count(lit(1)),
+          fromState = s => sum(col(s)))),
+      shardBy = None, derived = Nil, extended = Nil)
+    val inst = CubeBuilder.build(spark, flat, cube, root)
+
+    val extra = Set("n_name", "o_month")
+    assert(!cube.cuboids.contains(extra), "fixture: must not be declared")
+    val next = CubeBuilder.optimizeCuboids(spark, inst, Seq(extra))
+    assert(next.extraCuboids == Seq(extra))
+    val id = cube.cuboidId(extra)
+    cube.segments.foreach(s =>
+      assert(new java.io.File(next.cuboidPath(s.name, id)).exists(),
+        s"optimize must materialize cuboid $id into ${s.name}"))
+
+    def check(i: CubeInstance): Unit = {
+      val r = QueryRouter.route(spark, i,
+        CubeQuery(Seq("n_name", "o_month"), Seq("revenue" -> "rev")))(
+        fail("expected cuboid route"))
+      assert(r.cuboid.contains(extra),
+        s"router must pick the optimized cuboid, got ${r.cuboid}")
+      val got = r.df.collect().map(x => (x.getAs[String]("n_name"),
+        x.getAs[String]("o_month")) -> x.getAs[Double]("rev")).toMap
+      val want = flat.groupBy("n_name", "o_month")
+        .agg(sum(col("disc_price")).cast("double").as("rev"))
+        .collect().map(x => (x.getString(0), x.getString(1))
+          -> x.getDouble(2)).toMap
+      assert(got == want && want.nonEmpty)
+    }
+    check(next)
+
+    // simulated restart: the evolved lattice loads from metadata
+    val loaded = CubeMeta.load(spark, cube, root)
+    assert(loaded.nonEmpty, "evolution must not invalidate the meta")
+    assert(loaded.get.inst.cube.cuboids.contains(extra) &&
+      loaded.get.inst.extraCuboids == Seq(extra))
+    check(loaded.get.inst)
+
+    // idempotent: re-adding the same cuboid is a no-op
+    assert(CubeBuilder.optimizeCuboids(spark, next, Seq(extra)) == next)
+
+    // lifecycle ops carry the evolved lattice: a full merge builds the
+    // extra cuboid into the merged segment too
+    val merged = CubeBuilder.mergeSegments(spark, next, "m-all")
+    assert(new java.io.File(merged.cuboidPath("m-all", id)).exists())
+    assert(merged.extraCuboids == Seq(extra))
+  }
+
   test("recommended lattice answers every logged bench shape without fallback") {
     val cube0 = CubeManager.defaultCube
     val base = cube0.dims.toSet
