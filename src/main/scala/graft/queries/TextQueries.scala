@@ -163,6 +163,45 @@ object TextQueries extends QueryGroup {
              |  FROM documents)
              |WHERE rk <= 3 ORDER BY source, doc_id""".stripMargin)),
 
+    // 56 ─────────────── per-doc characteristic terms: rank each doc's
+    //     tokens by tf/df (term frequency over corpus doc-frequency —
+    //     keyword extraction for corpus exploration/labeling). The df
+    //     side is vocab-sized (AQE broadcast-joins it when small); the
+    //     per-doc window partitions are one doc's distinct tokens, so
+    //     no skewed reducer. score = tf/df is one IEEE division —
+    //     correctly rounded in both engines, hash-exact.
+    Q("doc_top_terms",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = documents(s, d)
+          .select(col("doc_id"), explode(words(col("text"))).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("token")
+          .agg(count(lit(1)).as("df")) // tf rows are distinct per doc
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("token"))
+        tf.join(dfreq, "token")
+          .withColumn("score", col("tf").cast(DoubleType) / col("df"))
+          .withColumn("rk", row_number().over(w).cast(LongType))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "token", "tf", "df", "score", "rk")
+          .orderBy("doc_id", "rk")
+      },
+      Some(s"""WITH tf AS (
+             |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+             |    SELECT doc_id, unnest($sqlWords) AS token
+             |    FROM documents) GROUP BY doc_id, token),
+             |dfreq AS (SELECT token, COUNT(*) AS df FROM tf
+             |  GROUP BY token),
+             |r AS (SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+             |    CAST(tf.tf AS DOUBLE) / dfreq.df AS score,
+             |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY CAST(tf.tf AS DOUBLE) / dfreq.df DESC,
+             |        tf.token) AS BIGINT) AS rk
+             |  FROM tf JOIN dfreq USING (token))
+             |SELECT doc_id, token, tf, df, score, rk FROM r
+             |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
     // 55 ─────────────── sequence packing (concat-then-chunk): each
     //     doc's chunk range in the 256-token windows of the
     //     doc_id-ordered concatenation — what a dataloader needs to

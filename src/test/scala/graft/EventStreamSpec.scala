@@ -23,6 +23,9 @@ case class KafkaRec(key: Array[Byte], value: Array[Byte], topic: String,
 case class DedupEv(event_id: Long, ts: Timestamp, event_type: String,
                    value: Double)
 
+/** document record for the streaming ingest-QC spec */
+case class StreamDoc(doc_id: Long, text: String)
+
 /** The genuinely-streaming half of SURVEY §2.3: the same tumbling agg
   * the batch oracle checks, driven through MemoryStream with a real
   * watermark, plus the flatMapGroupsWithState sessionizer. */
@@ -157,6 +160,41 @@ class EventStreamSpec extends AnyFunSuite {
       s"$dir/hot", s"$dir/hot-ckpt").awaitTermination()
     assert(lambda() == Set((ts(0), 1L, 1.00), (ts(6), 3L, 14.00)),
       s"post-compaction updates must land, got ${lambda()}")
+  }
+
+  test("pipeline QC columns run unchanged on an unbounded stream " +
+      "(ingest-time corpus QC)") {
+    // a training-data ingest pipeline filters AT THE STREAM: every
+    // TextAnalysis column (token count, fingerprint, PII count,
+    // scrubbing) is a pure per-row expression — no agg, no shuffle —
+    // so the exact projection the batch oracle checks also types as an
+    // unbounded streaming plan, batch-equivalently
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val rows = Seq(
+      StreamDoc(1L, "alpha beta gamma alpha"),
+      StreamDoc(2L, "contact me at bob@example.com now"),
+      StreamDoc(3L, "the quick brown fox"))
+    def qc(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      size(TextAnalysis.words(col("text"))).cast("long").as("n_words"),
+      TextAnalysis.fingerprint64(col("text")).as("fp64"),
+      TextAnalysis.piiCount(col("text")).as("n_pii"),
+      TextAnalysis.scrubPii(col("text")).as("clean"))
+    val ms = MemoryStream[StreamDoc]
+    ms.addData(rows: _*)
+    val got = scala.collection.mutable.Set.empty[org.apache.spark.sql.Row]
+    ms.toDF().transform(qc).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.collect(); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val want = qc(rows.toDF()).collect().toSet
+    assert(got.toSet == want && want.size == 3,
+      s"stream QC must equal batch QC: $got vs $want")
+    // and the PII doc was actually scrubbed in-stream
+    assert(got.exists(r => r.getAs[String]("clean").contains("<EMAIL>")))
   }
 
   test("compactHot with every hot window sealed leaves a readable hot " +
