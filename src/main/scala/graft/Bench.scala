@@ -75,6 +75,8 @@ object Bench {
       // long-running query server should size this to its distinct
       // plan count (static conf — must precede the first session).
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // acceleration rule available (off unless spark.graft.accelerate)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

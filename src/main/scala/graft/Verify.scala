@@ -16,6 +16,8 @@ object Verify {
       // size the JVM-wide generated-class cache to the 105-query
       // workload (default 100 entries thrashes — see Bench.scala)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // acceleration rule available (off unless spark.graft.accelerate)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -306,7 +306,7 @@ object GraftSql {
   /** register every cube view + the intersect_count SQL function (once
     * per session while the sfDir stays the same — re-analysis per query
     * is wasted work at high QPS) */
-  def registerViews(spark: SparkSession, sfDir: String): Unit =
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
     if (!viewsRegistered.get(spark).contains(sfDir)) synchronized {
       if (!viewsRegistered.get(spark).contains(sfDir)) {
         bindings.foreach { b =>
@@ -319,6 +319,12 @@ object GraftSql {
         viewsRegistered.put(spark, sfDir)
       }
     }
+    activeDir = Some(sfDir) // the dir the acceleration rule routes against
+  }
+
+  /** last registered data dir — what `accelerate` (the
+    * SparkSessionExtensions rule's entry) resolves realizations with */
+  @volatile private var activeDir: Option[String] = None
 
   /** back-compat: the default star view only */
   def registerView(spark: SparkSession, sfDir: String): Unit =
@@ -640,7 +646,58 @@ object GraftSql {
     * matches a supported shape, else fall back to Spark's own result. */
   def sqlVia(spark: SparkSession, sfDir: String, query: String): SqlResult = {
     registerViews(spark, sfDir)
-    val df = spark.sql(query)
+    routeFrame(spark, sfDir, spark.sql(query))
+  }
+
+  /** SparkSessionExtensions entry (graft.plans.GraftExtensions installs
+    * it as a post-hoc resolution rule): transparently swap a plain
+    * `spark.sql(...)` plan for its routed equivalent. Opt-in via the
+    * runtime conf `spark.graft.accelerate=true` AFTER `registerViews`
+    * has bound the views; refuses (returns None, leaving the plan
+    * untouched) whenever the route fails, the routed schema's
+    * name/type signature differs from the original plan's, or the rule
+    * re-enters from a frame the routing itself is building. */
+  def accelerate(spark: SparkSession,
+                 plan: LogicalPlan): Option[LogicalPlan] = {
+    if (accelerating.get()) return None
+    if (!plan.resolved) return None
+    if (spark.conf.get("spark.graft.accelerate", "false") != "true")
+      return None
+    val dir = activeDir.getOrElse(return None)
+    // touch only plans that actually read a registered cube view
+    val touchesView = plan.exists {
+      case v: View => bindings.exists(_.view == v.desc.identifier.table)
+      case _ => false
+    }
+    if (!touchesView) return None
+    accelerating.set(true)
+    try {
+      val df = org.apache.spark.sql.graftbridge.DatasetBridge
+        .ofRows(spark, plan)
+      val r = routeFrame(spark, dir, df)
+      if (!r.routed) None
+      else {
+        val routedPlan = r.df.queryExecution.analyzed
+        // identical name/type signature (nullability free to differ):
+        // a type-changing swap would alter what the user's query
+        // declares — refuse and serve the plain plan instead
+        val sig = (s: org.apache.spark.sql.types.StructType) =>
+          s.fields.toSeq.map(f => (f.name, f.dataType))
+        if (sig(routedPlan.schema) == sig(plan.schema)) Some(routedPlan)
+        else None
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally accelerating.set(false)
+  }
+
+  private val accelerating: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  /** Route an already-analyzed frame — the shared body of `sqlVia`
+    * and `accelerate`. */
+  private def routeFrame(spark: SparkSession, sfDir: String,
+                         df: DataFrame): SqlResult = {
 
     // a registered cube view — or a user-written join tree matching a
     // binding's declared star model (Kylin's OLAPJoinRule: explicit

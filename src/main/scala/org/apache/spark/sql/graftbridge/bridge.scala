@@ -18,3 +18,14 @@ object ColumnBridge {
   def expressionTree(c: Column): Expression =
     ColumnNodeToExpressionConverter(c.node)
 }
+
+/** LogicalPlan → DataFrame (Dataset.ofRows went private[sql] too) —
+  * the acceleration rule re-wraps the plan it was handed so the
+  * routing machinery can analyze/execute it as an ordinary frame. */
+object DatasetBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+    : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

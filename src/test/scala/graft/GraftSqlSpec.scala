@@ -11,6 +11,46 @@ import graft.functions.Measures
 class GraftSqlSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("plain spark.sql accelerates through the cube via " +
+      "SparkSessionExtensions (no sqlVia call)") {
+    GraftSql.registerViews(spark, sf)
+    val q =
+      """SELECT n_name, count(*) AS n, min(l_quantity) AS min_qty
+        |FROM graft_star WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin
+    // un-accelerated: the view's raw star scan, no cuboids
+    val plain = spark.sql(q)
+    assert(!plain.inputFiles.exists(_.contains("cuboid=")))
+    val want = plain.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.conf.set("spark.graft.accelerate", "true")
+    try {
+      val acc = spark.sql(q)
+      assert(acc.inputFiles.exists(_.contains("cuboid=")),
+        s"accelerated plan must read cuboid parquet, got " +
+          acc.inputFiles.take(3).mkString(", "))
+      assert(!acc.inputFiles.exists(_.contains("lineitem")),
+        "accelerated plan must not rescan the fact table")
+      val got = acc.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want && got.nonEmpty)
+      // a shape the router refuses (FILTER clause) stays untouched —
+      // same plan, raw scan
+      val fb = spark.sql(
+        """SELECT o_orderstatus,
+          |  sum(disc_price) FILTER (WHERE l_returnflag = 'R') AS x
+          |FROM graft_star GROUP BY o_orderstatus""".stripMargin)
+      assert(!fb.inputFiles.exists(_.contains("cuboid=")))
+      // a type-changing swap is refused: sum(decimal) routes to a
+      // double-presented measure, so this query must keep its plain
+      // plan (and its decimal schema) rather than change types
+      val dec = spark.sql(
+        """SELECT n_name, sum(disc_price) AS revenue FROM graft_star
+          |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin)
+      assert(dec.schema("revenue").dataType.typeName.startsWith("decimal"))
+      assert(!dec.inputFiles.exists(_.contains("cuboid=")))
+    } finally spark.conf.set("spark.graft.accelerate", "false")
+  }
+
   test("filtered aggregates fall back instead of dropping the FILTER") {
     val r = GraftSql.sqlVia(spark, sf,
       """SELECT o_orderstatus,

@@ -12,6 +12,10 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // transparent-acceleration rule installed suite-wide but gated
+      // off by default (spark.graft.accelerate) — only the
+      // acceleration spec flips it on, around its own assertions
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
