@@ -664,9 +664,13 @@ object GraftSql {
     if (spark.conf.get("spark.graft.accelerate", "false") != "true")
       return None
     val dir = activeDir.getOrElse(return None)
-    // touch only plans that actually read a registered cube view
+    // touch only plans that read a registered cube view OR one of a
+    // binding's raw star tables (explicit model-join SQL routes via
+    // ModelMatcher without ever referencing the pre-joined view)
+    val routable: Set[String] =
+      bindings.map(_.view).toSet ++ bindings.flatMap(_.rawTables)
     val touchesView = plan.exists {
-      case v: View => bindings.exists(_.view == v.desc.identifier.table)
+      case v: View => routable.contains(v.desc.identifier.table)
       case _ => false
     }
     if (!touchesView) return None

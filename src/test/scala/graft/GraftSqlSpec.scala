@@ -48,6 +48,16 @@ class GraftSqlSpec extends AnyFunSuite {
           |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin)
       assert(dec.schema("revenue").dataType.typeName.startsWith("decimal"))
       assert(!dec.inputFiles.exists(_.contains("cuboid=")))
+      // explicit model-join SQL (no graft_star reference at all)
+      // accelerates through ModelMatcher the same way
+      val mj = spark.sql(
+        """SELECT n_name, count(*) AS n FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name""".stripMargin)
+      assert(mj.inputFiles.exists(_.contains("cuboid=")),
+        "model-join SQL must accelerate too")
     } finally spark.conf.set("spark.graft.accelerate", "false")
   }
 
