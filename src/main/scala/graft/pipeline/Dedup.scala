@@ -132,24 +132,85 @@ object Dedup {
     hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** candidate pairs from banded signatures: docs agreeing on all r
-    * rows of any band share a bucket; the bucket join is an equi-join
-    * on (band, key). P(candidate | J=0.9) ≈ 1 − 4e-8. */
-  def minhashCandidates(rows: DataFrame): DataFrame = {
-    val sig = minhashSignatures(rows)
+  /** (doc_id, band, key) bucket rows from signature columns — the
+    * unit both the self-join candidacy and the persisted signature
+    * store share */
+  def bandedBuckets(sig: DataFrame): DataFrame = {
     val bandKeys = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (b * BandRows until (b + 1) * BandRows)
           .map(j => col(s"mh$j")): _*).as("key"))
     }
-    val buckets = sig
-      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+  }
+
+  /** candidate pairs from banded signatures: docs agreeing on all r
+    * rows of any band share a bucket; the bucket join is an equi-join
+    * on (band, key). P(candidate | J=0.9) ≈ 1 − 4e-8. */
+  def minhashCandidates(rows: DataFrame): DataFrame = {
+    val buckets = bandedBuckets(minhashSignatures(rows))
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+  }
+
+  // ── Incremental near-dup vs a persisted signature store ──────────
+
+  /** The production ingest shape of #42 (batch-vs-corpus instead of
+    * corpus-vs-itself): the corpus's banded buckets, shingle sets, and
+    * set sizes persist ONCE under `path`; each day's batch hashes only
+    * itself — corpus text is never re-read, re-shingled, or re-hashed.
+    * Store size is O(corpus shingles), the same order as the inverted
+    * index #44 rebuilds per run; persisting shingle STRINGS keeps the
+    * exact-verify oracle-identical (a production store can keep h60
+    * hashes instead, trading a ~2⁻⁶¹ collision for ~8× less space).
+    * `append = true` admits a verified batch, so tomorrow's ingest
+    * dedups against it too. */
+  def persistSignatureStore(docs: DataFrame, path: String,
+                            append: Boolean = false)
+                           (implicit spark: SparkSession): Unit = {
+    val mode = if (append) "append" else "overwrite"
+    val rows = cachedShingleRows(docs)
+    bandedBuckets(minhashSignatures(rows))
+      .write.mode(mode).parquet(s"$path/buckets")
+    rows.write.mode(mode).parquet(s"$path/shingles")
+    shingleSizes(rows).write.mode(mode).parquet(s"$path/sizes")
+  }
+
+  /** Near-dup pairs (store id_a, batch id_b) at `minJaccard`: the
+    * batch's buckets BROADCAST against the store's bucket table (one
+    * store scan, no corpus-sized shuffle), candidates exact-verified
+    * by shingle intersection — store shingles joined to the broadcast
+    * batch shingles. Wall cost scales with the batch; the corpus
+    * contributes sequential scans only. */
+  def incrementalDupPairs(batch: DataFrame, storePath: String,
+                          minJaccard: Double)
+                         (implicit spark: SparkSession): DataFrame = {
+    val bRows = cachedShingleRows(batch)
+    val bBuckets = bandedBuckets(minhashSignatures(bRows))
+    val cand = spark.read.parquet(s"$storePath/buckets").as("c")
+      .join(broadcast(bBuckets).as("n"),
+        col("c.band") === col("n.band") && col("c.key") === col("n.key") &&
+          col("c.doc_id") =!= col("n.doc_id"))
+      .select(col("c.doc_id").as("id_a"), col("n.doc_id").as("id_b"))
+      .distinct()
+    val inter = spark.read.parquet(s"$storePath/shingles").as("a")
+      .join(broadcast(bRows).as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("x"))
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
+    inter
+      .join(spark.read.parquet(s"$storePath/sizes")
+        .select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(shingleSizes(bRows)
+        .select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccardCol.as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** MinHash-LSH near-dup pairs, exact-verified at `minJaccard` */

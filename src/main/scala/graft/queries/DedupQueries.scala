@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
+
 import graft.Tables._
 import graft.pipeline.Dedup
 
@@ -55,6 +57,39 @@ object DedupQueries extends QueryGroup {
         Dedup.minhashDupPairs(documents(s, d), 0.8).orderBy("id_a", "id_b")
       },
       Some(jaccardSql("0.8"))),
+
+    // 42d ─────────────── incremental ingest dedup: the new batch
+    //     (doc_id % 10 = 0) against the persisted corpus signature
+    //     store — batch buckets BROADCAST onto the store's bucket
+    //     table, candidates exact-verified by shingle intersection.
+    //     Corpus text is never re-read/re-hashed; wall cost scales
+    //     with the batch. The daily-ingest shape of #42 at 100 TB.
+    Q("doc_incremental_dedup",
+      (s, d) => {
+        implicit val spark = s
+        val docs = documents(s, d)
+        val store = "target/graft-sigstore/" +
+          d.replaceAll("/+$", "").split('/').last
+        Dedup.persistSignatureStore(
+          docs.filter(col("doc_id") % 10 =!= 0), store)
+        Dedup.incrementalDupPairs(
+          docs.filter(col("doc_id") % 10 === 0), store, 0.8)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""$shingleCte,
+             |sizes AS (SELECT doc_id, len(sh) AS n FROM shl),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS x
+             |  FROM shx a JOIN shx b ON a.s = b.s
+             |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  ROUND(CAST(x AS DOUBLE) / (sa.n + sb.n - x), 4) AS jaccard
+             |FROM inter
+             |JOIN sizes sa ON id_a = sa.doc_id
+             |JOIN sizes sb ON id_b = sb.doc_id
+             |WHERE ROUND(CAST(x AS DOUBLE) / (sa.n + sb.n - x), 4) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // 43 ──────────────── SimHash 60-bit, 10×6-bit chunk buckets,
     //     hamming ≤ 9 (banding provably lossless at this threshold)

@@ -255,6 +255,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("signature store: append admits a batch and the next ingest " +
+      "dedups against both corpus and admitted docs") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-sig")
+      .toString + "/sig"
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    Dedup.persistSignatureStore(corpus, store)
+    // ingest 1: a dup of corpus doc 1 — detected, then ADMITTED
+    val b1 = Seq((10L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val p1 = Dedup.incrementalDupPairs(b1, store, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == Set((1L, 10L)), s"got $p1")
+    Dedup.persistSignatureStore(b1, store, append = true)
+    // ingest 2: same content again — found against BOTH the original
+    // corpus doc and yesterday's admitted batch doc
+    val b2 = Seq((20L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val p2 = Dedup.incrementalDupPairs(b2, store, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 == Set((1L, 20L), (10L, 20L)), s"got $p2")
+  }
+
   test("packing offsets match the serial scan for ANY partition count") {
     import spark.implicits._
     val toks = Seq(1L -> 5L, 2L -> 7L, 3L -> 250L, 4L -> 10L, 5L -> 300L,
