@@ -15,37 +15,50 @@ import org.apache.spark.sql.functions._
   * `Window.orderBy(doc_id)` cumsum moves the whole corpus through one
   * reducer. This uses the classic two-phase scan instead:
   *
-  *  1. range-partition by the order key; per-partition cumsum runs in
-  *     parallel (each range partition is one window group);
-  *  2. per-partition token totals — a PARTITIONS-sized frame — get
-  *     their own tiny cumsum (single reducer over ~10² rows, not 10¹²)
-  *     and broadcast back as each partition's starting offset.
+  *  1. split the order key's [min, max] span into `partitions` value
+  *     ranges; per-range cumsum runs in parallel (each range is one
+  *     window group);
+  *  2. per-range token totals — a PARTITIONS-sized frame — get their
+  *     own tiny cumsum (single reducer over ~10² rows, not 10¹²) and
+  *     broadcast back as each range's starting offset.
   *
-  * The result is partitioning-independent: local cumsum + partition
-  * prefix reconstructs the exact serial offset whatever the range
-  * boundaries were, so the output is deterministic even though range
-  * partitioning samples. */
+  * The range id is ARITHMETIC (floor over the key's span, one tiny
+  * min/max agg broadcast back), not `repartitionByRange`: the sampled
+  * range partitioner seeds its boundaries per RDD instantiation, so a
+  * plan referencing the partitioned frame from two join branches
+  * could assign a row two different partition ids unless the exchange
+  * happens to be reused — a value-derived id is a pure function of
+  * the row and cannot disagree with itself. Sparse/skewed keys cost
+  * only range imbalance (documented), never correctness. */
 object Packing {
 
   /** `start_off` per row: the sum of `valueCol` over all rows with a
-    * smaller `orderCol` (the exclusive running total). One extra
-    * shuffle vs a naive global window, but every corpus-sized step is
-    * parallel. */
+    * smaller `orderCol` (the exclusive running total; `orderCol` must
+    * be a numeric key, unique per row — doc ids). Two corpus-sized
+    * parallel stages + one tiny prefix job; nothing corpus-sized
+    * funnels through one reducer. */
   def withRunningOffset(df: DataFrame, orderCol: String, valueCol: String,
                         partitions: Int = 32): DataFrame = {
-    val byRange = df.repartitionByRange(partitions, col(orderCol))
-      .withColumn("_pid", spark_partition_id())
+    // one column-pruned scan for the key span, broadcast back — the
+    // value-range split this derives is deterministic by construction
+    val stats = df.agg(min(col(orderCol)).cast("long").as("_lo"),
+      max(col(orderCol)).cast("long").as("_hi"))
+    val withPid = df.crossJoin(broadcast(stats))
+      .withColumn("_pid",
+        floor((col(orderCol).cast("long") - col("_lo")) * partitions /
+          (col("_hi") - col("_lo") + 1)).cast("int"))
+      .drop("_lo", "_hi")
     val localW = Window.partitionBy("_pid").orderBy(orderCol)
     // the prefix frame has ≤ `partitions` rows: the unpartitioned
     // window below is a deliberate single-reducer over that tiny frame
     val prefixW = Window.orderBy("_pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prefix = byRange.groupBy("_pid")
+    val prefix = withPid.groupBy("_pid")
       .agg(sum(col(valueCol)).as("_psum"))
       .withColumn("_prefix",
         coalesce(sum(col("_psum")).over(prefixW), lit(0L)))
       .select("_pid", "_prefix")
-    byRange.withColumn("_lcum", sum(col(valueCol)).over(localW))
+    withPid.withColumn("_lcum", sum(col(valueCol)).over(localW))
       .join(broadcast(prefix), "_pid")
       .withColumn("start_off",
         col("_prefix") + col("_lcum") - col(valueCol))
