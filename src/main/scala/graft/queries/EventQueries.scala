@@ -86,6 +86,39 @@ object EventQueries extends QueryGroup {
              |FROM s GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // 38b ─────────────── native session windows: Spark's built-in
+    //     session_window (the streaming-capable form — the same
+    //     groupBy runs under a watermark in append mode, state scoped
+    //     to open sessions). Semantics differ from the lag formulation
+    //     at the exact boundary: session_window OPENS a new session at
+    //     gap ≥ 1h (window is [start, last+gap)), where #38's lag test
+    //     splits only at gap > 1h — the oracle replays the ≥ form.
+    Q("ev_session_window",
+      (s, d) => events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH x AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN LAG(ts) OVER w IS NULL
+             |         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+             |            >= 3600000000 THEN 1 ELSE 0 END AS ns
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM x)
+             |SELECT user_id, MIN(ts) AS session_start,
+             |  MAX(ts) + INTERVAL 1 HOUR AS session_end,
+             |  COUNT(*) AS n_events
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // 39 ──────────────── streaming-equivalent windowed agg: the SAME
     //     function the streaming cube runs (watermark is a no-op on
     //     batch), oracle-checked here, MemoryStream-checked in the spec
