@@ -162,6 +162,48 @@ class EventStreamSpec extends AnyFunSuite {
       s"post-compaction updates must land, got ${lambda()}")
   }
 
+  test("session_window streams: watermark-closed sessions emit in " +
+      "append mode and match the batch answer") {
+    // pins the "streaming-capable" claim behind ev_session_window: the
+    // SAME groupBy(user, session_window) aggregation runs unbounded
+    // with a watermark, emitting a session once no event inside the
+    // lateness bound can extend it
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[DedupEv]
+    val evs = Seq(
+      DedupEv(1L, ts(0.0), "click", 1.0),
+      DedupEv(2L, ts(0.5), "click", 1.0),   // same session (gap 0.5h)
+      DedupEv(3L, ts(2.0), "click", 1.0),   // new session (gap 1.5h)
+      DedupEv(4L, ts(30.0), "click", 1.0))  // watermark pusher (keeps
+                                            // its own session open)
+    ms.addData(evs: _*)
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"), session_window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("w.start").as("session_start"),
+        col("n_events"))
+    val got = scala.collection.mutable.Set.empty[(Timestamp, Long)]
+    sessions(ms.toDF().withWatermark("ts", "2 hours")).writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.collect().map(r =>
+          (r.getAs[Timestamp]("session_start"), r.getAs[Long]("n_events")))
+        ()
+      }
+      .start().awaitTermination()
+    // watermark 30h-2h=28h closes the first two sessions; the 30h
+    // event's session stays open (no emission)
+    assert(got == Set((ts(0.0), 2L), (ts(2.0), 1L)),
+      s"closed sessions must match the batch grouping, got $got")
+    // and the batch run of the SAME function agrees on those sessions
+    val batch = sessions(evs.toDF()).collect()
+      .map(r => (r.getAs[Timestamp]("session_start"),
+        r.getAs[Long]("n_events"))).toSet
+    assert(got.subsetOf(batch), s"batch: $batch")
+  }
+
   test("pipeline QC columns run unchanged on an unbounded stream " +
       "(ingest-time corpus QC)") {
     // a training-data ingest pipeline filters AT THE STREAM: every
