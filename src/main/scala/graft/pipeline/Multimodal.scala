@@ -42,6 +42,16 @@ object Multimodal {
         media.take(64).foldLeft(0L)((acc, b) => acc + (b & 0xff))
       (frames, width, height, checksum)
     }
+
+    /** unsigned-byte sum over one frame's slice (the per-frame
+      * stand-in for a decoded-frame digest) */
+    def frameChecksum(media: Array[Byte], off: Int, len: Int): Long = {
+      var acc = 0L
+      var i = off
+      val end = off + len
+      while (i < end) { acc += (media(i) & 0xff); i += 1 }
+      acc
+    }
   }
 
   /** per-partition feature extraction: decoder opened once per
@@ -55,6 +65,41 @@ object Multimodal {
       it.map { r =>
         val (frames, w, h, sum) = decoder.decode(r.media)
         MediaFeatures(r.doc_id, r.media.length.toLong, frames, w, h, sum)
+      }
+    }
+  }
+
+  /** one row per SAMPLED frame (the doc → rows explosion a video
+    * pipeline feeds to per-frame featurizers) */
+  final case class FrameRow(doc_id: Long, frame_idx: Long, frame_off: Long,
+                            frame_len: Long, checksum: Long)
+
+  val MaxSampledFrames = 4L
+
+  /** Frame sampling: decode each media object's frame sequence and
+    * keep an evenly-strided sample of at most `MaxSampledFrames`
+    * frames. Output is ROWS, so downstream per-frame work (embedding,
+    * OCR, filtering) parallelizes past the per-document boundary —
+    * a long video stops pinning one task. Same per-partition decoder
+    * lifecycle as `extractFeatures`; the stub "frame" is a 256-byte
+    * chunk and its checksum an unsigned-byte sum (a real deployment
+    * swaps StubDecoder only). */
+  def sampleFrames(media: Dataset[MediaRow])
+                  (implicit spark: SparkSession): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val decoder = new StubDecoder
+      it.flatMap { r =>
+        val n = r.media.length.toLong
+        val frames = (n + FrameBytes - 1) / FrameBytes
+        val stride =
+          math.max(1L, (frames + MaxSampledFrames - 1) / MaxSampledFrames)
+        (0L until frames by stride).iterator.map { idx =>
+          val off = idx * FrameBytes
+          val len = math.min(FrameBytes.toLong, n - off)
+          FrameRow(r.doc_id, idx, off, len,
+            decoder.frameChecksum(r.media, off.toInt, len.toInt))
+        }
       }
     }
   }
