@@ -86,6 +86,39 @@ object EventQueries extends QueryGroup {
              |FROM s GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // 38c ─────────────── as-of attach (attribution): each purchase
+    //     joined to the SAME user's most recent prior click — the
+    //     as-of-join family done Spark-first: no join at all, one
+    //     window pass per user partition carrying the last click
+    //     forward (shuffle by user_id only; at 100 TB this beats a
+    //     range join by never materializing candidate pairs).
+    Q("ev_asof_attach",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        events(s, d)
+          .withColumn("last_click_us",
+            last(when(col("event_type") === "click",
+              expr("unix_micros(ts)")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("last_click_us"),
+            (expr("unix_micros(ts)") - col("last_click_us")).as("gap_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, ts, last_click_us,
+             |  epoch_us(ts) - last_click_us AS gap_us
+             |FROM (
+             |  SELECT event_id, user_id, ts, event_type,
+             |    last_value(CASE WHEN event_type = 'click'
+             |        THEN epoch_us(ts) END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS last_click_us
+             |  FROM events)
+             |WHERE event_type = 'purchase'
+             |ORDER BY event_id""".stripMargin)),
+
     // 38b ─────────────── native session windows: Spark's built-in
     //     session_window (the streaming-capable form — the same
     //     groupBy runs under a watermark in append mode, state scoped
