@@ -649,6 +649,65 @@ object GraftSql {
     routeFrame(spark, sfDir, spark.sql(query))
   }
 
+  /** Query-result cache (reference: kylin.query.cache-enabled — the
+    * query server memoizes results and drops them when a realization's
+    * state changes). The cached value is the routed frame PERSISTED
+    * (post-aggregation results are cuboid-cell-scale; no driver
+    * collect), so a repeated dashboard query replays cached blocks
+    * instead of re-scanning. The key folds in each registered
+    * realization's metadata commit (root + meta.json mtime): every
+    * build/append/refresh/merge/optimize rewrites the meta LAST, so
+    * any state change flips the key and the stale entry ages out of
+    * the FIFO bound (eviction unpersists). Fallback (raw-scan) results
+    * never cache. */
+  val ResultCacheCap = 64
+  private val resultCache = scala.collection.mutable.LinkedHashMap
+    .empty[(String, String, Seq[(String, String, Long)]), SqlResult]
+
+  private def realizationStamps(spark: SparkSession,
+                                sfDir: String): Seq[(String, String, Long)] =
+    bindings.flatMap(_.realizations).map { f =>
+      val inst = f(spark, sfDir)
+      val p = new org.apache.hadoop.fs.Path(
+        s"${inst.root}/${inst.cube.name}/${CubeMeta.MetaFile}")
+      val mtime = scala.util.Try(
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getModificationTime).getOrElse(0L)
+      (inst.root, inst.cube.name, mtime)
+    }
+
+  /** `sqlVia` behind the result cache. */
+  def sqlCached(spark: SparkSession, sfDir: String,
+                query: String): SqlResult = {
+    registerViews(spark, sfDir)
+    val key = (sfDir, query, realizationStamps(spark, sfDir))
+    resultCache.synchronized(resultCache.get(key)) match {
+      case Some(hit) => hit
+      case None =>
+        // compute OUTSIDE the lock: a cache must not serialize misses
+        val r = sqlVia(spark, sfDir, query)
+        if (!r.routed) r
+        else {
+          val cached = SqlResult(r.df.persist(), r.routed, r.via)
+          resultCache.synchronized {
+            resultCache.get(key) match {
+              case Some(winner) => // lost a race: drop our persist
+                scala.util.Try(cached.df.unpersist()): Unit
+                winner
+              case None =>
+                resultCache.put(key, cached)
+                while (resultCache.size > ResultCacheCap) {
+                  val (ek, ev) = resultCache.head
+                  resultCache.remove(ek)
+                  scala.util.Try(ev.df.unpersist()): Unit
+                }
+                cached
+            }
+          }
+        }
+    }
+  }
+
   /** SparkSessionExtensions entry (graft.plans.GraftExtensions installs
     * it as a post-hoc resolution rule): transparently swap a plain
     * `spark.sql(...)` plan for its routed equivalent. Opt-in via the

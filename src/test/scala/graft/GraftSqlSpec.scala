@@ -11,6 +11,35 @@ import graft.functions.Measures
 class GraftSqlSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("query result cache: repeats serve the persisted result, a " +
+      "metadata commit invalidates") {
+    val q = """SELECT o_orderstatus, count(*) AS n FROM graft_star
+              |GROUP BY o_orderstatus""".stripMargin
+    val r1 = GraftSql.sqlCached(spark, sf, q)
+    assert(r1.routed)
+    val want = r1.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val r2 = GraftSql.sqlCached(spark, sf, q)
+    assert(r2 eq r1, "a repeat must serve the SAME cached result")
+    assert(r2.df.storageLevel.useMemory, "cached result must be persisted")
+    // any metadata commit flips the key: touch the star cube's meta
+    // mtime (content untouched — this is what every save does last)
+    val inst = CubeManager.ensureBuilt(spark, sf)
+    val p = new org.apache.hadoop.fs.Path(
+      s"${inst.root}/${inst.cube.name}/${CubeMeta.MetaFile}")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(p, System.currentTimeMillis() + 1000, -1)
+    val r3 = GraftSql.sqlCached(spark, sf, q)
+    assert(!(r3 eq r1), "a metadata commit must invalidate the entry")
+    assert(r3.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      == want)
+    // fallback results never cache
+    val fb = GraftSql.sqlCached(spark, sf,
+      """SELECT o_orderstatus, sum(disc_price)
+        |  FILTER (WHERE l_returnflag = 'R') AS x
+        |FROM graft_star GROUP BY o_orderstatus""".stripMargin)
+    assert(!fb.routed && !fb.df.storageLevel.useMemory)
+  }
+
   test("plain spark.sql accelerates through the cube via " +
       "SparkSessionExtensions (no sqlVia call)") {
     GraftSql.registerViews(spark, sf)
