@@ -86,6 +86,52 @@ object EventQueries extends QueryGroup {
              |FROM s GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // 37c ─────────────── pivot: one row per day, one count column per
+    //     event type (explicit value list, so the plan is ONE hash-agg
+    //     with conditional partial aggregates — no second pass to
+    //     discover values, which at 100 TB is the difference between
+    //     one scan and two).
+    Q("ev_pivot",
+      (s, d) => events(s, d)
+        .withColumn("ev_day", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupBy("ev_day")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("ev_day"),
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS ev_day,
+             |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+             |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+             |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+             |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+             |FROM events GROUP BY 1 ORDER BY ev_day""".stripMargin)),
+
+    // 37d ─────────────── unpivot (melt): the wide day×type matrix
+    //     back to long rows via the relational UNPIVOT operator —
+    //     codegen'd Expand, one scan, no union-of-selects re-reads.
+    Q("ev_unpivot",
+      (s, d) => {
+        val wide = events(s, d)
+          .withColumn("ev_day", date_format(col("ts"), "yyyy-MM-dd"))
+          .groupBy("ev_day")
+          .pivot("event_type", Seq("click", "view"))
+          .agg(count(lit(1))).na.fill(0L)
+        wide.unpivot(Array(col("ev_day")),
+            Array(col("click"), col("view")), "event_type", "n")
+          .orderBy("ev_day", "event_type")
+      },
+      Some("""WITH wide AS (
+             |  SELECT strftime(ts, '%Y-%m-%d') AS ev_day,
+             |    COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+             |    COUNT(*) FILTER (WHERE event_type = 'view') AS view
+             |  FROM events GROUP BY 1)
+             |SELECT ev_day, 'click' AS event_type, click AS n FROM wide
+             |UNION ALL
+             |SELECT ev_day, 'view' AS event_type, view AS n FROM wide
+             |ORDER BY ev_day, event_type""".stripMargin)),
+
     // 38c ─────────────── as-of attach (attribution): each purchase
     //     joined to the SAME user's most recent prior click — the
     //     as-of-join family done Spark-first: no join at all, one

@@ -294,6 +294,26 @@ class PipelineSpec extends AnyFunSuite {
       assert(got == serialOff,
         s"two-phase offset must be partitioning-independent (p=$p): $got")
     }
+    // scale shape pinned in the plan: the only UNPARTITIONED window
+    // (global single-reducer) consumes the ≤`partitions`-row prefix
+    // aggregate — the corpus-sized cumsum window is partitioned by the
+    // range id and never funnels through one task
+    val lp = Packing.withRunningOffset(toks, "doc_id", "n_tokens", 16)
+      .queryExecution.optimizedPlan
+    val windows = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+        case _ => false
+      }, "an unpartitioned window must sit above the tiny prefix " +
+        "aggregate, never the corpus scan")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "the corpus cumsum must be a PARTITIONED window")
+
     // chunk ranges: doc 3 (off 12, 250 toks) ends inside window 1;
     // doc 5 (off 272, 300 toks) straddles windows 1..2; doc 7 starts
     // exactly on a window boundary (off 573 -> window 2, 256 toks ->
