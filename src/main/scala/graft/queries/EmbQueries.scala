@@ -1,7 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
+
 import graft.Tables._
-import graft.pipeline.EmbeddingSearch
+import graft.pipeline.{Dedup, EmbeddingSearch}
 
 /** SURVEY.md §2.4 embedding-similarity ops (#45–47). The oracle SQL
   * replays the exact same quantized-integer cosine (see
@@ -36,6 +38,43 @@ object EmbQueries extends QueryGroup {
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   val queries: Seq[Q] = Seq(
+
+    // 45b ─────────────── semantic dedup: cosine near-dup pairs →
+    //     transitive clusters → keep the min-id representative per
+    //     cluster (the embedding-space analog of doc_dedup_keep —
+    //     what an embedding-based corpus dedup actually emits).
+    //     Composes the triangular-block pair kernel with the
+    //     pointer-doubling cluster loop; the anti-join is sized by
+    //     duplicates, not the corpus.
+    Q("emb_semantic_dedup",
+      (s, d) => {
+        implicit val spark = s
+        val embs = embeddings(s, d)
+        val pairs = EmbeddingSearch.cosineDupPairs(embs, 0.4)
+          .select("id_a", "id_b")
+        Dedup.dedupKeepOne(
+            embs.select(col("vec_id").as("doc_id")), pairs)
+          .select(col("doc_id").as("vec_id"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE ${qvCte.stripPrefix("WITH ")},
+             |pairs AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |  WHERE $cosAB >= 0.4),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT DISTINCT src AS id, src AS r FROM edges
+             |  UNION
+             |  SELECT reach.id, e.dst AS r
+             |  FROM reach JOIN edges e ON e.src = reach.r),
+             |comp AS (SELECT id, MIN(r) AS cl FROM reach GROUP BY id)
+             |SELECT e.vec_id FROM embeddings e
+             |LEFT JOIN comp ON e.vec_id = comp.id
+             |WHERE comp.id IS NULL OR comp.cl = e.vec_id
+             |ORDER BY vec_id""".stripMargin)),
 
     // 45 ──────────────── exact cosine threshold pairs (the O(n²)
     //     baseline; LSH below is the scale path)
