@@ -310,6 +310,59 @@ object TextQueries extends QueryGroup {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // 49b ─────────────── language-aware quality: the stopword signal
+    //     uses each doc's OWN language's list (a monolingual list
+    //     under-scores every other language — this is the multilingual
+    //     corpus form of #49). Languages without a curated list (zh
+    //     here) get has_stops=false and a length-only score, which the
+    //     mix weighting downstream must know rather than silently
+    //     reading a zero stop ratio as "low quality".
+    Q("doc_quality_lang",
+      (s, d) => {
+        val ws = words(col("text"))
+        val ownHits = coalesce(
+          (Stopwords.map { case (lg, _) =>
+            when(col("lang") === lg, stopHits(ws, lg))
+          } :+ lit(0)): _*).cast(LongType)
+        val known = Stopwords.map(_._1)
+          .map(col("lang") === _).reduce(_ || _)
+        documents(s, d).select(col("doc_id"), col("lang"),
+            size(ws).cast(LongType).as("n_words"),
+            ownHits.as("n_stop_own"), known.as("has_stops"))
+          .select(col("doc_id"), col("lang"), col("n_words"),
+            col("n_stop_own"), col("has_stops"),
+            f4(col("n_stop_own").cast(DoubleType) / col("n_words"))
+              .as("stop_ratio"),
+            f4(least(col("n_words").cast(DoubleType) / 100.0, lit(1.0))
+                * 0.5 +
+              when(col("has_stops"),
+                least(col("n_stop_own").cast(DoubleType) / col("n_words")
+                  * 5.0, lit(1.0)) * 0.5)
+                .otherwise(0.5)).as("quality_own"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val cases = Stopwords.map { case (lg, _) =>
+          s"WHEN '$lg' THEN ${sqlStopHits(lg)}"
+        }.mkString(" ")
+        val langs = Stopwords.map(w => s"'${w._1}'").mkString(", ")
+        s"""WITH b AS (
+           |  SELECT doc_id, lang,
+           |    CAST(len($sqlWords) AS BIGINT) AS n_words,
+           |    CAST(CASE lang $cases ELSE 0 END AS BIGINT) AS n_stop_own,
+           |    lang IN ($langs) AS has_stops
+           |  FROM documents)
+           |SELECT doc_id, lang, n_words, n_stop_own, has_stops,
+           |  floor((CAST(n_stop_own AS DOUBLE) / n_words) * 10000)
+           |    / 10000 AS stop_ratio,
+           |  floor((LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5 +
+           |    CASE WHEN has_stops THEN
+           |      LEAST(CAST(n_stop_own AS DOUBLE) / n_words * 5.0, 1.0)
+           |        * 0.5
+           |    ELSE 0.5 END) * 10000) / 10000 AS quality_own
+           |FROM b ORDER BY doc_id""".stripMargin
+      }),
+
     // 50 ──────────────── token counting: whitespace tokens + BPE-ish
     //     regex tokens (letter runs / digit runs / single symbols)
     Q("doc_token_count",
