@@ -99,6 +99,34 @@ object TextQueries extends QueryGroup {
              |  AS BIGINT) % 5 = 0
              |ORDER BY doc_id""".stripMargin)),
 
+    // 41f ─────────────── mixture-weighted sampling: APPLY a per-
+    //     stratum mix decision (the step downstream of doc_mixture's
+    //     accounting) — each language keeps a different hash-mod
+    //     fraction, deterministic across runs/engines, evaluated
+    //     inside the scan. Here: downweight the over-represented
+    //     language (en 2/5) and keep the rest at 4/5 (zh 3/5).
+    Q("doc_sample_mix",
+      (s, d) => {
+        val rates = Seq("en" -> 2, "de" -> 4, "es" -> 4,
+          "fr" -> 4, "zh" -> 3)
+        val rate = coalesce(
+          (rates.map { case (lg, r) =>
+            when(col("lang") === lg, lit(r))
+          } :+ lit(5)): _*)
+        documents(s, d)
+          .filter(sampleHash(col("doc_id"), "mix") % 5 < rate)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE CAST(concat('0x',
+             |    substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+             |  AS BIGINT) % 5 <
+             |  CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 4
+             |    WHEN 'es' THEN 4 WHEN 'fr' THEN 4 WHEN 'zh' THEN 3
+             |    ELSE 5 END
+             |ORDER BY doc_id""".stripMargin)),
+
     // 41e ─────────────── corpus mixture report: doc and word totals
     //     per (lang, source) stratum — the accounting a training-mix
     //     decision (and every sampling-weight change) reads first.
@@ -113,6 +141,37 @@ object TextQueries extends QueryGroup {
              |  CAST(SUM(len($sqlWords)) AS BIGINT) AS n_words
              |FROM documents GROUP BY lang, source
              |ORDER BY lang, source""".stripMargin)),
+
+    // 58 ─────────────── end-to-end corpus prep: the whole minimal
+    //     pipeline as ONE deterministic chain — quality gate (length)
+    //     → exact dedup (md5 keep-min) → per-language doc/token
+    //     accounting. One scan + one hash-shuffle (dedup) + one
+    //     hash-agg; hash-exact across engines, so the full prep run
+    //     is reproducible end to end, not just its stages.
+    Q("doc_prep_pipeline",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val kept = documents(s, d)
+          .filter(size(words(col("text"))) >= 20)
+          .withColumn("h", md5(normText(col("text"))))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("h").orderBy("doc_id")))
+          .filter(col("rk") === 1)
+        kept.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(words(col("text"))).cast(LongType)).as("n_tokens"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH q AS (
+             |  SELECT doc_id, lang, text FROM documents
+             |  WHERE len($sqlWords) >= 20),
+             |k AS (
+             |  SELECT *, row_number() OVER (PARTITION BY md5($sqlNorm)
+             |    ORDER BY doc_id) AS rk
+             |  FROM q)
+             |SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(len($sqlWords)) AS BIGINT) AS n_tokens
+             |FROM k WHERE rk = 1 GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // 53 ─────────────── corpus vocabulary top-k: token frequencies,
     //     the accounting behind tokenizer training and vocab-coverage
