@@ -16,6 +16,14 @@ object TestSpark {
       // off by default (spark.graft.accelerate) — only the
       // acceleration spec flips it on, around its own assertions
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // static confs the Thriftserver spec needs at session build:
+      // JDBC sessions share THIS session (so its temp views serve),
+      // and metastore/derby artifacts land in tmp, not the repo
+      .config("spark.sql.hive.thriftServer.singleSession", "true")
+      .config("javax.jdo.option.ConnectionURL",
+        "jdbc:derby:;databaseName=" +
+          System.getProperty("java.io.tmpdir") +
+          "/graft-test-metastore;create=true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
