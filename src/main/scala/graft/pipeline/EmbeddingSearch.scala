@@ -295,15 +295,17 @@ object EmbeddingSearch {
     * table is ~100× smaller than the vectors and the tables broadcast
     * (queries × subspaces × centroids), so the scan is compressed-
     * domain end to end. */
-  def pqTopK(embs: DataFrame, numQueries: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val q = quantized(embs)
-    val cents = subRows(q.filter(col("vec_id") < PqCents), "c_id")
+  /** sub-codebook rows (c_id, m, csub) */
+  private def pqCentRows(q: DataFrame): DataFrame =
+    subRows(q.filter(col("vec_id") < PqCents), "c_id")
       .select(col("c_id"), col("m"), col("sub").as("csub"))
-    // encode: nearest sub-centroid per (vector, subspace) by integer
-    // L2, ties to the lower centroid id — one linear pass, codebook
-    // broadcast
-    val codes = subRows(q, "n_id")
+
+  /** encode: nearest sub-centroid per (vector, subspace) by integer
+    * L2, ties to the lower centroid id — one linear pass, codebook
+    * broadcast */
+  private def pqCodes(q: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    subRows(q, "n_id")
       .join(broadcast(cents), "m")
       .select(col("n_id"), col("m"), col("c_id"),
         il2(col("sub"), col("csub")).as("d2"))
@@ -311,11 +313,22 @@ object EmbeddingSearch {
         .orderBy(col("d2").asc, col("c_id"))))
       .filter(col("rn") === 1)
       .select(col("n_id"), col("m"), col("c_id").as("code"))
-    // asymmetric tables: query subvector · sub-centroid inner products
-    val tables = subRows(q.filter(col("vec_id") < numQueries), "q_id")
+  }
+
+  /** asymmetric tables: query subvector · sub-centroid inner products */
+  private def pqTables(q: DataFrame, cents: DataFrame,
+                       numQueries: Int): DataFrame =
+    subRows(q.filter(col("vec_id") < numQueries), "q_id")
       .join(broadcast(cents), "m")
       .select(col("q_id"), col("m"), col("c_id").as("code"),
         idot(col("sub"), col("csub")).as("ip"))
+
+  def pqTopK(embs: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = quantized(embs)
+    val cents = pqCentRows(q)
+    val codes = pqCodes(q, cents)
+    val tables = pqTables(q, cents, numQueries)
     // compressed-domain scan: approx IP = Σ_m table[m, code_m]
     val approx = codes.join(broadcast(tables), Seq("m", "code"))
       .filter(col("q_id") =!= col("n_id"))
@@ -325,6 +338,50 @@ object EmbeddingSearch {
       .filter(col("arn") <= k * PqOverfetch)
       .select("q_id", "n_id")
     // exact re-rank on the overfetched candidates only
+    val scored = cand
+      .join(q.select(col("vec_id").as("q_id"),
+        col("q").as("qa"), col("n2").as("na")), "q_id")
+      .join(q.select(col("vec_id").as("n_id"),
+        col("q").as("qb"), col("n2").as("nb")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        cosine(idot(col("qa"), col("qb")), col("na"), col("nb"))
+          .as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** IVF-PQ: the production FAISS composition — the coarse quantizer
+    * prunes to each query's nprobe cells, PQ-ADC scores ONLY those
+    * cells' members in the compressed domain (codes + broadcast
+    * tables, vectors untouched), and the overfetched winners re-rank
+    * exact. At 100 TB this is the first layout whose per-query work is
+    * sublinear in BOTH rows touched (cell pruning) and bytes per row
+    * touched (code scan) — exactly why it is the FAISS default for
+    * billion-vector indexes. */
+  def ivfPqTopK(embs: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = quantized(embs)
+    // coarse stage (shared shape with ivfTopK)
+    val cents = q.filter(col("vec_id") < IvfCells)
+    val asn = cellRanks(q, cents).filter(col("rn") === 1)
+      .select(col("vec_id").as("n_id"), col("c_id").as("cell"))
+    val probes = cellRanks(q.filter(col("vec_id") < numQueries), cents)
+      .filter(col("rn") <= IvfProbes)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val cellCand = probes.join(asn, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id").distinct()
+    // compressed-domain scoring restricted to the probed cells
+    val subCents = pqCentRows(q)
+    val codes = pqCodes(q, subCents)
+    val tables = pqTables(q, subCents, numQueries)
+    val approx = cellCand
+      .join(codes, "n_id")
+      .join(broadcast(tables), Seq("q_id", "m", "code"))
+      .groupBy("q_id", "n_id").agg(sum("ip").as("aip"))
+    val cand = approx.withColumn("arn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("aip").desc, col("n_id"))))
+      .filter(col("arn") <= k * PqOverfetch)
+      .select("q_id", "n_id")
     val scored = cand
       .join(q.select(col("vec_id").as("q_id"),
         col("q").as("qa"), col("n2").as("na")), "q_id")

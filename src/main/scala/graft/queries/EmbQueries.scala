@@ -173,6 +173,68 @@ object EmbQueries extends QueryGroup {
              |  JOIN n b ON b.vec_id = cand.n_id)
              |$rankSelect""".stripMargin)),
 
+    // 47e ─────────────── IVF-PQ top-5: the production FAISS
+    //     composition — coarse cells prune WHICH rows are touched,
+    //     PQ codes shrink HOW MANY BYTES per touched row, exact
+    //     re-rank on the overfetch. The billion-vector default
+    //     layout, assembled from the two audited stages.
+    Q("emb_topk_ivfpq",
+      (s, d) => EmbeddingSearch.ivfPqTopK(embeddings(s, d), 8, 5)
+        .orderBy("q_id", "rank"),
+      Some(s"""$qvCte,
+             |icents AS (SELECT vec_id AS c_id, q, n2 FROM n WHERE vec_id < 16),
+             |cellrank AS (
+             |  SELECT v.vec_id, c.c_id,
+             |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             |      ROUND(CAST(list_sum([v.q[i] * c.q[i] for i in range(1, 65)]) AS DOUBLE)
+             |        / sqrt(CAST(v.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)), 6) DESC,
+             |      c.c_id) AS rn
+             |  FROM n v, icents c),
+             |asn AS (
+             |  SELECT vec_id AS n_id, c_id AS cell FROM cellrank WHERE rn = 1),
+             |probes AS (
+             |  SELECT vec_id AS q_id, c_id AS cell FROM cellrank
+             |  WHERE rn <= 4 AND vec_id < 8),
+             |ccand AS (
+             |  SELECT DISTINCT p.q_id, a.n_id
+             |  FROM probes p JOIN asn a ON a.cell = p.cell
+             |  WHERE a.n_id != p.q_id),
+             |cents AS (SELECT vec_id AS c_id, q FROM n WHERE vec_id < 16),
+             |codes AS (
+             |  SELECT n_id, m, code FROM (
+             |    SELECT v.vec_id AS n_id, s.range AS m, c.c_id AS code,
+             |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, s.range ORDER BY
+             |        list_sum([(v.q[CAST(s.range AS INT)*16 + i]
+             |                    - c.q[CAST(s.range AS INT)*16 + i])
+             |                  * (v.q[CAST(s.range AS INT)*16 + i]
+             |                    - c.q[CAST(s.range AS INT)*16 + i])
+             |                  for i in range(1, 17)]) ASC, c.c_id) AS rn
+             |    FROM n v, range(4) s, cents c) WHERE rn = 1),
+             |tbl AS (
+             |  SELECT qr.vec_id AS q_id, s.range AS m, c.c_id AS code,
+             |    CAST(list_sum([qr.q[CAST(s.range AS INT)*16 + i]
+             |                   * c.q[CAST(s.range AS INT)*16 + i]
+             |                   for i in range(1, 17)]) AS BIGINT) AS ip
+             |  FROM n qr, range(4) s, cents c WHERE qr.vec_id < 8),
+             |aip AS (
+             |  SELECT t.q_id, codes.n_id, SUM(t.ip) AS aip
+             |  FROM ccand
+             |  JOIN codes ON codes.n_id = ccand.n_id
+             |  JOIN tbl t ON t.q_id = ccand.q_id
+             |    AND t.m = codes.m AND t.code = codes.code
+             |  GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+             |      ORDER BY aip DESC, n_id) AS rn
+             |    FROM aip) WHERE rn <= 20),
+             |scored AS (
+             |  SELECT cand.q_id, cand.n_id, $cosAB AS cosine
+             |  FROM cand
+             |  JOIN n a ON a.vec_id = cand.q_id
+             |  JOIN n b ON b.vec_id = cand.n_id)
+             |$rankSelect""".stripMargin)),
+
     // 47d ─────────────── PQ-ADC top-5 (FAISS product quantization):
     //     corpus encoded as 4 sub-centroid codes against sampled
     //     sub-codebooks; queries precompute per-(subspace, centroid)
