@@ -467,6 +467,36 @@ object Relational extends QueryGroup {
              |  COUNT(DISTINCT l_partkey) AS exact_parts,
              |  COUNT(DISTINCT l_suppkey) AS exact_supps,
              |  TRUE AS approx_ok
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // 26 ──────────────── INTERSECT / EXCEPT set operators (the last
+    //     of Calcite's set-op surface after UNION in q19): customers
+    //     active in BOTH years, and 1995-only customers — Spark plans
+    //     both as aggregated semi/anti joins, not materialized
+    //     distincts on each side
+    Q("q26_set_ops",
+      (s, d) => {
+        val o = orders(s, d)
+        def custs(yr: Int) = o
+          .filter(year(col("o_orderdate")) === yr)
+          .select(col("o_custkey"))
+        val both = custs(1995).intersect(custs(1996))
+          .select(col("o_custkey"), lit("both").as("which"))
+        val only95 = custs(1995).except(custs(1996))
+          .select(col("o_custkey"), lit("1995_only").as("which"))
+        both.unionByName(only95).orderBy("o_custkey", "which")
+      },
+      Some("""WITH c95 AS (SELECT o_custkey FROM orders
+             |    WHERE year(o_orderdate) = 1995),
+             |c96 AS (SELECT o_custkey FROM orders
+             |    WHERE year(o_orderdate) = 1996)
+             |SELECT o_custkey, 'both' AS which FROM
+             |  (SELECT o_custkey FROM c95 INTERSECT
+             |   SELECT o_custkey FROM c96)
+             |UNION ALL
+             |SELECT o_custkey, '1995_only' AS which FROM
+             |  (SELECT o_custkey FROM c95 EXCEPT
+             |   SELECT o_custkey FROM c96)
+             |ORDER BY o_custkey, which""".stripMargin))
   )
 }
