@@ -254,6 +254,17 @@ object CubeManager {
     built.clear(); evBuilt.clear(); mergedCache.clear(); hybridBuilt.clear()
   }
 
+  /** every instance this process has built or loaded for `sfDir` so
+    * far — NO build forced (cache-invalidation stamps read this: a
+    * cube never touched in this process can't have produced a cached
+    * result either, so its absence from the stamp set is consistent
+    * with routing's own view of the world; its first touch changes
+    * the set and thus the key) */
+  private[graft] def loadedInstances(sfDir: String): Seq[CubeInstance] =
+    built.get(sfDir).toSeq ++ evBuilt.get(sfDir).toSeq ++
+      mergedCache.get(sfDir).toSeq ++
+      hybridBuilt.get(sfDir).toSeq.flatMap(_.slices.map(_.inst))
+
   private def sfName(sfDir: String): String =
     sfDir.replaceAll("/+$", "").split('/').last
 

@@ -319,12 +319,7 @@ object GraftSql {
         viewsRegistered.put(spark, sfDir)
       }
     }
-    activeDir = Some(sfDir) // the dir the acceleration rule routes against
   }
-
-  /** last registered data dir — what `accelerate` (the
-    * SparkSessionExtensions rule's entry) resolves realizations with */
-  @volatile private var activeDir: Option[String] = None
 
   /** back-compat: the default star view only */
   def registerView(spark: SparkSession, sfDir: String): Unit =
@@ -646,7 +641,16 @@ object GraftSql {
     * matches a supported shape, else fall back to Spark's own result. */
   def sqlVia(spark: SparkSession, sfDir: String, query: String): SqlResult = {
     registerViews(spark, sfDir)
-    routeFrame(spark, sfDir, spark.sql(query))
+    // suppress the acceleration rule for OUR OWN spark.sql: with the
+    // gate on, the rule would swap the plan during this analysis and
+    // routeFrame would then find no view to match — reporting
+    // routed=false ("fallback") for a query that IS served from the
+    // cube, and starving sqlCached (fallbacks never cache)
+    val df = {
+      accelerating.set(true)
+      try spark.sql(query) finally accelerating.set(false)
+    }
+    routeFrame(spark, sfDir, df)
   }
 
   /** Query-result cache (reference: kylin.query.cache-enabled — the
@@ -664,17 +668,21 @@ object GraftSql {
   private val resultCache = scala.collection.mutable.LinkedHashMap
     .empty[(String, String, Seq[(String, String, Long)]), SqlResult]
 
+  /** stamps over every instance this process has TOUCHED for the dir
+    * (incl. merged and hybrid members) — no build is forced to compute
+    * a key: an untouched cube can't have produced a cached result, and
+    * its first touch enlarges the set, changing the key (one benign
+    * extra recompute, never staleness) */
   private def realizationStamps(spark: SparkSession,
                                 sfDir: String): Seq[(String, String, Long)] =
-    bindings.flatMap(_.realizations).map { f =>
-      val inst = f(spark, sfDir)
+    CubeManager.loadedInstances(sfDir).map { inst =>
       val p = new org.apache.hadoop.fs.Path(
         s"${inst.root}/${inst.cube.name}/${CubeMeta.MetaFile}")
       val mtime = scala.util.Try(
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .getFileStatus(p).getModificationTime).getOrElse(0L)
       (inst.root, inst.cube.name, mtime)
-    }
+    }.distinct.sorted
 
   /** `sqlVia` behind the result cache. */
   def sqlCached(spark: SparkSession, sfDir: String,
@@ -722,7 +730,11 @@ object GraftSql {
     if (!plan.resolved) return None
     if (spark.conf.get("spark.graft.accelerate", "false") != "true")
       return None
-    val dir = activeDir.getOrElse(return None)
+    // the dir THIS session registered its views against — never a
+    // JVM-global "last registered" value, which in a multi-session
+    // process (Thriftserver without singleSession, notebooks) would
+    // route one session's query against another session's data
+    val dir = viewsRegistered.get(spark).getOrElse(return None)
     // touch only plans that read a registered cube view OR one of a
     // binding's raw star tables (explicit model-join SQL routes via
     // ModelMatcher without ever referencing the pre-joined view)

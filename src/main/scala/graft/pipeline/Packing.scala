@@ -40,13 +40,20 @@ object Packing {
   def withRunningOffset(df: DataFrame, orderCol: String, valueCol: String,
                         partitions: Int = 32): DataFrame = {
     // one column-pruned scan for the key span, broadcast back — the
-    // value-range split this derives is deterministic by construction
+    // value-range split this derives is deterministic by construction.
+    // The id arithmetic runs in DECIMAL: hash-derived keys legitimately
+    // span ~2^60, where (key - lo) * partitions would wrap a Long
+    // negative and break the id's monotonicity in the key — the
+    // invariant the prefix decomposition is built on.
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val stats = df.agg(min(col(orderCol)).cast("long").as("_lo"),
       max(col(orderCol)).cast("long").as("_hi"))
     val withPid = df.crossJoin(broadcast(stats))
       .withColumn("_pid",
-        floor((col(orderCol).cast("long") - col("_lo")) * partitions /
-          (col("_hi") - col("_lo") + 1)).cast("int"))
+        floor((col(orderCol).cast(dec38) - col("_lo").cast(dec38))
+            * partitions /
+          (col("_hi").cast(dec38) - col("_lo").cast(dec38) + 1))
+        .cast("int"))
       .drop("_lo", "_hi")
     val localW = Window.partitionBy("_pid").orderBy(orderCol)
     // the prefix frame has ≤ `partitions` rows: the unpartitioned

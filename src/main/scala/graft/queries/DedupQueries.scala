@@ -18,6 +18,11 @@ import graft.pipeline.Dedup
   */
 object DedupQueries extends QueryGroup {
 
+  /** stable within one JVM (bench pass 2 reuses pass 1's store),
+    * unique across JVMs (no cross-process store races) */
+  private val ProcessTag =
+    java.lang.ProcessHandle.current().pid().toString
+
   /** shared ground-truth CTE prefix: normalized words → distinct
     * 3-word shingles (shl), exploded shingles (shx) */
   private val shingleCte =
@@ -68,8 +73,11 @@ object DedupQueries extends QueryGroup {
       (s, d) => {
         implicit val spark = s
         val docs = documents(s, d)
+        // per-process store dir: reused across the bench's two passes,
+        // but never shared with a concurrent JVM (a second process
+        // overwriting buckets mid-read would corrupt this oracle key)
         val store = "target/graft-sigstore/" +
-          d.replaceAll("/+$", "").split('/').last
+          d.replaceAll("/+$", "").split('/').last + "-" + ProcessTag
         Dedup.persistSignatureStore(
           docs.filter(col("doc_id") % 10 =!= 0), store)
         Dedup.incrementalDupPairs(

@@ -15,6 +15,9 @@ class GraftSqlSpec extends AnyFunSuite {
       "metadata commit invalidates") {
     val q = """SELECT o_orderstatus, count(*) AS n FROM graft_star
               |GROUP BY o_orderstatus""".stripMargin
+    // warm: routing's own ensure* loads grow the stamp set, which by
+    // design costs one benign recompute — warm so the keys compare
+    GraftSql.sqlVia(spark, sf, q)
     val r1 = GraftSql.sqlCached(spark, sf, q)
     assert(r1.routed)
     val want = r1.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap

@@ -294,6 +294,18 @@ class PipelineSpec extends AnyFunSuite {
       assert(got == serialOff,
         s"two-phase offset must be partitioning-independent (p=$p): $got")
     }
+    // hash-scale keys: ids near 2^60 (fingerprint-derived doc ids)
+    // must keep the range id monotone — Long arithmetic would wrap
+    // (key - lo) * partitions negative and corrupt every offset
+    val big = Seq((1L << 60, 5L), ((1L << 60) + 7, 7L),
+      (1L << 61, 11L), ((1L << 61) + 3, 2L)).toDF("doc_id", "n_tokens")
+    val bigOff = Packing.withRunningOffset(big, "doc_id", "n_tokens", 8)
+      .select("doc_id", "start_off").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bigOff == Map((1L << 60) -> 0L, ((1L << 60) + 7) -> 5L,
+      (1L << 61) -> 12L, ((1L << 61) + 3) -> 23L),
+      s"hash-scale keys must not wrap the range id: $bigOff")
+
     // scale shape pinned in the plan: the only UNPARTITIONED window
     // (global single-reducer) consumes the ≤`partitions`-row prefix
     // aggregate — the corpus-sized cumsum window is partitioned by the
