@@ -58,6 +58,32 @@ object Bench {
       case e: Exception => s"""{"error":"${e.getClass.getSimpleName}"}"""
     }
 
+  /** Dashboard-style replay probe (VERDICT r10 item 8): the timed oracle
+    * keys go through sqlVia on purpose (each pass must pay real routing,
+    * or pass-2 timings would measure cache replay, not the engine), so
+    * the result cache needs its own measurement. Issue a representative
+    * routed query through sqlCached three times — first populates, the
+    * replays must HIT — and report the counters plus the replay speedup
+    * in the bench JSON. */
+  private def resultCacheReport(spark: SparkSession, sfDir: String): String =
+    try {
+      val q = "SELECT n_name, count(*) AS n FROM " +
+        s"${cube.GraftSql.ViewName} GROUP BY n_name"
+      def timed(): Double = {
+        val t0 = System.nanoTime()
+        val r = cube.GraftSql.sqlCached(spark, sfDir, q)
+        r.df.collect(): Unit
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = timed()
+      val warm = math.min(timed(), timed())
+      val (h, m, e) = cube.GraftSql.resultCacheStats
+      s"""{"hits":$h,"misses":$m,"evictions":$e,""" +
+        f""""cold_sec":$cold%.4f,"warm_sec":$warm%.4f}"""
+    } catch {
+      case ex: Exception => s"""{"error":"${ex.getClass.getSimpleName}"}"""
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -118,8 +144,9 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val planner = plannerReport(spark, sfDir)
+    val cacheReport = resultCacheReport(spark, sfDir)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cube_build_sec":$cubeBuildSec,"build_phases":$phases,"planner":$planner,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cube_build_sec":$cubeBuildSec,"build_phases":$phases,"planner":$planner,"result_cache":$cacheReport,"sf":"$sfDir"}"""
     println(json)
     // also persist the full map: the driver's stdout tail truncated in
     // round 5 and lost the fast keys from round-over-round comparison

@@ -1,21 +1,26 @@
 package graft
 
 /** A small bounded memo for the per-JVM caches (VERDICT r8 item 6):
-  * `getOrElseUpdate` semantics with insertion-order (FIFO) eviction
-  * once `cap` entries exist, and an eviction hook so the owner can
-  * release the entry's pinned resources (unpersist a cached frame,
-  * delete a checkpoint dir). A long-lived session working through many
-  * datasets otherwise pins cached blocks and checkpoint files forever.
+  * `getOrElseUpdate` semantics with least-recently-USED eviction once
+  * `cap` entries exist, and an eviction hook so the owner can release
+  * the entry's pinned resources (unpersist a cached frame, delete a
+  * checkpoint dir). A long-lived session working through many datasets
+  * otherwise pins cached blocks and checkpoint files forever.
   *
-  * FIFO rather than LRU on purpose: these memos see a burst of hits
-  * per dataset and then move on, so the stalest dataset is the right
-  * victim and the structure stays trivial. The contract eviction
-  * imposes on callers: a memoized frame must be consumed before `cap`
-  * newer datasets go through the same memo — after that a NEW request
-  * recomputes (correct, just not free). How harsh eviction is on a
-  * still-held value is the hook's business: an unpersist hook degrades
-  * it to recompute-on-action, while a hook that deletes checkpoint
-  * files kills it outright — owners of such entries should defer the
+  * LRU (touch-on-hit), not FIFO (VERDICT r10 item 2): a benchmark- or
+  * dashboard-shaped workload interleaves one HOT dataset (the corpus
+  * every key rereads) with a tail of one-shot derived frames (splits,
+  * batches, eval sets). Under FIFO the hot entry's age is its INSERT
+  * time, so the one-shot tail marches it out exactly when the next
+  * key would have hit it — the worst possible victim. Touching on hit
+  * keeps the hot entry young at one LinkedHashMap re-insert per hit.
+  * The eviction contract on callers weakens only for never-hit
+  * entries: a memoized frame must be USED at least once per `cap` new
+  * datasets to stay resident — after eviction a new request recomputes
+  * (correct, just not free). How harsh eviction is on a still-held
+  * value is the hook's business: an unpersist hook degrades it to
+  * recompute-on-action, while a hook that deletes checkpoint files
+  * kills it outright — owners of such entries should defer the
   * destructive step (see Dedup's cluster memo) and document the
   * stronger contract. */
 final class BoundedMemo[K, V](cap: Int)(onEvict: V => Unit) {
@@ -36,8 +41,10 @@ final class BoundedMemo[K, V](cap: Int)(onEvict: V => Unit) {
     * modes. A future caller that needs concurrent misses should use
     * its own memo instance with a side-effect-free compute. */
   def getOrElseUpdate(k: K, v: => V): V = synchronized {
-    m.get(k) match {
-      case Some(x) => x
+    m.remove(k) match {
+      case Some(x) =>
+        m.put(k, x) // touch: re-insert at the young end (LRU)
+        x
       case None =>
         val x = v
         m.put(k, x)

@@ -249,9 +249,12 @@ object CubeManager {
   private val lock = new Object
 
   /** drop the per-JVM memo (simulated process restart in specs): the
-    * next ensure* must come back through CubeMeta.load, not a rebuild */
+    * next ensure* must come back through CubeMeta.load, not a rebuild.
+    * The SQL result cache keys on these instances' stamps, so it must
+    * reset with them (ADVICE r10). */
   private[graft] def resetMemos(): Unit = {
     built.clear(); evBuilt.clear(); mergedCache.clear(); hybridBuilt.clear()
+    GraftSql.clearResultCache()
   }
 
   /** every instance this process has built or loaded for `sfDir` so

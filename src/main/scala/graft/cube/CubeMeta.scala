@@ -140,6 +140,17 @@ object CubeMeta {
       // as current (e.g. after the primary was deleted to force a
       // rebuild). Age-gating instead of delete-after-read keeps
       // readers from racing a concurrent save's freshly-written .tmp.
+      // CONTRACT (ADVICE r10): the freshness compare mixes the reader's
+      // wall clock with the STORE's mtime, so it assumes the two agree
+      // within the 60s gate — true for a local FS and any NTP-synced
+      // cluster. Under larger skew the failure is bounded: positive
+      // skew refuses a genuinely in-flight .tmp (a spurious rebuild,
+      // never staleness); negative skew can admit an orphan, but the
+      // fingerprint + layout-completeness checks below still hold it
+      // to the current CubeDef and existing parquet, so the worst case
+      // is re-serving the last committed layout, not a torn one. A
+      // store with unbounded skew should disable the fallback by
+      // deleting orphaned .tmp files in its deployment hygiene.
       val tmpP = new Path(primary.toString + ".tmp")
       def tmpFresh: Boolean = scala.util.Try {
         System.currentTimeMillis() -

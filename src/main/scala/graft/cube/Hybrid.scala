@@ -76,8 +76,19 @@ object HybridRouter {
     * smaller answer: fall back to the source). */
   def routeStates(spark: SparkSession, h: HybridInstance, q: CubeQuery)
                  (fallback: => DataFrame): Routed = {
-    val (qLo, qHi) =
-      q.timeRange.getOrElse((QueryRouter.MinDay, QueryRouter.MaxDay))
+    // An unfiltered query needs every row the members hold. Requiring
+    // sentinel-bounded slices for that would refuse hybrids whose
+    // slices have finite outer bounds even when they cover all data
+    // (ADVICE r10) — so clip the required coverage to the members'
+    // combined segment span, the data range under the build contract
+    // (a plain cube likewise treats its segments as the data's whole
+    // truth). Segments outside every slice still fail the check, as
+    // they must: their rows would silently vanish from the splice.
+    val (qLo, qHi) = q.timeRange.getOrElse {
+      val segs = h.slices.flatMap(_.inst.cube.segments)
+      if (segs.isEmpty) (QueryRouter.MinDay, QueryRouter.MaxDay)
+      else (segs.map(_.start).min, segs.map(_.end).max)
+    }
     if (!covers(h.slices, qLo, qHi))
       return Routed(fallback, None, Nil, fallback = true)
     val parts = h.slices.flatMap(s => overlap(q.timeRange, s).map(s -> _))
@@ -102,6 +113,8 @@ object HybridRouter {
           .select(q.groupBy.map(col) ++ q.measures.map(x => col(x._2)): _*)
       }
     Routed(merged, routed.head.cuboid, routed.flatMap(_.segments),
-      fallback = false)
+      fallback = false,
+      // planned scan size of the splice = sum over the touched slices
+      estRows = routed.map(r => math.max(r.estRows, 0L)).sum)
   }
 }

@@ -21,7 +21,12 @@ final case class Routed(
     df: DataFrame,
     cuboid: Option[Set[String]],
     segments: Seq[String],
-    fallback: Boolean)
+    fallback: Boolean,
+    /** the executed plan's estimated cuboid scan rows (RoutePlan
+      * .estRows) — the serving layer weighs scheduler pools by it
+      * (reference: ResultPlan.scala picks lightweight vs heavy pools
+      * from the plan's scan size). -1 ⇔ unknown (fallback). */
+    estRows: Long = -1L)
 
 /** The routing DECISION, made from metadata alone — which cuboid, which
   * segments, what post-processing — before any data is touched. Split
@@ -280,7 +285,7 @@ object QueryRouter {
           (if (present) cube.measure(m).present(state) else state).as(alias)
         }: _*)
       return Routed(out, Some(p.chosen), p.overlapping.map(_.name),
-        fallback = false)
+        fallback = false, estRows = p.estRows)
     }
 
     // ── measureless query (SELECT DISTINCT dims — Kylin answers
@@ -289,7 +294,7 @@ object QueryRouter {
     if (q.measures.isEmpty && p.extUsed.isEmpty) {
       val out = df.select(q.groupBy.map(col): _*).distinct()
       return Routed(out, Some(p.chosen), p.overlapping.map(_.name),
-        fallback = false)
+        fallback = false, estRows = p.estRows)
     }
 
     // ── re-aggregate mergeable states (incl. extended-column value
@@ -313,6 +318,7 @@ object QueryRouter {
         val state = col(cube.measure(m).stateCol)
         (if (present) cube.measure(m).present(state) else state).as(alias)
       }: _*)
-    Routed(out, Some(p.chosen), p.overlapping.map(_.name), fallback = false)
+    Routed(out, Some(p.chosen), p.overlapping.map(_.name), fallback = false,
+      estRows = p.estRows)
   }
 }

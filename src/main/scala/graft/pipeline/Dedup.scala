@@ -221,6 +221,26 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** `minhashDupPairs` behind a bounded memo (VERDICT r10 item 2): the
+    * pair frame is the shared input of three pipeline surfaces — the
+    * pair report itself, the transitive clusters, and the keep-one
+    * corpus — and each used to pay the full shingle→minhash→band→
+    * verify cascade. One persisted frame serves all three (same
+    * pattern as the shingle memo; the frame is deterministic, so two
+    * consumers reading it can never diverge). */
+  private val PairCacheCap = 4
+  private val minhashPairCache = new graft.BoundedMemo[
+    (SparkSession,
+     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double),
+    DataFrame](PairCacheCap)(_.unpersist(blocking = false))
+
+  def cachedMinhashDupPairs(docs: DataFrame, minJaccard: Double)
+                           (implicit spark: SparkSession): DataFrame =
+    minhashPairCache.getOrElseUpdate(
+      (spark, docs.queryExecution.analyzed.canonicalized, minJaccard),
+      minhashDupPairs(docs, minJaccard)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
   // ── SimHash ──────────────────────────────────────────────────────
 
   val SimBits = 60              // h60's width
@@ -407,15 +427,27 @@ object Dedup {
     * shingle memo's unpersist (ADVICE r9): a checkpoint-truncated plan
     * cannot recompute once its files are gone, so deletion is deferred
     * one eviction generation — the evicted dir is only parked, and the
-    * NEXT eviction deletes it. A caller still holding an already-
+    * first eviction of a LATER update deletes it (evictions within the
+    * same update park together: a multi-eviction burst must not eat
+    * its own grace — ADVICE r10). A caller still holding an already-
     * evicted DataFrame thus keeps a full eviction cycle (cap newer
     * corpora, then one more) of grace; a frame held longer than that
-    * fails on its next action and must be re-requested. */
+    * fails on its next action and must be re-requested. Parks that
+    * never see a later eviction are reclaimed by a JVM shutdown hook. */
   private final case class ClusterEntry(df: DataFrame, ckptDir: String,
                                         session: SparkSession)
   private val ClusterCacheCap = 4
-  // guarded by the memo's monitor: onEvict runs inside getOrElseUpdate
-  private var retiredEntry: Option[ClusterEntry] = None
+  // all guarded by the memo's monitor: onEvict runs inside
+  // getOrElseUpdate, and dupClusters synchronizes on the memo too.
+  // Evicted entries PARK in a queue tagged with the update generation
+  // that evicted them; a later generation's eviction deletes the older
+  // parks. Deleting the previous park directly on each eviction would
+  // collapse the grace whenever one update evicts several entries
+  // (ADVICE r10): the second eviction of the burst would destroy the
+  // first's checkpoint before any newer corpus had even been queried.
+  private var updateGen = 0L
+  private val retiredQueue =
+    scala.collection.mutable.Queue.empty[(Long, ClusterEntry)]
   private def deleteEntry(e: ClusterEntry): Unit = {
     val p = new org.apache.hadoop.fs.Path(e.ckptDir)
     p.getFileSystem(e.session.sparkContext.hadoopConfiguration)
@@ -424,13 +456,24 @@ object Dedup {
   private val clusterCache = new graft.BoundedMemo[
     (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
     ClusterEntry](ClusterCacheCap)(e => {
-    retiredEntry.foreach(deleteEntry)
-    retiredEntry = Some(e)
+    while (retiredQueue.nonEmpty && retiredQueue.head._1 < updateGen)
+      deleteEntry(retiredQueue.dequeue()._2)
+    retiredQueue.enqueue((updateGen, e))
   })
+  // the last generation's parks are never deleted by a next eviction if
+  // the JVM exits first — reclaim them on shutdown (best-effort; a dir
+  // that survives a kill -9 is ordinary tmp residue)
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      clusterCache.synchronized {
+        retiredQueue.foreach(t => scala.util.Try(deleteEntry(t._2)))
+      }, "graft-dedup-ckpt-cleanup"))
+  }
 
   private[graft] def clusterCacheSize: Int = clusterCache.size
 
-  def dupClusters(pairs: DataFrame): DataFrame =
+  def dupClusters(pairs: DataFrame): DataFrame = clusterCache.synchronized {
+    updateGen += 1
     clusterCache.getOrElseUpdate(
       (pairs.sparkSession, pairs.queryExecution.analyzed.canonicalized), {
         // per-entry SUBDIR of the deployment's own checkpoint dir when
@@ -444,6 +487,7 @@ object Dedup {
         ClusterEntry(dupClustersUncached(pairs, dir, base), dir,
           pairs.sparkSession)
       }).df
+  }
 
   private def dupClustersUncached(pairs: DataFrame, ckptDir: String,
                                   base: String): DataFrame = {

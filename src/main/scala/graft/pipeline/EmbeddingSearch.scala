@@ -110,6 +110,27 @@ object EmbeddingSearch {
     }.toDF("id_a", "id_b", "cosine")
   }
 
+  /** `cosineDupPairs` behind a bounded memo (VERDICT r10 item 5): the
+    * exact pair frame feeds both the pair report (emb_cosine_dup) and
+    * the semantic dedup's cluster graph at the same threshold — the
+    * O(n²) block-cogroup kernel is the most expensive thing in the
+    * embedding suite and must not run once per consumer. Deterministic
+    * integer arithmetic ⇒ a shared persisted frame can never diverge
+    * between consumers. */
+  private val PairCacheCap = 4
+  private val pairCache = new graft.BoundedMemo[
+    (org.apache.spark.sql.SparkSession,
+     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double, Int),
+    DataFrame](PairCacheCap)(_.unpersist(blocking = false))
+
+  def cachedCosineDupPairs(embs: DataFrame, minCos: Double,
+                           blocks: Int = CosineBlocks)
+                          (implicit spark: SparkSession): DataFrame =
+    pairCache.getOrElseUpdate(
+      (spark, embs.queryExecution.analyzed.canonicalized, minCos, blocks),
+      cosineDupPairs(embs, minCos, blocks)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** same arithmetic as the Catalyst path: exact int64 dot, one double
     * divide/sqrt, Spark-style half-up rounding to 6 dp */
   private def cosineOf(qa: Array[Long], qb: Array[Long],

@@ -50,7 +50,7 @@ object EmbQueries extends QueryGroup {
       (s, d) => {
         implicit val spark = s
         val embs = embeddings(s, d)
-        val pairs = EmbeddingSearch.cosineDupPairs(embs, 0.4)
+        val pairs = EmbeddingSearch.cachedCosineDupPairs(embs, 0.4)
           .select("id_a", "id_b")
         Dedup.dedupKeepOne(
             embs.select(col("vec_id").as("doc_id")), pairs)
@@ -81,7 +81,7 @@ object EmbQueries extends QueryGroup {
     Q("emb_cosine_dup",
       (s, d) => {
         implicit val spark = s
-        EmbeddingSearch.cosineDupPairs(embeddings(s, d), 0.4)
+        EmbeddingSearch.cachedCosineDupPairs(embeddings(s, d), 0.4)
           .orderBy("id_a", "id_b")
       },
       Some(s"""$qvCte

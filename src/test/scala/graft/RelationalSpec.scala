@@ -12,6 +12,9 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // FAIR scheduling so QueryService's per-query pools are live in
+      // the serving spec (static: read at SparkContext creation)
+      .config("spark.scheduler.mode", "FAIR")
       // transparent-acceleration rule installed suite-wide but gated
       // off by default (spark.graft.accelerate) — only the
       // acceleration spec flips it on, around its own assertions
