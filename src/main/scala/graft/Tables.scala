@@ -24,17 +24,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = tbl(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = tbl(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = tbl(s, d, "region")
-  /** events.parquet carries TIMESTAMP(NANOS) (pyarrow default), which
-    * Spark's reader only surfaces as a long (spark.sql.legacy.parquet.
-    * nanosAsLong, set in every session builder here). Convert to a
-    * micros timestamp at the loader so every query sees a plain
-    * TimestampType `ts`. Integer `div` — nanos ≈ 1.7e18 overflows a
-    * double's 53-bit mantissa, so no floating-point division. */
+  /** events.parquet's `ts` arrives in whichever physical form the
+    * generator's pyarrow picked: TIMESTAMP(NANOS) (surfaced as a long
+    * under spark.sql.legacy.parquet.nanosAsLong, set in every session
+    * builder here), TIMESTAMP(MICROS) without UTC adjustment (surfaced
+    * as TIMESTAMP_NTZ by Spark 4's reader), or a UTC-adjusted
+    * timestamp. Normalize at the loader so every query sees a plain
+    * TimestampType `ts`:
+    *  - nanos-long → integer `div` 1000 (nanos ≈ 1.7e18 overflows a
+    *    double's 53-bit mantissa, so no floating-point division);
+    *  - NTZ → cast to TimestampType — the session timezone is pinned
+    *    UTC in every builder, so the instant equals the oracle's
+    *    naive reading of the same file. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = tbl(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")

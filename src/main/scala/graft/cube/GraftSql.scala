@@ -711,20 +711,48 @@ object GraftSql {
     * leave an mtime stamp unchanged and serve a stale cached result
     * (ADVICE r10). */
   private val BuildIdRe = """"buildId"\s*:\s*"([^"]+)"""".r
-  private def realizationStamps(spark: SparkSession,
+
+  /** buildId memo per meta path, keyed on the file's (mtime, length)
+    * from one getFileStatus (ADVICE r11: a content read per
+    * realization per sqlCached call is a GET per query on an object
+    * store). The memo is only TRUSTED once the file has been quiescent
+    * past [[StampTrustAgeMs]]: on stores with coarse mtime granularity
+    * (whole-second NFS, object stores) two commits inside one granule
+    * leave (mtime, length) unchanged — buildId is a fixed-width UUID —
+    * so a freshly-modified file gets a content read until the granule
+    * has safely passed, and only cold metadata (the steady serving
+    * state) is served from the memo at getFileStatus cost. */
+  private val StampTrustAgeMs = 5000L
+  private val stampMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Long, String)]
+
+  private def readBuildId(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    // meta.json is small (segments × cuboids rows); one buffered
+    // read + a regex beats a full JSON bind on the query hot path
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    BuildIdRe.findFirstMatchIn(text).map(_.group(1)).getOrElse("unparsed")
+  }
+
+  private[graft] def realizationStamps(spark: SparkSession,
                                 sfDir: String): Seq[(String, String, String)] =
     CubeManager.loadedInstances(sfDir).map { inst =>
       val p = new org.apache.hadoop.fs.Path(
         s"${inst.root}/${inst.cube.name}/${CubeMeta.MetaFile}")
       val stamp = scala.util.Try {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val in = fs.open(p)
-        // meta.json is small (segments × cuboids rows); one buffered
-        // read + a regex beats a full JSON bind on the query hot path
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        BuildIdRe.findFirstMatchIn(text).map(_.group(1))
-          .getOrElse("unparsed")
+        val st = fs.getFileStatus(p)
+        val (mtime, len) = (st.getModificationTime, st.getLen)
+        stampMemo.get(p.toString) match {
+          case Some((m, l, id)) if m == mtime && l == len &&
+              System.currentTimeMillis() - mtime > StampTrustAgeMs => id
+          case _ =>
+            val id = readBuildId(fs, p)
+            stampMemo.put(p.toString, (mtime, len, id))
+            id
+        }
       }.getOrElse("absent")
       (inst.root, inst.cube.name, stamp)
     }.distinct.sorted

@@ -97,7 +97,9 @@ object QueryService {
               else GraftSql.sqlVia(spark, sfDir, sql)
       val pool = poolFor(if (r.routed) r.estRows else None)
       sc.setLocalProperty("spark.scheduler.pool", pool)
-      val rows = r.df.limit(maxRows + 1).collect()
+      // serving-boundary: the bounded cap+1 materialization handing a
+      // finished result to the client (ResultPlan.scala:94 parity)
+      val rows = r.df.limit(maxRows + 1).collect() // serving-boundary: cap+1
       if (rows.length > maxRows) throw new ResultCapExceeded(queryId, maxRows)
       Served(queryId, rows, r.routed, r.via, pool)
     } catch {

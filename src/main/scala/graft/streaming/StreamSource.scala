@@ -30,6 +30,17 @@ object StreamSource {
     * double's mantissa) */
   def tsFromNanos(df: DataFrame): DataFrame =
     df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** normalize whatever `ts` form a source surfaced — epoch-nanos long,
+    * TIMESTAMP_NTZ (Spark 4's reading of a non-UTC-adjusted parquet
+    * timestamp), or already a timestamp — to plain TimestampType, same
+    * contract as Tables.events (session timezone is pinned UTC, so the
+    * NTZ cast preserves the instant) */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => tsFromNanos(df)
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
+  }
 }
 
 /** File-directory source — what a Kafka topic is to the reference's
@@ -45,8 +56,12 @@ final case class FileEventSource(sfDir: String, srcDir: String)
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    StreamSource.tsFromNanos(
-      spark.readStream.schema(StreamSource.wireSchema).parquet(srcDir))
+    // file streams need an explicit schema; probe the actual on-disk
+    // one with a batch read (ts arrives nanos-long or NTZ depending on
+    // the generator's pyarrow — normalizeTs canonicalizes either)
+    val onDisk = spark.read.parquet(srcDir).schema
+    StreamSource.normalizeTs(
+      spark.readStream.schema(onDisk).parquet(srcDir))
   }
 }
 

@@ -24,13 +24,21 @@ class GraftSqlSpec extends AnyFunSuite {
     val r2 = GraftSql.sqlCached(spark, sf, q)
     assert(r2 eq r1, "a repeat must serve the SAME cached result")
     assert(r2.df.storageLevel.useMemory, "cached result must be persisted")
-    // any metadata commit flips the key: touch the star cube's meta
-    // mtime (content untouched — this is what every save does last)
+    // the stamp is the meta's buildId CONTENT, not the file's mtime
+    // (ADVICE r10: coarse-mtime stores): a pure mtime touch with the
+    // content untouched must NOT invalidate ...
     val inst = CubeManager.ensureBuilt(spark, sf)
     val p = new org.apache.hadoop.fs.Path(
       s"${inst.root}/${inst.cube.name}/${CubeMeta.MetaFile}")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.setTimes(p, System.currentTimeMillis() + 1000, -1)
+    val rt = GraftSql.sqlCached(spark, sf, q)
+    assert(rt eq r1, "an mtime-only touch must NOT invalidate the entry")
+    // ... while a REAL metadata commit (save writes a fresh buildId
+    // last, as every build/append/refresh/merge does) must flip the
+    // key even when (mtime, length) happen to be unchanged — buildId
+    // is a fixed-width UUID, so length never moves on a commit
+    CubeMeta.save(spark, inst)
     val r3 = GraftSql.sqlCached(spark, sf, q)
     assert(!(r3 eq r1), "a metadata commit must invalidate the entry")
     assert(r3.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
@@ -41,6 +49,27 @@ class GraftSqlSpec extends AnyFunSuite {
         |  FILTER (WHERE l_returnflag = 'R') AS x
         |FROM graft_star GROUP BY o_orderstatus""".stripMargin)
     assert(!fb.routed && !fb.df.storageLevel.useMemory)
+  }
+
+  test("realization stamps: memoized on (mtime, length) yet a fresh " +
+      "commit is re-read inside the trust window") {
+    // the memo serves cold metadata from getFileStatus alone, but a
+    // file modified within StampTrustAgeMs always gets a content read
+    // — so a rewrite that leaves (mtime, length) unchanged (buildId is
+    // a fixed-width UUID; coarse-mtime stores can repeat mtime) is
+    // still caught as long as commits land within the trust window
+    val inst = CubeManager.ensureBuilt(spark, sf)
+    val s1 = GraftSql.realizationStamps(spark, sf)
+    val id1 = CubeMeta.save(spark, inst)
+    val s2 = GraftSql.realizationStamps(spark, sf)
+    assert(s1 != s2, "a commit must change the stamp set")
+    assert(s2.exists(_._3 == id1), s"stamps must carry the new buildId $id1")
+    val id2 = CubeMeta.save(spark, inst) // likely same mtime granule
+    val s3 = GraftSql.realizationStamps(spark, sf)
+    assert(s3.exists(_._3 == id2) && s2 != s3,
+      "a second commit inside the same mtime granule must still be seen")
+    // quiescent file: repeated calls are stable (memo or read agree)
+    assert(GraftSql.realizationStamps(spark, sf) == s3)
   }
 
   test("plain spark.sql accelerates through the cube via " +
