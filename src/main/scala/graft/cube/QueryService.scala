@@ -1,13 +1,23 @@
 package graft.cube
 
+import java.util.concurrent.{Executors, ScheduledFuture, TimeUnit}
+
+import scala.concurrent.duration.Duration
+
 import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.graftbridge.ConfBridge
 
 /** Query-server execution hygiene (reference: kylin-spark-project/
   * kylin-spark-query/src/main/scala/org/apache/spark/sql/execution/
-  * ResultPlan.scala:66-115 — every served query runs under a Spark job
-  * group named by its query id with a scheduler pool picked from the
-  * plan's scan size, so one runaway query neither blocks the cluster
-  * nor becomes unkillable; SparkSqlClient.java caps returned rows).
+  * ResultPlan.scala:66-123 — every served query runs under a Spark job
+  * group named by its query id, with a scheduler pool and a per-query
+  * shuffle-partition count picked from the plan's scan size, a timeout
+  * that cancels the job group, and a row cap; SparkSqlClient.java caps
+  * returned rows; QueryMetricUtils.scala collects per-query scan
+  * rows/bytes from the executed plan).
   *
   * graft's version wraps the two programmatic serving entry points
   * (GraftSql.sqlVia / sqlCached) with:
@@ -15,26 +25,45 @@ import org.apache.spark.sql.{Row, SparkSession}
   *    BEFORE routing, so even the router's own metadata probes (TopN
   *    trimmed-state checks) are attributable and cancellable;
   *  - a FAIR-scheduler pool chosen AFTER routing from the plan's
-  *    estimated cuboid scan rows (`SqlResult.estRows` — the estimate
-  *    QueryRouter's RoutePlan carries): small routed scans share
-  *    `lightweight_tasks`, big ones `heavy_tasks`, and un-routed
-  *    source scans `query_pushdown` — the reference's pool names.
-  *    Pools take effect under `spark.scheduler.mode=FAIR` (set it on
-  *    the serving session's builder); under FIFO the property is inert
-  *    but harmless.
+  *    estimated cuboid scan rows (`SqlResult.estRows`): small routed
+  *    scans share `lightweight_tasks`, big ones — and routed plans
+  *    whose size is UNKNOWN, which must not masquerade as pushdown —
+  *    `heavy_tasks`, and un-routed source scans `query_pushdown` (the
+  *    reference's pool names, ResultPlan.scala:66). Pools take effect
+  *    under `spark.scheduler.mode=FAIR`; under FIFO the property is
+  *    inert but harmless.
+  *  - per-query shuffle partitions (ResultPlan.scala:68-79,86 parity):
+  *    a routed plan with a row estimate plans its exchanges at
+  *    `min(estRows / PartitionSplitRows + 1, totalCores)` via a
+  *    thread-local SQLConf override — a dashboard point-query must not
+  *    pay the session-wide partition count sized for fact scans, and a
+  *    shared serving session must not be mutated per query. Pushdown
+  *    and unknown-size plans keep the session default.
   *  - a result-row cap enforced by collecting at most cap+1 rows
   *    (`LIMIT cap+1` — the driver never materializes an unbounded
   *    result) and REFUSING (ResultCapExceeded) when the cap is hit,
   *    Kylin's `kylin.query.max-return-rows` behavior, never silent
   *    truncation.
+  *  - an optional deadline (ResultPlan.scala:115-123 — the reference
+  *    turns an InterruptedException into cancelJobGroup +
+  *    KylinTimeoutException on `kylin.query.timeout-seconds`): when
+  *    `timeout` elapses the service cancels the query's own job group
+  *    and surfaces a typed QueryTimedOut; concurrent queries run on.
+  *  - per-query scan metrics (QueryMetricUtils parity): scanRows /
+  *    scanBytes summed over the executed plan's file scans, carried on
+  *    the returned `Served` and appended to QueryStats — actuals, not
+  *    estimates, for monitoring and the usage-driven planner loop.
   *
   * `cancel(queryId)` kills every job of a served query by its group;
   * running tasks are interrupted (interruptOnCancel), so even a task
-  * blocked in user code dies promptly. Job-group and pool properties
-  * are thread-local in Spark, so concurrent queries must run on
-  * separate threads — the standard query-server model (one handler
-  * thread per session), and exactly how the Thriftserver drives the
-  * shared session.
+  * blocked in user code dies promptly. Cancellation is classified by
+  * ID — only a query whose id was actually cancelled (by `cancel` or
+  * the deadline) rewraps as QueryCancelled/QueryTimedOut; any other
+  * failure propagates as itself, never masked (ADVICE r11). Job-group
+  * and pool properties are thread-local in Spark, so concurrent
+  * queries must run on separate threads — the standard query-server
+  * model (one handler thread per session), and exactly how the
+  * Thriftserver drives the shared session.
   *
   * The stock Spark Thriftserver surface (ThriftServerSpec) keeps
   * Spark's own result semantics; a JDBC deployment that needs Kylin's
@@ -59,17 +88,38 @@ object QueryService {
     * count vs the parallelism it considers "light") */
   val HeavyRowThreshold = 1000000L
 
+  /** planned cuboid rows per post-shuffle partition when sizing a
+    * routed query's exchanges (the reference sizes from scan BYTES /
+    * PARTITION_SPLIT_BYTES, ResultPlan.scala:68-79; the router carries
+    * a row estimate, and cuboid cells are narrow — a few hundred
+    * thousand rows per partition keeps each reducer well inside
+    * executor memory while never planning more waves than cores) */
+  val PartitionSplitRows = 250000L
+
   /** default result-row cap — Kylin's kylin.query.max-return-rows */
   val DefaultMaxRows = 5000000
 
-  /** pool from the routed plan's estimated scan rows (None ⇔ fallback:
-    * a raw source scan belongs in the pushdown pool regardless of
-    * size, as in the reference) */
-  def poolFor(estRows: Option[Long]): String = estRows match {
-    case None => PushdownPool
-    case Some(n) if n > HeavyRowThreshold => HeavyPool
-    case _ => LightPool
-  }
+  /** pool choice (reference semantics): un-routed source scans belong
+    * in the pushdown pool regardless of size; a routed plan with no
+    * usable estimate is scheduled HEAVY — treating unknown as small
+    * would let a big cuboid scan starve the light pool (ADVICE r11) */
+  def poolFor(routed: Boolean, estRows: Option[Long]): String =
+    if (!routed) PushdownPool
+    else estRows match {
+      case Some(n) if n <= HeavyRowThreshold => LightPool
+      case _ => HeavyPool
+    }
+
+  /** per-query shuffle-partition override: only routed plans with a
+    * row estimate are resized (pushdown keeps the session default —
+    * its scan size is unknown to the router by definition) */
+  def shufflePartitionsFor(spark: SparkSession, routed: Boolean,
+                           estRows: Option[Long]): Option[Int] =
+    if (!routed) None
+    else estRows.map { est =>
+      val cores = spark.sparkContext.defaultParallelism.toLong
+      math.max(1L, math.min(est / PartitionSplitRows + 1, cores)).toInt
+    }
 
   final class ResultCapExceeded(val queryId: String, val cap: Int)
     extends RuntimeException(
@@ -79,57 +129,155 @@ object QueryService {
   final class QueryCancelled(val queryId: String, cause: Throwable)
     extends RuntimeException(s"query $queryId was cancelled", cause)
 
-  /** a served query: the collected rows plus how it was answered */
+  final class QueryTimedOut(val queryId: String, val timeout: Duration,
+                            cause: Throwable)
+    extends RuntimeException(
+      s"query $queryId timed out after $timeout", cause)
+
+  /** a served query: the collected rows, how it was answered, and the
+    * executed plan's actual scan metrics (QueryMetricUtils parity) */
   final case class Served(queryId: String, rows: Array[Row],
-      routed: Boolean, via: String, pool: String)
+      routed: Boolean, via: String, pool: String,
+      shufflePartitions: Option[Int] = None,
+      scanRows: Long = 0L, scanBytes: Long = 0L)
+
+  /** ids cancelled by `cancel` (user) / the deadline (timeout) — the
+    * classifier keys on membership, never on exception-message text:
+    * an unrelated failure that happens to say "cancelled" propagates
+    * as itself (ADVICE r11) */
+  private val cancelledIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val timedOutIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** one shared deadline timer for all served queries — arming a
+    * timeout costs a heap entry, not a thread */
+  private lazy val deadlines = Executors.newSingleThreadScheduledExecutor(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-query-deadline")
+      t.setDaemon(true)
+      t
+    })
 
   /** Serve one query under full concurrency hygiene. `cached = true`
     * goes through the result cache (sqlCached); routing, pool choice,
-    * cap and cancellation behave identically on both paths. */
+    * partition sizing, cap, timeout and cancellation behave
+    * identically on both paths. */
   def run(spark: SparkSession, sfDir: String, sql: String, queryId: String,
-          maxRows: Int = DefaultMaxRows, cached: Boolean = true): Served = {
+          maxRows: Int = DefaultMaxRows, cached: Boolean = true,
+          timeout: Duration = Duration.Inf): Served = {
     require(maxRows > 0, "maxRows must be positive")
     val sc = spark.sparkContext
     sc.setJobGroup(GroupPrefix + queryId, sql.take(256),
       interruptOnCancel = true)
+    val armed: Option[ScheduledFuture[_]] =
+      if (!timeout.isFinite) None
+      else Some(deadlines.schedule(new Runnable {
+        override def run(): Unit = {
+          timedOutIds.add(queryId)
+          cancel(spark, queryId)
+        }
+      }, timeout.toMillis, TimeUnit.MILLISECONDS))
     try {
       val r = if (cached) GraftSql.sqlCached(spark, sfDir, sql)
               else GraftSql.sqlVia(spark, sfDir, sql)
-      val pool = poolFor(if (r.routed) r.estRows else None)
+      val est = if (r.routed) r.estRows else None
+      val pool = poolFor(r.routed, est)
       sc.setLocalProperty("spark.scheduler.pool", pool)
+      val parts = shufflePartitionsFor(spark, r.routed, est)
+      val limited = r.df.limit(maxRows + 1)
       // serving-boundary: the bounded cap+1 materialization handing a
       // finished result to the client (ResultPlan.scala:94 parity)
-      val rows = r.df.limit(maxRows + 1).collect() // serving-boundary: cap+1
+      val rows = ConfBridge.withShufflePartitions(spark, parts) {
+        limited.collect() // serving-boundary: cap+1
+      }
       if (rows.length > maxRows) throw new ResultCapExceeded(queryId, maxRows)
-      Served(queryId, rows, r.routed, r.via, pool)
+      val (scanRows, scanBytes) =
+        scanMetrics(limited.queryExecution.executedPlan)
+      ServedLog.record(queryId, r.via, scanRows, scanBytes)
+      Served(queryId, rows, r.routed, r.via, pool, parts, scanRows, scanBytes)
     } catch {
-      case e: Throwable if isCancellation(e) =>
+      case e: Throwable if timedOutIds.contains(queryId) =>
+        throw new QueryTimedOut(queryId, timeout, e)
+      case e: Throwable if cancelledIds.contains(queryId) =>
         throw new QueryCancelled(queryId, e)
     } finally {
+      armed.foreach(_.cancel(false))
+      cancelledIds.remove(queryId)
+      timedOutIds.remove(queryId)
       sc.setLocalProperty("spark.scheduler.pool", null)
       sc.clearJobGroup()
     }
   }
 
+  /** Bounded per-JVM log of served-query scan actuals (the reference's
+    * query metrics, QueryMetricUtils → QueryContext — fed to
+    * monitoring; QueryRouter.QueryStats stays the planner loop's
+    * dim-set log, this is the operator-facing side). */
+  object ServedLog {
+    val Cap = 1024
+    private val buf = scala.collection.mutable.ArrayDeque
+      .empty[(String, String, Long, Long)]
+    def record(queryId: String, via: String, scanRows: Long,
+               scanBytes: Long): Unit = synchronized {
+      buf.append((queryId, via, scanRows, scanBytes))
+      while (buf.size > Cap) { buf.removeHead(); () }
+    }
+    /** (queryId, via, scanRows, scanBytes), oldest first */
+    def recent: Seq[(String, String, Long, Long)] =
+      synchronized(buf.toSeq)
+    private[graft] def clear(): Unit = synchronized { buf.clear(); () }
+  }
+
   /** kill every job of a served query; interruptOnCancel interrupts
     * its running tasks (ResultPlan's cancelJobGroup path) */
-  def cancel(spark: SparkSession, queryId: String): Unit =
+  def cancel(spark: SparkSession, queryId: String): Unit = {
+    cancelledIds.add(queryId)
     spark.sparkContext.cancelJobGroup(GroupPrefix + queryId)
+  }
 
-  /** a cancelled job group surfaces as a SparkException whose message
-    * names the cancellation (or an InterruptedException from an
-    * interrupted task in the cause chain) */
-  private def isCancellation(e: Throwable): Boolean = {
-    var cur = e
-    var depth = 0
-    while (cur != null && depth < 10) {
-      val msg = Option(cur.getMessage).getOrElse("")
-      if (cur.isInstanceOf[InterruptedException] ||
-          msg.contains("cancelled") || msg.contains("canceled"))
-        return true
-      cur = cur.getCause
-      depth += 1
+  /** actual rows/bytes read by the executed plan's file scans —
+    * reference: QueryMetricUtils.collectScanMetrics (numOutputRows +
+    * read size per scan node, summed). Spark's v1 parquet scan exposes
+    * `numOutputRows` (runtime) and `filesSize` (bytes selected after
+    * partition/file pruning — stock Spark has no runtime readBytes
+    * metric, so pruned-selected size is the honest equivalent). AQE
+    * wraps the tree in AdaptiveSparkPlanExec whose finalized plan
+    * holds the real scan nodes. */
+  /** every node of an executed plan, descending through the adaptive
+    * wrappers plain `collect` treats as leaves: AQE's finalized plan
+    * holds materialized stages as QueryStageExec whose inner plan (and
+    * the real scan/exchange nodes) is a member, not a child */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq(r.child)
+      case other => other.children
     }
-    false
+    p +: (below ++ p.subqueries).flatMap(flatten)
+  }
+
+  def scanMetrics(plan: org.apache.spark.sql.execution.SparkPlan)
+      : (Long, Long) = {
+    val scans = flatten(plan).collect {
+      case s: FileSourceScanExec =>
+        (s.metrics.get("numOutputRows").map(_.value).getOrElse(0L),
+         s.metrics.get("filesSize").map(_.value).getOrElse(0L))
+    }
+    (scans.map(_._1).sum, scans.map(_._2).sum)
+  }
+
+  /** largest exchange width in the executed plan — what the
+    * per-query sizing spec asserts on */
+  def plannedShufflePartitions(
+      plan: org.apache.spark.sql.execution.SparkPlan): Option[Int] = {
+    val widths = flatten(plan).collect {
+      case e: ShuffleExchangeExec => e.outputPartitioning.numPartitions
+    }
+    if (widths.isEmpty) None else Some(widths.max)
   }
 }

@@ -81,8 +81,16 @@ object DedupQueries extends QueryGroup {
         // per-process store dir: reused across the bench's two passes,
         // but never shared with a concurrent JVM (a second process
         // overwriting buckets mid-read would corrupt this oracle key)
+        // key on the FULL dataset path (hashed for a filesystem-safe
+        // name), not just its basename: two dirs named alike must not
+        // share a store, or the second dataset's probes would join
+        // against the first's signatures (ADVICE r11)
+        val dNorm = d.replaceAll("/+$", "")
         val store = "target/graft-sigstore/" +
-          d.replaceAll("/+$", "").split('/').last + "-" + ProcessTag
+          dNorm.split('/').last + "-" +
+          Integer.toHexString(
+            scala.util.hashing.MurmurHash3.stringHash(dNorm)) +
+          "-" + ProcessTag
         // the store persists ONCE per (dataset, process) — in
         // production it is built by yesterday's pipeline run, so
         // rebuilding it per query would both misrepresent the key's

@@ -34,10 +34,109 @@ class ServingSpec extends AnyFunSuite {
   }
 
   test("pool choice weighs the routed plan's estimated cuboid rows") {
-    assert(QueryService.poolFor(None) == QueryService.PushdownPool)
-    assert(QueryService.poolFor(Some(10L)) == QueryService.LightPool)
-    assert(QueryService.poolFor(Some(QueryService.HeavyRowThreshold + 1)) ==
+    assert(QueryService.poolFor(routed = false, None) ==
+      QueryService.PushdownPool)
+    assert(QueryService.poolFor(routed = true, Some(10L)) ==
+      QueryService.LightPool)
+    assert(QueryService.poolFor(routed = true,
+      Some(QueryService.HeavyRowThreshold + 1)) == QueryService.HeavyPool)
+    // a routed plan of UNKNOWN size is heavy, never pushdown: treating
+    // it as small could let a big cuboid scan starve the light pool,
+    // and the pushdown pool is for un-routed source scans only
+    assert(QueryService.poolFor(routed = true, None) ==
       QueryService.HeavyPool)
+  }
+
+  test("per-query shuffle partitions follow the routed row estimate; " +
+      "pushdown keeps the session default") {
+    ensure()
+    // a routed point-ish aggregation: tiny estimate ⇒ 1-4 partitions
+    val routed = QueryService.run(spark, sf,
+      "SELECT n_name, count(*) AS n FROM graft_star GROUP BY n_name",
+      queryId = "svc-parts", cached = false)
+    assert(routed.routed)
+    assert(routed.shufflePartitions.exists(_ <= 4),
+      s"a small routed query must plan few partitions, " +
+        s"got ${routed.shufflePartitions}")
+    // pushdown: no override — the session default stands
+    val pd = QueryService.run(spark, sf,
+      "SELECT count(*) AS n FROM graft_star WHERE rand() >= -1",
+      queryId = "svc-parts-pd", cached = false)
+    assert(!pd.routed && pd.shufflePartitions.isEmpty)
+    // the thread-local conf override actually reaches planning: the
+    // same shuffle-bearing frame plans its exchange at the override
+    // width inside the wrap and at the session default outside it
+    import org.apache.spark.sql.graftbridge.ConfBridge
+    val df = graft.Tables.nation(spark, sf)
+      .groupBy("n_regionkey").count()
+    val (w3, wDefault) = (
+      ConfBridge.withShufflePartitions(spark, Some(3)) {
+        val d = graft.Tables.nation(spark, sf)
+          .groupBy("n_regionkey").count()
+        d.collect()
+        QueryService.plannedShufflePartitions(
+          d.queryExecution.executedPlan)
+      }, {
+        df.collect()
+        QueryService.plannedShufflePartitions(
+          df.queryExecution.executedPlan)
+      })
+    assert(w3.contains(3), s"override must reach the exchange, got $w3")
+    val sessionDefault =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(wDefault.contains(sessionDefault),
+      s"outside the wrap the session default must stand, got $wDefault")
+  }
+
+  test("a served query carries the executed plan's scan actuals") {
+    ensure()
+    val served = QueryService.run(spark, sf,
+      "SELECT n_name, count(*) AS n FROM graft_star GROUP BY n_name",
+      queryId = "svc-metrics", cached = false)
+    assert(served.scanRows > 0,
+      s"a routed cuboid scan must report scanned rows, got $served")
+    assert(served.scanBytes > 0,
+      s"a routed cuboid scan must report scanned bytes, got $served")
+    val logged = QueryService.ServedLog.recent
+      .find(_._1 == "svc-metrics")
+    assert(logged.exists(e => e._3 == served.scanRows &&
+      e._4 == served.scanBytes),
+      s"the served log must carry the same actuals, got $logged")
+  }
+
+  test("a slow query times out with a typed error; a concurrent query " +
+      "is unaffected") {
+    ensure()
+    ServingSpecState.slowStarted = false
+    ServingSpecState.sleepClaimed.set(false)
+    spark.udf.register("graft_slow_to", (s: String) => {
+      if (s == "NATION_0" &&
+          ServingSpecState.sleepClaimed.compareAndSet(false, true)) {
+        ServingSpecState.slowStarted = true
+        Thread.sleep(120000)
+      }
+      s
+    })
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val slow = Future {
+      QueryService.run(spark, sf,
+        "SELECT n_name, count(*) AS c FROM graft_star " +
+          "WHERE graft_slow_to(n_name) = n_name GROUP BY n_name",
+        queryId = "svc-deadline", cached = false, timeout = 3.seconds)
+    }
+    // while the deadline is pending, another query is served normally
+    val other = QueryService.run(spark, sf,
+      "SELECT r_name, count(*) AS c FROM graft_star GROUP BY r_name",
+      queryId = "svc-deadline-other", cached = false)
+    assert(other.rows.length == 5)
+    val e = intercept[Exception] { Await.result(slow, 90.seconds) }
+    assert(e.isInstanceOf[QueryService.QueryTimedOut],
+      s"expected QueryTimedOut, got $e")
+    // the session still serves after the timeout fired
+    val after = QueryService.run(spark, sf,
+      "SELECT count(*) AS n FROM graft_star", queryId = "svc-to-after",
+      cached = false)
+    assert(after.rows.length == 1)
   }
 
   test("a served routed query runs under its job group in a FAIR pool") {
