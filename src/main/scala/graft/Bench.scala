@@ -119,7 +119,7 @@ object Bench {
     val cubeBuildSec = (System.nanoTime() - tCube0) / 1e9
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    def timeAll(): Seq[(String, Double)] = names.map { name =>
+    def timeOne(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir))
@@ -129,14 +129,42 @@ object Bench {
           spark.stop()
           sys.exit(1)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    def timeAll(): Seq[(String, Double)] = names.map(n => n -> timeOne(n))
+    // contention tripwire (VERDICT r11 item 2): a bench taken on a busy
+    // machine is a wrong artifact even when the code is right — record
+    // the 1-min system load around each pass so the JSON carries its
+    // own validity evidence, and re-measure any key whose two passes
+    // disagree by >2x (GC jitter is possible; sustained 2x on a
+    // non-trivial key usually means a noisy neighbor stole the cores)
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadBefore = loadAvg()
     // two timed passes, min per query: a single pass is exposed to GC /
     // compilation jitter (observed ±8s spikes on individual queries)
     val p1 = timeAll().toMap
-    val results = timeAll().map { case (n, t) => n -> math.min(t, p1(n)) }
+    val loadMid = loadAvg()
+    val p2 = timeAll()
+    val loadAfter = loadAvg()
+    val retried = p2.collect { case (n, t)
+        if math.max(t, p1(n)) > 2 * math.min(t, p1(n)) &&
+           math.max(t, p1(n)) > 0.5 => n }
+    val p3 = retried.map(n => n -> timeOne(n)).toMap
+    val results = p2.map { case (n, t) =>
+      n -> math.min(math.min(t, p1(n)), p3.getOrElse(n, Double.MaxValue)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // pass-1 times verbatim: several dedup/ANN keys share memoized
+    // candidate frames (production-realistic reuse), so their min-time
+    // measures memo replay — the first pass is the standalone cost of
+    // whichever key built the frame (VERDICT r11 item 9)
+    val qsFirst = names.map(n => s"\"" + n + "\":" + p1(n))
+      .mkString("{", ",", "}")
+    val loadJson = f"""{"before":$loadBefore%.2f,"mid":$loadMid%.2f,""" +
+      f""""after":$loadAfter%.2f,"cpus":${Runtime.getRuntime
+        .availableProcessors()}}"""
+    val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // per-phase build breakdown (snapshots/dictionary/flat-write/
     // cuboid/merge) so a build regression names its phase
@@ -146,7 +174,7 @@ object Bench {
     val planner = plannerReport(spark, sfDir)
     val cacheReport = resultCacheReport(spark, sfDir)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cube_build_sec":$cubeBuildSec,"build_phases":$phases,"planner":$planner,"result_cache":$cacheReport,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_pass":$qsFirst,"load_avg":$loadJson,"retried":$retriedJson,"cube_build_sec":$cubeBuildSec,"build_phases":$phases,"planner":$planner,"result_cache":$cacheReport,"sf":"$sfDir"}"""
     println(json)
     // also persist the full map: the driver's stdout tail truncated in
     // round 5 and lost the fast keys from round-over-round comparison

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale probe (VERDICT r10 item 6 / r11 item 3): every bucketed-
+  * candidate constant in the dedup/ANN/packing suite (max shingle df,
+  * LSH band widths, IVF cells/probes, PQ overfetch) had only ever been
+  * measured at sf0.1 — this main measures how the keys actually scale.
+  *
+  * It materializes a 10× copy of the sf0.1 documents/embeddings under
+  * target/scale10 and times each pipeline key once at sf0.1 and once
+  * at 10×, same order, same session. The copies are deterministically
+  * DECORRELATED so the duplicate structure scales linearly instead of
+  * quadratically (the point is operator scaling, not a pathological
+  * dup-rate shift):
+  *  - documents: every word in copy i>0 is suffixed `_i`, so shingle
+  *    sets across copies are disjoint — each copy reproduces the
+  *    original's internal near-dup pairs and nothing else;
+  *  - embeddings: copy i>0 flips each coordinate's sign by a hash of
+  *    (i, dim) — norms (and so within-copy cosines) are preserved,
+  *    cross-copy vectors decorrelate to ~0 cosine.
+  *
+  * Single-pass times on purpose: several keys share memoized candidate
+  * frames, and a min-of-passes would measure memo replay; with one
+  * pass in a fixed order the frame build lands on the same (first)
+  * consumer at both scales, so per-key ratios compare like with like.
+  */
+object ScaleProbe {
+
+  /** the keys whose scale behavior the probe certifies */
+  val Keys: Seq[String] = Seq(
+    "doc_exact_dedup", "doc_minhash_lsh", "doc_dup_clusters",
+    "doc_dedup_keep", "doc_incremental_dedup", "doc_simhash",
+    "doc_ngram_jaccard", "doc_contamination", "doc_prep_pipeline",
+    "doc_pack_chunks", "doc_token_count", "doc_vocab_topk",
+    "emb_cosine_dup", "emb_semantic_dedup", "emb_topk_bruteforce",
+    "emb_topk_lsh", "emb_topk_corpus", "emb_topk_ivf", "emb_topk_pq",
+    "emb_topk_ivfpq")
+
+  val Copies = 10
+
+  def replicate(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_done"))) return
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val docs10 = (0 until Copies).map { i =>
+      if (i == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(i * nDocs))
+        .withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit(s"_$i"))), " "))
+        .withColumn("n_chars", length(col("text")))
+    }.reduce(_ unionByName _)
+    docs10.repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val embs = Tables.embeddings(spark, sfDir)
+    val nVecs = embs.agg(max("vec_id")).head.getLong(0) + 1
+    val embs10 = (0 until Copies).map { i =>
+      if (i == 0) embs
+      else embs
+        .withColumn("vec_id", col("vec_id") + lit(i * nVecs))
+        .withColumn("embedding",
+          transform(col("embedding"), (v, j) =>
+            when(pmod(xxhash64(lit(i), j), lit(2)) === 0, v).otherwise(-v)))
+    }.reduce(_ unionByName _)
+    embs10.repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_done")).close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val out = "target/scale10"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    replicate(spark, sfDir, out)
+
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // warmup (JVM/codegen/parquet footers) on an untimed cheap key
+    Bench.materialize(SparkEntry.queries("doc_token_count")(spark, sfDir))
+    def timeAt(dir: String): Seq[(String, Double)] = Keys.map { name =>
+      val t0 = System.nanoTime()
+      try Bench.materialize(SparkEntry.queries(name)(spark, dir))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[scale-probe] $name FAILED at $dir: $e")
+          spark.stop()
+          sys.exit(1)
+      }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val loadBefore = loadAvg()
+    val base = timeAt(sfDir).toMap
+    val big = timeAt(out)
+    val loadAfter = loadAvg()
+    val rows = big.map { case (name, t10) =>
+      val t1 = base(name)
+      f"""{"key":"$name","sf01_sec":$t1%.3f,"x10_sec":$t10%.3f,""" +
+        f""""ratio":${t10 / math.max(t1, 1e-9)}%.2f}"""
+    }
+    val json = s"""{"metric":"scale10","copies":$Copies,""" +
+      f""""load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,""" +
+      s""""keys":[${rows.mkString(",")}]}"""
+    println(json)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/scale_probe.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () }
+    spark.stop()
+  }
+}

@@ -101,6 +101,66 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("trained IVF/PQ codebooks: recall@k at least matches the " +
+      "sampled codebooks, and PQ distortion descends") {
+    val nq = 24
+    val k = 5
+    def recallOf(corpus: org.apache.spark.sql.DataFrame)(
+        df: org.apache.spark.sql.DataFrame): Double = {
+      val truth = EmbeddingSearch.bruteForceTopK(corpus, nq, k).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    // Coarse codebook: training matters when the corpus HAS cluster
+    // structure and the deterministic sample is a bad codebook. Plant
+    // 10 true clusters of 50 with ids 0..49 all in cluster 0, so the
+    // first-16 sample is degenerate (16 near-identical centroids);
+    // Lloyd must escape it and recover the clusters.
+    import spark.implicits._
+    def h(a: Long, b: Long): Long = {
+      var x = a * 0x9E3779B97F4A7C15L + b
+      x ^= x >>> 32; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 29; x
+    }
+    val planted = (0 until 500).map { i =>
+      val cl = i / 50
+      val vec = (0 until EmbeddingSearch.Dim).map { d =>
+        (h(cl, d) % 1000) / 1000.0f +
+          (h(i.toLong * EmbeddingSearch.Dim + d, 7) % 50) / 1000.0f
+      }.toArray
+      (i.toLong, vec)
+    }.toDF("vec_id", "embedding")
+    val rp = recallOf(planted) _
+    val ivfSampled = rp(EmbeddingSearch.ivfTopK(planted, nq, k))
+    val ivfTrained =
+      rp(EmbeddingSearch.ivfTopK(planted, nq, k, trained = true))
+    assert(ivfTrained >= ivfSampled,
+      s"trained coarse codebook must not lose recall on clustered " +
+        s"data: trained=$ivfTrained sampled=$ivfSampled")
+    assert(ivfTrained >= 0.9,
+      s"Lloyd must recover the planted clusters, recall=$ivfTrained " +
+        s"(sampled gets ~0.7)")
+    // PQ: recall must not regress on the real test embeddings, and
+    // the trained sub-codebooks must actually descend the objective
+    // they optimize (mean sub-vector quantization distortion)
+    val re = recallOf(embs) _
+    val pqSampled = re(EmbeddingSearch.pqTopK(embs, nq, k))
+    val pqTrained = re(EmbeddingSearch.pqTopK(embs, nq, k, trained = true))
+    assert(pqTrained >= pqSampled,
+      s"trained sub-codebooks must not lose recall: " +
+        s"trained=$pqTrained sampled=$pqSampled")
+    val q = EmbeddingSearch.quantized(embs)
+    val dSampled = EmbeddingSearch.pqDistortion(q, trained = false)
+    val dTrained = EmbeddingSearch.pqDistortion(q, trained = true)
+    assert(dTrained < dSampled,
+      s"Lloyd must reduce quantization distortion: " +
+        s"trained=$dTrained sampled=$dSampled")
+    // the composed IVF-PQ path runs end to end under trained codebooks
+    val ivfpq = EmbeddingSearch.ivfPqTopK(embs, 8, k, trained = true)
+      .collect()
+    assert(ivfpq.nonEmpty)
+  }
+
   test("blocked all-pairs cosine is block-count invariant (exact join)") {
     val one = EmbeddingSearch.cosineDupPairs(embs, 0.4, blocks = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
