@@ -170,6 +170,11 @@ object QueryService {
     val sc = spark.sparkContext
     sc.setJobGroup(GroupPrefix + queryId, sql.take(256),
       interruptOnCancel = true)
+    // provisional pool for the router's own metadata probes (they are
+    // attributable via the job group already; this makes them
+    // pool-weighted too, VERDICT r11) — re-chosen from the plan's
+    // estimate once routing returns
+    sc.setLocalProperty("spark.scheduler.pool", LightPool)
     val armed: Option[ScheduledFuture[_]] =
       if (!timeout.isFinite) None
       else Some(deadlines.schedule(new Runnable {
