@@ -90,8 +90,20 @@ object ScaleProbe {
 
     def loadAvg(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    // warmup (JVM/codegen/parquet footers) on an untimed cheap key
-    Bench.materialize(SparkEntry.queries("doc_token_count")(spark, sfDir))
+    // Untimed warmup sweep of EVERY probed key against the small
+    // sf0.001 tables: compiles/JITs each key's codegen classes and
+    // kernels before any timed pass, so the sf0.1 pass (which runs
+    // first) isn't charged warmup the 10x pass doesn't pay — without
+    // this the early keys' ratios read better than real. A different
+    // dataset dir on purpose: the memoized candidate frames key on the
+    // input plan, so the warmup leaves both timed passes' memo
+    // behavior untouched (each still builds its own frames).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    Keys.foreach { name =>
+      try Bench.materialize(SparkEntry.queries(name)(spark, warmDir))
+      catch { case _: Throwable => () }
+    }
     def timeAt(dir: String): Seq[(String, Double)] = Keys.map { name =>
       val t0 = System.nanoTime()
       try Bench.materialize(SparkEntry.queries(name)(spark, dir))

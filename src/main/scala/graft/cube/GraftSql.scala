@@ -715,16 +715,20 @@ object GraftSql {
   /** buildId memo per meta path, keyed on the file's (mtime, length)
     * from one getFileStatus (ADVICE r11: a content read per
     * realization per sqlCached call is a GET per query on an object
-    * store). The memo is only TRUSTED once the file has been quiescent
-    * past [[StampTrustAgeMs]]: on stores with coarse mtime granularity
-    * (whole-second NFS, object stores) two commits inside one granule
-    * leave (mtime, length) unchanged — buildId is a fixed-width UUID —
-    * so a freshly-modified file gets a content read until the granule
-    * has safely passed, and only cold metadata (the steady serving
-    * state) is served from the memo at getFileStatus cost. */
+    * store). An entry is only TRUSTED when its content read happened
+    * after the file had been quiescent past [[StampTrustAgeMs]]
+    * (readAt − mtime > slack): on stores with coarse mtime granularity
+    * (whole-second NFS, object stores) a second commit inside the same
+    * granule leaves (mtime, length) unchanged — buildId is a
+    * fixed-width UUID — but any such commit necessarily lands before
+    * mtime + granularity < readAt, so a read taken after the slack has
+    * seen it. A read taken INSIDE the window is stored but never
+    * trusted (re-read on every call until a post-quiescence read
+    * replaces it), so only cold metadata — the steady serving state —
+    * is served from the memo at getFileStatus cost. */
   private val StampTrustAgeMs = 5000L
   private val stampMemo = scala.collection.concurrent.TrieMap
-    .empty[String, (Long, Long, String)]
+    .empty[String, (Long, Long, String, Long)]
 
   private def readBuildId(fs: org.apache.hadoop.fs.FileSystem,
                           p: org.apache.hadoop.fs.Path): String = {
@@ -746,11 +750,12 @@ object GraftSql {
         val st = fs.getFileStatus(p)
         val (mtime, len) = (st.getModificationTime, st.getLen)
         stampMemo.get(p.toString) match {
-          case Some((m, l, id)) if m == mtime && l == len &&
-              System.currentTimeMillis() - mtime > StampTrustAgeMs => id
+          case Some((m, l, id, readAt)) if m == mtime && l == len &&
+              readAt - mtime > StampTrustAgeMs => id
           case _ =>
+            val readAt = System.currentTimeMillis()
             val id = readBuildId(fs, p)
-            stampMemo.put(p.toString, (mtime, len, id))
+            stampMemo.put(p.toString, (mtime, len, id, readAt))
             id
         }
       }.getOrElse("absent")

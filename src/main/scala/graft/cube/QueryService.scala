@@ -197,6 +197,14 @@ object QueryService {
         limited.collect() // serving-boundary: cap+1
       }
       if (rows.length > maxRows) throw new ResultCapExceeded(queryId, maxRows)
+      // a deadline (or cancel) that fired while no Spark job was
+      // active is a no-op for cancelJobGroup — the collect can still
+      // complete normally, so the contract is enforced here too: a
+      // query whose deadline elapsed must not return a result
+      if (timedOutIds.contains(queryId))
+        throw new QueryTimedOut(queryId, timeout, null)
+      if (cancelledIds.contains(queryId))
+        throw new QueryCancelled(queryId, null)
       val (scanRows, scanBytes) =
         scanMetrics(limited.queryExecution.executedPlan)
       ServedLog.record(queryId, r.via, scanRows, scanBytes)
@@ -207,7 +215,15 @@ object QueryService {
       case e: Throwable if cancelledIds.contains(queryId) =>
         throw new QueryCancelled(queryId, e)
     } finally {
-      armed.foreach(_.cancel(false))
+      // cancel the deadline, then WAIT for it if it already started:
+      // removing the id entries while the runnable is mid-flight would
+      // let it re-add them after cleanup — leaking a stale timed-out
+      // mark that misclassifies the next query reusing this id (and
+      // whose cancelJobGroup could kill that query's jobs)
+      armed.foreach { f =>
+        f.cancel(false)
+        try { f.get(); () } catch { case _: Exception => () }
+      }
       cancelledIds.remove(queryId)
       timedOutIds.remove(queryId)
       sc.setLocalProperty("spark.scheduler.pool", null)
@@ -261,6 +277,11 @@ object QueryService {
         Seq(q.plan)
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
         Seq(r.child)
+      // the cached=true serving path reads through an InMemoryRelation
+      // whose real scans live in its own cached plan — without this
+      // case every cached routed query reports 0/0 actuals
+      case c: org.apache.spark.sql.execution.columnar
+          .InMemoryTableScanExec => Seq(c.relation.cachedPlan)
       case other => other.children
     }
     p +: (below ++ p.subqueries).flatMap(flatten)

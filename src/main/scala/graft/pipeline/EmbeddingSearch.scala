@@ -297,10 +297,16 @@ object EmbeddingSearch {
           .as("pairs"))
         .select(col("c_id").as("vec_id"),
           transform(col("pairs"), p => p.getField("cv")).as("nq"))
+      // localCheckpoint per iteration: cents is referenced twice per
+      // loop (assignment + update join) and by both consumers of the
+      // final codebook — without truncation the lineage doubles each
+      // iteration and training re-executes per consumer; the frame is
+      // cells × Dim rows, so materializing it is free
       cents = cents
         .join(updated, Seq("vec_id"), "left")
         .select(col("vec_id"), coalesce(col("nq"), col("q")).as("q"))
         .withColumn("n2", idot(col("q"), col("q")))
+        .localCheckpoint(true)
     }
     cents
   }
@@ -411,10 +417,13 @@ object EmbeddingSearch {
           .as("pairs"))
         .select(col("m"), col("c_id"),
           transform(col("pairs"), p => p.getField("cv")).as("nsub"))
+      // same lineage truncation as the coarse trainer (PqSubs ×
+      // PqCents rows)
       cents = cents
         .join(updated, Seq("m", "c_id"), "left")
         .select(col("m"), col("c_id"),
           coalesce(col("nsub"), col("csub")).as("csub"))
+        .localCheckpoint(true)
     }
     cents
   }

@@ -74,6 +74,12 @@ class GraftSqlSpec extends AnyFunSuite {
 
   test("plain spark.sql accelerates through the cube via " +
       "SparkSessionExtensions (no sqlVia call)") {
+    // drop result-cache persisted frames first: a routed plan another
+    // suite cached (QueryService's default path) would be substituted
+    // by Spark's CacheManager during optimization, emptying inputFiles
+    // — this test's file-based assertions need the parquet scans
+    // visible
+    GraftSql.clearResultCache()
     GraftSql.registerViews(spark, sf)
     val q =
       """SELECT n_name, count(*) AS n, min(l_quantity) AS min_qty

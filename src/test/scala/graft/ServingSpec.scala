@@ -102,6 +102,14 @@ class ServingSpec extends AnyFunSuite {
     assert(logged.exists(e => e._3 == served.scanRows &&
       e._4 == served.scanBytes),
       s"the served log must carry the same actuals, got $logged")
+    // the DEFAULT serving path reads through the result cache's
+    // persisted frame (InMemoryRelation) — actuals must descend into
+    // the cached plan, not silently report 0/0
+    val cachedServed = QueryService.run(spark, sf,
+      "SELECT n_name, count(*) AS n FROM graft_star GROUP BY n_name",
+      queryId = "svc-metrics-cached")
+    assert(cachedServed.scanRows > 0 && cachedServed.scanBytes > 0,
+      s"cached-path scan actuals must be nonzero, got $cachedServed")
   }
 
   test("a slow query times out with a typed error; a concurrent query " +
