@@ -99,6 +99,19 @@ object QueryService {
   /** default result-row cap — Kylin's kylin.query.max-return-rows */
   val DefaultMaxRows = 5000000
 
+  /** session conf carrying the default query deadline in seconds
+    * (Kylin's `kylin.query.timeout-seconds`; 0 or unset = none) — a
+    * deployment arms every served query without touching call sites */
+  val TimeoutConf = "spark.graft.query.timeoutSeconds"
+
+  private def effectiveTimeout(spark: SparkSession,
+                               timeout: Duration): Duration =
+    if (timeout.isFinite) timeout
+    else scala.util.Try(spark.conf.get(TimeoutConf).toLong).toOption
+      .filter(_ > 0)
+      .map(s => Duration(s, java.util.concurrent.TimeUnit.SECONDS))
+      .getOrElse(Duration.Inf)
+
   /** pool choice (reference semantics): un-routed source scans belong
     * in the pushdown pool regardless of size; a routed plan with no
     * usable estimate is scheduled HEAVY — treating unknown as small
@@ -167,6 +180,7 @@ object QueryService {
           maxRows: Int = DefaultMaxRows, cached: Boolean = true,
           timeout: Duration = Duration.Inf): Served = {
     require(maxRows > 0, "maxRows must be positive")
+    val deadline = effectiveTimeout(spark, timeout)
     val sc = spark.sparkContext
     sc.setJobGroup(GroupPrefix + queryId, sql.take(256),
       interruptOnCancel = true)
@@ -176,13 +190,13 @@ object QueryService {
     // estimate once routing returns
     sc.setLocalProperty("spark.scheduler.pool", LightPool)
     val armed: Option[ScheduledFuture[_]] =
-      if (!timeout.isFinite) None
+      if (!deadline.isFinite) None
       else Some(deadlines.schedule(new Runnable {
         override def run(): Unit = {
           timedOutIds.add(queryId)
           cancel(spark, queryId)
         }
-      }, timeout.toMillis, TimeUnit.MILLISECONDS))
+      }, deadline.toMillis, TimeUnit.MILLISECONDS))
     try {
       val r = if (cached) GraftSql.sqlCached(spark, sfDir, sql)
               else GraftSql.sqlVia(spark, sfDir, sql)
@@ -202,7 +216,7 @@ object QueryService {
       // complete normally, so the contract is enforced here too: a
       // query whose deadline elapsed must not return a result
       if (timedOutIds.contains(queryId))
-        throw new QueryTimedOut(queryId, timeout, null)
+        throw new QueryTimedOut(queryId, deadline, null)
       if (cancelledIds.contains(queryId))
         throw new QueryCancelled(queryId, null)
       val (scanRows, scanBytes) =
@@ -211,7 +225,7 @@ object QueryService {
       Served(queryId, rows, r.routed, r.via, pool, parts, scanRows, scanBytes)
     } catch {
       case e: Throwable if timedOutIds.contains(queryId) =>
-        throw new QueryTimedOut(queryId, timeout, e)
+        throw new QueryTimedOut(queryId, deadline, e)
       case e: Throwable if cancelledIds.contains(queryId) =>
         throw new QueryCancelled(queryId, e)
     } finally {

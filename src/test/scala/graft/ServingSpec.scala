@@ -145,6 +145,21 @@ class ServingSpec extends AnyFunSuite {
       "SELECT count(*) AS n FROM graft_star", queryId = "svc-to-after",
       cached = false)
     assert(after.rows.length == 1)
+    // deployment-wide default (kylin.query.timeout-seconds parity):
+    // with the session conf set, a call that passes NO timeout still
+    // gets the deadline
+    ServingSpecState.sleepClaimed.set(false)
+    spark.conf.set(QueryService.TimeoutConf, "2")
+    try {
+      val e2 = intercept[Exception] {
+        QueryService.run(spark, sf,
+          "SELECT n_name, count(*) AS c FROM graft_star " +
+            "WHERE graft_slow_to(n_name) = n_name GROUP BY n_name",
+          queryId = "svc-conf-deadline", cached = false)
+      }
+      assert(e2.isInstanceOf[QueryService.QueryTimedOut],
+        s"conf-armed deadline must fire, got $e2")
+    } finally spark.conf.unset(QueryService.TimeoutConf)
   }
 
   test("a served routed query runs under its job group in a FAIR pool") {
