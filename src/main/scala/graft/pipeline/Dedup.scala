@@ -409,6 +409,33 @@ object Dedup {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** Leak-proof train/valid/test split: a near-dup cluster straddling
+    * train and eval leaks the eval set into training (the overlap
+    * `contaminationScores` audits after the fact — this PREVENTS it by
+    * construction). Every doc is bucketed by the deterministic
+    * md5-derived hash (same engine-reproducible idiom as hash-mod
+    * sampling) of its dup-cluster REPRESENTATIVE (the component's min
+    * doc_id; uniques represent themselves), so a whole cluster always
+    * lands in one split. `trainPct`/`validPct` of the 100 buckets go
+    * to train/valid, the remainder to test. One broadcast-or-shuffle
+    * join of the corpus against the (small, duplicate-sized) cluster
+    * labels — the split itself adds no extra shuffle at 100 TB. */
+  def leakproofSplit(docs: DataFrame, pairs: DataFrame,
+                     trainPct: Int, validPct: Int): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
+      "percentages must partition the 100 hash buckets")
+    docs.select(col("doc_id"))
+      .join(dupClusters(pairs), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket",
+        TextAnalysis.sampleHash(col("split_key"), "split") % 100)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + validPct, "valid")
+          .otherwise("test"))
+      .select("doc_id", "split_key", "bucket", "split")
+  }
+
   /** clusters memoized per (session, canonicalized pair plan), same
     * pattern as the shingle frame: the label-propagation loop is
     * several driver-blocking jobs, and both cluster consumers

@@ -253,6 +253,59 @@ object DedupQueries extends QueryGroup {
              |  SELECT id FROM reach GROUP BY id HAVING id <> MIN(r))
              |SELECT doc_id FROM documents
              |WHERE doc_id NOT IN (SELECT id FROM drop_ids)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // 42e ─────────────── leak-proof train/valid/test split: assign by
+    //     the deterministic hash of each doc's dup-CLUSTER
+    //     representative, so a near-dup cluster never straddles train
+    //     and eval (contamination prevented by construction — the
+    //     split-time counterpart of doc_contamination's audit).
+    //     80/10/10 buckets, md5-derived, engine-reproducible.
+    Q("doc_split_leakproof",
+      (s, d) => {
+        implicit val spark = s
+        val docs = documents(s, d)
+        val pairs = Dedup.cachedMinhashDupPairs(docs, 0.8)
+          .select("id_a", "id_b")
+        Dedup.leakproofSplit(docs, pairs, trainPct = 80, validPct = 10)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
+             |sizes AS (SELECT doc_id, len(sh) AS n FROM shl),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS x
+             |  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM inter
+             |  JOIN sizes sa ON id_a = sa.doc_id
+             |  JOIN sizes sb ON id_b = sb.doc_id
+             |  WHERE ROUND(CAST(x AS DOUBLE) / (sa.n + sb.n - x), 4) >= 0.8),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT DISTINCT src AS id, src AS r FROM edges
+             |  UNION
+             |  SELECT reach.id, e.dst AS r
+             |  FROM reach JOIN edges e ON e.src = reach.r),
+             |clusters AS (
+             |  SELECT id AS doc_id, MIN(r) AS cluster_id
+             |  FROM reach GROUP BY id),
+             |keyed AS (
+             |  SELECT d.doc_id,
+             |    COALESCE(c.cluster_id, d.doc_id) AS split_key
+             |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+             |b AS (
+             |  SELECT doc_id, split_key,
+             |    CAST(concat('0x', substr(
+             |      md5('split:' || CAST(split_key AS VARCHAR)), 1, 15))
+             |      AS BIGINT) % 100 AS bucket
+             |  FROM keyed)
+             |SELECT doc_id, split_key, bucket,
+             |  CASE WHEN bucket < 80 THEN 'train'
+             |       WHEN bucket < 90 THEN 'valid'
+             |       ELSE 'test' END AS split
+             |FROM b ORDER BY doc_id""".stripMargin))
   )
 }

@@ -161,6 +161,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivfpq.nonEmpty)
   }
 
+  test("leak-proof split never straddles a dup cluster across splits") {
+    val pairs = Dedup.minhashDupPairs(docs, 0.8).select("id_a", "id_b")
+    val split = Dedup.leakproofSplit(docs, pairs, 80, 10)
+    val byDoc = split.collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(byDoc.size == docs.count(), "every doc must be assigned")
+    val clusters = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.nonEmpty)
+    val straddling = clusters.groupBy(_._2).filter { case (_, ms) =>
+      ms.map(m => byDoc(m._1)).toSet.size > 1 }
+    assert(straddling.isEmpty,
+      s"clusters split across train/eval: ${straddling.keys.take(3)}")
+    // the hash actually spreads: all three splits are populated
+    assert(byDoc.values.toSet == Set("train", "valid", "test"))
+  }
+
   test("blocked all-pairs cosine is block-count invariant (exact join)") {
     val one = EmbeddingSearch.cosineDupPairs(embs, 0.4, blocks = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
