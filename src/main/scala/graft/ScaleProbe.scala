@@ -34,7 +34,8 @@ object ScaleProbe {
     "doc_dedup_keep", "doc_incremental_dedup", "doc_simhash",
     "doc_ngram_jaccard", "doc_contamination", "doc_prep_pipeline",
     "doc_pack_chunks", "doc_token_count", "doc_vocab_topk",
-    "emb_cosine_dup", "emb_semantic_dedup", "emb_topk_bruteforce",
+    "emb_cosine_dup", "emb_semantic_dedup", "emb_semantic_dedup_lsh",
+    "emb_topk_bruteforce",
     "emb_topk_lsh", "emb_topk_corpus", "emb_topk_ivf", "emb_topk_pq",
     "emb_topk_ivfpq")
 

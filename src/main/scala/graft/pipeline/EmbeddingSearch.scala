@@ -229,6 +229,38 @@ object EmbeddingSearch {
     rankTopK(scored, k)
   }
 
+  /** Corpus-vs-corpus LSH near-dup pairs — the candidate generator the
+    * scale-safe semantic dedup rides (VERDICT r12 item 1). Candidates
+    * are unordered id pairs sharing ANY table's bucket — the same
+    * (table, bucket)-keyed shuffle self-join as `lshTopKCorpus`, no
+    * side broadcast, no triangular block cogroup, so the all-pairs
+    * scan never happens. Every candidate is then verified by the exact
+    * integer cosine, so each emitted pair is EXACTLY a pair the O(n²)
+    * kernel would emit (precision 1); recall below 1 on pairs no table
+    * collides is the standard LSH trade, tunable via tables × bits.
+    * Only (id, table, bucket) rows ride the candidate shuffle; the
+    * wide quantized vectors re-attach per side after the distinct. */
+  def lshCosineDupPairs(embs: DataFrame, minCos: Double): DataFrame = {
+    val b = withBuckets(quantized(embs))
+    val buckets = b.select(col("vec_id"),
+      posexplode(array((0 until LshTables).map(t => col(s"bkt$t")): _*))
+        .as(Seq("t", "bkt")))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val q = quantized(embs)
+    cand
+      .join(q.select(col("vec_id").as("id_a"),
+        col("q").as("qa"), col("n2").as("na")), "id_a")
+      .join(q.select(col("vec_id").as("id_b"),
+        col("q").as("qb"), col("n2").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(idot(col("qa"), col("qb")), col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= minCos)
+  }
+
   // ── IVF (inverted-file) ANN — the second scale path ──────────────
 
   val IvfCells = 16

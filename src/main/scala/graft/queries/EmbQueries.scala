@@ -37,7 +37,65 @@ object EmbQueries extends QueryGroup {
       |  FROM scored)
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** LSH bucket CTEs (hp → dots → bk): md5-derived hyperplanes, one
+    * 8-bit sign bucket per (vector, table) — the SQL replay of
+    * EmbeddingSearch.withBuckets */
+  private val lshBkCte =
+    """hp AS (
+      |  SELECT t.range AS t, j.range AS j, i.range AS i,
+      |    (CAST(concat('0x', substr(md5(
+      |       CAST(t.range AS VARCHAR) || '_' ||
+      |       CAST(j.range AS VARCHAR) || '_' ||
+      |       CAST(i.range AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS hv
+      |  FROM range(4) t, range(8) j, range(64) i),
+      |dots AS (
+      |  SELECT n.vec_id, hp.t, hp.j,
+      |    SUM(n.q[CAST(hp.i AS INT) + 1] * hp.hv) AS dp
+      |  FROM n, hp GROUP BY 1, 2, 3),
+      |bk AS (
+      |  SELECT vec_id, t,
+      |    CAST(SUM(CASE WHEN dp >= 0 THEN (1 << CAST(j AS INT)) ELSE 0 END) AS INT) AS bkt
+      |  FROM dots GROUP BY 1, 2)""".stripMargin
+
   val queries: Seq[Q] = Seq(
+
+    // 45c ─────────────── scale-safe semantic dedup (the PRODUCTION
+    //     path): LSH bucket candidates (shuffle equi-join, never
+    //     O(n²)) → exact-cosine verify → transitive clusters →
+    //     keep the min-id representative. Same output contract as
+    //     emb_semantic_dedup; the exact kernel above stays as the
+    //     oracle baseline for recall comparison.
+    Q("emb_semantic_dedup_lsh",
+      (s, d) => {
+        implicit val spark = s
+        Dedup.semanticDedupLsh(embeddings(s, d), 0.4).orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE ${qvCte.stripPrefix("WITH ")},
+             |$lshBkCte,
+             |cand AS (
+             |  SELECT DISTINCT qa.vec_id AS id_a, qb.vec_id AS id_b
+             |  FROM bk qa JOIN bk qb
+             |    ON qa.t = qb.t AND qa.bkt = qb.bkt
+             |   AND qa.vec_id < qb.vec_id),
+             |pairs AS (
+             |  SELECT cand.id_a, cand.id_b
+             |  FROM cand
+             |  JOIN n a ON a.vec_id = cand.id_a
+             |  JOIN n b ON b.vec_id = cand.id_b
+             |  WHERE $cosAB >= 0.4),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT DISTINCT src AS id, src AS r FROM edges
+             |  UNION
+             |  SELECT reach.id, e.dst AS r
+             |  FROM reach JOIN edges e ON e.src = reach.r),
+             |comp AS (SELECT id, MIN(r) AS cl FROM reach GROUP BY id)
+             |SELECT e.vec_id FROM embeddings e
+             |LEFT JOIN comp ON e.vec_id = comp.id
+             |WHERE comp.id IS NULL OR comp.cl = e.vec_id
+             |ORDER BY vec_id""".stripMargin)),
 
     // 45b ─────────────── semantic dedup: cosine near-dup pairs →
     //     transitive clusters → keep the min-id representative per

@@ -230,6 +230,42 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("semantic dedup LSH path: shuffle-join plan, exact-verified pairs") {
+    // the production path (VERDICT r12 item 1) must never plan the
+    // O(n²) shapes: no triangular block cogroup, and with
+    // auto-broadcast off no side of the candidate join is broadcast —
+    // the 100 TB corpus-vs-corpus shape end to end
+    import spark.implicits._
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Dedup.semanticDedupLsh(embs, 0.4)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"semantic dedup LSH must not broadcast either side:\n${plan.take(1500)}")
+      assert(!plan.contains("CoGroup"),
+        s"semantic dedup LSH must not use the block-pair cogroup kernel:\n${plan.take(1500)}")
+      // precision 1: every verified LSH pair is an exact-kernel pair
+      val lshPairs = EmbeddingSearch.lshCosineDupPairs(embs, 0.4)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exactPairs = EmbeddingSearch.cachedCosineDupPairs(embs, 0.4)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lshPairs.nonEmpty && lshPairs.subsetOf(exactPairs),
+        "LSH-verified pairs must be a subset of the exact pair set")
+      // fewer-or-equal pairs ⇒ clusters only split ⇒ each sub-cluster
+      // keeps its own min ⇒ LSH survivors ⊇ exact survivors
+      val lshKept = df.collect().map(_.getLong(0)).toSet
+      val exactKept = Dedup.dedupKeepOne(
+          embs.select(col("vec_id").as("doc_id")), exactPairs.toSeq
+            .toDF("id_a", "id_b"))
+        .collect().map(_.getLong(0)).toSet
+      assert(exactKept.subsetOf(lshKept),
+        "every exact-dedup survivor must survive the LSH path too")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("dup clusters label every component member with its min id") {
     import spark.implicits._
     // two components: a 4-chain (1-2, 2-3, 3-4) that pairwise dedup
