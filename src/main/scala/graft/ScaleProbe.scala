@@ -1,19 +1,21 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** 10× scale probe (VERDICT r10 item 6 / r11 item 3): every bucketed-
-  * candidate constant in the dedup/ANN/packing suite (max shingle df,
-  * LSH band widths, IVF cells/probes, PQ overfetch) had only ever been
-  * measured at sf0.1 — this main measures how the keys actually scale.
+/** Scale probe (VERDICT r10 item 6 / r11 item 3 / r12 items 3+5):
+  * every bucketed-candidate constant in the dedup/ANN/packing suite
+  * (max shingle df, LSH band widths, IVF cells/probes, PQ overfetch)
+  * had only ever been measured at sf0.1 — this main measures how the
+  * keys actually scale, now across TWO decades.
   *
   * It materializes a 10× copy of the sf0.1 documents/embeddings under
-  * target/scale10 and times each pipeline key once at sf0.1 and once
-  * at 10×, same order, same session. The copies are deterministically
-  * DECORRELATED so the duplicate structure scales linearly instead of
-  * quadratically (the point is operator scaling, not a pathological
-  * dup-rate shift):
+  * target/scale10 (and, when SPARK_GRAFT_SCALE100=1, a 100× copy under
+  * target/scale100) and times each pipeline key once at sf0.1 and once
+  * per replica scale, same order, same session. The copies are
+  * deterministically DECORRELATED so the duplicate structure scales
+  * linearly instead of quadratically (the point is operator scaling,
+  * not a pathological dup-rate shift):
   *  - documents: every word in copy i>0 is suffixed `_i`, so shingle
   *    sets across copies are disjoint — each copy reproduces the
   *    original's internal near-dup pairs and nothing else;
@@ -25,10 +27,20 @@ import org.apache.spark.sql.functions._
   * frames, and a min-of-passes would measure memo replay; with one
   * pass in a fixed order the frame build lands on the same (first)
   * consumer at both scales, so per-key ratios compare like with like.
+  *
+  * The incremental-dedup key is additionally timed with the signature
+  * store PREBUILT (VERDICT r12 item 3): the keyed run charges the
+  * one-time store build to the batch, but the production posture is
+  * yesterday's pipeline already wrote the store — the prebuilt rows
+  * time exactly the ingest join (batch shingling + broadcast bucket
+  * join + exact verify) and are the evidence behind "wall cost scales
+  * with the batch". The timed batch carries a fresh trivial predicate
+  * so its shingle frame canonicalizes differently from the keyed
+  * run's — the memo must not serve the timed path.
   */
 object ScaleProbe {
 
-  /** the keys whose scale behavior the probe certifies */
+  /** the keys whose 10× scale behavior the probe certifies */
   val Keys: Seq[String] = Seq(
     "doc_exact_dedup", "doc_minhash_lsh", "doc_dup_clusters",
     "doc_dedup_keep", "doc_incremental_dedup", "doc_simhash",
@@ -39,15 +51,36 @@ object ScaleProbe {
     "emb_topk_lsh", "emb_topk_corpus", "emb_topk_ivf", "emb_topk_pq",
     "emb_topk_ivfpq")
 
+  /** the ≥5×-at-10× keys whose curvature the 100× decade certifies
+    * (VERDICT r12 item 5), plus the new LSH semantic-dedup path it
+    * must prove out; emb_cosine_dup is the named O(n²) baseline —
+    * its super-linear bend is the expected control, not a finding */
+  val Keys100: Seq[String] = Seq(
+    "doc_minhash_lsh", "doc_dedup_keep", "doc_incremental_dedup",
+    "emb_cosine_dup", "emb_semantic_dedup_lsh")
+
   val Copies = 10
 
-  def replicate(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+  /** Replicate sfDir's documents/embeddings `copies`× under outDir.
+    * The `_done` marker RECORDS (sfDir, copies) — a marker written for
+    * a different source dir or copy count does not satisfy this build
+    * and the replica is rebuilt (ADVICE r12: a stale marker would
+    * silently compare mismatched datasets). */
+  def replicate(spark: SparkSession, sfDir: String, outDir: String,
+                copies: Int): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_done"))) return
+    val marker = new org.apache.hadoop.fs.Path(s"$outDir/_done")
+    val want = s"${sfDir.replaceAll("/+$", "")}|$copies"
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (got == want) return
+    }
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
-    val docs10 = (0 until Copies).map { i =>
+    val docsN = (0 until copies).map { i =>
       if (i == 0) docs
       else docs
         .withColumn("doc_id", col("doc_id") + lit(i * nDocs))
@@ -56,11 +89,11 @@ object ScaleProbe {
             w => concat(w, lit(s"_$i"))), " "))
         .withColumn("n_chars", length(col("text")))
     }.reduce(_ unionByName _)
-    docs10.repartition(32)
+    docsN.repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     val embs = Tables.embeddings(spark, sfDir)
     val nVecs = embs.agg(max("vec_id")).head.getLong(0) + 1
-    val embs10 = (0 until Copies).map { i =>
+    val embsN = (0 until copies).map { i =>
       if (i == 0) embs
       else embs
         .withColumn("vec_id", col("vec_id") + lit(i * nVecs))
@@ -68,15 +101,41 @@ object ScaleProbe {
           transform(col("embedding"), (v, j) =>
             when(pmod(xxhash64(lit(i), j), lit(2)) === 0, v).otherwise(-v)))
     }.reduce(_ unionByName _)
-    embs10.repartition(32)
+    embsN.repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_done")).close()
+    val out = fs.create(marker, true)
+    out.write(want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** Time the incremental ingest join against a PREBUILT signature
+    * store: the store build (production: yesterday's run) happens
+    * before the clock starts; the timed section is batch shingling +
+    * broadcast bucket join + exact verify — the production per-ingest
+    * cost. The redundant `doc_id >= 0` keeps the batch plan's
+    * canonicalization distinct from the keyed run's, so the timed path
+    * computes its own shingles instead of replaying the memo. */
+  private def timeIncrementalPrebuilt(spark: SparkSession, dir: String,
+                                      tag: String): Double = {
+    implicit val s: SparkSession = spark
+    val docs = Tables.documents(spark, dir)
+    val store = s"target/scale-sigstore-$tag"
+    graft.pipeline.Dedup.persistSignatureStore(
+      docs.filter(col("doc_id") % 10 =!= 0), store)
+    val batch = docs.filter(col("doc_id") % 10 === 0 &&
+      col("doc_id") >= 0)
+    val t0 = System.nanoTime()
+    Bench.materialize(
+      graft.pipeline.Dedup.incrementalDupPairs(batch, store, 0.8))
+    (System.nanoTime() - t0) / 1e9
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val out = "target/scale10"
+    val run100 = sys.env.get("SPARK_GRAFT_SCALE100").contains("1")
+    val out10 = "target/scale10"
+    val out100 = "target/scale100"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -87,47 +146,71 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    replicate(spark, sfDir, out)
+    replicate(spark, sfDir, out10, Copies)
+    if (run100) replicate(spark, sfDir, out100, Copies * 10)
 
     def loadAvg(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // Untimed warmup sweep of EVERY probed key against the small
     // sf0.001 tables: compiles/JITs each key's codegen classes and
     // kernels before any timed pass, so the sf0.1 pass (which runs
-    // first) isn't charged warmup the 10x pass doesn't pay — without
-    // this the early keys' ratios read better than real. A different
-    // dataset dir on purpose: the memoized candidate frames key on the
-    // input plan, so the warmup leaves both timed passes' memo
-    // behavior untouched (each still builds its own frames).
+    // first) isn't charged warmup the replica passes don't pay —
+    // without this the early keys' ratios read better than real. A
+    // different dataset dir on purpose: the memoized candidate frames
+    // key on the input plan, so the warmup leaves the timed passes'
+    // memo behavior untouched (each still builds its own frames).
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
     Keys.foreach { name =>
       try Bench.materialize(SparkEntry.queries(name)(spark, warmDir))
       catch { case _: Throwable => () }
     }
-    def timeAt(dir: String): Seq[(String, Double)] = Keys.map { name =>
-      val t0 = System.nanoTime()
-      try Bench.materialize(SparkEntry.queries(name)(spark, dir))
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[scale-probe] $name FAILED at $dir: $e")
-          spark.stop()
-          sys.exit(1)
+    def timeAt(dir: String, keys: Seq[String]): Seq[(String, Double)] =
+      keys.map { name =>
+        val t0 = System.nanoTime()
+        try Bench.materialize(SparkEntry.queries(name)(spark, dir))
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[scale-probe] $name FAILED at $dir: $e")
+            spark.stop()
+            sys.exit(1)
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
     val loadBefore = loadAvg()
-    val base = timeAt(sfDir).toMap
-    val big = timeAt(out)
+    val base = timeAt(sfDir, Keys).toMap
+    val big = timeAt(out10, Keys)
+    // prebuilt-store ingest joins AFTER the keyed passes: their store
+    // builds warm shingle memos the keyed runs must not inherit
+    val pb01 = timeIncrementalPrebuilt(spark, sfDir, "sf01")
+    val pb10 = timeIncrementalPrebuilt(spark, out10, "x10")
+    val (big100, pb100) =
+      if (!run100) (Seq.empty[(String, Double)], None)
+      else {
+        val t = timeAt(out100, Keys100)
+        (t, Some(timeIncrementalPrebuilt(spark, out100, "x100")))
+      }
     val loadAfter = loadAvg()
+    val big100m = big100.toMap
     val rows = big.map { case (name, t10) =>
       val t1 = base(name)
+      val c100 = big100m.get(name)
+        .map(t100 => f""","x100_sec":$t100%.3f,""" +
+          f""""ratio100":${t100 / math.max(t10, 1e-9)}%.2f""")
+        .getOrElse("")
       f"""{"key":"$name","sf01_sec":$t1%.3f,"x10_sec":$t10%.3f,""" +
-        f""""ratio":${t10 / math.max(t1, 1e-9)}%.2f}"""
+        f""""ratio":${t10 / math.max(t1, 1e-9)}%.2f$c100}"""
     }
+    val pbRow =
+      f"""{"key":"doc_incremental_dedup_prebuilt","sf01_sec":$pb01%.3f,""" +
+        f""""x10_sec":$pb10%.3f,"ratio":${pb10 / math.max(pb01, 1e-9)}%.2f""" +
+        pb100.map(t => f""","x100_sec":$t%.3f,""" +
+          f""""ratio100":${t / math.max(pb10, 1e-9)}%.2f""").getOrElse("") +
+        "}"
     val json = s"""{"metric":"scale10","copies":$Copies,""" +
+      s""""copies100":${if (run100) Copies * 10 else 0},""" +
       f""""load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,""" +
-      s""""keys":[${rows.mkString(",")}]}"""
+      s""""keys":[${(rows :+ pbRow).mkString(",")}]}"""
     println(json)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("target/scale_probe.json"),

@@ -57,9 +57,12 @@ object GraftSql {
 
   /** how a query was answered. `estRows` is the routed plan's estimated
     * cuboid scan rows (None on fallback) — the serving layer weighs its
-    * scheduler pool by it (QueryService.poolFor). */
+    * scheduler pool by it (QueryService.poolFor). `fromCache` marks a
+    * result-cache HIT: the frame replays persisted blocks, so per-query
+    * scan actuals would otherwise re-report the cache BUILD's reads
+    * (ADVICE r12) — the serving layer reports 0 actuals for hits. */
   final case class SqlResult(df: DataFrame, routed: Boolean, via: String,
-      estRows: Option[Long] = None)
+      estRows: Option[Long] = None, fromCache: Boolean = false)
 
   /** one SQL-routable cube: registered view name + its flat table (the
     * view source / fallback) + built-instance supplier + optionally a
@@ -715,20 +718,28 @@ object GraftSql {
   /** buildId memo per meta path, keyed on the file's (mtime, length)
     * from one getFileStatus (ADVICE r11: a content read per
     * realization per sqlCached call is a GET per query on an object
-    * store). An entry is only TRUSTED when its content read happened
-    * after the file had been quiescent past [[StampTrustAgeMs]]
-    * (readAt − mtime > slack): on stores with coarse mtime granularity
-    * (whole-second NFS, object stores) a second commit inside the same
-    * granule leaves (mtime, length) unchanged — buildId is a
-    * fixed-width UUID — but any such commit necessarily lands before
-    * mtime + granularity < readAt, so a read taken after the slack has
-    * seen it. A read taken INSIDE the window is stored but never
-    * trusted (re-read on every call until a post-quiescence read
-    * replaces it), so only cold metadata — the steady serving state —
-    * is served from the memo at getFileStatus cost. */
+    * store). On stores with coarse mtime granularity (whole-second
+    * NFS, object stores) a second commit inside the same mtime granule
+    * leaves (mtime, length) unchanged — buildId is a fixed-width UUID
+    * — so an entry may only be served once the granule has provably
+    * CLOSED. Quiescence is measured in the LOCAL clock alone (ADVICE
+    * r12 — the old `readAt − mtime > slack` test differenced the local
+    * clock against the store's mtime clock, so skew either trusted too
+    * early or disabled the memo): two getFileStatus observations more
+    * than [[StampTrustAgeMs]] apart showing the SAME (mtime, length)
+    * prove the store clock has left that mtime granule — were it still
+    * inside the granule at the second observation, it would have been
+    * before the granule's start at the first, contradicting the first
+    * observation of that mtime. Only clock RATES are assumed
+    * comparable over seconds, never offsets. Promotion re-reads the
+    * content once (the pending entry's read may predate a same-granule
+    * commit), then the entry is trusted at getFileStatus cost until
+    * (mtime, length) moves — any post-closure commit lands in a later
+    * granule and is caught by the status comparison. */
   private val StampTrustAgeMs = 5000L
+  /** path → (mtime, len, buildId, firstSeenAt local ms, trusted) */
   private val stampMemo = scala.collection.concurrent.TrieMap
-    .empty[String, (Long, Long, String, Long)]
+    .empty[String, (Long, Long, String, Long, Boolean)]
 
   private def readBuildId(fs: org.apache.hadoop.fs.FileSystem,
                           p: org.apache.hadoop.fs.Path): String = {
@@ -749,13 +760,25 @@ object GraftSql {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val st = fs.getFileStatus(p)
         val (mtime, len) = (st.getModificationTime, st.getLen)
+        val now = System.currentTimeMillis()
         stampMemo.get(p.toString) match {
-          case Some((m, l, id, readAt)) if m == mtime && l == len &&
-              readAt - mtime > StampTrustAgeMs => id
-          case _ =>
-            val readAt = System.currentTimeMillis()
+          case Some((m, l, id, _, true)) if m == mtime && l == len => id
+          case Some((m, l, _, seenAt, false)) if m == mtime && l == len &&
+              now - seenAt > StampTrustAgeMs =>
+            // the granule provably closed between the two status
+            // observations — re-read once (the pending read may
+            // predate a same-granule commit) and promote to trusted
             val id = readBuildId(fs, p)
-            stampMemo.put(p.toString, (mtime, len, id, readAt))
+            stampMemo.put(p.toString, (mtime, len, id, seenAt, true))
+            id
+          case Some((m, l, _, _, false)) if m == mtime && l == len =>
+            // still inside the trust window: re-read per call — the
+            // window is guarded by content reads; steady-state
+            // metadata is the trusted branch above
+            readBuildId(fs, p)
+          case _ =>
+            val id = readBuildId(fs, p)
+            stampMemo.put(p.toString, (mtime, len, id, now, false))
             id
         }
       }.getOrElse("absent")
@@ -771,7 +794,7 @@ object GraftSql {
     resultCache.synchronized(resultCache.get(key)) match {
       case Some(hit) =>
         cacheHits.incrementAndGet()
-        hit
+        hit.copy(fromCache = true)
       case None =>
         cacheMisses.incrementAndGet()
         // compute OUTSIDE the lock: a cache must not serialize misses

@@ -148,16 +148,27 @@ object QueryService {
       s"query $queryId timed out after $timeout", cause)
 
   /** a served query: the collected rows, how it was answered, and the
-    * executed plan's actual scan metrics (QueryMetricUtils parity) */
+    * executed plan's actual scan metrics (QueryMetricUtils parity).
+    * `fromCache` marks a result-cache hit — its "scan" replays
+    * persisted blocks, so scan actuals are reported as 0 rather than
+    * re-charging the cache build's reads to every hit (ADVICE r12). */
   final case class Served(queryId: String, rows: Array[Row],
       routed: Boolean, via: String, pool: String,
       shufflePartitions: Option[Int] = None,
-      scanRows: Long = 0L, scanBytes: Long = 0L)
+      scanRows: Long = 0L, scanBytes: Long = 0L,
+      fromCache: Boolean = false)
 
   /** ids cancelled by `cancel` (user) / the deadline (timeout) — the
     * classifier keys on membership, never on exception-message text:
     * an unrelated failure that happens to say "cancelled" propagates
-    * as itself (ADVICE r11) */
+    * as itself (ADVICE r11). `activeIds` registers queries currently
+    * inside `run`: a cancel of a finished or unknown id must not park
+    * a mark that misclassifies the NEXT run reusing the id (ADVICE
+    * r12) — marks are only taken for active ids, and mark-vs-cleanup
+    * ordering is serialized by `idLock`. */
+  private val idLock = new Object
+  private val activeIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val cancelledIds =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val timedOutIds =
@@ -182,6 +193,7 @@ object QueryService {
     require(maxRows > 0, "maxRows must be positive")
     val deadline = effectiveTimeout(spark, timeout)
     val sc = spark.sparkContext
+    activeIds.add(queryId)
     sc.setJobGroup(GroupPrefix + queryId, sql.take(256),
       interruptOnCancel = true)
     // provisional pool for the router's own metadata probes (they are
@@ -219,10 +231,15 @@ object QueryService {
         throw new QueryTimedOut(queryId, deadline, null)
       if (cancelledIds.contains(queryId))
         throw new QueryCancelled(queryId, null)
+      // a result-cache hit read zero files — reporting the cached
+      // plan's build metrics would overstate every hit's scan work
+      // (ADVICE r12); hits report 0/0 and carry the fromCache flag
       val (scanRows, scanBytes) =
-        scanMetrics(limited.queryExecution.executedPlan)
+        if (r.fromCache) (0L, 0L)
+        else scanMetrics(limited.queryExecution.executedPlan)
       ServedLog.record(queryId, r.via, scanRows, scanBytes)
-      Served(queryId, rows, r.routed, r.via, pool, parts, scanRows, scanBytes)
+      Served(queryId, rows, r.routed, r.via, pool, parts, scanRows, scanBytes,
+        r.fromCache)
     } catch {
       case e: Throwable if timedOutIds.contains(queryId) =>
         throw new QueryTimedOut(queryId, deadline, e)
@@ -238,8 +255,13 @@ object QueryService {
         f.cancel(false)
         try { f.get(); () } catch { case _: Exception => () }
       }
-      cancelledIds.remove(queryId)
-      timedOutIds.remove(queryId)
+      // deregister-then-clear under the lock: a concurrent cancel()
+      // that saw this id active must not re-mark it after the clear
+      idLock.synchronized {
+        activeIds.remove(queryId)
+        cancelledIds.remove(queryId)
+        timedOutIds.remove(queryId)
+      }
       sc.setLocalProperty("spark.scheduler.pool", null)
       sc.clearJobGroup()
     }
@@ -265,9 +287,15 @@ object QueryService {
   }
 
   /** kill every job of a served query; interruptOnCancel interrupts
-    * its running tasks (ResultPlan's cancelJobGroup path) */
+    * its running tasks (ResultPlan's cancelJobGroup path). Only a
+    * CURRENTLY-ACTIVE id takes the cancellation mark — cancelling a
+    * finished or unknown id must not leak a mark that fails the next
+    * run reusing the id after its collect completes (ADVICE r12); the
+    * group cancel below is a no-op for such ids either way. */
   def cancel(spark: SparkSession, queryId: String): Unit = {
-    cancelledIds.add(queryId)
+    idLock.synchronized {
+      if (activeIds.contains(queryId)) { cancelledIds.add(queryId); () }
+    }
     spark.sparkContext.cancelJobGroup(GroupPrefix + queryId)
   }
 

@@ -22,7 +22,10 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(r1.routed)
     val want = r1.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     val r2 = GraftSql.sqlCached(spark, sf, q)
-    assert(r2 eq r1, "a repeat must serve the SAME cached result")
+    assert(r2.df eq r1.df, "a repeat must serve the SAME cached frame")
+    assert(r2.fromCache && !r1.fromCache,
+      "only the hit carries the fromCache mark (ADVICE r12: the " +
+        "serving layer reports 0 scan actuals for hits)")
     assert(r2.df.storageLevel.useMemory, "cached result must be persisted")
     // the stamp is the meta's buildId CONTENT, not the file's mtime
     // (ADVICE r10: coarse-mtime stores): a pure mtime touch with the
@@ -33,7 +36,7 @@ class GraftSqlSpec extends AnyFunSuite {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.setTimes(p, System.currentTimeMillis() + 1000, -1)
     val rt = GraftSql.sqlCached(spark, sf, q)
-    assert(rt eq r1, "an mtime-only touch must NOT invalidate the entry")
+    assert(rt.df eq r1.df, "an mtime-only touch must NOT invalidate the entry")
     // ... while a REAL metadata commit (save writes a fresh buildId
     // last, as every build/append/refresh/merge does) must flip the
     // key even when (mtime, length) happen to be unchanged — buildId

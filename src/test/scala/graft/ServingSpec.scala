@@ -110,6 +110,32 @@ class ServingSpec extends AnyFunSuite {
       queryId = "svc-metrics-cached")
     assert(cachedServed.scanRows > 0 && cachedServed.scanBytes > 0,
       s"cached-path scan actuals must be nonzero, got $cachedServed")
+    // a result-cache HIT reads zero files: it must carry the fromCache
+    // mark and report 0 actuals instead of re-charging the cache
+    // build's reads to every hit (ADVICE r12)
+    val hitServed = QueryService.run(spark, sf,
+      "SELECT n_name, count(*) AS n FROM graft_star GROUP BY n_name",
+      queryId = "svc-metrics-hit")
+    assert(hitServed.fromCache,
+      s"a repeat through the cache must be marked fromCache, got $hitServed")
+    assert(hitServed.scanRows == 0 && hitServed.scanBytes == 0,
+      s"a cache hit must report 0 scan actuals, got $hitServed")
+  }
+
+  test("cancelling a finished or unknown id does not poison a later " +
+      "run reusing it") {
+    ensure()
+    val q = "SELECT r_name, count(*) AS n FROM graft_star GROUP BY r_name"
+    val first = QueryService.run(spark, sf, q, queryId = "svc-reuse")
+    assert(first.rows.nonEmpty)
+    // stale cancel: the query already finished — the mark must NOT be
+    // taken (ADVICE r12: an unguarded mark throws a spurious
+    // QueryCancelled from the next run with this id)
+    QueryService.cancel(spark, "svc-reuse")
+    QueryService.cancel(spark, "svc-never-ran")
+    val again = QueryService.run(spark, sf, q, queryId = "svc-reuse")
+    assert(again.rows.nonEmpty,
+      "a run reusing a previously-cancelled-after-finish id must succeed")
   }
 
   test("a slow query times out with a typed error; a concurrent query " +
