@@ -87,4 +87,16 @@ object CuboidPlanner {
     val rows = estimateRows(flat, cands)
     recommend(base, rows, queryLog.filter(_.nonEmpty), maxCuboids)
   }
+
+  /** Close the planner loop ACROSS RESTARTS: the workload sample comes
+    * from the parquet QueryLog a previous process persisted
+    * (reference: the cube planner "phase 2" feeds on externally
+    * reported query metrics, metrics-reporter-* modules) rather than
+    * this JVM's in-memory QueryStats. */
+  def recommendFromStore(spark: org.apache.spark.sql.SparkSession,
+                         logDir: String, flat: DataFrame,
+                         base: Set[String], cube: String,
+                         maxCuboids: Int): Seq[Set[String]] =
+    recommendFromLog(flat, base,
+      QueryLog.dimSets(spark, logDir, cube), maxCuboids)
 }

@@ -833,6 +833,9 @@ object GraftSql {
   def accelerate(spark: SparkSession,
                  plan: LogicalPlan): Option[LogicalPlan] = {
     if (accelerating.get()) return None
+    // default outcome for the serve-guard rule running next in the
+    // post-hoc batch: not routed (pushdown) until a swap succeeds
+    recordAccelOutcome(routed = false, estRows = None)
     if (!plan.resolved) return None
     if (spark.conf.get("spark.graft.accelerate", "false") != "true")
       return None
@@ -864,8 +867,10 @@ object GraftSql {
         // declares — refuse and serve the plain plan instead
         val sig = (s: org.apache.spark.sql.types.StructType) =>
           s.fields.toSeq.map(f => (f.name, f.dataType))
-        if (sig(routedPlan.schema) == sig(plan.schema)) Some(routedPlan)
-        else None
+        if (sig(routedPlan.schema) == sig(plan.schema)) {
+          recordAccelOutcome(routed = true, estRows = r.estRows)
+          Some(routedPlan)
+        } else None
       }
     } catch {
       case scala.util.control.NonFatal(_) => None
@@ -874,6 +879,37 @@ object GraftSql {
 
   private val accelerating: ThreadLocal[java.lang.Boolean] =
     ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  /** True while THIS thread is inside graft's own plan construction —
+    * routing, acceleration, or a serving entry point that enforces its
+    * own contract. The serve-guard rule (plans.ServeGuardRule) keys on
+    * it: internal frames must not each grow a guard node (they compose
+    * into bigger plans, and QueryService already IS a guarded
+    * consumption point). */
+  private[graft] def internalAnalysis: Boolean = accelerating.get()
+
+  /** Run `body` with the internal-analysis marker set (restoring the
+    * caller's value — entry points nest: QueryService.run →
+    * sqlVia → routeFrame). */
+  private[graft] def withInternalAnalysis[T](body: => T): T = {
+    val prev = accelerating.get()
+    accelerating.set(true)
+    try body finally accelerating.set(prev)
+  }
+
+  /** What the LAST acceleration attempt on this thread decided —
+    * (routed, estRows). The acceleration rule records it on every
+    * apply; the serve-guard rule (which runs next in the same post-hoc
+    * batch) consumes it to pick the scheduler pool the reference gives
+    * every served query (ResultPlan.scala:66). Cleared on read. */
+  private val lastAccel: ThreadLocal[Option[(Boolean, Option[Long])]] =
+    ThreadLocal.withInitial(() => None)
+  private[graft] def recordAccelOutcome(routed: Boolean,
+                                        estRows: Option[Long]): Unit =
+    lastAccel.set(Some((routed, estRows)))
+  private[graft] def takeAccelOutcome(): Option[(Boolean, Option[Long])] = {
+    val v = lastAccel.get(); lastAccel.set(None); v
+  }
 
   /** Route an already-analyzed frame — the shared body of `sqlVia`
     * and `accelerate`. */

@@ -207,9 +207,21 @@ object QueryRouter {
     val Cap = 1024
     private val buf =
       scala.collection.mutable.ArrayDeque.empty[(String, Set[String])]
-    def record(cube: String, dims: Set[String]): Unit = synchronized {
-      buf.append((cube, dims))
-      while (buf.size > Cap) { buf.removeHead(); () }
+    // what THIS thread's last routed execution recorded — QueryService
+    // runs routing synchronously on its handler thread and reads this
+    // to attach (cube, dims) to the persisted QueryLog row
+    private val lastRec: ThreadLocal[Option[(String, Set[String])]] =
+      ThreadLocal.withInitial(() => None)
+    def record(cube: String, dims: Set[String]): Unit = {
+      lastRec.set(Some((cube, dims)))
+      synchronized {
+        buf.append((cube, dims))
+        while (buf.size > Cap) { buf.removeHead(); () }
+      }
+    }
+    /** consume the thread's last routed (cube, dims); clears on read */
+    def takeLastForThread(): Option[(String, Set[String])] = {
+      val v = lastRec.get(); lastRec.set(None); v
     }
     def log(cube: String): Seq[Set[String]] = synchronized {
       buf.collect { case (c, d) if c == cube => d }.toSeq

@@ -175,8 +175,10 @@ object QueryService {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** one shared deadline timer for all served queries — arming a
-    * timeout costs a heap entry, not a thread */
-  private lazy val deadlines = Executors.newSingleThreadScheduledExecutor(
+    * timeout costs a heap entry, not a thread. Shared with the
+    * Thriftserver-path guard (plans.ServeGuardExec). */
+  private[graft] lazy val deadlines =
+    Executors.newSingleThreadScheduledExecutor(
     (r: Runnable) => {
       val t = new Thread(r, "graft-query-deadline")
       t.setDaemon(true)
@@ -189,8 +191,21 @@ object QueryService {
     * identically on both paths. */
   def run(spark: SparkSession, sfDir: String, sql: String, queryId: String,
           maxRows: Int = DefaultMaxRows, cached: Boolean = true,
-          timeout: Duration = Duration.Inf): Served = {
+          timeout: Duration = Duration.Inf): Served =
+    // run() IS a guarded consumption point — its frames must not also
+    // grow ServeGuard nodes when the session has the Thriftserver
+    // guard conf on (double enforcement with a possibly different cap)
+    GraftSql.withInternalAnalysis {
+      runImpl(spark, sfDir, sql, queryId, maxRows, cached, timeout)
+    }
+
+  private def runImpl(spark: SparkSession, sfDir: String, sql: String,
+          queryId: String, maxRows: Int, cached: Boolean,
+          timeout: Duration): Served = {
     require(maxRows > 0, "maxRows must be positive")
+    // drop any stale route record a prior (failed) run left on this
+    // thread — the QueryLog row below must describe THIS query
+    QueryRouter.QueryStats.takeLastForThread(): Unit
     val deadline = effectiveTimeout(spark, timeout)
     val sc = spark.sparkContext
     activeIds.add(queryId)
@@ -238,6 +253,14 @@ object QueryService {
         if (r.fromCache) (0L, 0L)
         else scanMetrics(limited.queryExecution.executedPlan)
       ServedLog.record(queryId, r.via, scanRows, scanBytes)
+      // persisted metrics (reference: metrics-reporter-* parity): the
+      // route that answered this query recorded its (cube, dims) on
+      // this thread; a cache hit routes nothing and logs without them
+      val routeInfo = QueryRouter.QueryStats.takeLastForThread()
+      QueryLog.configuredDir(spark).foreach { dir =>
+        QueryLog.record(spark, dir, queryId, r.via, routeInfo.map(_._1),
+          routeInfo.map(_._2), scanRows, scanBytes)
+      }
       Served(queryId, rows, r.routed, r.via, pool, parts, scanRows, scanBytes,
         r.fromCache)
     } catch {

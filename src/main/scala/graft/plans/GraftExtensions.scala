@@ -30,8 +30,16 @@ import graft.cube.GraftSql
   * refusal logic lives in `GraftSql.accelerate` — a None leaves the
   * user's plan byte-identical. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(s => GraftAccelerationRule(s))
+    // serving guard AFTER acceleration (same Once batch, in order):
+    // it wraps whatever plan will actually be consumed, and reads the
+    // acceleration outcome the rule above just recorded for pool
+    // choice (ServeGuard.scala; reference ResultPlan.scala:60-123)
+    ext.injectPostHocResolutionRule(s => ServeGuardRule(s))
+    ext.injectPlannerStrategy(_ => ServeGuardStrategy)
+    ext.injectColumnar(_ => new ServeGuardColumnarRule)
+  }
 }
 
 final case class GraftAccelerationRule(session: SparkSession)

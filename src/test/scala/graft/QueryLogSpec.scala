@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cube._
+
+/** Persisted query metrics (VERDICT r12 missing #2; reference
+  * metrics-reporter-hive / metrics-reporter-kafka + QueryMetricUtils):
+  * the usage-driven planner loop must survive a serving-process
+  * restart — ServedLog/QueryStats are in-JVM buffers, QueryLog is the
+  * parquet record they feed. */
+class QueryLogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("served queries persist to the parquet log and the planner " +
+      "recommends from yesterday's workload after a restart") {
+    GraftSql.registerViews(spark, sf)
+    CubeManager.ensureBuilt(spark, sf)
+    val dir = Files.createTempDirectory("graft-querylog").toString
+    spark.conf.set(QueryLog.DirConf, dir)
+    try {
+      QueryRouter.QueryStats.clear()
+      val s1 = QueryService.run(spark, sf,
+        """SELECT o_orderstatus, count(*) AS n FROM graft_star
+          |GROUP BY o_orderstatus""".stripMargin,
+        queryId = "ql-1", cached = false)
+      val s2 = QueryService.run(spark, sf,
+        """SELECT n_name, sum(l_quantity) AS q FROM graft_star
+          |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
+        queryId = "ql-2", cached = false)
+      assert(s1.routed && s2.routed)
+      QueryLog.flush(spark, dir)
+
+      // "restart": every in-JVM buffer gone, only the parquet log left
+      QueryRouter.QueryStats.clear()
+      QueryService.ServedLog.clear()
+      QueryLog.clearPending()
+      assert(QueryRouter.QueryStats.log("star").isEmpty)
+
+      val rows = QueryLog.load(spark, dir).collect()
+      assert(rows.length == 2, s"expected 2 log rows, got ${rows.length}")
+      val byId = rows.map(r => r.getAs[String]("query_id") -> r).toMap
+      assert(byId.keySet == Set("ql-1", "ql-2"))
+      assert(rows.forall(_.getAs[Long]("scan_rows") > 0),
+        "persisted rows must carry the scan actuals")
+      assert(rows.forall(_.getAs[String]("via").nonEmpty))
+
+      val sets = QueryLog.dimSets(spark, dir, "star")
+      assert(sets.contains(Set("o_orderstatus")), s"sets: $sets")
+      assert(sets.contains(Set("n_name", "r_name")), s"sets: $sets")
+
+      // the loop closes across the restart: yesterday's persisted
+      // workload drives today's recommendation
+      val base = CubeManager.defaultCube.dims.toSet
+      val rec = CuboidPlanner.recommendFromStore(spark, dir,
+        CubeManager.flatTable(spark, sf), base, "star", maxCuboids = 4)
+      assert(rec.contains(base))
+      sets.foreach(q =>
+        assert(rec.exists(c => q.subsetOf(c) && c != base),
+          s"no non-base cuboid covers $q in $rec"))
+    } finally {
+      spark.conf.unset(QueryLog.DirConf)
+      QueryLog.clearPending()
+    }
+  }
+
+  test("the log is bounded: compaction keeps the newest MaxRows in " +
+      "few files") {
+    val dir = Files.createTempDirectory("graft-querylog-bound").toString
+    // seed CompactAtFiles+1 small appends totalling > MaxRows rows,
+    // with a deterministic ts per batch so "newest wins" is checkable
+    val perBatch = QueryLog.MaxRows / QueryLog.CompactAtFiles + 20 // 148
+    (0 to QueryLog.CompactAtFiles).foreach { b =>
+      val rows = (0 until perBatch).map(i =>
+        Row(b.toLong, s"seed-$b-$i", "test", null, null, 1L, 1L))
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), QueryLog.schema)
+        .write.mode("append").parquet(s"$dir/_querylog")
+    }
+    val seeded = QueryLog.load(spark, dir).count()
+    assert(seeded > QueryLog.MaxRows)
+    // one more recorded row trips the flush-side compaction
+    QueryLog.record(spark, dir, "trip", "test", None, None, 1L, 1L)
+    QueryLog.flush(spark, dir)
+    val after = QueryLog.load(spark, dir)
+    val n = after.count()
+    assert(n == QueryLog.MaxRows, s"log must trim to MaxRows, got $n")
+    // the dropped rows are the OLDEST (ts 0 batch gone, newest kept)
+    import org.apache.spark.sql.functions._
+    val minTs = after.agg(min("ts")).head.getLong(0)
+    assert(minTs > 0L, "compaction must drop the oldest rows first")
+    assert(after.filter(col("query_id") === "trip").count() == 1)
+    // and the directory is back to a handful of files
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_querylog")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    assert(files <= 2, s"compaction must rewrite to few files, got $files")
+  }
+}

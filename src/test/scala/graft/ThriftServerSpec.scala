@@ -1,7 +1,8 @@
 package graft
 
-import java.sql.DriverManager
+import java.sql.{Connection, DriverManager}
 
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.cube.GraftSql
@@ -13,39 +14,73 @@ import graft.cube.GraftSql
   * SQL during analysis, no graft API anywhere in the client. This is
   * the reference's query-server deployment (Kylin serves JDBC/ODBC
   * over its query engine) assembled from stock Spark parts:
-  * HiveThriftServer2 + SparkSessionExtensions + the router. */
-class ThriftServerSpec extends AnyFunSuite {
+  * HiveThriftServer2 + SparkSessionExtensions + the router.
+  *
+  * The second half exercises the serving CONTRACT on the same JDBC
+  * path (VERDICT r12 missing #1; reference ResultPlan.scala:60-123):
+  * with `spark.graft.serve.guard=true` a query past the row cap is
+  * REFUSED, a query past `spark.graft.query.timeoutSeconds` dies with
+  * a timeout while a concurrent statement completes untouched.
+  */
+class ThriftServerSpec extends AnyFunSuite with BeforeAndAfterAll {
   import TestSpark._
 
-  test("a JDBC client through Thriftserver is served from the cube " +
-      "when acceleration is on") {
+  // HiveThriftServer2 is private[hive] — hold a stop thunk instead of
+  // the (inaccessible) type
+  private var stopServer: () => Unit = () => ()
+  private var port: Int = 0
+  private val java8Key = "spark.sql.datetime.java8API.enabled"
+  private var java8Before: Option[String] = None
+
+  override def beforeAll(): Unit = {
     GraftSql.registerViews(spark, sf)
     cube.CubeManager.ensureBuilt(spark, sf)
-    val port = {
+    port = {
       val ss = new java.net.ServerSocket(0)
       try ss.getLocalPort finally ss.close()
     }
     // singleSession + metastore location are static confs set in
     // TestSpark's builder; the port is a hive conf (runtime-settable)
     spark.conf.set("hive.server2.thrift.port", port.toString)
-    spark.conf.set("spark.graft.accelerate", "true")
     // startWithContext flips the session to the java.time API
     // (SPARK-31859) — remember the setting so cleanup can restore it
     // for the suites that run after this one
-    val java8Key = "spark.sql.datetime.java8API.enabled"
-    val java8Before = spark.conf.getOption(java8Key)
+    java8Before = spark.conf.getOption(java8Key)
     val server = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
       .startWithContext(spark.sqlContext)
+    stopServer = () => server.stop()
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.set("spark.graft.accelerate", "false")
+    spark.conf.unset("spark.graft.serve.guard")
+    spark.conf.unset("spark.graft.serve.maxRows")
+    spark.conf.unset(cube.QueryService.TimeoutConf)
+    scala.util.Try(stopServer()): Unit
+    java8Before match {
+      case Some(v) => spark.conf.set(java8Key, v)
+      case None => spark.conf.unset(java8Key)
+    }
+  }
+
+  /** the server binds asynchronously — retry the connect briefly */
+  private def connect(): Connection = {
+    var conn: Connection = null
+    var attempts = 0
+    while (conn == null && attempts < 30) {
+      try conn = DriverManager.getConnection(
+        s"jdbc:hive2://localhost:$port/default", "", "")
+      catch { case _: Exception => attempts += 1; Thread.sleep(1000) }
+    }
+    assert(conn != null, s"could not connect to thriftserver on $port")
+    conn
+  }
+
+  test("a JDBC client through Thriftserver is served from the cube " +
+      "when acceleration is on") {
+    spark.conf.set("spark.graft.accelerate", "true")
+    val conn = connect()
     try {
-      // the server binds asynchronously — retry the connect briefly
-      var conn: java.sql.Connection = null
-      var attempts = 0
-      while (conn == null && attempts < 30) {
-        try conn = DriverManager.getConnection(
-          s"jdbc:hive2://localhost:$port/default", "", "")
-        catch { case _: Exception => attempts += 1; Thread.sleep(1000) }
-      }
-      assert(conn != null, s"could not connect to thriftserver on $port")
       val stmt = conn.createStatement()
       val q = "SELECT n_name, count(*) AS n FROM graft_star " +
         "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"
@@ -68,14 +103,77 @@ class ThriftServerSpec extends AnyFunSuite {
         .map(r => r.getString(0) -> r.getLong(1)).toSeq
       assert(got.toSeq == want && want.nonEmpty,
         s"JDBC answer must match: $got vs $want")
-      conn.close()
     } finally {
       spark.conf.set("spark.graft.accelerate", "false")
-      scala.util.Try(server.stop())
-      java8Before match {
-        case Some(v) => spark.conf.set(java8Key, v)
-        case None => spark.conf.unset(java8Key)
+      conn.close()
+    }
+  }
+
+  test("JDBC query past the row cap is refused, not truncated") {
+    spark.conf.set("spark.graft.serve.guard", "true")
+    spark.conf.set("spark.graft.serve.maxRows", "10")
+    val conn = connect()
+    try {
+      val stmt = conn.createStatement()
+      val e = intercept[java.sql.SQLException] {
+        val rs = stmt.executeQuery("SELECT l_orderkey FROM lineitem")
+        while (rs.next()) {} // force full fetch if not failed at execute
       }
+      assert(e.getMessage.contains("row result cap"),
+        s"expected a cap refusal, got: ${e.getMessage.take(300)}")
+      // under the cap the same session serves normally
+      val rs2 = conn.createStatement()
+        .executeQuery("SELECT count(*) AS n FROM region")
+      assert(rs2.next() && rs2.getLong(1) == 5L)
+    } finally {
+      spark.conf.unset("spark.graft.serve.guard")
+      spark.conf.unset("spark.graft.serve.maxRows")
+      conn.close()
+    }
+  }
+
+  test("JDBC query past the session deadline times out while a " +
+      "concurrent statement completes") {
+    spark.udf.register("graft_sleep",
+      (ms: Long) => { Thread.sleep(ms); ms })
+    spark.conf.set("spark.graft.serve.guard", "true")
+    spark.conf.set(cube.QueryService.TimeoutConf, "2")
+    val slowConn = connect()
+    val quickConn = connect()
+    try {
+      // slow statement on its own thread: ~6000 lineitem rows x 25 ms
+      // on 4 local cores is minutes of work against a 2 s deadline
+      @volatile var slowFailure: Throwable = null
+      val slowThread = new Thread(() => {
+        try {
+          slowConn.createStatement().executeQuery(
+            "SELECT max(graft_sleep(25)) FROM lineitem")
+          ()
+        } catch { case t: Throwable => slowFailure = t }
+      })
+      val t0 = System.nanoTime()
+      slowThread.start()
+      // concurrent statement on a second connection completes while
+      // the slow one is being killed — per-statement job groups keep
+      // the cancellation scoped
+      Thread.sleep(300)
+      val rs = quickConn.createStatement()
+        .executeQuery("SELECT count(*) AS n FROM nation")
+      assert(rs.next() && rs.getLong(1) == 25L,
+        "concurrent JDBC statement must complete during the timeout")
+      slowThread.join(120000)
+      assert(!slowThread.isAlive, "slow statement never returned")
+      val elapsedSec = (System.nanoTime() - t0) / 1e9
+      assert(slowFailure != null, "deadline must refuse the slow query")
+      assert(slowFailure.getMessage.contains("timed out"),
+        s"expected a timeout, got: ${slowFailure.getMessage.take(300)}")
+      assert(elapsedSec < 60,
+        s"timeout must kill the jobs promptly, took $elapsedSec s")
+    } finally {
+      spark.conf.unset("spark.graft.serve.guard")
+      spark.conf.unset(cube.QueryService.TimeoutConf)
+      slowConn.close()
+      quickConn.close()
     }
   }
 }
