@@ -456,6 +456,94 @@ object Dedup {
       .select("doc_id", "split_key", "bucket", "split")
   }
 
+  /** Split assignments that are STABLE as the corpus grows (VERDICT
+    * r12 item 6). `leakproofSplit` keys every cluster's split on its
+    * representative (min doc_id) — but an appended batch that merges
+    * two clusters re-elects the representative and would silently
+    * migrate the losing cluster's docs across train/eval between runs:
+    * contamination through time. Here the persisted assignment wins:
+    *  - a doc already in the split store keeps its stored split
+    *    VERBATIM — nothing a later batch does can move it;
+    *  - a new doc that joins a cluster with stored members adopts the
+    *    stored split of the cluster's min stored doc_id (deterministic
+    *    across engines and runs);
+    *  - a genuinely new cluster (or unique) hashes its representative,
+    *    exactly as `leakproofSplit` does.
+    * A merge that unites clusters previously assigned to DIFFERENT
+    * splits is the one case coherence and stability cannot both hold;
+    * stability wins (no assigned doc moves) and the row is flagged
+    * `split_conflict` so the leak that ALREADY existed in the stored
+    * assignment is auditable rather than silent.
+    *
+    * Scale shape: one doc_id shuffle join against the store (the
+    * unavoidable lookup of a persisted assignment), one
+    * duplicate-sized aggregate for cluster adoption — uniques never
+    * enter the adoption shuffle. */
+  def stableSplit(docs: DataFrame, pairs: DataFrame, storePath: String,
+                  trainPct: Int, validPct: Int)
+                 (implicit spark: SparkSession): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
+      "percentages must partition the 100 hash buckets")
+    val stored = loadSplits(storePath)
+      .select(col("doc_id"), col("split").as("stored_split"))
+    val base = docs.select(col("doc_id"))
+      .join(dupClusters(pairs), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .join(stored, Seq("doc_id"), "left")
+    // per CLUSTER (uniques skip this shuffle): the stored split of the
+    // min stored member, and whether the stored members disagree
+    val adopted = base.filter(col("cluster_id").isNotNull)
+      .groupBy("split_key")
+      .agg(
+        min(when(col("stored_split").isNotNull,
+          struct(col("doc_id"), col("stored_split")))).as("m"),
+        count_distinct(col("stored_split")).as("n_splits"))
+      .select(col("split_key"),
+        col("m.stored_split").as("adopted_split"),
+        (col("n_splits") > 1).as("split_conflict"))
+    base.join(adopted, Seq("split_key"), "left")
+      .withColumn("bucket",
+        TextAnalysis.sampleHash(col("split_key"), "split") % 100)
+      .withColumn("hashed_split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + validPct, "valid")
+          .otherwise("test"))
+      .withColumn("split", coalesce(col("stored_split"),
+        col("adopted_split"), col("hashed_split")))
+      .withColumn("newly_assigned", col("stored_split").isNull)
+      .withColumn("split_conflict",
+        coalesce(col("split_conflict"), lit(false)))
+      .select("doc_id", "split_key", "split", "newly_assigned",
+        "split_conflict")
+  }
+
+  /** Persist the NEW assignments of a `stableSplit` result alongside
+    * the signature store; already-stored docs are never rewritten (an
+    * append can only add, so a stored split can never change). */
+  def persistSplits(assignments: DataFrame, storePath: String)
+                   (implicit spark: SparkSession): Unit = {
+    val path = s"$storePath/splits"
+    val fresh = assignments.filter(col("newly_assigned"))
+      .select("doc_id", "split")
+    val existing = loadSplits(storePath).select("doc_id")
+    fresh.join(existing, Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(path)
+  }
+
+  private def loadSplits(storePath: String)
+                        (implicit spark: SparkSession): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$storePath/splits")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) spark.read.parquet(path.toString)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("split",
+          org.apache.spark.sql.types.StringType))))
+  }
+
   /** clusters memoized per (session, canonicalized pair plan), same
     * pattern as the shingle frame: the label-propagation loop is
     * several driver-blocking jobs, and both cluster consumers

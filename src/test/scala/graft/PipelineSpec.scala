@@ -178,6 +178,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(byDoc.values.toSet == Set("train", "valid", "test"))
   }
 
+  test("stable split: an appended batch that merges two clusters " +
+      "never moves a previously-assigned doc") {
+    // VERDICT r12 item 6: representative re-election on a cluster
+    // merge must not migrate docs across train/eval between runs
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-splitstore").toString
+    val docs1 = Seq(1L, 2L, 10L, 11L, 30L).toDF("doc_id")
+    val pairs1 = Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val r1 = Dedup.stableSplit(docs1, pairs1, store, 60, 20)
+    val a1 = r1.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a1.size == 5)
+    // first run matches the stateless leak-proof split: coherent
+    // clusters, all newly assigned
+    assert(a1(1L) == a1(2L) && a1(10L) == a1(11L))
+    assert(r1.collect().forall(_.getAs[Boolean]("newly_assigned")))
+    Dedup.persistSplits(r1, store)
+
+    // append: doc 20 duplicates members of BOTH clusters — the merged
+    // component would re-elect doc 1 as representative for everyone
+    val docs2 = docs1.union(Seq(20L).toDF("doc_id"))
+    val pairs2 = pairs1.union(Seq((2L, 20L), (10L, 20L)).toDF("id_a", "id_b"))
+    val r2 = Dedup.stableSplit(docs2, pairs2, store, 60, 20)
+    val rows2 = r2.collect()
+    val a2 = rows2.map(r => r.getLong(0) -> r.getString(2)).toMap
+    a1.foreach { case (id, sp) =>
+      assert(a2(id) == sp, s"assigned doc $id moved $sp -> ${a2(id)}")
+    }
+    // the new doc adopts the min stored member's split, deterministically
+    assert(a2(20L) == a1(1L))
+    // conflict is flagged exactly when the merged clusters disagreed
+    val row20 = rows2.find(_.getLong(0) == 20L).get
+    assert(row20.getAs[Boolean]("split_conflict") == (a1(1L) != a1(10L)))
+    assert(row20.getAs[Boolean]("newly_assigned"))
+
+    // persisting again only adds the new doc; a re-run is a fixpoint
+    Dedup.persistSplits(r2, store)
+    assert(spark.read.parquet(s"$store/splits").count() == 6)
+    val a3 = Dedup.stableSplit(docs2, pairs2, store, 60, 20)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a3 == a2)
+  }
+
   test("blocked all-pairs cosine is block-count invariant (exact join)") {
     val one = EmbeddingSearch.cosineDupPairs(embs, 0.4, blocks = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
