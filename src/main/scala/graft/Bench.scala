@@ -180,11 +180,19 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_pass":$qsFirst,"load_avg":$loadJson,"retried":$retriedJson,"cube_build_sec":$cubeBuildSec,"build_phases":$phases,"planner":$planner,"result_cache":$cacheReport,"sf":"$sfDir"}"""
     println(json)
     // also persist the full map: the driver's stdout tail truncated in
-    // round 5 and lost the fast keys from round-over-round comparison
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("target/bench.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: java.io.IOException => () }
+    // round 5 and lost the fast keys from round-over-round comparison.
+    // Write-then-ATOMIC_MOVE (VERDICT r12 item 7): a reader — or a
+    // crash — mid-write must see the previous complete artifact or the
+    // new one, never a parseable-looking fragment
+    try {
+      val tmp = java.nio.file.Paths.get("target/bench.json.tmp")
+      java.nio.file.Files.write(tmp,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp,
+        java.nio.file.Paths.get("target/bench.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    } catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }
