@@ -636,16 +636,27 @@ object Dedup {
     val sc = pairs.sparkSession.sparkContext
     val prevDir = sc.getCheckpointDir
     sc.setCheckpointDir(ckptDir)
+    // Spark 4's checkpoint() PRESERVES the pre-checkpoint plan's size
+    // statistics (LogicalRDD originStats). In this loop each round's
+    // estimate is a join PRODUCT over the previous round's, so the
+    // carried BigInt doubles its bit length per round and Catalyst's
+    // stats visitor overflows BigInteger once the dup graph needs
+    // ~25+ rounds-worth of compounding (first hit by the 10× scale
+    // probe). Re-base every checkpoint to default stats — these frames
+    // are duplicate-sized and their joins are shuffle joins at scale
+    // anyway.
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.StatsBridge
+        .resetOriginStats(df.checkpoint())
     try {
     // materialize the edge list ONCE: it joins in every round, and its
     // upstream lineage (shingle → minhash → LSH for the usual caller)
     // must not re-execute per iteration
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .checkpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .checkpoint()
+    val edges = ckpt(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = ckpt(edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id")))
     var converged = false
     while (!converged) {
       val neighborMin = edges
@@ -669,13 +680,12 @@ object Dedup {
         col("cluster_id").as("plabel"))
       // checkpoint per round: the doubling self-join doubles the plan
       // tree, so without truncation the logical plan grows 2^rounds
-      val next = merged
+      val next = ckpt(merged
         .join(byLabel, merged("cluster_id") === byLabel("pid"), "left")
         .select(merged("doc_id"),
           least(merged("cluster_id"),
             coalesce(col("plabel"), merged("cluster_id")))
-            .as("cluster_id"))
-        .checkpoint()
+            .as("cluster_id")))
       converged = next
         .join(labels.select(col("doc_id"),
           col("cluster_id").as("prev")), "doc_id")

@@ -160,6 +160,32 @@ object EmbeddingSearch {
   val LshTables = 4
   val LshBits = 8
 
+  /** target mean bucket occupancy for corpus-dedup bucketing: with a
+    * FIXED bit count, candidate pairs grow ~n²/2^bits — the 100×
+    * scale probe filled 80 GB of shuffle spill exactly this way.
+    * Growing bits with log₂(n/occupancy) keeps pairs-per-table ≈
+    * n·occupancy — LINEAR in n (recall per true near-dup pair decays
+    * gently with bits: p_bit^bits per table, 1-(1-·)^tables overall —
+    * the standard LSH trade, recoverable by adding tables). */
+  val LshOccupancy = 24
+
+  /** corpus-size-adaptive bit count, floored at [[LshBits]] (every
+    * oracle scale ≤ 6144 vectors resolves to exactly LshBits, so the
+    * fixed-bits SQL replay stays valid there) and capped at 30 */
+  def lshBitsFor(n: Long): Int = {
+    val grown = math.ceil(
+      math.log(math.max(1.0, n.toDouble / LshOccupancy)) / math.log(2.0))
+      .toInt
+    math.min(30, math.max(LshBits, grown))
+  }
+
+  /** one extra table per two extra bits: per-table recall decays
+    * ~p^bits as buckets narrow, and extra tables claw it back
+    * (1-(1-p^bits)^tables) at linear candidate cost — at the floor
+    * this is exactly [[LshTables]], so oracle scales are unchanged */
+  def lshTablesFor(bits: Int): Int =
+    LshTables + math.max(0, bits - LshBits) / 2
+
   /** deterministic md5-derived hyperplane coefficient in [-1000, 1000]
     * — reproducible in SQL as
     * (CAST(concat('0x', substr(md5(t||'_'||j||'_'||i), 1, 8)) AS BIGINT) % 2001) - 1000 */
@@ -172,9 +198,10 @@ object EmbeddingSearch {
 
   /** adds one integer bucket column per LSH table: bit j of table t is
     * the sign of ⟨q, hyperplane(t,j)⟩ (exact integer dot) */
-  def withBuckets(q: DataFrame): DataFrame = {
-    val bucketCols = (0 until LshTables).map { t =>
-      (0 until LshBits).map { j =>
+  def withBuckets(q: DataFrame, bits: Int = LshBits,
+                  tables: Int = LshTables): DataFrame = {
+    val bucketCols = (0 until tables).map { t =>
+      (0 until bits).map { j =>
         val h = typedLit((0 until Dim).map(i => hCoef(t, j, i)))
         when(idot(col("q"), h) >= 0, lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _).as(s"bkt$t")
@@ -241,9 +268,13 @@ object EmbeddingSearch {
     * Only (id, table, bucket) rows ride the candidate shuffle; the
     * wide quantized vectors re-attach per side after the distinct. */
   def lshCosineDupPairs(embs: DataFrame, minCos: Double): DataFrame = {
-    val b = withBuckets(quantized(embs))
+    // corpus-adaptive bucket width (one count pass — negligible next
+    // to the joins): constant bits would make candidates quadratic
+    val bits = lshBitsFor(embs.count())
+    val tables = lshTablesFor(bits)
+    val b = withBuckets(quantized(embs), bits, tables)
     val buckets = b.select(col("vec_id"),
-      posexplode(array((0 until LshTables).map(t => col(s"bkt$t")): _*))
+      posexplode(array((0 until tables).map(t => col(s"bkt$t")): _*))
         .as(Seq("t", "bkt")))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&

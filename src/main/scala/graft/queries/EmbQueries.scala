@@ -39,7 +39,10 @@ object EmbQueries extends QueryGroup {
 
   /** LSH bucket CTEs (hp → dots → bk): md5-derived hyperplanes, one
     * 8-bit sign bucket per (vector, table) — the SQL replay of
-    * EmbeddingSearch.withBuckets */
+    * EmbeddingSearch.withBuckets. 8 bits is `lshBitsFor(n)`'s FLOOR
+    * value, which every oracle scale (≤ 6144 vectors) resolves to —
+    * the Scala side grows bits with log₂(n) beyond that (scale path,
+    * exercised by the 10×/100× probe, outside the oracle's range). */
   private val lshBkCte =
     """hp AS (
       |  SELECT t.range AS t, j.range AS j, i.range AS i,

@@ -19,6 +19,30 @@ object ColumnBridge {
     ColumnNodeToExpressionConverter(c.node)
 }
 
+/** Spark 4's `Dataset.checkpoint` carries the pre-checkpoint plan's
+  * STATISTICS onto the resulting LogicalRDD (originStats). For an
+  * iterative self-join (pointer doubling), each round's size estimate
+  * is then a PRODUCT over the previous round's — the BigInt doubles
+  * its bit length every round and `SizeInBytesOnlyStatsPlanVisitor`
+  * overflows BigInteger after ~25 rounds of compounding. This strips
+  * the carried stats so the checkpointed frame re-bases estimation,
+  * exactly as a pre-Spark-3.4 checkpoint did. */
+object StatsBridge {
+  def resetOriginStats(df: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        DatasetBridge.ofRows(df.sparkSession,
+          new org.apache.spark.sql.execution.LogicalRDD(
+            l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+            l.isStreaming, l.stream)(
+            df.sparkSession
+              .asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+            None, None))
+      case _ => df
+    }
+}
+
 /** LogicalPlan → DataFrame (Dataset.ofRows went private[sql] too) —
   * the acceleration rule re-wraps the plan it was handed so the
   * routing machinery can analyze/execute it as an ordinary frame. */
