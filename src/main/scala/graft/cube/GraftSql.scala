@@ -62,7 +62,8 @@ object GraftSql {
     * scan actuals would otherwise re-report the cache BUILD's reads
     * (ADVICE r12) — the serving layer reports 0 actuals for hits. */
   final case class SqlResult(df: DataFrame, routed: Boolean, via: String,
-      estRows: Option[Long] = None, fromCache: Boolean = false)
+      estRows: Option[Long] = None, fromCache: Boolean = false,
+      route: Option[(String, Set[String])] = None)
 
   /** one SQL-routable cube: registered view name + its flat table (the
     * view source / fallback) + built-instance supplier + optionally a
@@ -794,6 +795,11 @@ object GraftSql {
     resultCache.synchronized(resultCache.get(key)) match {
       case Some(hit) =>
         cacheHits.incrementAndGet()
+        // a hit is still a served query SHAPE: replay its route into
+        // the usage log so the planner loop counts cached workload
+        // (and the thread-local lets QueryService's persisted QueryLog
+        // row carry the hit's cube/dims too)
+        hit.route.foreach { case (c, d) => QueryRouter.QueryStats.record(c, d) }
         hit.copy(fromCache = true)
       case None =>
         cacheMisses.incrementAndGet()
@@ -801,7 +807,8 @@ object GraftSql {
         val r = sqlVia(spark, sfDir, query)
         if (!r.routed) r
         else {
-          val cached = SqlResult(r.df.persist(), r.routed, r.via, r.estRows)
+          val cached = SqlResult(r.df.persist(), r.routed, r.via, r.estRows,
+            route = QueryRouter.QueryStats.peekLastForThread())
           resultCache.synchronized {
             resultCache.get(key) match {
               case Some(winner) => // lost a race: drop our persist

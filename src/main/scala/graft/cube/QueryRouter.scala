@@ -223,6 +223,9 @@ object QueryRouter {
     def takeLastForThread(): Option[(String, Set[String])] = {
       val v = lastRec.get(); lastRec.set(None); v
     }
+    /** observe without clearing — for a caller (the result cache) that
+      * must not steal the record from the consumer downstream */
+    def peekLastForThread(): Option[(String, Set[String])] = lastRec.get()
     def log(cube: String): Seq[Set[String]] = synchronized {
       buf.collect { case (c, d) if c == cube => d }.toSeq
     }

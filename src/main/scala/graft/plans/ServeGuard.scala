@@ -79,7 +79,7 @@ final case class ServeGuardRule(session: SparkSession)
       case _: ServeGuard if plan.children.forall(noNestedGuard) => plan
       case _ =>
         val stripped = plan.transformUp {
-          case ServeGuard(_, _, _, child) => child
+          case g: ServeGuard => g.child
         }
         val cap = math.max(1L, confLong(MaxRowsConf,
           QueryService.DefaultMaxRows.toLong))
@@ -87,11 +87,20 @@ final case class ServeGuardRule(session: SparkSession)
           math.max(0L, confLong(QueryService.TimeoutConf, 0L))
         // pool per the reference (ResultPlan.scala:66): the
         // acceleration rule ran just before us in this post-hoc batch
-        // and recorded whether it swapped in a routed plan
+        // and recorded whether it swapped in a routed plan (and, via
+        // QueryStats, WHICH cube/dims answered) — embed both so the
+        // executed statement can feed the same metrics spine as the
+        // programmatic QueryService path
         val (routed, est) =
           GraftSql.takeAccelOutcome().getOrElse((false, None))
+        val route0 = graft.cube.QueryRouter.QueryStats.takeLastForThread()
+        val route =
+          if (routed) route0.map { case (c, d) => (c, d.toSeq.sorted) }
+          else None
+        val via = route.map(r => s"cube:${r._1}")
+          .getOrElse(if (routed) "cube" else "pushdown")
         val pool = QueryService.poolFor(routed, est)
-        ServeGuard(cap, timeoutSec, pool, stripped)
+        ServeGuard(cap, timeoutSec, pool, via, route, stripped)
     }
   }
 
@@ -103,6 +112,8 @@ final case class ServeGuardRule(session: SparkSession)
   * cap/timeout/pool". Pass-through schema; a barrier to nothing the
   * root needs (its child is the fully optimized query). */
 final case class ServeGuard(cap: Long, timeoutSec: Long, pool: String,
+                            via: String,
+                            route: Option[(String, Seq[String])],
                             child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -112,8 +123,9 @@ final case class ServeGuard(cap: Long, timeoutSec: Long, pool: String,
 
 object ServeGuardStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case ServeGuard(cap, timeoutSec, pool, child) =>
-      ServeGuardExec(cap, timeoutSec, pool, planLater(child)) :: Nil
+    case ServeGuard(cap, timeoutSec, pool, via, route, child) =>
+      ServeGuardExec(cap, timeoutSec, pool, via, route,
+        planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -148,6 +160,8 @@ final class ServeGuardColumnarRule
   * child under the statement's job group with the deadline armed and
   * takes at most cap+1 rows — refusal, never silent truncation. */
 final case class ServeGuardExec(cap: Long, timeoutSec: Long, pool: String,
+                                via: String,
+                                route: Option[(String, Seq[String])],
                                 child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputOrdering: Seq[SortOrder] = child.outputOrdering
@@ -221,6 +235,17 @@ final case class ServeGuardExec(cap: Long, timeoutSec: Long, pool: String,
       if (timedOut.get())
         throw new QueryService.QueryTimedOut(group,
           Duration(timeoutSec, TimeUnit.SECONDS), null)
+      // a JDBC-served statement feeds the SAME metrics spine as the
+      // programmatic path (QueryMetricUtils parity): scan actuals from
+      // the executed child into ServedLog, and — when the session has
+      // opted into persistence — the parquet QueryLog with the route
+      // the acceleration rule embedded at analysis
+      val (scanRows, scanBytes) = QueryService.scanMetrics(child)
+      QueryService.ServedLog.record(group, via, scanRows, scanBytes)
+      graft.cube.QueryLog.configuredDir(session).foreach { dir =>
+        graft.cube.QueryLog.record(session, dir, group, via,
+          route.map(_._1), route.map(_._2.toSet), scanRows, scanBytes)
+      }
       out
     } catch {
       case e: Throwable

@@ -67,6 +67,43 @@ class QueryLogSpec extends AnyFunSuite {
     }
   }
 
+  test("a result-cache hit replays its route into the workload log " +
+      "and its persisted row carries cube/dims with zero scan") {
+    GraftSql.registerViews(spark, sf)
+    CubeManager.ensureBuilt(spark, sf)
+    GraftSql.clearResultCache()
+    QueryRouter.QueryStats.clear()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-querylog-hit").toString
+    spark.conf.set(QueryLog.DirConf, dir)
+    try {
+      val q = """SELECT o_orderstatus, l_returnflag, count(*) AS n
+                |FROM graft_star GROUP BY o_orderstatus, l_returnflag"""
+        .stripMargin
+      val miss = QueryService.run(spark, sf, q, queryId = "qlh-miss")
+      val hit = QueryService.run(spark, sf, q, queryId = "qlh-hit")
+      assert(!miss.fromCache && hit.fromCache)
+      // the planner's workload log counts the cached shape twice —
+      // a hit is still a served query
+      val shapes = QueryRouter.QueryStats.log("star")
+        .count(_ == Set("o_orderstatus", "l_returnflag"))
+      assert(shapes >= 2, s"cached workload must count, got $shapes")
+      QueryLog.flush(spark, dir)
+      val row = QueryLog.load(spark, dir)
+        .filter(org.apache.spark.sql.functions
+          .col("query_id") === "qlh-hit").collect()
+      assert(row.length == 1)
+      assert(row.head.getAs[String]("cube") == "star")
+      assert(row.head.getAs[Seq[String]]("dims").toSet ==
+        Set("l_returnflag", "o_orderstatus"))
+      assert(row.head.getAs[Long]("scan_rows") == 0L,
+        "a cache hit reads no files — actuals must stay 0")
+    } finally {
+      spark.conf.unset(QueryLog.DirConf)
+      QueryLog.clearPending()
+    }
+  }
+
   test("the log is bounded: compaction keeps the newest MaxRows in " +
       "few files") {
     val dir = Files.createTempDirectory("graft-querylog-bound").toString

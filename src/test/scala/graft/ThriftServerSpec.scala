@@ -121,10 +121,18 @@ class ThriftServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       assert(e.getMessage.contains("row result cap"),
         s"expected a cap refusal, got: ${e.getMessage.take(300)}")
-      // under the cap the same session serves normally
+      // under the cap the same session serves normally — and the
+      // guarded statement feeds the same monitoring spine as the
+      // programmatic path (scan actuals into ServedLog)
+      val before = cube.QueryService.ServedLog.recent.size
       val rs2 = conn.createStatement()
         .executeQuery("SELECT count(*) AS n FROM region")
       assert(rs2.next() && rs2.getLong(1) == 5L)
+      val logged = cube.QueryService.ServedLog.recent
+      assert(logged.size > before,
+        "a guarded JDBC statement must land in ServedLog")
+      assert(logged.last._2 == "pushdown",
+        s"un-accelerated statement must log as pushdown, got ${logged.last}")
     } finally {
       spark.conf.unset("spark.graft.serve.guard")
       spark.conf.unset("spark.graft.serve.maxRows")
