@@ -44,7 +44,8 @@ object ScaleProbe {
   val Keys: Seq[String] = Seq(
     "doc_exact_dedup", "doc_minhash_lsh", "doc_dup_clusters",
     "doc_dedup_keep", "doc_incremental_dedup", "doc_simhash",
-    "doc_ngram_jaccard", "doc_contamination", "doc_prep_pipeline",
+    "doc_ngram_jaccard", "doc_contamination", "doc_passage_dedup",
+    "doc_prep_pipeline",
     "doc_pack_chunks", "doc_token_count", "doc_vocab_topk",
     "emb_cosine_dup", "emb_semantic_dedup", "emb_semantic_dedup_lsh",
     "emb_topk_bruteforce",

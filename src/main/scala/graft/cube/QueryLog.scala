@@ -23,10 +23,10 @@ import org.apache.spark.sql.types._
   *    lands the batch — a query never pays a per-row write.
   *  - the log is bounded by `MaxRows`: when an append grows the file
   *    count past `CompactAtFiles`, the newest `MaxRows` rows are
-  *    rewritten into one file and the old directory is swapped out
-  *    (write-new, delete-old, rename — the reader sees the old or the
-  *    new listing, and a crash mid-swap loses only already-bounded
-  *    history, never the ability to serve).
+  *    rewritten into one file and swapped in by two renames
+  *    (write-new, rename-out, rename-in — no delete between, so a
+  *    crash mid-swap parks the full history at `_querylog_old`, which
+  *    `load` falls back to; nothing is ever unrecoverable).
   *  - opt-in via the session conf `spark.graft.querylog.dir`
   *    (unset ⇒ zero I/O, the bench posture).
   */
@@ -54,6 +54,13 @@ object QueryLog {
   // pending rows per target dir — flushed in batches; guarded by its
   // own monitor so a flush never blocks an unrelated dir's record
   private val pending = mutable.Map.empty[String, mutable.ArrayBuffer[Rec]]
+
+  // one I/O lock per dir: an append racing a compaction on the SAME
+  // dir could write into the directory the compactor is deleting —
+  // serialize writes per dir (unrelated dirs still flush in parallel)
+  private val ioLocks = mutable.Map.empty[String, Object]
+  private def ioLock(dir: String): Object =
+    ioLocks.synchronized { ioLocks.getOrElseUpdate(dir, new Object) }
 
   /** the session's configured log dir, if persistence is opted in */
   def configuredDir(spark: SparkSession): Option[String] =
@@ -83,10 +90,12 @@ object QueryLog {
     if (batch.isEmpty) return
     val rows = batch.map(r => Row(r.ts, r.queryId, r.via,
       r.cube.orNull, r.dims.orNull, r.scanRows, r.scanBytes))
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema)
-      .write.mode("append").parquet(logPath(dir))
-    maybeCompact(spark, dir)
+    ioLock(dir).synchronized {
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+        .write.mode("append").parquet(logPath(dir))
+      maybeCompact(spark, dir)
+    }
   }
 
   private def logPath(dir: String): String = s"$dir/_querylog"
@@ -102,18 +111,32 @@ object QueryLog {
       .limit(MaxRows)
       .coalesce(1)
     val tmp = new Path(s"$dir/_querylog_compact_tmp")
+    val old = new Path(s"$dir/_querylog_old")
     fs.delete(tmp, true)
+    fs.delete(old, true)
     keep.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
-    if (!fs.rename(tmp, p))
+    // rename-out / rename-in (no delete between): the no-listing window
+    // is two metadata ops, and a crash between them leaves the full old
+    // log at `_querylog_old` — recovered on the next compaction attempt
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"querylog compaction swap failed: $p -> $old")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // best-effort restore; next load still serves
       throw new java.io.IOException(s"querylog compaction swap failed: $tmp -> $p")
+    }
+    fs.delete(old, true)
   }
 
-  /** The persisted log (empty frame when nothing was ever flushed). */
+  /** The persisted log (empty frame when nothing was ever flushed).
+    * A crash between the compaction's two renames leaves the history
+    * at `_querylog_old` — served from there until the next write
+    * completes the swap. */
   def load(spark: SparkSession, dir: String): DataFrame = {
     val p = new Path(logPath(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(logPath(dir))
+    val old = new Path(s"$dir/_querylog_old")
+    if (fs.exists(p)) spark.read.schema(schema).parquet(p.toString)
+    else if (fs.exists(old)) spark.read.schema(schema).parquet(old.toString)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
   }

@@ -429,6 +429,56 @@ object Dedup {
       .select(col("doc_id").as("vec_id"))
   }
 
+  /** Cross-document repeated-PASSAGE removal (public method: Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499 — exact-substring dedup, here at
+    * passage granularity): chunk every doc's whitespace-normalized
+    * text into non-overlapping `words`-word passages, keep only each
+    * distinct passage's FIRST corpus occurrence (min (doc_id, idx) —
+    * later repeats are dropped even inside otherwise-unique docs), and
+    * reassemble each doc's surviving passages in order. This removes
+    * what doc-level dedup can't: boilerplate shared by distinct docs
+    * (licenses, headers, templated intros) — the dominant residual
+    * duplication in web corpora after a doc-level pass.
+    *
+    * Output: (doc_id, text) for EVERY input doc — a doc whose every
+    * passage was a repeat survives with empty text (the caller's
+    * length filter is the right place to drop it, not a silent row
+    * loss here).
+    *
+    * Scale shape (100 TB): chunking is a per-row projection;
+    * first-occurrence election is ONE shuffle keyed by the passage
+    * (window row_number, same key cardinality as exact doc dedup ×
+    * len/words); reassembly one groupBy doc_id; the final attach is a
+    * doc_id equi-join. All linear in corpus size — nothing pairs-
+    * shaped anywhere. */
+  def passageDedup(docs: DataFrame, words: Int): DataFrame = {
+    require(words > 0, "passage width must be positive")
+    val ws = split(regexp_replace(trim(col("text")), "\\s+", " "), " ")
+    val nChunks = ceil(size(col("ws")) / lit(words.toDouble)).cast("int")
+    val chunks = docs
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(col("ws"), i * words + 1, lit(words)), " ")))
+          .as(Seq("idx", "chunk")))
+    val firstOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk").orderBy("doc_id", "idx")
+    val surviving = chunks
+      .withColumn("rn", row_number().over(firstOcc))
+      .filter(col("rn") === 1)
+    val reassembled = surviving
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          s => s.getField("chunk")),
+        " ").as("kept"))
+    docs.select(col("doc_id"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("kept"), lit("")).as("text"))
+  }
+
   /** Leak-proof train/valid/test split: a near-dup cluster straddling
     * train and eval leaks the eval set into training (the overlap
     * `contaminationScores` audits after the fact — this PREVENTS it by

@@ -306,6 +306,36 @@ object DedupQueries extends QueryGroup {
              |  CASE WHEN bucket < 80 THEN 'train'
              |       WHEN bucket < 90 THEN 'valid'
              |       ELSE 'test' END AS split
-             |FROM b ORDER BY doc_id""".stripMargin))
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // 42g ─────────────── repeated-passage removal (exact-substring
+    //     dedup at passage granularity, Lee et al. 2022): every
+    //     8-word passage keeps only its FIRST corpus occurrence —
+    //     boilerplate shared by otherwise-distinct docs is stripped,
+    //     which doc-level dedup cannot do. One passage-keyed shuffle,
+    //     linear at 100 TB (no pair generation anywhere).
+    Q("doc_passage_dedup",
+      (s, d) => Dedup.passageDedup(documents(s, d), words = 8)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
+             |  FROM documents),
+             |ch AS (
+             |  SELECT doc_id, unnest([
+             |      {'idx': i, 'chunk': array_to_string(ws[(i*8+1):(i*8+8)], ' ')}
+             |      for i in range(0, CAST(ceil(len(ws) / 8.0) AS INT))]) AS c
+             |  FROM w),
+             |ch2 AS (SELECT doc_id, c.idx AS idx, c.chunk AS chunk FROM ch),
+             |surv AS (
+             |  SELECT doc_id, idx, chunk FROM (
+             |    SELECT doc_id, idx, chunk,
+             |      ROW_NUMBER() OVER (PARTITION BY chunk
+             |        ORDER BY doc_id, idx) AS rn
+             |    FROM ch2) WHERE rn = 1)
+             |SELECT d.doc_id AS doc_id,
+             |  COALESCE(string_agg(s.chunk, ' ' ORDER BY s.idx), '') AS text
+             |FROM documents d LEFT JOIN surv s ON d.doc_id = s.doc_id
+             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -502,4 +502,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(chunks(5L) == ((1L, 2L, 2L)), s"doc5: ${chunks(5L)}")
     assert(chunks(7L) == ((2L, 3L, 2L)), s"doc7: ${chunks(7L)}")
   }
+
+  test("passage dedup keeps exactly the first occurrence of a repeated " +
+    "passage and reassembles surviving text in order") {
+    import spark.implicits._
+    // passages are 3 words here; 'LIC1 LIC2 LIC3' is boilerplate shared
+    // by docs 1, 2, 5; doc 4 is ALL boilerplate (repeats doc 1's two
+    // passages) and must survive as an empty row, never a lost row
+    val in = Seq(
+      (1L, "LIC1 LIC2 LIC3 a b c"),
+      (2L, "x y z LIC1 LIC2 LIC3"),
+      (4L, "LIC1 LIC2 LIC3 a b c"),
+      (5L, "LIC1 LIC2 LIC3 q r"),
+      (9L, "p q r")).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(in, words = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "LIC1 LIC2 LIC3 a b c", // first occurrence of both passages
+      2L -> "x y z",                // boilerplate stripped
+      4L -> "",                     // all passages were repeats
+      5L -> "q r",                  // ragged tail passage is distinct
+      9L -> "p q r"), s"got $out")
+
+    // scale shape: no pair generation anywhere — the only join is the
+    // doc_id attach; election is one passage-keyed window
+    val plan = Dedup.passageDedup(in, words = 3)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size == 1, s"expected only the doc_id attach join: $joins")
+  }
 }
