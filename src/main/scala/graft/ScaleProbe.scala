@@ -58,7 +58,7 @@ object ScaleProbe {
     * its super-linear bend is the expected control, not a finding */
   val Keys100: Seq[String] = Seq(
     "doc_minhash_lsh", "doc_dedup_keep", "doc_incremental_dedup",
-    "emb_cosine_dup", "emb_semantic_dedup_lsh")
+    "doc_passage_dedup", "emb_cosine_dup", "emb_semantic_dedup_lsh")
 
   val Copies = 10
 

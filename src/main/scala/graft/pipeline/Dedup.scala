@@ -447,11 +447,15 @@ object Dedup {
     * loss here).
     *
     * Scale shape (100 TB): chunking is a per-row projection;
-    * first-occurrence election is ONE shuffle keyed by the passage
-    * (window row_number, same key cardinality as exact doc dedup ×
-    * len/words); reassembly one groupBy doc_id; the final attach is a
-    * doc_id equi-join. All linear in corpus size — nothing pairs-
-    * shaped anywhere. */
+    * first-occurrence election is ONE hash-agg keyed by the passage —
+    * a min-struct aggregate, NOT a window row_number, because the
+    * motivating input is exactly the skewed one (a license header
+    * shared by millions of docs): a window sorts every occurrence of
+    * the hot passage in one task, while min() partial-aggregates
+    * map-side so the hot key ships one row per input partition.
+    * Reassembly is one groupBy doc_id; the final attach a doc_id
+    * equi-join. All linear in corpus size — nothing pairs-shaped
+    * anywhere. */
   def passageDedup(docs: DataFrame, words: Int): DataFrame = {
     require(words > 0, "passage width must be positive")
     val ws = split(regexp_replace(trim(col("text")), "\\s+", " "), " ")
@@ -462,11 +466,11 @@ object Dedup {
         posexplode(transform(sequence(lit(0), nChunks - 1),
           i => array_join(slice(col("ws"), i * words + 1, lit(words)), " ")))
           .as(Seq("idx", "chunk")))
-    val firstOcc = org.apache.spark.sql.expressions.Window
-      .partitionBy("chunk").orderBy("doc_id", "idx")
     val surviving = chunks
-      .withColumn("rn", row_number().over(firstOcc))
-      .filter(col("rn") === 1)
+      .groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.idx").as("idx"),
+        col("chunk"))
     val reassembled = surviving
       .groupBy("doc_id")
       .agg(array_join(

@@ -525,11 +525,16 @@ class PipelineSpec extends AnyFunSuite {
       9L -> "p q r"), s"got $out")
 
     // scale shape: no pair generation anywhere — the only join is the
-    // doc_id attach; election is one passage-keyed window
+    // doc_id attach; election is a partial-aggregatable min-struct
+    // hash-agg, never a window (a window would single-task the hot
+    // boilerplate passage this operator exists to strip)
     val plan = Dedup.passageDedup(in, words = 3)
       .queryExecution.optimizedPlan
     val joins = plan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
     assert(joins.size == 1, s"expected only the doc_id attach join: $joins")
+    assert(plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, "first-occurrence election must not use a window")
   }
 }
