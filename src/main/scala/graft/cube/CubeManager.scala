@@ -243,9 +243,21 @@ object CubeManager {
       notNull = Set("value"))
   }
 
-  private val built = TrieMap.empty[String, CubeInstance]
-  private val evBuilt = TrieMap.empty[String, CubeInstance]
-  private val mergedCache = TrieMap.empty[String, CubeInstance]
+  /** a memoized instance plus the buildId stamp(s) it was loaded or
+    * built under — [[MetaStamp]] revalidates the stamp on every
+    * ensure* call (one getFileStatus steady-state), so a long-running
+    * serving JVM reloads metadata another PROCESS committed (segment
+    * append/refresh/merge) instead of routing stale segments until
+    * restart. Reference: core-metadata CachedCrudAssist.java
+    * reload-on-access + server-base CacheService/Broadcaster — graft
+    * replaces the push broadcast with a cheap pull stamp, which a
+    * shared store makes race-free (the meta commit is the publish). */
+  private val built = TrieMap.empty[String, (CubeInstance, String)]
+  private val evBuilt = TrieMap.empty[String, (CubeInstance, String)]
+  /** merged realization: chained to BOTH its own meta-merged.json
+    * stamp and the base build it merged from */
+  private val mergedCache =
+    TrieMap.empty[String, (CubeInstance, String, String)]
   private val lock = new Object
 
   /** drop the per-JVM memo (simulated process restart in specs): the
@@ -264,23 +276,53 @@ object CubeManager {
     * with routing's own view of the world; its first touch changes
     * the set and thus the key) */
   private[graft] def loadedInstances(sfDir: String): Seq[CubeInstance] =
-    built.get(sfDir).toSeq ++ evBuilt.get(sfDir).toSeq ++
-      mergedCache.get(sfDir).toSeq ++
-      hybridBuilt.get(sfDir).toSeq.flatMap(_.slices.map(_.inst))
+    built.get(sfDir).map(_._1).toSeq ++ evBuilt.get(sfDir).map(_._1).toSeq ++
+      mergedCache.get(sfDir).map(_._1).toSeq ++
+      hybridBuilt.get(sfDir).toSeq.flatMap(_._1.slices.map(_.inst))
 
   private def sfName(sfDir: String): String =
     sfDir.replaceAll("/+$", "").split('/').last
+
+  /** generic stamp-aware memo step: serve the memoized instance while
+    * its on-disk buildId is unchanged (one getFileStatus); on drift —
+    * another process committed a build/append/refresh — reload via the
+    * given loader, and only when the loader misses (no meta,
+    * fingerprint drift, incomplete layout) pay the build */
+  private def ensureFresh(memo: TrieMap[String, (CubeInstance, String)],
+      spark: SparkSession, sfDir: String, root: String, cube: CubeDef)(
+      build: => CubeInstance): CubeInstance = {
+    def stamp() = MetaStamp.of(spark, root, cube.name)
+    memo.get(sfDir) match {
+      case Some((inst, id)) if stamp() == id => inst
+      case _ => lock.synchronized {
+        // double-check under the lock (another thread may have
+        // refreshed while we waited)
+        memo.get(sfDir).filter { case (_, id) => stamp() == id }
+          .map(_._1).getOrElse {
+            val (inst, id) = CubeMeta.load(spark, cube, root)
+              .map(l => (l.inst, l.buildId))
+              .getOrElse {
+                val b = build
+                // build commits meta LAST; read back the id it wrote
+                (b, stamp())
+              }
+            memo.put(sfDir, (inst, id))
+            inst
+          }
+      }
+    }
+  }
 
   /** Load-or-build (once per JVM per sf dir) and return the instance.
     * A fresh process finds the metadata a previous build committed
     * (CubeMeta — reference CubeManager.java:143 loads CubeInstance from
     * the ResourceStore) and routes immediately; only a miss — no meta,
-    * fingerprint drift, incomplete layout — pays the build. */
-  def ensureBuilt(spark: SparkSession, sfDir: String): CubeInstance =
-    built.getOrElse(sfDir, lock.synchronized {
-      built.getOrElseUpdate(sfDir, {
-        val root = s"$cubeRoot/${sfName(sfDir)}"
-        CubeMeta.load(spark, defaultCube, root).map(_.inst).getOrElse {
+    * fingerprint drift, incomplete layout — pays the build. The memo is
+    * STAMP-AWARE: a buildId drift (another process appended/refreshed)
+    * reloads the committed meta without a restart. */
+  def ensureBuilt(spark: SparkSession, sfDir: String): CubeInstance = {
+    val root = s"$cubeRoot/${sfName(sfDir)}"
+    ensureFresh(built, spark, sfDir, root, defaultCube) {
           // lookup tables are snapshotted under the cube root (write-
           // once) so rebuilds join frozen dimension rows —
           // DFSnapshotBuilder
@@ -310,19 +352,16 @@ object CubeManager {
           }
           CubeBuilder.build(spark, spark.read.parquet(flatPath),
             defaultCube, root)
-        }
-      })
-    })
+    }
+  }
 
-  /** Load-or-build (once per JVM per sf dir) the events cube. */
-  def ensureEventsBuilt(spark: SparkSession, sfDir: String): CubeInstance =
-    evBuilt.getOrElse(sfDir, lock.synchronized {
-      evBuilt.getOrElseUpdate(sfDir, {
-        val root = s"$cubeRoot/${sfName(sfDir)}-events"
-        CubeMeta.load(spark, eventsCube, root).map(_.inst).getOrElse(
-          CubeBuilder.build(spark, eventsFlat(spark, sfDir), eventsCube, root))
-      })
-    })
+  /** Load-or-build (once per JVM per sf dir) the events cube;
+    * stamp-aware like [[ensureBuilt]]. */
+  def ensureEventsBuilt(spark: SparkSession, sfDir: String): CubeInstance = {
+    val root = s"$cubeRoot/${sfName(sfDir)}-events"
+    ensureFresh(evBuilt, spark, sfDir, root, eventsCube)(
+      CubeBuilder.build(spark, eventsFlat(spark, sfDir), eventsCube, root))
+  }
 
   // ── hybrid realization members (VERDICT r8 item 2) ────────────────
 
@@ -357,18 +396,26 @@ object CubeManager {
       shardBy = None, derived = Nil, extended = Nil)
   }
 
-  private val hybridBuilt = TrieMap.empty[String, HybridInstance]
+  /** hybrid memo carries one buildId stamp per member root */
+  private val hybridBuilt =
+    TrieMap.empty[String, (HybridInstance, Seq[String])]
 
   /** Load-or-build the two hybrid member cubes and wrap them as one
     * spliced realization: the old cube over [data start, cutover), the
     * new one from the cutover on. Each member builds from the flat
     * rows of ITS OWN era — exactly the state a real evolution leaves
-    * behind (the retired cube was never built past its cutover). */
-  def ensureHybrid(spark: SparkSession, sfDir: String): HybridInstance =
-    hybridBuilt.getOrElse(sfDir, lock.synchronized {
-      hybridBuilt.getOrElseUpdate(sfDir, {
+    * behind (the retired cube was never built past its cutover).
+    * Stamp-aware per member, like [[ensureBuilt]]. */
+  def ensureHybrid(spark: SparkSession, sfDir: String): HybridInstance = {
+    def memberRoot(name: String) = s"$cubeRoot/${sfName(sfDir)}-$name"
+    def stamps() = Seq("star-old", "star-new").map(n =>
+      MetaStamp.of(spark, memberRoot(n), n))
+    def fresh(): Option[HybridInstance] =
+      hybridBuilt.get(sfDir).filter(_._2 == stamps()).map(_._1)
+    fresh().getOrElse(lock.synchronized {
+      fresh().getOrElse {
         def member(name: String, segs: Seq[Segment]): CubeInstance = {
-          val root = s"$cubeRoot/${sfName(sfDir)}-$name"
+          val root = memberRoot(name)
           val cube = hybridMember(name, segs)
           CubeMeta.load(spark, cube, root).map(_.inst).getOrElse {
             val flat = flatTable(spark, sfDir).filter(
@@ -384,11 +431,14 @@ object CubeManager {
         val nu = member("star-new", Seq(
           Segment("s1999", HybridCutover, "2001-01-01"),
           Segment("s2001", "2001-01-01", "2003-01-01")))
-        HybridInstance("star-hybrid", Seq(
+        val h = HybridInstance("star-hybrid", Seq(
           HybridSlice(old, QueryRouter.MinDay, HybridCutover),
           HybridSlice(nu, HybridCutover, QueryRouter.MaxDay)))
-      })
+        hybridBuilt.put(sfDir, (h, stamps()))
+        h
+      }
     })
+  }
 
   /** Retention over the MEMOIZED default instance: applies the policy
     * and swaps the memo in one step, so this process's own readers see
@@ -400,7 +450,7 @@ object CubeManager {
              cutoff: String): CubeInstance = lock.synchronized {
     val next =
       CubeBuilder.applyRetention(spark, ensureBuilt(spark, sfDir), cutoff)
-    built.put(sfDir, next)
+    built.put(sfDir, (next, MetaStamp.of(spark, next.root, next.cube.name)))
     mergedCache.remove(sfDir)
     next
   }
@@ -410,12 +460,24 @@ object CubeManager {
     * is chained to the base build it merged FROM — a rebuilt base
     * invalidates it, so a restart never routes against a merge of
     * parquet that no longer exists. */
-  def ensureMerged(spark: SparkSession, sfDir: String): CubeInstance =
-    mergedCache.getOrElse(sfDir, lock.synchronized {
-      mergedCache.getOrElseUpdate(sfDir, {
+  def ensureMerged(spark: SparkSession, sfDir: String): CubeInstance = {
+    val root = s"$cubeRoot/${sfName(sfDir)}"
+    // fast path: BOTH stamps unchanged — the merged realization's own
+    // commit AND the base build it chained to (a rebuilt/appended base
+    // invalidates the merge even if meta-merged.json is untouched)
+    def stamps() = (
+      MetaStamp.of(spark, root, defaultCube.name, CubeMeta.MergedFile),
+      MetaStamp.of(spark, root, defaultCube.name))
+    def fresh(): Option[CubeInstance] =
+      mergedCache.get(sfDir).filter { case (_, mId, bId) =>
+        stamps() == ((mId, bId))
+      }.map(_._1)
+    fresh().getOrElse(lock.synchronized {
+      fresh().getOrElse {
         val base = ensureBuilt(spark, sfDir)
         val baseId = CubeMeta.load(spark, defaultCube, base.root).map(_.buildId)
-        CubeMeta.load(spark, defaultCube, base.root, CubeMeta.MergedFile)
+        val inst = CubeMeta.load(spark, defaultCube, base.root,
+            CubeMeta.MergedFile)
           .filter(l => baseId.isDefined && l.baseBuildId == baseId)
           .map(_.inst)
           .getOrElse {
@@ -423,6 +485,10 @@ object CubeManager {
             CubeMeta.save(spark, m, CubeMeta.MergedFile, baseBuildId = baseId)
             m
           }
-      })
+        val (mId, bId) = stamps()
+        mergedCache.put(sfDir, (inst, mId, bId))
+        inst
+      }
     })
+  }
 }

@@ -1,0 +1,94 @@
+package graft.cube
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-catalog registration of the star tables and the cube view —
+  * warehouses name TABLES, not directories (reference: the source-hive
+  * module's role — Kylin's models are declared over Hive-catalog
+  * tables, and its query server resolves them through the metastore).
+  * graft's path-based `Tables` loaders stay the test/bench spine; this
+  * registers the SAME parquet as EXTERNAL tables under a dedicated
+  * database so catalog-addressed SQL (`SELECT ... FROM
+  * graft_cat.lineitem JOIN ...`) and `spark.table("graft_cat.t")`
+  * resolve — and, because ModelMatcher recognizes catalog relations by
+  * their table name (qualifier-guarded to this database), ROUTE to the
+  * cube exactly like the temp-view path.
+  *
+  * `graft_cat.graft_star` is a persistent catalog VIEW carrying the
+  * same star-join algebra as `CubeManager.flatTableFrom` (a spec pins
+  * the two frames equal), so catalog users query the pre-joined
+  * surface by name too; GraftSql's view recognition accepts a `View`
+  * node from this database as the registered cube view.
+  *
+  * Registration is idempotent per (session, sfDir) and cheap —
+  * external tables wrap existing parquet paths, nothing is copied.
+  * At 100 TB the only difference is WHERE the locations point; scan
+  * planning (pushdown, pruning, routing) is identical to the path
+  * loaders.
+  */
+object GraftCatalog {
+
+  /** the database every graft catalog object lands in — the qualifier
+    * guard in ModelMatcher/GraftSql trusts ONLY this db, so a foreign
+    * table that happens to be named `lineitem` can never route */
+  val Db = "graft_cat"
+
+  private val StarTables = Seq("lineitem", "orders", "customer",
+    "supplier", "part", "nation", "region")
+  /** plain pipeline tables, registered for catalog addressing (no
+    * routing semantics attached) */
+  private val PlainTables = Seq("documents", "embeddings")
+
+  private val registered =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+
+  /** the flat-table algebra as view SQL — MUST stay column-identical
+    * to CubeManager.flatTableFrom (CatalogSpec pins frame equality) */
+  private def starViewSql: String =
+    s"""SELECT l.l_orderkey, l.l_linenumber,
+       |  r.r_name, n.n_name, c.c_mktsegment,
+       |  o.o_orderstatus, o.o_orderpriority,
+       |  l.l_returnflag, p.p_brand,
+       |  date_format(o.o_orderdate, 'yyyy-MM') AS o_month,
+       |  date_format(o.o_orderdate, 'yyyy') AS o_year,
+       |  o.o_orderdate,
+       |  l.l_quantity, o.o_custkey, l.l_extendedprice,
+       |  l.l_discount,
+       |  CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+       |    (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS disc_price,
+       |  CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+       |    (1 - CAST(l.l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)
+       |    AS disc_price_micros,
+       |  CASE WHEN l.l_quantity >= 49.5 THEN l.l_extendedprice END
+       |    AS raw_hi_price,
+       |  c.c_name
+       |FROM $Db.lineitem l
+       |JOIN $Db.orders o ON o.o_orderkey = l.l_orderkey
+       |JOIN $Db.customer c ON c.c_custkey = o.o_custkey
+       |JOIN $Db.nation n ON n.n_nationkey = c.c_nationkey
+       |JOIN $Db.region r ON r.r_regionkey = n.n_regionkey
+       |JOIN $Db.supplier s ON s.s_suppkey = l.l_suppkey
+       |LEFT JOIN $Db.part p ON p.p_partkey = l.l_partkey""".stripMargin
+
+  /** Register (or re-point) the catalog objects for `sfDir`. */
+  def register(spark: SparkSession, sfDir: String): Unit = {
+    if (registered.get(spark).contains(sfDir)) return
+    synchronized {
+      if (registered.get(spark).contains(sfDir)) return
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $Db")
+      (StarTables ++ PlainTables).foreach { t =>
+        // external table over the existing parquet; drop-first so a
+        // changed sfDir re-points the location (DROP on an external
+        // table never touches the data files)
+        spark.sql(s"DROP TABLE IF EXISTS $Db.$t")
+        spark.sql(s"CREATE TABLE $Db.$t USING parquet " +
+          s"LOCATION '$sfDir/$t.parquet'")
+      }
+      spark.sql(
+        s"CREATE OR REPLACE VIEW $Db.${GraftSql.ViewName} AS $starViewSql")
+      registered.put(spark, sfDir)
+    }
+  }
+
+  private[graft] def reset(): Unit = registered.clear()
+}

@@ -709,81 +709,14 @@ object GraftSql {
     * a key: an untouched cube can't have produced a cached result, and
     * its first touch enlarges the set, changing the key (one benign
     * extra recompute, never staleness). The stamp is the meta's
-    * BUILD ID (a UUID written last in every metadata commit), not the
-    * file's mtime: on stores with coarse mtime granularity (object
-    * stores, whole-second NFS) two commits inside one granule would
-    * leave an mtime stamp unchanged and serve a stale cached result
-    * (ADVICE r10). */
-  private val BuildIdRe = """"buildId"\s*:\s*"([^"]+)"""".r
-
-  /** buildId memo per meta path, keyed on the file's (mtime, length)
-    * from one getFileStatus (ADVICE r11: a content read per
-    * realization per sqlCached call is a GET per query on an object
-    * store). On stores with coarse mtime granularity (whole-second
-    * NFS, object stores) a second commit inside the same mtime granule
-    * leaves (mtime, length) unchanged — buildId is a fixed-width UUID
-    * — so an entry may only be served once the granule has provably
-    * CLOSED. Quiescence is measured in the LOCAL clock alone (ADVICE
-    * r12 — the old `readAt − mtime > slack` test differenced the local
-    * clock against the store's mtime clock, so skew either trusted too
-    * early or disabled the memo): two getFileStatus observations more
-    * than [[StampTrustAgeMs]] apart showing the SAME (mtime, length)
-    * prove the store clock has left that mtime granule — were it still
-    * inside the granule at the second observation, it would have been
-    * before the granule's start at the first, contradicting the first
-    * observation of that mtime. Only clock RATES are assumed
-    * comparable over seconds, never offsets. Promotion re-reads the
-    * content once (the pending entry's read may predate a same-granule
-    * commit), then the entry is trusted at getFileStatus cost until
-    * (mtime, length) moves — any post-closure commit lands in a later
-    * granule and is caught by the status comparison. */
-  private val StampTrustAgeMs = 5000L
-  /** path → (mtime, len, buildId, firstSeenAt local ms, trusted) */
-  private val stampMemo = scala.collection.concurrent.TrieMap
-    .empty[String, (Long, Long, String, Long, Boolean)]
-
-  private def readBuildId(fs: org.apache.hadoop.fs.FileSystem,
-                          p: org.apache.hadoop.fs.Path): String = {
-    val in = fs.open(p)
-    // meta.json is small (segments × cuboids rows); one buffered
-    // read + a regex beats a full JSON bind on the query hot path
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    BuildIdRe.findFirstMatchIn(text).map(_.group(1)).getOrElse("unparsed")
-  }
-
+    * committed BUILD ID via [[MetaStamp]] (shared with CubeManager's
+    * reload-on-drift path since r14), steady-state cost one
+    * getFileStatus per realization per call. */
   private[graft] def realizationStamps(spark: SparkSession,
                                 sfDir: String): Seq[(String, String, String)] =
     CubeManager.loadedInstances(sfDir).map { inst =>
-      val p = new org.apache.hadoop.fs.Path(
-        s"${inst.root}/${inst.cube.name}/${CubeMeta.MetaFile}")
-      val stamp = scala.util.Try {
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val st = fs.getFileStatus(p)
-        val (mtime, len) = (st.getModificationTime, st.getLen)
-        val now = System.currentTimeMillis()
-        stampMemo.get(p.toString) match {
-          case Some((m, l, id, _, true)) if m == mtime && l == len => id
-          case Some((m, l, _, seenAt, false)) if m == mtime && l == len &&
-              now - seenAt > StampTrustAgeMs =>
-            // the granule provably closed between the two status
-            // observations — re-read once (the pending read may
-            // predate a same-granule commit) and promote to trusted
-            val id = readBuildId(fs, p)
-            stampMemo.put(p.toString, (mtime, len, id, seenAt, true))
-            id
-          case Some((m, l, _, _, false)) if m == mtime && l == len =>
-            // still inside the trust window: re-read per call — the
-            // window is guarded by content reads; steady-state
-            // metadata is the trusted branch above
-            readBuildId(fs, p)
-          case _ =>
-            val id = readBuildId(fs, p)
-            stampMemo.put(p.toString, (mtime, len, id, now, false))
-            id
-        }
-      }.getOrElse("absent")
-      (inst.root, inst.cube.name, stamp)
+      (inst.root, inst.cube.name,
+        MetaStamp.of(spark, inst.root, inst.cube.name))
     }.distinct.sorted
 
   /** `sqlVia` behind the result cache. */
@@ -931,7 +864,13 @@ object GraftSql {
     // otherwise route to the cube with its actual contents (filters,
     // different table) silently ignored.
     def isViewNode(p: LogicalPlan, name: String): Boolean = p match {
-      case v: View => v.desc.identifier.table == name
+      // a temp view (no database) or a view in graft's own catalog db
+      // (GraftCatalog registers graft_cat.graft_star with the same
+      // star-join algebra); a foreign database's view reusing the name
+      // must not route
+      case v: View => v.desc.identifier.table == name &&
+        v.desc.identifier.database.forall(
+          _.equalsIgnoreCase(GraftCatalog.Db))
       case SubqueryAlias(_, c) => isViewNode(c, name)
       case _ => false
     }

@@ -97,9 +97,18 @@ object ModelMatcher {
     * aliased base relations; None if any other node appears. A LEFT
     * node must attach exactly one table through exactly one conjunct —
     * the shape whose preserved side is everything joined so far. */
+  /** A relation name is trusted as a model table only when it is
+    * unqualified (our registerViews owns those temp-view names) or
+    * qualified into graft's own catalog database — a FOREIGN database's
+    * table that merely shares a model table's name must not route
+    * (its data is not what the cube was built from). */
+  private def trustedQualifier(q: Seq[String]): Boolean =
+    q.isEmpty || q.last.equalsIgnoreCase(GraftCatalog.Db)
+
   private def walk(p: LogicalPlan): Option[(Set[String], Seq[Cond])] =
     p match {
-      case SubqueryAlias(id, child) if isBaseRelation(child) =>
+      case SubqueryAlias(id, child)
+          if isBaseRelation(child) && trustedQualifier(id.qualifier) =>
         Some((Set(id.name.toLowerCase), Nil))
       case Join(l, r, jt, Some(cond), _) if jt == Inner || jt == LeftOuter =>
         for {

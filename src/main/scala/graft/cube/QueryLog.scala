@@ -26,7 +26,12 @@ import org.apache.spark.sql.types._
   *    rewritten into one file and swapped in by two renames
   *    (write-new, rename-out, rename-in — no delete between, so a
   *    crash mid-swap parks the full history at `_querylog_old`, which
-  *    `load` falls back to; nothing is ever unrecoverable).
+  *    `load` falls back to, and which the NEXT flush renames back into
+  *    place before appending — the parked history rejoins the live log
+  *    rather than being shadowed by the post-crash batch (ADVICE r13:
+  *    without the rename-back, the first post-crash append recreated
+  *    `_querylog` with only its own rows and the next compaction
+  *    deleted the parked history unmerged).
   *  - opt-in via the session conf `spark.graft.querylog.dir`
   *    (unset ⇒ zero I/O, the bench posture).
   */
@@ -91,6 +96,7 @@ object QueryLog {
     val rows = batch.map(r => Row(r.ts, r.queryId, r.via,
       r.cube.orNull, r.dims.orNull, r.scanRows, r.scanBytes))
     ioLock(dir).synchronized {
+      recoverParked(spark, dir)
       spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), schema)
         .write.mode("append").parquet(logPath(dir))
@@ -99,6 +105,23 @@ object QueryLog {
   }
 
   private def logPath(dir: String): String = s"$dir/_querylog"
+
+  /** Crash recovery for the compaction swap: a crash between the two
+    * renames leaves the full history at `_querylog_old` and nothing at
+    * `_querylog`. Renaming it back BEFORE the append (under the same
+    * per-dir I/O lock) merges the parked history with the new batch;
+    * when both paths exist the old dir is a completed swap's stale
+    * leftover and is left for maybeCompact's delete. */
+  private def recoverParked(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(logPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(s"$dir/_querylog_old")
+    if (!fs.exists(p) && fs.exists(old)) {
+      if (!fs.rename(old, p))
+        throw new java.io.IOException(
+          s"querylog crash recovery failed: $old -> $p")
+    }
+  }
 
   private def maybeCompact(spark: SparkSession, dir: String): Unit = {
     val p = new Path(logPath(dir))
@@ -129,8 +152,8 @@ object QueryLog {
 
   /** The persisted log (empty frame when nothing was ever flushed).
     * A crash between the compaction's two renames leaves the history
-    * at `_querylog_old` — served from there until the next write
-    * completes the swap. */
+    * at `_querylog_old` — served from there until the next flush's
+    * `recoverParked` renames it back into place. */
   def load(spark: SparkSession, dir: String): DataFrame = {
     val p = new Path(logPath(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -155,6 +178,12 @@ object QueryLog {
       .map(_.getAs[Seq[String]]("dims").toSet).toSeq
   }
 
-  private[graft] def clearPending(): Unit =
+  private[graft] def clearPending(): Unit = {
     pending.synchronized { pending.clear() }
+    // drop the per-dir lock objects too (ADVICE r13): like `pending`,
+    // the map grows one entry per distinct dir — bounded in any sane
+    // deployment (a fleet points at a handful of stores), but specs
+    // churn temp dirs and a long-lived JVM should not accrete them
+    ioLocks.synchronized { ioLocks.clear() }
+  }
 }

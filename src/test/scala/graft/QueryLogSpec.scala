@@ -136,4 +136,32 @@ class QueryLogSpec extends AnyFunSuite {
     val files = fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
     assert(files <= 2, s"compaction must rewrite to few files, got $files")
   }
+
+  test("a crash between the compaction renames parks the history and " +
+      "the next flush merges it back instead of shadowing it (ADVICE r13)") {
+    val dir = Files.createTempDirectory("graft-querylog-crash").toString
+    // a live log with two known rows
+    val rows = Seq(Row(1L, "old-1", "test", null, null, 1L, 1L),
+                   Row(2L, "old-2", "test", null, null, 1L, 1L))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), QueryLog.schema)
+      .write.mode("append").parquet(s"$dir/_querylog")
+    // simulate the crash window: rename-out happened, rename-in didn't
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_querylog")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/_querylog_old")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, old))
+    // load still serves the parked history
+    assert(QueryLog.load(spark, dir).count() == 2)
+    // the post-crash process flushes a new batch: recovery must rename
+    // the history back FIRST, so the append lands beside it
+    QueryLog.record(spark, dir, "new-1", "test", None, None, 1L, 1L)
+    QueryLog.flush(spark, dir)
+    val after = QueryLog.load(spark, dir).collect()
+    assert(after.map(_.getAs[String]("query_id")).toSet ==
+      Set("old-1", "old-2", "new-1"),
+      s"parked history must merge with the post-crash batch, got " +
+        s"${after.map(_.getAs[String]("query_id")).toSeq}")
+    assert(!fs.exists(old), "recovery must consume _querylog_old")
+  }
 }
