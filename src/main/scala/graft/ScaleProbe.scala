@@ -147,6 +147,18 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional key restriction (SPARK_GRAFT_PROBE_KEYS=a,b,c): re-runs
+    // of a subset — e.g. re-certifying the 100× tail on an idle
+    // machine without paying the O(n²) control's quarter hour — keep
+    // the same order/warmup/memo discipline as the full sweep
+    val keyFilter = sys.env.get("SPARK_GRAFT_PROBE_KEYS")
+      .map(_.split(",").map(_.trim).toSet)
+    val keys = keyFilter.map(f => Keys.filter(f)).getOrElse(Keys)
+    val keys100 = keyFilter.map(f => Keys100.filter(f)).getOrElse(Keys100)
+    val probeOut = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT",
+      "target/scale_probe.json")
+    val withPrebuilt = keys.contains("doc_incremental_dedup")
+
     replicate(spark, sfDir, out10, Copies)
     if (run100) replicate(spark, sfDir, out100, Copies * 10)
 
@@ -162,7 +174,7 @@ object ScaleProbe {
     // memo behavior untouched (each still builds its own frames).
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
-    Keys.foreach { name =>
+    keys.foreach { name =>
       try Bench.materialize(SparkEntry.queries(name)(spark, warmDir))
       catch { case _: Throwable => () }
     }
@@ -179,17 +191,18 @@ object ScaleProbe {
         name -> (System.nanoTime() - t0) / 1e9
       }
     val loadBefore = loadAvg()
-    val base = timeAt(sfDir, Keys).toMap
-    val big = timeAt(out10, Keys)
+    val base = timeAt(sfDir, keys).toMap
+    val big = timeAt(out10, keys)
     // prebuilt-store ingest joins AFTER the keyed passes: their store
     // builds warm shingle memos the keyed runs must not inherit
-    val pb01 = timeIncrementalPrebuilt(spark, sfDir, "sf01")
-    val pb10 = timeIncrementalPrebuilt(spark, out10, "x10")
+    val pb01 = if (withPrebuilt) timeIncrementalPrebuilt(spark, sfDir, "sf01") else 0.0
+    val pb10 = if (withPrebuilt) timeIncrementalPrebuilt(spark, out10, "x10") else 0.0
     val (big100, pb100) =
       if (!run100) (Seq.empty[(String, Double)], None)
       else {
-        val t = timeAt(out100, Keys100)
-        (t, Some(timeIncrementalPrebuilt(spark, out100, "x100")))
+        val t = timeAt(out100, keys100)
+        (t, if (withPrebuilt)
+          Some(timeIncrementalPrebuilt(spark, out100, "x100")) else None)
       }
     val loadAfter = loadAvg()
     val big100m = big100.toMap
@@ -208,13 +221,14 @@ object ScaleProbe {
         pb100.map(t => f""","x100_sec":$t%.3f,""" +
           f""""ratio100":${t / math.max(pb10, 1e-9)}%.2f""").getOrElse("") +
         "}"
+    val allRows = if (withPrebuilt) rows :+ pbRow else rows
     val json = s"""{"metric":"scale10","copies":$Copies,""" +
       s""""copies100":${if (run100) Copies * 10 else 0},""" +
       f""""load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,""" +
-      s""""keys":[${(rows :+ pbRow).mkString(",")}]}"""
+      s""""keys":[${allRows.mkString(",")}]}"""
     println(json)
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("target/scale_probe.json"),
+      java.nio.file.Paths.get(probeOut),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.io.IOException => () }
     spark.stop()

@@ -299,14 +299,16 @@ object CubeManager {
         // refreshed while we waited)
         memo.get(sfDir).filter { case (_, id) => stamp() == id }
           .map(_._1).getOrElse {
-            val (inst, id) = CubeMeta.load(spark, cube, root)
-              .map(l => (l.inst, l.buildId))
+            val inst = CubeMeta.load(spark, cube, root).map(_.inst)
               .getOrElse {
-                val b = build
-                // build commits meta LAST; read back the id it wrote
-                (b, stamp())
+                // the build runs under the cross-process lease: a
+                // second builder racing this root waits and loads the
+                // winner's committed meta instead of rebuilding
+                BuildLease.withLease(spark, root, cube.name)(
+                  CubeMeta.load(spark, cube, root).map(_.inst))(build)
               }
-            memo.put(sfDir, (inst, id))
+            // meta commits LAST in every path; stamp() reads the id
+            memo.put(sfDir, (inst, stamp()))
             inst
           }
       }
@@ -418,11 +420,14 @@ object CubeManager {
           val root = memberRoot(name)
           val cube = hybridMember(name, segs)
           CubeMeta.load(spark, cube, root).map(_.inst).getOrElse {
-            val flat = flatTable(spark, sfDir).filter(
-              col("o_orderdate") >=
-                lit(segs.head.start).cast("timestamp") &&
-              col("o_orderdate") < lit(segs.last.end).cast("timestamp"))
-            CubeBuilder.build(spark, flat, cube, root)
+            BuildLease.withLease(spark, root, cube.name)(
+              CubeMeta.load(spark, cube, root).map(_.inst)) {
+              val flat = flatTable(spark, sfDir).filter(
+                col("o_orderdate") >=
+                  lit(segs.head.start).cast("timestamp") &&
+                col("o_orderdate") < lit(segs.last.end).cast("timestamp"))
+              CubeBuilder.build(spark, flat, cube, root)
+            }
           }
         }
         val old = member("star-old", Seq(

@@ -268,8 +268,15 @@ object EmbeddingSearch {
     * Only (id, table, bucket) rows ride the candidate shuffle; the
     * wide quantized vectors re-attach per side after the distinct. */
   def lshCosineDupPairs(embs: DataFrame, minCos: Double): DataFrame = {
-    // corpus-adaptive bucket width (one count pass — negligible next
-    // to the joins): constant bits would make candidates quadratic
+    // corpus-adaptive bucket width: constant bits would make
+    // candidates quadratic (the r13 100× probe filled 80 GB of spill
+    // before this sizing). The count() is a deliberate extra ACTION,
+    // not an extra data scan: over a parquet source Spark answers
+    // count() from row-group metadata (footers only, no column reads),
+    // so at 100 TB it costs a listing + footer pass — noise next to
+    // the two bucket-join passes that follow. Deriving n lazily (e.g.
+    // an Observation) can't work here: `bits` shapes the PLAN, so it
+    // must be known before any action runs.
     val bits = lshBitsFor(embs.count())
     val tables = lshTablesFor(bits)
     val b = withBuckets(quantized(embs), bits, tables)

