@@ -37,7 +37,7 @@ object GraftCatalog {
     "supplier", "part", "nation", "region")
   /** plain pipeline tables, registered for catalog addressing (no
     * routing semantics attached) */
-  private val PlainTables = Seq("documents", "embeddings")
+  private val PlainTables = Seq("documents", "embeddings", "events")
 
   private val registered =
     scala.collection.concurrent.TrieMap.empty[SparkSession, String]
@@ -86,6 +86,24 @@ object GraftCatalog {
       }
       spark.sql(
         s"CREATE OR REPLACE VIEW $Db.${GraftSql.ViewName} AS $starViewSql")
+      // the events flat view needs the same ts normalization as
+      // Tables.events (the generator's physical form varies: nanos
+      // long / micros-NTZ / UTC timestamp) — generate the cast from
+      // the on-disk schema, read once from footers at registration
+      val tsExpr = graft.Tables.tbl(spark, sfDir, "events")
+        .schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          "timestamp_micros(ts div 1000)"
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          "CAST(ts AS TIMESTAMP)"
+        case _ => "ts"
+      }
+      spark.sql(
+        s"""CREATE OR REPLACE VIEW $Db.${GraftSql.EventsViewName} AS
+           |SELECT $tsExpr AS ts,
+           |  date_format($tsExpr, 'yyyy-MM-dd') AS ev_day,
+           |  event_type, user_id, value
+           |FROM $Db.events""".stripMargin)
       registered.put(spark, sfDir)
     }
   }

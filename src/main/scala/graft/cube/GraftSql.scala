@@ -791,6 +791,15 @@ object GraftSql {
       bindings.map(_.view).toSet ++ bindings.flatMap(_.rawTables)
     val touchesView = plan.exists {
       case v: View => routable.contains(v.desc.identifier.table)
+      // catalog-addressed tables/views (graft_cat.lineitem, ...) carry
+      // no View node for tables — recognize the qualified alias so
+      // JDBC/accelerated catalog SQL gets the same routing attempt;
+      // this is only the CHEAP pre-filter, correctness stays with
+      // routeFrame's qualifier-guarded matching
+      case s: SubqueryAlias =>
+        s.identifier.qualifier.lastOption
+          .exists(_.equalsIgnoreCase(GraftCatalog.Db)) &&
+          routable.contains(s.identifier.name.toLowerCase)
       case _ => false
     }
     if (!touchesView) return None

@@ -55,6 +55,51 @@ class CatalogSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("catalog-addressed SQL accelerates transparently through plain " +
+      "spark.sql (no sqlVia call)") {
+    GraftSql.clearResultCache()
+    GraftSql.registerViews(spark, sf)
+    GraftCatalog.register(spark, sf)
+    CubeManager.ensureBuilt(spark, sf)
+    val q = """SELECT o_orderstatus, count(*) AS n
+              |FROM graft_cat.lineitem
+              |JOIN graft_cat.orders ON l_orderkey = o_orderkey
+              |GROUP BY o_orderstatus""".stripMargin
+    val want = spark.sql(q).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.accelerate", "true")
+    try {
+      val acc = spark.sql(q)
+      assert(acc.inputFiles.exists(_.contains("cuboid=")),
+        s"accelerated catalog SQL must read cuboid parquet, got " +
+          acc.inputFiles.take(3).mkString(", "))
+      val got = acc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want && got.nonEmpty)
+    } finally spark.conf.set("spark.graft.accelerate", "false")
+  }
+
+  test("the catalog events view normalizes ts and routes to the " +
+      "events cube") {
+    GraftCatalog.register(spark, sf)
+    CubeManager.ensureEventsBuilt(spark, sf)
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT ev_day, count(*) AS n_events,
+        |  count(distinct user_id) AS n_users
+        |FROM graft_cat.graft_events GROUP BY ev_day""".stripMargin)
+    assert(r.routed && r.via == "cuboid",
+      s"catalog events view must route, got ${r.via}")
+    val want = CubeManager.eventsFlat(spark, sf)
+      .groupBy("ev_day")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.countDistinct("user_id")
+          .as("n_users"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    val got = r.df.collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("a foreign database's tables and views never route by name") {
     GraftCatalog.register(spark, sf)
     spark.sql("CREATE DATABASE IF NOT EXISTS foreign_db")
