@@ -11,14 +11,27 @@ import org.apache.spark.sql.SparkSession
   * so this is a cost bug, not a correctness bug).
   *
   * Mechanics: a `_building` lease file under the cube's meta dir —
-  * created with overwrite=false (atomic on HDFS; the local-FS window is
-  * microseconds), body = owner id, mtime = heartbeat (a daemon thread
-  * touches it every [[HeartbeatMs]] while the build runs). A second
+  * created exclusively (POSIX O_EXCL locally, create(overwrite=false)
+  * on HDFS-like stores), body = owner id, mtime = heartbeat (a daemon
+  * thread touches it every [[HeartbeatMs]] while the build runs; one
+  * failed touch is retried on the next tick, never fatal). A second
   * builder polls: lease released → re-load the meta the winner
-  * committed; lease mtime stale past [[ExpiryMs]] → the holder crashed
-  * mid-build, break the lease and take over (the crashed build's
-  * partial parquet is unreachable — meta commits LAST — and the
-  * rebuild overwrites it).
+  * committed; lease STALE → the holder crashed mid-build, break the
+  * lease and take over (the crashed build's partial parquet is
+  * unreachable — meta commits LAST — and the rebuild overwrites it).
+  *
+  * Staleness is judged by LOCAL-clock quiescence, never by
+  * differencing the waiter's clock against the holder-written mtime
+  * (the cross-clock offset comparison MetaStamp's design forbids): the
+  * waiter breaks only after observing the SAME mtime for [[ExpiryMs]]
+  * of its own waiting — a live holder's heartbeat changes the mtime
+  * every [[HeartbeatMs]] regardless of clock offset. The break itself
+  * is a rename to a unique name, so when several waiters judge the
+  * same lease stale exactly one wins the rename (a rename of an
+  * already-moved source fails) and the losers loop back to re-race the
+  * exclusive create — a freshly re-acquired LIVE lease can never be
+  * deleted by a slow waiter holding a stale observation. Release
+  * deletes only a lease whose body still names this owner.
   *
   * The wait bound is heartbeat-based, not wall-clock-total: a healthy
   * builder of ANY duration keeps its lease alive, so ExpiryMs only has
@@ -27,7 +40,8 @@ import org.apache.spark.sql.SparkSession
   */
 object BuildLease {
 
-  /** a lease whose mtime is older than this is a crashed builder's */
+  /** a lease whose mtime stays UNCHANGED for this long (local clock)
+    * is a crashed builder's; vars only so specs can shrink the waits */
   private[graft] var ExpiryMs = 30000L
   /** how often the holder touches the lease */
   private[graft] var HeartbeatMs = 5000L
@@ -36,9 +50,6 @@ object BuildLease {
 
   private val owner =
     s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
-
-  private def leasePath(root: String, cubeName: String): Path =
-    new Path(s"$root/$cubeName/_building")
 
   private def tryAcquire(fs: FileSystem, p: Path): Boolean =
     try {
@@ -58,29 +69,54 @@ object BuildLease {
       true
     } catch { case _: java.io.IOException => false }
 
-  private def staleSince(fs: FileSystem, p: Path): Option[Long] =
+  /** break a stale lease: exactly one of N concurrent breakers wins
+    * the rename (the source vanishes for the rest), so a winner's
+    * freshly re-created lease is never collaterally deleted */
+  private def breakLease(fs: FileSystem, p: Path): Unit =
     scala.util.Try {
-      val age = System.currentTimeMillis() - fs.getFileStatus(p)
-        .getModificationTime
-      if (age > ExpiryMs) Some(age) else None
-    }.toOption.flatten
+      val parked = new Path(
+        p.toString + ".broken." + java.util.UUID.randomUUID())
+      if (fs.rename(p, parked)) fs.delete(parked, false): Unit
+    }: Unit
 
-  /** Run `build` under the cube's build lease. `loadCommitted` is
-    * re-evaluated after every lease acquisition and release-wait, so a
-    * waiter returns the winner's committed instance instead of
-    * rebuilding. Exactly one process executes `build` per outage. */
-  def withLease[T](spark: SparkSession, root: String, cubeName: String)(
+  /** release only a lease this process still owns — a lease that was
+    * (wrongly or rightly) broken and re-acquired by someone else must
+    * not be deleted out from under them. The read-then-delete window
+    * is crash-level rare: live leases are heartbeat-protected, so a
+    * concurrent break requires this holder to have stalled for
+    * ExpiryMs first. */
+  private def releaseOwned(fs: FileSystem, p: Path): Unit =
+    scala.util.Try {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (body == owner) fs.delete(p, false): Unit
+    }: Unit
+
+  /** Run `build` under the cube's build lease (`leaseFile` names the
+    * artifact being built — the base build and the merged realization
+    * coordinate independently). `loadCommitted` is re-evaluated after
+    * every lease acquisition and release-wait, so a waiter returns the
+    * winner's committed result instead of rebuilding. Exactly one
+    * process executes `build` per outage. */
+  def withLease[T](spark: SparkSession, root: String, cubeName: String,
+      leaseFile: String = "_building")(
       loadCommitted: => Option[T])(build: => T): T = {
-    val p = leasePath(root, cubeName)
+    val p = new Path(s"$root/$cubeName/$leaseFile")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // (mtime, first locally observed at) — quiescence tracking
+    var observed: Option[(Long, Long)] = None
     while (true) {
       if (tryAcquire(fs, p)) {
-        // we hold the lease — keep it alive for the build's duration
+        // we hold the lease — keep it alive for the build's duration;
+        // a failed touch is retried next tick (a transient FS error
+        // must not silently kill the heartbeat and invite takeover)
         val hb = new Thread(() => {
           try {
             while (!Thread.currentThread().isInterrupted) {
               Thread.sleep(HeartbeatMs)
-              fs.setTimes(p, System.currentTimeMillis(), -1)
+              scala.util.Try(
+                fs.setTimes(p, System.currentTimeMillis(), -1)): Unit
             }
           } catch { case _: InterruptedException => }
         }, s"graft-build-lease-$cubeName")
@@ -91,15 +127,27 @@ object BuildLease {
           return loadCommitted.getOrElse(build)
         } finally {
           hb.interrupt()
-          scala.util.Try(fs.delete(p, false)): Unit
+          releaseOwned(fs, p)
         }
       } else {
-        // lease held: a crashed holder's stale lease is broken (the
-        // delete may race another waiter's — both then re-race create,
-        // and no-overwrite picks one); a live holder is awaited
-        staleSince(fs, p) match {
-          case Some(_) => scala.util.Try(fs.delete(p, false)): Unit
-          case None => Thread.sleep(PollMs)
+        scala.util.Try(fs.getFileStatus(p).getModificationTime)
+          .toOption match {
+          case None =>
+            // gone between create-fail and stat: fall through to the
+            // exists re-check below
+            observed = None
+          case Some(m) =>
+            val now = System.currentTimeMillis()
+            observed match {
+              case Some((om, since)) if om == m =>
+                if (now - since > ExpiryMs) {
+                  breakLease(fs, p) // quiescent past expiry: crashed
+                  observed = None
+                } else Thread.sleep(PollMs)
+              case _ =>
+                observed = Some((m, now)) // new holder / heartbeat tick
+                Thread.sleep(PollMs)
+            }
         }
         if (!fs.exists(p)) {
           // released (or broken): prefer the committed result

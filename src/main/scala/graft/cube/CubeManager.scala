@@ -283,6 +283,13 @@ object CubeManager {
   private def sfName(sfDir: String): String =
     sfDir.replaceAll("/+$", "").split('/').last
 
+  /** a memoized id keeps serving when the fresh stamp matches it — or
+    * when the stamp read failed transiently ([[MetaStamp.Unavailable]]):
+    * a store hiccup on the query hot path must degrade to serving the
+    * memo, never to a spurious reload or rebuild */
+  private def stampServes(fresh: String, memoized: String): Boolean =
+    fresh == memoized || fresh == MetaStamp.Unavailable
+
   /** generic stamp-aware memo step: serve the memoized instance while
     * its on-disk buildId is unchanged (one getFileStatus); on drift —
     * another process committed a build/append/refresh — reload via the
@@ -293,22 +300,37 @@ object CubeManager {
       build: => CubeInstance): CubeInstance = {
     def stamp() = MetaStamp.of(spark, root, cube.name)
     memo.get(sfDir) match {
-      case Some((inst, id)) if stamp() == id => inst
+      case Some((inst, id)) if stampServes(stamp(), id) => inst
       case _ => lock.synchronized {
         // double-check under the lock (another thread may have
         // refreshed while we waited)
-        memo.get(sfDir).filter { case (_, id) => stamp() == id }
+        memo.get(sfDir).filter { case (_, id) => stampServes(stamp(), id) }
           .map(_._1).getOrElse {
-            val inst = CubeMeta.load(spark, cube, root).map(_.inst)
+            // memoize the buildId READ WITH the instance (Loaded pairs
+            // them from one file read) — stamping after the load would
+            // blind the detector to a foreign commit landing in
+            // between: stamp() would return the NEWER id, pair it with
+            // the OLDER instance, and every later call would see
+            // "no drift" while routing stale segments
+            val (inst, id) = CubeMeta.load(spark, cube, root)
+              .map(l => (l.inst, l.buildId))
               .getOrElse {
                 // the build runs under the cross-process lease: a
                 // second builder racing this root waits and loads the
-                // winner's committed meta instead of rebuilding
+                // winner's committed meta instead of rebuilding. After
+                // OUR build, re-load for the same atomic (inst, id)
+                // pairing — if a foreign commit already superseded our
+                // meta, the re-load returns THEIR newer state
                 BuildLease.withLease(spark, root, cube.name)(
-                  CubeMeta.load(spark, cube, root).map(_.inst))(build)
+                  CubeMeta.load(spark, cube, root)
+                    .map(l => (l.inst, l.buildId))) {
+                  val b = build
+                  CubeMeta.load(spark, cube, root)
+                    .map(l => (l.inst, l.buildId))
+                    .getOrElse((b, stamp()))
+                }
               }
-            // meta commits LAST in every path; stamp() reads the id
-            memo.put(sfDir, (inst, stamp()))
+            memo.put(sfDir, (inst, id))
             inst
           }
       }
@@ -413,33 +435,41 @@ object CubeManager {
     def stamps() = Seq("star-old", "star-new").map(n =>
       MetaStamp.of(spark, memberRoot(n), n))
     def fresh(): Option[HybridInstance] =
-      hybridBuilt.get(sfDir).filter(_._2 == stamps()).map(_._1)
+      hybridBuilt.get(sfDir).filter { case (_, ids) =>
+        stamps().zip(ids).forall { case (f, m) => stampServes(f, m) }
+      }.map(_._1)
     fresh().getOrElse(lock.synchronized {
       fresh().getOrElse {
-        def member(name: String, segs: Seq[Segment]): CubeInstance = {
+        // each member memoizes the buildId READ WITH its instance —
+        // never a post-hoc stamp, which a foreign commit in between
+        // would blind (same pairing rule as ensureFresh)
+        def member(name: String,
+                   segs: Seq[Segment]): (CubeInstance, String) = {
           val root = memberRoot(name)
           val cube = hybridMember(name, segs)
-          CubeMeta.load(spark, cube, root).map(_.inst).getOrElse {
-            BuildLease.withLease(spark, root, cube.name)(
-              CubeMeta.load(spark, cube, root).map(_.inst)) {
+          def loaded = CubeMeta.load(spark, cube, root)
+            .map(l => (l.inst, l.buildId))
+          loaded.getOrElse {
+            BuildLease.withLease(spark, root, cube.name)(loaded) {
               val flat = flatTable(spark, sfDir).filter(
                 col("o_orderdate") >=
                   lit(segs.head.start).cast("timestamp") &&
                 col("o_orderdate") < lit(segs.last.end).cast("timestamp"))
-              CubeBuilder.build(spark, flat, cube, root)
+              val b = CubeBuilder.build(spark, flat, cube, root)
+              loaded.getOrElse((b, MetaStamp.of(spark, root, cube.name)))
             }
           }
         }
-        val old = member("star-old", Seq(
+        val (old, oldId) = member("star-old", Seq(
           Segment("s1995", "1995-01-01", "1997-01-01"),
           Segment("s1997", "1997-01-01", HybridCutover)))
-        val nu = member("star-new", Seq(
+        val (nu, nuId) = member("star-new", Seq(
           Segment("s1999", HybridCutover, "2001-01-01"),
           Segment("s2001", "2001-01-01", "2003-01-01")))
         val h = HybridInstance("star-hybrid", Seq(
           HybridSlice(old, QueryRouter.MinDay, HybridCutover),
           HybridSlice(nu, HybridCutover, QueryRouter.MaxDay)))
-        hybridBuilt.put(sfDir, (h, stamps()))
+        hybridBuilt.put(sfDir, (h, Seq(oldId, nuId)))
         h
       }
     })
@@ -475,23 +505,33 @@ object CubeManager {
       MetaStamp.of(spark, root, defaultCube.name))
     def fresh(): Option[CubeInstance] =
       mergedCache.get(sfDir).filter { case (_, mId, bId) =>
-        stamps() == ((mId, bId))
+        val (fm, fb) = stamps()
+        stampServes(fm, mId) && stampServes(fb, bId)
       }.map(_._1)
     fresh().getOrElse(lock.synchronized {
       fresh().getOrElse {
         val base = ensureBuilt(spark, sfDir)
         val baseId = CubeMeta.load(spark, defaultCube, base.root).map(_.buildId)
-        val inst = CubeMeta.load(spark, defaultCube, base.root,
+        // the merged id is paired at load/save time (Loaded.buildId /
+        // save's return), never stamped after the fact; the merge runs
+        // under its OWN lease file so two processes missing the chain
+        // don't both pay the merge (and a concurrent BASE build, which
+        // holds _building, is coordinated separately)
+        def loadedMerge = CubeMeta.load(spark, defaultCube, base.root,
             CubeMeta.MergedFile)
           .filter(l => baseId.isDefined && l.baseBuildId == baseId)
-          .map(_.inst)
-          .getOrElse {
+          .map(l => (l.inst, l.buildId))
+        val (inst, mId) = loadedMerge.getOrElse {
+          BuildLease.withLease(spark, root, defaultCube.name,
+              "_building-merged")(loadedMerge) {
             val m = CubeBuilder.mergeSegments(spark, base, "merged")
-            CubeMeta.save(spark, m, CubeMeta.MergedFile, baseBuildId = baseId)
-            m
+            val id = CubeMeta.save(spark, m, CubeMeta.MergedFile,
+              baseBuildId = baseId)
+            (m, id)
           }
-        val (mId, bId) = stamps()
-        mergedCache.put(sfDir, (inst, mId, bId))
+        }
+        mergedCache.put(sfDir,
+          (inst, mId, baseId.getOrElse(MetaStamp.Absent)))
         inst
       }
     })

@@ -797,8 +797,7 @@ object GraftSql {
       // this is only the CHEAP pre-filter, correctness stays with
       // routeFrame's qualifier-guarded matching
       case s: SubqueryAlias =>
-        s.identifier.qualifier.lastOption
-          .exists(_.equalsIgnoreCase(GraftCatalog.Db)) &&
+        ModelMatcher.catalogQualified(s.identifier.qualifier) &&
           routable.contains(s.identifier.name.toLowerCase)
       case _ => false
     }
@@ -879,7 +878,11 @@ object GraftSql {
       // must not route
       case v: View => v.desc.identifier.table == name &&
         v.desc.identifier.database.forall(
-          _.equalsIgnoreCase(GraftCatalog.Db))
+          _.equalsIgnoreCase(GraftCatalog.Db)) &&
+        // pin the catalog too: only the session catalog's graft_cat is
+        // ours — a foreign catalog's same-named db must not route
+        v.desc.identifier.catalog.forall(
+          _.equalsIgnoreCase("spark_catalog"))
       case SubqueryAlias(_, c) => isViewNode(c, name)
       case _ => false
     }

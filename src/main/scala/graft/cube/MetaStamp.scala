@@ -66,10 +66,56 @@ object MetaStamp {
     BuildIdRe.findFirstMatchIn(text).map(_.group(1)).getOrElse("unparsed")
   }
 
-  /** The committed buildId at `p`, or "absent" when the file is
-    * missing/unreadable. Steady-state cost: one getFileStatus. */
-  def buildId(spark: SparkSession, p: Path): String =
-    scala.util.Try {
+  /** stamp value for a meta file that provably does NOT exist — drift
+    * from any real buildId (an operator deleted the meta to force a
+    * rebuild; callers reload/rebuild) */
+  val Absent = "absent"
+  /** stamp value for a TRANSIENT read failure (store throttling, FS
+    * hiccup): deliberately distinct from [[Absent]] — callers with a
+    * memoized instance must keep serving it (CubeManager.stampServes)
+    * rather than launch a reload or rebuild off one failed metadata
+    * call; cache keys flip per call, which errs toward recompute,
+    * never staleness */
+  val Unavailable = "unavailable"
+
+  /** Bound on how often a path is re-stat'ed, session conf
+    * `spark.graft.meta.recheckMs` (default 0 = every call): at high
+    * QPS against an object store even the steady-state getFileStatus
+    * is a billable metadata round trip per query per realization —
+    * the reference's CachedCrudAssist likewise serves from a timed
+    * cache between reloads. A successful stamp is served from memory
+    * for the window; the trade is a bounded staleness of at most
+    * recheckMs before a foreign commit is noticed. Failures
+    * ([[Absent]]/[[Unavailable]]) are never cached — recovery is
+    * probed every call. */
+  val RecheckConf = "spark.graft.meta.recheckMs"
+
+  /** path → (last successful stamp, locally observed at ms) */
+  private val lastOk =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+
+  /** The committed buildId at `p`, [[Absent] when the file is missing,
+    * [[Unavailable]] on any other read failure. Steady-state cost: one
+    * getFileStatus (or none inside the recheck window). */
+  def buildId(spark: SparkSession, p: Path): String = {
+    val recheckMs = scala.util.Try(
+      spark.conf.get(RecheckConf, "0").toLong).getOrElse(0L)
+    if (recheckMs > 0) {
+      lastOk.get(p.toString) match {
+        case Some((id, at))
+            if System.currentTimeMillis() - at < recheckMs => return id
+        case _ =>
+      }
+    }
+    val id = statAndRead(spark, p)
+    if (id != Absent && id != Unavailable)
+      lastOk.put(p.toString, (id, System.currentTimeMillis()))
+    else lastOk.remove(p.toString)
+    id
+  }
+
+  private def statAndRead(spark: SparkSession, p: Path): String =
+    try {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       statCalls.incrementAndGet()
       val st = fs.getFileStatus(p)
@@ -95,7 +141,10 @@ object MetaStamp {
           memo.put(p.toString, (mtime, len, id, now, false))
           id
       }
-    }.getOrElse("absent")
+    } catch {
+      case _: java.io.FileNotFoundException => Absent
+      case scala.util.control.NonFatal(_) => Unavailable
+    }
 
   /** stamp of a cube realization's committed meta under `root` */
   def of(spark: SparkSession, root: String, cubeName: String,

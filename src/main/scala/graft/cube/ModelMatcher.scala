@@ -99,11 +99,21 @@ object ModelMatcher {
     * the shape whose preserved side is everything joined so far. */
   /** A relation name is trusted as a model table only when it is
     * unqualified (our registerViews owns those temp-view names) or
-    * qualified into graft's own catalog database — a FOREIGN database's
-    * table that merely shares a model table's name must not route
-    * (its data is not what the cube was built from). */
-  private def trustedQualifier(q: Seq[String]): Boolean =
-    q.isEmpty || q.last.equalsIgnoreCase(GraftCatalog.Db)
+    * qualified into graft's own catalog database IN THE SESSION
+    * CATALOG — the FULL qualifier is pinned, not just its last part,
+    * so a foreign catalog's database that happens to be named
+    * graft_cat (`lake.graft_cat.lineitem`) can never route its
+    * different data to the cube. */
+  private[graft] def trustedQualifier(q: Seq[String]): Boolean =
+    q.isEmpty ||
+      (q.last.equalsIgnoreCase(GraftCatalog.Db) &&
+        (q.length == 1 ||
+          (q.length == 2 && q.head.equalsIgnoreCase("spark_catalog"))))
+
+  /** the qualifier names graft's own catalog db (non-empty + trusted) —
+    * the acceleration pre-filter's cheap gate */
+  private[graft] def catalogQualified(q: Seq[String]): Boolean =
+    q.nonEmpty && trustedQualifier(q)
 
   private def walk(p: LogicalPlan): Option[(Set[String], Seq[Cond])] =
     p match {

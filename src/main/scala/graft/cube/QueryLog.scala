@@ -178,6 +178,10 @@ object QueryLog {
       .map(_.getAs[Seq[String]]("dims").toSet).toSeq
   }
 
+  /** test hook — REQUIRES QUIESCENCE: clearing ioLocks while a flush
+    * is mid-compaction would mint a fresh lock object for that dir and
+    * let a new append race the in-flight swap, so callers (specs only)
+    * must not have concurrent flushes outstanding */
   private[graft] def clearPending(): Unit = {
     pending.synchronized { pending.clear() }
     // drop the per-dir lock objects too (ADVICE r13): like `pending`,

@@ -58,24 +58,73 @@ class BuildLeaseSpec extends AnyFunSuite {
       "takes over the build") {
     val root = freshRoot("stale")
     val cube = CubeManager.eventsCube
-    // simulate a holder that died mid-build: lease present, mtime old,
-    // no meta committed
+    // simulate a holder that died mid-build: lease present, heartbeat
+    // stopped (mtime will stay unchanged), no meta committed.
+    // Staleness is LOCAL-clock quiescence — the waiter must observe
+    // the same mtime for ExpiryMs of its own waiting — so shrink the
+    // window instead of sleeping 30s
     val leaseDir = new java.io.File(s"$root/${cube.name}")
     assert(leaseDir.mkdirs())
     val lease = new java.io.File(leaseDir, "_building")
     java.nio.file.Files.write(lease.toPath, "dead-process".getBytes)
-    assert(lease.setLastModified(
-      System.currentTimeMillis() - 10 * BuildLease.ExpiryMs))
+    val savedExpiry = BuildLease.ExpiryMs
     val builds = new AtomicInteger(0)
-    val inst = BuildLease.withLease(spark, root, cube.name)(
-      CubeMeta.load(spark, cube, root).map(_.inst)) {
-      builds.incrementAndGet()
-      CubeBuilder.build(spark, CubeManager.eventsFlat(spark, sf),
-        cube, root)
-    }
-    assert(builds.get() == 1 && inst.rows.nonEmpty,
-      "the waiter must break the expired lease and build")
-    assert(!lease.exists(), "the taken-over lease must be released")
+    try {
+      BuildLease.ExpiryMs = 500L
+      val inst = BuildLease.withLease(spark, root, cube.name)(
+        CubeMeta.load(spark, cube, root).map(_.inst)) {
+        builds.incrementAndGet()
+        CubeBuilder.build(spark, CubeManager.eventsFlat(spark, sf),
+          cube, root)
+      }
+      assert(builds.get() == 1 && inst.rows.nonEmpty,
+        "the waiter must break the quiescent lease and build")
+      assert(!lease.exists(), "the taken-over lease must be released")
+    } finally BuildLease.ExpiryMs = savedExpiry
+  }
+
+  test("a live holder whose clock is skewed is NEVER broken — only " +
+      "mtime quiescence counts, not mtime age") {
+    val root = freshRoot("skew")
+    val cube = CubeManager.eventsCube
+    val leaseDir = new java.io.File(s"$root/${cube.name}")
+    assert(leaseDir.mkdirs())
+    val lease = new java.io.File(leaseDir, "_building")
+    java.nio.file.Files.write(lease.toPath, "skewed-holder".getBytes)
+    // the holder's clock is far behind: every heartbeat writes an
+    // mtime that LOOKS ancient to a wall-clock age test, but keeps
+    // CHANGING — the quiescence rule must keep waiting
+    val heart = new Thread(() => {
+      var tick = 0L
+      try while (!Thread.currentThread().isInterrupted) {
+        tick += 1000
+        lease.setLastModified(1000000000000L + tick): Unit // year 2001
+        Thread.sleep(100)
+      } catch { case _: InterruptedException => }
+    })
+    heart.setDaemon(true); heart.start()
+    val savedExpiry = BuildLease.ExpiryMs
+    val builds = new AtomicInteger(0)
+    try {
+      BuildLease.ExpiryMs = 600L
+      // commit meta so the waiter has something to pick up when the
+      // "holder" finally releases
+      val winner = CubeBuilder.build(spark,
+        CubeManager.eventsFlat(spark, sf), cube, root)
+      val releaser = new Thread(() => {
+        Thread.sleep(1500) // several expiry windows of LIVE heartbeats
+        heart.interrupt(); lease.delete(): Unit
+      })
+      releaser.start()
+      val inst = BuildLease.withLease(spark, root, cube.name)(
+        CubeMeta.load(spark, cube, root).map(_.inst)) {
+        builds.incrementAndGet()
+        fail("a live (heartbeating) lease must never be broken for " +
+          "mtime age")
+      }
+      releaser.join()
+      assert(builds.get() == 0 && inst.rows == winner.rows)
+    } finally { BuildLease.ExpiryMs = savedExpiry; heart.interrupt() }
   }
 
   test("a waiter returns the winner's committed instance without " +

@@ -92,4 +92,19 @@ class FleetRefreshSpec extends AnyFunSuite {
         s"steady-state path, got ${rd1 - rd0}")
     } finally MetaStamp.TrustAgeMs = saved
   }
+
+  test("inside the configured recheck window repeated stamps cost ZERO " +
+      "getFileStatus (CachedCrudAssist-style timed cache)") {
+    spark.conf.set(MetaStamp.RecheckConf, "60000")
+    try {
+      val b = CubeManager.ensureEventsBuilt(spark, dir) // primes the window
+      val st0 = MetaStamp.statCalls.get()
+      val c = CubeManager.ensureEventsBuilt(spark, dir)
+      val d = CubeManager.ensureEventsBuilt(spark, dir)
+      assert((c eq b) && (d eq b))
+      assert(MetaStamp.statCalls.get() - st0 == 0,
+        s"stamps inside the recheck window must not stat, got " +
+          s"${MetaStamp.statCalls.get() - st0}")
+    } finally spark.conf.unset(MetaStamp.RecheckConf)
+  }
 }
