@@ -93,6 +93,45 @@ class FleetRefreshSpec extends AnyFunSuite {
     } finally MetaStamp.TrustAgeMs = saved
   }
 
+  test("a REAL second JVM appends; this serving JVM reloads and " +
+      "serves the new segment — the full two-process deployment shape") {
+    // an isolated root so the in-JVM tests above don't interact
+    val d = java.nio.file.Paths.get("/root/repo/target/refresh-sf2")
+    org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("events.parquet"),
+      java.nio.file.Paths.get(sf, "events.parquet"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      s"${CubeManager.cubeRoot}/refresh-sf2-events"))
+    val dir = d.toString
+
+    val a = CubeManager.ensureEventsBuilt(spark, dir)
+    assert(a.cube.segments.map(_.name) == Seq("s2024m1"))
+
+    // builder PROCESS: a separate JVM with its own SparkSession —
+    // nothing shared with this one but the store
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val child = new ProcessBuilder(javaBin,
+        "-cp", System.getProperty("java.class.path"),
+        "-Xmx2g", "graft.ChildAppend", a.root, dir)
+      .redirectErrorStream(true).start()
+    val out = scala.io.Source.fromInputStream(child.getInputStream)
+      .mkString // drain, or a full pipe can deadlock the child
+    assert(child.waitFor() == 0, s"child append failed:\n${out.takeRight(2000)}")
+
+    // NO resetMemos, NO restart: the stamp notices the foreign commit
+    val b = CubeManager.ensureEventsBuilt(spark, dir)
+    assert(b.cube.segments.map(_.name) == Seq("s2024m1", "s2024m2"),
+      "the serving JVM must reload the segment a REAL second process " +
+        "appended")
+    val got = QueryRouter.route(spark, b, CubeQuery(
+      Seq("event_type"), Seq("n_events" -> "n")))(fail("expected cuboid"))
+      .df.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(got > CubeManager.eventsFlat(spark, dir).count(),
+      "the routed answer must include the foreign segment's rows")
+  }
+
   test("inside the configured recheck window repeated stamps cost ZERO " +
       "getFileStatus (CachedCrudAssist-style timed cache)") {
     spark.conf.set(MetaStamp.RecheckConf, "60000")
