@@ -1,0 +1,114 @@
+package graft.cube
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Cube health checks (reference: server-base KylinHealthCheckJob.java
+  * — checkCubeHoles, checkTooManySegments, checkSegmentHDFSPath,
+  * checkDataExpansionRate, run as the operator's scheduled audit).
+  * Each finding names the condition and the remedy; none of these are
+  * errors the query path would throw cleanly — a missing cuboid dir
+  * fails queries only when a query routes to it, a segment hole
+  * silently pushes range queries to fallback, segment sprawl taxes
+  * every scan's file listing — which is exactly why a standing audit
+  * beats discovering them one incident at a time. */
+object HealthCheck {
+
+  sealed trait Severity
+  case object Warn extends Severity
+  case object Error extends Severity
+
+  final case class Finding(severity: Severity, code: String,
+                           message: String)
+
+  /** segments > this advise a merge (reference
+    * kylin.tool.health-check.max-segments posture; graft's autoMerge
+    * is the remedy) */
+  val MaxSegments = 20
+  /** total cuboid rows / base cuboid rows beyond this flags an
+    * over-materialized lattice (checkDataExpansionRate analogue —
+    * the reference compares cube bytes to source bytes) */
+  val MaxExpansionRate = 10.0
+
+  /** Audit one committed cube. Returns findings, empty = healthy.
+    * Refuses (throws) when the meta itself does not load — that is
+    * CubeMeta's contract violation, not a warnable condition. */
+  def check(spark: SparkSession, cube: CubeDef, root: String,
+            maxSegments: Int = MaxSegments,
+            maxExpansion: Double = MaxExpansionRate): Seq[Finding] = {
+    val inst = CubeMeta.load(spark, cube, root).getOrElse(
+      throw new IllegalStateException(
+        s"health check refused: no loadable meta for ${cube.name} " +
+          s"under $root")).inst
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = Seq.newBuilder[Finding]
+
+    // ── segment holes (checkCubeHoles): a gap between consecutive
+    // committed ranges silently degrades spanning queries to fallback
+    val segs = inst.cube.segments.sortBy(_.start)
+    segs.sliding(2).foreach {
+      case Seq(a, b) if a.end != b.start =>
+        out += Finding(Warn, "segment_hole",
+          s"gap [${a.end}, ${b.start}) between segments ${a.name} and " +
+            s"${b.name}: spanning queries fall back to the source scan; " +
+            s"build the missing range")
+      case _ =>
+    }
+
+    // ── segment sprawl (checkTooManySegments): merge advice
+    if (segs.length > maxSegments)
+      out += Finding(Warn, "too_many_segments",
+        s"${segs.length} segments (> $maxSegments): every routed scan " +
+          s"lists files per segment — run the auto-merge policy")
+
+    // ── layout completeness (checkSegmentHDFSPath): EVERY routed
+    // cuboid dir per segment, not just the base spot-check load does —
+    // a missing non-base cuboid fails exactly the queries routed to it
+    val ids = inst.cube.cuboids.map(inst.cube.cuboidId)
+    for (s <- segs; id <- ids) {
+      val p = new Path(inst.cuboidPath(s.name, id))
+      if (!fs.exists(p))
+        out += Finding(Error, "missing_cuboid",
+          s"segment ${s.name} lacks cuboid=$id at $p: queries routed " +
+            s"to that cuboid will fail — refresh the segment")
+      else if (!inst.rows.contains((s.name, id)))
+        out += Finding(Warn, "missing_row_stats",
+          s"no persisted row count for (${s.name}, cuboid=$id): the " +
+            s"router's cost estimates treat it as unknown — recommit " +
+            s"the meta from a build")
+    }
+
+    // ── derived-dim snapshots present (the load spot-checks these
+    // too, but per-lookup detail belongs in the audit)
+    inst.cube.derived.map(_.lookup).distinct.foreach { l =>
+      if (!fs.exists(new Path(Snapshot.path(root, l))))
+        out += Finding(Error, "missing_snapshot",
+          s"derived-dim lookup snapshot '$l' missing under $root: " +
+            s"derived filters/group-bys cannot be answered")
+    }
+
+    // ── expansion rate (checkDataExpansionRate): materialized rows
+    // across the lattice vs base rows
+    val baseId = inst.cube.cuboidId(inst.cube.dims.toSet)
+    val baseRows = segs.map(s => inst.rows.getOrElse((s.name, baseId), 0L)).sum
+    val allRows = inst.rows.values.sum
+    if (baseRows > 0 && allRows.toDouble / baseRows > maxExpansion)
+      out += Finding(Warn, "expansion_rate",
+        f"lattice holds ${allRows} rows vs $baseRows base rows " +
+          f"(${allRows.toDouble / baseRows}%.1f×, > $maxExpansion): " +
+          f"prune rarely-hit cuboids (CuboidPlanner.recommend)")
+
+    // ── reclaimable garbage (StorageCleanupJob linkage): surface the
+    // dry-run count so operators schedule the sweep
+    val garbage = scala.util.Try(
+      StorageCleaner.clean(spark, cube, root, delete = false))
+      .map(r => r.removed ++ r.inGrace).getOrElse(Nil)
+    if (garbage.nonEmpty)
+      out += Finding(Warn, "reclaimable_storage",
+        s"${garbage.size} unreferenced path(s) under $root (e.g. " +
+          s"${garbage.head}): run StorageCleaner")
+
+    out.result()
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cube._
+
+/** Cube audit (reference: server-base KylinHealthCheckJob — holes,
+  * sprawl, layout completeness, expansion, reclaimable storage). */
+class HealthCheckSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def build(tag: String): (CubeInstance, String) = {
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft-health-$tag").toString
+    val inst = CubeBuilder.build(spark,
+      CubeManager.eventsFlat(spark, sf), CubeManager.eventsCube, root)
+    (inst, root)
+  }
+
+  test("a freshly built cube is healthy") {
+    val (_, root) = build("ok")
+    assert(HealthCheck.check(spark, CubeManager.eventsCube, root).isEmpty)
+  }
+
+  test("segment holes, missing cuboids, and reclaimable garbage are " +
+      "each surfaced with their remedy") {
+    val (inst, root) = build("findings")
+    // a hole: append March, skipping February
+    val marFlat = CubeManager.eventsFlat(spark, sf)
+      .withColumn("ts", col("ts") + expr("INTERVAL 62 DAYS"))
+      .withColumn("ev_day", date_format(col("ts"), "yyyy-MM-dd"))
+    CubeBuilder.appendSegment(spark, inst, marFlat,
+      Segment("s2024m3", "2024-03-01", "2024-04-01"))
+    // a missing cuboid dir in the live segment
+    val gone = new java.io.File(s"$root/events/s2024m1/cuboid=1")
+    org.apache.commons.io.FileUtils.deleteQuietly(gone)
+    // aged garbage
+    val orphan = new java.io.File(s"$root/events/s_orphan/cuboid=3")
+    assert(orphan.mkdirs())
+
+    val f = HealthCheck.check(spark, CubeManager.eventsCube, root)
+    val codes = f.map(_.code).toSet
+    assert(codes.contains("segment_hole"), s"findings: $f")
+    assert(codes.contains("missing_cuboid"))
+    assert(codes.contains("reclaimable_storage"))
+    assert(f.filter(_.code == "missing_cuboid")
+      .forall(_.severity == HealthCheck.Error))
+    // messages carry the remedy, not just the symptom
+    assert(f.forall(x => x.message.nonEmpty && x.message.length > 20))
+  }
+
+  test("segment sprawl and lattice expansion thresholds fire") {
+    val (_, root) = build("thresh")
+    val sprawl = HealthCheck.check(spark, CubeManager.eventsCube, root,
+      maxSegments = 0)
+    assert(sprawl.exists(_.code == "too_many_segments"))
+    val expansion = HealthCheck.check(spark, CubeManager.eventsCube, root,
+      maxExpansion = 0.5)
+    assert(expansion.exists(_.code == "expansion_rate"))
+  }
+
+  test("an unloadable meta refuses rather than reporting nonsense") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-health-refuse").toString
+    intercept[IllegalStateException] {
+      HealthCheck.check(spark, CubeManager.eventsCube, root)
+    }
+  }
+}
