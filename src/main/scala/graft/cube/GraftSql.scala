@@ -679,6 +679,29 @@ object GraftSql {
     routeFrame(spark, sfDir, df)
   }
 
+  /** `sqlVia` plus the routing DECISION TRACE — the answer to "why did
+    * (or didn't) my query accelerate?". The reference surfaces exactly
+    * this through RealizationCheck (populated by RealizationChooser /
+    * QueryRouter with per-realization incapable reasons) so a silent
+    * pushdown is diagnosable; graft's equivalent records every refusal
+    * stage (shape / bind / recognize / filter / router / rewrite /
+    * present) and the winning realization's serve line (cuboid,
+    * segments, estimated rows). Tracing is per-thread and enabled only
+    * inside this call — the normal serving path pays nothing. */
+  final case class RouteExplain(routed: Boolean, via: String,
+      estRows: Option[Long], trace: Seq[RouteTrace.Entry]) {
+    def pretty: String =
+      ((s"routed=$routed via=$via" +
+        estRows.map(r => s" estRows=$r").getOrElse("")) +:
+        trace.map("  " + _.toString)).mkString("\n")
+  }
+
+  def explainRoute(spark: SparkSession, sfDir: String,
+                   query: String): RouteExplain = {
+    val (r, trace) = RouteTrace.collect(sqlVia(spark, sfDir, query))
+    RouteExplain(r.routed, r.via, r.estRows, trace)
+  }
+
   /** Query-result cache (reference: kylin.query.cache-enabled — the
     * query server memoizes results and drops them when a realization's
     * state changes). The cached value is the routed frame PERSISTED
@@ -895,8 +918,14 @@ object GraftSql {
 
     // one peeled aggregate stack → routed result, or None when no
     // registered realization answers it
-    def routeOne(plan: LogicalPlan): Option[SqlResult] =
-      peel(plan).flatMap { p =>
+    def routeOne(plan: LogicalPlan): Option[SqlResult] = {
+      val peeled = peel(plan)
+      if (peeled.isEmpty)
+        RouteTrace.note("shape", "query",
+          "aggregate stack not recognized — only GROUP BY aggregates, " +
+            "DISTINCT, HAVING, window-over-aggregate, and ORDER BY/" +
+            "LIMIT above a registered view or model join route")
+      peeled.flatMap { p =>
         val groups = p.agg.groupingExpressions
         val aggs = p.agg.aggregateExpressions
         p.agg.child match {
@@ -931,8 +960,17 @@ object GraftSql {
             }
             val groupNames =
               groups.collect { case a: AttributeReference => a.name }
-            if (bOpt.isEmpty || groups.length != groupNames.length) None
-            else {
+            if (bOpt.isEmpty) {
+              RouteTrace.note("bind", "FROM",
+                "no registered cube view or declared star model " +
+                  "matches the relation tree under the aggregate")
+              None
+            } else if (groups.length != groupNames.length) {
+              RouteTrace.note("shape", "group-by",
+                "a grouping expression is not a plain column — group " +
+                  "by the materialized dim instead")
+              None
+            } else {
               // hybrids outrank their member cubes (Kylin's chooser
               // gives HybridInstance cost priority over realizations
               // it spans); a refusing hybrid falls through to the
@@ -959,6 +997,7 @@ object GraftSql {
             }
         }
       }
+    }
 
     // CTEs stay as WithCTE/CTERelationRef until the optimizer; inline
     // them first (the optimizer's own rule) so `WITH x AS (...) SELECT
@@ -1034,10 +1073,11 @@ object GraftSql {
     * surfaces cannot drift. */
   private def recognizeOutputs(cube: CubeDef, groupNames: Seq[String],
       aggs: Seq[NamedExpression]): Option[Seq[(MOut, String)]] = {
-    val specs = aggs.collect {
+    val named = aggs.collect {
       case Alias(ae: AggregateExpression, name) =>
-        measureOf(cube, ae).map(_ -> name)
+        (name, ae, measureOf(cube, ae))
     }
+    val specs = named.map { case (name, _, m) => m.map(_ -> name) }
     // TopN sketch literal columns count as group names even when they
     // aren't cuboid dims (TopNMeasureType's literal columns live in the
     // measure, not the rowkey) — the generic path's own router check
@@ -1054,7 +1094,32 @@ object GraftSql {
         aggs.nonEmpty
     if (groupsOk && outputOk && specs.forall(_.isDefined) &&
         (specs.nonEmpty || distinctShape)) Some(specs.flatten)
-    else None
+    else {
+      // the RealizationCheck analogue: name WHY this cube refused, in
+      // the reference's own vocabulary (UNMATCHED_DIMENSION /
+      // UNMATCHED_AGGREGATION) — no-ops unless explainRoute is tracing
+      if (!groupsOk) {
+        val bad = groupNames.filterNot(n => cube.routableDim(n) ||
+          cube.measures.exists(_.topnShape.exists(_.dims.contains(n))))
+        RouteTrace.note("recognize", cube.name,
+          s"unmatched dimension(s) ${bad.mkString(", ")} — not in this " +
+            "cube's rowkey (nor any TopN literal set)")
+      }
+      val badAggs = named.collect { case (name, ae, None) =>
+        s"$name = ${ae.sql}" }
+      if (badAggs.nonEmpty)
+        RouteTrace.note("recognize", cube.name,
+          s"unmatched aggregation(s) ${badAggs.mkString("; ")} — no " +
+            "declared measure answers them")
+      if (!outputOk)
+        RouteTrace.note("recognize", cube.name,
+          "an output is neither a grouped column nor an aggregate call")
+      if (groupsOk && outputOk && badAggs.isEmpty && specs.isEmpty &&
+          !distinctShape)
+        RouteTrace.note("recognize", cube.name,
+          "no measures requested and not the DISTINCT projection shape")
+      None
+    }
   }
 
   /** Attempt the peeled aggregate against ONE realization: split the
@@ -1072,6 +1137,10 @@ object GraftSql {
         Option.empty[(String, String)]))
       case Some(c) => splitFilter(spark, cube, c)
     }
+    if (split.isEmpty)
+      RouteTrace.note("filter", cube.name,
+        "WHERE is not expressible over this cube's dims (no routable " +
+          "predicate split, no derivable segment time range)")
     split.flatMap { case (filterSql, filterDims, timeRange) =>
       dispatchRewrites(spark, df, cube,
         q => QueryRouter.routeStates(spark, inst, q)(df),
@@ -1104,8 +1173,12 @@ object GraftSql {
       // (routeStates + AND), never from a raw scan; the vals ARE the
       // filter — no extra WHERE or time range supported
       if (outs.exists(_._1.isInstanceOf[MIntersect])) {
-        if (timeRange.nonEmpty) None
-        else {
+        if (timeRange.nonEmpty) {
+          RouteTrace.note("rewrite", cube.name,
+            "intersect_count rewrite takes its filter from the value " +
+              "list — an additional time range is not supported")
+          None
+        } else {
           val r = routeIntersect(spark, df, cube, states, groupNames, outs,
             outNames, filterSql, filterDims, p, via)
           if (r.routed) Some(r) else None
@@ -1152,8 +1225,17 @@ object GraftSql {
       filterDims = filterDims,
       timeRange = timeRange)
     val routed = states(q)
-    if (routed.fallback) None
-    else {
+    if (routed.fallback) {
+      RouteTrace.note("router", cube.name,
+        s"no covering cuboid/segment set for dims " +
+          s"{${q.groupBy.mkString(", ")}}" +
+          (if (q.filterDims.nonEmpty)
+             s" with filter dims {${q.filterDims.mkString(", ")}}"
+           else "") +
+          q.timeRange.map(t => s" in range [${t._1}, ${t._2})")
+            .getOrElse(""))
+      None
+    } else {
       def presented(m: String): Column =
         cube.measure(m).present(col(s"__m_$m"))
       val outCols = aggs.map {
@@ -1173,7 +1255,7 @@ object GraftSql {
       }
       // window re-application can fail on exotic frame SQL —
       // fall back to Spark's own answer rather than erroring
-      scala.util.Try {
+      val attempt = scala.util.Try {
         var out = routed.df.select(outCols: _*)
         p.havingSql.foreach(h => out = out.filter(expr(h)))
         if (p.winCols.nonEmpty) {
@@ -1190,9 +1272,20 @@ object GraftSql {
         if (p.sortCols.nonEmpty) out = out.orderBy(p.sortCols: _*)
         p.limit.foreach(n => out = out.limit(n))
         out.queryExecution.analyzed // force analysis errors here
+        RouteTrace.note("serve", cube.name,
+          s"answered via $via from cuboid " +
+            s"{${routed.cuboid.map(_.toSeq.sorted.mkString(", "))
+              .getOrElse("?")}}, segments " +
+            s"[${routed.segments.mkString(", ")}], estRows " +
+            s"${routed.estRows}")
         SqlResult(out, routed = true, via,
           estRows = Some(routed.estRows).filter(_ >= 0))
-      }.toOption
+      }
+      if (attempt.isFailure)
+        RouteTrace.note("present", cube.name,
+          "window/sort re-application failed on the routed frame — " +
+            "this realization refuses")
+      attempt.toOption
     }
   }
 
@@ -1215,6 +1308,10 @@ object GraftSql {
         Option.empty[(String, String)]))
       case Some(c) => splitFilter(spark, cube, c)
     }
+    if (split.isEmpty)
+      RouteTrace.note("filter", s"${cube.name} (hybrid)",
+        "WHERE is not expressible over this cube's dims (no routable " +
+          "predicate split, no derivable segment time range)")
     split.flatMap { case (filterSql, filterDims, timeRange) =>
       dispatchRewrites(spark, df, cube,
         q => HybridRouter.routeStates(spark, h, q)(df),

@@ -1289,6 +1289,63 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(h.df.head() == star.df.head())
   }
 
+  test("explainRoute traces the routing decision — the " +
+      "RealizationCheck surface") {
+    // a served query names its winning realization, cuboid, segments
+    val ok = GraftSql.explainRoute(spark, sf,
+      """SELECT o_orderstatus, sum(disc_price) AS revenue
+        |FROM graft_star GROUP BY o_orderstatus""".stripMargin)
+    assert(ok.routed && ok.via == "cuboid")
+    val serve = ok.trace.filter(_.stage == "serve")
+    assert(serve.nonEmpty, s"trace: ${ok.trace}")
+    assert(serve.exists(e => e.reason.contains("cuboid") &&
+      e.reason.contains("segments")), s"trace: $serve")
+    assert(ok.pretty.contains("routed=true"))
+
+    // UNMATCHED_AGGREGATION: no declared measure answers stddev
+    val badAgg = GraftSql.explainRoute(spark, sf,
+      """SELECT o_orderstatus, stddev(l_quantity) AS s
+        |FROM graft_star GROUP BY o_orderstatus""".stripMargin)
+    assert(!badAgg.routed)
+    assert(badAgg.trace.exists(e => e.stage == "recognize" &&
+      e.reason.contains("unmatched aggregation")),
+      s"trace: ${badAgg.trace}")
+
+    // UNMATCHED_DIMENSION: l_quantity is a raw column, not a rowkey dim
+    val badDim = GraftSql.explainRoute(spark, sf,
+      """SELECT l_quantity, count(*) AS n
+        |FROM graft_star GROUP BY l_quantity""".stripMargin)
+    assert(!badDim.routed)
+    assert(badDim.trace.exists(e => e.stage == "recognize" &&
+      e.reason.contains("unmatched dimension") &&
+      e.reason.contains("l_quantity")), s"trace: ${badDim.trace}")
+
+    // an unbound FROM: the bind stage refuses, naming the reason
+    spark.sql("CREATE OR REPLACE TEMP VIEW rt_plain AS SELECT 1 AS a")
+    val noBind = GraftSql.explainRoute(spark, sf,
+      "SELECT a, count(*) AS n FROM rt_plain GROUP BY a")
+    assert(!noBind.routed)
+    assert(noBind.trace.exists(_.stage == "bind"),
+      s"trace: ${noBind.trace}")
+
+    // no aggregate at all: the shape stage refuses
+    val noAgg = GraftSql.explainRoute(spark, sf,
+      "SELECT * FROM graft_star LIMIT 3")
+    assert(!noAgg.routed)
+    assert(noAgg.trace.exists(_.stage == "shape"),
+      s"trace: ${noAgg.trace}")
+
+    // tracing is scoped to explainRoute: the plain serving path
+    // collects nothing (note() is a no-op off-thread by design)
+    val (_, empty) = {
+      GraftSql.sqlVia(spark, sf,
+        """SELECT o_orderstatus, sum(disc_price) AS revenue
+          |FROM graft_star GROUP BY o_orderstatus""".stripMargin)
+      RouteTrace.collect(())
+    }
+    assert(empty.isEmpty)
+  }
+
   test("dimension-as-measure answers over the hybrid splice") {
     val sql =
       """SELECT o_orderstatus, max(o_month) AS last_month,
