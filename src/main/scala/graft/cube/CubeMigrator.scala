@@ -1,0 +1,126 @@
+package graft.cube
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Cross-root cube migration (reference: `tool/src/main/java/org/
+  * apache/kylin/tool/CubeMigrationCLI.java` moves a cube's metadata +
+  * segment data + dictionaries + snapshots between deployments, with
+  * `doOverwrite` gating replacement and `CubeMigrationCheckCLI.java`
+  * verifying the result; operators run the pair for staging → prod
+  * promotion).
+  *
+  * graft's equivalent copies, in this order: segment cuboid parquet
+  * (incl. the merged realization's data), the cube's derived-dim
+  * snapshots, the shared dict trees — and ONLY THEN the meta commits,
+  * merged first, primary `meta.json` last. Routing at the destination
+  * discovers a cube exclusively through its primary meta, so a crash
+  * anywhere mid-migration leaves data that is invisible to queries and
+  * is exactly what [[StorageCleaner]] reclaims after its grace window —
+  * the same commit-last discipline as the builder. The meta files are
+  * byte-copies, not re-saves: the merged realization records the base
+  * buildId it was merged from, and a re-save of the primary would mint
+  * a new buildId that falsely invalidates the merged realization at
+  * the destination. A byte-copied buildId is still a fresh commit as
+  * far as the destination fleet's [[MetaStamp]] checks are concerned.
+  *
+  * Scale: every file copies independently (stream copy over the
+  * Hadoop FileSystem API, so file://, hdfs:// and s3a:// roots all
+  * work); a 100 TB migration parallelizes per-file exactly like
+  * distcp — the sequential loop here is the single-node stand-in,
+  * correctness-identical. */
+object CubeMigrator {
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** stream-copy one file, tmp-then-rename at the destination (the
+    * same torn-read protection as CubeMeta.save) */
+  private def copyFile(srcFs: FileSystem, dstFs: FileSystem,
+                       from: Path, to: Path): Unit = {
+    dstFs.mkdirs(to.getParent)
+    val tmp = new Path(to.toString + ".inflight")
+    val in = srcFs.open(from)
+    val out = dstFs.create(tmp, true)
+    try {
+      val chunk = new Array[Byte](1 << 16)
+      Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
+        .foreach(n => out.write(chunk, 0, n))
+    } finally { in.close(); out.close() }
+    if (dstFs.exists(to)) dstFs.delete(to, false)
+    if (!dstFs.rename(tmp, to))
+      throw new java.io.IOException(s"migration copy failed: $from -> $to")
+  }
+
+  /** recursive dir copy; checksum sidecars (.crc) travel with their
+    * files automatically because they are plain directory entries */
+  private def copyTree(srcFs: FileSystem, dstFs: FileSystem,
+                       from: Path, to: Path,
+                       skip: String => Boolean = _ => false): Unit =
+    srcFs.listStatus(from).foreach { s =>
+      val t = new Path(to, s.getPath.getName)
+      if (s.isDirectory) copyTree(srcFs, dstFs, s.getPath, t, skip)
+      else if (!skip(s.getPath.getName)) copyFile(srcFs, dstFs, s.getPath, t)
+    }
+
+  private def isMetaFile(name: String): Boolean =
+    name == CubeMeta.MetaFile || name == CubeMeta.MergedFile ||
+      name == s".${CubeMeta.MetaFile}.crc" ||
+      name == s".${CubeMeta.MergedFile}.crc" ||
+      name.startsWith(s"${CubeMeta.MetaFile}.tmp") ||
+      name.startsWith(s"${CubeMeta.MergedFile}.tmp")
+
+  /** Migrate `cube` from `srcRoot` to `dstRoot`. Refuses when the
+    * source has no loadable meta, or when the destination already has
+    * one and `overwrite` is false (the reference's doOverwrite gate).
+    * Returns the destination instance, freshly loaded from the
+    * committed copy — i.e. what the destination fleet will route. */
+  def migrate(spark: SparkSession, cube: CubeDef, srcRoot: String,
+              dstRoot: String, overwrite: Boolean = false): CubeInstance = {
+    require(srcRoot != dstRoot, "migration source and destination are equal")
+    val srcP = new Path(srcRoot); val dstP = new Path(dstRoot)
+    val srcFs = fsOf(spark, srcP); val dstFs = fsOf(spark, dstP)
+
+    val src = CubeMeta.load(spark, cube, srcRoot).getOrElse(
+      throw new IllegalStateException(
+        s"migration refused: no loadable meta for ${cube.name} " +
+          s"under $srcRoot")).inst
+    if (!overwrite && CubeMeta.load(spark, cube, dstRoot).isDefined)
+      throw new IllegalStateException(
+        s"migration refused: ${cube.name} already committed under " +
+          s"$dstRoot (pass overwrite=true to replace)")
+
+    // ── data first: the whole cube dir except its meta commits
+    // (segments, the merged realization's data, planner sidecars)
+    val cubeDir = new Path(srcP, cube.name)
+    copyTree(srcFs, dstFs, cubeDir, new Path(dstP, cube.name),
+      skip = isMetaFile)
+
+    // ── the cube's derived-dim snapshots (shared per root, needed to
+    // answer derived filters/group-bys at the destination)
+    src.cube.derived.map(_.lookup).distinct.foreach { l =>
+      val from = new Path(Snapshot.path(srcRoot, l))
+      if (srcFs.exists(from))
+        copyTree(srcFs, dstFs, from, new Path(Snapshot.path(dstRoot, l)))
+    }
+
+    // ── dictionary trees (dict-encoded measures decode at query time;
+    // versions are directory entries, so the tree copy keeps them all)
+    val dictDir = new Path(srcP, "dict")
+    if (srcFs.exists(dictDir))
+      copyTree(srcFs, dstFs, dictDir, new Path(dstP, "dict"))
+
+    // ── meta LAST, merged before primary: queries discover the cube
+    // through the primary commit only
+    Seq(CubeMeta.MergedFile, CubeMeta.MetaFile).foreach { f =>
+      val from = new Path(cubeDir, f)
+      if (srcFs.exists(from))
+        copyFile(srcFs, dstFs, from, new Path(new Path(dstP, cube.name), f))
+    }
+
+    CubeMeta.load(spark, cube, dstRoot).getOrElse(
+      throw new IllegalStateException(
+        s"migration committed but the destination meta does not load " +
+          s"— $dstRoot/${cube.name}")).inst
+  }
+}
