@@ -829,9 +829,17 @@ object GraftSql {
     try {
       val df = org.apache.spark.sql.graftbridge.DatasetBridge
         .ofRows(spark, plan)
-      val r = routeFrame(spark, dir, df)
-      if (!r.routed) None
-      else {
+      // a plan that touched a cube view but did NOT route is the case
+      // worth diagnosing (the reference's BadQueryDetector records it):
+      // collect the refusal trace and hand its summary to the serve
+      // guard so the fleet's served log names the reason, not just
+      // "pushdown"
+      val (r, trace) = RouteTrace.collect(routeFrame(spark, dir, df))
+      if (!r.routed) {
+        recordAccelOutcome(routed = false, estRows = None,
+          reason = summarizeTrace(trace))
+        None
+      } else {
         val routedPlan = r.df.queryExecution.analyzed
         // identical name/type signature (nullability free to differ):
         // a type-changing swap would alter what the user's query
@@ -841,7 +849,12 @@ object GraftSql {
         if (sig(routedPlan.schema) == sig(plan.schema)) {
           recordAccelOutcome(routed = true, estRows = r.estRows)
           Some(routedPlan)
-        } else None
+        } else {
+          recordAccelOutcome(routed = false, estRows = None,
+            reason = Some("routed schema signature differs from the " +
+              "original plan's — swap refused"))
+          None
+        }
       }
     } catch {
       case scala.util.control.NonFatal(_) => None
@@ -873,13 +886,28 @@ object GraftSql {
     * apply; the serve-guard rule (which runs next in the same post-hoc
     * batch) consumes it to pick the scheduler pool the reference gives
     * every served query (ResultPlan.scala:66). Cleared on read. */
-  private val lastAccel: ThreadLocal[Option[(Boolean, Option[Long])]] =
+  private val lastAccel
+    : ThreadLocal[Option[(Boolean, Option[Long], Option[String])]] =
     ThreadLocal.withInitial(() => None)
   private[graft] def recordAccelOutcome(routed: Boolean,
-                                        estRows: Option[Long]): Unit =
-    lastAccel.set(Some((routed, estRows)))
-  private[graft] def takeAccelOutcome(): Option[(Boolean, Option[Long])] = {
+                                        estRows: Option[Long],
+                                        reason: Option[String] = None): Unit =
+    lastAccel.set(Some((routed, estRows, reason)))
+  private[graft] def takeAccelOutcome()
+    : Option[(Boolean, Option[Long], Option[String])] = {
     val v = lastAccel.get(); lastAccel.set(None); v
+  }
+
+  /** compress a route trace to one operator-readable line: prefer the
+    * most realization-specific refusal (recognize/router/filter/
+    * rewrite/present name a concrete cube and cause) over the generic
+    * shape/bind stages — the reference's BadQueryDetector records the
+    * same "why did this hit pushdown" line per query */
+  private def summarizeTrace(trace: Seq[RouteTrace.Entry]): Option[String] = {
+    val specific = Set("recognize", "router", "filter", "rewrite", "present")
+    trace.filter(e => specific(e.stage)).lastOption
+      .orElse(trace.lastOption)
+      .map(e => e.toString.take(240))
   }
 
   /** Route an already-analyzed frame — the shared body of `sqlVia`

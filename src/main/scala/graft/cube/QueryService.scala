@@ -297,14 +297,18 @@ object QueryService {
   object ServedLog {
     val Cap = 1024
     private val buf = scala.collection.mutable.ArrayDeque
-      .empty[(String, String, Long, Long)]
+      .empty[(String, String, Long, Long, Option[String])]
     def record(queryId: String, via: String, scanRows: Long,
-               scanBytes: Long): Unit = synchronized {
-      buf.append((queryId, via, scanRows, scanBytes))
+               scanBytes: Long,
+               reason: Option[String] = None): Unit = synchronized {
+      buf.append((queryId, via, scanRows, scanBytes, reason))
       while (buf.size > Cap) { buf.removeHead(); () }
     }
-    /** (queryId, via, scanRows, scanBytes), oldest first */
-    def recent: Seq[(String, String, Long, Long)] =
+    /** (queryId, via, scanRows, scanBytes, pushdown-reason), oldest
+      * first; the reason is the acceleration rule's traced refusal
+      * summary for statements that touched a cube view yet served
+      * from pushdown (reference: BadQueryDetector's per-query entry) */
+    def recent: Seq[(String, String, Long, Long, Option[String])] =
       synchronized(buf.toSeq)
     private[graft] def clear(): Unit = synchronized { buf.clear(); () }
   }

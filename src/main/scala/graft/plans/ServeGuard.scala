@@ -91,8 +91,8 @@ final case class ServeGuardRule(session: SparkSession)
         // QueryStats, WHICH cube/dims answered) — embed both so the
         // executed statement can feed the same metrics spine as the
         // programmatic QueryService path
-        val (routed, est) =
-          GraftSql.takeAccelOutcome().getOrElse((false, None))
+        val (routed, est, why) =
+          GraftSql.takeAccelOutcome().getOrElse((false, None, None))
         val route0 = graft.cube.QueryRouter.QueryStats.takeLastForThread()
         val route =
           if (routed) route0.map { case (c, d) => (c, d.toSeq.sorted) }
@@ -100,7 +100,11 @@ final case class ServeGuardRule(session: SparkSession)
         val via = route.map(r => s"cube:${r._1}")
           .getOrElse(if (routed) "cube" else "pushdown")
         val pool = QueryService.poolFor(routed, est)
-        ServeGuard(cap, timeoutSec, pool, via, route, stripped)
+        // the refusal reason the acceleration rule traced (None when
+        // routed, or when the plan never touched a cube view) rides
+        // to the exec so the served log can answer "why pushdown?"
+        ServeGuard(cap, timeoutSec, pool, via, route,
+          if (routed) None else why, stripped)
     }
   }
 
@@ -114,6 +118,7 @@ final case class ServeGuardRule(session: SparkSession)
 final case class ServeGuard(cap: Long, timeoutSec: Long, pool: String,
                             via: String,
                             route: Option[(String, Seq[String])],
+                            reason: Option[String],
                             child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -123,8 +128,8 @@ final case class ServeGuard(cap: Long, timeoutSec: Long, pool: String,
 
 object ServeGuardStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case ServeGuard(cap, timeoutSec, pool, via, route, child) =>
-      ServeGuardExec(cap, timeoutSec, pool, via, route,
+    case ServeGuard(cap, timeoutSec, pool, via, route, reason, child) =>
+      ServeGuardExec(cap, timeoutSec, pool, via, route, reason,
         planLater(child)) :: Nil
     case _ => Nil
   }
@@ -162,6 +167,7 @@ final class ServeGuardColumnarRule
 final case class ServeGuardExec(cap: Long, timeoutSec: Long, pool: String,
                                 via: String,
                                 route: Option[(String, Seq[String])],
+                                reason: Option[String],
                                 child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputOrdering: Seq[SortOrder] = child.outputOrdering
@@ -241,7 +247,8 @@ final case class ServeGuardExec(cap: Long, timeoutSec: Long, pool: String,
       // opted into persistence — the parquet QueryLog with the route
       // the acceleration rule embedded at analysis
       val (scanRows, scanBytes) = QueryService.scanMetrics(child)
-      QueryService.ServedLog.record(group, via, scanRows, scanBytes)
+      QueryService.ServedLog.record(group, via, scanRows, scanBytes,
+        reason)
       graft.cube.QueryLog.configuredDir(session).foreach { dir =>
         graft.cube.QueryLog.record(session, dir, group, via,
           route.map(_._1), route.map(_._2.toSet), scanRows, scanBytes)

@@ -140,6 +140,39 @@ class ThriftServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("an unroutable JDBC statement logs WHY it hit pushdown") {
+    // BadQueryDetector posture: the acceleration rule traced its own
+    // refusal, and the served log carries the summary — the operator
+    // sees "unmatched aggregation stddev(...)", not a bare "pushdown"
+    spark.conf.set("spark.graft.accelerate", "true")
+    spark.conf.set("spark.graft.serve.guard", "true")
+    val conn = connect()
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT o_orderstatus, stddev(l_quantity) AS s " +
+          "FROM graft_star GROUP BY o_orderstatus")
+      while (rs.next()) {}
+      val logged = cube.QueryService.ServedLog.recent.last
+      assert(logged._2 == "pushdown", s"got $logged")
+      assert(logged._5.exists(_.contains("unmatched aggregation")),
+        s"expected the traced refusal reason in the served log, " +
+          s"got $logged")
+      // a ROUTED statement carries no reason (count keeps the exact
+      // schema signature, so the swap holds on the JDBC path)
+      val rs2 = conn.createStatement().executeQuery(
+        "SELECT n_name, count(*) AS n " +
+          "FROM graft_star GROUP BY n_name")
+      while (rs2.next()) {}
+      val routedRow = cube.QueryService.ServedLog.recent.last
+      assert(routedRow._2.startsWith("cube") && routedRow._5.isEmpty,
+        s"got $routedRow")
+    } finally {
+      spark.conf.set("spark.graft.accelerate", "false")
+      spark.conf.unset("spark.graft.serve.guard")
+      conn.close()
+    }
+  }
+
   test("JDBC query past the session deadline times out while a " +
       "concurrent statement completes") {
     spark.udf.register("graft_sleep",
