@@ -39,7 +39,10 @@ object CubeMigrator {
   private def copyFile(srcFs: FileSystem, dstFs: FileSystem,
                        from: Path, to: Path): Unit = {
     dstFs.mkdirs(to.getParent)
-    val tmp = new Path(to.toString + ".inflight")
+    // dot-prefixed tmp: Spark's parquet reader skips hidden files, so
+    // a crash mid-copy can never leave a half-file a later overwrite
+    // retry would try to read as data
+    val tmp = new Path(to.getParent, s".${to.getName}.inflight")
     val in = srcFs.open(from)
     val out = dstFs.create(tmp, true)
     try {
@@ -68,7 +71,11 @@ object CubeMigrator {
       name == s".${CubeMeta.MetaFile}.crc" ||
       name == s".${CubeMeta.MergedFile}.crc" ||
       name.startsWith(s"${CubeMeta.MetaFile}.tmp") ||
-      name.startsWith(s"${CubeMeta.MergedFile}.tmp")
+      name.startsWith(s"${CubeMeta.MergedFile}.tmp") ||
+      // a build lease is process-local state, never data: carrying a
+      // live source lease to the destination would make the first dst
+      // builder wait out a crash-expiry for a build that isn't there
+      name == "_building"
 
   /** Migrate `cube` from `srcRoot` to `dstRoot`. Refuses when the
     * source has no loadable meta, or when the destination already has
