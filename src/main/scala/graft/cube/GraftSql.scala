@@ -903,7 +903,7 @@ object GraftSql {
     * rewrite/present name a concrete cube and cause) over the generic
     * shape/bind stages — the reference's BadQueryDetector records the
     * same "why did this hit pushdown" line per query */
-  private def summarizeTrace(trace: Seq[RouteTrace.Entry]): Option[String] = {
+  private[graft] def summarizeTrace(trace: Seq[RouteTrace.Entry]): Option[String] = {
     val specific = Set("recognize", "router", "filter", "rewrite", "present")
     trace.filter(e => specific(e.stage)).lastOption
       .orElse(trace.lastOption)

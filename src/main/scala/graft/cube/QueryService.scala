@@ -225,8 +225,12 @@ object QueryService {
         }
       }, deadline.toMillis, TimeUnit.MILLISECONDS))
     try {
-      val r = if (cached) GraftSql.sqlCached(spark, sfDir, sql)
-              else GraftSql.sqlVia(spark, sfDir, sql)
+      // collect the route trace so a fallback can say WHY (same
+      // BadQueryDetector posture as the JDBC guard; a routed result —
+      // cached ones are always routed — carries no reason)
+      val (r, trace) = RouteTrace.collect(
+        if (cached) GraftSql.sqlCached(spark, sfDir, sql)
+        else GraftSql.sqlVia(spark, sfDir, sql))
       val est = if (r.routed) r.estRows else None
       val pool = poolFor(r.routed, est)
       sc.setLocalProperty("spark.scheduler.pool", pool)
@@ -252,7 +256,8 @@ object QueryService {
       val (scanRows, scanBytes) =
         if (r.fromCache) (0L, 0L)
         else scanMetrics(limited.queryExecution.executedPlan)
-      ServedLog.record(queryId, r.via, scanRows, scanBytes)
+      ServedLog.record(queryId, r.via, scanRows, scanBytes,
+        if (r.routed) None else GraftSql.summarizeTrace(trace))
       // persisted metrics (reference: metrics-reporter-* parity): the
       // route that answered this query recorded its (cube, dims) on
       // this thread; a cache hit routes nothing and logs without them

@@ -120,6 +120,19 @@ class ServingSpec extends AnyFunSuite {
       s"a repeat through the cache must be marked fromCache, got $hitServed")
     assert(hitServed.scanRows == 0 && hitServed.scanBytes == 0,
       s"a cache hit must report 0 scan actuals, got $hitServed")
+    // the programmatic path logs WHY a fallback hit pushdown, same as
+    // the JDBC guard (BadQueryDetector posture); routed rows carry none
+    QueryService.run(spark, sf,
+      "SELECT o_orderstatus, stddev(l_quantity) AS s FROM graft_star " +
+        "GROUP BY o_orderstatus", queryId = "svc-why-pushdown")
+    val why = QueryService.ServedLog.recent
+      .find(_._1 == "svc-why-pushdown")
+    assert(why.exists(e => e._2 == "fallback" &&
+      e._5.exists(_.contains("unmatched aggregation"))),
+      s"fallback must carry its traced reason, got $why")
+    assert(QueryService.ServedLog.recent
+      .find(_._1 == "svc-metrics-hit").exists(_._5.isEmpty),
+      "a routed/cached statement must carry no pushdown reason")
   }
 
   test("cancelling a finished or unknown id does not poison a later " +
