@@ -88,6 +88,21 @@ object CuboidPlanner {
     recommend(base, rows, queryLog.filter(_.nonEmpty), maxCuboids)
   }
 
+  /** Model-evolution advice from ROUTING MISSES (the other half of the
+    * reference Cube Planner's query-history diet: routed shapes tune
+    * the cuboid set above, PUSHDOWN shapes are the evidence the model
+    * itself is missing a dimension). Input is
+    * `QueryRouter.QueryStats.misses(cube)`; output is each unmatched
+    * dim ranked by demand. The remedy is deliberately NOT automated —
+    * adding a rowkey dim is a CubeDef change plus rebuild, an operator
+    * decision — which is why this surfaces advice instead of feeding
+    * `recommend` (an unmatched dim can never be materialized by cuboid
+    * choice alone). */
+  def adviseModel(misses: Seq[(Set[String], Set[String])])
+    : Seq[(String, Int)] =
+    misses.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+      .toSeq.sortBy { case (d, n) => (-n, d) }
+
   /** Close the planner loop ACROSS RESTARTS: the workload sample comes
     * from the parquet QueryLog a previous process persisted
     * (reference: the cube planner "phase 2" feeds on externally

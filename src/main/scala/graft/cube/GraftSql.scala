@@ -1132,6 +1132,10 @@ object GraftSql {
         RouteTrace.note("recognize", cube.name,
           s"unmatched dimension(s) ${bad.mkString(", ")} — not in this " +
             "cube's rowkey (nor any TopN literal set)")
+        // feed the planner loop: an unmatched dim is pushdown query
+        // history the Cube Planner evolves the MODEL from
+        QueryRouter.QueryStats.recordMiss(cube.name, groupNames.toSet,
+          bad.toSet)
       }
       val badAggs = named.collect { case (name, ae, None) =>
         s"$name = ${ae.sql}" }

@@ -229,7 +229,29 @@ object QueryRouter {
     def log(cube: String): Seq[Set[String]] = synchronized {
       buf.collect { case (c, d) if c == cube => d }.toSeq
     }
-    private[graft] def clear(): Unit = synchronized { buf.clear(); () }
+
+    /** Bounded MISS log — queries a cube could not route because a
+      * grouped dim is outside its rowkey. The reference's Cube Planner
+      * consumes pushdown query history exactly this way: routed shapes
+      * tune the cuboid set (recommendFromLog), un-routable shapes are
+      * the evidence for evolving the MODEL itself
+      * (CuboidPlanner.adviseModel). (cube, neededDims, unmatchedDims). */
+    private val missBuf = scala.collection.mutable.ArrayDeque
+      .empty[(String, Set[String], Set[String])]
+    def recordMiss(cube: String, needed: Set[String],
+                   unmatched: Set[String]): Unit = synchronized {
+      missBuf.append((cube, needed, unmatched))
+      while (missBuf.size > Cap) { missBuf.removeHead(); () }
+    }
+    /** (neededDims, unmatchedDims) per miss against `cube` */
+    def misses(cube: String): Seq[(Set[String], Set[String])] =
+      synchronized {
+        missBuf.collect { case (c, n, u) if c == cube => (n, u) }.toSeq
+      }
+
+    private[graft] def clear(): Unit = synchronized {
+      buf.clear(); missBuf.clear(); ()
+    }
   }
 
   private def routeImpl(spark: SparkSession, inst: CubeInstance,

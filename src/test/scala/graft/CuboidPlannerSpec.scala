@@ -61,6 +61,38 @@ class CuboidPlannerSpec extends AnyFunSuite {
         s"no non-base cuboid covers $q in $rec"))
   }
 
+  test("pushdown misses land in the miss log and rank model advice") {
+    // the other half of the planner's query-history diet: shapes the
+    // cube could NOT route (a grouped dim outside the rowkey) are the
+    // evidence for evolving the model, ranked by demand
+    QueryRouter.QueryStats.clear()
+    (1 to 2).foreach { i =>
+      val r = GraftSql.sqlVia(spark, sf,
+        s"""SELECT l_quantity, count(*) AS n$i FROM graft_star
+           |GROUP BY l_quantity""".stripMargin)
+      assert(!r.routed)
+    }
+    val r3 = GraftSql.sqlVia(spark, sf,
+      """SELECT l_linenumber, count(*) AS n FROM graft_star
+        |GROUP BY l_linenumber""".stripMargin)
+    assert(!r3.routed)
+    val misses = QueryRouter.QueryStats.misses("star")
+    assert(misses.nonEmpty, "unroutable dims must land in the miss log")
+    val advice = CuboidPlanner.adviseModel(misses)
+    assert(advice.nonEmpty && advice.head._1 == "l_quantity",
+      s"most-demanded unmatched dim first, got $advice")
+    assert(advice.head._2 > advice.find(_._1 == "l_linenumber")
+      .map(_._2).getOrElse(0),
+      s"demand ranking must reflect query counts, got $advice")
+    // routed queries record usage, never misses
+    QueryRouter.QueryStats.clear()
+    val ok = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(*) AS n FROM graft_star
+        |GROUP BY o_orderstatus""".stripMargin)
+    assert(ok.routed)
+    assert(QueryRouter.QueryStats.misses("star").isEmpty)
+  }
+
   test("a logged query outside the base lattice costs a base scan, no crash") {
     // ADVICE r5: a non-subset log entry left answerCost's covering set
     // empty and .min threw. It must instead price as an (uncoverable)
