@@ -97,11 +97,27 @@ object CubeMigrator {
         s"migration refused: ${cube.name} already committed under " +
           s"$dstRoot (pass overwrite=true to replace)")
 
-    // ── data first: the whole cube dir except its meta commits
-    // (segments, the merged realization's data, planner sidecars)
+    // ── data first, and ONLY data the committed meta references: the
+    // primary instance's segment dirs plus the merged realization's
+    // (extraCuboids live inside segment dirs, so they travel too).
+    // Unreferenced leftovers at the source — crashed-refresh staging,
+    // retention orphans, auto-merge remnants — deliberately STAY
+    // BEHIND: they are the source StorageCleaner's job, and blindly
+    // migrating garbage at 100 TB scale would copy unbounded junk
+    // (the reference CLI likewise walks the cube's resource list, not
+    // the raw directory).
     val cubeDir = new Path(srcP, cube.name)
-    copyTree(srcFs, dstFs, cubeDir, new Path(dstP, cube.name),
-      skip = isMetaFile)
+    val dstCubeDir = new Path(dstP, cube.name)
+    val mergedInst = CubeMeta.load(spark, cube, srcRoot,
+      CubeMeta.MergedFile).map(_.inst)
+    val segDirs = (src.cube.segments.map(_.name) ++
+      mergedInst.toSeq.flatMap(_.cube.segments.map(_.name))).distinct
+    segDirs.foreach { s =>
+      val from = new Path(cubeDir, s)
+      if (srcFs.exists(from))
+        copyTree(srcFs, dstFs, from, new Path(dstCubeDir, s),
+          skip = isMetaFile)
+    }
 
     // ── the cube's derived-dim snapshots (shared per root, needed to
     // answer derived filters/group-bys at the destination)
@@ -122,7 +138,7 @@ object CubeMigrator {
     Seq(CubeMeta.MergedFile, CubeMeta.MetaFile).foreach { f =>
       val from = new Path(cubeDir, f)
       if (srcFs.exists(from))
-        copyFile(srcFs, dstFs, from, new Path(new Path(dstP, cube.name), f))
+        copyFile(srcFs, dstFs, from, new Path(dstCubeDir, f))
     }
 
     CubeMeta.load(spark, cube, dstRoot).getOrElse(

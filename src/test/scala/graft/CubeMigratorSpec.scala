@@ -26,8 +26,14 @@ class CubeMigratorSpec extends AnyFunSuite {
     val src = CubeBuilder.build(spark,
       CubeManager.eventsFlat(spark, sf), cube, srcRoot)
     val want = revenueByType(src)
+    // source garbage (a crashed build's orphan) must NOT travel —
+    // migration walks the meta's resource list, not the raw dir
+    val orphan = new java.io.File(s"$srcRoot/events/s_orphan/cuboid=3")
+    assert(orphan.mkdirs())
 
     val dst = CubeMigrator.migrate(spark, cube, srcRoot, dstRoot)
+    assert(!new java.io.File(s"$dstRoot/events/s_orphan").exists(),
+      "unreferenced source dirs must stay behind")
     assert(dst.root == dstRoot)
     assert(dst.rows == src.rows,
       "per-(segment,cuboid) row stats must travel with the meta")
