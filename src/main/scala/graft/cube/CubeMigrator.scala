@@ -55,6 +55,40 @@ object CubeMigrator {
       throw new java.io.IOException(s"migration copy failed: $from -> $to")
   }
 
+  private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](1 << 16)
+      Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
+        .foreach(n => buf.write(chunk, 0, n))
+      buf.toByteArray
+    } finally in.close()
+  }
+
+  private def writeBytes(fs: FileSystem, to: Path,
+                         bytes: Array[Byte]): Unit = {
+    fs.mkdirs(to.getParent)
+    val tmp = new Path(to.getParent, s".${to.getName}.inflight")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (fs.exists(to)) fs.delete(to, false)
+    if (!fs.rename(tmp, to))
+      throw new java.io.IOException(s"migration commit failed: $to")
+  }
+
+  /** delete-then-copy a directory: an overwrite must never MERGE new
+    * part files into a dir still holding the previous deployment's
+    * (two generations of parquet in one snapshot/cuboid dir would
+    * double every row) — safe because the destination is uncommitted
+    * (meta deleted or never present) while data moves */
+  private def replaceTree(srcFs: FileSystem, dstFs: FileSystem,
+                          from: Path, to: Path,
+                          skip: String => Boolean = _ => false): Unit = {
+    if (dstFs.exists(to)) dstFs.delete(to, true)
+    copyTree(srcFs, dstFs, from, to, skip)
+  }
+
   /** recursive dir copy; checksum sidecars (.crc) travel with their
     * files automatically because they are plain directory entries */
   private def copyTree(srcFs: FileSystem, dstFs: FileSystem,
@@ -88,14 +122,43 @@ object CubeMigrator {
     val srcP = new Path(srcRoot); val dstP = new Path(dstRoot)
     val srcFs = fsOf(spark, srcP); val dstFs = fsOf(spark, dstP)
 
+    val dstCubeDir = new Path(dstP, cube.name)
+    // the gate is on PRESENCE, not loadability: a torn or def-drifted
+    // destination meta is exactly the deployment an operator must look
+    // at before it is clobbered (the reference's doOverwrite posture)
+    val dstMetaPresent = Seq(CubeMeta.MetaFile, CubeMeta.MergedFile)
+      .exists(f => dstFs.exists(new Path(dstCubeDir, f)))
+    if (!overwrite && dstMetaPresent)
+      throw new IllegalStateException(
+        s"migration refused: ${cube.name} already present under " +
+          s"$dstRoot (pass overwrite=true to replace)")
+    // snapshot the meta BYTES now, before any data copies: a source
+    // build committing mid-migration must not hand the destination a
+    // meta referencing segments this run never planned to copy (the
+    // segment list below comes from the same snapshot)
+    val srcCubeDirP = new Path(srcP, cube.name)
+    val metaBytes: Seq[(String, Array[Byte])] =
+      Seq(CubeMeta.MergedFile, CubeMeta.MetaFile).flatMap { f =>
+        val from = new Path(srcCubeDirP, f)
+        if (srcFs.exists(from)) Some(f -> readBytes(srcFs, from)) else None
+      }
+    // the loads below (primary + merged) happen INSIDE the bracket
+    // closed by the byte-equality re-check after them
     val src = CubeMeta.load(spark, cube, srcRoot).getOrElse(
       throw new IllegalStateException(
         s"migration refused: no loadable meta for ${cube.name} " +
           s"under $srcRoot")).inst
-    if (!overwrite && CubeMeta.load(spark, cube, dstRoot).isDefined)
-      throw new IllegalStateException(
-        s"migration refused: ${cube.name} already committed under " +
-          s"$dstRoot (pass overwrite=true to replace)")
+    // overwrite = replace: UNCOMMIT the destination first (delete its
+    // meta) so the window serves no meta — never a mix of old and new
+    // parquet under a still-committed meta — and a crash anywhere
+    // mid-copy leaves data invisible to routing, same as a fresh
+    // destination. The destination fleet's stamp checks see the
+    // uncommit and stop routing this cube until the new meta lands.
+    if (overwrite && dstMetaPresent)
+      Seq(CubeMeta.MetaFile, CubeMeta.MergedFile).foreach { f =>
+        val p0 = new Path(dstCubeDir, f)
+        if (dstFs.exists(p0)) dstFs.delete(p0, false)
+      }
 
     // ── data first, and ONLY data the committed meta references: the
     // primary instance's segment dirs plus the merged realization's
@@ -106,16 +169,30 @@ object CubeMigrator {
     // migrating garbage at 100 TB scale would copy unbounded junk
     // (the reference CLI likewise walks the cube's resource list, not
     // the raw directory).
-    val cubeDir = new Path(srcP, cube.name)
-    val dstCubeDir = new Path(dstP, cube.name)
     val mergedInst = CubeMeta.load(spark, cube, srcRoot,
       CubeMeta.MergedFile).map(_.inst)
+    // the segment plan (src + mergedInst) was loaded ADJACENT to the
+    // byte snapshot, not from it — re-read and require byte equality,
+    // so a source build committing inside the planning window refuses
+    // instead of committing a meta whose segments were never copied
+    val metaBytes2 = Seq(CubeMeta.MergedFile, CubeMeta.MetaFile)
+      .flatMap { f =>
+        val from = new Path(srcCubeDirP, f)
+        if (srcFs.exists(from)) Some(f -> readBytes(srcFs, from)) else None
+      }
+    val stable = metaBytes.map(_._1) == metaBytes2.map(_._1) &&
+      metaBytes.zip(metaBytes2).forall { case ((_, a), (_, b)) =>
+        java.util.Arrays.equals(a, b) }
+    if (!stable)
+      throw new IllegalStateException(
+        s"migration refused: ${cube.name} meta changed under $srcRoot " +
+          "while planning (concurrent build?) — retry when quiet")
     val segDirs = (src.cube.segments.map(_.name) ++
       mergedInst.toSeq.flatMap(_.cube.segments.map(_.name))).distinct
     segDirs.foreach { s =>
-      val from = new Path(cubeDir, s)
+      val from = new Path(srcCubeDirP, s)
       if (srcFs.exists(from))
-        copyTree(srcFs, dstFs, from, new Path(dstCubeDir, s),
+        replaceTree(srcFs, dstFs, from, new Path(dstCubeDir, s),
           skip = isMetaFile)
     }
 
@@ -124,21 +201,23 @@ object CubeMigrator {
     src.cube.derived.map(_.lookup).distinct.foreach { l =>
       val from = new Path(Snapshot.path(srcRoot, l))
       if (srcFs.exists(from))
-        copyTree(srcFs, dstFs, from, new Path(Snapshot.path(dstRoot, l)))
+        replaceTree(srcFs, dstFs, from, new Path(Snapshot.path(dstRoot, l)))
     }
 
-    // ── dictionary trees (dict-encoded measures decode at query time;
-    // versions are directory entries, so the tree copy keeps them all)
+    // ── dictionary trees (dict-encoded measures decode at query
+    // time; versions are directory entries, so the tree copy keeps
+    // them all). The whole root-level tree travels: dict usage lives
+    // inside measure closures, not CubeDef, so the columns THIS cube
+    // needs are not introspectable — a per-cube declaration would
+    // scope this copy (known over-copy on multi-cube shared roots)
     val dictDir = new Path(srcP, "dict")
     if (srcFs.exists(dictDir))
-      copyTree(srcFs, dstFs, dictDir, new Path(dstP, "dict"))
+      replaceTree(srcFs, dstFs, dictDir, new Path(dstP, "dict"))
 
     // ── meta LAST, merged before primary: queries discover the cube
     // through the primary commit only
-    Seq(CubeMeta.MergedFile, CubeMeta.MetaFile).foreach { f =>
-      val from = new Path(cubeDir, f)
-      if (srcFs.exists(from))
-        copyFile(srcFs, dstFs, from, new Path(dstCubeDir, f))
+    metaBytes.foreach { case (f, bytes) =>
+      writeBytes(dstFs, new Path(dstCubeDir, f), bytes)
     }
 
     CubeMeta.load(spark, cube, dstRoot).getOrElse(

@@ -914,6 +914,8 @@ object GraftSql {
     * and `accelerate`. */
   private def routeFrame(spark: SparkSession, sfDir: String,
                          df: DataFrame): SqlResult = {
+    // one miss per (cube, unmatched dims) per pass — see QueryStats
+    QueryRouter.QueryStats.beginRoutingPass()
 
     // a registered cube view — or a user-written join tree matching a
     // binding's declared star model (Kylin's OLAPJoinRule: explicit

@@ -44,40 +44,52 @@ object HealthCheck {
       spark.sparkContext.hadoopConfiguration)
     val out = Seq.newBuilder[Finding]
 
-    // ── segment holes (checkCubeHoles): a gap between consecutive
-    // committed ranges silently degrades spanning queries to fallback
-    val segs = inst.cube.segments.sortBy(_.start)
-    segs.sliding(2).foreach {
-      case Seq(a, b) if a.end != b.start =>
-        out += Finding(Warn, "segment_hole",
-          s"gap [${a.end}, ${b.start}) between segments ${a.name} and " +
-            s"${b.name}: spanning queries fall back to the source scan; " +
-            s"build the missing range")
-      case _ =>
-    }
+    // every ROUTED realization is audited: the primary instance and —
+    // when committed — the all-segments-merged realization the hybrid
+    // path serves (a hole in either fails real queries)
+    def auditRealization(r: CubeInstance, label: String): Unit = {
+      // ── segment holes (checkCubeHoles): a gap between consecutive
+      // committed ranges silently degrades spanning queries to
+      // fallback
+      val segs = r.cube.segments.sortBy(_.start)
+      segs.sliding(2).foreach {
+        case Seq(a, b) if a.end != b.start =>
+          out += Finding(Warn, "segment_hole",
+            s"gap [${a.end}, ${b.start}) between segments ${a.name} " +
+              s"and ${b.name}$label: spanning queries fall back to " +
+              s"the source scan; build the missing range")
+        case _ =>
+      }
 
-    // ── segment sprawl (checkTooManySegments): merge advice
-    if (segs.length > maxSegments)
-      out += Finding(Warn, "too_many_segments",
-        s"${segs.length} segments (> $maxSegments): every routed scan " +
-          s"lists files per segment — run the auto-merge policy")
+      // ── segment sprawl (checkTooManySegments): merge advice
+      if (segs.length > maxSegments)
+        out += Finding(Warn, "too_many_segments",
+          s"${segs.length} segments$label (> $maxSegments): every " +
+            s"routed scan lists files per segment — run the " +
+            s"auto-merge policy")
 
-    // ── layout completeness (checkSegmentHDFSPath): EVERY routed
-    // cuboid dir per segment, not just the base spot-check load does —
-    // a missing non-base cuboid fails exactly the queries routed to it
-    val ids = inst.cube.cuboids.map(inst.cube.cuboidId)
-    for (s <- segs; id <- ids) {
-      val p = new Path(inst.cuboidPath(s.name, id))
-      if (!fs.exists(p))
-        out += Finding(Error, "missing_cuboid",
-          s"segment ${s.name} lacks cuboid=$id at $p: queries routed " +
-            s"to that cuboid will fail — refresh the segment")
-      else if (!inst.rows.contains((s.name, id)))
-        out += Finding(Warn, "missing_row_stats",
-          s"no persisted row count for (${s.name}, cuboid=$id): the " +
-            s"router's cost estimates treat it as unknown — recommit " +
-            s"the meta from a build")
+      // ── layout completeness (checkSegmentHDFSPath): EVERY routed
+      // cuboid dir per segment, not just the base spot-check load
+      // does — a missing non-base cuboid fails exactly the queries
+      // routed to it
+      val ids = r.cube.cuboids.map(r.cube.cuboidId)
+      for (s <- segs; id <- ids) {
+        val p = new Path(r.cuboidPath(s.name, id))
+        if (!fs.exists(p))
+          out += Finding(Error, "missing_cuboid",
+            s"segment ${s.name}$label lacks cuboid=$id at $p: " +
+              s"queries routed to that cuboid will fail — refresh " +
+              s"the segment")
+        else if (!r.rows.contains((s.name, id)))
+          out += Finding(Warn, "missing_row_stats",
+            s"no persisted row count for (${s.name}$label, " +
+              s"cuboid=$id): the router's cost estimates treat it as " +
+              s"unknown — recommit the meta from a build")
+      }
     }
+    auditRealization(inst, "")
+    CubeMeta.load(spark, cube, root, CubeMeta.MergedFile)
+      .foreach(m => auditRealization(m.inst, " (merged realization)"))
 
     // ── derived-dim snapshots present (the load spot-checks these
     // too, but per-lookup detail belongs in the audit)
@@ -91,7 +103,8 @@ object HealthCheck {
     // ── expansion rate (checkDataExpansionRate): materialized rows
     // across the lattice vs base rows
     val baseId = inst.cube.cuboidId(inst.cube.dims.toSet)
-    val baseRows = segs.map(s => inst.rows.getOrElse((s.name, baseId), 0L)).sum
+    val baseRows = inst.cube.segments
+      .map(s => inst.rows.getOrElse((s.name, baseId), 0L)).sum
     val allRows = inst.rows.values.sum
     if (baseRows > 0 && allRows.toDouble / baseRows > maxExpansion)
       out += Finding(Warn, "expansion_rate",
@@ -101,13 +114,22 @@ object HealthCheck {
 
     // ── reclaimable garbage (StorageCleanupJob linkage): surface the
     // dry-run count so operators schedule the sweep
-    val garbage = scala.util.Try(
-      StorageCleaner.clean(spark, cube, root, delete = false))
-      .map(r => r.removed ++ r.inGrace).getOrElse(Nil)
-    if (garbage.nonEmpty)
+    val sweep = scala.util.Try(
+      StorageCleaner.clean(spark, cube, root, delete = false)).toOption
+    sweep.map(_.removed).filter(_.nonEmpty).foreach { g =>
       out += Finding(Warn, "reclaimable_storage",
-        s"${garbage.size} unreferenced path(s) under $root (e.g. " +
-          s"${garbage.head}): run StorageCleaner")
+        s"${g.size} unreferenced path(s) under $root (e.g. " +
+          s"${g.head}): run StorageCleaner")
+    }
+    // young unreferenced paths are usually an in-flight build's
+    // staging (the cleaner's grace window protects them on purpose) —
+    // informational, with the right remedy: wait, then re-audit
+    sweep.map(_.inGrace).filter(_.nonEmpty).foreach { g =>
+      out += Finding(Warn, "inflight_storage",
+        s"${g.size} unreferenced young path(s) under $root (e.g. " +
+          s"${g.head}): likely an in-flight build — no action unless " +
+          s"it crashed; re-audit after the grace window")
+    }
 
     out.result()
   }

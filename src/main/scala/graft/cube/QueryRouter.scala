@@ -238,10 +238,26 @@ object QueryRouter {
       * (CuboidPlanner.adviseModel). (cube, neededDims, unmatchedDims). */
     private val missBuf = scala.collection.mutable.ArrayDeque
       .empty[(String, Set[String], Set[String])]
+    // per-routing-pass dedup: one query is attempted against EVERY
+    // candidate realization of its view (hybrid + alternates often
+    // share a cube name), and each attempt hits the same unmatched
+    // dims — without this, demand counts inflate by the realization
+    // count. routeFrame opens a pass; recordMiss counts each
+    // (cube, unmatched) once per pass.
+    private val passSeen
+      : ThreadLocal[scala.collection.mutable.Set[(String, Set[String])]] =
+      ThreadLocal.withInitial(() =>
+        scala.collection.mutable.Set.empty[(String, Set[String])])
+    private[graft] def beginRoutingPass(): Unit = {
+      passSeen.get().clear(); ()
+    }
     def recordMiss(cube: String, needed: Set[String],
-                   unmatched: Set[String]): Unit = synchronized {
-      missBuf.append((cube, needed, unmatched))
-      while (missBuf.size > Cap) { missBuf.removeHead(); () }
+                   unmatched: Set[String]): Unit = {
+      if (!passSeen.get().add((cube, unmatched))) return
+      synchronized {
+        missBuf.append((cube, needed, unmatched))
+        while (missBuf.size > Cap) { missBuf.removeHead(); () }
+      }
     }
     /** (neededDims, unmatchedDims) per miss against `cube` */
     def misses(cube: String): Seq[(Set[String], Set[String])] =

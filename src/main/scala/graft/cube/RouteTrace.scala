@@ -11,9 +11,13 @@ import scala.collection.mutable
   *
   * graft's routing makes the same decisions as silent `None`s; this
   * collector records them without changing a single control-flow path.
-  * Collection is thread-local and OFF by default: outside
-  * [[collect]], `note` is one ThreadLocal read and the by-name reason
-  * is never evaluated — the serving hot path pays nothing. */
+  * Collection is thread-local: outside [[collect]], `note` is one
+  * ThreadLocal read and the by-name reason is never evaluated. The
+  * serving entry points (the acceleration rule and QueryService.run)
+  * opt IN deliberately so fallbacks can report why — the cost there is
+  * a handful of short strings per routing pass, metadata-scale next to
+  * any query's execution; direct sqlVia/routeFrame callers stay
+  * trace-free. */
 object RouteTrace {
 
   /** one decision: `stage` is where in the pipeline (shape / bind /

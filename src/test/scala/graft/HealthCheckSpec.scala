@@ -35,15 +35,27 @@ class HealthCheckSpec extends AnyFunSuite {
     // a missing cuboid dir in the live segment
     val gone = new java.io.File(s"$root/events/s2024m1/cuboid=1")
     org.apache.commons.io.FileUtils.deleteQuietly(gone)
-    // aged garbage
+    // garbage: fresh (in-grace — an in-flight build's posture) and
+    // aged past the grace window (truly reclaimable)
+    val fresh = new java.io.File(s"$root/events/s_fresh/cuboid=3")
+    assert(fresh.mkdirs())
     val orphan = new java.io.File(s"$root/events/s_orphan/cuboid=3")
     assert(orphan.mkdirs())
+    val aged = System.currentTimeMillis() -
+      StorageCleaner.DefaultGraceMs - 3600 * 1000
+    assert(orphan.setLastModified(aged))
+    assert(orphan.getParentFile.setLastModified(aged))
 
     val f = HealthCheck.check(spark, CubeManager.eventsCube, root)
     val codes = f.map(_.code).toSet
     assert(codes.contains("segment_hole"), s"findings: $f")
     assert(codes.contains("missing_cuboid"))
-    assert(codes.contains("reclaimable_storage"))
+    assert(codes.contains("reclaimable_storage"), s"findings: $f")
+    // the young orphan gets the in-flight code, NOT a run-the-cleaner
+    // remedy the cleaner itself would refuse (grace window)
+    assert(codes.contains("inflight_storage"), s"findings: $f")
+    assert(f.find(_.code == "reclaimable_storage")
+      .exists(_.message.contains("s_orphan")), s"findings: $f")
     assert(f.filter(_.code == "missing_cuboid")
       .forall(_.severity == HealthCheck.Error))
     // messages carry the remedy, not just the symptom
