@@ -1,0 +1,352 @@
+package graft.cube
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.json4s.DefaultFormats
+import org.json4s.jackson.Serialization
+
+import graft.Exact.dec
+import graft.functions.Measures
+
+/** Declarative cube metadata: a cube/model definition as a plain JSON
+  * document an OPERATOR can author and deploy at runtime — no Scala
+  * definition, no recompile (reference: core-cube/src/main/java/org/
+  * apache/kylin/cube/model/CubeDesc.java:99, a `RootPersistentEntity`
+  * serialized as JSON and loaded through CachedCrudAssist; measures are
+  * declared as FunctionDesc name + parameter, not code).
+  *
+  * The dims/segments/cuboids/agg-groups/derived/extended parts of
+  * [[CubeDef]] were already plain data; the piece that made a cube
+  * "compiled Scala" was the closure-bearing [[Measure]]. [[JsonMeasure]]
+  * closes that gap: a measure SPEC (family + input column(s) + optional
+  * answers/expression strings) from which [[CubeJson.measure]]
+  * CONSTRUCTS today's Measure — calling the exact same builders
+  * ([[Measures]], `sum(dec(...))`, …) the compiled cubes use, so a
+  * JSON declaration equivalent to a compiled CubeDef produces an
+  * IDENTICAL fingerprint ([[CubeMeta.fingerprint]] covers the declared
+  * form: same dims, same cuboid ids, same measure algebra).
+  *
+  * Registration is one call: [[CubeJson.register]] parses + validates
+  * the document, wires a [[GraftSql.Binding]] (view + flat-table
+  * builder + stamp-aware instance supplier), after which the declared
+  * cube builds on first touch, routes SQL aggregates, and accelerates
+  * through the extensions rule exactly like a compiled cube.
+  */
+object CubeJson {
+
+  // ── the JSON document model (pure data) ───────────────────────────
+
+  /** TopN sketch shape: `dims` are the sketch's literal columns,
+    * `valueColumn` the pre-scaled long the build aggregates,
+    * `sumOf`/`scale` the user-SQL column and its fixed-point scale
+    * (reference: TopNMeasureType function parameters). */
+  final case class JsonTopN(dims: Seq[String], valueColumn: String,
+                            sumOf: String, scale: Long)
+
+  /** One measure spec. `family` ∈ sum | count | min | max |
+    * dim_distinct | bitmap | hll | kll | raw | topn — the reference's
+    * measure families (basic, dim-distinct, bitmap, hllc, percentile,
+    * raw, topn) by declarative name.
+    *
+    *  - `column`: the input flat-table column (unused for count/topn)
+    *  - `decimal`: wrap the input in the exact-decimal cast (sums over
+    *    2-dp money/quantity doubles)
+    *  - `presentDouble`: present the state cast to double (decimal sums)
+    *  - `answers`: the user-SQL aggregate this measure answers —
+    *    "sum:c" | "countAll" | "countDistinct:c" | "min:c" | "max:c" |
+    *    "approxDistinct:c" | "percentile:c" | "none"; absent → the
+    *    family's natural default over `column`
+    *  - `answersSumExpr`: SQL text of a composite expression whose
+    *    SUM this measure answers (FunctionDesc parameter matching)
+    */
+  final case class JsonMeasure(
+      name: String,
+      family: String,
+      column: Option[String] = None,
+      decimal: Boolean = false,
+      presentDouble: Boolean = false,
+      answers: Option[String] = None,
+      answersSumExpr: Option[String] = None,
+      topn: Option[JsonTopN] = None)
+
+  final case class JsonSegment(name: String, start: String, end: String)
+
+  /** granularity ∈ month | day (the two boundary-expressible
+    * granularities [[TimeDim]] ships) */
+  final case class JsonTimeDim(name: String, granularity: String)
+
+  final case class JsonDerived(name: String, host: String, lookup: String)
+
+  final case class JsonExtended(name: String, host: String, measure: String)
+
+  final case class JsonAggGroup(includes: Seq[String],
+      mandatory: Seq[String] = Nil,
+      hierarchies: Seq[Seq[String]] = Nil,
+      joints: Seq[Seq[String]] = Nil)
+
+  final case class JsonModelEdge(lookup: String, via: String,
+      lookupKey: String, foreignKey: String, joinType: String = "inner")
+
+  /** star model: fact + edges (+ optional model filter as SQL text);
+    * `broadcast` lists the bounded-cardinality lookups to
+    * broadcast-hint in the flat join */
+  final case class JsonModel(fact: String, edges: Seq[JsonModelEdge] = Nil,
+      filterExpr: Option[String] = None, broadcast: Seq[String] = Nil)
+
+  /** one flat-table output column: a passthrough (`expr` absent) or a
+    * computed column (`expr` = SQL text, aliased to `name`) */
+  final case class JsonFlatCol(name: String, expr: Option[String] = None)
+
+  /** The whole cube document. `cuboids` (literal dim-name lists) and
+    * `aggGroups` (rule-expanded) may both be present; the base cuboid
+    * is implied. `dictColumns` are string columns dictionary-encoded
+    * before the build (each adds `<col>_id` to the flat table).
+    * `view` defaults to `graft_<name>`. */
+  final case class JsonCube(
+      name: String,
+      model: JsonModel,
+      dims: Seq[String],
+      measures: Seq[JsonMeasure],
+      segmentCol: String,
+      segments: Seq[JsonSegment],
+      flatColumns: Seq[JsonFlatCol] = Nil,
+      cuboids: Seq[Seq[String]] = Nil,
+      aggGroups: Seq[JsonAggGroup] = Nil,
+      timeDim: Option[JsonTimeDim] = None,
+      shardBy: Option[String] = None,
+      derived: Seq[JsonDerived] = Nil,
+      notNull: Seq[String] = Nil,
+      extended: Seq[JsonExtended] = Nil,
+      segDayGranular: Boolean = false,
+      dictColumns: Seq[String] = Nil,
+      view: Option[String] = None) {
+    def viewName: String = view.getOrElse(s"graft_$name")
+  }
+
+  private implicit val fmts: DefaultFormats = DefaultFormats
+
+  /** parse a cube document (throws IllegalArgumentException with the
+    * offending part named — an operator-facing deploy error, not a
+    * stack trace from deep inside the build) */
+  def parse(json: String): JsonCube = {
+    val j =
+      try Serialization.read[JsonCube](json)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"unparseable cube document: ${e.getMessage}", e)
+      }
+    validate(j)
+    j
+  }
+
+  def render(spec: JsonCube): String = Serialization.writePretty(spec)
+
+  private val families = Set("sum", "count", "min", "max", "dim_distinct",
+    "bitmap", "hll", "kll", "raw", "topn")
+
+  private def validate(j: JsonCube): Unit = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"cube '${j.name}': $msg")
+    if (j.name.isEmpty) fail("empty name")
+    if (j.dims.isEmpty) fail("no dims")
+    if (j.dims.distinct.size != j.dims.size) fail("duplicate dims")
+    if (j.segments.isEmpty) fail("no segments")
+    j.measures.foreach { m =>
+      if (!families(m.family))
+        fail(s"measure '${m.name}': unknown family '${m.family}' " +
+          s"(expected one of ${families.toSeq.sorted.mkString(", ")})")
+      if (m.family == "topn" && m.topn.isEmpty)
+        fail(s"measure '${m.name}': topn family needs a topn shape")
+      if (m.column.isEmpty && !Set("count", "topn").contains(m.family))
+        fail(s"measure '${m.name}': family '${m.family}' needs a column")
+      m.answers.foreach(a => parseAnswers(m, Some(a)): Unit)
+    }
+    if (j.measures.map(_.name).distinct.size != j.measures.size)
+      fail("duplicate measure names")
+    j.timeDim.foreach(t =>
+      if (t.granularity != "month" && t.granularity != "day")
+        fail(s"timeDim granularity must be month|day, got ${t.granularity}"))
+    j.derived.foreach(d =>
+      if (j.model.edges.forall(_.lookup != d.lookup) &&
+          j.model.fact != d.lookup)
+        fail(s"derived '${d.name}': lookup '${d.lookup}' not in the model"))
+    // cuboid/agg-group dim references checked by CubeDef/AggGroup's own
+    // requires when constructed (they name the offending dim)
+  }
+
+  // ── measure spec → Measure (the closure constructor) ──────────────
+
+  private def parseAnswers(m: JsonMeasure,
+                           s: Option[String]): Option[SqlAgg] = s match {
+    case None => // family default over the input column
+      m.family match {
+        case "sum"          => m.column.map(SqlAgg.SumOf)
+        case "count"        => Some(SqlAgg.CountAll)
+        case "min"          => m.column.map(SqlAgg.MinOf)
+        case "max"          => m.column.map(SqlAgg.MaxOf)
+        case "dim_distinct" => m.column.map(SqlAgg.CountDistinctOf)
+        case "bitmap"       => m.column.map(SqlAgg.CountDistinctOf)
+        case "hll"          => m.column.map(SqlAgg.ApproxDistinctOf)
+        case "kll"          => m.column.map(SqlAgg.PercentileOf)
+        case _              => None
+      }
+    case Some("none")     => None
+    case Some("countAll") => Some(SqlAgg.CountAll)
+    case Some(spec) => spec.split(":", 2) match {
+      case Array("sum", c)            => Some(SqlAgg.SumOf(c))
+      case Array("min", c)            => Some(SqlAgg.MinOf(c))
+      case Array("max", c)            => Some(SqlAgg.MaxOf(c))
+      case Array("countDistinct", c)  => Some(SqlAgg.CountDistinctOf(c))
+      case Array("approxDistinct", c) => Some(SqlAgg.ApproxDistinctOf(c))
+      case Array("percentile", c)     => Some(SqlAgg.PercentileOf(c))
+      case _ => throw new IllegalArgumentException(
+        s"measure '${m.name}': unparseable answers spec '$spec'")
+    }
+  }
+
+  /** Construct the closure-bearing [[Measure]] from its spec. Each
+    * family calls the SAME builders the compiled cubes use, so the
+    * fromRaw expression tree — and therefore the persisted fingerprint
+    * — is identical to a hand-written equivalent. */
+  def measure(j: JsonMeasure): Measure = {
+    def c: Column = col(j.column.getOrElse(
+      throw new IllegalArgumentException(s"measure ${j.name}: no column")))
+    val answers = parseAnswers(j, j.answers)
+    val present: Column => Column =
+      if (j.presentDouble) _.cast(DoubleType) else identity
+    val sumOf = j.answersSumExpr.map(expr)
+    j.family match {
+      case "sum" =>
+        val in = if (j.decimal) dec(c) else c
+        Measure(j.name, sum(in), s => sum(col(s)), present, answers,
+          answersSumOf = sumOf)
+      case "count" =>
+        Measure(j.name, count(lit(1)), s => sum(col(s)), present, answers)
+      case "min" =>
+        Measure(j.name, min(c), s => min(col(s)), present, answers)
+      case "max" =>
+        Measure(j.name, max(c), s => max(col(s)), present, answers)
+      case "dim_distinct" =>
+        Measure(j.name, collect_set(c),
+          s => array_distinct(flatten(collect_list(col(s)))),
+          st => size(st).cast(LongType), answers)
+      case "bitmap" =>
+        Measure(j.name, Measures.bitmapAgg(c),
+          s => Measures.bitmapUnion(col(s)),
+          Measures.bitmapCount(_), answers)
+      case "hll" =>
+        Measure(j.name, Measures.hllAgg(c),
+          s => Measures.hllUnion(col(s)),
+          Measures.hllEstimate(_), answers)
+      case "kll" =>
+        Measure(j.name, Measures.kllAgg(c),
+          s => Measures.kllUnion(col(s)),
+          Measures.kllQuantile(_, lit(0.5)), answers)
+      case "raw" =>
+        Measure(j.name, collect_list(c),
+          s => flatten(collect_list(col(s))), present, answers)
+      case "topn" =>
+        val t = j.topn.get
+        val agg =
+          if (t.dims.size == 1) Measures.topnAgg(col(t.dims.head),
+            col(t.valueColumn))
+          else Measures.topnAggMulti(t.dims.map(col), col(t.valueColumn))
+        Measure(j.name, agg, s => Measures.topnUnion(col(s)),
+          topnShape = Some(TopNShape(t.dims, t.sumOf, t.scale)))
+      case other => throw new IllegalArgumentException(
+        s"measure ${j.name}: unknown family $other")
+    }
+  }
+
+  // ── document → CubeDef / ModelDef ─────────────────────────────────
+
+  def toModel(m: JsonModel): ModelDef =
+    ModelDef(m.fact,
+      m.edges.map(e => ModelEdge(e.lookup, e.via, e.lookupKey,
+        e.foreignKey, e.joinType)),
+      m.filterExpr.map(expr))
+
+  private def toTimeDim(t: JsonTimeDim): TimeDim = t.granularity match {
+    case "month" => TimeDim.month(t.name)
+    case "day"   => TimeDim(t.name, d => Some(d.substring(0, 10)))
+    case g => throw new IllegalArgumentException(
+      s"timeDim ${t.name}: granularity must be month|day, got $g")
+  }
+
+  def toCubeDef(j: JsonCube): CubeDef = {
+    val groups = j.aggGroups.map(g => AggGroup(g.includes,
+      g.mandatory.toSet, g.hierarchies, g.joints.map(_.toSet)))
+    val literal = j.cuboids.map(_.toSet)
+    // base cuboid implied: an operator lists the lattice SUBSET, the
+    // engine guarantees the rebuild-everything base (AggGroup.cuboids
+    // does the same for rule-declared lattices)
+    val cuboids =
+      (literal ++ (if (groups.nonEmpty) AggGroup.cuboids(j.dims, groups)
+                   else Seq(j.dims.toSet)) :+ j.dims.toSet).distinct
+    CubeDef(j.name, j.dims, j.measures.map(measure), j.segmentCol,
+      j.segments.map(s => Segment(s.name, s.start, s.end)),
+      cuboids,
+      timeDim = j.timeDim.map(toTimeDim),
+      shardBy = j.shardBy,
+      derived = j.derived.map(d => DerivedDim(d.name, d.host, d.lookup)),
+      notNull = j.notNull.toSet,
+      extended = j.extended.map(e =>
+        ExtendedColumn(e.name, e.host, e.measure)),
+      segDayGranular = j.segDayGranular)
+  }
+
+  // ── flat-table builder ────────────────────────────────────────────
+
+  /** The declared flat table over live source tables (the registered
+    * view / pushdown fallback). With `snapshotRoot` set (the BUILD
+    * path), lookups referenced by derived dims read through write-once
+    * snapshots under the cube root, so segment rebuilds join the
+    * dimension rows the cube was built with (DFSnapshotBuilder). */
+  def flatBuilder(j: JsonCube, snapshotRoot: Option[String] = None)
+      : (SparkSession, String) => DataFrame = (s, dir) => {
+    val snapLookups: Set[String] =
+      if (snapshotRoot.isDefined) j.derived.map(_.lookup).toSet
+      else Set.empty
+    val load = (n: String) => {
+      val live = graft.Tables.tbl(s, dir, n)
+      val frame = snapshotRoot match {
+        case Some(root) if snapLookups(n) => Snapshot.ensure(s, live, root, n)
+        case _ => live
+      }
+      if (j.model.broadcast.contains(n)) broadcast(frame) else frame
+    }
+    val base = toModel(j.model).flatten(load)
+    if (j.flatColumns.isEmpty) base
+    else base.select(j.flatColumns.map(fc =>
+      fc.expr.map(e => expr(e).as(fc.name)).getOrElse(col(fc.name))): _*)
+  }
+
+  // ── runtime registration ──────────────────────────────────────────
+
+  /** Register a declared cube with the SQL front-end: wires a
+    * [[GraftSql.Binding]] whose view is the declared flat table, whose
+    * instance supplier is the stamp-aware
+    * [[CubeManager.ensureDeclared]] (first touch builds under
+    * `<cubeRoot>/<sf>-<name>`, later touches load/serve the committed
+    * meta), and whose model (when it has edges) lets user-written
+    * joins route too. Returns the view name. Re-registering the same
+    * name replaces the prior declaration (GraftSql drops cached
+    * results via its bindings version). */
+  def register(spec: JsonCube): String = {
+    validate(spec)
+    toCubeDef(spec) // fail fast on lattice/dim errors, at deploy time
+    GraftSql.registerBinding(GraftSql.Binding(spec.viewName,
+      flatBuilder(spec),
+      (s, d) => CubeManager.ensureDeclared(s, d, spec),
+      model = Some(spec.model).filter(_.edges.nonEmpty).map(toModel),
+      rawTables =
+        if (spec.model.edges.nonEmpty)
+          (spec.model.fact +: spec.model.edges.map(_.lookup)).distinct
+        else Nil))
+    spec.viewName
+  }
+
+  /** parse + register in one step (the operator deploy call) */
+  def registerJson(json: String): String = register(parse(json))
+}

@@ -254,6 +254,9 @@ object CubeManager {
     * shared store makes race-free (the meta commit is the publish). */
   private val built = TrieMap.empty[String, (CubeInstance, String)]
   private val evBuilt = TrieMap.empty[String, (CubeInstance, String)]
+  /** JSON-declared cubes ([[CubeJson]]), keyed `<cube name>|<sfDir>` —
+    * one registry holds every runtime declaration */
+  private val declaredBuilt = TrieMap.empty[String, (CubeInstance, String)]
   /** merged realization: chained to BOTH its own meta-merged.json
     * stamp and the base build it merged from */
   private val mergedCache =
@@ -266,6 +269,7 @@ object CubeManager {
     * reset with them (ADVICE r10). */
   private[graft] def resetMemos(): Unit = {
     built.clear(); evBuilt.clear(); mergedCache.clear(); hybridBuilt.clear()
+    declaredBuilt.clear()
     GraftSql.clearResultCache()
   }
 
@@ -278,7 +282,10 @@ object CubeManager {
   private[graft] def loadedInstances(sfDir: String): Seq[CubeInstance] =
     built.get(sfDir).map(_._1).toSeq ++ evBuilt.get(sfDir).map(_._1).toSeq ++
       mergedCache.get(sfDir).map(_._1).toSeq ++
-      hybridBuilt.get(sfDir).toSeq.flatMap(_._1.slices.map(_.inst))
+      hybridBuilt.get(sfDir).toSeq.flatMap(_._1.slices.map(_.inst)) ++
+      declaredBuilt.collect {
+        case (k, (inst, _)) if k.endsWith(s"|$sfDir") => inst
+      }
 
   private def sfName(sfDir: String): String =
     sfDir.replaceAll("/+$", "").split('/').last
@@ -296,15 +303,15 @@ object CubeManager {
     * given loader, and only when the loader misses (no meta,
     * fingerprint drift, incomplete layout) pay the build */
   private def ensureFresh(memo: TrieMap[String, (CubeInstance, String)],
-      spark: SparkSession, sfDir: String, root: String, cube: CubeDef)(
+      spark: SparkSession, key: String, root: String, cube: CubeDef)(
       build: => CubeInstance): CubeInstance = {
     def stamp() = MetaStamp.of(spark, root, cube.name)
-    memo.get(sfDir) match {
+    memo.get(key) match {
       case Some((inst, id)) if stampServes(stamp(), id) => inst
       case _ => lock.synchronized {
         // double-check under the lock (another thread may have
         // refreshed while we waited)
-        memo.get(sfDir).filter { case (_, id) => stampServes(stamp(), id) }
+        memo.get(key).filter { case (_, id) => stampServes(stamp(), id) }
           .map(_._1).getOrElse {
             // memoize the buildId READ WITH the instance (Loaded pairs
             // them from one file read) — stamping after the load would
@@ -330,7 +337,7 @@ object CubeManager {
                     .getOrElse((b, stamp()))
                 }
               }
-            memo.put(sfDir, (inst, id))
+            memo.put(key, (inst, id))
             inst
           }
       }
@@ -385,6 +392,27 @@ object CubeManager {
     val root = s"$cubeRoot/${sfName(sfDir)}-events"
     ensureFresh(evBuilt, spark, sfDir, root, eventsCube)(
       CubeBuilder.build(spark, eventsFlat(spark, sfDir), eventsCube, root))
+  }
+
+  /** Load-or-build a JSON-declared cube ([[CubeJson]]) — the runtime
+    * half of declarative deployment: the spec constructs the CubeDef
+    * (closures included) on every call, the stamp-aware memo serves
+    * the committed instance, and only a metadata miss pays the build
+    * (flat table from the declared model, dictionary-encoding the
+    * declared columns, snapshotting derived-dim lookups). Roots are
+    * per-declaration (`<cubeRoot>/<sf>-<name>`), so declared cubes
+    * never collide with the compiled ones or each other. */
+  def ensureDeclared(spark: SparkSession, sfDir: String,
+                     spec: CubeJson.JsonCube): CubeInstance = {
+    val cube = CubeJson.toCubeDef(spec)
+    val root = s"$cubeRoot/${sfName(sfDir)}-${cube.name}"
+    ensureFresh(declaredBuilt, spark, s"${cube.name}|$sfDir", root, cube) {
+      val flat0 = CubeJson.flatBuilder(spec, Some(root))(spark, sfDir)
+      val flat = spec.dictColumns.foldLeft(flat0)((f, c) =>
+        Dictionary.encode(f,
+          Dictionary.buildOrAppend(spark, f, c, root), c))
+      CubeBuilder.build(spark, flat, cube, root)
+    }
   }
 
   // ── hybrid realization members (VERDICT r8 item 2) ────────────────

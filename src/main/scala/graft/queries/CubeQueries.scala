@@ -1145,6 +1145,70 @@ object CubeQueries extends QueryGroup {
       },
       Some("""SELECT l_returnflag, l_extendedprice AS val
              |FROM lineitem WHERE l_quantity >= 49.5
-             |ORDER BY l_returnflag, val""".stripMargin))
+             |ORDER BY l_returnflag, val""".stripMargin)),
+
+    // 36b ─────────────── declarative cube metadata (VERDICT r14 item
+    //     1): a cube DECLARED as a JSON document — model, flat
+    //     columns, dims, measure SPECS, segments, agg groups — with no
+    //     Scala definition anywhere, registered at runtime, built on
+    //     first touch, and routing user SQL (sum + count + exact
+    //     count-distinct via the declared bitmap measure). Reference:
+    //     core-cube/model/CubeDesc.java:99 (RootPersistentEntity JSON
+    //     + CachedCrudAssist load — a cube is DATA, not code).
+    Q("cube_json_declared",
+      (s, d) => {
+        val view = declaredOrdersView
+        val r = GraftSql.sqlVia(s, d,
+          s"""SELECT o_orderstatus,
+             |  sum(o_totalprice) AS price_sum,
+             |  count(*) AS n_orders,
+             |  count(DISTINCT o_custkey) AS n_cust
+             |FROM $view GROUP BY o_orderstatus""".stripMargin)
+        assert(r.routed && r.via == "cuboid",
+          s"JSON-declared cube must route, got ${r.via}")
+        assert(r.df.inputFiles.exists(_.contains("-orders_json/")),
+          "routed scan must read the declared cube's own root")
+        r.df.orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+             |  COUNT(*) AS n_orders,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin))
   )
+
+  /** The operator-authored JSON document behind `cube_json_declared` —
+    * registered once per JVM (re-registration would needlessly drop
+    * the SQL result cache on every query run). */
+  lazy val declaredOrdersView: String = CubeJson.registerJson(
+    """{
+      |  "name": "orders_json",
+      |  "model": {"fact": "orders"},
+      |  "flatColumns": [
+      |    {"name": "o_month", "expr": "date_format(o_orderdate, 'yyyy-MM')"},
+      |    {"name": "o_orderstatus"},
+      |    {"name": "o_orderpriority"},
+      |    {"name": "o_orderdate"},
+      |    {"name": "o_totalprice"},
+      |    {"name": "o_custkey"}
+      |  ],
+      |  "dims": ["o_month", "o_orderstatus", "o_orderpriority"],
+      |  "measures": [
+      |    {"name": "price_sum", "family": "sum", "column": "o_totalprice",
+      |     "decimal": true, "presentDouble": true},
+      |    {"name": "n_orders", "family": "count"},
+      |    {"name": "cust_bitmap", "family": "bitmap", "column": "o_custkey"}
+      |  ],
+      |  "segmentCol": "o_orderdate",
+      |  "segments": [
+      |    {"name": "h1", "start": "1992-01-01", "end": "1999-01-01"},
+      |    {"name": "h2", "start": "1999-01-01", "end": "2003-01-01"}
+      |  ],
+      |  "aggGroups": [
+      |    {"includes": ["o_month", "o_orderstatus", "o_orderpriority"]}
+      |  ],
+      |  "timeDim": {"name": "o_month", "granularity": "month"},
+      |  "segDayGranular": true
+      |}""".stripMargin)
 }

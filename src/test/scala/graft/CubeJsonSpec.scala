@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cube._
+import graft.queries.CubeQueries
+
+/** VERDICT r14 item 1: declarative cube metadata. A cube is DATA — a
+  * JSON document an operator authors and deploys at runtime, with no
+  * Scala definition and no recompile (reference: core-cube/model/
+  * CubeDesc.java:99, a RootPersistentEntity serialized as JSON). The
+  * measure-SPEC layer constructs today's closure-bearing Measures, so
+  * a JSON declaration equivalent to a compiled CubeDef fingerprints
+  * IDENTICALLY (same dims, same cuboid ids, same measure algebra). */
+class CubeJsonSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** a JSON document equivalent to CubeManager.defaultCube — every
+    * dim, segment, cuboid, derived/extended declaration, and all 14
+    * measures re-declared as specs */
+  private val starJson =
+    """{
+      |  "name": "star",
+      |  "model": {
+      |    "fact": "lineitem",
+      |    "edges": [
+      |      {"lookup": "orders", "via": "lineitem",
+      |       "lookupKey": "o_orderkey", "foreignKey": "l_orderkey"},
+      |      {"lookup": "customer", "via": "orders",
+      |       "lookupKey": "c_custkey", "foreignKey": "o_custkey"},
+      |      {"lookup": "nation", "via": "customer",
+      |       "lookupKey": "n_nationkey", "foreignKey": "c_nationkey"},
+      |      {"lookup": "region", "via": "nation",
+      |       "lookupKey": "r_regionkey", "foreignKey": "n_regionkey"},
+      |      {"lookup": "supplier", "via": "lineitem",
+      |       "lookupKey": "s_suppkey", "foreignKey": "l_suppkey"},
+      |      {"lookup": "part", "via": "lineitem",
+      |       "lookupKey": "p_partkey", "foreignKey": "l_partkey",
+      |       "joinType": "left"}
+      |    ],
+      |    "broadcast": ["nation", "region", "supplier", "part"]
+      |  },
+      |  "dims": ["o_month", "r_name", "n_name", "c_mktsegment",
+      |           "o_orderstatus", "l_returnflag", "p_brand"],
+      |  "measures": [
+      |    {"name": "revenue", "family": "sum", "column": "disc_price",
+      |     "presentDouble": true,
+      |     "answersSumExpr": "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"},
+      |    {"name": "qty", "family": "sum", "column": "l_quantity",
+      |     "decimal": true, "presentDouble": true},
+      |    {"name": "nrows", "family": "count"},
+      |    {"name": "qty_min", "family": "min", "column": "l_quantity"},
+      |    {"name": "price_max", "family": "max", "column": "l_extendedprice"},
+      |    {"name": "prio_set", "family": "dim_distinct",
+      |     "column": "o_orderpriority"},
+      |    {"name": "o_year_ext", "family": "max", "column": "o_year",
+      |     "answers": "none"},
+      |    {"name": "cust_bitmap", "family": "bitmap", "column": "o_custkey"},
+      |    {"name": "cust_hll", "family": "hll", "column": "o_custkey"},
+      |    {"name": "brand_topn", "family": "topn",
+      |     "topn": {"dims": ["p_brand"], "valueColumn": "disc_price_micros",
+      |              "sumOf": "disc_price", "scale": 10000}},
+      |    {"name": "brandseg_topn", "family": "topn",
+      |     "topn": {"dims": ["p_brand", "c_mktsegment"],
+      |              "valueColumn": "disc_price_micros",
+      |              "sumOf": "disc_price", "scale": 10000}},
+      |    {"name": "qty_kll", "family": "kll", "column": "l_quantity"},
+      |    {"name": "raw_hi", "family": "raw", "column": "raw_hi_price",
+      |     "answers": "none"},
+      |    {"name": "cname_bitmap", "family": "bitmap", "column": "c_name_id",
+      |     "answers": "none"}
+      |  ],
+      |  "segmentCol": "o_orderdate",
+      |  "segments": [
+      |    {"name": "s1995", "start": "1995-01-01", "end": "1997-01-01"},
+      |    {"name": "s1997", "start": "1997-01-01", "end": "1999-01-01"},
+      |    {"name": "s1999", "start": "1999-01-01", "end": "2001-01-01"},
+      |    {"name": "s2001", "start": "2001-01-01", "end": "2003-01-01"}
+      |  ],
+      |  "cuboids": [
+      |    ["o_month", "r_name", "n_name", "c_mktsegment", "o_orderstatus",
+      |     "l_returnflag", "p_brand"],
+      |    ["r_name", "n_name", "o_orderstatus", "l_returnflag", "o_month"],
+      |    ["o_orderstatus", "l_returnflag", "p_brand"],
+      |    ["o_orderstatus", "l_returnflag"],
+      |    ["r_name", "n_name"],
+      |    ["c_mktsegment", "o_month"],
+      |    ["o_month"]
+      |  ],
+      |  "timeDim": {"name": "o_month", "granularity": "month"},
+      |  "shardBy": "r_name",
+      |  "derived": [
+      |    {"name": "n_nationkey", "host": "n_name", "lookup": "nation"},
+      |    {"name": "n_regionkey", "host": "n_name", "lookup": "nation"}
+      |  ],
+      |  "notNull": ["disc_price", "l_quantity", "l_extendedprice",
+      |              "l_discount"],
+      |  "extended": [
+      |    {"name": "o_year", "host": "o_month", "measure": "o_year_ext"}
+      |  ],
+      |  "segDayGranular": true,
+      |  "dictColumns": ["c_name"]
+      |}""".stripMargin
+
+  test("a JSON declaration equivalent to defaultCube produces an " +
+      "IDENTICAL fingerprint and lattice") {
+    val declared = CubeJson.toCubeDef(CubeJson.parse(starJson))
+    val compiled = CubeManager.defaultCube
+
+    // the lattice: same cuboid id set under the same dim order
+    assert(declared.dims == compiled.dims)
+    assert(declared.cuboids.map(declared.cuboidId).sorted ==
+      compiled.cuboids.map(compiled.cuboidId).sorted,
+      "declared lattice must match the compiled cube's cuboid ids")
+
+    // the full layout fingerprint — measure ALGEBRA included (the
+    // spec constructors call the same builders, so the persisted
+    // fingerprint is byte-identical and a deployment can swap a
+    // compiled cube for its JSON declaration without a rebuild)
+    assert(CubeMeta.fingerprint(declared) == CubeMeta.fingerprint(compiled),
+      "declared fingerprint must equal the compiled cube's")
+
+    // the composite-expression answer (answersSumOf, outside the
+    // fingerprint) canonicalizes to the same tree
+    val tree = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge.expressionTree(c)
+    val dRev = declared.measure("revenue").answersSumOf.get
+    val cRev = compiled.measure("revenue").answersSumOf.get
+    assert(ExprCanon.same(tree(dRev), tree(cRev)),
+      "declared answersSumExpr must canonicalize to the compiled tree")
+  }
+
+  test("render ∘ parse is the identity on the document") {
+    val spec = CubeJson.parse(starJson)
+    assert(CubeJson.parse(CubeJson.render(spec)) == spec)
+  }
+
+  test("malformed documents fail at deploy time with the part named") {
+    def err(json: String): String =
+      intercept[IllegalArgumentException](CubeJson.parse(json)).getMessage
+    assert(err("""{"name": ""}""").nonEmpty) // unparseable/empty
+    val base =
+      """{"name": "x", "model": {"fact": "orders"},
+        |"dims": ["a"], "segmentCol": "d",
+        |"segments": [{"name": "s", "start": "1992-01-01",
+        |              "end": "2003-01-01"}],
+        |"measures": [%s]}""".stripMargin
+    assert(err(base.format(
+      """{"name": "m", "family": "frobnicate"}"""))
+      .contains("unknown family"))
+    assert(err(base.format(
+      """{"name": "m", "family": "sum"}"""))
+      .contains("needs a column"))
+    assert(err(base.format(
+      """{"name": "m", "family": "topn"}"""))
+      .contains("needs a topn shape"))
+    assert(err(base.format(
+      """{"name": "m", "family": "sum", "column": "c",
+        | "answers": "gibberish:c"}""".stripMargin))
+      .contains("unparseable answers"))
+  }
+
+  test("a JSON-declared cube registers at runtime, builds, routes " +
+      "SQL, and survives a restart as a pure metadata load") {
+    val view = CubeQueries.declaredOrdersView // registers once per JVM
+    GraftSql.registerViews(spark, sf)
+
+    val q =
+      s"""SELECT o_orderstatus, sum(o_totalprice) AS price_sum,
+         |  count(*) AS n_orders
+         |FROM $view GROUP BY o_orderstatus""".stripMargin
+    val r = GraftSql.sqlVia(spark, sf, q)
+    assert(r.routed && r.via == "cuboid", s"got ${r.via}")
+    assert(r.df.inputFiles.exists(f =>
+      f.contains("-orders_json/") && f.contains("cuboid=")),
+      s"must scan the declared cube's cuboids, got " +
+        r.df.inputFiles.take(3).mkString(", "))
+
+    val got = r.df.collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getLong(2))).toSet
+    val want = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(sum(Exact.dec(col("o_totalprice"))).cast("double").as("p"),
+           count(lit(1)).as("n"))
+      .collect().map(x => (x.getString(0), x.getDouble(1), x.getLong(2)))
+      .toSet
+    assert(got == want && want.nonEmpty)
+
+    // a time-ranged query prunes to the covering segment
+    val pr = GraftSql.sqlVia(spark, sf,
+      s"""SELECT o_orderstatus, count(*) AS n_orders FROM $view
+         |WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+         |GROUP BY o_orderstatus""".stripMargin)
+    assert(pr.routed && pr.via == "cuboid")
+    assert(pr.df.inputFiles.forall(_.contains("/h2/")),
+      "range in the second segment must prune the first")
+
+    // simulated restart: the declared cube loads its committed meta —
+    // no build phase fires
+    CubeManager.resetMemos()
+    val phasesBefore = CubeBuilder.phaseTotals
+    val r2 = GraftSql.sqlVia(spark, sf, q)
+    assert(r2.routed && r2.via == "cuboid")
+    assert(r2.df.collect().length == got.size)
+    assert(CubeBuilder.phaseTotals == phasesBefore,
+      "restarted process must serve the declared cube from meta.json")
+  }
+
+  test("a JSON-declared cube accelerates plain spark.sql through the " +
+      "extensions rule") {
+    val view = CubeQueries.declaredOrdersView
+    GraftSql.clearResultCache()
+    GraftSql.registerViews(spark, sf)
+    val q =
+      s"""SELECT o_orderstatus, count(*) AS n_orders
+         |FROM $view GROUP BY o_orderstatus""".stripMargin
+    val plain = spark.sql(q)
+    assert(!plain.inputFiles.exists(_.contains("cuboid=")))
+    val want = plain.collect().map(x => (x.getString(0), x.getLong(1))).toSet
+    spark.conf.set("spark.graft.accelerate", "true")
+    try {
+      val acc = spark.sql(q)
+      assert(acc.inputFiles.exists(f =>
+        f.contains("-orders_json/") && f.contains("cuboid=")),
+        s"accelerated plan must read the declared cuboids, got " +
+          acc.inputFiles.take(3).mkString(", "))
+      val got = acc.collect().map(x => (x.getString(0), x.getLong(1))).toSet
+      assert(got == want && got.nonEmpty)
+    } finally spark.conf.set("spark.graft.accelerate", "false")
+  }
+}
