@@ -290,6 +290,42 @@ object CubeManager {
   private def sfName(sfDir: String): String =
     sfDir.replaceAll("/+$", "").split('/').last
 
+  /** The realization stamp set read straight FROM THE SHARED STORE —
+    * one (meta path, cube, committed buildId) triple per committed
+    * realization meta under this sf's cube roots, enumerated by
+    * LISTING the store rather than by any per-process registry. Two
+    * processes (or one process before/after a restart) therefore
+    * compute the SAME set for the same on-disk state — the property
+    * the fleet-cache key needs, which per-JVM `loadedInstances`-based
+    * stamps cannot give (a fresh memo is empty) and an in-memory
+    * declared-cube registry cannot either (the other process never saw
+    * the registration). Every commit anywhere in the fleet (build,
+    * append, merge, a new declared cube's first build, a GC'd meta)
+    * changes the set. Cost: two listStatus levels + one getFileStatus
+    * per committed meta (MetaStamp memoizes inside the optional
+    * recheck window for object-store QPS). */
+  private[graft] def fleetStamps(spark: SparkSession,
+      sfDir: String): Seq[(String, String, String)] = {
+    val sf = sfName(sfDir)
+    val base = new org.apache.hadoop.fs.Path(cubeRoot)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val roots = scala.util.Try(fs.listStatus(base).toSeq).getOrElse(Nil)
+      .filter(st => st.isDirectory && {
+        val n = st.getPath.getName
+        n == sf || n.startsWith(s"$sf-")
+      })
+    val stamps = for {
+      r <- roots
+      c <- scala.util.Try(fs.listStatus(r.getPath).toSeq).getOrElse(Nil)
+      if c.isDirectory
+      file <- Seq(CubeMeta.MetaFile, CubeMeta.MergedFile)
+      id = MetaStamp.of(spark, r.getPath.toString, c.getPath.getName, file)
+      if id != MetaStamp.Absent // uncommitted dirs contribute nothing
+    } yield (s"${r.getPath}/${c.getPath.getName}/$file",
+      c.getPath.getName, id)
+    stamps.sortBy(_._1)
+  }
+
   /** a memoized id keeps serving when the fresh stamp matches it — or
     * when the stamp read failed transiently ([[MetaStamp.Unavailable]]):
     * a store hiccup on the query hot path must degrade to serving the

@@ -1,0 +1,188 @@
+package graft.cube
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s.DefaultFormats
+import org.json4s.jackson.Serialization
+
+/** Fleet-shared (L2) query-result cache — a storage-backed tier under
+  * a conf-chosen dir so ONE serving JVM's computed result serves the
+  * whole fleet (reference: cache/src/main/java/org/apache/kylin/cache/
+  * cachemanager/MemcachedCacheManager.java:46 with
+  * RemoteLocalFailOverCacheManager.java — a remote shared cache with
+  * the in-process cache as the local failover tier). graft's in-JVM
+  * persist cache (GraftSql.sqlCached) is the L1 over this: L1 hit →
+  * replay persisted blocks; L1 miss → L2 lookup; both miss → compute,
+  * write through.
+  *
+  * An entry is keyed on the CONTENT that determines the answer — the
+  * canonicalized query plan and the realization stamp set (each
+  * registered realization root's committed buildId, read from the
+  * shared store, so the key means the same thing in every process) —
+  * hashed to one directory name:
+  *
+  * {{{ <dir>/entries/<sha256(sfDir|plan|stamps)>/payload/  (parquet)
+  *                                              /entry.json (commit) }}}
+  *
+  * `entry.json` is written LAST (tmp-then-rename), so a reader that
+  * sees it sees a complete payload; a crash mid-write leaves an
+  * entry-less payload dir that the FIFO prune sweeps. A foreign
+  * metadata commit (build/append/refresh/merge in any process) changes
+  * that realization's buildId, changing every affected key — the stale
+  * entry is never addressed again and ages out of the FIFO bound.
+  * Fallback (unrouted) results are never written: a raw-scan answer is
+  * not invalidation-tracked by any stamp.
+  *
+  * Scale: entries are post-aggregation results (cuboid-cell scale, not
+  * fact scale); the payload read on a hit touches ONLY the cache dir —
+  * zero Spark jobs against cube or source parquet. The FIFO bound
+  * (`spark.graft.fleetCacheEntries`, default 256) is enforced
+  * opportunistically after each store, newest-kept by entry mtime,
+  * like QueryLog's bounded store.
+  */
+object FleetCache {
+
+  /** unset ⇒ the tier is off (zero I/O) */
+  val DirConf = "spark.graft.fleetCacheDir"
+  val CapConf = "spark.graft.fleetCacheEntries"
+  val DefaultCap = 256
+
+  def dirOf(spark: SparkSession): Option[String] =
+    spark.conf.getOption(DirConf).filter(_.nonEmpty)
+
+  private def capOf(spark: SparkSession): Int =
+    spark.conf.getOption(CapConf).map(_.toInt).getOrElse(DefaultCap)
+
+  /** one cached answer, as read back from the shared store */
+  final case class Hit(df: org.apache.spark.sql.DataFrame, via: String,
+                       estRows: Option[Long],
+                       route: Option[(String, Set[String])])
+
+  private final case class EntryJson(query: String, via: String,
+      estRows: Option[Long], schemaJson: String,
+      routeCube: Option[String], routeDims: Option[Seq[String]],
+      createdMs: Long)
+
+  private implicit val fmts: DefaultFormats = DefaultFormats
+
+  def keyHash(sfDir: String, planCanon: String,
+              stamps: Seq[(String, String, String)]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val text = s"$sfDir $planCanon ${stamps.mkString(" ")}"
+    md.digest(text.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def entryDir(dir: String, key: String) = s"$dir/entries/$key"
+
+  /** serve `key` from the shared store, or None. Any read failure —
+    * torn entry, concurrently-pruned payload — is a miss, never an
+    * error on the query hot path. */
+  def lookup(spark: SparkSession, dir: String, key: String): Option[Hit] =
+    scala.util.Try {
+      val ed = entryDir(dir, key)
+      val ep = new Path(s"$ed/entry.json")
+      val fs = ep.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(ep)) None
+      else {
+        val in = fs.open(ep)
+        val text =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](8192)
+            Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
+              .foreach(n => buf.write(chunk, 0, n))
+            buf.toString(StandardCharsets.UTF_8.name())
+          } finally in.close()
+        val e = Serialization.read[EntryJson](text)
+        // schema pinned in the entry: a zero-row payload has no part
+        // files to infer from, and inference would be an extra
+        // footer-listing pass anyway
+        val schema = DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
+        val df = spark.read.schema(schema).parquet(s"$ed/payload")
+        Some(Hit(df, e.via, e.estRows,
+          e.routeCube.map(c => (c, e.routeDims.getOrElse(Nil).toSet))))
+      }
+    }.toOption.flatten
+
+  /** Write-through: materialize the routed result as the entry's
+    * parquet payload (this IS the miss's compute), commit entry.json
+    * last, prune to the FIFO bound, and return a frame reading the
+    * payload — so the caller's L1 tier replays cache files, not a
+    * recompute. A lost write race (another process committed the same
+    * key first) serves the winner's entry. Any write failure degrades
+    * to the computed frame — the cache must never fail a query. */
+  def store(spark: SparkSession, dir: String, key: String,
+            df: org.apache.spark.sql.DataFrame, via: String,
+            estRows: Option[Long], route: Option[(String, Set[String])],
+            query: String): org.apache.spark.sql.DataFrame =
+    scala.util.Try {
+      val ed = entryDir(dir, key)
+      val payload = new Path(s"$ed/payload")
+      val fs = payload.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new Path(s"$ed/entry.json"))) {
+        // another process already committed this key
+        lookup(spark, dir, key).map(_.df).getOrElse(df)
+      } else {
+        val tmp = new Path(s"$dir/tmp/${java.util.UUID.randomUUID()}")
+        df.write.mode("overwrite").parquet(tmp.toString)
+        fs.mkdirs(payload.getParent)
+        val renamed = fs.rename(tmp, payload)
+        if (!renamed) { // lost the payload race
+          fs.delete(tmp, true)
+          lookup(spark, dir, key).map(_.df).getOrElse(df)
+        } else {
+          val e = EntryJson(query, via, estRows, df.schema.json,
+            route.map(_._1), route.map(_._2.toSeq.sorted),
+            System.currentTimeMillis())
+          val ejTmp = new Path(s"$ed/entry.json.tmp")
+          val out = fs.create(ejTmp, true)
+          try out.write(
+            Serialization.write(e).getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          fs.rename(ejTmp, new Path(s"$ed/entry.json"))
+          prune(spark, dir)
+          spark.read.schema(df.schema).parquet(payload.toString)
+        }
+      }
+    }.getOrElse(df)
+
+  /** FIFO bound: keep the newest `cap` committed entries (by
+    * entry.json mtime), delete the rest — plus any payload dir whose
+    * entry.json never landed (crashed writer) once it is old enough
+    * that no writer can still be mid-commit. Opportunistic and
+    * crash-safe: every delete is of an entry a re-miss can recompute. */
+  def prune(spark: SparkSession, dir: String): Unit = scala.util.Try {
+    val cap = capOf(spark)
+    val root = new Path(s"$dir/entries")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val now = System.currentTimeMillis()
+    val entries = fs.listStatus(root).toSeq.map { st =>
+      val ej = new Path(st.getPath, "entry.json")
+      val mtime = scala.util.Try(fs.getFileStatus(ej).getModificationTime)
+        .getOrElse(-1L)
+      (st.getPath, mtime)
+    }
+    val (committed, torn) = entries.partition(_._2 >= 0)
+    committed.sortBy(-_._2).drop(cap)
+      .foreach { case (p, _) => fs.delete(p, true): Unit }
+    // a torn dir older than 10 minutes is a crashed writer's leavings
+    torn.foreach { case (p, _) =>
+      val age = now - fs.getFileStatus(p).getModificationTime
+      if (age > 600000L) fs.delete(p, true): Unit
+    }
+  }: Unit
+
+  /** observability: committed entry count (specs + ops) */
+  def entryCount(spark: SparkSession, dir: String): Int = scala.util.Try {
+    val root = new Path(s"$dir/entries")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root).count(st =>
+      fs.exists(new Path(st.getPath, "entry.json")))
+  }.getOrElse(0)
+}

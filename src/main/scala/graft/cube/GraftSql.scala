@@ -727,6 +727,19 @@ object GraftSql {
   def resultCacheStats: (Long, Long, Long) =
     (cacheHits.get(), cacheMisses.get(), cacheEvictions.get())
 
+  /** fleet (L2) tier observability: hits served from the shared store */
+  private val fleetHits = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val fleetMisses = new java.util.concurrent.atomic.AtomicLong(0L)
+  def fleetCacheStats: (Long, Long) = (fleetHits.get(), fleetMisses.get())
+
+  /** Cross-process-stable canonical form of the query's parsed plan —
+    * the fleet-cache key half that normalizes formatting/keyword case
+    * without touching the catalog. Alias/expression ids are JVM-global
+    * counters (NOT stable across processes), so they are stripped. */
+  private def planCanon(spark: SparkSession, query: String): String =
+    spark.sessionState.sqlParser.parsePlan(query).toString
+      .replaceAll("#\\d+", "")
+
   /** stamps over every instance this process has TOUCHED for the dir
     * (incl. merged and hybrid members) — no build is forced to compute
     * a key: an untouched cube can't have produced a cached result, and
@@ -759,31 +772,68 @@ object GraftSql {
         hit.copy(fromCache = true)
       case None =>
         cacheMisses.incrementAndGet()
-        // compute OUTSIDE the lock: a cache must not serialize misses
-        val r = sqlVia(spark, sfDir, query)
-        if (!r.routed) r
-        else {
-          val cached = SqlResult(r.df.persist(), r.routed, r.via, r.estRows,
-            route = QueryRouter.QueryStats.peekLastForThread())
-          resultCache.synchronized {
-            resultCache.get(key) match {
-              case Some(winner) => // lost a race: drop our persist
-                scala.util.Try(cached.df.unpersist()): Unit
-                winner
-              case None =>
-                resultCache.put(key, cached)
-                while (resultCache.size > ResultCacheCap) {
-                  val (ek, ev) = resultCache.head
-                  resultCache.remove(ek)
-                  cacheEvictions.incrementAndGet()
-                  scala.util.Try(ev.df.unpersist()): Unit
-                }
-                cached
+        // L2: the fleet-shared tier (off unless the conf names a dir).
+        // Key = canonical plan + stamp set read from the shared store —
+        // meaningful in every process, unlike the L1 key's memo-scoped
+        // stamps. Another JVM's committed entry serves here with zero
+        // Spark jobs against cube parquet (the payload read IS the
+        // answer); a foreign metadata commit changed the stamps and so
+        // the key, making staleness unaddressable.
+        val l2 = FleetCache.dirOf(spark).map(d => (d,
+          FleetCache.keyHash(sfDir, planCanon(spark, query),
+            CubeManager.fleetStamps(spark, sfDir))))
+        l2.flatMap { case (d, k) => FleetCache.lookup(spark, d, k) } match {
+          case Some(hit) =>
+            fleetHits.incrementAndGet()
+            hit.route.foreach { case (c, dm) =>
+              QueryRouter.QueryStats.record(c, dm) }
+            val res = SqlResult(hit.df.persist(), routed = true, hit.via,
+              hit.estRows, route = hit.route)
+            l1Insert(key, res).copy(fromCache = true)
+          case None =>
+            if (l2.isDefined) fleetMisses.incrementAndGet()
+            // compute OUTSIDE the lock: a cache must not serialize
+            // misses
+            val r = sqlVia(spark, sfDir, query)
+            if (!r.routed) r // fallbacks never cache, in either tier
+            else {
+              val route = QueryRouter.QueryStats.peekLastForThread()
+              // write-through: after the store, the frame we keep (and
+              // L1-persist) READS THE CACHE PAYLOAD, so later replays
+              // in this JVM also stay off the cube parquet
+              val served = l2.map { case (d, k) =>
+                FleetCache.store(spark, d, k, r.df, r.via, r.estRows,
+                  route, query)
+              }.getOrElse(r.df)
+              l1Insert(key, SqlResult(served.persist(), r.routed, r.via,
+                r.estRows, route = route))
             }
-          }
         }
     }
   }
+
+  /** insert a computed/fetched result into the in-JVM (L1) tier under
+    * the FIFO bound; a lost insert race serves the winner and drops
+    * our persist */
+  private def l1Insert(
+      key: (String, String, Long, Seq[(String, String, String)]),
+      cached: SqlResult): SqlResult =
+    resultCache.synchronized {
+      resultCache.get(key) match {
+        case Some(winner) => // lost a race: drop our persist
+          scala.util.Try(cached.df.unpersist()): Unit
+          winner
+        case None =>
+          resultCache.put(key, cached)
+          while (resultCache.size > ResultCacheCap) {
+            val (ek, ev) = resultCache.head
+            resultCache.remove(ek)
+            cacheEvictions.incrementAndGet()
+            scala.util.Try(ev.df.unpersist()): Unit
+          }
+          cached
+      }
+    }
 
   /** SparkSessionExtensions entry (graft.plans.GraftExtensions installs
     * it as a post-hoc resolution rule): transparently swap a plain

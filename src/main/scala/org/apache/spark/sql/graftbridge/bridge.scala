@@ -53,3 +53,21 @@ object DatasetBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
+
+/** Scan-provenance helper: the file paths a frame's ANALYZED plan
+  * reads. `Dataset.inputFiles` consults the cache-substituted plan, so
+  * a persisted frame (or one whose plan the CacheManager matched)
+  * reports nothing — this walks the analyzed tree, which substitution
+  * never rewrites, so cache/spec code can assert WHERE a result comes
+  * from regardless of persist state. */
+object ScanBridge {
+  def scanRootPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+}

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cube._
+
+/** VERDICT r14 item 2: the fleet-shared (L2) result cache. One serving
+  * JVM's computed result must serve the whole fleet through the
+  * shared store (reference: MemcachedCacheManager +
+  * RemoteLocalFailOverCacheManager — remote shared tier, in-process
+  * tier as L1/failover). */
+class FleetCacheSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val q =
+    """SELECT n_name, sum(disc_price) AS revenue, count(*) AS n_rows
+      |FROM graft_star WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin
+
+  private def withFleetDir(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fleet").toString
+    spark.conf.set(FleetCache.DirConf, dir)
+    GraftSql.clearResultCache()
+    try f(dir)
+    finally {
+      spark.conf.unset(FleetCache.DirConf)
+      GraftSql.clearResultCache()
+    }
+  }
+
+  test("state A computes + writes through; fresh state B serves the " +
+      "entry with zero scans of cube parquet") {
+    CubeManager.ensureBuilt(spark, sf)
+    withFleetDir { dir =>
+      val a = GraftSql.sqlCached(spark, sf, q)
+      assert(a.routed && !a.fromCache)
+      assert(FleetCache.entryCount(spark, dir) == 1,
+        "the routed miss must commit one entry")
+      val want = a.df.collect()
+        .map(x => (x.getString(0), x.getDouble(1), x.getLong(2))).toSet
+      // even in process A, the kept frame reads the cache payload —
+      // write-through means later replays stay off the cube parquet.
+      // (Dataset.inputFiles consults the cache-substituted plan and
+      // reports nothing for persisted frames — assert on the analyzed
+      // plan's scan roots instead)
+      val scans = (df: org.apache.spark.sql.DataFrame) =>
+        org.apache.spark.sql.graftbridge.ScanBridge.scanRootPaths(df)
+      assert(scans(a.df).nonEmpty && scans(a.df).forall(_.contains(dir)),
+        s"stored frame must read the payload, got " +
+          scans(a.df).take(3).mkString(", "))
+
+      CubeManager.resetMemos() // fresh process state B
+      val phases = CubeBuilder.phaseTotals
+      val (h0, _) = GraftSql.fleetCacheStats
+      val b = GraftSql.sqlCached(spark, sf, q)
+      assert(b.routed && b.fromCache,
+        "fresh state must hit the fleet entry")
+      assert(scans(b.df).nonEmpty && scans(b.df).forall(_.contains(dir)),
+        s"fleet hit must scan only the cache dir, got " +
+          scans(b.df).take(3).mkString(", "))
+      val got = b.df.collect()
+        .map(x => (x.getString(0), x.getDouble(1), x.getLong(2))).toSet
+      assert(got == want && want.nonEmpty)
+      assert(CubeBuilder.phaseTotals == phases,
+        "a fleet-cache hit must not fire any build phase")
+      assert(GraftSql.fleetCacheStats._1 == h0 + 1)
+    }
+  }
+
+  test("a REAL second JVM serves the entry written by this process") {
+    CubeManager.ensureBuilt(spark, sf)
+    withFleetDir { dir =>
+      val a = GraftSql.sqlCached(spark, sf, q)
+      assert(a.routed && FleetCache.entryCount(spark, dir) == 1)
+      val javaBin = s"${System.getProperty("java.home")}/bin/java"
+      val child = new ProcessBuilder(javaBin,
+          "-cp", System.getProperty("java.class.path"),
+          "-Xmx2g", "graft.ChildServe", dir, sf, q)
+        .redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(child.getInputStream)
+        .mkString // drain, or a full pipe can deadlock the child
+      assert(child.waitFor() == 0,
+        s"child serve failed:\n${out.takeRight(2000)}")
+      assert(out.contains("CHILD_SERVE_OK"), out.takeRight(500))
+    }
+  }
+
+  test("a foreign metadata commit invalidates through the stamps") {
+    val inst = CubeManager.ensureBuilt(spark, sf)
+    withFleetDir { dir =>
+      val a = GraftSql.sqlCached(spark, sf, q)
+      assert(a.routed && FleetCache.entryCount(spark, dir) == 1)
+      // foreign commit: a new buildId lands in the shared meta (what a
+      // builder process's append/refresh publishes)
+      CubeMeta.save(spark, inst)
+      CubeManager.resetMemos()
+      val b = GraftSql.sqlCached(spark, sf, q)
+      assert(b.routed && !b.fromCache,
+        "a foreign commit must make the old entry unaddressable")
+      assert(FleetCache.entryCount(spark, dir) == 2,
+        "the recompute commits a second entry under the new stamps")
+    }
+  }
+
+  test("fallback (unrouted) results never cache") {
+    CubeManager.ensureBuilt(spark, sf)
+    withFleetDir { dir =>
+      val r = GraftSql.sqlCached(spark, sf,
+        """SELECT o_orderstatus,
+          |  sum(disc_price) FILTER (WHERE l_returnflag = 'R') AS x
+          |FROM graft_star GROUP BY o_orderstatus""".stripMargin)
+      assert(!r.routed)
+      assert(FleetCache.entryCount(spark, dir) == 0,
+        "an unrouted answer is not stamp-tracked and must not cache")
+    }
+  }
+
+  test("the store is FIFO-bounded like QueryLog") {
+    CubeManager.ensureBuilt(spark, sf)
+    withFleetDir { dir =>
+      spark.conf.set(FleetCache.CapConf, "2")
+      try {
+        val queries = Seq("ASIA", "EUROPE", "AMERICA").map(rg =>
+          s"""SELECT n_name, count(*) AS n_rows FROM graft_star
+             |WHERE r_name = '$rg' GROUP BY n_name""".stripMargin)
+        queries.foreach { qq =>
+          val r = GraftSql.sqlCached(spark, sf, qq)
+          assert(r.routed)
+          // FIFO prune is mtime-ordered: keep the commits apart
+          Thread.sleep(1100)
+        }
+        assert(FleetCache.entryCount(spark, dir) == 2,
+          s"cap 2 must hold, got ${FleetCache.entryCount(spark, dir)}")
+        // the EVICTED entry is the oldest: the first query recomputes…
+        GraftSql.clearResultCache()
+        val r0 = GraftSql.sqlCached(spark, sf, queries.head)
+        assert(!r0.fromCache)
+        // …while the newest still serves
+        GraftSql.clearResultCache()
+        val r2 = GraftSql.sqlCached(spark, sf, queries.last)
+        assert(r2.fromCache)
+      } finally spark.conf.unset(FleetCache.CapConf)
+    }
+  }
+}
