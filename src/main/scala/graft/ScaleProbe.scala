@@ -131,6 +131,34 @@ object ScaleProbe {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Stage decomposition of the LSH semantic-dedup path (VERDICT r14
+    * item 4): candidate-pair counts and per-stage times at each scale,
+    * so the 100× curve's steepness is ATTRIBUTABLE — candidate-side
+    * (the bits/tables knob's business) vs verify/output-side (the
+    * emitted pair count is the data's own duplicate structure, not an
+    * algorithmic choice). Runs AFTER every timed pass so its persists
+    * and counts cannot warm or distort the keyed timings. */
+  private def decomposeLsh(spark: SparkSession, dir: String,
+                           label: String): String = {
+    import graft.pipeline.EmbeddingSearch
+    val embs = Tables.embeddings(spark, dir)
+    val n = embs.count()
+    val bits = EmbeddingSearch.lshBitsFor(n)
+    val tables = EmbeddingSearch.lshTablesFor(bits)
+    val t0 = System.nanoTime()
+    val cand = EmbeddingSearch.lshCandidatePairs(embs, bits, tables)
+      .persist()
+    val nCand = cand.count()
+    val tCand = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val nPairs = EmbeddingSearch.lshVerifyPairs(embs, cand, 0.4).count()
+    val tVerify = (System.nanoTime() - t1) / 1e9
+    cand.unpersist()
+    f"""{"scale":"$label","n":$n,"bits":$bits,"tables":$tables,""" +
+      f""""candidates":$nCand,"cand_sec":$tCand%.3f,""" +
+      f""""pairs":$nPairs,"verify_sec":$tVerify%.3f}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -204,6 +232,12 @@ object ScaleProbe {
         (t, if (withPrebuilt)
           Some(timeIncrementalPrebuilt(spark, out100, "x100")) else None)
       }
+    // LSH semantic-dedup stage decomposition, after all timed passes
+    val lshDecomp: Seq[String] =
+      if (!keys.contains("emb_semantic_dedup_lsh")) Nil
+      else Seq(decomposeLsh(spark, sfDir, "sf01"),
+        decomposeLsh(spark, out10, "x10")) ++
+        (if (run100) Seq(decomposeLsh(spark, out100, "x100")) else Nil)
     val loadAfter = loadAvg()
     val big100m = big100.toMap
     val rows = big.map { case (name, t10) =>
@@ -222,10 +256,13 @@ object ScaleProbe {
           f""""ratio100":${t / math.max(pb10, 1e-9)}%.2f""").getOrElse("") +
         "}"
     val allRows = if (withPrebuilt) rows :+ pbRow else rows
+    val decompField =
+      if (lshDecomp.isEmpty) ""
+      else s""","lsh_decomp":[${lshDecomp.mkString(",")}]"""
     val json = s"""{"metric":"scale10","copies":$Copies,""" +
       s""""copies100":${if (run100) Copies * 10 else 0},""" +
       f""""load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,""" +
-      s""""keys":[${allRows.mkString(",")}]}"""
+      s""""keys":[${allRows.mkString(",")}]$decompField}"""
     println(json)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(probeOut),

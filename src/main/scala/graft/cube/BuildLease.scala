@@ -37,6 +37,22 @@ import org.apache.spark.sql.SparkSession
   * builder of ANY duration keeps its lease alive, so ExpiryMs only has
   * to exceed the heartbeat interval by a safe factor, never the build
   * time.
+  *
+  * Object stores (ADVICE r14): `setTimes` is unsupported on s3a-like
+  * stores, so the heartbeat falls back — permanently, on its first
+  * setTimes failure — to rewriting the lease body (a new object PUT
+  * changes mtime and length on any store); the waiter tracks
+  * quiescence of the (mtime, len) PAIR so the tick is visible even
+  * under coarse mtime granularity. Note also that
+  * `create(overwrite=false)` is NOT an atomic mutual-exclusion
+  * primitive on s3a (list-after-write consistency does not make
+  * create exclusive): there, two racers can both "acquire", and the
+  * lease degrades to best-effort build-cost dedup — correctness is
+  * unaffected either way, because the meta commit (write-tmp-then-
+  * rename, commit-last) remains the only publish and the loser's
+  * work is simply wasted, the exact pre-lease behavior. A deployment
+  * that needs strict single-builder on S3 should point the lease at
+  * an HDFS/consistent namespace or an external lock service.
   */
 object BuildLease {
 
@@ -50,6 +66,11 @@ object BuildLease {
 
   private val owner =
     s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
+
+  /** lease body = owner line, optionally followed by heartbeat ticks
+    * (the rewrite-mode heartbeat appends a changing second line) */
+  private def ownerOf(body: String): String =
+    body.linesIterator.nextOption().getOrElse("")
 
   private def tryAcquire(fs: FileSystem, p: Path): Boolean =
     try {
@@ -90,7 +111,7 @@ object BuildLease {
       val in = fs.open(p)
       val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      if (body == owner) fs.delete(p, false): Unit
+      if (ownerOf(body) == owner) fs.delete(p, false): Unit
     }: Unit
 
   /** Run `build` under the cube's build lease (`leaseFile` names the
@@ -104,19 +125,39 @@ object BuildLease {
       loadCommitted: => Option[T])(build: => T): T = {
     val p = new Path(s"$root/$cubeName/$leaseFile")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // (mtime, first locally observed at) — quiescence tracking
-    var observed: Option[(Long, Long)] = None
+    // ((mtime, len), first locally observed at) — quiescence tracking.
+    // Length rides along because the object-store heartbeat rewrites
+    // the body (PUT), so a store with coarse mtime still shows the
+    // tick through the changing length.
+    var observed: Option[((Long, Long), Long)] = None
     while (true) {
       if (tryAcquire(fs, p)) {
         // we hold the lease — keep it alive for the build's duration;
         // a failed touch is retried next tick (a transient FS error
-        // must not silently kill the heartbeat and invite takeover)
+        // must not silently kill the heartbeat and invite takeover).
+        // Object stores (s3a) do not support setTimes — it throws,
+        // which would have made EVERY touch a silent no-op inside the
+        // old Try and any build longer than ExpiryMs look crashed
+        // (ADVICE r14). On the first setTimes failure the heartbeat
+        // permanently falls back to REWRITING the lease body (owner
+        // line + a changing tick line): a new object PUT changes
+        // mtime and length on every store, which is exactly what the
+        // waiter's (mtime, len) quiescence tracking watches.
         val hb = new Thread(() => {
+          var rewriteMode = false
           try {
             while (!Thread.currentThread().isInterrupted) {
               Thread.sleep(HeartbeatMs)
-              scala.util.Try(
-                fs.setTimes(p, System.currentTimeMillis(), -1)): Unit
+              if (!rewriteMode &&
+                  scala.util.Try(fs.setTimes(p,
+                    System.currentTimeMillis(), -1)).isFailure)
+                rewriteMode = true
+              if (rewriteMode) scala.util.Try {
+                val out = fs.create(p, true) // overwrite our own lease
+                try out.write(
+                  s"$owner\n${System.nanoTime()}".getBytes("UTF-8"))
+                finally out.close()
+              }: Unit
             }
           } catch { case _: InterruptedException => }
         }, s"graft-build-lease-$cubeName")
@@ -130,22 +171,24 @@ object BuildLease {
           releaseOwned(fs, p)
         }
       } else {
-        scala.util.Try(fs.getFileStatus(p).getModificationTime)
-          .toOption match {
+        scala.util.Try {
+          val st = fs.getFileStatus(p)
+          (st.getModificationTime, st.getLen)
+        }.toOption match {
           case None =>
             // gone between create-fail and stat: fall through to the
             // exists re-check below
             observed = None
-          case Some(m) =>
+          case Some(sig) =>
             val now = System.currentTimeMillis()
             observed match {
-              case Some((om, since)) if om == m =>
+              case Some((oSig, since)) if oSig == sig =>
                 if (now - since > ExpiryMs) {
                   breakLease(fs, p) // quiescent past expiry: crashed
                   observed = None
                 } else Thread.sleep(PollMs)
               case _ =>
-                observed = Some((m, now)) // new holder / heartbeat tick
+                observed = Some((sig, now)) // new holder / heartbeat tick
                 Thread.sleep(PollMs)
             }
         }

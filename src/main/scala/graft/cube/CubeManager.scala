@@ -549,9 +549,19 @@ object CubeManager {
              cutoff: String): CubeInstance = lock.synchronized {
     val next =
       CubeBuilder.applyRetention(spark, ensureBuilt(spark, sfDir), cutoff)
-    built.put(sfDir, (next, MetaStamp.of(spark, next.root, next.cube.name)))
+    // pair the memoized (instance, stamp) from ONE meta read — the
+    // rule ensureFresh documents. A post-hoc MetaStamp.of here would
+    // let a foreign commit landing between applyRetention's save and
+    // the stamp pair the NEWER foreign buildId with the local
+    // post-retention instance, blinding drift detection until yet
+    // another commit. The re-load returns the newest committed state
+    // either way: ours, or the foreign commit that superseded it.
+    val (inst, id) = CubeMeta.load(spark, defaultCube, next.root)
+      .map(l => (l.inst, l.buildId))
+      .getOrElse((next, MetaStamp.of(spark, next.root, next.cube.name)))
+    built.put(sfDir, (inst, id))
     mergedCache.remove(sfDir)
-    next
+    inst
   }
 
   /** All segments merged into one (cube_segment_merge path). The merged

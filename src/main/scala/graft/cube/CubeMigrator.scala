@@ -28,7 +28,16 @@ import org.apache.spark.sql.SparkSession
   * Hadoop FileSystem API, so file://, hdfs:// and s3a:// roots all
   * work); a 100 TB migration parallelizes per-file exactly like
   * distcp — the sequential loop here is the single-node stand-in,
-  * correctness-identical. */
+  * correctness-identical.
+  *
+  * Multi-cube destination roots: `dict/` and `snapshots/` are SHARED
+  * per root (the layout MetaBackup supports), so those trees copy
+  * ADDITIVELY — copy-if-absent per snapshot and per dict column, full
+  * replacement only on an overwrite into a root with no other
+  * committed cube, and a hard pre-copy refusal when a dict column
+  * would collide with one other committed cubes may decode through
+  * (independently assigned id spaces cannot merge). A crash therefore
+  * never leaves another committed, routable cube half-replaced. */
 object CubeMigrator {
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
@@ -187,6 +196,43 @@ object CubeMigrator {
       throw new IllegalStateException(
         s"migration refused: ${cube.name} meta changed under $srcRoot " +
           "while planning (concurrent build?) — retry when quiet")
+
+    // ── shared-tree safety (multi-cube destination roots): dict/ and
+    // snapshots/ are shared PER ROOT, so replacing them wholesale
+    // would destroy dict versions other committed cubes' segments were
+    // encoded against (silently wrong bitmap decodes) and swap
+    // snapshot rows under cubes that are still committed and routable
+    // — and a crash mid-replace would leave those cubes half-replaced
+    // WHILE routable, since their metas never uncommit. Policy:
+    // additive copy-if-absent always; full replacement only when the
+    // destination has NO other committed cube (then nothing routable
+    // shares the trees) AND the operator passed overwrite. A dict
+    // COLUMN that already exists at a multi-cube destination is a
+    // hard conflict — two independently-assigned id spaces cannot
+    // merge — detected HERE, before any data copies, so the refusal
+    // leaves the destination untouched.
+    val otherCommitted: Seq[String] =
+      (if (dstFs.exists(dstP)) dstFs.listStatus(dstP).toSeq else Nil)
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(n => n != cube.name && n != "dict" &&
+          n != "snapshots" && n != "_backups")
+        .filter(n => Seq(CubeMeta.MetaFile, CubeMeta.MergedFile)
+          .exists(f => dstFs.exists(new Path(s"$dstRoot/$n/$f"))))
+    val mayReplaceShared = overwrite && otherCommitted.isEmpty
+    val srcDictDir = new Path(srcP, "dict")
+    if (srcFs.exists(srcDictDir) && !mayReplaceShared) {
+      val conflicts = srcFs.listStatus(srcDictDir).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(c => dstFs.exists(new Path(dstP, s"dict/$c")))
+      if (conflicts.nonEmpty)
+        throw new IllegalStateException(
+          s"migration refused: dictionary column(s) " +
+            s"${conflicts.mkString(", ")} already exist under $dstRoot " +
+            s"and other cubes are committed there " +
+            s"(${otherCommitted.mkString(", ")}) — independently " +
+            "assigned id spaces cannot merge; migrate to a fresh root " +
+            "or rebuild at the destination")
+    }
     val segDirs = (src.cube.segments.map(_.name) ++
       mergedInst.toSeq.flatMap(_.cube.segments.map(_.name))).distinct
     segDirs.foreach { s =>
@@ -197,22 +243,34 @@ object CubeMigrator {
     }
 
     // ── the cube's derived-dim snapshots (shared per root, needed to
-    // answer derived filters/group-bys at the destination)
+    // answer derived filters/group-bys at the destination). ADDITIVE:
+    // an existing destination snapshot is write-once state other
+    // committed cubes may be serving from — kept unless this is a
+    // whole-root overwrite with no other committed cube
     src.cube.derived.map(_.lookup).distinct.foreach { l =>
       val from = new Path(Snapshot.path(srcRoot, l))
-      if (srcFs.exists(from))
-        replaceTree(srcFs, dstFs, from, new Path(Snapshot.path(dstRoot, l)))
+      val to = new Path(Snapshot.path(dstRoot, l))
+      if (srcFs.exists(from)) {
+        if (!dstFs.exists(to)) copyTree(srcFs, dstFs, from, to)
+        else if (mayReplaceShared) replaceTree(srcFs, dstFs, from, to)
+        // else: keep the destination's frozen rows (shared tree)
+      }
     }
 
     // ── dictionary trees (dict-encoded measures decode at query
     // time; versions are directory entries, so the tree copy keeps
     // them all). The whole root-level tree travels: dict usage lives
     // inside measure closures, not CubeDef, so the columns THIS cube
-    // needs are not introspectable — a per-cube declaration would
-    // scope this copy (known over-copy on multi-cube shared roots)
-    val dictDir = new Path(srcP, "dict")
-    if (srcFs.exists(dictDir))
-      replaceTree(srcFs, dstFs, dictDir, new Path(dstP, "dict"))
+    // needs are not introspectable. Per-COLUMN additive: absent
+    // columns copy, existing ones replace only under the whole-root
+    // overwrite; the conflicting case refused above, before any copy
+    if (srcFs.exists(srcDictDir)) {
+      srcFs.listStatus(srcDictDir).filter(_.isDirectory).foreach { c =>
+        val to = new Path(dstP, s"dict/${c.getPath.getName}")
+        if (!dstFs.exists(to)) copyTree(srcFs, dstFs, c.getPath, to)
+        else if (mayReplaceShared) replaceTree(srcFs, dstFs, c.getPath, to)
+      }
+    }
 
     // ── meta LAST, merged before primary: queries discover the cube
     // through the primary commit only

@@ -71,20 +71,33 @@ object HealthCheck {
       // ── layout completeness (checkSegmentHDFSPath): EVERY routed
       // cuboid dir per segment, not just the base spot-check load
       // does — a missing non-base cuboid fails exactly the queries
-      // routed to it
+      // routed to it. Probed with ONE listStatus per segment dir and
+      // a name-set compare — O(segments) FS calls, not
+      // O(segments × cuboids) exists probes: at audit-worthy segment
+      // counts against an object store the per-cuboid probe IS the
+      // audit's runtime.
       val ids = r.cube.cuboids.map(r.cube.cuboidId)
-      for (s <- segs; id <- ids) {
-        val p = new Path(r.cuboidPath(s.name, id))
-        if (!fs.exists(p))
-          out += Finding(Error, "missing_cuboid",
-            s"segment ${s.name}$label lacks cuboid=$id at $p: " +
-              s"queries routed to that cuboid will fail — refresh " +
-              s"the segment")
-        else if (!r.rows.contains((s.name, id)))
-          out += Finding(Warn, "missing_row_stats",
-            s"no persisted row count for (${s.name}$label, " +
-              s"cuboid=$id): the router's cost estimates treat it as " +
-              s"unknown — recommit the meta from a build")
+      for (s <- segs) {
+        val segDir = new Path(r.cuboidPath(s.name, ids.head)).getParent
+        val present: Set[Long] =
+          scala.util.Try(fs.listStatus(segDir).toSeq).getOrElse(Nil)
+            .iterator.map(_.getPath.getName)
+            .filter(_.startsWith("cuboid="))
+            .flatMap(n =>
+              scala.util.Try(n.stripPrefix("cuboid=").toLong).toOption)
+            .toSet
+        for (id <- ids) {
+          if (!present(id))
+            out += Finding(Error, "missing_cuboid",
+              s"segment ${s.name}$label lacks cuboid=$id under " +
+                s"$segDir: queries routed to that cuboid will fail — " +
+                s"refresh the segment")
+          else if (!r.rows.contains((s.name, id)))
+            out += Finding(Warn, "missing_row_stats",
+              s"no persisted row count for (${s.name}$label, " +
+                s"cuboid=$id): the router's cost estimates treat it " +
+                s"as unknown — recommit the meta from a build")
+        }
       }
     }
     auditRealization(inst, "")

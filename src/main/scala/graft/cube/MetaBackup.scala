@@ -86,19 +86,57 @@ object MetaBackup {
 
   /** Restore `backupId`'s meta files over the live paths. Returns the
     * restored live paths. Serving JVMs pick the rollback up through
-    * their stamp checks — no restart. */
-  def restore(spark: SparkSession, root: String,
-              backupId: String): Seq[String] = {
+    * their stamp checks — no restart.
+    *
+    *  - `cubes`: restore ONLY the named cube dirs (operator-scoped
+    *    rollback). Refuses names the backup does not hold.
+    *  - A cube whose live dir is GONE (migrated away or decommissioned
+    *    since the backup) is SKIPPED by default: restoring its meta
+    *    would resurrect a committed-looking cube over parquet that no
+    *    longer exists — and downstream tools (StorageCleaner) would
+    *    then treat live-looking segments as referenced. Naming such a
+    *    cube in `cubes` overrides the skip (the operator is asserting
+    *    the storage is back); compose with [[HealthCheck.check]] after
+    *    any restore — it flags every missing layout piece.
+    *  - `pointInTime=true` makes the restore a true whole-root
+    *    rollback: live meta files of cube dirs ABSENT from the backup
+    *    (cubes first committed after it) are DELETED, so nothing
+    *    committed after the snapshot stays routable. Off by default
+    *    (per-file overwrite-only), and incompatible with a `cubes`
+    *    filter — a scoped restore must not silently decommission
+    *    unrelated cubes. */
+  def restore(spark: SparkSession, root: String, backupId: String,
+              cubes: Option[Set[String]] = None,
+              pointInTime: Boolean = false): Seq[String] = {
+    require(cubes.isEmpty || !pointInTime,
+      "point-in-time restore is whole-root: drop the cube filter")
     val src = new Path(backupsDir(root), backupId)
     val fs = fsOf(spark, src)
     require(fs.exists(src), s"no such backup: $backupId under $root")
+    val backedUp = fs.listStatus(src).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    cubes.foreach(c => require((c -- backedUp).isEmpty,
+      s"backup $backupId holds no meta for ${(c -- backedUp).mkString(", ")}"))
     val restored = Seq.newBuilder[String]
     fs.listStatus(src).filter(_.isDirectory).foreach { cubeDir =>
-      fs.listStatus(cubeDir.getPath).filter(_.isFile).foreach { f =>
-        val live = new Path(
-          s"$root/${cubeDir.getPath.getName}/${f.getPath.getName}")
-        copy(fs, f.getPath, live)
-        restored += live.toString
+      val name = cubeDir.getPath.getName
+      val selected = cubes.forall(_.contains(name))
+      val present = fs.exists(new Path(s"$root/$name"))
+      val explicit = cubes.exists(_.contains(name))
+      if (selected && (present || explicit)) {
+        fs.listStatus(cubeDir.getPath).filter(_.isFile).foreach { f =>
+          val live = new Path(s"$root/$name/${f.getPath.getName}")
+          copy(fs, f.getPath, live)
+          restored += live.toString
+        }
+      }
+    }
+    if (pointInTime) {
+      // decommit cubes born after the snapshot: delete their live meta
+      // (their parquet becomes StorageCleaner-sweepable orphans)
+      metaFiles(fs, root).foreach { case (cube, file) =>
+        if (!backedUp.contains(cube))
+          fs.delete(new Path(s"$root/$cube/$file"), false): Unit
       }
     }
     val out = restored.result()

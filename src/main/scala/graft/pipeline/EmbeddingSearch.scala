@@ -279,15 +279,31 @@ object EmbeddingSearch {
     // must be known before any action runs.
     val bits = lshBitsFor(embs.count())
     val tables = lshTablesFor(bits)
+    lshVerifyPairs(embs,
+      lshCandidatePairs(embs, bits, tables), minCos)
+  }
+
+  /** the candidate stage alone — unordered id pairs sharing any
+    * table's bucket, deduped, ids only (factored out so the scale
+    * probe can count and time candidates separately from the verify
+    * stage; the composed plan is byte-identical to the original) */
+  def lshCandidatePairs(embs: DataFrame, bits: Int,
+                        tables: Int): DataFrame = {
     val b = withBuckets(quantized(embs), bits, tables)
     val buckets = b.select(col("vec_id"),
       posexplode(array((0 until tables).map(t => col(s"bkt$t")): _*))
         .as(Seq("t", "bkt")))
-    val cand = buckets.as("a").join(buckets.as("b"),
+    buckets.as("a").join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
+  }
+
+  /** the verify stage alone: re-attach quantized vectors per side and
+    * keep candidates whose EXACT integer cosine clears the bar */
+  def lshVerifyPairs(embs: DataFrame, cand: DataFrame,
+                     minCos: Double): DataFrame = {
     val q = quantized(embs)
     cand
       .join(q.select(col("vec_id").as("id_a"),

@@ -71,3 +71,14 @@ object ScanBridge {
         }
     }.flatten
 }
+
+/** Session identity without pinning: `sessionUUID` is defined on the
+  * classic SparkSession (every runtime session here is one). Memos
+  * keyed on this STRING hold no reference to the session object, so a
+  * process churning short-lived cloned sessions (one per JDBC
+  * connection) cannot accrete pinned sessions through them. */
+object SessionBridge {
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionUUID
+}

@@ -150,4 +150,80 @@ class BuildLeaseSpec extends AnyFunSuite {
     releaser.join()
     assert(builds.get() == 0 && inst.rows == winner.rows)
   }
+
+  test("an object-store holder (setTimes unsupported) keeps its lease " +
+      "alive through body-rewrite heartbeats; a waiter never breaks it") {
+    // ADVICE r14: on s3a-like stores setTimes throws, so the old
+    // mtime-touch heartbeat silently died and any build longer than
+    // ExpiryMs was judged crashed. The fallback rewrites the body —
+    // a PUT changes mtime/length on every store.
+    val localDir = java.nio.file.Files
+      .createTempDirectory("graft-lease-s3").toString
+    spark.sparkContext.hadoopConfiguration.set("fs.failtimes.impl",
+      classOf[FailSetTimesFs].getName)
+    val root = s"failtimes://$localDir"
+    val cube = CubeManager.eventsCube
+    val saved = (BuildLease.ExpiryMs, BuildLease.HeartbeatMs,
+      BuildLease.PollMs)
+    val builds = new AtomicInteger(0)
+    val committed =
+      new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+    try {
+      BuildLease.ExpiryMs = 600L
+      BuildLease.HeartbeatMs = 100L
+      BuildLease.PollMs = 50L
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        // the holder "builds" for several expiry windows — only the
+        // rewrite heartbeat keeps the waiter from breaking the lease
+        val holder = pool.submit(() =>
+          BuildLease.withLease(spark, root, cube.name)(committed.get()) {
+            builds.incrementAndGet()
+            Thread.sleep(1800)
+            committed.set(Some("holder-built"))
+            "holder-built"
+          })
+        Thread.sleep(300) // let the holder acquire first
+        val waiter = pool.submit(() =>
+          BuildLease.withLease(spark, root, cube.name)(committed.get()) {
+            builds.incrementAndGet()
+            "waiter-built"
+          })
+        // mid-build, the rewrite heartbeat is observable: the body
+        // grows a tick line under the owner line
+        val leaseFile = new java.io.File(s"$localDir/events/_building")
+        val deadline = System.currentTimeMillis() + 1500
+        var sawTick = false
+        while (!sawTick && System.currentTimeMillis() < deadline) {
+          sawTick = leaseFile.exists() && new String(
+            java.nio.file.Files.readAllBytes(leaseFile.toPath),
+            "UTF-8").linesIterator.size > 1
+          if (!sawTick) Thread.sleep(50)
+        }
+        assert(sawTick, "the fallback heartbeat must rewrite the body")
+        assert(holder.get() == "holder-built")
+        assert(waiter.get() == "holder-built",
+          "the waiter must serve the holder's result, not take over")
+        assert(builds.get() == 1,
+          s"the live holder must never be broken, got ${builds.get()} builds")
+        assert(!leaseFile.exists(), "the lease must be released")
+      } finally pool.shutdownNow()
+    } finally {
+      BuildLease.ExpiryMs = saved._1
+      BuildLease.HeartbeatMs = saved._2
+      BuildLease.PollMs = saved._3
+    }
+  }
+}
+
+/** RawLocalFileSystem with the s3a contract surface this spec needs:
+  * `setTimes` throws (object stores have no mtime mutation) while
+  * create/rename/delete behave normally. Registered under the
+  * `failtimes://` scheme via fs.failtimes.impl. */
+class FailSetTimesFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "failtimes"
+  override def getUri: java.net.URI = java.net.URI.create("failtimes:///")
+  override def setTimes(p: org.apache.hadoop.fs.Path, mtime: Long,
+                        atime: Long): Unit =
+    throw new UnsupportedOperationException("object store: no setTimes")
 }

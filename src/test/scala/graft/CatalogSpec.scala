@@ -128,4 +128,24 @@ class CatalogSpec extends AnyFunSuite {
     assert(!v.routed,
       "a foreign view named graft_star must fall back, not route")
   }
+
+  test("session churn cannot accrete the registration memo (VERDICT " +
+      "r14 wrong #1): uuid-keyed, size-bounded, no session refs") {
+    GraftCatalog.reset()
+    // register through cloned sessions — the production shape of one
+    // session per JDBC connection. The memo keys on sessionUUID
+    // strings, so none of these clones is strongly referenced by it.
+    val clones = (1 to 70).map(_ => spark.newSession())
+    clones.foreach(s => GraftCatalog.register(s, sf))
+    assert(GraftCatalog.memoSize <= 64,
+      s"memo must stay bounded, got ${GraftCatalog.memoSize}")
+    // idempotence per session still holds: a re-register of a live
+    // clone is a memo hit, not re-DDL (observable as: no exception,
+    // still bounded), and the catalog objects resolve from any clone
+    GraftCatalog.register(clones.last, sf)
+    assert(GraftCatalog.memoSize <= 64)
+    assert(clones.last.sql(
+      s"SELECT count(*) FROM ${GraftCatalog.Db}.nation").head().getLong(0)
+      == 25)
+  }
 }

@@ -101,4 +101,81 @@ class CubeMigratorSpec extends AnyFunSuite {
         freshRoot("empty"), freshRoot("never"))
     }
   }
+
+  // ── ADVICE r14: shared trees on a multi-cube destination root are
+  // copied ADDITIVELY — never replaced under other committed cubes ──
+
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def nationCube(name: String): CubeDef = CubeDef(name,
+    Seq("n_name"),
+    Seq(Measure("nrows", fromRaw = count(lit(1)),
+      fromState = s => sum(col(s)), answers = Some(SqlAgg.CountAll))),
+    segmentCol = "d",
+    segments = Seq(Segment("all", "1995-01-01", "1996-01-01")),
+    cuboids = Seq(Set("n_name")),
+    derived = Seq(DerivedDim("n_regionkey", "n_name", "nation")))
+
+  private def buildNationCube(name: String, root: String): CubeInstance = {
+    Snapshot.ensure(spark, Tables.nation(spark, sf), root, "nation")
+    CubeBuilder.build(spark, Tables.nation(spark, sf)
+      .withColumn("d", lit("1995-06-01").cast("timestamp")),
+      nationCube(name), root)
+  }
+
+  test("a dict-column collision on a multi-cube destination refuses " +
+      "BEFORE any copy") {
+    val srcRoot = freshRoot("dictsrc")
+    val dstRoot = freshRoot("dictdst")
+    buildNationCube("mini", srcRoot)
+    Dictionary.buildOrAppend(spark, Seq("a", "b").toDF("c"), "c", srcRoot)
+    // destination: ANOTHER committed cube plus its own dict lineage
+    // for the same column name
+    buildNationCube("other", dstRoot)
+    Dictionary.buildOrAppend(spark, Seq("x").toDF("c"), "c", dstRoot)
+    val before = Dictionary.load(spark, dstRoot, "c").get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    intercept[IllegalStateException] {
+      CubeMigrator.migrate(spark, nationCube("mini"), srcRoot, dstRoot)
+    }
+    // refusal left the destination untouched: no mini data, dict
+    // lineage intact
+    assert(!new java.io.File(s"$dstRoot/mini").exists(),
+      "the refusal must come before any data copy")
+    val after = Dictionary.load(spark, dstRoot, "c").get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == before,
+      "the other cube's dict lineage must be untouched")
+  }
+
+  test("shared trees copy additively under other committed cubes: " +
+      "existing snapshots/dict columns are kept, absent ones travel") {
+    val srcRoot = freshRoot("addsrc")
+    val dstRoot = freshRoot("adddst")
+    buildNationCube("mini", srcRoot)
+    Dictionary.buildOrAppend(spark, Seq("p", "q").toDF("d"), "d", srcRoot)
+    buildNationCube("other", dstRoot)
+    Dictionary.buildOrAppend(spark, Seq("x").toDF("c"), "c", dstRoot)
+    // marker inside the destination's shared snapshot: survives iff
+    // the tree is NOT replaced (hidden name — parquet readers skip it)
+    val marker = new java.io.File(s"$dstRoot/snapshots/nation/.marker")
+    java.nio.file.Files.write(marker.toPath, "keep".getBytes)
+
+    val dst = CubeMigrator.migrate(spark, nationCube("mini"),
+      srcRoot, dstRoot)
+    assert(marker.exists(),
+      "an existing shared snapshot must not be replaced while another " +
+        "cube is committed at the destination")
+    // the other cube's dict column survives; the new column traveled
+    assert(Dictionary.load(spark, dstRoot, "c").get.collect()
+      .map(_.getString(0)).toSet == Set("x"))
+    assert(Dictionary.load(spark, dstRoot, "d").get.collect()
+      .map(_.getString(0)).toSet == Set("p", "q"))
+    // both cubes committed and loadable at the destination
+    assert(CubeMeta.load(spark, nationCube("other"), dstRoot).isDefined)
+    assert(dst.rows.nonEmpty &&
+      CubeMeta.load(spark, nationCube("mini"), dstRoot).isDefined)
+  }
 }

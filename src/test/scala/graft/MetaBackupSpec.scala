@@ -79,4 +79,98 @@ class MetaBackupSpec extends AnyFunSuite {
     // stamp-aware manager would reload to the rolled-back state
     assert(MetaStamp.of(spark, root, cube.name) == stampBefore)
   }
+
+  // ── VERDICT r14 item 5: per-cube restore + post-restore audit ─────
+
+  private def miniDef = CubeDef("mini", Seq("n_name"),
+    Seq(Measure("nrows", fromRaw = count(lit(1)),
+      fromState = s => sum(col(s)), answers = Some(SqlAgg.CountAll))),
+    segmentCol = "d",
+    segments = Seq(Segment("all", "1995-01-01", "1996-01-01")),
+    cuboids = Seq(Set("n_name")))
+
+  private def buildMini(root: String): CubeInstance =
+    CubeBuilder.build(spark, Tables.nation(spark, sf)
+      .withColumn("d", lit("1995-06-01").cast("timestamp")),
+      miniDef, root)
+
+  private def badAppend(v1: CubeInstance): Unit = {
+    CubeBuilder.appendSegment(spark, v1,
+      CubeManager.eventsFlat(spark, sf)
+        .withColumn("ts", col("ts") + expr("INTERVAL 31 DAYS"))
+        .withColumn("ev_day", date_format(col("ts"), "yyyy-MM-dd")),
+      Segment("s2024m2", "2024-02-01", "2024-03-01")): Unit
+  }
+
+  test("a cube filter scopes the rollback to the named cube only") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-backup3").toString
+    val ev = CubeBuilder.build(spark,
+      CubeManager.eventsFlat(spark, sf), CubeManager.eventsCube, root)
+    val mini = buildMini(root)
+    val id = MetaBackup.backup(spark, root)
+
+    badAppend(ev)                 // events drifts…
+    CubeMeta.save(spark, mini)    // …and so does mini
+    val miniStamp = MetaStamp.of(spark, root, "mini")
+
+    intercept[IllegalArgumentException] {
+      MetaBackup.restore(spark, root, id, cubes = Some(Set("nope")))
+    }
+    MetaBackup.restore(spark, root, id, cubes = Some(Set("events")))
+    // events rolled back; mini untouched (its post-backup commit holds)
+    assert(CubeMeta.load(spark, CubeManager.eventsCube, root)
+      .exists(_.inst.cube.segments.map(_.name) == Seq("s2024m1")))
+    assert(MetaStamp.of(spark, root, "mini") == miniStamp,
+      "a scoped restore must not touch unselected cubes")
+  }
+
+  test("a since-migrated-away cube is not resurrected unfiltered; the " +
+      "post-restore audit is clean") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-backup4").toString
+    val ev = CubeBuilder.build(spark,
+      CubeManager.eventsFlat(spark, sf), CubeManager.eventsCube, root)
+    buildMini(root)
+    val id = MetaBackup.backup(spark, root)
+
+    // mini migrates away: its whole dir leaves this root
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$root/mini"))
+    badAppend(ev)
+
+    MetaBackup.restore(spark, root, id) // unfiltered
+    assert(!new java.io.File(s"$root/mini/meta.json").exists(),
+      "an unfiltered restore must not resurrect a migrated-away cube")
+    // composed audit: the restored root is healthy — no Error finding
+    val findings = HealthCheck.check(spark, CubeManager.eventsCube, root)
+    assert(!findings.exists(_.severity == HealthCheck.Error),
+      s"post-restore audit found: $findings")
+
+    // the operator can still FORCE the ghost back by naming it — and
+    // the load-time completeness check correctly refuses to route it
+    MetaBackup.restore(spark, root, id, cubes = Some(Set("mini")))
+    assert(new java.io.File(s"$root/mini/meta.json").exists())
+    assert(CubeMeta.load(spark, miniDef, root).isEmpty,
+      "a meta restored over missing parquet must not load as routable")
+  }
+
+  test("point-in-time restore decommits cubes born after the backup") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-backup5").toString
+    CubeBuilder.build(spark,
+      CubeManager.eventsFlat(spark, sf), CubeManager.eventsCube, root)
+    val id = MetaBackup.backup(spark, root)
+    buildMini(root) // committed AFTER the snapshot
+    assert(CubeMeta.load(spark, miniDef, root).isDefined)
+
+    intercept[IllegalArgumentException] {
+      MetaBackup.restore(spark, root, id, cubes = Some(Set("events")),
+        pointInTime = true)
+    }
+    MetaBackup.restore(spark, root, id, pointInTime = true)
+    assert(CubeMeta.load(spark, miniDef, root).isEmpty,
+      "point-in-time rollback must decommit the post-backup cube")
+    assert(CubeMeta.load(spark, CubeManager.eventsCube, root).isDefined)
+  }
 }
