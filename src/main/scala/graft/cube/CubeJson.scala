@@ -349,4 +349,59 @@ object CubeJson {
 
   /** parse + register in one step (the operator deploy call) */
   def registerJson(json: String): String = register(parse(json))
+
+  // ── store-resident declarations (the ResourceStore analog) ────────
+
+  /** view → rendered spec, to make re-registration of an UNCHANGED
+    * declaration a no-op (re-registering would drop the SQL result
+    * cache on every scan pass) */
+  private val registeredSpecs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Register every `*.json` cube declaration under `dir` — the
+    * CachedCrudAssist/ResourceStore analog (reference:
+    * core-common ResourceStore + CachedCrudAssist load all persisted
+    * CubeDescs at server start): the DECLARATIONS themselves live in
+    * the shared store, so a fresh serving process discovers
+    * operator-deployed cubes with no code change and no per-process
+    * register call — deployment is "drop a JSON file in the dir".
+    * Unchanged declarations are no-ops; changed/new ones (re)register
+    * (which drops cached results via the bindings version). A file
+    * that fails to parse is reported and skipped — one bad deploy
+    * must not take down the rest of the store. Returns the view names
+    * registered or refreshed this call.
+    *
+    * Pickup semantics: `GraftSql.registerViews` scans the dir named by
+    * `spark.graft.cubeDefDir` whenever it (re)binds views — serving
+    * startup and any binding change; an operator wanting an IMMEDIATE
+    * pickup mid-flight calls this directly. */
+  def registerDir(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      .sortBy(_.getPath.getName)
+      .flatMap { st =>
+        try {
+          val in = fs.open(st.getPath)
+          val text =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val spec = parse(text)
+          val canon = render(spec)
+          if (registeredSpecs.get(spec.viewName).contains(canon)) None
+          else {
+            register(spec)
+            registeredSpecs.put(spec.viewName, canon)
+            Some(spec.viewName)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft-cube-def] skipping " +
+              s"${st.getPath.getName}: ${e.getMessage}")
+            None
+        }
+      }
+  }
 }

@@ -332,9 +332,19 @@ object GraftSql {
   /** register every cube view + the intersect_count SQL function (once
     * per session while the sfDir stays the same — re-analysis per query
     * is wasted work at high QPS) */
+  /** store-resident cube declarations: `registerViews` scans this dir
+    * (when set) before binding views, so a fresh serving process
+    * discovers operator-dropped JSON cubes with zero code */
+  val CubeDefDirConf = "spark.graft.cubeDefDir"
+
   def registerViews(spark: SparkSession, sfDir: String): Unit = {
     if (!viewsRegistered.get(spark).contains(sfDir)) synchronized {
       if (!viewsRegistered.get(spark).contains(sfDir)) {
+        // declarations first: a registerDir that (re)registers a
+        // binding clears viewsRegistered, which we are about to set —
+        // the order makes the new binding's view land in THIS pass
+        spark.conf.getOption(CubeDefDirConf).filter(_.nonEmpty)
+          .foreach(d => CubeJson.registerDir(spark, d): Unit)
         bindings.foreach { b =>
           b.flat(spark, sfDir).createOrReplaceTempView(b.view)
           // raw star tables, so user-written model joins resolve

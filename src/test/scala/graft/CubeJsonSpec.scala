@@ -207,6 +207,48 @@ class CubeJsonSpec extends AnyFunSuite {
       "restarted process must serve the declared cube from meta.json")
   }
 
+  test("store-resident declarations: a JSON file dropped in the conf " +
+      "dir registers with zero code; bad files skip; unchanged files " +
+      "are no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cubedefs")
+    val doc =
+      """{
+        |  "name": "nation_json",
+        |  "model": {"fact": "nation"},
+        |  "flatColumns": [
+        |    {"name": "n_name"},
+        |    {"name": "n_regionkey"},
+        |    {"name": "d", "expr": "CAST('1995-06-01' AS TIMESTAMP)"}
+        |  ],
+        |  "dims": ["n_name"],
+        |  "measures": [{"name": "n_rows", "family": "count"}],
+        |  "segmentCol": "d",
+        |  "segments": [{"name": "all", "start": "1995-01-01",
+        |                "end": "1996-01-01"}]
+        |}""".stripMargin
+    java.nio.file.Files.write(dir.resolve("nation.json"), doc.getBytes)
+    java.nio.file.Files.write(dir.resolve("broken.json"),
+      "{this is not a cube".getBytes)
+    spark.conf.set(GraftSql.CubeDefDirConf, dir.toString)
+    try {
+      // a session with no view registration yet — the production shape
+      // of a fresh serving process bootstrapping from the store
+      val s2 = spark.newSession()
+      s2.conf.set(GraftSql.CubeDefDirConf, dir.toString)
+      val r = GraftSql.sqlVia(s2, sf,
+        """SELECT n_name, count(*) AS n_rows FROM graft_nation_json
+          |GROUP BY n_name""".stripMargin)
+      assert(r.routed && r.via == "cuboid",
+        s"store-declared cube must route, got ${r.via}")
+      assert(r.df.collect().map(x => (x.getString(0), x.getLong(1)))
+        .toMap.values.forall(_ == 1L))
+      assert(r.df.count() == 25)
+      // unchanged declarations are no-ops on a rescan
+      assert(CubeJson.registerDir(spark, dir.toString).isEmpty,
+        "an unchanged declaration must not re-register")
+    } finally spark.conf.unset(GraftSql.CubeDefDirConf)
+  }
+
   test("a JSON-declared cube accelerates plain spark.sql through the " +
       "extensions rule") {
     val view = CubeQueries.declaredOrdersView
