@@ -120,7 +120,15 @@ object CubeJson {
       extended: Seq[JsonExtended] = Nil,
       segDayGranular: Boolean = false,
       dictColumns: Seq[String] = Nil,
-      view: Option[String] = None) {
+      view: Option[String] = None,
+      /** lifecycle POLICIES as data (reference: CubeDesc.java
+        * retention_range + auto_merge_time_ranges — both plain fields
+        * of the persisted cube document, applied by scheduled jobs).
+        * Policies shape the segment LIST over time, not the layout, so
+        * they are outside the fingerprint; [[CubeJson.applyPolicies]]
+        * is the scheduled-job entry that enforces them. */
+      retentionDays: Option[Int] = None,
+      autoMergeMaxSegments: Option[Int] = None) {
     def viewName: String = view.getOrElse(s"graft_$name")
   }
 
@@ -167,6 +175,10 @@ object CubeJson {
     j.timeDim.foreach(t =>
       if (t.granularity != "month" && t.granularity != "day")
         fail(s"timeDim granularity must be month|day, got ${t.granularity}"))
+    j.retentionDays.foreach(d =>
+      if (d <= 0) fail(s"retentionDays must be positive, got $d"))
+    j.autoMergeMaxSegments.foreach(n =>
+      if (n < 2) fail(s"autoMergeMaxSegments must be >= 2, got $n"))
     j.derived.foreach(d =>
       if (j.model.edges.forall(_.lookup != d.lookup) &&
           j.model.fact != d.lookup)
@@ -349,6 +361,45 @@ object CubeJson {
 
   /** parse + register in one step (the operator deploy call) */
   def registerJson(json: String): String = register(parse(json))
+
+  /** Enforce the declaration's lifecycle POLICIES on the built
+    * instance — the scheduled-job entry the reference runs for
+    * retention_range and auto_merge_time_ranges (CubeDesc fields;
+    * RetentionPolicy/MergePolicy jobs):
+    *
+    *  - `retentionDays`: drop whole segments ending more than that
+    *    many days before the NEWEST committed segment's end (relative
+    *    to the data, not the wall clock — reference semantics);
+    *  - `autoMergeMaxSegments`: merge the oldest run down so at most
+    *    that many segments remain (count-based trigger over
+    *    [[CubeBuilder.autoMerge]]).
+    *
+    * Each policy is a normal metadata commit, so every stamp-aware
+    * process (this one included — the final ensure below reloads
+    * through the drifted stamp) picks the shrunken/merged state up
+    * without restarts. Idempotent: a second run finds nothing to drop
+    * or merge. */
+  def applyPolicies(spark: SparkSession, sfDir: String,
+                    spec: JsonCube): CubeInstance = {
+    var inst = CubeManager.ensureDeclared(spark, sfDir, spec)
+    spec.retentionDays.foreach { days =>
+      val latest = inst.cube.segments.map(_.end).max
+      val cutoff = java.time.LocalDate.parse(latest.take(10))
+        .minusDays(days.toLong).toString
+      inst = CubeBuilder.applyRetention(spark, inst, cutoff)
+    }
+    spec.autoMergeMaxSegments.foreach { n =>
+      val merged = CubeBuilder.autoMerge(spark, inst, n)
+      // autoMerge writes the merged cuboids but leaves the commit to
+      // its caller (ensureMerged commits to its own realization file)
+      // — here the merged list IS the primary truth
+      if (merged ne inst) CubeMeta.save(spark, merged): Unit
+      inst = merged
+    }
+    // route through the stamp-aware path: the policy commits changed
+    // the buildId, so this reload pairs (instance, stamp) atomically
+    CubeManager.ensureDeclared(spark, sfDir, spec)
+  }
 
   // ── store-resident declarations (the ResourceStore analog) ────────
 

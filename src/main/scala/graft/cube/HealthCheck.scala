@@ -144,6 +144,23 @@ object HealthCheck {
           s"it crashed; re-audit after the grace window")
     }
 
+    // ── reclaimable auxiliary metadata (MetadataCleanupJob linkage):
+    // superseded dictionary versions and over-retained backups from
+    // MetaCleanup's dry run. Snapshot findings are deliberately NOT
+    // surfaced here — this audit sees ONE cube's def, and a snapshot
+    // another cube's derived dims pin would read as a false positive;
+    // run MetaCleanup with every def at the root for that sweep.
+    val aux = scala.util.Try(
+      MetaCleanup.clean(spark, root, Nil, delete = false)).toOption
+    aux.foreach { a =>
+      val n = a.dictRemoved.size + a.backupsRemoved.size
+      if (n > 0)
+        out += Finding(Warn, "reclaimable_metadata",
+          s"${a.dictRemoved.size} superseded dictionary version(s) " +
+            s"and ${a.backupsRemoved.size} over-retained backup(s) " +
+            s"under $root: run MetaCleanup")
+    }
+
     out.result()
   }
 }

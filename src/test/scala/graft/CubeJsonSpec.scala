@@ -249,6 +249,67 @@ class CubeJsonSpec extends AnyFunSuite {
     } finally spark.conf.unset(GraftSql.CubeDefDirConf)
   }
 
+  test("declared lifecycle POLICIES (retention_range / auto-merge as " +
+      "data) apply as normal commits and the stamp-aware path reloads") {
+    val spec = CubeJson.parse(
+      """{
+        |  "name": "orders_policy",
+        |  "model": {"fact": "orders"},
+        |  "flatColumns": [
+        |    {"name": "o_orderstatus"},
+        |    {"name": "o_orderdate"},
+        |    {"name": "o_totalprice"}
+        |  ],
+        |  "dims": ["o_orderstatus"],
+        |  "measures": [
+        |    {"name": "price_sum", "family": "sum",
+        |     "column": "o_totalprice", "decimal": true,
+        |     "presentDouble": true},
+        |    {"name": "n_orders", "family": "count"}
+        |  ],
+        |  "segmentCol": "o_orderdate",
+        |  "segments": [
+        |    {"name": "s1995", "start": "1995-01-01", "end": "1997-01-01"},
+        |    {"name": "s1997", "start": "1997-01-01", "end": "1999-01-01"},
+        |    {"name": "s1999", "start": "1999-01-01", "end": "2001-01-01"},
+        |    {"name": "s2001", "start": "2001-01-01", "end": "2003-01-01"}
+        |  ],
+        |  "cuboids": [["o_orderstatus"]],
+        |  "segDayGranular": true,
+        |  "retentionDays": 1825,
+        |  "autoMergeMaxSegments": 2
+        |}""".stripMargin)
+    CubeJson.register(spec)
+    val after = CubeJson.applyPolicies(spark, sf, spec)
+    // retention (relative to the data's newest end, 2003-01-01, minus
+    // 1825 days ≈ 1998-01): s1995 aged out; auto-merge then folds the
+    // oldest run down to the 2-segment bound
+    assert(after.cube.segments.map(_.name) ==
+      Seq("am-s1997-s1999", "s2001"),
+      s"got ${after.cube.segments.map(_.name)}")
+    // the policy state routes, and matches the source over exactly the
+    // RETAINED range
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, sum(o_totalprice) AS price_sum,
+        |  count(*) AS n_orders
+        |FROM graft_orders_policy GROUP BY o_orderstatus""".stripMargin)
+    assert(r.routed && r.via == "cuboid")
+    val got = r.df.collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getLong(2))).toSet
+    val want = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .groupBy("o_orderstatus")
+      .agg(sum(Exact.dec(col("o_totalprice"))).cast("double").as("p"),
+        count(lit(1)).as("n"))
+      .collect().map(x => (x.getString(0), x.getDouble(1), x.getLong(2)))
+      .toSet
+    assert(got == want && want.nonEmpty)
+    // idempotent: a second run finds nothing to drop or merge
+    val again = CubeJson.applyPolicies(spark, sf, spec)
+    assert(again.cube.segments.map(_.name) ==
+      after.cube.segments.map(_.name))
+  }
+
   test("a JSON-declared cube accelerates plain spark.sql through the " +
       "extensions rule") {
     val view = CubeQueries.declaredOrdersView

@@ -79,4 +79,27 @@ class HealthCheckSpec extends AnyFunSuite {
       HealthCheck.check(spark, CubeManager.eventsCube, root)
     }
   }
+
+  test("superseded dict versions and over-retained backups surface " +
+      "as reclaimable metadata") {
+    import spark.implicits._
+    val (_, root) = build("auxmeta")
+    // a healthy root has no aux finding
+    assert(!HealthCheck.check(spark, CubeManager.eventsCube, root)
+      .exists(_.code == "reclaimable_metadata"))
+    // two dict versions (v1 superseded + aged) and 9 backups
+    Dictionary.buildOrAppend(spark, Seq("a").toDF("c"), "c", root)
+    Dictionary.buildOrAppend(spark, Seq("a", "b").toDF("c"), "c", root)
+    assert(new java.io.File(s"$root/dict/c/v1").setLastModified(
+      System.currentTimeMillis() - 48L * 3600 * 1000))
+    (1 to 9).foreach { _ =>
+      MetaBackup.backup(spark, root); Thread.sleep(3)
+    }
+    val f = HealthCheck.check(spark, CubeManager.eventsCube, root)
+      .find(_.code == "reclaimable_metadata")
+    assert(f.isDefined, "the aux-metadata finding must fire")
+    assert(f.get.message.contains("1 superseded dictionary version") &&
+      f.get.message.contains("1 over-retained backup"),
+      f.get.message)
+  }
 }
