@@ -345,9 +345,20 @@ object CubeJson {
     * joins route too. Returns the view name. Re-registering the same
     * name replaces the prior declaration (GraftSql drops cached
     * results via its bindings version). */
+  /** every view name registered through a declaration this process
+    * has seen — the fleet cache's eligibility set: declared cubes
+    * build under the cube root, so the disk-derived stamp enumeration
+    * covers them (extension bindings registered straight through
+    * GraftSql may not be) */
+  private val declaredViewNames =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private[graft] def declaredViews: Set[String] =
+    declaredViewNames.keySet.toSet
+
   def register(spec: JsonCube): String = {
     validate(spec)
     toCubeDef(spec) // fail fast on lattice/dim errors, at deploy time
+    declaredViewNames.put(spec.viewName, ()): Unit
     GraftSql.registerBinding(GraftSql.Binding(spec.viewName,
       flatBuilder(spec),
       (s, d) => CubeManager.ensureDeclared(s, d, spec),

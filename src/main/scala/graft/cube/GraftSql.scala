@@ -744,11 +744,29 @@ object GraftSql {
 
   /** Cross-process-stable canonical form of the query's parsed plan —
     * the fleet-cache key half that normalizes formatting/keyword case
-    * without touching the catalog. Alias/expression ids are JVM-global
-    * counters (NOT stable across processes), so they are stripped. */
-  private def planCanon(spark: SparkSession, query: String): String =
-    spark.sessionState.sqlParser.parsePlan(query).toString
-      .replaceAll("#\\d+", "")
+    * without touching the catalog — plus the tier's ELIGIBILITY: the
+    * realization stamp set covers everything under the cube root
+    * (built-ins + declared cubes), but an extension-owned Binding
+    * registered straight through [[registerBinding]] may route to
+    * storage the stamps never see (a temp-root cube, a re-bound view)
+    * — a query touching such a view must NOT enter the shared tier,
+    * or a re-bind in one process would leave stale entries other
+    * processes still address. Alias/expression ids are JVM-global
+    * counters (NOT stable across processes), so they are stripped
+    * from the canon. */
+  private def l2KeyInfo(spark: SparkSession,
+                        query: String): (String, Boolean) = {
+    val plan = spark.sessionState.sqlParser.parsePlan(query)
+    val canon = plan.toString.replaceAll("#\\d+", "")
+    val rels = plan.collect {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.last.toLowerCase(java.util.Locale.ROOT)
+    }.toSet
+    val unknownExtra =
+      extraBindings.keySet.map(_.toLowerCase(java.util.Locale.ROOT)) --
+        CubeJson.declaredViews.map(_.toLowerCase(java.util.Locale.ROOT))
+    (canon, rels.intersect(unknownExtra).isEmpty)
+  }
 
   /** stamps over every instance this process has TOUCHED for the dir
     * (incl. merged and hybrid members) — no build is forced to compute
@@ -789,9 +807,12 @@ object GraftSql {
         // Spark jobs against cube parquet (the payload read IS the
         // answer); a foreign metadata commit changed the stamps and so
         // the key, making staleness unaddressable.
-        val l2 = FleetCache.dirOf(spark).map(d => (d,
-          FleetCache.keyHash(sfDir, planCanon(spark, query),
+        val l2 = FleetCache.dirOf(spark).flatMap { d =>
+          val (canon, eligible) = l2KeyInfo(spark, query)
+          if (!eligible) None
+          else Some((d, FleetCache.keyHash(sfDir, canon,
             CubeManager.fleetStamps(spark, sfDir))))
+        }
         l2.flatMap { case (d, k) => FleetCache.lookup(spark, d, k) } match {
           case Some(hit) =>
             fleetHits.incrementAndGet()

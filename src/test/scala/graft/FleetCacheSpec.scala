@@ -115,6 +115,28 @@ class FleetCacheSpec extends AnyFunSuite {
     }
   }
 
+  test("extension bindings outside the cube root never enter the " +
+      "shared tier (their storage is invisible to the stamp set)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-fleet-ext").toString
+    val inst = CubeBuilder.build(spark,
+      CubeManager.eventsFlat(spark, sf), CubeManager.eventsCube, root)
+    GraftSql.registerBinding(GraftSql.Binding("graft_events_ext",
+      CubeManager.eventsFlat, (_, _) => inst))
+    CubeManager.ensureBuilt(spark, sf)
+    withFleetDir { dir =>
+      val r = GraftSql.sqlCached(spark, sf,
+        """SELECT event_type, count(*) AS n_events
+          |FROM graft_events_ext GROUP BY event_type""".stripMargin)
+      assert(r.routed, "the extension binding itself must still route")
+      assert(FleetCache.entryCount(spark, dir) == 0,
+        "a view the stamps cannot invalidate must not be fleet-cached")
+      // a stamp-covered query in the same session still writes through
+      val r2 = GraftSql.sqlCached(spark, sf, q)
+      assert(r2.routed && FleetCache.entryCount(spark, dir) == 1)
+    }
+  }
+
   test("the store is FIFO-bounded like QueryLog") {
     CubeManager.ensureBuilt(spark, sf)
     withFleetDir { dir =>
