@@ -1,0 +1,198 @@
+package graft.cube
+
+import org.apache.spark.sql.SparkSession
+
+/** The operator CLI — one entry point over the ops surface, the
+  * analog of the reference's `tool/` module (CubeMetaExtractor /
+  * CubeMetaIngester / StorageCleanupJob / MetadataCleanupJob /
+  * CubeMigrationCLI / KylinHealthCheckJob, each its own main there).
+  * Every subcommand resolves its cube definition either from a
+  * compiled name (`--cube star|events`) or from a DECLARED JSON
+  * document (`--def <file>`), so the whole tool works against cubes
+  * that were never compiled into the engine.
+  *
+  * {{{
+  * runMain graft.cube.GraftTool backup    <root>
+  * runMain graft.cube.GraftTool restore   <root> <backupId>
+  *                            [--cubes a,b] [--point-in-time]
+  * runMain graft.cube.GraftTool clean     <root> (--cube n | --def f)
+  *                            [--grace-ms N] [--dry-run]
+  * runMain graft.cube.GraftTool metaclean <root> [--def f]
+  *                            [--keep-backups N] [--grace-ms N]
+  *                            [--dry-run]
+  * runMain graft.cube.GraftTool audit     <root> (--cube n | --def f)
+  * runMain graft.cube.GraftTool migrate   <srcRoot> <dstRoot>
+  *                            (--cube n | --def f) [--overwrite]
+  * runMain graft.cube.GraftTool policies  <sfDir> --def f
+  * }}}
+  *
+  * Exit code 0 on success; 1 with the failure reason on stderr (the
+  * refusal messages of the underlying tools are operator-facing by
+  * design); `audit` exits 2 when any Error-severity finding fires, so
+  * schedulers distinguish "unhealthy" from "tool broke". Output is
+  * line-oriented plain text for scripting. The dispatch itself is
+  * [[run]], side-effect-free on the JVM (no exit, no session
+  * lifecycle), so specs drive it in-process.
+  */
+object GraftTool {
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .appName("graft-tool")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private final case class Parsed(positional: Seq[String],
+                                  flags: Map[String, String],
+                                  switches: Set[String])
+
+  private def parseArgs(args: Seq[String]): Parsed = {
+    val pos = Seq.newBuilder[String]
+    val flags = Map.newBuilder[String, String]
+    val switches = Set.newBuilder[String]
+    var i = 0
+    val valueFlags = Set("--cube", "--def", "--cubes", "--grace-ms",
+      "--keep-backups")
+    while (i < args.length) {
+      val a = args(i)
+      if (valueFlags(a)) {
+        require(i + 1 < args.length, s"$a needs a value")
+        flags += (a -> args(i + 1)); i += 2
+      } else if (a.startsWith("--")) { switches += a; i += 1 }
+      else { pos += a; i += 1 }
+    }
+    Parsed(pos.result(), flags.result().toMap, switches.result())
+  }
+
+  private def readSpec(f: String): CubeJson.JsonCube =
+    CubeJson.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f)), "UTF-8"))
+
+  /** compiled name or declared document → (CubeDef, optional spec) */
+  private def resolveCube(p: Parsed)
+      : (CubeDef, Option[CubeJson.JsonCube]) =
+    (p.flags.get("--cube"), p.flags.get("--def")) match {
+      case (Some("star"), _)   => (CubeManager.defaultCube, None)
+      case (Some("events"), _) => (CubeManager.eventsCube, None)
+      case (Some(other), _) => throw new IllegalArgumentException(
+        s"unknown compiled cube '$other' (star|events) — declared " +
+          "cubes go through --def <file>")
+      case (None, Some(f)) =>
+        val spec = readSpec(f)
+        (CubeJson.toCubeDef(spec), Some(spec))
+      case (None, None) => throw new IllegalArgumentException(
+        "need --cube <name> or --def <file>")
+    }
+
+  /** Dispatch one subcommand. Returns the exit code; prints results
+    * through `out` (stdout in main, capturable in specs). */
+  def run(spark: SparkSession, args: Seq[String],
+          out: String => Unit = println(_)): Int = {
+    if (args.isEmpty) { System.err.println("no subcommand"); return 1 }
+    val cmd = args.head
+    val p = parseArgs(args.tail)
+    try {
+      cmd match {
+        case "backup" =>
+          val Seq(root) = p.positional
+          out(s"backup ${MetaBackup.backup(spark, root)}")
+          0
+
+        case "restore" =>
+          val Seq(root, id) = p.positional
+          val cubes = p.flags.get("--cubes")
+            .map(_.split(",").map(_.trim).toSet)
+          MetaBackup.restore(spark, root, id, cubes = cubes,
+              pointInTime = p.switches.contains("--point-in-time"))
+            .foreach(r => out(s"restored $r"))
+          0
+
+        case "clean" =>
+          val Seq(root) = p.positional
+          val (cube, _) = resolveCube(p)
+          val r = StorageCleaner.clean(spark, cube, root,
+            graceMs = p.flags.get("--grace-ms").map(_.toLong)
+              .getOrElse(StorageCleaner.DefaultGraceMs),
+            delete = !p.switches.contains("--dry-run"))
+          r.removed.foreach(x => out(
+            s"${if (r.deleted) "removed" else "would-remove"} $x"))
+          r.inGrace.foreach(x => out(s"in-grace $x"))
+          out(s"clean removed=${r.removed.size} " +
+            s"inGrace=${r.inGrace.size} live=${r.live.size}")
+          0
+
+        case "metaclean" =>
+          val Seq(root) = p.positional
+          val r = MetaCleanup.clean(spark, root,
+            cubes = p.flags.get("--def").toSeq
+              .map(f => CubeJson.toCubeDef(readSpec(f))),
+            keepBackups = p.flags.get("--keep-backups").map(_.toInt)
+              .getOrElse(8),
+            graceMs = p.flags.get("--grace-ms").map(_.toLong)
+              .getOrElse(StorageCleaner.DefaultGraceMs),
+            delete = !p.switches.contains("--dry-run"))
+          (r.dictRemoved ++ r.backupsRemoved ++ r.snapshotsRemoved)
+            .foreach(x => out(
+              s"${if (r.deleted) "removed" else "would-remove"} $x"))
+          out(s"metaclean dict=${r.dictRemoved.size} " +
+            s"backups=${r.backupsRemoved.size} " +
+            s"snapshots=${r.snapshotsRemoved.size} " +
+            s"inGrace=${r.inGrace.size}")
+          0
+
+        case "audit" =>
+          val Seq(root) = p.positional
+          val (cube, _) = resolveCube(p)
+          val findings = HealthCheck.check(spark, cube, root)
+          findings.foreach(f =>
+            out(s"${f.severity} ${f.code}: ${f.message}"))
+          out(s"audit findings=${findings.size}")
+          if (findings.exists(_.severity == HealthCheck.Error)) 2 else 0
+
+        case "migrate" =>
+          val Seq(src, dst) = p.positional
+          val (cube, _) = resolveCube(p)
+          val inst = CubeMigrator.migrate(spark, cube, src, dst,
+            overwrite = p.switches.contains("--overwrite"))
+          out(s"migrated ${cube.name} -> $dst " +
+            s"segments=${inst.cube.segments.size}")
+          0
+
+        case "policies" =>
+          val Seq(sfDir) = p.positional
+          val spec = resolveCube(p) match {
+            case (_, Some(s)) => s
+            case _ => throw new IllegalArgumentException(
+              "policies needs --def <file> (a declared cube document)")
+          }
+          CubeJson.register(spec)
+          val inst = CubeJson.applyPolicies(spark, sfDir, spec)
+          out(s"policies ${spec.name} " +
+            s"segments=${inst.cube.segments.map(_.name).mkString(",")}")
+          0
+
+        case other =>
+          System.err.println(s"unknown subcommand '$other'")
+          1
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"graft-tool $cmd failed: ${e.getMessage}")
+        1
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    val code = try run(spark, args.toSeq) finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+}

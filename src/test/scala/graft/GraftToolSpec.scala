@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cube._
+
+/** The operator CLI (reference `tool/` module as one dispatch):
+  * backup/restore/clean/metaclean/audit/migrate/policies, each over
+  * the same underlying machinery the specs pin individually — and all
+  * of it resolvable from a DECLARED JSON document, so operators run
+  * the whole lifecycle against cubes that were never compiled in. */
+class GraftToolSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def runTool(args: String*): (Int, Seq[String]) = {
+    val lines = Seq.newBuilder[String]
+    val code = GraftTool.run(spark, args, lines += _)
+    (code, lines.result())
+  }
+
+  private def writeDef(dir: java.nio.file.Path, name: String): String = {
+    val doc =
+      s"""{
+         |  "name": "$name",
+         |  "model": {"fact": "nation"},
+         |  "flatColumns": [
+         |    {"name": "n_name"},
+         |    {"name": "d", "expr": "CAST('1995-06-01' AS TIMESTAMP)"}
+         |  ],
+         |  "dims": ["n_name"],
+         |  "measures": [{"name": "n_rows", "family": "count"}],
+         |  "segmentCol": "d",
+         |  "segments": [{"name": "all", "start": "1995-01-01",
+         |                "end": "1996-01-01"}]
+         |}""".stripMargin
+    val f = dir.resolve(s"$name.json")
+    java.nio.file.Files.write(f, doc.getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("a full operator scenario drives through the CLI dispatch: " +
+      "backup, audit, clean, metaclean, restore") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tool").toString
+    val v1 = CubeBuilder.build(spark,
+      CubeManager.eventsFlat(spark, sf), CubeManager.eventsCube, root)
+
+    // backup prints the id
+    val (bc, bout) = runTool("backup", root)
+    assert(bc == 0 && bout.size == 1 && bout.head.startsWith("backup "))
+    val backupId = bout.head.stripPrefix("backup ")
+
+    // a healthy cube audits clean (exit 0)
+    val (ac, aout) = runTool("audit", root, "--cube", "events")
+    assert(ac == 0 && aout.last == "audit findings=0", aout.mkString("\n"))
+
+    // plant aged garbage; clean removes it and reports
+    val orphan = new java.io.File(s"$root/events/s_gone")
+    assert(new java.io.File(orphan, "cuboid=3").mkdirs())
+    assert(orphan.setLastModified(
+      System.currentTimeMillis() - 48L * 3600 * 1000))
+    val (cc, cout) = runTool("clean", root, "--cube", "events",
+      "--grace-ms", "1000")
+    assert(cc == 0 && !orphan.exists())
+    assert(cout.exists(_.startsWith("removed ")), cout.mkString("\n"))
+
+    // a bad append, then restore rolls it back
+    CubeBuilder.appendSegment(spark, v1,
+      CubeManager.eventsFlat(spark, sf)
+        .withColumn("ts", col("ts") + expr("INTERVAL 31 DAYS"))
+        .withColumn("ev_day", date_format(col("ts"), "yyyy-MM-dd")),
+      Segment("s2024m2", "2024-02-01", "2024-03-01"))
+    val (rc, rout) = runTool("restore", root, backupId)
+    assert(rc == 0 && rout.nonEmpty)
+    assert(CubeMeta.load(spark, CubeManager.eventsCube, root)
+      .exists(_.inst.cube.segments.map(_.name) == Seq("s2024m1")))
+
+    // metaclean prunes backups past the retention count
+    runTool("backup", root); runTool("backup", root)
+    val (mc, mout) = runTool("metaclean", root, "--keep-backups", "1")
+    assert(mc == 0 &&
+      mout.last.startsWith("metaclean dict=0 backups=2"),
+      mout.mkString("\n"))
+    assert(MetaBackup.list(spark, root).size == 1)
+
+    // an audit on a now-damaged layout exits 2 (unhealthy ≠ broken)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$root/events/s2024m1/cuboid=1"))
+    val (dc, dout) = runTool("audit", root, "--cube", "events")
+    assert(dc == 2 && dout.exists(_.contains("missing_cuboid")))
+  }
+
+  test("the whole tool works from a DECLARED document: migrate + " +
+      "audit + policies over --def") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tool-def")
+    val defFile = writeDef(dir, "tool_decl")
+    val srcRoot = java.nio.file.Files
+      .createTempDirectory("graft-tool-src").toString
+    val dstRoot = java.nio.file.Files
+      .createTempDirectory("graft-tool-dst").toString
+    // build the declared cube at the source root
+    val spec = CubeJson.parse(new String(java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(defFile)), "UTF-8"))
+    CubeBuilder.build(spark,
+      CubeJson.flatBuilder(spec)(spark, sf),
+      CubeJson.toCubeDef(spec), srcRoot)
+
+    val (mc, mout) = runTool("migrate", srcRoot, dstRoot,
+      "--def", defFile)
+    assert(mc == 0 && mout.head.startsWith("migrated tool_decl"),
+      mout.mkString("\n"))
+    val (ac, aout) = runTool("audit", dstRoot, "--def", defFile)
+    assert(ac == 0 && aout.last == "audit findings=0")
+
+    // policies through the CLI over the sf dir (none declared in this
+    // doc — a no-op that still reports the committed segment list)
+    val (pc, pout) = runTool("policies", sf, "--def", defFile)
+    assert(pc == 0 && pout.head.contains("segments=all"),
+      pout.mkString("\n"))
+  }
+
+  test("failures surface as exit 1 with the underlying refusal") {
+    val (c1, _) = runTool("restore",
+      java.nio.file.Files.createTempDirectory("graft-tool-x").toString,
+      "no-such-id")
+    assert(c1 == 1)
+    val (c2, _) = runTool("frobnicate")
+    assert(c2 == 1)
+    val (c3, _) = runTool("audit", "/tmp/nope")
+    assert(c3 == 1) // missing --cube/--def
+  }
+}
