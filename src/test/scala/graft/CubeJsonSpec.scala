@@ -445,6 +445,50 @@ class CubeJsonSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap == wantDd)
   }
 
+  test("a REAL second JVM bootstraps a declared cube from the store " +
+      "dir alone and serves it as a pure metadata load") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fleet-defs")
+    val doc =
+      """{
+        |  "name": "decl_fleet",
+        |  "model": {"fact": "nation"},
+        |  "flatColumns": [
+        |    {"name": "n_name"},
+        |    {"name": "d", "expr": "CAST('1995-06-01' AS TIMESTAMP)"}
+        |  ],
+        |  "dims": ["n_name"],
+        |  "measures": [{"name": "n_rows", "family": "count"}],
+        |  "segmentCol": "d",
+        |  "segments": [{"name": "all", "start": "1995-01-01",
+        |                "end": "1996-01-01"}]
+        |}""".stripMargin
+    java.nio.file.Files.write(dir.resolve("decl_fleet.json"),
+      doc.getBytes("UTF-8"))
+    // this process plays the BUILDER: discover the declaration and pay
+    // the one build (committing meta under the shared cube root)
+    CubeJson.registerDir(spark, dir.toString)
+    val q =
+      """SELECT n_name, count(*) AS n_rows FROM graft_decl_fleet
+        |GROUP BY n_name""".stripMargin
+    val first = GraftSql.sqlVia(spark, sf, q)
+    assert(first.routed && first.via == "cuboid")
+
+    // the serving JVM: a fresh process given ONLY the def dir — it
+    // must register the declaration itself, load the committed meta,
+    // route, and never build
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val child = new ProcessBuilder(javaBin,
+        "-cp", System.getProperty("java.class.path"),
+        "-Xmx2g", "graft.ChildDeclared", dir.toString, sf, q,
+        "-decl_fleet/")
+      .redirectErrorStream(true).start()
+    val out = scala.io.Source.fromInputStream(child.getInputStream)
+      .mkString // drain, or a full pipe can deadlock the child
+    assert(child.waitFor() == 0,
+      s"child declared-serve failed:\n${out.takeRight(2000)}")
+    assert(out.contains("CHILD_DECLARED_OK"), out.takeRight(500))
+  }
+
   test("a JSON-declared cube accelerates plain spark.sql through the " +
       "extensions rule") {
     val view = CubeQueries.declaredOrdersView
