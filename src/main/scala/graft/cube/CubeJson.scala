@@ -373,6 +373,97 @@ object CubeJson {
   /** parse + register in one step (the operator deploy call) */
   def registerJson(json: String): String = register(parse(json))
 
+  // ── realization GROUPS: alternates + hybrid splices as data ───────
+
+  /** a declared schema evolution: the retired design serves history
+    * before `cutover`, the redesigned cube serves from it forward
+    * (HybridInstance.java's dateRange partition, as a document). A
+    * member whose SOURCE spans beyond its own era must scope it with
+    * its model's `filterExpr` (e.g. `o_orderdate < TIMESTAMP
+    * '1999-01-01'`) — exactly the state a real evolution leaves: the
+    * retired cube was never built past its cutover, and the build
+    * refuses out-of-segment rows rather than dropping them. */
+  final case class JsonHybrid(name: String, cutover: String,
+                              oldCube: JsonCube, newCube: JsonCube)
+
+  /** One VIEW with its full realization set (reference: a Kylin model
+    * holds many cubes and RealizationChooser picks per query; a
+    * HybridInstance outranks its member cubes): `primary` backs the
+    * view's flat table and is the default realization, `alternates`
+    * are additional cubes the front-end may choose when cheaper, and
+    * `hybrid` is an optional time-spliced pair tried first. */
+  final case class JsonRealization(view: String, primary: JsonCube,
+      alternates: Seq[JsonCube] = Nil, hybrid: Option[JsonHybrid] = None)
+
+  def parseRealization(json: String): JsonRealization = {
+    val r =
+      try Serialization.read[JsonRealization](json)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"unparseable realization document: ${e.getMessage}", e)
+      }
+    validateRealization(r)
+    r
+  }
+
+  def renderRealization(r: JsonRealization): String =
+    Serialization.writePretty(r)
+
+  private def validateRealization(r: JsonRealization): Unit = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"realization '${r.view}': $msg")
+    if (r.view.isEmpty) fail("empty view")
+    val members = Seq(r.primary) ++ r.alternates ++
+      r.hybrid.toSeq.flatMap(h => Seq(h.oldCube, h.newCube))
+    members.foreach(validate)
+    if (members.map(_.name).distinct.size != members.size)
+      fail("member cube names must be distinct (each owns a root)")
+    r.hybrid.foreach { h =>
+      if (!h.oldCube.segments.forall(_.end <= h.cutover))
+        fail(s"hybrid '${h.name}': every old-cube segment must end " +
+          s"at or before the cutover ${h.cutover}")
+      if (!h.newCube.segments.forall(_.start >= h.cutover))
+        fail(s"hybrid '${h.name}': every new-cube segment must start " +
+          s"at or after the cutover ${h.cutover}")
+    }
+  }
+
+  /** the two hybrid members as one spliced realization — each member
+    * load-or-builds through the stamp-aware declared path, so the
+    * wrapper is cheap to reconstruct per call */
+  private def ensureDeclaredHybrid(spark: SparkSession, sfDir: String,
+                                   h: JsonHybrid): HybridInstance =
+    HybridInstance(h.name, Seq(
+      HybridSlice(CubeManager.ensureDeclared(spark, sfDir, h.oldCube),
+        QueryRouter.MinDay, h.cutover),
+      HybridSlice(CubeManager.ensureDeclared(spark, sfDir, h.newCube),
+        h.cutover, QueryRouter.MaxDay)))
+
+  /** Register a realization group: one view, every member realization
+    * wired the same way the compiled bindings are — the hybrid tried
+    * first, then the cheapest covering of primary + alternates per
+    * query (RealizationChooser semantics, already implemented by the
+    * front-end; this just declares the set). Returns the view name. */
+  def registerRealization(r: JsonRealization): String = {
+    validateRealization(r)
+    (Seq(r.primary) ++ r.alternates).foreach(toCubeDef)
+    declaredViewNames.put(r.view, ()): Unit
+    GraftSql.registerBinding(GraftSql.Binding(r.view,
+      flatBuilder(r.primary),
+      (s, d) => CubeManager.ensureDeclared(s, d, r.primary),
+      model = Some(r.primary.model).filter(_.edges.nonEmpty).map(toModel),
+      rawTables =
+        if (r.primary.model.edges.nonEmpty)
+          (r.primary.model.fact +:
+            r.primary.model.edges.map(_.lookup)).distinct
+        else Nil,
+      alternates = r.alternates.map(a =>
+        (s: SparkSession, d: String) => CubeManager.ensureDeclared(s, d, a)),
+      hybrids = r.hybrid.toSeq.map(h =>
+        (s: SparkSession, d: String) => ensureDeclaredHybrid(s, d, h))))
+    r.view
+  }
+
   /** Enforce the declaration's lifecycle POLICIES on the built
     * instance — the scheduled-job entry the reference runs for
     * retention_range and auto_merge_time_ranges (CubeDesc fields;
@@ -450,13 +541,23 @@ object CubeJson {
           val text =
             try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             finally in.close()
-          val spec = parse(text)
-          val canon = render(spec)
-          if (registeredSpecs.get(spec.viewName).contains(canon)) None
+          // two document kinds live in the store: plain cubes and
+          // realization GROUPS (distinguished by the `primary` field)
+          val (viewName, canon, doRegister) =
+            if ((org.json4s.jackson.JsonMethods.parse(text) \ "primary")
+                == org.json4s.JNothing) {
+              val spec = parse(text)
+              (spec.viewName, render(spec), () => register(spec))
+            } else {
+              val r = parseRealization(text)
+              (r.view, renderRealization(r),
+                () => registerRealization(r))
+            }
+          if (registeredSpecs.get(viewName).contains(canon)) None
           else {
-            register(spec)
-            registeredSpecs.put(spec.viewName, canon)
-            Some(spec.viewName)
+            doRegister()
+            registeredSpecs.put(viewName, canon)
+            Some(viewName)
           }
         } catch {
           case scala.util.control.NonFatal(e) =>

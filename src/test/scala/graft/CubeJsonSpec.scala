@@ -489,6 +489,123 @@ class CubeJsonSpec extends AnyFunSuite {
     assert(out.contains("CHILD_DECLARED_OK"), out.takeRight(500))
   }
 
+  test("a declared REALIZATION GROUP: alternates choose cheapest, the " +
+      "hybrid splice outranks and serves across its cutover — all " +
+      "from one document") {
+    def member(name: String, dims: String, segments: String,
+               extraCols: String = "", timeDim: String = "",
+               filter: String = "") =
+      s"""{
+         |  "name": "$name",
+         |  "model": {"fact": "orders"$filter},
+         |  "flatColumns": [
+         |    {"name": "o_month",
+         |     "expr": "date_format(o_orderdate, 'yyyy-MM')"},
+         |    {"name": "o_orderstatus"},
+         |    {"name": "o_orderpriority"},
+         |    {"name": "o_orderdate"},
+         |    {"name": "o_totalprice"}$extraCols
+         |  ],
+         |  "dims": [$dims],
+         |  "measures": [
+         |    {"name": "price_sum", "family": "sum",
+         |     "column": "o_totalprice", "decimal": true,
+         |     "presentDouble": true},
+         |    {"name": "n_orders", "family": "count"}
+         |  ],
+         |  "segmentCol": "o_orderdate",
+         |  "segments": [$segments],
+         |  "segDayGranular": true$timeDim
+         |}""".stripMargin
+    val full =
+      """{"name": "all", "start": "1995-01-01", "end": "2003-01-01"}"""
+    val doc =
+      s"""{
+         |  "view": "graft_sales",
+         |  "primary": ${member("sales_wide",
+              "\"o_orderstatus\", \"o_orderpriority\", \"o_month\"", full)},
+         |  "alternates": [${member("sales_narrow",
+              "\"o_orderstatus\"", full)}],
+         |  "hybrid": {
+         |    "name": "sales_hybrid",
+         |    "cutover": "1999-01-01",
+         |    "oldCube": ${member("sales_old", "\"o_month\"",
+              """{"name": "s95", "start": "1995-01-01", "end": "1999-01-01"}""",
+              timeDim =
+                """,
+                  |  "timeDim": {"name": "o_month", "granularity": "month"}"""
+                  .stripMargin,
+              filter = """, "filterExpr":
+                |   "o_orderdate < TIMESTAMP '1999-01-01'"""".stripMargin)},
+         |    "newCube": ${member("sales_new", "\"o_month\"",
+              """{"name": "s99", "start": "1999-01-01", "end": "2003-01-01"}""",
+              timeDim =
+                """,
+                  |  "timeDim": {"name": "o_month", "granularity": "month"}"""
+                  .stripMargin,
+              filter = """, "filterExpr":
+                |   "o_orderdate >= TIMESTAMP '1999-01-01'"""".stripMargin)}
+         |  }
+         |}""".stripMargin
+    val r = CubeJson.parseRealization(doc)
+    assert(CubeJson.parseRealization(CubeJson.renderRealization(r)) == r)
+    CubeJson.registerRealization(r)
+    GraftSql.registerViews(spark, sf)
+
+    // a query the hybrid can't serve (its members only carry o_month)
+    // and BOTH primary and alternate cover: the cheapest covering
+    // realization — the narrow alternate — wins (RealizationChooser)
+    val alt = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, sum(o_totalprice) AS price_sum
+        |FROM graft_sales GROUP BY o_orderstatus""".stripMargin)
+    assert(alt.routed && alt.via == "cuboid", s"got ${alt.via}")
+    assert(alt.df.inputFiles.exists(_.contains("-sales_narrow/")),
+      s"the cheapest covering alternate must serve, got " +
+        alt.df.inputFiles.take(3).mkString(", "))
+    val want = Tables.orders(spark, sf).groupBy("o_orderstatus")
+      .agg(sum(Exact.dec(col("o_totalprice"))).cast("double").as("p"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(alt.df.collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap == want)
+
+    // a query only the wide primary covers
+    val wide = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM graft_sales GROUP BY o_orderpriority""".stripMargin)
+    assert(wide.routed && wide.via == "cuboid")
+    assert(wide.df.inputFiles.exists(_.contains("-sales_wide/")))
+
+    // a month query spanning the cutover: the declared hybrid outranks
+    // and splices both member cubes
+    val hy = GraftSql.sqlVia(spark, sf,
+      """SELECT o_month, sum(o_totalprice) AS price_sum
+        |FROM graft_sales
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '2001-01-01'
+        |GROUP BY o_month""".stripMargin)
+    assert(hy.routed && hy.via == "hybrid", s"got ${hy.via}")
+    val hfiles = hy.df.inputFiles
+    assert(hfiles.exists(_.contains("-sales_old/")) &&
+      hfiles.exists(_.contains("-sales_new/")),
+      s"both member roots must serve, got ${hfiles.take(3).toSeq}")
+    val wantHy = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("2001-01-01").cast("timestamp"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+      .agg(sum(Exact.dec(col("o_totalprice"))).cast("double").as("p"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(hy.df.collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap == wantHy)
+
+    // document validation: a hybrid member leaking past its cutover
+    // refuses at deploy time
+    val bad = doc.replace("\"end\": \"1999-01-01\"",
+      "\"end\": \"1999-06-01\"")
+    assert(intercept[IllegalArgumentException](
+      CubeJson.parseRealization(bad)).getMessage
+      .contains("must end at or before the cutover"))
+  }
+
   test("a JSON-declared cube accelerates plain spark.sql through the " +
       "extensions rule") {
     val view = CubeQueries.declaredOrdersView
