@@ -153,10 +153,27 @@ object BuildLease {
                     System.currentTimeMillis(), -1)).isFailure)
                 rewriteMode = true
               if (rewriteMode) scala.util.Try {
-                val out = fs.create(p, true) // overwrite our own lease
-                try out.write(
-                  s"$owner\n${System.nanoTime()}".getBytes("UTF-8"))
-                finally out.close()
+                // verify the lease is still OURS before the rewrite: a
+                // holder that stalled past ExpiryMs may have been
+                // broken and succeeded by another builder, and a blind
+                // create(overwrite) would stomp the successor's live
+                // lease (and our releaseOwned would then delete it).
+                // A failed/negative read skips this tick — erring
+                // toward letting our lease lapse (a duplicate build at
+                // worst), never toward clobbering a successor.
+                val stillOurs = scala.util.Try {
+                  val in = fs.open(p)
+                  val body = try scala.io.Source
+                    .fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+                  ownerOf(body) == owner
+                }.getOrElse(false)
+                if (stillOurs) {
+                  val out = fs.create(p, true) // overwrite our own lease
+                  try out.write(
+                    s"$owner\n${System.nanoTime()}".getBytes("UTF-8"))
+                  finally out.close()
+                }
               }: Unit
             }
           } catch { case _: InterruptedException => }

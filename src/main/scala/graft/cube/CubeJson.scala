@@ -157,6 +157,9 @@ object CubeJson {
     def fail(msg: String) = throw new IllegalArgumentException(
       s"cube '${j.name}': $msg")
     if (j.name.isEmpty) fail("empty name")
+    if (!j.name.matches("[A-Za-z0-9_][A-Za-z0-9_-]*"))
+      fail(s"name '${j.name}' must be alphanumeric/underscore/dash " +
+        "(it becomes a storage directory)")
     if (j.dims.isEmpty) fail("no dims")
     if (j.dims.distinct.size != j.dims.size) fail("duplicate dims")
     if (j.segments.isEmpty) fail("no segments")
@@ -355,9 +358,36 @@ object CubeJson {
   private[graft] def declaredViews: Set[String] =
     declaredViewNames.keySet.toSet
 
+  /** Compiled-name collision guard: a declaration named like a
+    * compiled cube maps to the SAME root and meta path. Identical
+    * fingerprints are a legitimate takeover (the declared form routes
+    * the compiled layout without a rebuild); a DIFFERING fingerprint
+    * would ping-pong — each side's load reads the other's commit as
+    * def drift and rebuilds, forever — so it refuses at deploy time.
+    * The hybrid member names are reserved outright (their defs are
+    * parameterized per era; no takeover shape exists). */
+  private def guardCompiledCollision(spec: JsonCube): Unit = {
+    if (spec.name == "star-old" || spec.name == "star-new")
+      throw new IllegalArgumentException(
+        s"cube '${spec.name}': reserved hybrid-member name")
+    val compiled = Map(
+      "star" -> (() => CubeManager.defaultCube),
+      "events" -> (() => CubeManager.eventsCube))
+    compiled.get(spec.name).foreach { c =>
+      if (CubeMeta.fingerprint(toCubeDef(spec)) !=
+          CubeMeta.fingerprint(c()))
+        throw new IllegalArgumentException(
+          s"cube '${spec.name}': collides with the compiled cube of " +
+            "that name at the same storage root — an identical " +
+            "fingerprint may take it over, but a differing one would " +
+            "ping-pong rebuilds on every touch; rename the declaration")
+    }
+  }
+
   def register(spec: JsonCube): String = {
     validate(spec)
     toCubeDef(spec) // fail fast on lattice/dim errors, at deploy time
+    guardCompiledCollision(spec)
     declaredViewNames.put(spec.viewName, ()): Unit
     GraftSql.registerBinding(GraftSql.Binding(spec.viewName,
       flatBuilder(spec),
@@ -447,6 +477,9 @@ object CubeJson {
   def registerRealization(r: JsonRealization): String = {
     validateRealization(r)
     (Seq(r.primary) ++ r.alternates).foreach(toCubeDef)
+    (Seq(r.primary) ++ r.alternates ++
+      r.hybrid.toSeq.flatMap(h => Seq(h.oldCube, h.newCube)))
+      .foreach(guardCompiledCollision)
     declaredViewNames.put(r.view, ()): Unit
     GraftSql.registerBinding(GraftSql.Binding(r.view,
       flatBuilder(r.primary),

@@ -109,6 +109,27 @@ object CubeMigrator {
       else if (!skip(s.getPath.getName)) copyFile(srcFs, dstFs, s.getPath, t)
     }
 
+  /** Cheap content signature of a tree: the sorted multiset of
+    * (relative dir, file length) over non-hidden files — enough to
+    * tell "the same write-once snapshot freeze" from a different one
+    * without reading data (two parquet writes of the same rows in the
+    * same order produce byte-identical part files; different rows
+    * virtually never collide on every per-file byte length).
+    * BASENAMES are deliberately excluded: every Spark write mints a
+    * fresh writer uuid into the part-file name, so names differ even
+    * between two writes of identical content. */
+  private def treeSignature(fs: FileSystem,
+                            root: Path): Seq[(String, Long)] = {
+    def walk(p: Path, prefix: String): Seq[(String, Long)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(".") || name.startsWith("_")) Nil
+        else if (st.isDirectory) walk(st.getPath, s"$prefix$name/")
+        else Seq((prefix, st.getLen))
+      }
+    walk(root, "").sorted
+  }
+
   private def isMetaFile(name: String): Boolean =
     name == CubeMeta.MetaFile || name == CubeMeta.MergedFile ||
       name == s".${CubeMeta.MetaFile}.crc" ||
@@ -157,6 +178,63 @@ object CubeMigrator {
       throw new IllegalStateException(
         s"migration refused: no loadable meta for ${cube.name} " +
           s"under $srcRoot")).inst
+    // ── shared-tree safety (multi-cube destination roots), checked
+    // BEFORE the uncommit below: a refusal must leave the destination
+    // fully routable — refusing after the meta deletion would turn a
+    // "safe" refusal into an outage (the destination cube decommitted
+    // with nothing copied). dict/ and snapshots/ are shared PER ROOT,
+    // so replacing them wholesale would destroy dict versions other
+    // committed cubes' segments were encoded against (silently wrong
+    // bitmap decodes) and swap snapshot rows under cubes that are
+    // still committed and routable. Policy: additive copy-if-absent;
+    // full replacement only when the destination has NO other
+    // committed cube AND the operator passed overwrite. Hard pre-copy
+    // refusals: a dict COLUMN that already exists at a multi-cube
+    // destination (two independently-assigned id spaces cannot merge —
+    // including this cube's OWN prior deployment's: decommission it or
+    // migrate to a fresh root), and an existing snapshot for a lookup
+    // THIS cube's derived dims read whose content differs from the
+    // source freeze (the migrated segments were built against the
+    // source's rows; silently answering derived queries from a
+    // different freeze would be wrong, the same unmergeable-state
+    // reason as the dict case — identical freezes pass and skip the
+    // copy).
+    val otherCommitted: Seq[String] =
+      (if (dstFs.exists(dstP)) dstFs.listStatus(dstP).toSeq else Nil)
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(n => n != cube.name && n != "dict" &&
+          n != "snapshots" && n != "_backups")
+        .filter(n => Seq(CubeMeta.MetaFile, CubeMeta.MergedFile)
+          .exists(f => dstFs.exists(new Path(s"$dstRoot/$n/$f"))))
+    val mayReplaceShared = overwrite && otherCommitted.isEmpty
+    val srcDictDir = new Path(srcP, "dict")
+    if (srcFs.exists(srcDictDir) && !mayReplaceShared) {
+      val conflicts = srcFs.listStatus(srcDictDir).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(c => dstFs.exists(new Path(dstP, s"dict/$c")))
+      if (conflicts.nonEmpty)
+        throw new IllegalStateException(
+          s"migration refused: dictionary column(s) " +
+            s"${conflicts.mkString(", ")} already exist under $dstRoot " +
+            "— independently assigned id spaces cannot merge (this " +
+            "includes a prior deployment of the same cube); migrate " +
+            "to a fresh root or rebuild at the destination")
+    }
+    if (!mayReplaceShared) {
+      src.cube.derived.map(_.lookup).distinct.foreach { l =>
+        val from = new Path(Snapshot.path(srcRoot, l))
+        val to = new Path(Snapshot.path(dstRoot, l))
+        if (srcFs.exists(from) && dstFs.exists(to) &&
+            treeSignature(srcFs, from) != treeSignature(dstFs, to))
+          throw new IllegalStateException(
+            s"migration refused: destination snapshot '$l' under " +
+              s"$dstRoot differs from the source freeze this cube was " +
+              "built against — derived-dim answers would silently " +
+              "diverge; refresh the destination's snapshot consumers " +
+              "or migrate to a fresh root")
+      }
+    }
+
     // overwrite = replace: UNCOMMIT the destination first (delete its
     // meta) so the window serves no meta — never a mix of old and new
     // parquet under a still-committed meta — and a crash anywhere
@@ -197,42 +275,6 @@ object CubeMigrator {
         s"migration refused: ${cube.name} meta changed under $srcRoot " +
           "while planning (concurrent build?) — retry when quiet")
 
-    // ── shared-tree safety (multi-cube destination roots): dict/ and
-    // snapshots/ are shared PER ROOT, so replacing them wholesale
-    // would destroy dict versions other committed cubes' segments were
-    // encoded against (silently wrong bitmap decodes) and swap
-    // snapshot rows under cubes that are still committed and routable
-    // — and a crash mid-replace would leave those cubes half-replaced
-    // WHILE routable, since their metas never uncommit. Policy:
-    // additive copy-if-absent always; full replacement only when the
-    // destination has NO other committed cube (then nothing routable
-    // shares the trees) AND the operator passed overwrite. A dict
-    // COLUMN that already exists at a multi-cube destination is a
-    // hard conflict — two independently-assigned id spaces cannot
-    // merge — detected HERE, before any data copies, so the refusal
-    // leaves the destination untouched.
-    val otherCommitted: Seq[String] =
-      (if (dstFs.exists(dstP)) dstFs.listStatus(dstP).toSeq else Nil)
-        .filter(_.isDirectory).map(_.getPath.getName)
-        .filter(n => n != cube.name && n != "dict" &&
-          n != "snapshots" && n != "_backups")
-        .filter(n => Seq(CubeMeta.MetaFile, CubeMeta.MergedFile)
-          .exists(f => dstFs.exists(new Path(s"$dstRoot/$n/$f"))))
-    val mayReplaceShared = overwrite && otherCommitted.isEmpty
-    val srcDictDir = new Path(srcP, "dict")
-    if (srcFs.exists(srcDictDir) && !mayReplaceShared) {
-      val conflicts = srcFs.listStatus(srcDictDir).toSeq
-        .filter(_.isDirectory).map(_.getPath.getName)
-        .filter(c => dstFs.exists(new Path(dstP, s"dict/$c")))
-      if (conflicts.nonEmpty)
-        throw new IllegalStateException(
-          s"migration refused: dictionary column(s) " +
-            s"${conflicts.mkString(", ")} already exist under $dstRoot " +
-            s"and other cubes are committed there " +
-            s"(${otherCommitted.mkString(", ")}) — independently " +
-            "assigned id spaces cannot merge; migrate to a fresh root " +
-            "or rebuild at the destination")
-    }
     val segDirs = (src.cube.segments.map(_.name) ++
       mergedInst.toSeq.flatMap(_.cube.segments.map(_.name))).distinct
     segDirs.foreach { s =>

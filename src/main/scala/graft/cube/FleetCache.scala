@@ -49,6 +49,14 @@ object FleetCache {
   val DirConf = "spark.graft.fleetCacheDir"
   val CapConf = "spark.graft.fleetCacheEntries"
   val DefaultCap = 256
+  /** an over-cap entry is deleted only once it is at least this old:
+    * a frame handed out by lookup/store reads its payload LAZILY, so
+    * deleting a just-served entry from another process could fail that
+    * reader's action mid-query. The grace bounds the exposure to
+    * queries still running after this window (the FIFO cap is then
+    * enforced with a delay, never violated for long). */
+  val ReadGraceConf = "spark.graft.fleetCacheReadGraceMs"
+  val DefaultReadGraceMs = 600000L
 
   def dirOf(spark: SparkSession): Option[String] =
     spark.conf.getOption(DirConf).filter(_.nonEmpty)
@@ -167,8 +175,11 @@ object FleetCache {
         .getOrElse(-1L)
       (st.getPath, mtime)
     }
+    val readGrace = spark.conf.getOption(ReadGraceConf).map(_.toLong)
+      .getOrElse(DefaultReadGraceMs)
     val (committed, torn) = entries.partition(_._2 >= 0)
     committed.sortBy(-_._2).drop(cap)
+      .filter { case (_, m) => now - m > readGrace }
       .foreach { case (p, _) => fs.delete(p, true): Unit }
     // a torn dir older than 10 minutes is a crashed writer's leavings
     torn.foreach { case (p, _) =>

@@ -99,7 +99,7 @@ object GraftSql {
 
   def registerBinding(b: Binding): Unit = {
     extraBindings.put(b.view, b)
-    viewsRegistered.clear() // force view re-registration on next query
+    viewsRegistered.synchronized(viewsRegistered.clear()) // force view re-registration on next query
     // a (re-)registered binding changes what queries route to: drop
     // every cached result and flip the version folded into the cache
     // key, so a view re-bound to new data can never serve a stale
@@ -326,8 +326,26 @@ object GraftSql {
     * re-registration after an intervening sfDir bound the same view
     * names to different data (ADVICE r5: routing would then use sfA's
     * cube while fallbacks read sfB's views). */
+  // keyed on sessionUUID STRINGS with a size bound — never on session
+  // objects: a process churning short-lived cloned sessions (one per
+  // JDBC connection) must not accrete strong session refs in a static
+  // map (the same hazard fixed in GraftCatalog, r14 wrong #1). An
+  // eviction or unseen uuid merely re-runs idempotent temp-view DDL.
+  private val ViewsCap = 64
   private val viewsRegistered =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+    scala.collection.mutable.LinkedHashMap.empty[String, String]
+  private def viewsKey(spark: SparkSession): String =
+    org.apache.spark.sql.graftbridge.SessionBridge.sessionUUID(spark)
+  private def viewsGet(spark: SparkSession): Option[String] =
+    viewsRegistered.synchronized(viewsRegistered.get(viewsKey(spark)))
+  private def viewsPut(spark: SparkSession, dir: String): Unit =
+    viewsRegistered.synchronized {
+      val k = viewsKey(spark)
+      viewsRegistered.remove(k)
+      viewsRegistered.put(k, dir)
+      while (viewsRegistered.size > ViewsCap)
+        viewsRegistered.remove(viewsRegistered.head._1): Unit
+    }
 
   /** register every cube view + the intersect_count SQL function (once
     * per session while the sfDir stays the same — re-analysis per query
@@ -338,8 +356,8 @@ object GraftSql {
   val CubeDefDirConf = "spark.graft.cubeDefDir"
 
   def registerViews(spark: SparkSession, sfDir: String): Unit = {
-    if (!viewsRegistered.get(spark).contains(sfDir)) synchronized {
-      if (!viewsRegistered.get(spark).contains(sfDir)) {
+    if (!viewsGet(spark).contains(sfDir)) synchronized {
+      if (!viewsGet(spark).contains(sfDir)) {
         // declarations first: a registerDir that (re)registers a
         // binding clears viewsRegistered, which we are about to set —
         // the order makes the new binding's view land in THIS pass
@@ -352,7 +370,7 @@ object GraftSql {
             graft.Tables.tbl(spark, sfDir, n).createOrReplaceTempView(n))
         }
         Measures.registerIntersectCount(spark)
-        viewsRegistered.put(spark, sfDir)
+        viewsPut(spark, sfDir)
       }
     }
   }
@@ -787,8 +805,32 @@ object GraftSql {
   def sqlCached(spark: SparkSession, sfDir: String,
                 query: String): SqlResult = {
     registerViews(spark, sfDir)
+    // L2: the fleet-shared tier (off unless the conf names a dir).
+    // Key = canonical plan + stamp set read from the shared store —
+    // meaningful in every process, unlike the L1 key's memo-scoped
+    // stamps. Computed BEFORE the L1 probe because the L1 key must
+    // fold it in: an L2-served result's realization may be one this
+    // process never TOUCHED (loadedInstances stays empty), so the
+    // memo-scoped stamps alone would never notice a foreign rebuild
+    // and the L1 entry would serve the old answer forever. With the
+    // disk-derived hash inside the key, any commit anywhere changes
+    // it and the stale L1 entry becomes unaddressable like its L2
+    // parent. A set containing an Unavailable stamp (transient stat
+    // failure) disables the tier for this call — a hiccup must err
+    // toward recompute, never toward two different states hashing to
+    // the same shared key.
+    val l2 = FleetCache.dirOf(spark).flatMap { d =>
+      val (canon, eligible) = l2KeyInfo(spark, query)
+      if (!eligible) None
+      else {
+        val stamps = CubeManager.fleetStamps(spark, sfDir)
+        if (stamps.exists(_._3 == MetaStamp.Unavailable)) None
+        else Some((d, FleetCache.keyHash(sfDir, canon, stamps)))
+      }
+    }
     val key = (sfDir, query, bindingsVersion.get(),
-      realizationStamps(spark, sfDir))
+      realizationStamps(spark, sfDir) ++
+        l2.map { case (_, k) => ("fleet", "", k) })
     resultCache.synchronized(resultCache.get(key)) match {
       case Some(hit) =>
         cacheHits.incrementAndGet()
@@ -800,19 +842,10 @@ object GraftSql {
         hit.copy(fromCache = true)
       case None =>
         cacheMisses.incrementAndGet()
-        // L2: the fleet-shared tier (off unless the conf names a dir).
-        // Key = canonical plan + stamp set read from the shared store —
-        // meaningful in every process, unlike the L1 key's memo-scoped
-        // stamps. Another JVM's committed entry serves here with zero
-        // Spark jobs against cube parquet (the payload read IS the
-        // answer); a foreign metadata commit changed the stamps and so
-        // the key, making staleness unaddressable.
-        val l2 = FleetCache.dirOf(spark).flatMap { d =>
-          val (canon, eligible) = l2KeyInfo(spark, query)
-          if (!eligible) None
-          else Some((d, FleetCache.keyHash(sfDir, canon,
-            CubeManager.fleetStamps(spark, sfDir))))
-        }
+        // another JVM's committed entry serves here with zero Spark
+        // jobs against cube parquet (the payload read IS the answer);
+        // a foreign metadata commit changed the stamps and so the key,
+        // making staleness unaddressable.
         l2.flatMap { case (d, k) => FleetCache.lookup(spark, d, k) } match {
           case Some(hit) =>
             fleetHits.incrementAndGet()
@@ -887,7 +920,7 @@ object GraftSql {
     // JVM-global "last registered" value, which in a multi-session
     // process (Thriftserver without singleSession, notebooks) would
     // route one session's query against another session's data
-    val dir = viewsRegistered.get(spark).getOrElse(return None)
+    val dir = viewsGet(spark).getOrElse(return None)
     // touch only plans that read a registered cube view OR one of a
     // binding's raw star tables (explicit model-join SQL routes via
     // ModelMatcher without ever referencing the pre-joined view)

@@ -79,8 +79,21 @@ object HealthCheck {
       val ids = r.cube.cuboids.map(r.cube.cuboidId)
       for (s <- segs) {
         val segDir = new Path(r.cuboidPath(s.name, ids.head)).getParent
+        // a truly missing segment dir means every cuboid is missing
+        // (a real finding); any OTHER listing failure is the TOOL
+        // failing (store throttling, auth) and must abort — reporting
+        // it as universal layout loss would page operators (exit 2)
+        // for a healthy cube
         val present: Set[Long] =
-          scala.util.Try(fs.listStatus(segDir).toSeq).getOrElse(Nil)
+          (try fs.listStatus(segDir).toSeq
+           catch {
+             case _: java.io.FileNotFoundException => Seq.empty
+             case e: java.io.IOException =>
+               throw new IllegalStateException(
+                 s"health check could not list $segDir — transient " +
+                   "store failure? aborting rather than reporting " +
+                   "universal layout loss", e)
+           })
             .iterator.map(_.getPath.getName)
             .filter(_.startsWith("cuboid="))
             .flatMap(n =>

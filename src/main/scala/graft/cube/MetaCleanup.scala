@@ -13,16 +13,21 @@ import org.apache.spark.sql.SparkSession
   *     new immutable `v<n>` dir per append and prunes nothing. Only
   *     the NEWEST version is ever read (append-only: it is a superset
   *     of every older one, with every id unchanged), so versions below
-  *     the latest are strictly redundant — reclaimed after a grace
-  *     window that protects a version that only just stopped being
-  *     newest (a concurrent builder may still hold it open);
+  *     the latest are strictly redundant — reclaimed once the
+  *     SUPERSESSION is older than the grace window (the newest
+  *     version's creation time, NOT the old dir's own always-old
+  *     mtime), protecting a builder still reading the version that
+  *     only just stopped being newest;
   *  2. `_backups/` — [[MetaBackup.backup]] appends forever; retention
   *     here keeps the newest `keepBackups` ids (they sort
   *     chronologically) and deletes the rest;
   *  3. lookup SNAPSHOTS — write-once dirs a cube's build froze; once
   *     no committed cube at this root references the lookup (through a
   *     derived dim or a declared model edge), nothing can read the
-  *     snapshot again and it is reclaimed after the grace window.
+  *     snapshot again and it is reclaimed once the newest meta commit
+  *     under the root — the de-referencing event — is older than the
+  *     grace window (a serving process's memoized instance from
+  *     before that commit may still be reading).
   *
   * Safety posture matches StorageCleaner: committed metadata is the
   * single source of truth for the snapshot sweep — when cube defs are
@@ -67,7 +72,12 @@ object MetaCleanup {
       }
     }
 
-    // ── 1. dictionary versions: keep the newest per column ──────────
+    // ── 1. dictionary versions: keep the newest per column. The grace
+    // clock starts when a version BECAME superseded — i.e. at the
+    // NEWEST version's creation — not at the old version's own mtime
+    // (immutable dirs are always "old" by their own clock, so an
+    // own-mtime test would delete a version superseded one second ago
+    // out from under a builder still reading it).
     val dictBase = new Path(s"$root/dict")
     if (fs.exists(dictBase)) {
       fs.listStatus(dictBase).filter(_.isDirectory).foreach { colDir =>
@@ -77,7 +87,14 @@ object MetaCleanup {
           .sortBy(_.getPath.getName.drop(1).toInt)
         if (versions.nonEmpty) {
           kept += versions.last.getPath.toString
-          versions.dropRight(1).foreach(v => remove(v.getPath, dictRemoved))
+          val supersededFor = now - versions.last.getModificationTime
+          versions.dropRight(1).foreach { v =>
+            if (supersededFor < graceMs) inGrace += v.getPath.toString
+            else {
+              if (delete) fs.delete(v.getPath, true): Unit
+              dictRemoved += v.getPath.toString
+            }
+          }
         }
       }
     }
@@ -106,8 +123,22 @@ object MetaCleanup {
       val live: Set[String] =
         committed.flatMap(_.inst.cube.derived.map(_.lookup)).toSet ++
           models.flatMap(_.edges.map(_.lookup))
+      // the grace clock for an unreferenced snapshot starts at the
+      // NEWEST meta commit under the root — the de-referencing event —
+      // not at the snapshot's own (write-once, always-old) mtime: a
+      // serving process whose memoized instance predates that commit
+      // may still be reading the snapshot
+      val lastCommitMs = fs.listStatus(rootP).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName != "_backups")
+        .flatMap(d => Seq(CubeMeta.MetaFile, CubeMeta.MergedFile)
+          .flatMap(f => scala.util.Try(
+            fs.getFileStatus(new Path(d.getPath, f))
+              .getModificationTime).toOption))
+        .foldLeft(0L)(math.max)
       fs.listStatus(snapBase).foreach { snap =>
         if (live(snap.getPath.getName)) kept += snap.getPath.toString
+        else if (now - lastCommitMs < graceMs)
+          inGrace += snap.getPath.toString
         else remove(snap.getPath, snapshotsRemoved)
       }
     } else if (fs.exists(snapBase)) {

@@ -151,6 +151,50 @@ class BuildLeaseSpec extends AnyFunSuite {
     assert(builds.get() == 0 && inst.rows == winner.rows)
   }
 
+  test("a rewrite-mode heartbeat never stomps a lease it no longer " +
+      "owns (a broken-and-reacquired lease stays the successor's)") {
+    val localDir = java.nio.file.Files
+      .createTempDirectory("graft-lease-stomp").toString
+    spark.sparkContext.hadoopConfiguration.set("fs.failtimes.impl",
+      classOf[FailSetTimesFs].getName)
+    val root = s"failtimes://$localDir"
+    val saved = (BuildLease.ExpiryMs, BuildLease.HeartbeatMs,
+      BuildLease.PollMs)
+    try {
+      BuildLease.ExpiryMs = 10000L // no waiter; never expires here
+      BuildLease.HeartbeatMs = 100L
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+      try {
+        val holder = pool.submit(() =>
+          BuildLease.withLease(spark, root, "events")(None) {
+            Thread.sleep(1500); "done"
+          })
+        Thread.sleep(400) // rewrite-mode heartbeats running
+        val lease = new java.io.File(s"$localDir/events/_building")
+        assert(lease.exists())
+        // simulate a successor having broken + re-acquired: the body
+        // now names a FOREIGN owner
+        java.nio.file.Files.write(lease.toPath,
+          "foreign-successor\n0".getBytes("UTF-8"))
+        Thread.sleep(400) // several heartbeat ticks
+        val body = new String(
+          java.nio.file.Files.readAllBytes(lease.toPath), "UTF-8")
+        assert(body.linesIterator.next() == "foreign-successor",
+          s"the old holder's heartbeat must not stomp, got: $body")
+        assert(holder.get() == "done")
+        // releaseOwned refused too: the successor's lease survives
+        assert(lease.exists() && new String(
+          java.nio.file.Files.readAllBytes(lease.toPath), "UTF-8")
+          .startsWith("foreign-successor"))
+        lease.delete(): Unit
+      } finally pool.shutdownNow()
+    } finally {
+      BuildLease.ExpiryMs = saved._1
+      BuildLease.HeartbeatMs = saved._2
+      BuildLease.PollMs = saved._3
+    }
+  }
+
   test("an object-store holder (setTimes unsupported) keeps its lease " +
       "alive through body-rewrite heartbeats; a waiter never breaks it") {
     // ADVICE r14: on s3a-like stores setTimes throws, so the old

@@ -131,6 +131,24 @@ class CubeJsonSpec extends AnyFunSuite {
       "declared answersSumExpr must canonicalize to the compiled tree")
   }
 
+  test("a declaration colliding with a compiled cube's name refuses " +
+      "at deploy unless it fingerprints identically") {
+    // a DIFFERING def under the compiled name would share its root and
+    // ping-pong rebuilds (each side reads the other's commit as drift)
+    val spec = CubeJson.parse(starJson)
+    val differing = spec.copy(measures = spec.measures.tail)
+    assert(intercept[IllegalArgumentException](
+      CubeJson.register(differing)).getMessage.contains("ping-pong"))
+    // reserved hybrid-member names refuse outright
+    assert(intercept[IllegalArgumentException](
+      CubeJson.register(spec.copy(name = "star-old"))).getMessage
+      .contains("reserved"))
+    // and storage-hostile names refuse in validation
+    assert(intercept[IllegalArgumentException](
+      CubeJson.parse(starJson.replace("\"name\": \"star\"",
+        "\"name\": \"../star\""))).getMessage.contains("alphanumeric"))
+  }
+
   test("render ∘ parse is the identity on the document") {
     val spec = CubeJson.parse(starJson)
     assert(CubeJson.parse(CubeJson.render(spec)) == spec)

@@ -124,6 +124,47 @@ class CubeMigratorSpec extends AnyFunSuite {
       nationCube(name), root)
   }
 
+  test("a refusal on an overwrite re-migration leaves the destination " +
+      "cube COMMITTED (the conflict check precedes the uncommit)") {
+    val srcRoot = freshRoot("reref-src")
+    val dstRoot = freshRoot("reref-dst")
+    buildNationCube("mini", srcRoot)
+    Dictionary.buildOrAppend(spark, Seq("a").toDF("c"), "c", srcRoot)
+    // destination: the SAME cube already deployed (with its own dict
+    // lineage) plus another committed cube — overwrite can't replace
+    // shared trees here, so the dict collision must refuse, and the
+    // refusal must not have decommitted the destination's mini first
+    buildNationCube("mini", dstRoot)
+    Dictionary.buildOrAppend(spark, Seq("x").toDF("c"), "c", dstRoot)
+    buildNationCube("other", dstRoot)
+    intercept[IllegalStateException] {
+      CubeMigrator.migrate(spark, nationCube("mini"), srcRoot, dstRoot,
+        overwrite = true)
+    }
+    assert(CubeMeta.load(spark, nationCube("mini"), dstRoot).isDefined,
+      "a refused overwrite must leave the destination cube routable")
+  }
+
+  test("a destination snapshot that DIFFERS from the source freeze " +
+      "refuses rather than silently serving divergent derived rows") {
+    val srcRoot = freshRoot("snapdiff-src")
+    val dstRoot = freshRoot("snapdiff-dst")
+    buildNationCube("mini", srcRoot) // snapshot = the full nation
+    // destination froze a DIFFERENT nation (fewer rows) before its own
+    // cube was built — a real skew between deployments
+    Snapshot.ensure(spark,
+      Tables.nation(spark, sf).filter(col("n_regionkey") === 0),
+      dstRoot, "nation")
+    buildNationCube("other", dstRoot)
+    val e = intercept[IllegalStateException] {
+      CubeMigrator.migrate(spark, nationCube("mini"), srcRoot, dstRoot)
+    }
+    assert(e.getMessage.contains("differs from the source freeze"),
+      e.getMessage)
+    assert(!new java.io.File(s"$dstRoot/mini").exists(),
+      "the refusal must come before any data copy")
+  }
+
   test("a dict-column collision on a multi-cube destination refuses " +
       "BEFORE any copy") {
     val srcRoot = freshRoot("dictsrc")

@@ -102,6 +102,26 @@ class FleetCacheSpec extends AnyFunSuite {
     }
   }
 
+  test("an L1 entry seeded by the fleet tier is invalidated by a " +
+      "foreign commit WITHOUT a restart (the disk stamps ride the " +
+      "L1 key)") {
+    val inst = CubeManager.ensureBuilt(spark, sf)
+    withFleetDir { dir =>
+      assert(GraftSql.sqlCached(spark, sf, q).routed) // compute + store
+      CubeManager.resetMemos() // fresh state: manager memos empty
+      val b = GraftSql.sqlCached(spark, sf, q)
+      assert(b.fromCache, "fresh state must seed L1 from the fleet entry")
+      // foreign commit, NO reset: this process never TOUCHED the cube
+      // (the answer came from the payload), so memo-scoped stamps
+      // alone would never notice — the key's disk-derived component
+      // must
+      CubeMeta.save(spark, inst)
+      val c = GraftSql.sqlCached(spark, sf, q)
+      assert(!c.fromCache,
+        "the fleet-seeded L1 entry must not survive a foreign commit")
+    }
+  }
+
   test("fallback (unrouted) results never cache") {
     CubeManager.ensureBuilt(spark, sf)
     withFleetDir { dir =>
@@ -141,6 +161,9 @@ class FleetCacheSpec extends AnyFunSuite {
     CubeManager.ensureBuilt(spark, sf)
     withFleetDir { dir =>
       spark.conf.set(FleetCache.CapConf, "2")
+      // the read grace defers over-cap deletion to protect in-flight
+      // readers in other processes; zero it so the bound is immediate
+      spark.conf.set(FleetCache.ReadGraceConf, "0")
       try {
         val queries = Seq("ASIA", "EUROPE", "AMERICA").map(rg =>
           s"""SELECT n_name, count(*) AS n_rows FROM graft_star
@@ -161,7 +184,10 @@ class FleetCacheSpec extends AnyFunSuite {
         GraftSql.clearResultCache()
         val r2 = GraftSql.sqlCached(spark, sf, queries.last)
         assert(r2.fromCache)
-      } finally spark.conf.unset(FleetCache.CapConf)
+      } finally {
+        spark.conf.unset(FleetCache.CapConf)
+        spark.conf.unset(FleetCache.ReadGraceConf)
+      }
     }
   }
 }

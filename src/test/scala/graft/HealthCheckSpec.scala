@@ -90,8 +90,10 @@ class HealthCheckSpec extends AnyFunSuite {
     // two dict versions (v1 superseded + aged) and 9 backups
     Dictionary.buildOrAppend(spark, Seq("a").toDF("c"), "c", root)
     Dictionary.buildOrAppend(spark, Seq("a", "b").toDF("c"), "c", root)
-    assert(new java.io.File(s"$root/dict/c/v1").setLastModified(
-      System.currentTimeMillis() - 48L * 3600 * 1000))
+    // the dict grace clock runs from the supersession (v2's creation)
+    Seq("v1", "v2").foreach(v =>
+      assert(new java.io.File(s"$root/dict/c/$v").setLastModified(
+        System.currentTimeMillis() - 48L * 3600 * 1000)))
     (1 to 9).foreach { _ =>
       MetaBackup.backup(spark, root); Thread.sleep(3)
     }

@@ -47,6 +47,9 @@ class MetaCleanupSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val v1 = new java.io.File(s"$root/dict/c/v1")
     age(v1)
+    // the grace clock runs from the SUPERSESSION (v2's creation) — age
+    // it so v1 is reclaimable
+    age(new java.io.File(s"$root/dict/c/v2"))
 
     val rep = MetaCleanup.clean(spark, root, Nil, graceMs = 1000)
     assert(rep.dictRemoved == Seq("file:" + v1.getPath) && !v1.exists())
@@ -96,6 +99,9 @@ class MetaCleanupSpec extends AnyFunSuite {
     val modelPinned = new java.io.File(s"$root/snapshots/supplier")
     assert(modelPinned.mkdirs())
     Seq(stale, modelPinned).foreach(age)
+    // the snapshot grace clock runs from the newest meta commit — age
+    // it so the orphan is reclaimable
+    age(new java.io.File(s"$root/mini/meta.json"))
 
     // dry run reports all three categories without deleting
     val dry = MetaCleanup.clean(spark, root, Seq(cube),
