@@ -174,10 +174,11 @@ object CubeMigrator {
       }
     // the loads below (primary + merged) happen INSIDE the bracket
     // closed by the byte-equality re-check after them
-    val src = CubeMeta.load(spark, cube, srcRoot).getOrElse(
+    val srcLoaded = CubeMeta.load(spark, cube, srcRoot).getOrElse(
       throw new IllegalStateException(
         s"migration refused: no loadable meta for ${cube.name} " +
-          s"under $srcRoot")).inst
+          s"under $srcRoot"))
+    val src = srcLoaded.inst
     // ── shared-tree safety (multi-cube destination roots), checked
     // BEFORE the uncommit below: a refusal must leave the destination
     // fully routable — refusing after the meta deletion would turn a
@@ -256,8 +257,16 @@ object CubeMigrator {
     // migrating garbage at 100 TB scale would copy unbounded junk
     // (the reference CLI likewise walks the cube's resource list, not
     // the raw directory).
+    // a merged realization whose baseBuildId chain to the CURRENT
+    // primary is broken (the base was re-committed since the merge) is
+    // garbage the source's ensureMerged would re-merge, not data —
+    // shipping it would hand the destination an unreferenced segment
+    // dir plus a dead meta file (exactly what its storage audit then
+    // flags). Chain-filter like StorageCleaner does.
     val mergedInst = CubeMeta.load(spark, cube, srcRoot,
-      CubeMeta.MergedFile).map(_.inst)
+      CubeMeta.MergedFile)
+      .filter(_.baseBuildId.contains(srcLoaded.buildId))
+      .map(_.inst)
     // the segment plan (src + mergedInst) was loaded ADJACENT to the
     // byte snapshot, not from it — re-read and require byte equality,
     // so a source build committing inside the planning window refuses
@@ -316,9 +325,12 @@ object CubeMigrator {
 
     // ── meta LAST, merged before primary: queries discover the cube
     // through the primary commit only
-    metaBytes.foreach { case (f, bytes) =>
-      writeBytes(dstFs, new Path(dstCubeDir, f), bytes)
-    }
+    metaBytes
+      .filter { case (f, _) =>
+        f != CubeMeta.MergedFile || mergedInst.isDefined }
+      .foreach { case (f, bytes) =>
+        writeBytes(dstFs, new Path(dstCubeDir, f), bytes)
+      }
 
     CubeMeta.load(spark, cube, dstRoot).getOrElse(
       throw new IllegalStateException(

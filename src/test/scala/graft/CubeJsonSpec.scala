@@ -149,6 +149,21 @@ class CubeJsonSpec extends AnyFunSuite {
         "\"name\": \"../star\""))).getMessage.contains("alphanumeric"))
   }
 
+  test("the shipped example documents parse, validate, and construct") {
+    val dir = java.nio.file.Paths.get("examples/cube-defs")
+    val orders = new String(java.nio.file.Files.readAllBytes(
+      dir.resolve("orders.json")), "UTF-8")
+    val spec = CubeJson.parse(orders)
+    assert(CubeJson.toCubeDef(spec).cuboids.nonEmpty)
+    assert(spec.retentionDays.contains(3650))
+    val real = new String(java.nio.file.Files.readAllBytes(
+      dir.resolve("sales_realization.json")), "UTF-8")
+    val r = CubeJson.parseRealization(real)
+    (Seq(r.primary) ++ r.alternates ++
+      r.hybrid.toSeq.flatMap(h => Seq(h.oldCube, h.newCube)))
+      .foreach(c => assert(CubeJson.toCubeDef(c).cuboids.nonEmpty))
+  }
+
   test("render ∘ parse is the identity on the document") {
     val spec = CubeJson.parse(starJson)
     assert(CubeJson.parse(CubeJson.render(spec)) == spec)

@@ -62,7 +62,12 @@ class CubeMigratorSpec extends AnyFunSuite {
   test("the wide star cube migrates with snapshots, dicts, and the " +
       "merged realization") {
     // the shared build root has everything: derived-dim snapshots,
-    // the c_name dict tree, meta-merged.json — every copy path runs
+    // the c_name dict tree, meta-merged.json — every copy path runs.
+    // ensureMerged first: earlier suites may have re-committed the
+    // primary (their foreign-commit fixtures), orphaning an older
+    // merged realization — this re-merges against the CURRENT buildId,
+    // so the chain the migration ships is deterministically live
+    CubeManager.ensureMerged(spark, sf)
     val src = CubeManager.ensureBuilt(spark, sf)
     val dstRoot = freshRoot("star-dst")
     val dst = CubeMigrator.migrate(spark, src.cube, src.root, dstRoot)
