@@ -443,7 +443,16 @@ object CubeManager {
     val cube = CubeJson.toCubeDef(spec)
     val root = s"$cubeRoot/${sfName(sfDir)}-${cube.name}"
     ensureFresh(declaredBuilt, spark, s"${cube.name}|$sfDir", root, cube) {
+      // the DECLARED segment span is the cube's data universe at
+      // deploy time: rows beyond it are future appends, not drops —
+      // scope the build input exactly like the compiled hybrid
+      // members scope theirs. Holes INSIDE the span still refuse
+      // through the builder's coverage contract.
+      val lo = cube.segments.map(_.start).min
+      val hi = cube.segments.map(_.end).max
       val flat0 = CubeJson.flatBuilder(spec, Some(root))(spark, sfDir)
+        .filter(col(cube.segmentCol) >= lit(lo).cast("timestamp") &&
+          col(cube.segmentCol) < lit(hi).cast("timestamp"))
       val flat = spec.dictColumns.foldLeft(flat0)((f, c) =>
         Dictionary.encode(f,
           Dictionary.buildOrAppend(spark, f, c, root), c))

@@ -60,7 +60,7 @@ object GraftTool {
     val switches = Set.newBuilder[String]
     var i = 0
     val valueFlags = Set("--cube", "--def", "--cubes", "--grace-ms",
-      "--keep-backups")
+      "--keep-backups", "--segment")
     while (i < args.length) {
       val a = args(i)
       if (valueFlags(a)) {
@@ -164,6 +164,31 @@ object GraftTool {
             overwrite = p.switches.contains("--overwrite"))
           out(s"migrated ${cube.name} -> $dst " +
             s"segments=${inst.cube.segments.size}")
+          0
+
+        case "append" =>
+          // incremental build of one new time segment into a DECLARED
+          // cube (the daily-build lifecycle, operable without code):
+          // the flat comes from the declared model/columns, the append
+          // commits meta last, every stamp-aware process reloads
+          val Seq(sfDir) = p.positional
+          val spec = resolveCube(p) match {
+            case (_, Some(s)) => s
+            case _ => throw new IllegalArgumentException(
+              "append needs --def <file> (a declared cube document)")
+          }
+          val seg = p.flags.get("--segment").map(_.split(",", 3)) match {
+            case Some(Array(n, st, en)) => Segment(n, st, en)
+            case _ => throw new IllegalArgumentException(
+              "append needs --segment name,startDay,endDay")
+          }
+          CubeJson.register(spec)
+          val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
+          val flat = CubeJson.flatBuilder(spec, Some(inst.root))(
+            spark, sfDir)
+          val next = CubeBuilder.appendSegment(spark, inst, flat, seg)
+          out(s"appended ${seg.name} segments=" +
+            next.cube.segments.map(_.name).mkString(","))
           0
 
         case "policies" =>

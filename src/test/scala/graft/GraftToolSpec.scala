@@ -120,6 +120,58 @@ class GraftToolSpec extends AnyFunSuite {
       pout.mkString("\n"))
   }
 
+  test("incremental append to a DECLARED cube through the CLI: the " +
+      "daily-build lifecycle without code") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tool-app")
+    val doc =
+      """{
+        |  "name": "tool_orders",
+        |  "model": {"fact": "orders"},
+        |  "flatColumns": [
+        |    {"name": "o_orderstatus"},
+        |    {"name": "o_orderdate"},
+        |    {"name": "o_totalprice"}
+        |  ],
+        |  "dims": ["o_orderstatus"],
+        |  "measures": [
+        |    {"name": "price_sum", "family": "sum",
+        |     "column": "o_totalprice", "decimal": true,
+        |     "presentDouble": true},
+        |    {"name": "n_orders", "family": "count"}
+        |  ],
+        |  "segmentCol": "o_orderdate",
+        |  "segments": [{"name": "h1", "start": "1992-01-01",
+        |                "end": "1999-01-01"}],
+        |  "segDayGranular": true
+        |}""".stripMargin
+    val defFile = dir.resolve("tool_orders.json")
+    java.nio.file.Files.write(defFile, doc.getBytes("UTF-8"))
+
+    val (ac, aout) = runTool("append", sf, "--def", defFile.toString,
+      "--segment", "h2,1999-01-01,2003-01-01")
+    assert(ac == 0 && aout.head == "appended h2 segments=h1,h2",
+      aout.mkString("\n"))
+
+    // the appended state routes the FULL range and matches the source
+    CubeJson.registerJson(doc)
+    GraftSql.registerViews(spark, sf)
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT o_orderstatus, count(*) AS n_orders
+        |FROM graft_tool_orders GROUP BY o_orderstatus""".stripMargin)
+    assert(r.routed && r.via == "cuboid", s"got ${r.via}")
+    assert(r.df.inputFiles.exists(_.contains("/h2/")),
+      "the appended segment must serve")
+    val got = r.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val want = Tables.orders(spark, sf).groupBy("o_orderstatus").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got == want && want.nonEmpty)
+
+    // a second identical append refuses (overlap) with exit 1
+    val (bc, _) = runTool("append", sf, "--def", defFile.toString,
+      "--segment", "h2b,2000-01-01,2001-01-01")
+    assert(bc == 1, "an overlapping segment must refuse")
+  }
+
   test("failures surface as exit 1 with the underlying refusal") {
     val (c1, _) = runTool("restore",
       java.nio.file.Files.createTempDirectory("graft-tool-x").toString,
