@@ -160,7 +160,13 @@ object BuildLease {
                 // lease (and our releaseOwned would then delete it).
                 // A failed/negative read skips this tick — erring
                 // toward letting our lease lapse (a duplicate build at
-                // worst), never toward clobbering a successor.
+                // worst). The read→PUT pair is not atomic, so a
+                // successor landing exactly inside that window can
+                // still be stomped — the same crash-rare class as
+                // releaseOwned's documented read-then-delete window
+                // (it requires this holder to have already stalled
+                // past ExpiryMs), narrowed here from "every tick" to
+                // "one racing tick".
                 val stillOurs = scala.util.Try {
                   val in = fs.open(p)
                   val body = try scala.io.Source

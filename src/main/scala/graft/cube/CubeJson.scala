@@ -157,12 +157,28 @@ object CubeJson {
     def fail(msg: String) = throw new IllegalArgumentException(
       s"cube '${j.name}': $msg")
     if (j.name.isEmpty) fail("empty name")
-    if (!j.name.matches("[A-Za-z0-9_][A-Za-z0-9_-]*"))
-      fail(s"name '${j.name}' must be alphanumeric/underscore/dash " +
-        "(it becomes a storage directory)")
+    // no dash: the name feeds the default VIEW name (`graft_<name>`),
+    // and an unquoted '-' is a ParseException at view registration —
+    // thrown OUTSIDE registerDir's per-file handler, which would
+    // poison every later query in the process over one dropped file
+    if (!j.name.matches("[A-Za-z0-9_]+"))
+      fail(s"name '${j.name}' must be alphanumeric/underscore only " +
+        "(it becomes a storage directory and a SQL view identifier)")
+    j.view.foreach(v =>
+      if (!v.matches("[A-Za-z0-9_]+"))
+        fail(s"view '$v' must be a plain SQL identifier"))
     if (j.dims.isEmpty) fail("no dims")
     if (j.dims.distinct.size != j.dims.size) fail("duplicate dims")
     if (j.segments.isEmpty) fail("no segments")
+    j.segments.foreach { sg =>
+      Seq(sg.start, sg.end).foreach(d =>
+        if (d.length != 10 ||
+            scala.util.Try(java.time.LocalDate.parse(d)).isFailure)
+          fail(s"segment '${sg.name}': boundary '$d' must be a " +
+            "yyyy-MM-dd day"))
+      if (sg.start >= sg.end)
+        fail(s"segment '${sg.name}': start must precede end")
+    }
     j.measures.foreach { m =>
       if (!families(m.family))
         fail(s"measure '${m.name}': unknown family '${m.family}' " +
@@ -358,30 +374,30 @@ object CubeJson {
   private[graft] def declaredViews: Set[String] =
     declaredViewNames.keySet.toSet
 
-  /** Compiled-name collision guard: a declaration named like a
-    * compiled cube maps to the SAME root and meta path. Identical
-    * fingerprints are a legitimate takeover (the declared form routes
-    * the compiled layout without a rebuild); a DIFFERING fingerprint
-    * would ping-pong — each side's load reads the other's commit as
-    * def drift and rebuilds, forever — so it refuses at deploy time.
-    * The hybrid member names are reserved outright (their defs are
-    * parameterized per era; no takeover shape exists). */
+  /** Compiled-root collision guard. Declared roots are
+    * `<cubeRoot>/<sf>-<name>`, so only names whose declared root
+    * coincides with a compiled realization's root are dangerous:
+    * "events" (compiled events root IS `<sf>-events`) and the hybrid
+    * member names "star-old"/"star-new" (member roots `<sf>-star-old`
+    * / `<sf>-star-new`). The compiled star lives at the BARE `<sf>`
+    * root — a declared "star" never collides with it. For "events" an
+    * identical fingerprint is a legitimate takeover of the committed
+    * layout; a DIFFERING one would ping-pong — each side's load reads
+    * the other's commit as def drift and rebuilds, forever — so it
+    * refuses at deploy time. */
   private def guardCompiledCollision(spec: JsonCube): Unit = {
-    if (spec.name == "star-old" || spec.name == "star-new")
+    // (the hybrid member roots `<sf>-star-old` / `<sf>-star-new` are
+    // unreachable by construction: declared names cannot contain a
+    // dash, which the name validation enforces for SQL-identifier
+    // reasons anyway)
+    if (spec.name == "events" &&
+        CubeMeta.fingerprint(toCubeDef(spec)) !=
+          CubeMeta.fingerprint(CubeManager.eventsCube))
       throw new IllegalArgumentException(
-        s"cube '${spec.name}': reserved hybrid-member name")
-    val compiled = Map(
-      "star" -> (() => CubeManager.defaultCube),
-      "events" -> (() => CubeManager.eventsCube))
-    compiled.get(spec.name).foreach { c =>
-      if (CubeMeta.fingerprint(toCubeDef(spec)) !=
-          CubeMeta.fingerprint(c()))
-        throw new IllegalArgumentException(
-          s"cube '${spec.name}': collides with the compiled cube of " +
-            "that name at the same storage root — an identical " +
-            "fingerprint may take it over, but a differing one would " +
-            "ping-pong rebuilds on every touch; rename the declaration")
-    }
+        "cube 'events': collides with the compiled events cube at the " +
+          "same storage root — an identical fingerprint may take it " +
+          "over, but a differing one would ping-pong rebuilds on " +
+          "every touch; rename the declaration")
   }
 
   def register(spec: JsonCube): String = {
@@ -443,6 +459,8 @@ object CubeJson {
     def fail(msg: String) = throw new IllegalArgumentException(
       s"realization '${r.view}': $msg")
     if (r.view.isEmpty) fail("empty view")
+    if (!r.view.matches("[A-Za-z0-9_]+"))
+      fail(s"view '${r.view}' must be a plain SQL identifier")
     val members = Seq(r.primary) ++ r.alternates ++
       r.hybrid.toSeq.flatMap(h => Seq(h.oldCube, h.newCube))
     members.foreach(validate)

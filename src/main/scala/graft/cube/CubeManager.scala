@@ -269,7 +269,7 @@ object CubeManager {
     * reset with them (ADVICE r10). */
   private[graft] def resetMemos(): Unit = {
     built.clear(); evBuilt.clear(); mergedCache.clear(); hybridBuilt.clear()
-    declaredBuilt.clear()
+    declaredBuilt.clear(); fleetEnum.clear()
     GraftSql.clearResultCache()
   }
 
@@ -304,9 +304,21 @@ object CubeManager {
     * changes the set. Cost: two listStatus levels + one getFileStatus
     * per committed meta (MetaStamp memoizes inside the optional
     * recheck window for object-store QPS). */
-  private[graft] def fleetStamps(spark: SparkSession,
-      sfDir: String): Seq[(String, String, String)] = {
-    val sf = sfName(sfDir)
+  /** the enumeration half of [[fleetStamps]] (the two listStatus
+    * levels) memoized per sf for a short window: it names WHICH meta
+    * files exist — a set that changes only when a brand-new cube root
+    * or realization file first appears, so a ≤window-stale listing can
+    * at worst delay a NEW realization's entry into the key (one benign
+    * extra recompute window), never hide a data change — data changes
+    * land in EXISTING metas, whose stamps are read fresh below on
+    * every call. Without this memo, every L1-hit query at fleet-tier
+    * QPS would pay the listing round-trips the cache exists to avoid. */
+  private val fleetEnum =
+    TrieMap.empty[String, (Long, Seq[(String, String, String)])]
+  private[graft] val FleetEnumWindowMs = 5000L
+
+  private def fleetEnumerate(spark: SparkSession,
+      sf: String): Seq[(String, String, String)] = {
     val base = new org.apache.hadoop.fs.Path(cubeRoot)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val roots = scala.util.Try(fs.listStatus(base).toSeq).getOrElse(Nil)
@@ -314,16 +326,35 @@ object CubeManager {
         val n = st.getPath.getName
         n == sf || n.startsWith(s"$sf-")
       })
-    val stamps = for {
+    for {
       r <- roots
       c <- scala.util.Try(fs.listStatus(r.getPath).toSeq).getOrElse(Nil)
       if c.isDirectory
       file <- Seq(CubeMeta.MetaFile, CubeMeta.MergedFile)
-      id = MetaStamp.of(spark, r.getPath.toString, c.getPath.getName, file)
-      if id != MetaStamp.Absent // uncommitted dirs contribute nothing
-    } yield (s"${r.getPath}/${c.getPath.getName}/$file",
-      c.getPath.getName, id)
-    stamps.sortBy(_._1)
+      if fs.exists(new org.apache.hadoop.fs.Path(c.getPath, file))
+    } yield (r.getPath.toString, c.getPath.getName, file)
+  }
+
+  private[graft] def fleetStamps(spark: SparkSession,
+      sfDir: String): Seq[(String, String, String)] = {
+    val sf = sfName(sfDir)
+    val now = System.currentTimeMillis()
+    val cands = fleetEnum.get(sf) match {
+      case Some((at, c)) if now - at < FleetEnumWindowMs => c
+      case _ =>
+        val c = fleetEnumerate(spark, sf)
+        fleetEnum.put(sf, (now, c))
+        c
+    }
+    // stamps are read FRESH per call (MetaStamp memoizes under its own
+    // optional recheck window): a commit to any enumerated meta flips
+    // the key immediately; a meta deleted since enumeration stamps
+    // Absent and drops out
+    cands.flatMap { case (root, cube, file) =>
+      val id = MetaStamp.of(spark, root, cube, file)
+      if (id == MetaStamp.Absent) None
+      else Some((s"$root/$cube/$file", cube, id))
+    }.sortBy(_._1)
   }
 
   /** a memoized id keeps serving when the fresh stamp matches it — or

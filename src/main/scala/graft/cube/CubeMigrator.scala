@@ -236,18 +236,6 @@ object CubeMigrator {
       }
     }
 
-    // overwrite = replace: UNCOMMIT the destination first (delete its
-    // meta) so the window serves no meta — never a mix of old and new
-    // parquet under a still-committed meta — and a crash anywhere
-    // mid-copy leaves data invisible to routing, same as a fresh
-    // destination. The destination fleet's stamp checks see the
-    // uncommit and stop routing this cube until the new meta lands.
-    if (overwrite && dstMetaPresent)
-      Seq(CubeMeta.MetaFile, CubeMeta.MergedFile).foreach { f =>
-        val p0 = new Path(dstCubeDir, f)
-        if (dstFs.exists(p0)) dstFs.delete(p0, false)
-      }
-
     // ── data first, and ONLY data the committed meta references: the
     // primary instance's segment dirs plus the merged realization's
     // (extraCuboids live inside segment dirs, so they travel too).
@@ -283,6 +271,22 @@ object CubeMigrator {
       throw new IllegalStateException(
         s"migration refused: ${cube.name} meta changed under $srcRoot " +
           "while planning (concurrent build?) — retry when quiet")
+
+    // overwrite = replace: UNCOMMIT the destination (delete its meta)
+    // so the window serves no meta — never a mix of old and new
+    // parquet under a still-committed meta — and a crash anywhere
+    // mid-copy leaves data invisible to routing, same as a fresh
+    // destination. The destination fleet's stamp checks see the
+    // uncommit and stop routing this cube until the new meta lands.
+    // This is deliberately the LAST step before data copies: every
+    // refusal above (shared-tree conflicts, source planning
+    // instability) reads source/destination state only and leaves the
+    // destination fully routable.
+    if (overwrite && dstMetaPresent)
+      Seq(CubeMeta.MetaFile, CubeMeta.MergedFile).foreach { f =>
+        val p0 = new Path(dstCubeDir, f)
+        if (dstFs.exists(p0)) dstFs.delete(p0, false)
+      }
 
     val segDirs = (src.cube.segments.map(_.name) ++
       mergedInst.toSeq.flatMap(_.cube.segments.map(_.name))).distinct

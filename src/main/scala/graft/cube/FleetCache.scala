@@ -106,6 +106,13 @@ object FleetCache {
             buf.toString(StandardCharsets.UTF_8.name())
           } finally in.close()
         val e = Serialization.read[EntryJson](text)
+        // touch the entry (best-effort): the prune's read-grace keys
+        // on entry.json mtime, so a hit refreshes the clock and a
+        // hot entry is never the FIFO victim while readers keep
+        // coming — LRU-ish where the store supports setTimes; on
+        // object stores the grace degrades to commit age
+        scala.util.Try(
+          fs.setTimes(ep, System.currentTimeMillis(), -1)): Unit
         // schema pinned in the entry: a zero-row payload has no part
         // files to infer from, and inference would be an extra
         // footer-listing pass anyway

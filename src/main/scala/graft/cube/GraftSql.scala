@@ -772,18 +772,27 @@ object GraftSql {
     * processes still address. Alias/expression ids are JVM-global
     * counters (NOT stable across processes), so they are stripped
     * from the canon. */
+  private val l2InfoMemo =
+    new graft.BoundedMemo[String, (String, Boolean)](256)(_ => ())
+
   private def l2KeyInfo(spark: SparkSession,
                         query: String): (String, Boolean) = {
-    val plan = spark.sessionState.sqlParser.parsePlan(query)
-    val canon = plan.toString.replaceAll("#\\d+", "")
-    val rels = plan.collect {
-      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-        r.multipartIdentifier.last.toLowerCase(java.util.Locale.ROOT)
-    }.toSet
-    val unknownExtra =
-      extraBindings.keySet.map(_.toLowerCase(java.util.Locale.ROOT)) --
-        CubeJson.declaredViews.map(_.toLowerCase(java.util.Locale.ROOT))
-    (canon, rels.intersect(unknownExtra).isEmpty)
+    // memoized per (bindings version, query text): the parse is pure
+    // driver CPU the repeat-query hot path should not re-pay, and the
+    // eligibility half depends only on the binding/declaration sets,
+    // which every change to bumps the version
+    l2InfoMemo.getOrElseUpdate(s"${bindingsVersion.get()}|$query", {
+      val plan = spark.sessionState.sqlParser.parsePlan(query)
+      val canon = plan.toString.replaceAll("#\\d+", "")
+      val rels = plan.collect {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          r.multipartIdentifier.last.toLowerCase(java.util.Locale.ROOT)
+      }.toSet
+      val unknownExtra =
+        extraBindings.keySet.map(_.toLowerCase(java.util.Locale.ROOT)) --
+          CubeJson.declaredViews.map(_.toLowerCase(java.util.Locale.ROOT))
+      (canon, rels.intersect(unknownExtra).isEmpty)
+    })
   }
 
   /** stamps over every instance this process has TOUCHED for the dir

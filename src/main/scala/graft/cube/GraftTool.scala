@@ -177,16 +177,44 @@ object GraftTool {
             case _ => throw new IllegalArgumentException(
               "append needs --def <file> (a declared cube document)")
           }
-          val seg = p.flags.get("--segment").map(_.split(",", 3)) match {
+          val seg = p.flags.get("--segment").map(_.split(",")) match {
             case Some(Array(n, st, en)) => Segment(n, st, en)
             case _ => throw new IllegalArgumentException(
               "append needs --segment name,startDay,endDay")
           }
+          // validate the boundaries as real days BEFORE anything
+          // builds: a typo'd date would cast to null in the segment
+          // filter and silently commit an EMPTY segment that then
+          // serves zero rows for its whole range
+          Seq(seg.start, seg.end).foreach { d =>
+            if (d.length != 10 ||
+                scala.util.Try(java.time.LocalDate.parse(d)).isFailure)
+              throw new IllegalArgumentException(
+                s"segment boundary '$d' must be a yyyy-MM-dd day")
+          }
+          if (seg.start >= seg.end) throw new IllegalArgumentException(
+            s"segment start ${seg.start} must precede end ${seg.end}")
           CubeJson.register(spec)
           val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
-          val flat = CubeJson.flatBuilder(spec, Some(inst.root))(
-            spark, sfDir)
-          val next = CubeBuilder.appendSegment(spark, inst, flat, seg)
+          // appends serialize under the cube's build lease: two
+          // concurrent appends would otherwise both pass the overlap
+          // check against the same base and race the meta commit —
+          // last writer wins and the loser's segment is silently
+          // orphaned. Under the lease, the base instance is re-read so
+          // a waiter appends onto the winner's committed list. The
+          // dictionary encode mirrors the initial declared build
+          // (skipping it would build the new segment's bitmap states
+          // over raw values, diverging from every other segment).
+          val next = BuildLease.withLease(spark, inst.root, spec.name,
+              "_building-append")(Option.empty[CubeInstance]) {
+            val fresh = CubeManager.ensureDeclared(spark, sfDir, spec)
+            val flat0 = CubeJson.flatBuilder(spec, Some(fresh.root))(
+              spark, sfDir)
+            val flat = spec.dictColumns.foldLeft(flat0)((f, c) =>
+              Dictionary.encode(f,
+                Dictionary.buildOrAppend(spark, f, c, fresh.root), c))
+            CubeBuilder.appendSegment(spark, fresh, flat, seg)
+          }
           out(s"appended ${seg.name} segments=" +
             next.cube.segments.map(_.name).mkString(","))
           0

@@ -131,22 +131,24 @@ class CubeJsonSpec extends AnyFunSuite {
       "declared answersSumExpr must canonicalize to the compiled tree")
   }
 
-  test("a declaration colliding with a compiled cube's name refuses " +
-      "at deploy unless it fingerprints identically") {
-    // a DIFFERING def under the compiled name would share its root and
-    // ping-pong rebuilds (each side reads the other's commit as drift)
+  test("a declaration colliding with a compiled root refuses at " +
+      "deploy unless it fingerprints identically") {
+    // a DIFFERING def under the compiled events name would share its
+    // storage root (`<sf>-events`) and ping-pong rebuilds (each side
+    // reads the other's commit as drift). The compiled star lives at
+    // the BARE sf root, so a declared "star" never collides — only
+    // "events" and the hybrid member names are root-coincident.
     val spec = CubeJson.parse(starJson)
-    val differing = spec.copy(measures = spec.measures.tail)
+    val differingEvents = spec.copy(name = "events")
     assert(intercept[IllegalArgumentException](
-      CubeJson.register(differing)).getMessage.contains("ping-pong"))
-    // reserved hybrid-member names refuse outright
-    assert(intercept[IllegalArgumentException](
-      CubeJson.register(spec.copy(name = "star-old"))).getMessage
-      .contains("reserved"))
-    // and storage-hostile names refuse in validation
+      CubeJson.register(differingEvents)).getMessage
+      .contains("ping-pong"))
+    // storage/SQL-hostile names refuse in validation (a dash would
+    // also make the default view name unparseable SQL — and bans the
+    // hybrid-member root names star-old/star-new as a side effect)
     assert(intercept[IllegalArgumentException](
       CubeJson.parse(starJson.replace("\"name\": \"star\"",
-        "\"name\": \"../star\""))).getMessage.contains("alphanumeric"))
+        "\"name\": \"my-cube\""))).getMessage.contains("alphanumeric"))
   }
 
   test("the shipped example documents parse, validate, and construct") {

@@ -146,6 +146,11 @@ class GraftToolSpec extends AnyFunSuite {
         |}""".stripMargin
     val defFile = dir.resolve("tool_orders.json")
     java.nio.file.Files.write(defFile, doc.getBytes("UTF-8"))
+    // the declared root persists across JVM runs (that is the point);
+    // this test owns it, so start from a clean slate
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      s"${CubeManager.cubeRoot}/${sf.split('/').last}-tool_orders")): Unit
+    CubeManager.resetMemos()
 
     val (ac, aout) = runTool("append", sf, "--def", defFile.toString,
       "--segment", "h2,1999-01-01,2003-01-01")
