@@ -179,6 +179,27 @@ object CubeJson {
       if (sg.start >= sg.end)
         fail(s"segment '${sg.name}': start must precede end")
     }
+    if (j.segments.map(_.name).distinct.size != j.segments.size)
+      fail("duplicate segment names")
+    // the declared segment list must TILE its span (ADVICE r15):
+    // overlapping segments build the shared rows into BOTH and the
+    // router sums every overlapping segment — double-counted
+    // aggregates; a gap inside the span silently drops its rows from
+    // every cuboid (the builder's coverage check is only a global
+    // min/max). Operator-authored JSON is exactly the input this
+    // deploy-time validation exists for.
+    j.segments.sortBy(_.start).sliding(2).foreach {
+      case Seq(a, b) =>
+        if (b.start < a.end)
+          fail(s"segments '${a.name}' [${a.start},${a.end}) and " +
+            s"'${b.name}' [${b.start},${b.end}) overlap — shared rows " +
+            "would build into both and double-count aggregates")
+        if (b.start > a.end)
+          fail(s"gap between segment '${a.name}' (ends ${a.end}) and " +
+            s"'${b.name}' (starts ${b.start}) — rows in the gap would " +
+            "silently vanish from every cuboid")
+      case _ => ()
+    }
     j.measures.foreach { m =>
       if (!families(m.family))
         fail(s"measure '${m.name}': unknown family '${m.family}' " +
@@ -374,6 +395,58 @@ object CubeJson {
   private[graft] def declaredViews: Set[String] =
     declaredViewNames.keySet.toSet
 
+  /** view (lowercased) → joined member fingerprints. The fleet-cache
+    * key folds this in for the views a query touches (ADVICE r15):
+    * redeploying a CHANGED declaration bumps only the process-local
+    * bindings version — disk stamps move when the REBUILD commits, and
+    * an L2 hit bypasses sqlVia entirely, so without the fingerprint in
+    * the shared key the fleet would keep serving the old declaration's
+    * answers to hot queries indefinitely after a deploy. */
+  private val declaredViewFp =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def declaredViewFingerprint(viewLower: String)
+      : Option[String] = declaredViewFp.get(viewLower)
+
+  /** cube name → (fingerprint, owning views): the declared-root
+    * collision guard (ADVICE r15). Declared roots are
+    * `<cubeRoot>/<sf>-<name>`, so two documents declaring the same
+    * cube NAME under different views share a storage root; with
+    * differing fingerprints each side's load reads the other's commit
+    * as def drift and they ping-pong full rebuilds on every touch —
+    * the same failure [[guardCompiledCollision]] documents for the
+    * compiled 'events' root. Registration is refused up front. A view
+    * re-registering releases its prior names first, so a legitimate
+    * redeploy (same view, changed fingerprint) stays allowed. */
+  private val declaredNames =
+    scala.collection.mutable.HashMap.empty[String, (String, Set[String])]
+
+  private def recordDeclaredNames(view: String,
+      members: Seq[(JsonCube, String)]): Unit = declaredNames.synchronized {
+    val released = declaredNames.toSeq.collect {
+      case (n, (fp, views)) if views.contains(view) => (n, fp, views - view)
+    }
+    released.foreach { case (n, fp, rest) =>
+      if (rest.isEmpty) declaredNames.remove(n): Unit
+      else declaredNames.put(n, (fp, rest)): Unit
+    }
+    // refuse BEFORE recording anything — a rejected deploy must not
+    // leave half its members registered
+    members.foreach { case (m, fp) =>
+      declaredNames.get(m.name).foreach { case (ofp, views) =>
+        if (ofp != fp)
+          throw new IllegalArgumentException(
+            s"cube '${m.name}': already declared with a different " +
+              s"fingerprint by view(s) ${views.toSeq.sorted.mkString(", ")}" +
+              " — both would share the storage root and ping-pong " +
+              "rebuilds on every touch; rename one declaration")
+      }
+    }
+    members.foreach { case (m, fp) =>
+      val views = declaredNames.get(m.name).map(_._2).getOrElse(Set.empty)
+      declaredNames.put(m.name, (fp, views + view)): Unit
+    }
+  }
+
   /** Compiled-root collision guard. Declared roots are
     * `<cubeRoot>/<sf>-<name>`, so only names whose declared root
     * coincides with a compiled realization's root are dangerous:
@@ -402,8 +475,12 @@ object CubeJson {
 
   def register(spec: JsonCube): String = {
     validate(spec)
-    toCubeDef(spec) // fail fast on lattice/dim errors, at deploy time
+    val fp = CubeMeta.fingerprint(toCubeDef(spec)) // fail fast on
+    // lattice/dim errors, at deploy time
     guardCompiledCollision(spec)
+    recordDeclaredNames(spec.viewName, Seq(spec -> fp))
+    declaredViewFp.put(
+      spec.viewName.toLowerCase(java.util.Locale.ROOT), fp): Unit
     declaredViewNames.put(spec.viewName, ()): Unit
     GraftSql.registerBinding(GraftSql.Binding(spec.viewName,
       flatBuilder(spec),
@@ -495,9 +572,15 @@ object CubeJson {
   def registerRealization(r: JsonRealization): String = {
     validateRealization(r)
     (Seq(r.primary) ++ r.alternates).foreach(toCubeDef)
-    (Seq(r.primary) ++ r.alternates ++
-      r.hybrid.toSeq.flatMap(h => Seq(h.oldCube, h.newCube)))
-      .foreach(guardCompiledCollision)
+    val members = Seq(r.primary) ++ r.alternates ++
+      r.hybrid.toSeq.flatMap(h => Seq(h.oldCube, h.newCube))
+    members.foreach(guardCompiledCollision)
+    val memberFps =
+      members.map(m => m -> CubeMeta.fingerprint(toCubeDef(m)))
+    recordDeclaredNames(r.view, memberFps)
+    declaredViewFp.put(r.view.toLowerCase(java.util.Locale.ROOT),
+      memberFps.map { case (m, fp) => s"${m.name}=$fp" }
+        .sorted.mkString(";")): Unit
     declaredViewNames.put(r.view, ()): Unit
     GraftSql.registerBinding(GraftSql.Binding(r.view,
       flatBuilder(r.primary),

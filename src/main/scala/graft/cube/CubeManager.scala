@@ -477,8 +477,9 @@ object CubeManager {
       // the DECLARED segment span is the cube's data universe at
       // deploy time: rows beyond it are future appends, not drops —
       // scope the build input exactly like the compiled hybrid
-      // members scope theirs. Holes INSIDE the span still refuse
-      // through the builder's coverage contract.
+      // members scope theirs. Holes/overlaps INSIDE the span are
+      // refused by CubeJson.validate at deploy time (ADVICE r15), so
+      // the span filter is exact.
       val lo = cube.segments.map(_.start).min
       val hi = cube.segments.map(_.end).max
       val flat0 = CubeJson.flatBuilder(spec, Some(root))(spark, sfDir)

@@ -145,9 +145,22 @@ object FleetCache {
         val tmp = new Path(s"$dir/tmp/${java.util.UUID.randomUUID()}")
         df.write.mode("overwrite").parquet(tmp.toString)
         fs.mkdirs(payload.getParent)
-        val renamed = fs.rename(tmp, payload)
-        if (!renamed) { // lost the payload race
-          fs.delete(tmp, true)
+        // Hadoop rename into an EXISTING directory moves the source
+        // INSIDE it and returns true (ADVICE r15) — a lost payload race
+        // would nest our tmp under the winner's part files and a later
+        // entry.json commit would serve corrupted rows. Probe for the
+        // winner first, and after the rename re-check for the nested
+        // landing (the winner's dir can appear between probe and
+        // rename); in both cases back our files out and serve theirs.
+        val lostRace =
+          if (fs.exists(payload)) { fs.delete(tmp, true); true }
+          else if (!fs.rename(tmp, payload)) { fs.delete(tmp, true); true }
+          else {
+            val nested = new Path(payload, tmp.getName)
+            if (fs.exists(nested)) { fs.delete(nested, true); true }
+            else false
+          }
+        if (lostRace) {
           lookup(spark, dir, key).map(_.df).getOrElse(df)
         } else {
           val e = EntryJson(query, via, estRows, df.schema.json,

@@ -791,7 +791,19 @@ object GraftSql {
       val unknownExtra =
         extraBindings.keySet.map(_.toLowerCase(java.util.Locale.ROOT)) --
           CubeJson.declaredViews.map(_.toLowerCase(java.util.Locale.ROOT))
-      (canon, rels.intersect(unknownExtra).isEmpty)
+      // fold the touched views' DECLARATION fingerprints into the canon
+      // (ADVICE r15): a redeployed CHANGED declaration must change the
+      // shared key immediately — disk stamps only move when the rebuild
+      // commits, and an L2 hit bypasses sqlVia, so without this the
+      // fleet would serve the old declaration's answers to hot queries
+      // indefinitely after a deploy. Memoized per bindings version:
+      // every (re)registration bumps it, recomputing the fold.
+      val declFp = rels.toSeq.sorted
+        .flatMap(v => CubeJson.declaredViewFingerprint(v)
+          .map(fp => s"$v=$fp"))
+      (if (declFp.isEmpty) canon
+       else canon + declFp.mkString("|decl:", "|", ""),
+        rels.intersect(unknownExtra).isEmpty)
     })
   }
 

@@ -196,17 +196,21 @@ object GraftTool {
             s"segment start ${seg.start} must precede end ${seg.end}")
           CubeJson.register(spec)
           val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
-          // appends serialize under the cube's build lease: two
-          // concurrent appends would otherwise both pass the overlap
-          // check against the same base and race the meta commit —
-          // last writer wins and the loser's segment is silently
-          // orphaned. Under the lease, the base instance is re-read so
-          // a waiter appends onto the winner's committed list. The
-          // dictionary encode mirrors the initial declared build
-          // (skipping it would build the new segment's bitmap states
-          // over raw values, diverging from every other segment).
-          val next = BuildLease.withLease(spark, inst.root, spec.name,
-              "_building-append")(Option.empty[CubeInstance]) {
+          // appends serialize under the cube's DEFAULT build lease
+          // ('_building' — the same file first-touch/drift rebuilds in
+          // CubeManager.ensureFresh take, ADVICE r15: a dedicated
+          // append lease would let an append race a concurrent rebuild
+          // of the same declared cube, last-writer-wins on the meta
+          // commit orphaning one side's work). Two concurrent appends
+          // would likewise both pass the overlap check against the
+          // same base and race the commit. Under the lease, the base
+          // instance is re-read so a waiter appends onto the winner's
+          // committed list. The dictionary encode mirrors the initial
+          // declared build (skipping it would build the new segment's
+          // bitmap states over raw values, diverging from every other
+          // segment).
+          val next = BuildLease.withLease(spark, inst.root,
+              spec.name)(Option.empty[CubeInstance]) {
             val fresh = CubeManager.ensureDeclared(spark, sfDir, spec)
             val flat0 = CubeJson.flatBuilder(spec, Some(fresh.root))(
               spark, sfDir)

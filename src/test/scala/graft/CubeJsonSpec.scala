@@ -196,6 +196,74 @@ class CubeJsonSpec extends AnyFunSuite {
       .contains("unparseable answers"))
   }
 
+  test("declared segments must tile their span: overlaps, gaps, and " +
+      "duplicate names refuse at deploy time (ADVICE r15)") {
+    def doc(segments: String) =
+      s"""{"name": "segcheck", "model": {"fact": "orders"},
+         |"dims": ["o_orderstatus"], "segmentCol": "o_orderdate",
+         |"measures": [{"name": "n", "family": "count"}],
+         |"segments": [$segments]}""".stripMargin
+    def err(segments: String): String =
+      intercept[IllegalArgumentException](
+        CubeJson.parse(doc(segments))).getMessage
+    // overlap: shared rows would build into BOTH segments and the
+    // router sums all overlapping segments — double-counted aggregates
+    assert(err(
+      """{"name": "a", "start": "1995-01-01", "end": "1997-01-01"},
+        |{"name": "b", "start": "1996-01-01", "end": "1999-01-01"}"""
+        .stripMargin).contains("overlap"))
+    // gap: rows inside the declared span but outside every segment
+    // would silently vanish (the builder's coverage check is global
+    // min/max only)
+    assert(err(
+      """{"name": "a", "start": "1995-01-01", "end": "1996-01-01"},
+        |{"name": "b", "start": "1997-01-01", "end": "1999-01-01"}"""
+        .stripMargin).contains("gap"))
+    assert(err(
+      """{"name": "a", "start": "1995-01-01", "end": "1996-01-01"},
+        |{"name": "a", "start": "1996-01-01", "end": "1999-01-01"}"""
+        .stripMargin).contains("duplicate segment names"))
+    // a contiguous tiling parses
+    assert(CubeJson.parse(doc(
+      """{"name": "a", "start": "1995-01-01", "end": "1996-01-01"},
+        |{"name": "b", "start": "1996-01-01", "end": "1999-01-01"}"""
+        .stripMargin)).segments.size == 2)
+  }
+
+  test("two views declaring the same cube NAME with differing " +
+      "fingerprints refuse (shared root would ping-pong rebuilds); " +
+      "same-view redeploys stay allowed (ADVICE r15)") {
+    def doc(view: String, dims: String) =
+      s"""{"name": "collide_name", "view": "$view",
+         |"model": {"fact": "orders"},
+         |"flatColumns": [{"name": "o_orderstatus"},
+         |  {"name": "o_orderpriority"}, {"name": "o_orderdate"}],
+         |"dims": [$dims], "segmentCol": "o_orderdate",
+         |"measures": [{"name": "n", "family": "count"}],
+         |"segments": [{"name": "all", "start": "1992-01-01",
+         |              "end": "2003-01-01"}]}""".stripMargin
+    CubeJson.register(CubeJson.parse(doc("collide_v1",
+      "\"o_orderstatus\"")))
+    // a DIFFERENT view declaring the same cube name with a different
+    // fingerprint shares the storage root <sf>-collide_name: refused
+    assert(intercept[IllegalArgumentException](
+      CubeJson.register(CubeJson.parse(doc("collide_v2",
+        "\"o_orderstatus\", \"o_orderpriority\""))))
+      .getMessage.contains("different fingerprint"))
+    // an IDENTICAL fingerprint under another view is a legitimate
+    // shared realization
+    CubeJson.register(CubeJson.parse(doc("collide_v3",
+      "\"o_orderstatus\"")))
+    // the declaring view itself may redeploy a CHANGED document…
+    // (only once no other view shares the name)
+    CubeJson.register(CubeJson.parse(doc("collide_v3",
+      "\"o_orderpriority\"").replace("collide_name", "collide_name2")))
+    // …which releases its old name: v1 still owns collide_name, so a
+    // drifted redeploy under v1 is fine too
+    CubeJson.register(CubeJson.parse(doc("collide_v1",
+      "\"o_orderstatus\", \"o_orderpriority\"")))
+  }
+
   test("a JSON-declared cube registers at runtime, builds, routes " +
       "SQL, and survives a restart as a pure metadata load") {
     val view = CubeQueries.declaredOrdersView // registers once per JVM

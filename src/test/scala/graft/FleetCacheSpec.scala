@@ -157,6 +157,68 @@ class FleetCacheSpec extends AnyFunSuite {
     }
   }
 
+  test("redeploying a CHANGED declaration flips the shared key " +
+      "immediately — before any rebuild commits (ADVICE r15)") {
+    def doc(measures: String) =
+      s"""{"name": "fleet_redeploy", "model": {"fact": "nation"},
+         |"flatColumns": [{"name": "n_name"}, {"name": "n_regionkey"},
+         |  {"name": "d", "expr": "CAST('1995-06-01' AS TIMESTAMP)"}],
+         |"dims": ["n_name"], "segmentCol": "d",
+         |"measures": [$measures],
+         |"segments": [{"name": "all", "start": "1995-01-01",
+         |              "end": "1996-01-01"}]}""".stripMargin
+    val q =
+      """SELECT n_name, count(*) AS n_rows FROM graft_fleet_redeploy
+        |GROUP BY n_name""".stripMargin
+    withFleetDir { dir =>
+      CubeJson.registerJson(doc("""{"name": "n_rows", "family": "count"}"""))
+      val a = GraftSql.sqlCached(spark, sf, q)
+      assert(a.routed && FleetCache.entryCount(spark, dir) == 1)
+      // redeploy a CHANGED declaration (extra measure → different
+      // fingerprint). Disk stamps are untouched until a rebuild
+      // commits, and an L2 hit would bypass sqlVia (where the
+      // fingerprint-drift rebuild fires) — the declaration fingerprint
+      // inside the shared key is what makes the old entry
+      // unaddressable NOW, not after the next commit.
+      CubeJson.registerJson(doc(
+        """{"name": "n_rows", "family": "count"},
+          |{"name": "rk_max", "family": "max", "column": "n_regionkey"}"""
+          .stripMargin))
+      val b = GraftSql.sqlCached(spark, sf, q)
+      assert(b.routed && !b.fromCache,
+        "the changed declaration must not hit the old fleet entry")
+      assert(FleetCache.entryCount(spark, dir) == 2,
+        "the recompute commits a second entry under the new key")
+    }
+  }
+
+  test("a payload dir whose entry.json never landed is a lost race at " +
+      "store time — our files never nest inside it (ADVICE r15)") {
+    CubeManager.ensureBuilt(spark, sf)
+    withFleetDir { dir =>
+      import org.apache.hadoop.fs.Path
+      val key = "deadbeef" * 8
+      val payload = new Path(s"$dir/entries/$key/payload")
+      val fs = payload.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // simulate the winner's rename having landed (entry.json still
+      // in flight): Hadoop rename into this EXISTING dir would move
+      // our tmp INSIDE it and return true — the corruption the
+      // exists-probe must prevent
+      fs.mkdirs(payload)
+      val df = spark.range(3).toDF("x")
+      val served = FleetCache.store(spark, dir, key, df, "cuboid",
+        None, None, "q")
+      assert(served.collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(0L, 1L, 2L), "the degraded store must still serve the frame")
+      val inside = fs.listStatus(payload)
+      assert(!inside.exists(_.isDirectory),
+        s"lost race must not nest our tmp under the winner's payload, " +
+          s"got ${inside.map(_.getPath.getName).toSeq}")
+      assert(!fs.exists(new Path(s"$dir/entries/$key/entry.json")),
+        "the loser must not commit entry.json over a foreign payload")
+    }
+  }
+
   test("the store is FIFO-bounded like QueryLog") {
     CubeManager.ensureBuilt(spark, sf)
     withFleetDir { dir =>

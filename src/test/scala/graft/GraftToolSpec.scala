@@ -177,6 +177,50 @@ class GraftToolSpec extends AnyFunSuite {
     assert(bc == 1, "an overlapping segment must refuse")
   }
 
+  test("append serializes under the DEFAULT '_building' lease, so it " +
+      "can never race a concurrent first-touch/drift rebuild of the " +
+      "same declared cube (ADVICE r15)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tool-lease")
+    val defFile = writeDef(dir, "tool_lease")
+    val sfName = sf.split('/').last
+    val root = s"${CubeManager.cubeRoot}/$sfName-tool_lease"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root)): Unit
+    CubeManager.resetMemos()
+    // pre-build so the append's own ensureDeclared doesn't need the
+    // lease we are about to hold
+    val spec = CubeJson.parse(new String(java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(defFile)), "UTF-8"))
+    CubeManager.ensureDeclared(spark, sf, spec)
+    // a concurrent rebuild holds the DEFAULT lease file (what
+    // CubeManager.ensureFresh acquires); keep it heartbeat-fresh so
+    // the waiter can't judge it crashed
+    val lease = new java.io.File(s"$root/tool_lease/_building")
+    assert(lease.getParentFile.isDirectory)
+    java.nio.file.Files.write(lease.toPath,
+      "other-process@somewhere".getBytes("UTF-8"))
+    @volatile var done = false
+    @volatile var code = -1
+    val t = new Thread(() => {
+      code = runTool("append", sf, "--def", defFile,
+        "--segment", "h2,1996-01-01,1997-01-01")._1
+      done = true
+    })
+    val toucher = new Thread(() => {
+      while (!done) { lease.setLastModified(System.currentTimeMillis())
+        Thread.sleep(100) }
+    })
+    toucher.setDaemon(true)
+    t.start(); toucher.start()
+    Thread.sleep(2500)
+    assert(!done,
+      "append must WAIT on the '_building' lease a rebuild holds")
+    java.nio.file.Files.delete(lease.toPath) // rebuild releases
+    t.join(120000)
+    assert(done && code == 0,
+      s"append must proceed once the lease releases (code=$code)")
+  }
+
   test("failures surface as exit 1 with the underlying refusal") {
     val (c1, _) = runTool("restore",
       java.nio.file.Files.createTempDirectory("graft-tool-x").toString,
