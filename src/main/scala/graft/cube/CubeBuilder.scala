@@ -65,8 +65,25 @@ object CubeBuilder {
     r
   }
 
+  /** spec-only crash injection: armed with N ≥ 0, the (N+1)th cuboid
+    * write attempt of any build throws before writing — how
+    * BuildResumeSpec kills a build mid-cuboid-layers without a real
+    * process kill. Once tripped it KEEPS throwing (concurrent segment
+    * threads of the "crashed" build die at their next write instead of
+    * silently completing) until a spec disarms it with
+    * [[DisarmedFailure]] (the production state). */
+  private[graft] val DisarmedFailure = Int.MinValue
+  private[graft] val failAfterCuboidWrites =
+    new java.util.concurrent.atomic.AtomicInteger(DisarmedFailure)
+
   /** Build all segments of `cube` from `flat` (the materialized star
-    * join). Returns the instance with per-cuboid row counts. */
+    * join). Returns the instance with per-cuboid row counts.
+    * STEP-RESUMABLE (VERDICT r15 item 1): the attempt persists a
+    * [[BuildJob]] id, every completed cuboid dir is marked with it,
+    * and a re-entered build (crash → lease re-acquired) skips the
+    * marked dirs — resuming from the last committed layer instead of
+    * redoing the whole build. The metadata still commits ONCE at the
+    * end. */
   def build(spark: SparkSession, flat: DataFrame, cube: CubeDef,
             root: String): CubeInstance = {
     // Segments must cover the data: a row outside every segment range
@@ -82,16 +99,21 @@ object CubeBuilder {
       s"cube ${cube.name}: data range [${mm.get(0)}, ${mm.get(1)}] not " +
         s"covered by segments [$covLo, $covHi) — rows would be dropped")
 
+    // the build ATTEMPT: resumes a crashed attempt of the same def
+    // (same fingerprint + segments), else mints a fresh id that
+    // invalidates the old attempt's markers. Callers hold the lease.
+    val job = BuildJob.begin(spark, cube, root)
     // segments are independent — build them as concurrent job groups
     // (Kylin schedules them as separate build jobs too); each segment's
     // small cuboid writes alone underutilize the cluster
     val rows = awaitAll(cube.segments.map(seg =>
-      () => buildSegment(spark, flat, cube, root, seg)))
+      () => buildSegment(spark, flat, cube, root, seg, Some(job))))
       .reduce(_ ++ _)
     val inst = CubeInstance(cube, root, rows)
     // metadata commit LAST: a crashed build never publishes a partial
     // cube; a restarted process loads this instead of rebuilding
     CubeMeta.save(spark, inst)
+    BuildJob.finish(spark, job)
     inst
   }
 
@@ -99,14 +121,22 @@ object CubeBuilder {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(Future.sequence(thunks.map(t => Future(t()))), Duration.Inf)
+    // settle EVERY future before surfacing a failure — fail-fast would
+    // hand control back (and invite a same-process retry/resume) while
+    // sibling segment writes still run, zombie writes racing the
+    // retry's overwrites of the very same cuboid dirs
+    val settled = Future.sequence(
+      thunks.map(t => Future(t()).transform(scala.util.Success(_))))
+    Await.result(settled, Duration.Inf).map(_.get)
   }
 
   /** Build ONE segment's cuboids (the unit of Kylin's incremental
     * build job — a new day/partition of data is one buildSegment call,
     * never a full rebuild). Returns per-cuboid row counts. */
   def buildSegment(spark: SparkSession, flat: DataFrame, cube: CubeDef,
-                   root: String, seg: Segment): Map[(String, Long), Long] = {
+                   root: String, seg: Segment,
+                   job: Option[BuildJob.Job] = None)
+      : Map[(String, Long), Long] = {
     val stateAggs = cube.measures.map(m => m.fromRaw.as(m.stateCol))
     val reAggs = cube.measures.map(m => m.fromState(m.stateCol).as(m.stateCol))
     // base first, then descending dim-count so parents exist before children
@@ -119,25 +149,43 @@ object CubeBuilder {
     var built = List.empty[(Set[String], Long, Long)]
     order.foreach { c =>
       val id = cube.cuboidId(c)
-      val dimCols = cube.cuboidDims(c).map(col)
-      val df =
-        if (c == cube.dims.toSet)
-          segFlat.groupBy(dimCols: _*).agg(stateAggs.head, stateAggs.tail: _*)
-        else {
-          // cheapest-parent selection (CuboidLayoutChooser.scala:25)
-          val (_, pId, _) = built.filter(b => c.subsetOf(b._1))
-            .minBy(b => (b._3, b._1.size))
-          spark.read.parquet(cuboidPath(root, cube, seg.name, pId))
-            .groupBy(dimCols: _*).agg(reAggs.head, reAggs.tail: _*)
-        }
       val path = cuboidPath(root, cube, seg.name, id)
-      // Row count piggybacks on the write via observe — no extra job
-      // re-reading what we just wrote (ADVICE r2).
-      val obs = Observation()
-      val n = timed("cuboid", s"${cube.name}/${seg.name}/$id(${c.size}d)") {
-        writeCuboid(cube, c,
-          df.observe(obs, count(lit(1)).as("n")), path, obs)
-      }
+      // resume: a dir this ATTEMPT already committed (marker carries
+      // the jobId + observed row count) is skipped, and still joins
+      // `built` so children re-aggregate from its parquet — which is
+      // also what keeps a mixed skipped/rebuilt segment internally
+      // consistent: every child derives from the committed parent.
+      val n = job.flatMap(j => BuildJob.cuboidRows(spark, j, path))
+        .getOrElse {
+          if (failAfterCuboidWrites.get() != DisarmedFailure &&
+              failAfterCuboidWrites.decrementAndGet() < 0)
+            throw new IllegalStateException(
+              "graft-spec: injected build crash")
+          val dimCols = cube.cuboidDims(c).map(col)
+          val df =
+            if (c == cube.dims.toSet)
+              segFlat.groupBy(dimCols: _*)
+                .agg(stateAggs.head, stateAggs.tail: _*)
+            else {
+              // cheapest-parent selection (CuboidLayoutChooser.scala:25)
+              val (_, pId, _) = built.filter(b => c.subsetOf(b._1))
+                .minBy(b => (b._3, b._1.size))
+              spark.read.parquet(cuboidPath(root, cube, seg.name, pId))
+                .groupBy(dimCols: _*).agg(reAggs.head, reAggs.tail: _*)
+            }
+          // Row count piggybacks on the write via observe — no extra
+          // job re-reading what we just wrote (ADVICE r2).
+          val obs = Observation()
+          val written =
+            timed("cuboid", s"${cube.name}/${seg.name}/$id(${c.size}d)") {
+              writeCuboid(cube, c,
+                df.observe(obs, count(lit(1)).as("n")), path, obs)
+            }
+          // marker AFTER the write returned — a crash in between
+          // leaves an unmarked dir the resume rewrites
+          job.foreach(j => BuildJob.markCuboid(spark, j, path, written))
+          written
+        }
       built ::= (c, id, n)
       rows += (seg.name, id) -> n
     }

@@ -139,7 +139,10 @@ object CubeMigrator {
       // a build lease is process-local state, never data: carrying a
       // live source lease to the destination would make the first dst
       // builder wait out a crash-expiry for a build that isn't there
-      name == "_building"
+      name == "_building" ||
+      // build-attempt state (BuildJob): jobIds are per-root attempts;
+      // carried to the destination they are inert at best
+      name == BuildJob.JobFile || name.startsWith("_phase.")
 
   /** Migrate `cube` from `srcRoot` to `dstRoot`. Refuses when the
     * source has no loadable meta, or when the destination already has

@@ -55,7 +55,15 @@ object Dictionary {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) 0
     else fs.listStatus(dir).iterator
-      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+") &&
+        // only COMMITTED versions count (writer's _SUCCESS marker): a
+        // crashed persist leaves a partial newest dir, and loading it
+        // would miss values of the prior version — buildOrAppend would
+        // then re-assign them NEW ids above the partial max, silently
+        // corrupting every bitmap state built against the old ids.
+        // Ignoring the partial falls back to the last complete version
+        // (the overwrite of the retry heals the dir).
+        fs.exists(new Path(st.getPath, "_SUCCESS")))
       .map(_.getPath.getName.drop(1).toInt)
       .foldLeft(0)(math.max)
   }

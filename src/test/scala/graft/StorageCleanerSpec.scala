@@ -56,6 +56,24 @@ class StorageCleanerSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("orphaned build-attempt state (_job.json / _phase markers from " +
+      "a crash between meta commit and finish) ages out through the " +
+      "file sweep") {
+    val (_, root) = build("jobstate")
+    val cubeDir = new java.io.File(s"$root/events")
+    val job = new java.io.File(cubeDir, BuildJob.JobFile)
+    val phase = new java.io.File(cubeDir, "_phase.dict.c.json")
+    Seq(job, phase).foreach(f =>
+      java.nio.file.Files.write(f.toPath, "{}".getBytes))
+    Seq(job, phase).foreach(age)
+    val r = StorageCleaner.clean(spark, CubeManager.eventsCube, root,
+      graceMs = 1000)
+    assert(!job.exists() && !phase.exists(),
+      "aged attempt state must be reclaimed")
+    assert(r.removed.toSet ==
+      Set(job, phase).map(f => "file:" + f.getPath))
+  }
+
   test("fresh garbage is protected by the grace window; dry run " +
       "reports without deleting") {
     val (_, root) = build("grace")
