@@ -354,6 +354,18 @@ object GraftSql {
     * (when set) before binding views, so a fresh serving process
     * discovers operator-dropped JSON cubes with zero code */
   val CubeDefDirConf = "spark.graft.cubeDefDir"
+  /** TTL for re-scanning the declaration dir on a LONG-RUNNING serving
+    * session (VERDICT r15 item 2): without it, a bound (session,
+    * sfDir) pair never discovered a newly dropped `*.json` until
+    * something else rebound — undercutting "deployment is a file
+    * drop" (reference: core-metadata cachesync/Broadcaster.java pushes
+    * reloads to serving nodes; graft pulls on a window instead). Cost
+    * per elapsed window: ONE listStatus — file contents are read only
+    * when their (name, mtime, len) signature moved. */
+  val CubeDefRescanConf = "spark.graft.cubeDefRescanMs"
+  val DefaultCubeDefRescanMs = 30000L
+  private val lastDefScan =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
 
   def registerViews(spark: SparkSession, sfDir: String): Unit = {
     if (!viewsGet(spark).contains(sfDir)) synchronized {
@@ -362,7 +374,10 @@ object GraftSql {
         // binding clears viewsRegistered, which we are about to set —
         // the order makes the new binding's view land in THIS pass
         spark.conf.getOption(CubeDefDirConf).filter(_.nonEmpty)
-          .foreach(d => CubeJson.registerDir(spark, d): Unit)
+          .foreach { d =>
+            lastDefScan.put(d, System.currentTimeMillis())
+            CubeJson.registerDir(spark, d): Unit
+          }
         bindings.foreach { b =>
           b.flat(spark, sfDir).createOrReplaceTempView(b.view)
           // raw star tables, so user-written model joins resolve
@@ -373,6 +388,25 @@ object GraftSql {
         viewsPut(spark, sfDir)
       }
     }
+    else spark.conf.getOption(CubeDefDirConf).filter(_.nonEmpty)
+      .foreach { d =>
+        // bound steady state: pull-rescan the store once per window.
+        // An unchanged dir costs one listStatus and registers nothing
+        // (the result cache survives untouched); a changed/new
+        // declaration (re)registers, which clears the views memo —
+        // re-enter so the new binding's view lands in THIS call and
+        // the very query that triggered the window can use it.
+        val ttl = spark.conf.getOption(CubeDefRescanConf).map(_.toLong)
+          .getOrElse(DefaultCubeDefRescanMs)
+        val now = System.currentTimeMillis()
+        val due = synchronized {
+          val d0 = lastDefScan.get(d).forall(now - _ >= ttl)
+          if (d0) lastDefScan.put(d, now): Unit
+          d0
+        }
+        if (due && CubeJson.registerDir(spark, d).nonEmpty)
+          registerViews(spark, sfDir)
+      }
   }
 
   /** back-compat: the default star view only */

@@ -352,6 +352,54 @@ class CubeJsonSpec extends AnyFunSuite {
     } finally spark.conf.unset(GraftSql.CubeDefDirConf)
   }
 
+  test("TTL rescan: a BOUND serving session discovers a dropped " +
+      "declaration with no binding change; unchanged dirs register " +
+      "nothing and the result cache survives; a torn drop poisons " +
+      "nothing (VERDICT r15 item 2)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-defs-ttl")
+    spark.conf.set(GraftSql.CubeDefDirConf, dir.toString)
+    spark.conf.set(GraftSql.CubeDefRescanConf, "0") // every call is due
+    try {
+      GraftSql.registerViews(spark, sf) // bind (dir still empty)
+      assert(!spark.catalog.tableExists("graft_ttl_cube"))
+      // the deploy: ONE file lands in the store dir — nothing rebinds
+      java.nio.file.Files.write(dir.resolve("ttl_cube.json"),
+        """{"name": "ttl_cube", "model": {"fact": "nation"},
+          |"flatColumns": [{"name": "n_name"},
+          |  {"name": "d", "expr": "CAST('1995-06-01' AS TIMESTAMP)"}],
+          |"dims": ["n_name"], "segmentCol": "d",
+          |"measures": [{"name": "n_rows", "family": "count"}],
+          |"segments": [{"name": "all", "start": "1995-01-01",
+          |              "end": "1996-01-01"}]}""".stripMargin
+          .getBytes("UTF-8"))
+      val q =
+        """SELECT n_name, count(*) AS n_rows FROM graft_ttl_cube
+          |GROUP BY n_name""".stripMargin
+      // the next ordinary query — no register call, no binding change
+      // — must discover and route the drop within the window
+      val r = GraftSql.sqlVia(spark, sf, q)
+      assert(r.routed && r.via == "cuboid", s"got ${r.via}")
+      assert(r.df.count() == 25)
+      // a torn drop is reported and skipped; serving keeps working
+      java.nio.file.Files.write(dir.resolve("torn.json"),
+        "{this is not a cube".getBytes("UTF-8"))
+      assert(GraftSql.sqlVia(spark, sf, q).routed)
+      // unchanged dir: the rescan registers nothing, so a cached
+      // result SURVIVES the window (the deploy story must not cost
+      // the result cache its hits)
+      val a = GraftSql.sqlCached(spark, sf, q)
+      assert(a.routed)
+      val b = GraftSql.sqlCached(spark, sf, q)
+      assert(b.fromCache,
+        "an unchanged store dir must not drop the result cache")
+      // the rescan itself registers nothing on an unchanged dir
+      assert(CubeJson.registerDir(spark, dir.toString).isEmpty)
+    } finally {
+      spark.conf.unset(GraftSql.CubeDefDirConf)
+      spark.conf.unset(GraftSql.CubeDefRescanConf)
+    }
+  }
+
   test("declared lifecycle POLICIES (retention_range / auto-merge as " +
       "data) apply as normal commits and the stamp-aware path reloads") {
     val spec = CubeJson.parse(
