@@ -198,12 +198,13 @@ object EventStream {
     * into the parquet cuboid. Returns the cuboid path. Output dir and
     * checkpoint are recreated per call (idempotent). */
   def buildStreamingCube(spark: SparkSession, source: StreamSource,
-                         out: String): String = {
+                         out: String, windowLen: String = "6 hours",
+                         lateness: String = "1 hour"): String = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(out), true)
     val q = startCubeAppend(source.load(spark),
-      "6 hours", "1 hour", s"$out/cuboid", s"$out/ckpt")
+      windowLen, lateness, s"$out/cuboid", s"$out/ckpt")
     q.awaitTermination()
     s"$out/cuboid"
   }
@@ -214,16 +215,25 @@ object EventStream {
     buildStreamingCube(spark, FileEventSource(sfDir, s"$out/src"), out)
 
   /** both lambda layers over one source: the sealed append cuboid and
-    * the in-watermark hot tail. Returns (closedPath, hotPath). */
+    * the in-watermark hot tail (omitted when `hotTail` is off — a
+    * deployment serving only sealed windows). Window/lateness are
+    * parameters so a DECLARED streaming section (CubeJson) deploys
+    * this wiring with its own cadence. Returns (closedPath,
+    * hotPath?). */
   def buildLambdaCube(spark: SparkSession, source: StreamSource,
-                      out: String): (String, String) = {
-    val closed = buildStreamingCube(spark, source, out)
-    val hot = startHotUpdate(source.load(spark), "6 hours", "1 hour",
-      s"$out/hot", s"$out/hot-ckpt")
-    hot.awaitTermination()
-    // retire hot rows the append flush just sealed (fragment TTL)
-    compactHot(spark, closed, s"$out/hot")
-    (closed, s"$out/hot")
+                      out: String, windowLen: String = "6 hours",
+                      lateness: String = "1 hour",
+                      hotTail: Boolean = true): (String, Option[String]) = {
+    val closed = buildStreamingCube(spark, source, out, windowLen, lateness)
+    if (!hotTail) (closed, None)
+    else {
+      val hot = startHotUpdate(source.load(spark), windowLen, lateness,
+        s"$out/hot", s"$out/hot-ckpt")
+      hot.awaitTermination()
+      // retire hot rows the append flush just sealed (fragment TTL)
+      compactHot(spark, closed, s"$out/hot")
+      (closed, Some(s"$out/hot"))
+    }
   }
 
   /** ONE streaming build (sealed cuboid + hot tail) per sf dir per JVM
@@ -256,7 +266,9 @@ object EventStream {
       val sfName = sfDir.replaceAll("/+$", "").split('/').last
       val out =
         s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-stream-$sfName"
-      buildLambdaCube(spark, FileEventSource(sfDir, s"$out/src"), out)
+      val (closed, hot) =
+        buildLambdaCube(spark, FileEventSource(sfDir, s"$out/src"), out)
+      (closed, hot.get) // hotTail defaulted on
     })
 
   def ensureStreamingCube(spark: SparkSession, sfDir: String): String =

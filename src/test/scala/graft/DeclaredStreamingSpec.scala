@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cube._
+import graft.streaming.EventStream
+
+/** VERDICT r15 item 3: declarative STREAMING cubes. The reference's
+  * real-time cubes are the same CubeDesc document family (stream-core
+  * StreamingSourceConfig rides the cube metadata) — so graft's cube
+  * document grows a `streaming` section (source SPI name, window,
+  * watermark lateness, hot-tail switch) that deploys today's
+  * EventStream wiring with ZERO compiled definition: the batch part of
+  * the document is the historical layer, the streaming section the
+  * speed layer. */
+class DeclaredStreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** an events-cube document equivalent to the compiled eventsCube's
+    * batch layer, plus the declared speed layer — note the NON-default
+    * window/lateness, pinning that the cadence comes from the document */
+  private val doc =
+    """{
+      |  "name": "events_decl",
+      |  "model": {"fact": "events"},
+      |  "flatColumns": [
+      |    {"name": "ts"},
+      |    {"name": "ev_day", "expr": "date_format(ts, 'yyyy-MM-dd')"},
+      |    {"name": "event_type"},
+      |    {"name": "user_id"},
+      |    {"name": "value"}
+      |  ],
+      |  "dims": ["ev_day", "event_type"],
+      |  "measures": [
+      |    {"name": "n_events", "family": "count"},
+      |    {"name": "value_sum", "family": "sum", "column": "value",
+      |     "decimal": true, "presentDouble": true},
+      |    {"name": "user_bitmap", "family": "bitmap", "column": "user_id"}
+      |  ],
+      |  "segmentCol": "ts",
+      |  "segments": [{"name": "s2024m1", "start": "2024-01-01",
+      |                "end": "2024-02-01"}],
+      |  "cuboids": [["ev_day"], ["event_type"]],
+      |  "timeDim": {"name": "ev_day", "granularity": "day"},
+      |  "notNull": ["value"],
+      |  "streaming": {
+      |    "source": "file",
+      |    "window": "12 hours",
+      |    "lateness": "2 hours",
+      |    "hotTail": true
+      |  }
+      |}""".stripMargin
+
+  private def freshRoot(): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      s"${CubeManager.cubeRoot}/${sf.split('/').last}-events_decl")): Unit
+    CubeManager.resetMemos()
+  }
+
+  test("a declared events-cube document dropped in the store dir " +
+      "routes the ev_sql_route shape — zero compiled definition") {
+    freshRoot()
+    val dir = java.nio.file.Files.createTempDirectory("graft-decl-stream")
+    java.nio.file.Files.write(dir.resolve("events_decl.json"),
+      doc.getBytes("UTF-8"))
+    assert(CubeJson.registerDir(spark, dir.toString)
+      .contains("graft_events_decl"),
+      "registerDir must accept a streaming-bearing document")
+    val r = GraftSql.sqlVia(spark, sf,
+      """SELECT ev_day, count(*) AS n_events,
+        |  count(distinct user_id) AS n_users
+        |FROM graft_events_decl
+        |GROUP BY ev_day ORDER BY ev_day""".stripMargin)
+    assert(r.routed && r.via == "cuboid", s"got ${r.via}")
+    assert(r.df.inputFiles.exists(f =>
+      f.contains("-events_decl/") && f.contains("cuboid=")))
+    val got = r.df.collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    val want = Tables.events(spark, sf)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("ev_day"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"))
+      .orderBy("ev_day")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+      .toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("the declared speed layer builds through the document's OWN " +
+      "window/lateness and equals the batch aggregation (sealed " +
+      "windows exactly; lambda = sealed + hot tail)") {
+    val spec = CubeJson.parse(doc)
+    val (closed, hot) = CubeJson.ensureDeclaredStream(spark, sf, spec)
+    assert(hot.isDefined, "hotTail: true must deploy the update layer")
+
+    val events = Tables.events(spark, sf)
+    // the batch equivalent at the DOCUMENT's cadence (12h windows, 2h
+    // lateness — watermark is a no-op on a batch frame, so this is
+    // every window)
+    val batch = EventStream.tumblingAgg(events, "12 hours", "2 hours")
+    val cutoff = events.agg(max(col("ts"))).head().getTimestamp(0)
+      .toInstant.minusSeconds(2 * 3600)
+    val sealedWins = batch.filter(
+      col("w_start") + expr("INTERVAL 12 HOURS") <=
+        lit(java.sql.Timestamp.from(cutoff)))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+    val gotClosed = rows(spark.read.parquet(closed)
+      .select("w_start", "event_type", "n_events", "sum_value"))
+    assert(gotClosed == rows(sealedWins) && gotClosed.nonEmpty,
+      "the sealed cuboid must hold exactly the watermark-closed windows")
+
+    // the lambda read serves EVERYTHING — sealed plus the in-watermark
+    // tail the hot layer carries
+    val lambda = rows(CubeJson.declaredLambda(spark, sf, spec)
+      .select("w_start", "event_type", "n_events", "sum_value"))
+    assert(lambda == rows(batch),
+      "lambda must equal the full batch aggregation")
+    assert(lambda.size > gotClosed.size,
+      "the hot tail must contribute the unsealed windows")
+  }
+
+  test("hotTail: false deploys only the sealed layer") {
+    val spec = CubeJson.parse(doc
+      .replace("\"hotTail\": true", "\"hotTail\": false")
+      .replace("\"events_decl\"", "\"events_decl_cold\""))
+    val (closed, hot) = CubeJson.ensureDeclaredStream(spark, sf, spec)
+    assert(hot.isEmpty)
+    val lambda = CubeJson.declaredLambda(spark, sf, spec)
+    assert(lambda.count() == spark.read.parquet(closed).count())
+  }
+
+  test("streaming-section validation names the offending part at " +
+      "deploy time") {
+    def err(f: String => String): String =
+      intercept[IllegalArgumentException](CubeJson.parse(f(doc)))
+        .getMessage
+    assert(err(_.replace("\"source\": \"file\"",
+      "\"source\": \"carrier-pigeon\"")).contains("file|kafka"))
+    assert(err(_.replace("\"source\": \"file\"", "\"source\": \"kafka\""))
+      .contains("needs a kafka section"))
+    assert(err(_.replace("\"window\": \"12 hours\"",
+      "\"window\": \"a fortnight-ish\"")).contains("not a valid interval"))
+    // a kafka-sourced document VALIDATES (the connector loads at run
+    // time; deployment is still one file drop)
+    val k = doc.replace("\"source\": \"file\"",
+      """"source": "kafka", "kafka": {"bootstrapServers": "b:9092",
+        |"topic": "events"""".stripMargin + "}")
+    assert(CubeJson.parse(k).streaming.exists(_.kafka.nonEmpty))
+  }
+
+  test("render ∘ parse round-trips the streaming section") {
+    val spec = CubeJson.parse(doc)
+    assert(CubeJson.parse(CubeJson.render(spec)) == spec)
+    assert(spec.streaming.contains(CubeJson.JsonStreaming(
+      "file", "12 hours", "2 hours", hotTail = true)))
+  }
+}
