@@ -9,20 +9,28 @@ import org.apache.spark.sql.SparkSession
   * Every subcommand resolves its cube definition either from a
   * compiled name (`--cube star|events`) or from a DECLARED JSON
   * document (`--def <file>`), so the whole tool works against cubes
-  * that were never compiled into the engine.
+  * that were never compiled into the engine. `--def` accepts BOTH
+  * document kinds the store holds (dispatched on the `primary` field
+  * like `registerDir`): a plain cube, or a realization GROUP whose
+  * members are addressed with `--member <name>` (append/audit/clean/
+  * migrate); `policies` applies to every member.
   *
   * {{{
   * runMain graft.cube.GraftTool backup    <root>
   * runMain graft.cube.GraftTool restore   <root> <backupId>
   *                            [--cubes a,b] [--point-in-time]
   * runMain graft.cube.GraftTool clean     <root> (--cube n | --def f)
-  *                            [--grace-ms N] [--dry-run]
+  *                            [--member n] [--grace-ms N] [--dry-run]
   * runMain graft.cube.GraftTool metaclean <root> [--def f]
   *                            [--keep-backups N] [--grace-ms N]
   *                            [--dry-run]
   * runMain graft.cube.GraftTool audit     <root> (--cube n | --def f)
+  *                            [--member n]
   * runMain graft.cube.GraftTool migrate   <srcRoot> <dstRoot>
-  *                            (--cube n | --def f) [--overwrite]
+  *                            (--cube n | --def f) [--member n]
+  *                            [--overwrite]
+  * runMain graft.cube.GraftTool append    <sfDir> --def f [--member n]
+  *                            --segment name,start,end
   * runMain graft.cube.GraftTool policies  <sfDir> --def f
   * }}}
   *
@@ -60,7 +68,7 @@ object GraftTool {
     val switches = Set.newBuilder[String]
     var i = 0
     val valueFlags = Set("--cube", "--def", "--cubes", "--grace-ms",
-      "--keep-backups", "--segment")
+      "--keep-backups", "--segment", "--member")
     while (i < args.length) {
       val a = args(i)
       if (valueFlags(a)) {
@@ -72,11 +80,62 @@ object GraftTool {
     Parsed(pos.result(), flags.result().toMap, switches.result())
   }
 
-  private def readSpec(f: String): CubeJson.JsonCube =
-    CubeJson.parse(new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(f)), "UTF-8"))
+  /** Either document kind behind `--def` (VERDICT r15 item 4): a plain
+    * cube, or a realization GROUP — dispatched on the `primary` field
+    * exactly like `CubeJson.registerDir` (CubeJson.scala registerDir's
+    * kind probe). Group members are addressed with `--member <name>`;
+    * `policies` applies to every member. */
+  private sealed trait DefDoc {
+    /** every member cube (a plain doc is its own single member) */
+    def allSpecs: Seq[CubeJson.JsonCube]
+    /** the one cube this invocation addresses */
+    def memberSpec(p: Parsed): CubeJson.JsonCube
+    /** register with the SQL front-end (group docs register the whole
+      * realization, keeping routing coherent with deployment) */
+    def register(): Unit
+  }
+  private final case class PlainDoc(spec: CubeJson.JsonCube)
+      extends DefDoc {
+    def allSpecs: Seq[CubeJson.JsonCube] = Seq(spec)
+    def memberSpec(p: Parsed): CubeJson.JsonCube = {
+      p.flags.get("--member").filter(_ != spec.name).foreach(m =>
+        throw new IllegalArgumentException(
+          s"--member '$m' does not apply: a plain cube document has " +
+            s"only '${spec.name}'"))
+      spec
+    }
+    def register(): Unit = CubeJson.register(spec): Unit
+  }
+  private final case class GroupDoc(r: CubeJson.JsonRealization)
+      extends DefDoc {
+    def allSpecs: Seq[CubeJson.JsonCube] =
+      Seq(r.primary) ++ r.alternates ++
+        r.hybrid.toSeq.flatMap(h => Seq(h.oldCube, h.newCube))
+    def memberSpec(p: Parsed): CubeJson.JsonCube = {
+      val names = allSpecs.map(_.name)
+      p.flags.get("--member") match {
+        case None => throw new IllegalArgumentException(
+          s"realization document '${r.view}': pick a member with " +
+            s"--member <name> (members: ${names.mkString(", ")})")
+        case Some(m) => allSpecs.find(_.name == m).getOrElse(
+          throw new IllegalArgumentException(
+            s"realization '${r.view}' has no member '$m' " +
+              s"(members: ${names.mkString(", ")})"))
+      }
+    }
+    def register(): Unit = CubeJson.registerRealization(r): Unit
+  }
 
-  /** compiled name or declared document → (CubeDef, optional spec) */
+  private def readDoc(f: String): DefDoc = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f)), "UTF-8")
+    if ((org.json4s.jackson.JsonMethods.parse(text) \ "primary")
+        == org.json4s.JNothing) PlainDoc(CubeJson.parse(text))
+    else GroupDoc(CubeJson.parseRealization(text))
+  }
+
+  /** compiled name or declared document → (CubeDef, optional spec);
+    * realization documents resolve the `--member`-addressed cube */
   private def resolveCube(p: Parsed)
       : (CubeDef, Option[CubeJson.JsonCube]) =
     (p.flags.get("--cube"), p.flags.get("--def")) match {
@@ -86,7 +145,7 @@ object GraftTool {
         s"unknown compiled cube '$other' (star|events) — declared " +
           "cubes go through --def <file>")
       case (None, Some(f)) =>
-        val spec = readSpec(f)
+        val spec = readDoc(f).memberSpec(p)
         (CubeJson.toCubeDef(spec), Some(spec))
       case (None, None) => throw new IllegalArgumentException(
         "need --cube <name> or --def <file>")
@@ -133,7 +192,7 @@ object GraftTool {
           val Seq(root) = p.positional
           val r = MetaCleanup.clean(spark, root,
             cubes = p.flags.get("--def").toSeq
-              .map(f => CubeJson.toCubeDef(readSpec(f))),
+              .flatMap(f => readDoc(f).allSpecs.map(CubeJson.toCubeDef)),
             keepBackups = p.flags.get("--keep-backups").map(_.toInt)
               .getOrElse(8),
             graceMs = p.flags.get("--grace-ms").map(_.toLong)
@@ -172,11 +231,10 @@ object GraftTool {
           // the flat comes from the declared model/columns, the append
           // commits meta last, every stamp-aware process reloads
           val Seq(sfDir) = p.positional
-          val spec = resolveCube(p) match {
-            case (_, Some(s)) => s
-            case _ => throw new IllegalArgumentException(
-              "append needs --def <file> (a declared cube document)")
-          }
+          val doc = p.flags.get("--def").map(readDoc).getOrElse(
+            throw new IllegalArgumentException(
+              "append needs --def <file> (a declared cube document)"))
+          val spec = doc.memberSpec(p)
           val seg = p.flags.get("--segment").map(_.split(",")) match {
             case Some(Array(n, st, en)) => Segment(n, st, en)
             case _ => throw new IllegalArgumentException(
@@ -194,7 +252,8 @@ object GraftTool {
           }
           if (seg.start >= seg.end) throw new IllegalArgumentException(
             s"segment start ${seg.start} must precede end ${seg.end}")
-          CubeJson.register(spec)
+          doc.register() // whole document: a group member's append
+                         // keeps routing coherent with the deployment
           val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
           // appends serialize under the cube's DEFAULT build lease
           // ('_building' — the same file first-touch/drift rebuilds in
@@ -225,15 +284,18 @@ object GraftTool {
 
         case "policies" =>
           val Seq(sfDir) = p.positional
-          val spec = resolveCube(p) match {
-            case (_, Some(s)) => s
-            case _ => throw new IllegalArgumentException(
-              "policies needs --def <file> (a declared cube document)")
+          val doc = p.flags.get("--def").map(readDoc).getOrElse(
+            throw new IllegalArgumentException(
+              "policies needs --def <file> (a declared cube document)"))
+          doc.register()
+          // lifecycle policies apply to EVERY member of a group —
+          // retention/auto-merge are per-cube metadata whichever
+          // document carries them
+          doc.allSpecs.foreach { spec =>
+            val inst = CubeJson.applyPolicies(spark, sfDir, spec)
+            out(s"policies ${spec.name} " +
+              s"segments=${inst.cube.segments.map(_.name).mkString(",")}")
           }
-          CubeJson.register(spec)
-          val inst = CubeJson.applyPolicies(spark, sfDir, spec)
-          out(s"policies ${spec.name} " +
-            s"segments=${inst.cube.segments.map(_.name).mkString(",")}")
           0
 
         case other =>

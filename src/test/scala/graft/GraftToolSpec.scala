@@ -177,6 +177,64 @@ class GraftToolSpec extends AnyFunSuite {
     assert(bc == 1, "an overlapping segment must refuse")
   }
 
+  test("realization documents work through --def/--member: append + " +
+      "audit address a named member, policies sweep all members, a " +
+      "member-less call refuses naming the members (VERDICT r15 " +
+      "item 4)") {
+    val defFile = "examples/cube-defs/sales_realization.json"
+    val sfName = sf.split('/').last
+    // this test owns the example group's roots (persist across runs)
+    Seq("salesx_wide", "salesx_narrow", "salesx_old", "salesx_new")
+      .foreach(n => org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"${CubeManager.cubeRoot}/$sfName-$n")): Unit)
+    CubeManager.resetMemos()
+
+    // append a fresh (empty-range) segment into the NARROW member only
+    val (ac, aout) = runTool("append", sf, "--def", defFile,
+      "--member", "salesx_narrow",
+      "--segment", "h2,2003-01-01,2004-01-01")
+    assert(ac == 0 && aout.head == "appended h2 segments=all,h2",
+      aout.mkString("\n"))
+    // the other members are untouched; the narrow member's root shows
+    // the appended segment
+    val narrowRoot = s"${CubeManager.cubeRoot}/$sfName-salesx_narrow"
+    assert(new java.io.File(s"$narrowRoot/salesx_narrow/h2").isDirectory)
+
+    // audit the appended member through the same addressing
+    val (hc, hout) = runTool("audit", narrowRoot,
+      "--def", defFile, "--member", "salesx_narrow")
+    assert(hc == 0 && hout.last == "audit findings=0", hout.mkString("\n"))
+
+    // a member-less invocation refuses (exit 1 with the members named
+    // on stderr — the ADVICE r15 'misleading parse error' is gone)
+    assert(runTool("audit", narrowRoot, "--def", defFile)._1 == 1)
+
+    // policies applies to every member (none declared here — still a
+    // per-member no-op report, proving the sweep addresses all four)
+    val (pc, pout) = runTool("policies", sf, "--def", defFile)
+    assert(pc == 0 && pout.size == 4 &&
+      Seq("salesx_wide", "salesx_narrow", "salesx_old", "salesx_new")
+        .forall(n => pout.exists(_.startsWith(s"policies $n"))),
+      pout.mkString("\n"))
+
+    // an unknown member refuses with the available names
+    val (uc, _) = runTool("audit", narrowRoot, "--def", defFile,
+      "--member", "nope")
+    assert(uc == 1)
+
+    // a PLAIN document keeps today's behavior (no --member needed)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tool-plain")
+    val plain = writeDef(dir, "tool_plain")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tool-plain-root").toString
+    val spec = CubeJson.parse(new String(java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(plain)), "UTF-8"))
+    CubeBuilder.build(spark,
+      CubeJson.flatBuilder(spec)(spark, sf),
+      CubeJson.toCubeDef(spec), root): Unit
+    assert(runTool("audit", root, "--def", plain)._1 == 0)
+  }
+
   test("append serializes under the DEFAULT '_building' lease, so it " +
       "can never race a concurrent first-touch/drift rebuild of the " +
       "same declared cube (ADVICE r15)") {
