@@ -111,6 +111,19 @@ object CubeJson {
       hotTail: Boolean = true,
       kafka: Option[JsonKafka] = None)
 
+  /** Day-zero lattice planning (VERDICT r15 item 5; reference:
+    * core-cube/cuboid/algorithm CuboidStats + BPUSCalculator — the
+    * cube planner's phase 1, picking an initial lattice from build
+    * statistics alone under a space budget). When declared, the
+    * document's cuboids/aggGroups become the CANDIDATE space rather
+    * than the materialized set: first build estimates candidate rows
+    * in one pass and materializes the best benefit-per-row subset
+    * whose total planned rows (base included) fit `rowBudget`. The
+    * picked lattice rides `extraCuboids` metadata — outside the
+    * fingerprint, like post-build optimize evolution — so restarts
+    * load it instead of reading it as def drift. */
+  final case class JsonInitialLattice(rowBudget: Long)
+
   /** star model: fact + edges (+ optional model filter as SQL text);
     * `broadcast` lists the bounded-cardinality lookups to
     * broadcast-hint in the flat join */
@@ -155,7 +168,9 @@ object CubeJson {
       /** optional speed layer (see [[JsonStreaming]]): outside the
         * fingerprint — it shapes the STREAMING cuboid dirs under the
         * JVM tmp root, never the batch segment layout */
-      streaming: Option[JsonStreaming] = None) {
+      streaming: Option[JsonStreaming] = None,
+      /** optional day-zero lattice budget (see [[JsonInitialLattice]]) */
+      initialLattice: Option[JsonInitialLattice] = None) {
     def viewName: String = view.getOrElse(s"graft_$name")
   }
 
@@ -244,6 +259,10 @@ object CubeJson {
         fail(s"timeDim granularity must be month|day, got ${t.granularity}"))
     j.retentionDays.foreach(d =>
       if (d <= 0) fail(s"retentionDays must be positive, got $d"))
+    j.initialLattice.foreach(il =>
+      if (il.rowBudget <= 0)
+        fail(s"initialLattice rowBudget must be positive, " +
+          s"got ${il.rowBudget}"))
     j.autoMergeMaxSegments.foreach(n =>
       if (n < 2) fail(s"autoMergeMaxSegments must be >= 2, got $n"))
     j.derived.foreach(d =>
@@ -370,16 +389,28 @@ object CubeJson {
       s"timeDim ${t.name}: granularity must be month|day, got $g")
   }
 
-  def toCubeDef(j: JsonCube): CubeDef = {
+  /** the rule-expanded cuboid space of a document: literal lists +
+    * agg-group expansion + the implied base */
+  private[graft] def candidateCuboids(j: JsonCube): Seq[Set[String]] = {
     val groups = j.aggGroups.map(g => AggGroup(g.includes,
       g.mandatory.toSet, g.hierarchies, g.joints.map(_.toSet)))
     val literal = j.cuboids.map(_.toSet)
     // base cuboid implied: an operator lists the lattice SUBSET, the
     // engine guarantees the rebuild-everything base (AggGroup.cuboids
     // does the same for rule-declared lattices)
+    (literal ++ (if (groups.nonEmpty) AggGroup.cuboids(j.dims, groups)
+                 else Seq(j.dims.toSet)) :+ j.dims.toSet).distinct
+  }
+
+  def toCubeDef(j: JsonCube): CubeDef = {
+    // under an initialLattice budget the document's cuboid space is a
+    // CANDIDATE set the planner prunes at build time — the declared
+    // def carries only the mandatory base, and the picked lattice
+    // rides extraCuboids metadata outside the fingerprint (so the
+    // planner's choice can never read as def drift on a reload)
     val cuboids =
-      (literal ++ (if (groups.nonEmpty) AggGroup.cuboids(j.dims, groups)
-                   else Seq(j.dims.toSet)) :+ j.dims.toSet).distinct
+      if (j.initialLattice.isDefined) Seq(j.dims.toSet)
+      else candidateCuboids(j)
     CubeDef(j.name, j.dims, j.measures.map(measure), j.segmentCol,
       j.segments.map(s => Segment(s.name, s.start, s.end)),
       cuboids,

@@ -531,7 +531,25 @@ object CubeManager {
             d
           }
         }, c))
-      CubeBuilder.build(spark, flat, cube, root)
+      val built = CubeBuilder.build(spark, flat, cube, root)
+      // day-zero lattice under a budget (cube planner phase 1,
+      // VERDICT r15 item 5): the document's cuboid space is the
+      // candidate set; one estimation pass + benefit-per-row greedy
+      // picks the materialized subset, built onto the live base via
+      // optimizeCuboids so it rides extraCuboids metadata (outside
+      // the fingerprint — a reload attaches it, never reads drift).
+      // A crash between the two commits leaves a correct base-only
+      // cube; the planner loop (optimizeCuboids from the query log)
+      // widens it later.
+      spec.initialLattice match {
+        case Some(il) =>
+          val picked = CuboidPlanner.recommendFromStats(flat,
+            cube.dims.toSet, CubeJson.candidateCuboids(spec),
+            il.rowBudget)
+          CubeBuilder.optimizeCuboids(spark, built,
+            picked.filterNot(_ == cube.dims.toSet))
+        case None => built
+      }
     }
   }
 

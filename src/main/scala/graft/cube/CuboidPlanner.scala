@@ -88,6 +88,71 @@ object CuboidPlanner {
     recommend(base, rows, queryLog.filter(_.nonEmpty), maxCuboids)
   }
 
+  /** Σ over `workload` of the rows scanned by the smallest
+    * materialized cuboid covering each query (base-scan cost when
+    * nothing covers) — the planner's objective, exposed so strawman
+    * lattices can be compared in specs and ops tooling. */
+  def workloadCost(materialized: Seq[Set[String]],
+                   rows: Map[Set[String], Long], base: Set[String],
+                   workload: Seq[Set[String]]): Long = {
+    def one(q: Set[String]): Long = {
+      val covering = materialized.filter(q.subsetOf(_))
+      if (covering.isEmpty) rows(base) else covering.map(rows).min
+    }
+    workload.map(one).sum
+  }
+
+  /** NO-WORKLOAD initial lattice under a space budget (VERDICT r15
+    * item 5; reference: core-cube/cuboid/algorithm/CuboidStats.java +
+    * BPUSCalculator.java — the cube planner's phase-1 pick from build
+    * STATISTICS alone, before any query history exists). With no log,
+    * the candidate space itself stands in for a uniform query
+    * distribution (every candidate shape is an equally likely query —
+    * the BPUS assumption), and the greedy picks the candidate with the
+    * highest BENEFIT PER ROW (cost reduction across the distribution,
+    * divided by the cuboid's own estimated rows — benefit per unit
+    * space) while total planned rows, base included, stay within
+    * `rowBudget`. The base cuboid is mandatory (it rebuilds everything
+    * else), even when it alone exceeds the budget. */
+  def selectUnderBudget(base: Set[String], rows: Map[Set[String], Long],
+                        rowBudget: Long): Seq[Set[String]] = {
+    require(rows.contains(base), "row estimate for the base cuboid required")
+    val workload = rows.keySet.toSeq
+    var chosen = Vector(base)
+    var spent = rows(base)
+    var cands = rows.keySet - base
+    var improved = true
+    while (improved && cands.nonEmpty) {
+      val affordable = cands.toSeq.filter(c => spent + rows(c) <= rowBudget)
+      val cur = workloadCost(chosen, rows, base, workload)
+      val scored = affordable.map { c =>
+        c -> (cur - workloadCost(chosen :+ c, rows, base, workload))
+      }.filter(_._2 > 0)
+      if (scored.isEmpty) improved = false
+      else {
+        val (best, _) = scored.maxBy { case (c, b) =>
+          (b.toDouble / math.max(1L, rows(c)), -rows(c).toDouble)
+        }
+        chosen :+= best
+        spent += rows(best)
+        cands -= best
+      }
+    }
+    chosen
+  }
+
+  /** End-to-end log-free entry: one estimation pass over the
+    * rule-expanded candidates, then the budgeted benefit-per-row
+    * greedy. The declared-cube path (`initialLattice` in the cube
+    * document) calls this at first-build time. */
+  def recommendFromStats(flat: DataFrame, base: Set[String],
+                         candidates: Seq[Set[String]],
+                         rowBudget: Long): Seq[Set[String]] = {
+    val cands = (candidates.filter(c => c.nonEmpty && c.subsetOf(base))
+      :+ base).distinct
+    selectUnderBudget(base, estimateRows(flat, cands), rowBudget)
+  }
+
   /** Model-evolution advice from ROUTING MISSES (the other half of the
     * reference Cube Planner's query-history diet: routed shapes tune
     * the cuboid set above, PUSHDOWN shapes are the evidence the model

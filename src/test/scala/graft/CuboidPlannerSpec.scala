@@ -35,6 +35,100 @@ class CuboidPlannerSpec extends AnyFunSuite {
     assert(stop.toSet == Set(base, Set("a")))
   }
 
+  test("log-free initial lattice under a row budget: beats base-only " +
+      "on workload cost and the full lattice on planned rows, base " +
+      "always mandatory (VERDICT r15 item 5)") {
+    val base = Set("a", "b", "c")
+    // a synthetic stats profile with clear winners: {a,b} collapses
+    // hard (worth its rows), {c} barely aggregates (poor benefit/row)
+    val rows = Map(
+      base -> 10000L, Set("a", "b") -> 500L, Set("a") -> 40L,
+      Set("b") -> 450L, Set("c") -> 9500L, Set("a", "c") -> 9000L)
+    val budget = 10900L // base (10000) + 900 of lattice
+    val picked = CuboidPlanner.selectUnderBudget(base, rows, budget)
+    assert(picked.head == base, "the base cuboid is mandatory")
+    assert(picked.map(rows).sum <= budget,
+      s"planned rows ${picked.map(rows).sum} exceed the budget")
+    // {a} (best benefit/row) then {a,b} fit; {b} would push past the
+    // budget; {c}/{a,c} never fit
+    assert(picked.toSet == Set(base, Set("a", "b"), Set("a")),
+      s"got $picked")
+
+    val workload = rows.keySet.toSeq
+    val cost = (mat: Seq[Set[String]]) =>
+      CuboidPlanner.workloadCost(mat, rows, base, workload)
+    val full = rows.keySet.toSeq
+    assert(cost(picked) < cost(Seq(base)),
+      "the picked lattice must answer the uniform workload cheaper " +
+        "than base-only")
+    assert(picked.map(rows).sum < full.map(rows).sum,
+      "the picked lattice must plan fewer rows than the full lattice")
+    assert(cost(full) <= cost(picked)) // sanity: full is the floor
+
+    // a budget below even one extra cuboid degrades to base-only —
+    // never over-commits, never drops the base
+    assert(CuboidPlanner.selectUnderBudget(base, rows, 1L) == Seq(base))
+  }
+
+  test("a DECLARED cube with an initialLattice budget builds the " +
+      "planner-picked subset as extraCuboids metadata and reloads it " +
+      "across a restart") {
+    val spec = CubeJson.parse(
+      """{
+        |  "name": "lattice_budget",
+        |  "model": {"fact": "orders"},
+        |  "flatColumns": [
+        |    {"name": "o_orderstatus"},
+        |    {"name": "o_orderpriority"},
+        |    {"name": "o_month",
+        |     "expr": "date_format(o_orderdate, 'yyyy-MM')"},
+        |    {"name": "o_orderdate"},
+        |    {"name": "o_totalprice"}
+        |  ],
+        |  "dims": ["o_orderstatus", "o_orderpriority", "o_month"],
+        |  "measures": [
+        |    {"name": "price_sum", "family": "sum",
+        |     "column": "o_totalprice", "decimal": true,
+        |     "presentDouble": true},
+        |    {"name": "n_orders", "family": "count"}
+        |  ],
+        |  "segmentCol": "o_orderdate",
+        |  "segments": [{"name": "all", "start": "1992-01-01",
+        |                "end": "2003-01-01"}],
+        |  "aggGroups": [{"includes": ["o_orderstatus",
+        |    "o_orderpriority", "o_month"]}],
+        |  "segDayGranular": true,
+        |  "initialLattice": {"rowBudget": 100000}
+        |}""".stripMargin)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      s"${CubeManager.cubeRoot}/${sf.split('/').last}-lattice_budget")): Unit
+    CubeManager.resetMemos()
+
+    val inst = CubeManager.ensureDeclared(spark, sf, spec)
+    // the declared def is base-only; the planner's picks ride
+    // extraCuboids (outside the fingerprint)
+    assert(CubeJson.toCubeDef(spec).cuboids == Seq(inst.cube.dims.toSet))
+    assert(inst.extraCuboids.nonEmpty,
+      "the budget must admit at least one planned cuboid at this sf")
+    assert(inst.cube.cuboids.toSet.subsetOf(
+      CubeJson.candidateCuboids(spec).toSet))
+
+    // a narrow query routes to a picked cuboid, not the base
+    val narrow = inst.extraCuboids.minBy(c => inst.totalRows(c))
+    val r = QueryRouter.route(spark, inst, CubeQuery(
+      narrow.toSeq.sorted, Seq("n_orders" -> "n")))(
+      fail("expected cuboid"))
+    assert(r.cuboid.contains(narrow), s"got ${r.cuboid}")
+
+    // restart: pure metadata load, evolved lattice reattached
+    CubeManager.resetMemos()
+    val phases = CubeBuilder.phaseTotals
+    val again = CubeManager.ensureDeclared(spark, sf, spec)
+    assert(CubeBuilder.phaseTotals == phases,
+      "the reload must not read the planned lattice as def drift")
+    assert(again.cube.cuboids.toSet == inst.cube.cuboids.toSet)
+  }
+
   test("executed routes land in the usage log and feed the planner") {
     // Kylin's query-metrics → cube-planner-phase-2 loop: real routed
     // queries record the dim sets they needed, and the planner can
