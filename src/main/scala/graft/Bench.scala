@@ -84,6 +84,39 @@ object Bench {
       case ex: Exception => s"""{"error":"${ex.getClass.getSimpleName}"}"""
     }
 
+  /** Fleet (L2) tier probe (VERDICT r15 item 7): the shared-store
+    * result cache gets the same bench-tracked observability the L1
+    * has had since r13. Point the tier at a temp dir, pay one cold
+    * routed query (compute + write-through), then simulate a FRESH
+    * process (manager memos + L1 dropped) and replay — the second
+    * timing is a pure L2 hit served from the cache payload. Reported:
+    * tier counters, committed entries, and the cold-vs-hit pair. */
+  private def fleetCacheReport(spark: SparkSession, sfDir: String): String =
+    try {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-bench-fleet").toString
+      spark.conf.set(cube.FleetCache.DirConf, dir)
+      try {
+        val q = "SELECT o_orderstatus, count(*) AS n FROM " +
+          s"${cube.GraftSql.ViewName} GROUP BY o_orderstatus"
+        def timed(): Double = {
+          val t0 = System.nanoTime()
+          val r = cube.GraftSql.sqlCached(spark, sfDir, q)
+          r.df.collect(): Unit
+          (System.nanoTime() - t0) / 1e9
+        }
+        val cold = timed() // compute + write-through
+        cube.CubeManager.resetMemos() // fresh-process state
+        val hit = timed() // served from the shared tier
+        val (h, m) = cube.GraftSql.fleetCacheStats
+        val n = cube.FleetCache.entryCount(spark, dir)
+        s"""{"hits":$h,"misses":$m,"entries":$n,""" +
+          f""""cold_sec":$cold%.4f,"l2_hit_sec":$hit%.4f}"""
+      } finally spark.conf.unset(cube.FleetCache.DirConf)
+    } catch {
+      case ex: Exception => s"""{"error":"${ex.getClass.getSimpleName}"}"""
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -176,8 +209,9 @@ object Bench {
       .mkString("{", ",", "}")
     val planner = plannerReport(spark, sfDir)
     val cacheReport = resultCacheReport(spark, sfDir)
+    val fleetReport = fleetCacheReport(spark, sfDir)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_pass":$qsFirst,"load_avg":$loadJson,"retried":$retriedJson,"cube_build_sec":$cubeBuildSec,"build_phases":$phases,"planner":$planner,"result_cache":$cacheReport,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_pass":$qsFirst,"load_avg":$loadJson,"retried":$retriedJson,"cube_build_sec":$cubeBuildSec,"build_phases":$phases,"planner":$planner,"result_cache":$cacheReport,"fleet_cache":$fleetReport,"sf":"$sfDir"}"""
     println(json)
     // also persist the full map: the driver's stdout tail truncated in
     // round 5 and lost the fast keys from round-over-round comparison.

@@ -49,6 +49,17 @@ object FleetCache {
   val DirConf = "spark.graft.fleetCacheDir"
   val CapConf = "spark.graft.fleetCacheEntries"
   val DefaultCap = 256
+  /** optional BYTE budget over committed payloads (VERDICT r15
+    * item 6): the entry-count FIFO bounds cardinality but 256 ×
+    * worst-case payload was an unplanned storage budget — with this
+    * set, prune keeps the newest entries whose cumulative payload
+    * bytes fit (always at least the newest one), oldest-first
+    * eviction like the count cap. Payload sizes ride entry.json. */
+  val BytesConf = "spark.graft.fleetCacheBytes"
+  /** prune floor: even under the caps, sweep every Nth store so
+    * foreign processes' entries (invisible to this JVM's counters)
+    * still age the torn-dir garbage out */
+  val PruneEvery = 64L
   /** an over-cap entry is deleted only once it is at least this old:
     * a frame handed out by lookup/store reads its payload LAZILY, so
     * deleting a just-served entry from another process could fail that
@@ -72,9 +83,37 @@ object FleetCache {
   private final case class EntryJson(query: String, via: String,
       estRows: Option[Long], schemaJson: String,
       routeCube: Option[String], routeDims: Option[Seq[String]],
-      createdMs: Long)
+      createdMs: Long,
+      /** committed payload size — the byte-budget prune's input
+        * (absent on pre-budget entries: they weigh 0 and age out via
+        * the count FIFO) */
+      payloadBytes: Option[Long] = None)
 
   private implicit val fmts: DefaultFormats = DefaultFormats
+
+  /** In-JVM approximation of a dir's committed state — the prune GATE
+    * (ADVICE r15 / VERDICT item 6): without it every cache-miss write
+    * paid one listStatus plus one getFileStatus per entry (O(cap) FS
+    * calls ≈ 257 at the default cap) just to usually delete nothing.
+    * Seeded by the first prune's own listing, bumped per local store;
+    * prune now runs only when the counters say a cap is plausibly
+    * exceeded, or on the [[PruneEvery]] floor. Approximate on purpose:
+    * foreign writers are invisible until the next real sweep, which
+    * the floor bounds — an over-cap dir is a delayed delete, never a
+    * correctness issue. */
+  private final class DirStats {
+    val count = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sincePrune = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+  private val dirStats =
+    scala.collection.concurrent.TrieMap.empty[String, DirStats]
+  /** observability + spec probe: how many sweeps actually ran */
+  private[graft] val pruneRuns =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def byteBudget(spark: SparkSession): Option[Long] =
+    spark.conf.getOption(BytesConf).map(_.toLong)
 
   def keyHash(sfDir: String, planCanon: String,
               stamps: Seq[(String, String, String)]): String = {
@@ -163,28 +202,47 @@ object FleetCache {
         if (lostRace) {
           lookup(spark, dir, key).map(_.df).getOrElse(df)
         } else {
+          val pBytes = scala.util.Try(
+            fs.getContentSummary(payload).getLength).toOption
           val e = EntryJson(query, via, estRows, df.schema.json,
             route.map(_._1), route.map(_._2.toSeq.sorted),
-            System.currentTimeMillis())
+            System.currentTimeMillis(), payloadBytes = pBytes)
           val ejTmp = new Path(s"$ed/entry.json.tmp")
           val out = fs.create(ejTmp, true)
           try out.write(
             Serialization.write(e).getBytes(StandardCharsets.UTF_8))
           finally out.close()
           fs.rename(ejTmp, new Path(s"$ed/entry.json"))
-          prune(spark, dir)
+          // prune GATE: O(1) bookkeeping per store; the O(cap) sweep
+          // runs only when a cap is plausibly exceeded (or the floor)
+          val st = dirStats.getOrElseUpdate(dir, new DirStats)
+          if (st.count.get() < 0L) prune(spark, dir) // seed from listing
+          else {
+            st.count.incrementAndGet(): Unit
+            pBytes.foreach(b => st.bytes.addAndGet(b): Unit)
+            val overCap = st.count.get() > capOf(spark)
+            val overBytes = byteBudget(spark).exists(st.bytes.get() > _)
+            if (overCap || overBytes ||
+                st.sincePrune.incrementAndGet() >= PruneEvery)
+              prune(spark, dir)
+          }
           spark.read.schema(df.schema).parquet(payload.toString)
         }
       }
     }.getOrElse(df)
 
-  /** FIFO bound: keep the newest `cap` committed entries (by
-    * entry.json mtime), delete the rest — plus any payload dir whose
-    * entry.json never landed (crashed writer) once it is old enough
-    * that no writer can still be mid-commit. Opportunistic and
-    * crash-safe: every delete is of an entry a re-miss can recompute. */
+  /** Bounded sweep: keep the newest committed entries (by entry.json
+    * mtime) that fit BOTH the entry-count cap and, when conf'd, the
+    * payload byte budget (always at least the newest one); delete the
+    * rest — plus any payload dir whose entry.json never landed
+    * (crashed writer) once it is old enough that no writer can still
+    * be mid-commit. Opportunistic and crash-safe: every delete is of
+    * an entry a re-miss can recompute. Reseeds the in-JVM counters
+    * from its own listing, so the store-side gate stays honest. */
   def prune(spark: SparkSession, dir: String): Unit = scala.util.Try {
+    pruneRuns.incrementAndGet(): Unit
     val cap = capOf(spark)
+    val budget = byteBudget(spark)
     val root = new Path(s"$dir/entries")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
@@ -198,14 +256,42 @@ object FleetCache {
     val readGrace = spark.conf.getOption(ReadGraceConf).map(_.toLong)
       .getOrElse(DefaultReadGraceMs)
     val (committed, torn) = entries.partition(_._2 >= 0)
-    committed.sortBy(-_._2).drop(cap)
-      .filter { case (_, m) => now - m > readGrace }
-      .foreach { case (p, _) => fs.delete(p, true): Unit }
+    def bytesOf(p: Path): Long = scala.util.Try {
+      val in = fs.open(new Path(p, "entry.json"))
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Serialization.read[EntryJson](text).payloadBytes.getOrElse(0L)
+    }.getOrElse(0L)
+    val newestFirst = committed.sortBy(-_._2)
+    // newest-kept under both caps; the byte walk reads entry.json only
+    // when a budget is actually set
+    val keep = budget match {
+      case None => newestFirst.take(cap)
+      case Some(b) =>
+        var cum = 0L
+        newestFirst.zipWithIndex.takeWhile { case ((p, _), i) =>
+          cum += bytesOf(p)
+          i == 0 || (i < cap && cum <= b)
+        }.map(_._1)
+    }
+    val keepSet = keep.map(_._1).toSet
+    val kept = scala.collection.mutable.ArrayBuffer(keep: _*)
+    newestFirst.filterNot(e => keepSet(e._1)).foreach { case (p, m) =>
+      if (now - m > readGrace) fs.delete(p, true): Unit
+      else kept += ((p, m)) // over-cap but read-grace-protected: still
+                            // on disk, count it so the gate re-fires
+    }
     // a torn dir older than 10 minutes is a crashed writer's leavings
     torn.foreach { case (p, _) =>
       val age = now - fs.getFileStatus(p).getModificationTime
       if (age > 600000L) fs.delete(p, true): Unit
     }
+    val st = dirStats.getOrElseUpdate(dir, new DirStats)
+    st.count.set(kept.size.toLong)
+    st.bytes.set(
+      if (budget.isDefined) kept.map(e => bytesOf(e._1)).sum else 0L)
+    st.sincePrune.set(0L)
   }: Unit
 
   /** observability: committed entry count (specs + ops) */

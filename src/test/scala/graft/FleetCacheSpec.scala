@@ -219,6 +219,69 @@ class FleetCacheSpec extends AnyFunSuite {
     }
   }
 
+  test("a store under the caps costs O(1) bookkeeping: the O(cap) " +
+      "sweep runs once to seed and then only when a cap is plausibly " +
+      "exceeded (VERDICT r15 item 6)") {
+    CubeManager.ensureBuilt(spark, sf)
+    withFleetDir { dir =>
+      val queries = Seq("ASIA", "EUROPE", "AMERICA", "AFRICA",
+        "MIDDLE EAST").map(rg =>
+        s"""SELECT n_name, count(*) AS n_rows FROM graft_star
+           |WHERE r_name = '$rg' GROUP BY n_name""".stripMargin)
+      assert(GraftSql.sqlCached(spark, sf, queries.head).routed)
+      val afterSeed = FleetCache.pruneRuns.get() // first store seeds
+      queries.tail.foreach(q =>
+        assert(GraftSql.sqlCached(spark, sf, q).routed))
+      assert(FleetCache.pruneRuns.get() == afterSeed,
+        "stores under the caps must not re-run the sweep")
+      assert(FleetCache.entryCount(spark, dir) == 5)
+    }
+  }
+
+  test("the byte budget evicts oldest-first and always keeps at " +
+      "least the newest entry (VERDICT r15 item 6)") {
+    CubeManager.ensureBuilt(spark, sf)
+    withFleetDir { dir =>
+      spark.conf.set(FleetCache.ReadGraceConf, "0")
+      spark.conf.set(FleetCache.BytesConf, (10L << 30).toString)
+      try {
+        val queries = Seq("ASIA", "EUROPE", "AMERICA", "AFRICA").map(rg =>
+          s"""SELECT n_name, count(*) AS n_rows FROM graft_star
+             |WHERE r_name = '$rg' GROUP BY n_name""".stripMargin)
+        assert(GraftSql.sqlCached(spark, sf, queries(0)).routed)
+        Thread.sleep(1100) // the eviction order is entry mtime
+        assert(GraftSql.sqlCached(spark, sf, queries(1)).routed)
+        Thread.sleep(1100)
+        // budget ≈ 1.2 × the two committed payloads: fits two similar
+        // entries, not three
+        def payloadBytes: Long =
+          Option(new java.io.File(s"$dir/entries").listFiles).toSeq
+            .flatten.map(e => org.apache.commons.io.FileUtils
+              .sizeOfDirectory(new java.io.File(e, "payload"))).sum
+        spark.conf.set(FleetCache.BytesConf,
+          (payloadBytes * 12 / 10).toString)
+        assert(GraftSql.sqlCached(spark, sf, queries(2)).routed)
+        assert(FleetCache.entryCount(spark, dir) == 2,
+          "the over-budget oldest entry must be evicted")
+        // the evicted oldest recomputes; the newest still serves
+        GraftSql.clearResultCache()
+        assert(!GraftSql.sqlCached(spark, sf, queries(0)).fromCache)
+        GraftSql.clearResultCache()
+        assert(GraftSql.sqlCached(spark, sf, queries(2)).fromCache)
+        // a budget below ONE payload still keeps the newest entry —
+        // the tier degrades, it never thrashes to zero
+        spark.conf.set(FleetCache.BytesConf, "1")
+        Thread.sleep(1100)
+        assert(GraftSql.sqlCached(spark, sf, queries(3)).routed)
+        assert(FleetCache.entryCount(spark, dir) == 1,
+          "only the newest entry survives a sub-payload budget")
+      } finally {
+        spark.conf.unset(FleetCache.BytesConf)
+        spark.conf.unset(FleetCache.ReadGraceConf)
+      }
+    }
+  }
+
   test("the store is FIFO-bounded like QueryLog") {
     CubeManager.ensureBuilt(spark, sf)
     withFleetDir { dir =>
