@@ -497,17 +497,19 @@ object CubeJson {
 
   private def recordDeclaredNames(view: String,
       members: Seq[(JsonCube, String)]): Unit = declaredNames.synchronized {
-    val released = declaredNames.toSeq.collect {
-      case (n, (fp, views)) if views.contains(view) => (n, fp, views - view)
-    }
-    released.foreach { case (n, fp, rest) =>
-      if (rest.isEmpty) declaredNames.remove(n): Unit
-      else declaredNames.put(n, (fp, rest)): Unit
-    }
-    // refuse BEFORE recording anything — a rejected deploy must not
-    // leave half its members registered
+    // judge conflicts against the registry AS IF this view's prior
+    // claims were released (a redeploy replaces them) — but WITHOUT
+    // mutating anything yet: a refused deploy leaves the OLD
+    // registration live and serving, so erasing its claims before the
+    // check could throw would let a later conflicting view slip past
+    // the guard while the old binding still owns the storage root
+    val without: Map[String, (String, Set[String])] =
+      declaredNames.toMap.flatMap { case (n, (fp, views)) =>
+        val rest = views - view
+        if (rest.isEmpty) None else Some(n -> (fp, rest))
+      }
     members.foreach { case (m, fp) =>
-      declaredNames.get(m.name).foreach { case (ofp, views) =>
+      without.get(m.name).foreach { case (ofp, views) =>
         if (ofp != fp)
           throw new IllegalArgumentException(
             s"cube '${m.name}': already declared with a different " +
@@ -516,6 +518,11 @@ object CubeJson {
               "rebuilds on every touch; rename one declaration")
       }
     }
+    // commit atomically: release + record only after every member
+    // passed (a rejected deploy must not leave half its members
+    // registered either)
+    declaredNames.clear()
+    without.foreach { case (n, v) => declaredNames.put(n, v): Unit }
     members.foreach { case (m, fp) =>
       val views = declaredNames.get(m.name).map(_._2).getOrElse(Set.empty)
       declaredNames.put(m.name, (fp, views + view)): Unit
@@ -729,10 +736,23 @@ object CubeJson {
       spec: JsonCube): (String, Option[String]) = {
     val st = spec.streaming.getOrElse(throw new IllegalArgumentException(
       s"cube '${spec.name}' declares no streaming section"))
-    declaredStreams.getOrElseUpdate(s"${spec.name}|$sfDir", {
+    // the memo key FOLDS IN the streaming section: a redeployed
+    // document with a changed window/lateness/source must rebuild at
+    // the new cadence, not keep serving the retracted declaration's
+    // stream for the JVM's lifetime (the batch side gets the same
+    // property from the fingerprint)
+    declaredStreams.getOrElseUpdate(s"${spec.name}|$sfDir|$st", {
       val sfName = sfDir.replaceAll("/+$", "").split('/').last
+      // 'graft-streamdecl-' is a namespace the compiled path
+      // ('graft-stream-<sfName>') can never generate, and the
+      // sfDir-hash suffix disambiguates declared cubes whose
+      // (sfName, name) concatenation would otherwise collide (names
+      // are dash-free but sf dir names are not) — buildStreamingCube
+      // recursively DELETES its output dir, so a collision here would
+      // destroy another stream's sealed cuboid under live readers
       val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
-        s"/graft-stream-$sfName-${spec.name}"
+        s"/graft-streamdecl-$sfName-${spec.name}-" +
+        Integer.toHexString(sfDir.hashCode)
       val source: graft.streaming.StreamSource = st.source match {
         case "kafka" =>
           val k = st.kafka.get // validated at parse time
@@ -805,6 +825,7 @@ object CubeJson {
       st.getPath.getName -> (st.getModificationTime, st.getLen)).toMap
     val prev = dirSigs.get(dir)
     if (prev.contains(sig)) return Nil // nothing moved: zero file reads
+    val failed = scala.collection.mutable.Set.empty[String]
     val out = files
       .filter(st => prev.forall(_.get(st.getPath.getName) !=
         Some((st.getModificationTime, st.getLen))))
@@ -836,14 +857,17 @@ object CubeJson {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[graft-cube-def] skipping " +
               s"${st.getPath.getName}: ${e.getMessage}")
+            failed += st.getPath.getName
             None
         }
       }
-    // commit the full listing signature after the scan: an unparseable
-    // drop is reported once and then left alone until the operator
-    // rewrites it (mtime/len move) — a fixed file re-reads on the next
-    // window, a permanently-bad one doesn't spam the log every TTL
-    dirSigs.put(dir, sig): Unit
+    // commit the listing signature MINUS the files that failed this
+    // pass: a declaration hit by a transient open/register error must
+    // be retried on the next window, not silently never deploy until
+    // the operator happens to rewrite it. The cost is that a
+    // permanently-unparseable drop logs once per window instead of
+    // once — the safer noise.
+    dirSigs.put(dir, sig -- failed): Unit
     out
   }
 }

@@ -53,6 +53,8 @@ object Dictionary {
                                   column: String): Int = {
     val dir = new Path(dictRoot(root, column))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marked = Snapshot.successMarked(
+      spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) 0
     else fs.listStatus(dir).iterator
       .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+") &&
@@ -62,8 +64,11 @@ object Dictionary {
         // then re-assign them NEW ids above the partial max, silently
         // corrupting every bitmap state built against the old ids.
         // Ignoring the partial falls back to the last complete version
-        // (the overwrite of the retry heals the dir).
-        fs.exists(new Path(st.getPath, "_SUCCESS")))
+        // (the overwrite of the retry heals the dir). A deployment
+        // that disabled _SUCCESS markers keeps the old trust-the-dir
+        // behavior — gating on a marker it never writes would read
+        // EVERY version as 0 and re-assign all ids from scratch.
+        (!marked || fs.exists(new Path(st.getPath, "_SUCCESS"))))
       .map(_.getPath.getName.drop(1).toInt)
       .foldLeft(0)(math.max)
   }

@@ -264,14 +264,17 @@ object FleetCache {
       Serialization.read[EntryJson](text).payloadBytes.getOrElse(0L)
     }.getOrElse(0L)
     val newestFirst = committed.sortBy(-_._2)
-    // newest-kept under both caps; the byte walk reads entry.json only
-    // when a budget is actually set
+    // newest-kept under both caps; entry.json is read ONCE per entry
+    // and only when a budget is actually set
+    val sizes: Map[Path, Long] =
+      if (budget.isEmpty) Map.empty
+      else newestFirst.map { case (p, _) => p -> bytesOf(p) }.toMap
     val keep = budget match {
       case None => newestFirst.take(cap)
       case Some(b) =>
         var cum = 0L
         newestFirst.zipWithIndex.takeWhile { case ((p, _), i) =>
-          cum += bytesOf(p)
+          cum += sizes(p)
           i == 0 || (i < cap && cum <= b)
         }.map(_._1)
     }
@@ -289,8 +292,7 @@ object FleetCache {
     }
     val st = dirStats.getOrElseUpdate(dir, new DirStats)
     st.count.set(kept.size.toLong)
-    st.bytes.set(
-      if (budget.isDefined) kept.map(e => bytesOf(e._1)).sum else 0L)
+    st.bytes.set(kept.map(e => sizes.getOrElse(e._1, 0L)).sum)
     st.sincePrune.set(0L)
   }: Unit
 

@@ -263,14 +263,26 @@ object GraftTool {
           // commit orphaning one side's work). Two concurrent appends
           // would likewise both pass the overlap check against the
           // same base and race the commit. Under the lease, the base
-          // instance is re-read so a waiter appends onto the winner's
-          // committed list. The dictionary encode mirrors the initial
-          // declared build (skipping it would build the new segment's
-          // bitmap states over raw values, diverging from every other
-          // segment).
+          // is re-read LOAD-ONLY so a waiter appends onto the winner's
+          // committed list — never through ensureDeclared, whose
+          // miss-path build would re-acquire the very lease we hold
+          // (BuildLease is not reentrant, and our own heartbeat keeps
+          // it alive: a nested acquire self-deadlocks forever). A
+          // load miss under the held lease means a foreign process
+          // drifted/uncommitted the meta mid-append — refuse loudly
+          // rather than append onto a base that no longer exists.
+          // The dictionary encode mirrors the initial declared build
+          // (skipping it would build the new segment's bitmap states
+          // over raw values, diverging from every other segment).
           val next = BuildLease.withLease(spark, inst.root,
               spec.name)(Option.empty[CubeInstance]) {
-            val fresh = CubeManager.ensureDeclared(spark, sfDir, spec)
+            val fresh = CubeMeta.load(spark, CubeJson.toCubeDef(spec),
+                inst.root).map(_.inst).getOrElse(
+              throw new IllegalStateException(
+                s"append refused: the committed meta for " +
+                  s"'${spec.name}' disappeared or drifted while the " +
+                  "build lease was held — rebuild the cube (any " +
+                  "query or 'policies' run) and retry the append"))
             val flat0 = CubeJson.flatBuilder(spec, Some(fresh.root))(
               spark, sfDir)
             val flat = spec.dictColumns.foldLeft(flat0)((f, c) =>

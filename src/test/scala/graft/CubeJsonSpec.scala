@@ -262,6 +262,39 @@ class CubeJsonSpec extends AnyFunSuite {
     // drifted redeploy under v1 is fine too
     CubeJson.register(CubeJson.parse(doc("collide_v1",
       "\"o_orderstatus\", \"o_orderpriority\"")))
+
+    // a REFUSED redeploy must not erase the guard's memory: v1's old
+    // registration keeps serving, so its claims must survive the
+    // refusal (release-before-check would let a later conflicting
+    // view slip past while v1 still owns the root)
+    def member(name: String, view: String, dims: String) =
+      s"""{"name": "$name", "view": "$view",
+         |"model": {"fact": "orders"},
+         |"flatColumns": [{"name": "o_orderstatus"},
+         |  {"name": "o_orderpriority"}, {"name": "o_orderdate"}],
+         |"dims": [$dims], "segmentCol": "o_orderdate",
+         |"measures": [{"name": "n", "family": "count"}],
+         |"segments": [{"name": "all", "start": "1992-01-01",
+         |              "end": "2003-01-01"}]}""".stripMargin
+    CubeJson.register(CubeJson.parse( // another view's live claim
+      member("guard_other", "guard_other_view", "\"o_orderstatus\"")))
+    // v1 redeploys as a GROUP whose second member conflicts with
+    // guard_other (different fingerprint) → the whole deploy refuses…
+    val badGroup =
+      s"""{"view": "collide_v1",
+         |"primary": ${member("collide_name", "unused_v",
+              "\"o_orderstatus\"")},
+         |"alternates": [${member("guard_other", "unused_v2",
+              "\"o_orderstatus\", \"o_orderpriority\"")}]}""".stripMargin
+    assert(intercept[IllegalArgumentException](
+      CubeJson.registerRealization(CubeJson.parseRealization(badGroup)))
+      .getMessage.contains("different fingerprint"))
+    // …and v1's prior claim on collide_name is INTACT: a different
+    // view with a drifted fingerprint still refuses
+    assert(intercept[IllegalArgumentException](
+      CubeJson.register(CubeJson.parse(doc("collide_v9",
+        "\"o_orderpriority\"")))).getMessage
+      .contains("different fingerprint"))
   }
 
   test("a JSON-declared cube registers at runtime, builds, routes " +
