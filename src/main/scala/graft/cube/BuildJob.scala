@@ -31,9 +31,14 @@ import org.json4s.jackson.Serialization
   *    written AFTER the parquet write returns, read by the layered
   *    build to skip the write AND recover the observed row count (the
   *    underscore prefix keeps it invisible to parquet scans);
-  *  - coarse single-threaded phases (materialized flat table, one
-  *    dictionary column): `_graft_done.json` inside the phase's own
-  *    output dir / `_phase.<name>.json` beside the meta.
+  *  - the materialized flat table: `_graft_done.json` inside its own
+  *    output dir (the overwrite of a retry clears it with the data).
+  *    Dictionaries deliberately have NO skip marker: buildOrAppend is
+  *    append-stable and idempotent, and that append form IS the only
+  *    safe resume — a frozen-at-crash dictionary against a flat whose
+  *    sources changed since would encode unseen values to null ids
+  *    and silently undercount bitmap measures. Snapshots are
+  *    write-once behind their own commit marker.
   *
   * Crash safety holds by ordering alone: markers are written after
   * their phase's output is durable, `mode("overwrite")` deletes a
@@ -164,15 +169,4 @@ object BuildJob {
     writeJson(fsOf(spark, p), p, PhaseJson(job.jobId))
   }
 
-  /** completion marker beside the meta for phases whose output dir is
-    * SHARED across attempts (dictionary version trees) */
-  def phaseDone(spark: SparkSession, job: Job, phase: String): Boolean = {
-    val p = new Path(s"${job.root}/${job.cube}/_phase.$phase.json")
-    readJson[PhaseJson](fsOf(spark, p), p).exists(_.jobId == job.jobId)
-  }
-
-  def markPhase(spark: SparkSession, job: Job, phase: String): Unit = {
-    val p = new Path(s"${job.root}/${job.cube}/_phase.$phase.json")
-    writeJson(fsOf(spark, p), p, PhaseJson(job.jobId))
-  }
 }

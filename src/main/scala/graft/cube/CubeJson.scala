@@ -600,6 +600,14 @@ object CubeJson {
   final case class JsonRealization(view: String, primary: JsonCube,
       alternates: Seq[JsonCube] = Nil, hybrid: Option[JsonHybrid] = None)
 
+  /** THE document-kind dispatch, shared by every store/CLI consumer:
+    * two kinds live in the declaration store — plain cubes and
+    * realization GROUPS — distinguished by the `primary` field. */
+  def parseDoc(json: String): Either[JsonCube, JsonRealization] =
+    if ((org.json4s.jackson.JsonMethods.parse(json) \ "primary")
+        == org.json4s.JNothing) Left(parse(json))
+    else Right(parseRealization(json))
+
   def parseRealization(json: String): JsonRealization = {
     val r =
       try Serialization.read[JsonRealization](json)
@@ -744,15 +752,18 @@ object CubeJson {
     declaredStreams.getOrElseUpdate(s"${spec.name}|$sfDir|$st", {
       val sfName = sfDir.replaceAll("/+$", "").split('/').last
       // 'graft-streamdecl-' is a namespace the compiled path
-      // ('graft-stream-<sfName>') can never generate, and the
-      // sfDir-hash suffix disambiguates declared cubes whose
-      // (sfName, name) concatenation would otherwise collide (names
-      // are dash-free but sf dir names are not) — buildStreamingCube
-      // recursively DELETES its output dir, so a collision here would
-      // destroy another stream's sealed cuboid under live readers
+      // ('graft-stream-<sfName>') can never generate, and the hash
+      // suffix covers BOTH the sf dir (declared cubes whose
+      // (sfName, name) concatenation would otherwise collide — names
+      // are dash-free but sf dir names are not) AND the streaming
+      // section: buildStreamingCube recursively DELETES its output
+      // dir, so a changed-cadence redeploy building into the OLD
+      // config's dir would destroy the still-serving stream's sealed
+      // cuboid under live readers — each config gets its own dir and
+      // the superseded one simply ages in tmp
       val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
         s"/graft-streamdecl-$sfName-${spec.name}-" +
-        Integer.toHexString(sfDir.hashCode)
+        Integer.toHexString((sfDir, st).hashCode)
       val source: graft.streaming.StreamSource = st.source match {
         case "kafka" =>
           val k = st.kafka.get // validated at parse time
@@ -835,18 +846,13 @@ object CubeJson {
           val text =
             try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             finally in.close()
-          // two document kinds live in the store: plain cubes and
-          // realization GROUPS (distinguished by the `primary` field)
-          val (viewName, canon, doRegister) =
-            if ((org.json4s.jackson.JsonMethods.parse(text) \ "primary")
-                == org.json4s.JNothing) {
-              val spec = parse(text)
+          val (viewName, canon, doRegister) = parseDoc(text) match {
+            case Left(spec) =>
               (spec.viewName, render(spec), () => register(spec))
-            } else {
-              val r = parseRealization(text)
+            case Right(r) =>
               (r.view, renderRealization(r),
                 () => registerRealization(r))
-            }
+          }
           if (registeredSpecs.get(viewName).contains(canon)) None
           else {
             doRegister()

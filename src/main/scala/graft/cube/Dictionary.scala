@@ -53,22 +53,20 @@ object Dictionary {
                                   column: String): Int = {
     val dir = new Path(dictRoot(root, column))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marked = Snapshot.successMarked(
-      spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) 0
     else fs.listStatus(dir).iterator
       .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+") &&
-        // only COMMITTED versions count (writer's _SUCCESS marker): a
-        // crashed persist leaves a partial newest dir, and loading it
-        // would miss values of the prior version — buildOrAppend would
-        // then re-assign them NEW ids above the partial max, silently
-        // corrupting every bitmap state built against the old ids.
-        // Ignoring the partial falls back to the last complete version
-        // (the overwrite of the retry heals the dir). A deployment
-        // that disabled _SUCCESS markers keeps the old trust-the-dir
-        // behavior — gating on a marker it never writes would read
-        // EVERY version as 0 and re-assign all ids from scratch.
-        (!marked || fs.exists(new Path(st.getPath, "_SUCCESS"))))
+        // only COMMITTED versions count (graft's own config-
+        // independent marker, written after persist's write returned;
+        // the committer's _SUCCESS accepted for dirs written by
+        // earlier releases): a crashed persist leaves a partial
+        // newest dir, and loading it would miss values of the prior
+        // version — buildOrAppend would then re-assign them NEW ids
+        // above the partial max, silently corrupting every bitmap
+        // state built against the old ids. Ignoring the partial falls
+        // back to the last complete version (the overwrite of the
+        // retry heals the dir).
+        Snapshot.isCommitted(fs, st.getPath))
       .map(_.getPath.getName.drop(1).toInt)
       .foldLeft(0)(math.max)
   }
@@ -129,11 +127,16 @@ object Dictionary {
     }
   }
 
-  /** write a new immutable version dir and return it parquet-backed */
+  /** write a new immutable version dir (commit-markered after the
+    * write returns) and return it parquet-backed */
   private def persist(dict: DataFrame, root: String, column: String,
                       v: Int): DataFrame = {
     val p = versionPath(root, column, v)
     dict.write.mode("overwrite").parquet(p)
+    val hp = new Path(p)
+    Snapshot.markCommitted(
+      hp.getFileSystem(dict.sparkSession.sparkContext.hadoopConfiguration),
+      hp)
     dict.sparkSession.read.parquet(p)
   }
 

@@ -105,6 +105,14 @@ object FleetCache {
     val count = new java.util.concurrent.atomic.AtomicLong(-1L)
     val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
     val sincePrune = new java.util.concurrent.atomic.AtomicLong(0L)
+    /** entry dir → payload bytes, fed by local stores and by sweeps'
+      * own reads — at the entry-count cap (the steady state of a busy
+      * dir, where a sweep runs per store) a byte-budget sweep would
+      * otherwise re-open every entry.json every time; with the cache
+      * it reads only entries this JVM has never seen (foreign
+      * writers') */
+    val sizes =
+      scala.collection.concurrent.TrieMap.empty[String, Long]
   }
   private val dirStats =
     scala.collection.concurrent.TrieMap.empty[String, DirStats]
@@ -216,6 +224,9 @@ object FleetCache {
           // prune GATE: O(1) bookkeeping per store; the O(cap) sweep
           // runs only when a cap is plausibly exceeded (or the floor)
           val st = dirStats.getOrElseUpdate(dir, new DirStats)
+          // keyed on the entry dir NAME (the sha key) — the same form
+          // prune's listing yields
+          pBytes.foreach(b => st.sizes.put(key, b): Unit)
           if (st.count.get() < 0L) prune(spark, dir) // seed from listing
           else {
             st.count.incrementAndGet(): Unit
@@ -263,12 +274,17 @@ object FleetCache {
         finally in.close()
       Serialization.read[EntryJson](text).payloadBytes.getOrElse(0L)
     }.getOrElse(0L)
+    val st = dirStats.getOrElseUpdate(dir, new DirStats)
     val newestFirst = committed.sortBy(-_._2)
-    // newest-kept under both caps; entry.json is read ONCE per entry
+    // newest-kept under both caps; per-entry payload sizes come from
+    // the in-JVM cache (fed by local stores and previous sweeps) —
+    // entry.json is opened only for entries this JVM has never seen,
     // and only when a budget is actually set
     val sizes: Map[Path, Long] =
       if (budget.isEmpty) Map.empty
-      else newestFirst.map { case (p, _) => p -> bytesOf(p) }.toMap
+      else newestFirst.map { case (p, _) =>
+        p -> st.sizes.getOrElseUpdate(p.getName, bytesOf(p))
+      }.toMap
     val keep = budget match {
       case None => newestFirst.take(cap)
       case Some(b) =>
@@ -281,7 +297,10 @@ object FleetCache {
     val keepSet = keep.map(_._1).toSet
     val kept = scala.collection.mutable.ArrayBuffer(keep: _*)
     newestFirst.filterNot(e => keepSet(e._1)).foreach { case (p, m) =>
-      if (now - m > readGrace) fs.delete(p, true): Unit
+      if (now - m > readGrace) {
+        fs.delete(p, true): Unit
+        st.sizes.remove(p.getName): Unit
+      }
       else kept += ((p, m)) // over-cap but read-grace-protected: still
                             // on disk, count it so the gate re-fires
     }
@@ -290,7 +309,6 @@ object FleetCache {
       val age = now - fs.getFileStatus(p).getModificationTime
       if (age > 600000L) fs.delete(p, true): Unit
     }
-    val st = dirStats.getOrElseUpdate(dir, new DirStats)
     st.count.set(kept.size.toLong)
     st.bytes.set(kept.map(e => sizes.getOrElse(e._1, 0L)).sum)
     st.sincePrune.set(0L)

@@ -404,8 +404,19 @@ object GraftSql {
           if (d0) lastDefScan.put(d, now): Unit
           d0
         }
-        if (due && CubeJson.registerDir(spark, d).nonEmpty)
-          registerViews(spark, sfDir)
+        // the rescan is OPPORTUNISTIC: a transient store error
+        // (listing or read) must never fail the user query that
+        // happened to trigger the window — the bindings and caches
+        // that can answer it are intact. Log and retry next window.
+        if (due) scala.util.Try(CubeJson.registerDir(spark, d)) match {
+          case scala.util.Success(registered) if registered.nonEmpty =>
+            registerViews(spark, sfDir)
+          case scala.util.Failure(e) =>
+            System.err.println(
+              s"[graft-cube-def] rescan of $d failed (will retry " +
+                s"next window): ${e.getMessage}")
+          case _ => ()
+        }
       }
   }
 

@@ -126,13 +126,10 @@ object GraftTool {
     def register(): Unit = CubeJson.registerRealization(r): Unit
   }
 
-  private def readDoc(f: String): DefDoc = {
-    val text = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(f)), "UTF-8")
-    if ((org.json4s.jackson.JsonMethods.parse(text) \ "primary")
-        == org.json4s.JNothing) PlainDoc(CubeJson.parse(text))
-    else GroupDoc(CubeJson.parseRealization(text))
-  }
+  private def readDoc(f: String): DefDoc =
+    CubeJson.parseDoc(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f)), "UTF-8"))
+      .fold(PlainDoc.apply, GroupDoc.apply)
 
   /** compiled name or declared document → (CubeDef, optional spec);
     * realization documents resolve the `--member`-addressed cube */

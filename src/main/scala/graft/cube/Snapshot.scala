@@ -12,36 +12,44 @@ object Snapshot {
 
   def path(root: String, name: String): String = s"$root/snapshots/$name"
 
-  /** does this session's committer write `_SUCCESS` markers? When an
-    * operator disabled them (mapreduce.fileoutputcommitter.
-    * marksuccessfuljobs=false — common object-store hygiene), marker-
-    * gated completeness checks would read EVERY committed dir as
-    * incomplete and rewrite write-once state forever — fall back to
-    * the plain existence check there (accepting its original
-    * crashed-partial-dir blind spot, which such a deployment has
-    * already chosen) */
-  private[cube] def successMarked(
-      conf: org.apache.hadoop.conf.Configuration): Boolean =
-    conf.getBoolean(
-      "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+  /** graft's OWN commit marker, written after a dir's parquet write
+    * returns. Completeness gating must not key on the committer's
+    * `_SUCCESS` alone: whether that file exists depends on the
+    * SESSION config (mapreduce.fileoutputcommitter.marksuccessfuljobs
+    * — commonly disabled on object stores), so a config flip or a
+    * mixed-config fleet would read every committed dir as incomplete
+    * and rewrite write-once state (for dictionaries: re-assign every
+    * id). Our marker is config-independent; `_SUCCESS` is accepted
+    * too so dirs written by earlier releases under the default config
+    * stay trusted. */
+  private[cube] val CommitMarker = "_graft_committed"
+
+  private[cube] def markCommitted(fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: Path): Unit = {
+    val out = fs.create(new Path(dir, CommitMarker), true)
+    out.close()
+  }
+
+  private[cube] def isCommitted(fs: org.apache.hadoop.fs.FileSystem,
+                                dir: Path): Boolean =
+    fs.exists(new Path(dir, CommitMarker)) ||
+      fs.exists(new Path(dir, "_SUCCESS"))
 
   /** snapshot `df` under the cube root once (no-op if present) and
-    * return the snapshot-backed frame. Completeness is judged by the
-    * writer's own `_SUCCESS` commit marker, not bare dir existence: a
-    * crashed snapshot write leaves a partial dir, and trusting it
-    * would silently drop dimension rows from every later build and
-    * derived-dim answer — the overwrite rewrite heals it instead.
-    * (Marker-less committer configs keep the old existence check.) */
+    * return the snapshot-backed frame. Completeness is judged by a
+    * commit marker written AFTER the write returned, not bare dir
+    * existence: a crashed snapshot write leaves a partial dir, and
+    * trusting it would silently drop dimension rows from every later
+    * build and derived-dim answer — the overwrite rewrite heals it
+    * instead. */
   def ensure(spark: SparkSession, df: DataFrame, root: String,
              name: String): DataFrame = {
-    val hconf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path(root, name))
-    val fs = p.getFileSystem(hconf)
-    val committed =
-      if (successMarked(hconf)) fs.exists(new Path(p, "_SUCCESS"))
-      else fs.exists(p)
-    if (!committed)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!isCommitted(fs, p)) {
       df.write.mode("overwrite").parquet(p.toString)
+      markCommitted(fs, p)
+    }
     spark.read.parquet(p.toString)
   }
 }

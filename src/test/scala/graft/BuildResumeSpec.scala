@@ -177,10 +177,8 @@ class BuildResumeSpec extends AnyFunSuite {
     } finally CubeBuilder.failAfterCuboidWrites
       .set(CubeBuilder.DisarmedFailure)
 
-    // dictionary phase committed before the crash: marker + v1 present
+    // dictionary v1 committed before the crash
     val cubeDir = new java.io.File(s"$root/resume_decl")
-    assert(new java.io.File(cubeDir, "_phase.dict.c_name.json").exists,
-      "the completed dictionary phase must be markered")
     val dictDir = new java.io.File(s"$root/dict/c_name")
     val dictBefore = dataFiles(dictDir)
     assert(dictBefore.nonEmpty)
@@ -188,11 +186,14 @@ class BuildResumeSpec extends AnyFunSuite {
     Thread.sleep(1100)
     val inst = CubeManager.ensureDeclared(spark, sf, spec) // resume
 
+    // the resume re-runs buildOrAppend (the append-stable form IS the
+    // safe resume — values arriving between crash and resume must
+    // still get ids); with nothing new it appends nothing, so the
+    // committed version's bytes are untouched and no v2 appears
     assert(dataFiles(dictDir) == dictBefore,
-      "resume must reuse the committed dictionary (no re-scan, no v2)")
-    assert(!new java.io.File(cubeDir, "_phase.dict.c_name.json").exists &&
-      !new java.io.File(cubeDir, BuildJob.JobFile).exists,
-      "finish must clean the attempt's markers after the meta commit")
+      "an unchanged source must not re-version the dictionary")
+    assert(!new java.io.File(cubeDir, BuildJob.JobFile).exists,
+      "finish must remove the attempt state after the meta commit")
     // the dictionary-backed bitmap answers exactly
     val r = QueryRouter.route(spark, inst, CubeQuery(
       Seq("c_mktsegment"), Seq("cname_bitmap" -> "n_cust")))(
