@@ -137,9 +137,9 @@ class BuildResumeSpec extends AnyFunSuite {
     assert(CubeMeta.load(spark, drifted, root).nonEmpty)
   }
 
-  test("a DECLARED cube's crashed build resumes past the committed " +
-      "dictionary phase (no re-scan, no new version) and cleans its " +
-      "markers on finish") {
+  test("a DECLARED cube's crashed build resumes with the committed " +
+      "dictionary intact (append-stable re-run, no new version) and " +
+      "cleans its attempt state on finish") {
     val spec = CubeJson.parse(
       """{
         |  "name": "resume_decl",
