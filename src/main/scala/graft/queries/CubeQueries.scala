@@ -1175,6 +1175,38 @@ object CubeQueries extends QueryGroup {
              |  COUNT(*) AS n_orders,
              |  COUNT(DISTINCT o_custkey) AS n_cust
              |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // 28g ─────────────── log-free INITIAL lattice under a row budget
+    //     (cube planner phase 1 — CuboidStats + BPUSCalculator): the
+    //     document's cuboid space is a CANDIDATE set; first build
+    //     estimates candidate rows from the just-built base cuboid
+    //     and materializes the benefit-per-row pick under the budget
+    //     as extraCuboids metadata. The answer is lattice-independent
+    //     (the oracle pins correctness); the asserts pin that the
+    //     planner actually widened the lattice and the query routes
+    //     through the declared cube.
+    Q("cube_json_lattice",
+      (s, d) => {
+        val view = declaredLatticeView
+        val inst = CubeManager.ensureDeclared(s, d,
+          CubeJson.parse(declaredLatticeDoc))
+        assert(inst.extraCuboids.nonEmpty,
+          "the budget must admit planner-picked cuboids")
+        val r = GraftSql.sqlVia(s, d,
+          s"""SELECT o_orderstatus, sum(o_totalprice) AS price_sum,
+             |  count(*) AS n_orders
+             |FROM $view GROUP BY o_orderstatus""".stripMargin)
+        assert(r.routed && r.via == "cuboid",
+          s"lattice-planned cube must route, got ${r.via}")
+        assert(r.df.inputFiles.exists(_.contains("-orders_lattice/")),
+          "routed scan must read the declared cube's own root")
+        r.df.orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+             |  COUNT(*) AS n_orders
+             |FROM orders GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin))
   )
 
@@ -1211,4 +1243,38 @@ object CubeQueries extends QueryGroup {
       |  "timeDim": {"name": "o_month", "granularity": "month"},
       |  "segDayGranular": true
       |}""".stripMargin)
+
+  /** The document behind `cube_json_lattice`: the aggGroup expansion
+    * is the planner's CANDIDATE space, `initialLattice.rowBudget`
+    * bounds what materializes (base mandatory, benefit-per-row
+    * greedy); the picked subset rides extraCuboids metadata. */
+  val declaredLatticeDoc: String =
+    """{
+      |  "name": "orders_lattice",
+      |  "model": {"fact": "orders"},
+      |  "flatColumns": [
+      |    {"name": "o_month", "expr": "date_format(o_orderdate, 'yyyy-MM')"},
+      |    {"name": "o_orderstatus"},
+      |    {"name": "o_orderpriority"},
+      |    {"name": "o_orderdate"},
+      |    {"name": "o_totalprice"}
+      |  ],
+      |  "dims": ["o_orderstatus", "o_orderpriority", "o_month"],
+      |  "measures": [
+      |    {"name": "price_sum", "family": "sum", "column": "o_totalprice",
+      |     "decimal": true, "presentDouble": true},
+      |    {"name": "n_orders", "family": "count"}
+      |  ],
+      |  "segmentCol": "o_orderdate",
+      |  "segments": [{"name": "all", "start": "1992-01-01",
+      |                "end": "2003-01-01"}],
+      |  "aggGroups": [
+      |    {"includes": ["o_orderstatus", "o_orderpriority", "o_month"]}
+      |  ],
+      |  "segDayGranular": true,
+      |  "initialLattice": {"rowBudget": 1000000}
+      |}""".stripMargin
+
+  lazy val declaredLatticeView: String =
+    CubeJson.registerJson(declaredLatticeDoc)
 }

@@ -17,40 +17,12 @@ import graft.streaming.EventStream
 class DeclaredStreamingSpec extends AnyFunSuite {
   import TestSpark._
 
-  /** an events-cube document equivalent to the compiled eventsCube's
-    * batch layer, plus the declared speed layer — note the NON-default
+  /** the SHARED events-cube document (EventQueries.declaredEventsDoc —
+    * also the `ev_stream_declared` oracle key's document, so the spec
+    * and the oracle pin the same deployment): the compiled eventsCube's
+    * batch layer plus the declared speed layer at a NON-default
     * window/lateness, pinning that the cadence comes from the document */
-  private val doc =
-    """{
-      |  "name": "events_decl",
-      |  "model": {"fact": "events"},
-      |  "flatColumns": [
-      |    {"name": "ts"},
-      |    {"name": "ev_day", "expr": "date_format(ts, 'yyyy-MM-dd')"},
-      |    {"name": "event_type"},
-      |    {"name": "user_id"},
-      |    {"name": "value"}
-      |  ],
-      |  "dims": ["ev_day", "event_type"],
-      |  "measures": [
-      |    {"name": "n_events", "family": "count"},
-      |    {"name": "value_sum", "family": "sum", "column": "value",
-      |     "decimal": true, "presentDouble": true},
-      |    {"name": "user_bitmap", "family": "bitmap", "column": "user_id"}
-      |  ],
-      |  "segmentCol": "ts",
-      |  "segments": [{"name": "s2024m1", "start": "2024-01-01",
-      |                "end": "2024-02-01"}],
-      |  "cuboids": [["ev_day"], ["event_type"]],
-      |  "timeDim": {"name": "ev_day", "granularity": "day"},
-      |  "notNull": ["value"],
-      |  "streaming": {
-      |    "source": "file",
-      |    "window": "12 hours",
-      |    "lateness": "2 hours",
-      |    "hotTail": true
-      |  }
-      |}""".stripMargin
+  private val doc = graft.queries.EventQueries.declaredEventsDoc
 
   private def freshRoot(): Unit = {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
