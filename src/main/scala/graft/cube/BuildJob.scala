@@ -62,12 +62,17 @@ import org.json4s.jackson.Serialization
 object BuildJob {
 
   val JobFile = "_job.json"
+  /** the MERGE job's own attempt file — merges run under their own
+    * lease beside the base build, so their attempt state is separate
+    * too */
+  val MergeJobFile = "_job-merge.json"
   /** marker inside a completed cuboid dir */
   val CuboidMarker = "_graft_rows.json"
   /** marker inside a completed phase output dir (e.g. the flat table) */
   val DirMarker = "_graft_done.json"
 
-  final case class Job(jobId: String, root: String, cube: String)
+  final case class Job(jobId: String, root: String, cube: String,
+                       file: String = JobFile)
 
   private final case class JobJson(jobId: String, fingerprint: String,
       segments: Seq[String], startedMs: Long)
@@ -108,19 +113,33 @@ object BuildJob {
     * trustworthy); any mismatch — different fingerprint, different
     * segment list, torn file — mints a fresh id, which invalidates
     * every marker of the superseded attempt at once. */
-  def begin(spark: SparkSession, cube: CubeDef, root: String): Job = {
-    val p = new Path(s"$root/${cube.name}/$JobFile")
+  def begin(spark: SparkSession, cube: CubeDef, root: String): Job =
+    beginAt(spark, root, cube.name, JobFile,
+      CubeMeta.fingerprint(cube), cube.segments.map(segKey))
+
+  /** a MERGE attempt: identified by the def fingerprint, the merged
+    * run, AND the base build it merges FROM — a base rebuilt between
+    * crash and resume mints a fresh id, so markers over parquet that
+    * no longer matches are never trusted */
+  def beginMerge(spark: SparkSession, cube: CubeDef, root: String,
+                 mergedName: String, run: Seq[Segment],
+                 baseBuildId: String): Job =
+    beginAt(spark, root, cube.name, MergeJobFile,
+      s"${CubeMeta.fingerprint(cube)}|base=$baseBuildId|merged=$mergedName",
+      run.map(segKey))
+
+  private def beginAt(spark: SparkSession, root: String, cubeName: String,
+      jobFile: String, fp: String, segs: Seq[String]): Job = {
+    val p = new Path(s"$root/$cubeName/$jobFile")
     val fs = fsOf(spark, p)
-    val fp = CubeMeta.fingerprint(cube)
-    val segs = cube.segments.map(segKey)
     readJson[JobJson](fs, p) match {
       case Some(j) if j.fingerprint == fp && j.segments == segs =>
-        Job(j.jobId, root, cube.name)
+        Job(j.jobId, root, cubeName, jobFile)
       case _ =>
         val id = java.util.UUID.randomUUID().toString
         writeJson(fs, p,
           JobJson(id, fp, segs, System.currentTimeMillis()))
-        Job(id, root, cube.name)
+        Job(id, root, cubeName, jobFile)
     }
   }
 
@@ -131,7 +150,7 @@ object BuildJob {
   def finish(spark: SparkSession, job: Job): Unit = scala.util.Try {
     val dir = new Path(s"${job.root}/${job.cube}")
     val fs = fsOf(spark, dir)
-    fs.delete(new Path(dir, JobFile), false): Unit
+    fs.delete(new Path(dir, job.file), false): Unit
     fs.listStatus(dir).filter(st =>
         st.isFile && st.getPath.getName.startsWith("_phase."))
       .foreach(st => fs.delete(st.getPath, false): Unit)

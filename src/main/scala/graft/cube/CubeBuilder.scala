@@ -248,7 +248,13 @@ object CubeBuilder {
     * ranges with a hole): per cuboid, union the run's parquet and
     * re-aggregate states with the same fromState exprs used in the
     * layered build. Untouched segments keep their dirs and row counts;
-    * the returned instance swaps the run for the merged segment. */
+    * the returned instance swaps the run for the merged segment.
+    * STEP-RESUMABLE like [[build]]: the merge ATTEMPT — identified by
+    * the def fingerprint, the run, AND the base buildId it merges
+    * from — markers each completed merged-cuboid dir, so a crashed
+    * merge re-entered under its lease redoes only the missing
+    * cuboids; a base rebuilt in between mints a fresh attempt and the
+    * stale markers are never trusted. */
   def mergeSegments(spark: SparkSession, inst: CubeInstance,
                     mergedName: String, toMerge: Seq[Segment]): CubeInstance = {
     val cube = inst.cube
@@ -260,20 +266,35 @@ object CubeBuilder {
       s"merged segments must be a contiguous run, got ${run.map(_.name)}")
     val reAggs = cube.measures.map(m => m.fromState(m.stateCol).as(m.stateCol))
     val merged = Segment(mergedName, run.head.start, run.last.end)
+    val job = BuildJob.beginMerge(spark, cube, inst.root, mergedName, run,
+      CubeMeta.load(spark, cube, inst.root).map(_.buildId).getOrElse(""))
     // per-cuboid merges are independent — run them concurrently
     val rows = awaitAll(cube.cuboids.map(c => () => {
       val id = cube.cuboidId(c)
-      val dimCols = cube.cuboidDims(c).map(col)
-      val paths = run.map(s => inst.cuboidPath(s.name, id))
-      val df = paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
-        .groupBy(dimCols: _*).agg(reAggs.head, reAggs.tail: _*)
       val path = cuboidPath(inst.root, cube, mergedName, id)
-      val obs = Observation()
-      (mergedName, id) -> timed("merge", s"${cube.name}/$mergedName/$id") {
-        writeCuboid(cube, c,
-          df.observe(obs, count(lit(1)).as("n")), path, obs)
-      }
+      (mergedName, id) ->
+        BuildJob.cuboidRows(spark, job, path).getOrElse {
+          if (failAfterCuboidWrites.get() != DisarmedFailure &&
+              failAfterCuboidWrites.decrementAndGet() < 0)
+            throw new IllegalStateException(
+              "graft-spec: injected build crash")
+          val dimCols = cube.cuboidDims(c).map(col)
+          val paths = run.map(s => inst.cuboidPath(s.name, id))
+          val df = paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+            .groupBy(dimCols: _*).agg(reAggs.head, reAggs.tail: _*)
+          val obs = Observation()
+          val n = timed("merge", s"${cube.name}/$mergedName/$id") {
+            writeCuboid(cube, c,
+              df.observe(obs, count(lit(1)).as("n")), path, obs)
+          }
+          BuildJob.markCuboid(spark, job, path, n)
+          n
+        }
     })).toMap
+    // the attempt closes with the last cuboid: the caller's meta
+    // commit follows, and a crash in that gap costs one clean
+    // re-merge (fresh jobId), never staleness
+    BuildJob.finish(spark, job)
     val kept = cube.segments.filterNot(run.contains)
     val keptRows = inst.rows.filter { case ((seg, _), _) =>
       !run.exists(_.name == seg) }

@@ -142,7 +142,8 @@ object CubeMigrator {
       name == "_building" ||
       // build-attempt state (BuildJob): jobIds are per-root attempts;
       // carried to the destination they are inert at best
-      name == BuildJob.JobFile || name.startsWith("_phase.")
+      name == BuildJob.JobFile || name == BuildJob.MergeJobFile ||
+      name.startsWith("_phase.")
 
   /** Migrate `cube` from `srcRoot` to `dstRoot`. Refuses when the
     * source has no loadable meta, or when the destination already has

@@ -32,7 +32,8 @@ class BuildResumeSpec extends AnyFunSuite {
       .filter(d => d.isDirectory &&
         new java.io.File(d, BuildJob.CuboidMarker).exists)
 
-  private def ordersCube(name: String, extraMeasure: Boolean = false) = {
+  private def ordersCube(name: String, extraMeasure: Boolean = false,
+                         twoSegments: Boolean = false) = {
     val measures = Seq(
       Measure("n_orders", count(lit(1)), s => sum(col(s)),
         answers = Some(SqlAgg.CountAll)),
@@ -43,8 +44,12 @@ class BuildResumeSpec extends AnyFunSuite {
         Seq(Measure("price_max", max(col("o_totalprice")),
           s => max(col(s)), answers = Some(SqlAgg.MaxOf("o_totalprice"))))
       else Nil)
+    val segs =
+      if (twoSegments) Seq(Segment("h1", "1992-01-01", "1997-01-01"),
+        Segment("h2", "1997-01-01", "2003-01-01"))
+      else Seq(Segment("all", "1992-01-01", "2003-01-01"))
     CubeDef(name, Seq("o_orderstatus", "o_orderpriority"), measures,
-      "o_orderdate", Seq(Segment("all", "1992-01-01", "2003-01-01")),
+      "o_orderdate", segs,
       Seq(Set("o_orderstatus", "o_orderpriority"),
         Set("o_orderstatus"), Set("o_orderpriority")))
   }
@@ -204,6 +209,54 @@ class BuildResumeSpec extends AnyFunSuite {
       .agg(countDistinct(col("c_name")).as("n"))
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(got == want && want.nonEmpty)
+  }
+
+  test("a crashed MERGE resumes from its last committed cuboid; a " +
+      "rebuilt base invalidates the attempt's markers wholesale") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-resume-merge").toString
+    val cube = ordersCube("resume_merge", twoSegments = true)
+    val inst = CubeBuilder.build(spark, ordersFlat, cube, root)
+
+    CubeBuilder.failAfterCuboidWrites.set(1)
+    try {
+      assert(intercept[IllegalStateException](
+        CubeBuilder.mergeSegments(spark, inst, "m", inst.cube.segments))
+        .getMessage.contains("injected build crash"))
+    } finally CubeBuilder.failAfterCuboidWrites
+      .set(CubeBuilder.DisarmedFailure)
+    val mDir = new java.io.File(s"$root/resume_merge/m")
+    val done = committedCuboids(mDir)
+    assert(done.size == 1, s"got ${done.map(_.getName)}")
+    val before = dataFiles(done.head)
+    assert(new java.io.File(s"$root/resume_merge",
+      BuildJob.MergeJobFile).exists)
+
+    Thread.sleep(1100)
+    val merged =
+      CubeBuilder.mergeSegments(spark, inst, "m", inst.cube.segments)
+    assert(dataFiles(done.head) == before,
+      "resume must not re-merge the committed cuboid")
+    assert(committedCuboids(mDir).size == 3)
+    assert(!new java.io.File(s"$root/resume_merge",
+      BuildJob.MergeJobFile).exists,
+      "the attempt closes with the last cuboid")
+    val r = QueryRouter.route(spark, merged, CubeQuery(
+      Seq("o_orderstatus"), Seq("n_orders" -> "n")))(
+      fail("expected cuboid"))
+    val got = r.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val want = ordersFlat.groupBy("o_orderstatus").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got == want && want.nonEmpty)
+
+    // a REBUILT base between attempts (new buildId) changes the merge
+    // identity: the old markers must not satisfy the new attempt —
+    // they describe parquet merged from a base that no longer exists
+    CubeMeta.save(spark, inst): Unit
+    Thread.sleep(1100)
+    CubeBuilder.mergeSegments(spark, inst, "m", inst.cube.segments): Unit
+    assert(dataFiles(done.head) != before,
+      "a rebuilt base must invalidate the old merge attempt's markers")
   }
 
   test("the full star pipeline resumes past snapshots, dictionary, " +
