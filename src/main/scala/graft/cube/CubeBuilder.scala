@@ -256,7 +256,8 @@ object CubeBuilder {
     * cuboids; a base rebuilt in between mints a fresh attempt and the
     * stale markers are never trusted. */
   def mergeSegments(spark: SparkSession, inst: CubeInstance,
-                    mergedName: String, toMerge: Seq[Segment]): CubeInstance = {
+                    mergedName: String, toMerge: Seq[Segment],
+                    baseBuildId: Option[String] = None): CubeInstance = {
     val cube = inst.cube
     require(toMerge.nonEmpty && toMerge.forall(cube.segments.contains),
       "can only merge existing segments")
@@ -266,8 +267,20 @@ object CubeBuilder {
       s"merged segments must be a contiguous run, got ${run.map(_.name)}")
     val reAggs = cube.measures.map(m => m.fromState(m.stateCol).as(m.stateCol))
     val merged = Segment(mergedName, run.head.start, run.last.end)
-    val job = BuildJob.beginMerge(spark, cube, inst.root, mergedName, run,
-      CubeMeta.load(spark, cube, inst.root).map(_.buildId).getOrElse(""))
+    // the base buildId chains the merge ATTEMPT to the parquet it
+    // merges from. Callers that already loaded the meta pass it;
+    // otherwise load it HERE with the DECLARED def — inst.cube carries
+    // extraCuboids (planner/optimize evolution), and fingerprinting
+    // the evolved def would never match the persisted meta, silently
+    // degrading the id to "" and disabling the rebuilt-base
+    // invalidation for exactly the widened cubes
+    val declaredDef =
+      cube.copy(cuboids = cube.cuboids.filterNot(inst.extraCuboids.toSet))
+    val baseId = baseBuildId.orElse(
+      CubeMeta.load(spark, declaredDef, inst.root).map(_.buildId))
+      .getOrElse("")
+    val job =
+      BuildJob.beginMerge(spark, cube, inst.root, mergedName, run, baseId)
     // per-cuboid merges are independent — run them concurrently
     val rows = awaitAll(cube.cuboids.map(c => () => {
       val id = cube.cuboidId(c)

@@ -715,12 +715,22 @@ object CubeJson {
       inst = CubeBuilder.applyRetention(spark, inst, cutoff)
     }
     spec.autoMergeMaxSegments.foreach { n =>
-      val merged = CubeBuilder.autoMerge(spark, inst, n)
-      // autoMerge writes the merged cuboids but leaves the commit to
-      // its caller (ensureMerged commits to its own realization file)
-      // — here the merged list IS the primary truth
-      if (merged ne inst) CubeMeta.save(spark, merged): Unit
-      inst = merged
+      // under the MERGE lease (the same file ensureMerged's job takes;
+      // distinct from '_building', so the re-read below cannot
+      // self-deadlock): two schedulers running policies concurrently
+      // would otherwise race the shared _job-merge.json attempt state
+      // and each other's cuboid overwrites. The base is RE-READ under
+      // the lease so a waiter merges the winner's committed list.
+      inst = BuildLease.withLease(spark, inst.root, spec.name,
+          "_building-merged")(Option.empty[CubeInstance]) {
+        val cur = CubeManager.ensureDeclared(spark, sfDir, spec)
+        val merged = CubeBuilder.autoMerge(spark, cur, n)
+        // autoMerge writes the merged cuboids but leaves the commit
+        // to its caller (ensureMerged commits to its own realization
+        // file) — here the merged list IS the primary truth
+        if (merged ne cur) CubeMeta.save(spark, merged): Unit
+        merged
+      }
     }
     // route through the stamp-aware path: the policy commits changed
     // the buildId, so this reload pairs (instance, stamp) atomically

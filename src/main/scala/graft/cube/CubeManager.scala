@@ -697,7 +697,10 @@ object CubeManager {
         val (inst, mId) = loadedMerge.getOrElse {
           BuildLease.withLease(spark, root, defaultCube.name,
               "_building-merged")(loadedMerge) {
-            val m = CubeBuilder.mergeSegments(spark, base, "merged")
+            // pass the baseId this path already loaded: the merge
+            // attempt chains to it without a second full meta load
+            val m = CubeBuilder.mergeSegments(spark, base, "merged",
+              base.cube.segments, baseId)
             val id = CubeMeta.save(spark, m, CubeMeta.MergedFile,
               baseBuildId = baseId)
             (m, id)

@@ -249,14 +249,29 @@ class BuildResumeSpec extends AnyFunSuite {
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(got == want && want.nonEmpty)
 
-    // a REBUILT base between attempts (new buildId) changes the merge
-    // identity: the old markers must not satisfy the new attempt —
-    // they describe parquet merged from a base that no longer exists
-    CubeMeta.save(spark, inst): Unit
+    // a base REBUILT between crash and resume (new buildId while the
+    // crashed attempt's _job-merge.json still exists) changes the
+    // merge identity: the old markers must not satisfy the resumed
+    // attempt — they describe parquet merged from a base that no
+    // longer exists
+    CubeBuilder.failAfterCuboidWrites.set(1)
+    try {
+      assert(intercept[IllegalStateException](
+        CubeBuilder.mergeSegments(spark, inst, "m2", inst.cube.segments))
+        .getMessage.contains("injected build crash"))
+    } finally CubeBuilder.failAfterCuboidWrites
+      .set(CubeBuilder.DisarmedFailure)
+    val m2Dir = new java.io.File(s"$root/resume_merge/m2")
+    val done2 = committedCuboids(m2Dir)
+    assert(done2.size == 1 && new java.io.File(s"$root/resume_merge",
+      BuildJob.MergeJobFile).exists)
+    val before2 = dataFiles(done2.head)
+    CubeMeta.save(spark, inst): Unit // the base rebuild lands NOW
     Thread.sleep(1100)
-    CubeBuilder.mergeSegments(spark, inst, "m", inst.cube.segments): Unit
-    assert(dataFiles(done.head) != before,
-      "a rebuilt base must invalidate the old merge attempt's markers")
+    CubeBuilder.mergeSegments(spark, inst, "m2", inst.cube.segments): Unit
+    assert(dataFiles(done2.head) != before2,
+      "a rebuilt base must invalidate the crashed merge attempt's " +
+        "markers")
   }
 
   test("the full star pipeline resumes past snapshots, dictionary, " +
