@@ -115,23 +115,47 @@ object CuboidPlanner {
     * `rowBudget`. The base cuboid is mandatory (it rebuilds everything
     * else), even when it alone exceeds the budget. */
   def selectUnderBudget(base: Set[String], rows: Map[Set[String], Long],
-                        rowBudget: Long): Seq[Set[String]] = {
+                        rowBudget: Long): Seq[Set[String]] =
+    selectUnderBudgetWeighted(base, rows, rowBudget,
+      rows.keySet.toSeq.map(_ -> 1.0))
+
+  /** The PROBABILITY-WEIGHTED budget greedy (reference:
+    * PBPUSCalculator.java — benefit per unit space where each
+    * descendant's cost saving is scaled by its observed hit
+    * probability, vs BPUSCalculator's uniform assumption). `workload`
+    * carries (query shape, weight); `mandatory` seeds the chosen set
+    * beyond the base — on a phase-2 REPLAN these are the cuboids
+    * already materialized, so their rows count against the budget and
+    * shapes they already answer cheaply contribute no benefit (the
+    * greedy never re-picks a near-duplicate of an existing layout).
+    * Mandatory cuboids are kept even when they alone exceed the
+    * budget — they exist; the budget gates additions only. */
+  def selectUnderBudgetWeighted(base: Set[String],
+      rows: Map[Set[String], Long], rowBudget: Long,
+      workload: Seq[(Set[String], Double)],
+      mandatory: Seq[Set[String]] = Nil): Seq[Set[String]] = {
     require(rows.contains(base), "row estimate for the base cuboid required")
-    val workload = rows.keySet.toSeq
-    var chosen = Vector(base)
-    var spent = rows(base)
-    var cands = rows.keySet - base
+    require(mandatory.forall(rows.contains),
+      "row estimates for mandatory cuboids required")
+    def cost(mat: Seq[Set[String]]): Double =
+      workload.map { case (q, w) =>
+        val covering = mat.filter(q.subsetOf(_))
+        w * (if (covering.isEmpty) rows(base) else covering.map(rows).min)
+      }.sum
+    var chosen = (base +: mandatory.toVector).distinct
+    var spent = chosen.map(rows).sum
+    var cands = rows.keySet -- chosen
     var improved = true
     while (improved && cands.nonEmpty) {
       val affordable = cands.toSeq.filter(c => spent + rows(c) <= rowBudget)
-      val cur = workloadCost(chosen, rows, base, workload)
+      val cur = cost(chosen)
       val scored = affordable.map { c =>
-        c -> (cur - workloadCost(chosen :+ c, rows, base, workload))
+        c -> (cur - cost(chosen :+ c))
       }.filter(_._2 > 0)
       if (scored.isEmpty) improved = false
       else {
         val (best, _) = scored.maxBy { case (c, b) =>
-          (b.toDouble / math.max(1L, rows(c)), -rows(c).toDouble)
+          (b / math.max(1L, rows(c)), -rows(c).toDouble)
         }
         chosen :+= best
         spent += rows(best)
@@ -179,4 +203,45 @@ object CuboidPlanner {
                          maxCuboids: Int): Seq[Set[String]] =
     recommendFromLog(flat, base,
       QueryLog.dimSets(spark, logDir, cube), maxCuboids)
+
+  /** Phase-2 REPLAN of a live cube under a row budget (reference:
+    * PBPUSCalculator.java + CuboidRecommender.java — the cube
+    * planner's steady-state form: hit PROBABILITIES from the query
+    * history weight each shape's cost saving, existing layouts are
+    * the cost baseline, and the space budget caps the total). Inputs:
+    * the persisted QueryLog (the multiset IS the probability
+    * distribution — each routed query one sample), the live base
+    * cuboid's parquet for candidate row estimation (one
+    * `estimateRows` pass over pre-aggregated data, never the flat
+    * table), and `existing` — the materialized cuboids with their
+    * OBSERVED row counts (no estimate can disagree with parquet that
+    * already exists). Returns the full materialized set (existing ++
+    * additions); the caller diffs against `existing` and feeds
+    * `CubeBuilder.optimizeCuboids`. An empty/unusable log returns the
+    * existing lattice unchanged — no history, no evidence to spend
+    * budget on. */
+  def replanFromStore(spark: org.apache.spark.sql.SparkSession,
+                      logDir: String, baseDf: DataFrame,
+                      base: Set[String], cube: String, rowBudget: Long,
+                      existing: Map[Set[String], Long]): Seq[Set[String]] = {
+    require(existing.contains(base),
+      "existing must carry the base cuboid's observed rows")
+    val log = QueryLog.dimSets(spark, logDir, cube)
+      .filter(s => s.nonEmpty && s.subsetOf(base))
+    if (log.isEmpty) return (base +: existing.keys.toSeq).distinct
+    val total = log.size.toDouble
+    val weighted = log.groupBy(identity).toSeq
+      .map { case (s, hits) => s -> hits.size / total }
+    val shapes = weighted.map(_._1)
+    val unions = (for {
+      a <- shapes; b <- shapes if a != b
+      u = a ++ b if u != base
+    } yield u).distinct
+    val fresh = (shapes ++ unions)
+      .filter(c => c.subsetOf(base) && !existing.contains(c) && c != base)
+      .distinct
+    val rows = estimateRows(baseDf, fresh) ++ existing
+    selectUnderBudgetWeighted(base, rows, rowBudget, weighted,
+      existing.keys.toSeq)
+  }
 }

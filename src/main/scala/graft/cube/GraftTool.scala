@@ -31,6 +31,8 @@ import org.apache.spark.sql.SparkSession
   *                            [--overwrite]
   * runMain graft.cube.GraftTool append    <sfDir> --def f [--member n]
   *                            --segment name,start,end
+  * runMain graft.cube.GraftTool replan    <sfDir> --def f [--member n]
+  *                            --budget N [--log dir]
   * runMain graft.cube.GraftTool policies  <sfDir> --def f
   * }}}
   *
@@ -68,7 +70,7 @@ object GraftTool {
     val switches = Set.newBuilder[String]
     var i = 0
     val valueFlags = Set("--cube", "--def", "--cubes", "--grace-ms",
-      "--keep-backups", "--segment", "--member")
+      "--keep-backups", "--segment", "--member", "--budget", "--log")
     while (i < args.length) {
       val a = args(i)
       if (valueFlags(a)) {
@@ -289,6 +291,63 @@ object GraftTool {
           }
           out(s"appended ${seg.name} segments=" +
             next.cube.segments.map(_.name).mkString(","))
+          0
+
+        case "replan" =>
+          // cube-planner phase 2 as an operator job (reference:
+          // PBPUSCalculator + CuboidRecommender — the optimize-cube
+          // job fed by query history): re-pick the lattice from the
+          // persisted QueryLog's hit probabilities under a row
+          // budget, materializing only the ADDITIONS onto the live
+          // segments (optimizeCuboids — existing dirs untouched,
+          // queries keep serving, the widened lattice rides
+          // extraCuboids outside the fingerprint)
+          val Seq(sfDir) = p.positional
+          val doc = p.flags.get("--def").map(readDoc).getOrElse(
+            throw new IllegalArgumentException(
+              "replan needs --def <file> (a declared cube document)"))
+          val spec = doc.memberSpec(p)
+          val budget = p.flags.get("--budget").map(_.toLong).getOrElse(
+            throw new IllegalArgumentException(
+              "replan needs --budget <totalPlannedRows>"))
+          require(budget > 0, s"--budget must be positive, got $budget")
+          val logDir = p.flags.get("--log")
+            .orElse(QueryLog.configuredDir(spark)).getOrElse(
+              throw new IllegalArgumentException("replan needs the " +
+                "query history: --log <dir> or spark.graft.querylog.dir"))
+          doc.register()
+          val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
+          // same lease discipline as append: the DEFAULT build lease
+          // serializes the replan against appends and drift rebuilds
+          // (optimizeCuboids commits meta — unserialized, a racing
+          // append's commit could orphan the widened lattice or vice
+          // versa), and the base is re-read LOAD-ONLY under the lease
+          val next = BuildLease.withLease(spark, inst.root,
+              spec.name)(Option.empty[CubeInstance]) {
+            val fresh = CubeMeta.load(spark, CubeJson.toCubeDef(spec),
+                inst.root).map(_.inst).getOrElse(
+              throw new IllegalStateException(
+                s"replan refused: the committed meta for " +
+                  s"'${spec.name}' disappeared or drifted while the " +
+                  "build lease was held — rebuild the cube and retry"))
+            val base = fresh.cube.dims.toSet
+            val baseDf = spark.read.parquet(fresh.cube.segments.map(s =>
+              fresh.cuboidPath(s.name, fresh.cube.cuboidId(base))): _*)
+            // existing cuboids enter at their OBSERVED (summed
+            // across segments) row counts — the budget baseline is
+            // what is actually on disk, not an estimate
+            val existing = fresh.cube.cuboids.map(c => c ->
+              fresh.cube.segments.map(s => fresh.rows.getOrElse(
+                (s.name, fresh.cube.cuboidId(c)), 0L)).sum).toMap
+            val picked = CuboidPlanner.replanFromStore(spark, logDir,
+              baseDf, base, spec.name, budget, existing)
+            CubeBuilder.optimizeCuboids(spark, fresh,
+              picked.filterNot(existing.contains))
+          }
+          val added = next.cube.cuboids.toSet --
+            inst.cube.cuboids.toSet
+          out(s"replan ${spec.name} budget=$budget " +
+            s"added=${added.size} cuboids=${next.cube.cuboids.size}")
           0
 
         case "policies" =>

@@ -70,6 +70,50 @@ class CuboidPlannerSpec extends AnyFunSuite {
     assert(CuboidPlanner.selectUnderBudget(base, rows, 1L) == Seq(base))
   }
 
+  test("probability-weighted budget greedy (PBPUS): the workload " +
+      "skew changes the pick, and mandatory cuboids seed the cost " +
+      "baseline and the spent budget") {
+    val base = Set("a", "b", "c")
+    // two affordable candidates; only one fits the budget with the
+    // other — the pick is the tiebreak under test
+    val rows = Map(base -> 10000L, Set("a") -> 400L, Set("b") -> 500L)
+    val budget = 10600L
+    // uniform: {a} saves 9600 over 400 rows (24/row) vs {b}'s 9500
+    // over 500 (19/row) — {a} wins, then {b} no longer fits
+    assert(CuboidPlanner.selectUnderBudget(base, rows, budget).toSet ==
+      Set(base, Set("a")))
+    // 90% of the history hits {b}: its weighted saving (0.9·9500 =
+    // 17.1/row) now beats {a}'s (0.1·9600 = 2.4/row)
+    val skew = Seq(Set("a") -> 0.1, Set("b") -> 0.9)
+    val weighted = CuboidPlanner.selectUnderBudgetWeighted(
+      base, rows, budget, skew)
+    assert(weighted.toSet == Set(base, Set("b")), s"got $weighted")
+
+    // phase 2: an existing {a,b} layout answers shape {a} at 800 rows
+    // already, so the near-duplicate {a} (780 rows, saving 20) loses
+    // to {c} (2000 rows, saving 8000) — and with {c} spent, {a} no
+    // longer fits the budget
+    val rows2 = Map(base -> 10000L, Set("a", "b") -> 800L,
+      Set("a") -> 780L, Set("c") -> 2000L)
+    val wl2 = Seq(Set("a") -> 0.5, Set("c") -> 0.5)
+    val replanned = CuboidPlanner.selectUnderBudgetWeighted(base, rows2,
+      rowBudget = 12900L, wl2, mandatory = Seq(Set("a", "b")))
+    assert(replanned.toSet == Set(base, Set("a", "b"), Set("c")),
+      s"got $replanned")
+    // …while a day-zero pick (no existing layout) takes {a} — shape
+    // {a} falls from a 10000-row base scan, the biggest benefit/row
+    // on the board. The baseline is what excluded it above, not the
+    // weights
+    val dayZero = CuboidPlanner.selectUnderBudgetWeighted(base, rows2,
+      rowBudget = 12900L, wl2)
+    assert(dayZero.contains(Set("a")), s"got $dayZero")
+    // mandatory cuboids survive even a budget they alone exceed —
+    // they exist on disk; the budget gates additions only
+    assert(CuboidPlanner.selectUnderBudgetWeighted(base, rows2, 1L,
+      wl2, mandatory = Seq(Set("a", "b"))).toSet ==
+      Set(base, Set("a", "b")))
+  }
+
   test("a DECLARED cube with an initialLattice budget builds the " +
       "planner-picked subset as extraCuboids metadata and reloads it " +
       "across a restart") {

@@ -177,6 +177,85 @@ class GraftToolSpec extends AnyFunSuite {
     assert(bc == 1, "an overlapping segment must refuse")
   }
 
+  test("replan re-picks the lattice from the persisted query log " +
+      "under a row budget and materializes only the additions " +
+      "(cube planner phase 2 through the CLI)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tool-rp")
+    val doc =
+      """{
+        |  "name": "tool_replan",
+        |  "model": {"fact": "orders"},
+        |  "flatColumns": [
+        |    {"name": "o_orderstatus"},
+        |    {"name": "o_orderpriority"},
+        |    {"name": "o_month",
+        |     "expr": "date_format(o_orderdate, 'yyyy-MM')"},
+        |    {"name": "o_orderdate"},
+        |    {"name": "o_totalprice"}
+        |  ],
+        |  "dims": ["o_orderstatus", "o_orderpriority", "o_month"],
+        |  "measures": [
+        |    {"name": "price_sum", "family": "sum",
+        |     "column": "o_totalprice", "decimal": true,
+        |     "presentDouble": true},
+        |    {"name": "n_orders", "family": "count"}
+        |  ],
+        |  "segmentCol": "o_orderdate",
+        |  "segments": [{"name": "all", "start": "1992-01-01",
+        |                "end": "2003-01-01"}],
+        |  "segDayGranular": true
+        |}""".stripMargin
+    val defFile = dir.resolve("tool_replan.json")
+    java.nio.file.Files.write(defFile, doc.getBytes("UTF-8"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      s"${CubeManager.cubeRoot}/${sf.split('/').last}-tool_replan")): Unit
+    CubeManager.resetMemos()
+
+    // yesterday's workload, persisted the way a serving fleet writes
+    // it: one hot shape, recorded more often than the log's flush
+    // batch so it lands on disk
+    val logDir = java.nio.file.Files
+      .createTempDirectory("graft-tool-rplog").toString
+    (1 to QueryLog.FlushEvery).foreach(i =>
+      QueryLog.record(spark, logDir, s"q$i", "cuboid",
+        Some("tool_replan"), Some(Set("o_orderstatus")), 10L, 100L))
+    QueryLog.flush(spark, logDir)
+
+    // no history budget can spend on: a sub-row budget adds nothing
+    // (the base stays — it exists; the budget gates additions only)
+    val (zc, zout) = runTool("replan", sf, "--def", defFile.toString,
+      "--budget", "1", "--log", logDir)
+    assert(zc == 0 && zout.head.contains("added=0"), zout.mkString("\n"))
+
+    // a real budget materializes the hot shape's cuboid
+    val (rc, rout) = runTool("replan", sf, "--def", defFile.toString,
+      "--budget", "10000000", "--log", logDir)
+    assert(rc == 0 && rout.head.contains("added=1"), rout.mkString("\n"))
+
+    // the widened lattice is live: the hot shape routes onto the new
+    // cuboid (not the base), and a reload carries it (extraCuboids)
+    val spec = CubeJson.parse(doc)
+    val loaded = CubeMeta.load(spark, CubeJson.toCubeDef(spec),
+      s"${CubeManager.cubeRoot}/${sf.split('/').last}-tool_replan")
+    assert(loaded.exists(_.inst.extraCuboids
+      .contains(Set("o_orderstatus"))))
+    val inst = loaded.get.inst
+    val r = QueryRouter.route(spark, inst, CubeQuery(
+      Seq("o_orderstatus"), Seq("n_orders" -> "n")))(
+      fail("expected cuboid route"))
+    assert(r.cuboid.contains(Set("o_orderstatus")), s"got ${r.cuboid}")
+    val got = r.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val want = Tables.orders(spark, sf).groupBy("o_orderstatus").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got == want && want.nonEmpty)
+
+    // idempotent: the same history against the widened lattice finds
+    // nothing worth adding (the existing layout IS the baseline)
+    val (ic, iout) = runTool("replan", sf, "--def", defFile.toString,
+      "--budget", "10000000", "--log", logDir)
+    assert(ic == 0 && iout.head.contains("added=0"), iout.mkString("\n"))
+  }
+
   test("realization documents work through --def/--member: append + " +
       "audit address a named member, policies sweep all members, a " +
       "member-less call refuses naming the members (VERDICT r15 " +
