@@ -165,6 +165,15 @@ object CubeJson {
         * is the scheduled-job entry that enforces them. */
       retentionDays: Option[Int] = None,
       autoMergeMaxSegments: Option[Int] = None,
+      /** lattice REPLAN policy (cube planner phase 2 as data —
+        * reference: the optimize-cube job CuboidRecommender feeds):
+        * each policies run re-picks the lattice from the persisted
+        * query log (`spark.graft.querylog.dir`; silently skipped when
+        * no log is configured) under this total-planned-rows budget,
+        * materializing only additions. Outside the fingerprint: the
+        * picked cuboids ride extraCuboids metadata, like
+        * initialLattice and post-build optimize evolution. */
+      replanRowBudget: Option[Long] = None,
       /** optional speed layer (see [[JsonStreaming]]): outside the
         * fingerprint — it shapes the STREAMING cuboid dirs under the
         * JVM tmp root, never the batch segment layout */
@@ -265,6 +274,8 @@ object CubeJson {
           s"got ${il.rowBudget}"))
     j.autoMergeMaxSegments.foreach(n =>
       if (n < 2) fail(s"autoMergeMaxSegments must be >= 2, got $n"))
+    j.replanRowBudget.foreach(b =>
+      if (b <= 0) fail(s"replanRowBudget must be positive, got $b"))
     j.derived.foreach(d =>
       if (j.model.edges.forall(_.lookup != d.lookup) &&
           j.model.fact != d.lookup)
@@ -732,9 +743,60 @@ object CubeJson {
         merged
       }
     }
+    spec.replanRowBudget.foreach { b =>
+      // phase-2 replan as a policy: only when this process has a
+      // query history configured — a scheduler without the log dir
+      // set has no evidence to spend budget on, and an absent log
+      // must not fail the retention/merge policies that already ran
+      QueryLog.configuredDir(spark).foreach { logDir =>
+        inst = applyReplan(spark, sfDir, spec, b, logDir)._1
+      }
+    }
     // route through the stamp-aware path: the policy commits changed
     // the buildId, so this reload pairs (instance, stamp) atomically
     CubeManager.ensureDeclared(spark, sfDir, spec)
+  }
+
+  /** Cube planner PHASE 2 as one lifecycle operation (shared by
+    * [[applyPolicies]]' `replanRowBudget` policy and the CLI's
+    * `replan` subcommand): re-pick the lattice from the persisted
+    * query log's hit probabilities under a total-planned-rows budget
+    * and materialize only the ADDITIONS onto the live segments
+    * (optimizeCuboids — existing dirs untouched, queries keep
+    * serving, the widened lattice rides extraCuboids outside the
+    * fingerprint). Serialized under the cube's DEFAULT build lease —
+    * the same discipline as append: optimizeCuboids commits meta, and
+    * unserialized, a racing append/rebuild could orphan the widened
+    * lattice or vice versa. The base is re-read LOAD-ONLY under the
+    * lease (a waiter replans the winner's committed state; a load
+    * miss means a foreign process drifted the meta mid-replan —
+    * refuse loudly). Returns (instance, cuboids added). */
+  def applyReplan(spark: SparkSession, sfDir: String, spec: JsonCube,
+                  budget: Long, logDir: String): (CubeInstance, Int) = {
+    require(budget > 0, s"replan budget must be positive, got $budget")
+    val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
+    val next = BuildLease.withLease(spark, inst.root,
+        spec.name)(Option.empty[CubeInstance]) {
+      val fresh = CubeMeta.load(spark, toCubeDef(spec), inst.root)
+        .map(_.inst).getOrElse(throw new IllegalStateException(
+          s"replan refused: the committed meta for '${spec.name}' " +
+            "disappeared or drifted while the build lease was held — " +
+            "rebuild the cube and retry"))
+      val base = fresh.cube.dims.toSet
+      val baseDf = spark.read.parquet(fresh.cube.segments.map(s =>
+        fresh.cuboidPath(s.name, fresh.cube.cuboidId(base))): _*)
+      // existing cuboids enter at their OBSERVED (summed across
+      // segments) row counts — the budget baseline is what is
+      // actually on disk, not an estimate
+      val existing = fresh.cube.cuboids.map(c => c ->
+        fresh.cube.segments.map(s => fresh.rows.getOrElse(
+          (s.name, fresh.cube.cuboidId(c)), 0L)).sum).toMap
+      val picked = CuboidPlanner.replanFromStore(spark, logDir, baseDf,
+        base, spec.name, budget, existing)
+      CubeBuilder.optimizeCuboids(spark, fresh,
+        picked.filterNot(existing.contains))
+    }
+    (next, next.cube.cuboids.size - inst.cube.cuboids.size)
   }
 
   // ── declared STREAMING cubes (the speed layer as data) ────────────

@@ -316,38 +316,14 @@ object GraftTool {
               throw new IllegalArgumentException("replan needs the " +
                 "query history: --log <dir> or spark.graft.querylog.dir"))
           doc.register()
-          val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
-          // same lease discipline as append: the DEFAULT build lease
-          // serializes the replan against appends and drift rebuilds
-          // (optimizeCuboids commits meta — unserialized, a racing
-          // append's commit could orphan the widened lattice or vice
-          // versa), and the base is re-read LOAD-ONLY under the lease
-          val next = BuildLease.withLease(spark, inst.root,
-              spec.name)(Option.empty[CubeInstance]) {
-            val fresh = CubeMeta.load(spark, CubeJson.toCubeDef(spec),
-                inst.root).map(_.inst).getOrElse(
-              throw new IllegalStateException(
-                s"replan refused: the committed meta for " +
-                  s"'${spec.name}' disappeared or drifted while the " +
-                  "build lease was held — rebuild the cube and retry"))
-            val base = fresh.cube.dims.toSet
-            val baseDf = spark.read.parquet(fresh.cube.segments.map(s =>
-              fresh.cuboidPath(s.name, fresh.cube.cuboidId(base))): _*)
-            // existing cuboids enter at their OBSERVED (summed
-            // across segments) row counts — the budget baseline is
-            // what is actually on disk, not an estimate
-            val existing = fresh.cube.cuboids.map(c => c ->
-              fresh.cube.segments.map(s => fresh.rows.getOrElse(
-                (s.name, fresh.cube.cuboidId(c)), 0L)).sum).toMap
-            val picked = CuboidPlanner.replanFromStore(spark, logDir,
-              baseDf, base, spec.name, budget, existing)
-            CubeBuilder.optimizeCuboids(spark, fresh,
-              picked.filterNot(existing.contains))
-          }
-          val added = next.cube.cuboids.toSet --
-            inst.cube.cuboids.toSet
+          // the shared lifecycle op (CubeJson.applyReplan): lease
+          // discipline, load-only re-read, observed-row baseline —
+          // identical whether a scheduler's policies run or this CLI
+          // triggered it
+          val (next, added) =
+            CubeJson.applyReplan(spark, sfDir, spec, budget, logDir)
           out(s"replan ${spec.name} budget=$budget " +
-            s"added=${added.size} cuboids=${next.cube.cuboids.size}")
+            s"added=$added cuboids=${next.cube.cuboids.size}")
           0
 
         case "policies" =>

@@ -256,6 +256,70 @@ class GraftToolSpec extends AnyFunSuite {
     assert(ic == 0 && iout.head.contains("added=0"), iout.mkString("\n"))
   }
 
+  test("a replanRowBudget policy in the document replans from the " +
+      "session's configured query log during a policies run — and is " +
+      "a silent no-op when no log is configured") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tool-rpp")
+    val doc =
+      """{
+        |  "name": "tool_replan_pol",
+        |  "model": {"fact": "orders"},
+        |  "flatColumns": [
+        |    {"name": "o_orderstatus"},
+        |    {"name": "o_orderpriority"},
+        |    {"name": "o_orderdate"},
+        |    {"name": "o_totalprice"}
+        |  ],
+        |  "dims": ["o_orderstatus", "o_orderpriority"],
+        |  "measures": [
+        |    {"name": "price_sum", "family": "sum",
+        |     "column": "o_totalprice", "decimal": true,
+        |     "presentDouble": true},
+        |    {"name": "n_orders", "family": "count"}
+        |  ],
+        |  "segmentCol": "o_orderdate",
+        |  "segments": [{"name": "all", "start": "1992-01-01",
+        |                "end": "2003-01-01"}],
+        |  "segDayGranular": true,
+        |  "replanRowBudget": 10000000
+        |}""".stripMargin
+    val defFile = dir.resolve("tool_replan_pol.json")
+    java.nio.file.Files.write(defFile, doc.getBytes("UTF-8"))
+    val root = s"${CubeManager.cubeRoot}/${sf.split('/').last}" +
+      "-tool_replan_pol"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root)): Unit
+    CubeManager.resetMemos()
+
+    val logDir = java.nio.file.Files
+      .createTempDirectory("graft-tool-rpplog").toString
+    (1 to QueryLog.FlushEvery).foreach(i =>
+      QueryLog.record(spark, logDir, s"p$i", "cuboid",
+        Some("tool_replan_pol"), Some(Set("o_orderpriority")), 10L, 100L))
+    QueryLog.flush(spark, logDir)
+
+    val spec = CubeJson.parse(doc)
+    def extras: Seq[Set[String]] =
+      CubeMeta.load(spark, CubeJson.toCubeDef(spec), root)
+        .map(_.inst.extraCuboids).getOrElse(Nil)
+
+    // no query log configured in the session: the replan policy is a
+    // silent no-op — retention/merge semantics must not fail on it
+    assert(spark.conf.getOption(QueryLog.DirConf).isEmpty,
+      "fixture: the suite session must not have a query log configured")
+    val (nc, _) = runTool("policies", sf, "--def", defFile.toString)
+    assert(nc == 0 && extras.isEmpty)
+
+    // with the log configured, the same policies run widens the
+    // lattice from the recorded history
+    spark.conf.set(QueryLog.DirConf, logDir)
+    try {
+      val (pc, pout) = runTool("policies", sf, "--def", defFile.toString)
+      assert(pc == 0, pout.mkString("\n"))
+      assert(extras.contains(Set("o_orderpriority")), s"got $extras")
+    } finally spark.conf.unset(QueryLog.DirConf)
+  }
+
   test("realization documents work through --def/--member: append + " +
       "audit address a named member, policies sweep all members, a " +
       "member-less call refuses naming the members (VERDICT r15 " +
