@@ -718,30 +718,50 @@ object CubeJson {
     * or merge. */
   def applyPolicies(spark: SparkSession, sfDir: String,
                     spec: JsonCube): CubeInstance = {
-    var inst = CubeManager.ensureDeclared(spark, sfDir, spec)
+    val root = CubeManager.ensureDeclared(spark, sfDir, spec).root
+    // Every policy step below is a read-modify-write COMMIT of the
+    // primary meta, so each serializes under the cube's DEFAULT
+    // '_building' lease — the same file appends, replans, and
+    // first-touch/drift rebuilds take — and re-reads the COMMITTED
+    // meta under it (load-only, like append: never through
+    // ensureDeclared, whose miss-path build would re-acquire the very
+    // lease we hold). A step acting on a pre-lease instance would
+    // last-writer-win over a concurrent append's commit, silently
+    // dropping its segment: the parquet orphans, the rows stop
+    // serving.
     spec.retentionDays.foreach { days =>
-      val latest = inst.cube.segments.map(_.end).max
-      val cutoff = java.time.LocalDate.parse(latest.take(10))
-        .minusDays(days.toLong).toString
-      inst = CubeBuilder.applyRetention(spark, inst, cutoff)
+      BuildLease.withLease(spark, root,
+          spec.name)(Option.empty[CubeInstance]) {
+        val cur = reloadCommitted(spark, spec, root, "retention")
+        // retention is relative to the DATA (the newest committed
+        // segment's end), not the wall clock — reference semantics
+        val latest = cur.cube.segments.map(_.end).max
+        val cutoff = java.time.LocalDate.parse(latest.take(10))
+          .minusDays(days.toLong).toString
+        CubeBuilder.applyRetention(spark, cur, cutoff)
+      }: Unit
     }
     spec.autoMergeMaxSegments.foreach { n =>
-      // under the MERGE lease (the same file ensureMerged's job takes;
-      // distinct from '_building', so the re-read below cannot
-      // self-deadlock): two schedulers running policies concurrently
-      // would otherwise race the shared _job-merge.json attempt state
-      // and each other's cuboid overwrites. The base is RE-READ under
-      // the lease so a waiter merges the winner's committed list.
-      inst = BuildLease.withLease(spark, inst.root, spec.name,
-          "_building-merged")(Option.empty[CubeInstance]) {
-        val cur = CubeManager.ensureDeclared(spark, sfDir, spec)
-        val merged = CubeBuilder.autoMerge(spark, cur, n)
-        // autoMerge writes the merged cuboids but leaves the commit
-        // to its caller (ensureMerged commits to its own realization
-        // file) — here the merged list IS the primary truth
-        if (merged ne cur) CubeMeta.save(spark, merged): Unit
-        merged
-      }
+      // the MERGE lease nests INSIDE the default lease (always this
+      // order — '_building' then '_building-merged'; ensureMerged
+      // holds only the latter and never acquires the former, so no
+      // cycle): the merge job's attempt state (_job-merge.json) and
+      // cuboid writes are shared with ensureMerged's full-merge job
+      // and must serialize with it, while the meta.json commit must
+      // serialize with appends/replans/rebuilds under '_building'.
+      BuildLease.withLease(spark, root,
+          spec.name)(Option.empty[CubeInstance]) {
+        BuildLease.withLease(spark, root, spec.name,
+            "_building-merged")(Option.empty[CubeInstance]) {
+          val cur = reloadCommitted(spark, spec, root, "auto-merge")
+          val merged = CubeBuilder.autoMerge(spark, cur, n)
+          // autoMerge writes the merged cuboids but leaves the commit
+          // to its caller (ensureMerged commits to its own realization
+          // file) — here the merged list IS the primary truth
+          if (merged ne cur) CubeMeta.save(spark, merged): Unit
+          merged
+        }
+      }: Unit
     }
     spec.replanRowBudget.foreach { b =>
       // phase-2 replan as a policy: only when this process has a
@@ -749,13 +769,26 @@ object CubeJson {
       // set has no evidence to spend budget on, and an absent log
       // must not fail the retention/merge policies that already ran
       QueryLog.configuredDir(spark).foreach { logDir =>
-        inst = applyReplan(spark, sfDir, spec, b, logDir)._1
+        applyReplan(spark, sfDir, spec, b, logDir): Unit
       }
     }
     // route through the stamp-aware path: the policy commits changed
     // the buildId, so this reload pairs (instance, stamp) atomically
     CubeManager.ensureDeclared(spark, sfDir, spec)
   }
+
+  /** Load-only re-read of the committed meta under a HELD lease: every
+    * lifecycle step mutates the winner's committed state, never a
+    * stale pre-lease instance. A miss under the held lease means a
+    * foreign process drifted/uncommitted the meta mid-operation —
+    * refuse loudly rather than act on a base that no longer exists. */
+  private def reloadCommitted(spark: SparkSession, spec: JsonCube,
+                              root: String, op: String): CubeInstance =
+    CubeMeta.load(spark, toCubeDef(spec), root).map(_.inst).getOrElse(
+      throw new IllegalStateException(
+        s"$op refused: the committed meta for '${spec.name}' " +
+          "disappeared or drifted while the build lease was held — " +
+          "rebuild the cube (any query or 'policies' run) and retry"))
 
   /** Cube planner PHASE 2 as one lifecycle operation (shared by
     * [[applyPolicies]]' `replanRowBudget` policy and the CLI's
@@ -775,28 +808,37 @@ object CubeJson {
                   budget: Long, logDir: String): (CubeInstance, Int) = {
     require(budget > 0, s"replan budget must be positive, got $budget")
     val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
-    val next = BuildLease.withLease(spark, inst.root,
-        spec.name)(Option.empty[CubeInstance]) {
-      val fresh = CubeMeta.load(spark, toCubeDef(spec), inst.root)
-        .map(_.inst).getOrElse(throw new IllegalStateException(
-          s"replan refused: the committed meta for '${spec.name}' " +
-            "disappeared or drifted while the build lease was held — " +
-            "rebuild the cube and retry"))
+    // cheap pre-check OUTSIDE the lease: with no usable history for
+    // this cube the replan is a no-op — don't serialize against real
+    // appends or open any parquet for it (a fleet-wide querylog conf
+    // makes this the common path for every quiet cube on the store)
+    val hasHistory = QueryLog.dimSets(spark, logDir, spec.name)
+      .exists(s => s.nonEmpty && s.subsetOf(spec.dims.toSet))
+    if (!hasHistory) return (inst, 0)
+    BuildLease.withLease(spark, inst.root,
+        spec.name)(Option.empty[(CubeInstance, Int)]) {
+      val fresh = reloadCommitted(spark, spec, inst.root, "replan")
       val base = fresh.cube.dims.toSet
-      val baseDf = spark.read.parquet(fresh.cube.segments.map(s =>
-        fresh.cuboidPath(s.name, fresh.cube.cuboidId(base))): _*)
+      // one frame PER SEGMENT: additions materialize one dir per
+      // segment, so the planner's planned-rows unit is the
+      // per-segment sum — comparable to the observed counts below
+      val baseSegs = fresh.cube.segments.map(s => spark.read.parquet(
+        fresh.cuboidPath(s.name, fresh.cube.cuboidId(base))))
       // existing cuboids enter at their OBSERVED (summed across
       // segments) row counts — the budget baseline is what is
       // actually on disk, not an estimate
       val existing = fresh.cube.cuboids.map(c => c ->
         fresh.cube.segments.map(s => fresh.rows.getOrElse(
           (s.name, fresh.cube.cuboidId(c)), 0L)).sum).toMap
-      val picked = CuboidPlanner.replanFromStore(spark, logDir, baseDf,
-        base, spec.name, budget, existing)
-      CubeBuilder.optimizeCuboids(spark, fresh,
+      val picked = CuboidPlanner.replanFromStore(spark, logDir,
+        baseSegs, base, spec.name, budget, existing)
+      val next = CubeBuilder.optimizeCuboids(spark, fresh,
         picked.filterNot(existing.contains))
+      // the added count diffs against the LEASE-SCOPED committed
+      // state: a waiter whose winner already widened the lattice
+      // reports its own additions (zero), not the winner's
+      (next, next.cube.cuboids.size - fresh.cube.cuboids.size)
     }
-    (next, next.cube.cuboids.size - inst.cube.cuboids.size)
   }
 
   // ── declared STREAMING cubes (the speed layer as data) ────────────

@@ -536,11 +536,13 @@ object CubeManager {
           // distinct dim tuple, so approx_count_distinct over any
           // candidate's dims gives the same estimates while scanning
           // tiny pre-aggregated parquet instead of re-executing the
-          // whole model join once per estimation chunk
+          // whole model join once per estimation chunk. One frame PER
+          // SEGMENT: cuboids materialize per segment, so the budget's
+          // planned-rows unit is the per-segment sum
           val baseId = cube.cuboidId(cube.dims.toSet)
-          val baseDf = spark.read.parquet(built.cube.segments.map(s =>
-            built.cuboidPath(s.name, baseId)): _*)
-          val picked = CuboidPlanner.recommendFromStats(baseDf,
+          val baseSegs = built.cube.segments.map(s =>
+            spark.read.parquet(built.cuboidPath(s.name, baseId)))
+          val picked = CuboidPlanner.recommendFromStats(baseSegs,
             cube.dims.toSet, CubeJson.candidateCuboids(spec),
             il.rowBudget)
           CubeBuilder.optimizeCuboids(spark, built,

@@ -39,6 +39,37 @@ object CuboidPlanner {
     }.toMap
   }
 
+  /** Per-SEGMENT estimates, summed. Cuboids materialize one dir per
+    * segment (`build`/`optimizeCuboids`), so a candidate's planned
+    * rows is the per-segment sum — a single estimate over the unioned
+    * segments would dedup values shared across segments and undercount
+    * by up to the segment count, both blowing the row budget in
+    * practice and (on a replan) biasing the greedy toward candidates
+    * over the existing layouts priced at their OBSERVED per-segment
+    * sums. */
+  def estimateRowsBySegment(segs: Seq[DataFrame],
+      candidates: Seq[Set[String]]): Map[Set[String], Long] =
+    segs.map(estimateRows(_, candidates))
+      .foldLeft(Map.empty[Set[String], Long]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (k, v)) =>
+          a + (k -> (a.getOrElse(k, 0L) + v))
+        }
+      }
+
+  /** Shapes + their pairwise unions, kept to proper sub-lattice
+    * members (⊆ base, never the base itself) — the one candidate
+    * expansion rule shared by the log-driven planners. */
+  private def expandCandidates(shapes: Seq[Set[String]],
+                               base: Set[String]): Seq[Set[String]] = {
+    val distinctShapes = shapes.distinct
+    val unions = (for {
+      a <- distinctShapes; b <- distinctShapes if a != b
+      u = a ++ b
+    } yield u).distinct
+    (distinctShapes ++ unions)
+      .filter(c => c.nonEmpty && c.subsetOf(base) && c != base).distinct
+  }
+
   /** Greedy selection: start from the base cuboid (mandatory — it
     * rebuilds everything else), repeatedly add the candidate with the
     * largest positive benefit = reduction in Σ over the log of
@@ -79,11 +110,7 @@ object CuboidPlanner {
                        queryLog: Seq[Set[String]],
                        maxCuboids: Int): Seq[Set[String]] = {
     val needed = queryLog.filter(_.nonEmpty).distinct
-    val unions = (for {
-      a <- needed; b <- needed if a != b
-      u = a ++ b if u != base
-    } yield u).distinct
-    val cands = ((needed ++ unions).filter(_.subsetOf(base)) :+ base).distinct
+    val cands = expandCandidates(needed, base) :+ base
     val rows = estimateRows(flat, cands)
     recommend(base, rows, queryLog.filter(_.nonEmpty), maxCuboids)
   }
@@ -165,16 +192,18 @@ object CuboidPlanner {
     chosen
   }
 
-  /** End-to-end log-free entry: one estimation pass over the
-    * rule-expanded candidates, then the budgeted benefit-per-row
-    * greedy. The declared-cube path (`initialLattice` in the cube
-    * document) calls this at first-build time. */
-  def recommendFromStats(flat: DataFrame, base: Set[String],
+  /** End-to-end log-free entry: one estimation pass per SEGMENT over
+    * the rule-expanded candidates (planned rows are per-segment sums —
+    * the unit the budget and the build both live in), then the
+    * budgeted benefit-per-row greedy. The declared-cube path
+    * (`initialLattice` in the cube document) calls this at first-build
+    * time with the just-built base cuboid's per-segment frames. */
+  def recommendFromStats(segs: Seq[DataFrame], base: Set[String],
                          candidates: Seq[Set[String]],
                          rowBudget: Long): Seq[Set[String]] = {
     val cands = (candidates.filter(c => c.nonEmpty && c.subsetOf(base))
       :+ base).distinct
-    selectUnderBudget(base, estimateRows(flat, cands), rowBudget)
+    selectUnderBudget(base, estimateRowsBySegment(segs, cands), rowBudget)
   }
 
   /** Model-evolution advice from ROUTING MISSES (the other half of the
@@ -211,17 +240,19 @@ object CuboidPlanner {
     * the cost baseline, and the space budget caps the total). Inputs:
     * the persisted QueryLog (the multiset IS the probability
     * distribution — each routed query one sample), the live base
-    * cuboid's parquet for candidate row estimation (one
-    * `estimateRows` pass over pre-aggregated data, never the flat
-    * table), and `existing` — the materialized cuboids with their
-    * OBSERVED row counts (no estimate can disagree with parquet that
-    * already exists). Returns the full materialized set (existing ++
-    * additions); the caller diffs against `existing` and feeds
-    * `CubeBuilder.optimizeCuboids`. An empty/unusable log returns the
-    * existing lattice unchanged — no history, no evidence to spend
-    * budget on. */
+    * cuboid's PER-SEGMENT parquet frames for candidate row estimation
+    * (one estimation pass per segment over pre-aggregated data, never
+    * the flat table — summed, because additions materialize one dir
+    * per segment), and `existing` — the materialized cuboids with
+    * their OBSERVED row counts (no estimate can disagree with parquet
+    * that already exists, and both sides of the budget now share the
+    * per-segment-sum unit). Returns the full materialized set
+    * (existing ++ additions); the caller diffs against `existing` and
+    * feeds `CubeBuilder.optimizeCuboids`. An empty/unusable log
+    * returns the existing lattice unchanged — no history, no evidence
+    * to spend budget on. */
   def replanFromStore(spark: org.apache.spark.sql.SparkSession,
-                      logDir: String, baseDf: DataFrame,
+                      logDir: String, baseSegs: Seq[DataFrame],
                       base: Set[String], cube: String, rowBudget: Long,
                       existing: Map[Set[String], Long]): Seq[Set[String]] = {
     require(existing.contains(base),
@@ -232,15 +263,9 @@ object CuboidPlanner {
     val total = log.size.toDouble
     val weighted = log.groupBy(identity).toSeq
       .map { case (s, hits) => s -> hits.size / total }
-    val shapes = weighted.map(_._1)
-    val unions = (for {
-      a <- shapes; b <- shapes if a != b
-      u = a ++ b if u != base
-    } yield u).distinct
-    val fresh = (shapes ++ unions)
-      .filter(c => c.subsetOf(base) && !existing.contains(c) && c != base)
-      .distinct
-    val rows = estimateRows(baseDf, fresh) ++ existing
+    val fresh = expandCandidates(weighted.map(_._1), base)
+      .filterNot(existing.contains)
+    val rows = estimateRowsBySegment(baseSegs, fresh) ++ existing
     selectUnderBudgetWeighted(base, rows, rowBudget, weighted,
       existing.keys.toSeq)
   }
