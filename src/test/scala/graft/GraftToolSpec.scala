@@ -422,6 +422,62 @@ class GraftToolSpec extends AnyFunSuite {
       s"append must proceed once the lease releases (code=$code)")
   }
 
+  test("meta-committing policy steps serialize under the DEFAULT " +
+      "'_building' lease: a policies run WAITS on a lease a " +
+      "concurrent append/rebuild holds instead of last-writer-winning " +
+      "over its meta commit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tool-please")
+    val doc =
+      """{
+        |  "name": "tool_pol_lease",
+        |  "model": {"fact": "nation"},
+        |  "flatColumns": [
+        |    {"name": "n_name"},
+        |    {"name": "d", "expr": "CAST('1995-06-01' AS TIMESTAMP)"}
+        |  ],
+        |  "dims": ["n_name"],
+        |  "measures": [{"name": "n_rows", "family": "count"}],
+        |  "segmentCol": "d",
+        |  "segments": [{"name": "all", "start": "1995-01-01",
+        |                "end": "1996-01-01"}],
+        |  "retentionDays": 365
+        |}""".stripMargin
+    val defFile = dir.resolve("tool_pol_lease.json")
+    java.nio.file.Files.write(defFile, doc.getBytes("UTF-8"))
+    val root = s"${CubeManager.cubeRoot}/${sf.split('/').last}" +
+      "-tool_pol_lease"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root)): Unit
+    CubeManager.resetMemos()
+    // pre-build so the policies run's own ensureDeclared is a pure
+    // load that doesn't need the lease we are about to hold
+    CubeManager.ensureDeclared(spark, sf,
+      CubeJson.parse(doc)): Unit
+    val lease = new java.io.File(s"$root/tool_pol_lease/_building")
+    assert(lease.getParentFile.isDirectory)
+    java.nio.file.Files.write(lease.toPath,
+      "other-process@somewhere".getBytes("UTF-8"))
+    @volatile var done = false
+    @volatile var code = -1
+    val t = new Thread(() => {
+      code = runTool("policies", sf, "--def", defFile.toString)._1
+      done = true
+    })
+    val toucher = new Thread(() => {
+      while (!done) { lease.setLastModified(System.currentTimeMillis())
+        Thread.sleep(100) }
+    })
+    toucher.setDaemon(true)
+    t.start(); toucher.start()
+    Thread.sleep(2500)
+    assert(!done, "the retention step must WAIT on the '_building' " +
+      "lease a concurrent append/rebuild holds")
+    java.nio.file.Files.delete(lease.toPath) // the holder releases
+    t.join(120000)
+    assert(done && code == 0,
+      s"policies must proceed once the lease releases (code=$code)")
+  }
+
   test("failures surface as exit 1 with the underlying refusal") {
     val (c1, _) = runTool("restore",
       java.nio.file.Files.createTempDirectory("graft-tool-x").toString,
