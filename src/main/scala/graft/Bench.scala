@@ -117,6 +117,68 @@ object Bench {
       case ex: Exception => s"""{"error":"${ex.getClass.getSimpleName}"}"""
     }
 
+  /** Phase-2 REPLAN probe (§2 row 28h): deploy a base-only declared
+    * cube, persist a hot-shape query history, and time
+    * `CubeJson.applyReplan` — the full lifecycle op (lease + log read
+    * + per-segment estimation + optimizeCuboids + meta commit) — plus
+    * the idempotent second run (existing layouts are the baseline, so
+    * it must add nothing). The root is recreated per run so `added`
+    * is deterministic. The one-time build is reported separately so
+    * `replan_sec` is the operation's own cost. */
+  private def replanReport(spark: SparkSession, sfDir: String): String =
+    try {
+      val doc =
+        """{
+          |  "name": "orders_replan_probe",
+          |  "model": {"fact": "orders"},
+          |  "flatColumns": [
+          |    {"name": "o_orderstatus"},
+          |    {"name": "o_orderpriority"},
+          |    {"name": "o_month",
+          |     "expr": "date_format(o_orderdate, 'yyyy-MM')"},
+          |    {"name": "o_orderdate"},
+          |    {"name": "o_totalprice"}
+          |  ],
+          |  "dims": ["o_orderstatus", "o_orderpriority", "o_month"],
+          |  "measures": [
+          |    {"name": "price_sum", "family": "sum",
+          |     "column": "o_totalprice", "decimal": true,
+          |     "presentDouble": true},
+          |    {"name": "n_orders", "family": "count"}
+          |  ],
+          |  "segmentCol": "o_orderdate",
+          |  "segments": [{"name": "all", "start": "1992-01-01",
+          |                "end": "2003-01-01"}],
+          |  "segDayGranular": true
+          |}""".stripMargin
+      val spec = cube.CubeJson.parse(doc)
+      val sfName = sfDir.split('/').last
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+        s"${cube.CubeManager.cubeRoot}/$sfName-orders_replan_probe")): Unit
+      val logDir = java.nio.file.Files
+        .createTempDirectory("graft-bench-replan").toString
+      (1 to 32).foreach(i => cube.QueryLog.record(spark, logDir, s"r$i",
+        "cuboid", Some(spec.name), Some(Set("o_orderstatus")), 10L, 100L))
+      cube.QueryLog.flush(spark, logDir)
+      val tb = System.nanoTime()
+      cube.CubeManager.ensureDeclared(spark, sfDir, spec): Unit
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      val t0 = System.nanoTime()
+      val (next, added) = cube.CubeJson.applyReplan(spark, sfDir, spec,
+        budget = 100000000L, logDir)
+      val replanSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (_, again) = cube.CubeJson.applyReplan(spark, sfDir, spec,
+        budget = 100000000L, logDir)
+      val noopSec = (System.nanoTime() - t1) / 1e9
+      s"""{"added":$added,"noop_added":$again,""" +
+        s""""cuboids":${next.cube.cuboids.size},""" +
+        f""""build_sec":$buildSec%.2f,"replan_sec":$replanSec%.2f,""" +
+        f""""noop_sec":$noopSec%.2f}"""
+    } catch {
+      case ex: Exception => s"""{"error":"${ex.getClass.getSimpleName}"}"""
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -210,8 +272,9 @@ object Bench {
     val planner = plannerReport(spark, sfDir)
     val cacheReport = resultCacheReport(spark, sfDir)
     val fleetReport = fleetCacheReport(spark, sfDir)
+    val replanJson = replanReport(spark, sfDir)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_pass":$qsFirst,"load_avg":$loadJson,"retried":$retriedJson,"cube_build_sec":$cubeBuildSec,"build_phases":$phases,"planner":$planner,"result_cache":$cacheReport,"fleet_cache":$fleetReport,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_pass":$qsFirst,"load_avg":$loadJson,"retried":$retriedJson,"cube_build_sec":$cubeBuildSec,"build_phases":$phases,"planner":$planner,"result_cache":$cacheReport,"fleet_cache":$fleetReport,"replan":$replanJson,"sf":"$sfDir"}"""
     println(json)
     // also persist the full map: the driver's stdout tail truncated in
     // round 5 and lost the fast keys from round-over-round comparison.
