@@ -121,8 +121,18 @@ object CubeJson {
     * whose total planned rows (base included) fit `rowBudget`. The
     * picked lattice rides `extraCuboids` metadata — outside the
     * fingerprint, like post-build optimize evolution — so restarts
-    * load it instead of reading it as def drift. */
-  final case class JsonInitialLattice(rowBudget: Long)
+    * load it instead of reading it as def drift.
+    *
+    * The budget comes in two forms (exactly one): `rowBudget` caps
+    * total planned rows absolutely; `expansionRate` caps them at
+    * rate × the OBSERVED base cuboid rows — the reference's form
+    * (AbstractRecommendAlgorithm.java:50 `spaceLimit =
+    * baseCuboidSize * expansionRate`, conf default 15.0), and the
+    * scale-correct knob: an absolute row count cannot be guessed for
+    * a 100 TB corpus, a rate relative to the measured base holds at
+    * any scale. */
+  final case class JsonInitialLattice(rowBudget: Option[Long] = None,
+                                      expansionRate: Option[Double] = None)
 
   /** star model: fact + edges (+ optional model filter as SQL text);
     * `broadcast` lists the bounded-cardinality lookups to
@@ -172,8 +182,13 @@ object CubeJson {
         * no log is configured) under this total-planned-rows budget,
         * materializing only additions. Outside the fingerprint: the
         * picked cuboids ride extraCuboids metadata, like
-        * initialLattice and post-build optimize evolution. */
+        * initialLattice and post-build optimize evolution. Exactly
+        * one form: `replanRowBudget` (absolute planned rows) or
+        * `replanExpansionRate` (× the observed base cuboid rows —
+        * the reference's expansion-threshold form, the knob that
+        * still means something at 100 TB). */
       replanRowBudget: Option[Long] = None,
+      replanExpansionRate: Option[Double] = None,
       /** optional speed layer (see [[JsonStreaming]]): outside the
         * fingerprint — it shapes the STREAMING cuboid dirs under the
         * JVM tmp root, never the batch segment layout */
@@ -268,14 +283,25 @@ object CubeJson {
         fail(s"timeDim granularity must be month|day, got ${t.granularity}"))
     j.retentionDays.foreach(d =>
       if (d <= 0) fail(s"retentionDays must be positive, got $d"))
-    j.initialLattice.foreach(il =>
-      if (il.rowBudget <= 0)
-        fail(s"initialLattice rowBudget must be positive, " +
-          s"got ${il.rowBudget}"))
+    j.initialLattice.foreach { il =>
+      il.rowBudget.foreach(b => if (b <= 0)
+        fail(s"initialLattice rowBudget must be positive, got $b"))
+      il.expansionRate.foreach(r => if (r <= 0)
+        fail(s"initialLattice expansionRate must be positive, got $r"))
+      if (il.rowBudget.isDefined == il.expansionRate.isDefined)
+        fail("initialLattice needs exactly ONE budget form: rowBudget " +
+          "(absolute planned rows) or expansionRate (x observed base " +
+          "rows)")
+    }
     j.autoMergeMaxSegments.foreach(n =>
       if (n < 2) fail(s"autoMergeMaxSegments must be >= 2, got $n"))
     j.replanRowBudget.foreach(b =>
       if (b <= 0) fail(s"replanRowBudget must be positive, got $b"))
+    j.replanExpansionRate.foreach(r =>
+      if (r <= 0) fail(s"replanExpansionRate must be positive, got $r"))
+    if (j.replanRowBudget.isDefined && j.replanExpansionRate.isDefined)
+      fail("pick ONE replan budget form: replanRowBudget (absolute " +
+        "planned rows) or replanExpansionRate (x observed base rows)")
     j.derived.foreach(d =>
       if (j.model.edges.forall(_.lookup != d.lookup) &&
           j.model.fact != d.lookup)
@@ -763,13 +789,15 @@ object CubeJson {
         }
       }: Unit
     }
-    spec.replanRowBudget.foreach { b =>
+    if (spec.replanRowBudget.isDefined ||
+        spec.replanExpansionRate.isDefined) {
       // phase-2 replan as a policy: only when this process has a
       // query history configured — a scheduler without the log dir
       // set has no evidence to spend budget on, and an absent log
       // must not fail the retention/merge policies that already ran
       QueryLog.configuredDir(spark).foreach { logDir =>
-        applyReplan(spark, sfDir, spec, b, logDir): Unit
+        applyReplan(spark, sfDir, spec, spec.replanRowBudget,
+          spec.replanExpansionRate, logDir): Unit
       }
     }
     // route through the stamp-aware path: the policy commits changed
@@ -805,8 +833,24 @@ object CubeJson {
     * miss means a foreign process drifted the meta mid-replan —
     * refuse loudly). Returns (instance, cuboids added). */
   def applyReplan(spark: SparkSession, sfDir: String, spec: JsonCube,
-                  budget: Long, logDir: String): (CubeInstance, Int) = {
-    require(budget > 0, s"replan budget must be positive, got $budget")
+                  budget: Long, logDir: String): (CubeInstance, Int) =
+    applyReplan(spark, sfDir, spec, Some(budget), None, logDir)
+
+  /** Budget in either form — exactly one of `rowBudget` (absolute
+    * planned rows) or `expansionRate` (× the OBSERVED base cuboid
+    * rows, resolved under the lease from the committed meta — the
+    * reference's expansion-threshold semantics,
+    * AbstractRecommendAlgorithm.java:50). */
+  def applyReplan(spark: SparkSession, sfDir: String, spec: JsonCube,
+                  rowBudget: Option[Long], expansionRate: Option[Double],
+                  logDir: String): (CubeInstance, Int) = {
+    require(rowBudget.isDefined != expansionRate.isDefined,
+      "replan needs exactly ONE budget form: an absolute row budget " +
+        "or an expansion rate")
+    rowBudget.foreach(b => require(b > 0,
+      s"replan budget must be positive, got $b"))
+    expansionRate.foreach(r => require(r > 0,
+      s"replan expansion rate must be positive, got $r"))
     val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
     // cheap pre-check OUTSIDE the lease: with no usable history for
     // this cube the replan is a no-op — don't serialize against real
@@ -830,6 +874,10 @@ object CubeJson {
       val existing = fresh.cube.cuboids.map(c => c ->
         fresh.cube.segments.map(s => fresh.rows.getOrElse(
           (s.name, fresh.cube.cuboidId(c)), 0L)).sum).toMap
+      // the rate form resolves against the OBSERVED base rows — the
+      // knob an operator can set once and keep as the data grows
+      val budget = rowBudget.getOrElse(
+        math.ceil(expansionRate.get * existing(base)).toLong)
       val picked = CuboidPlanner.replanFromStore(spark, logDir,
         baseSegs, base, spec.name, budget, existing)
       val next = CubeBuilder.optimizeCuboids(spark, fresh,

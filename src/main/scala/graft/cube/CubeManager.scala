@@ -542,9 +542,17 @@ object CubeManager {
           val baseId = cube.cuboidId(cube.dims.toSet)
           val baseSegs = built.cube.segments.map(s =>
             spark.read.parquet(built.cuboidPath(s.name, baseId)))
+          // the rate form resolves against the base rows the build
+          // just OBSERVED (reference expansion-threshold semantics):
+          // an absolute budget can't be guessed for 100 TB, a rate
+          // relative to the measured base holds at any scale
+          val baseObserved = built.cube.segments.map(s =>
+            built.rows.getOrElse((s.name, baseId), 0L)).sum
+          val budget = il.rowBudget.getOrElse(
+            math.ceil(il.expansionRate.get * baseObserved).toLong)
           val picked = CuboidPlanner.recommendFromStats(baseSegs,
             cube.dims.toSet, CubeJson.candidateCuboids(spec),
-            il.rowBudget)
+            budget)
           CubeBuilder.optimizeCuboids(spark, built,
             picked.filterNot(_ == cube.dims.toSet))
         case None => built

@@ -32,7 +32,8 @@ import org.apache.spark.sql.SparkSession
   * runMain graft.cube.GraftTool append    <sfDir> --def f [--member n]
   *                            --segment name,start,end
   * runMain graft.cube.GraftTool replan    <sfDir> --def f [--member n]
-  *                            --budget N [--log dir]
+  *                            (--budget N | --expansion-rate R)
+  *                            [--log dir]
   * runMain graft.cube.GraftTool policies  <sfDir> --def f
   * }}}
   *
@@ -70,7 +71,8 @@ object GraftTool {
     val switches = Set.newBuilder[String]
     var i = 0
     val valueFlags = Set("--cube", "--def", "--cubes", "--grace-ms",
-      "--keep-backups", "--segment", "--member", "--budget", "--log")
+      "--keep-backups", "--segment", "--member", "--budget", "--log",
+      "--expansion-rate")
     while (i < args.length) {
       val a = args(i)
       if (valueFlags(a)) {
@@ -307,10 +309,12 @@ object GraftTool {
             throw new IllegalArgumentException(
               "replan needs --def <file> (a declared cube document)"))
           val spec = doc.memberSpec(p)
-          val budget = p.flags.get("--budget").map(_.toLong).getOrElse(
-            throw new IllegalArgumentException(
-              "replan needs --budget <totalPlannedRows>"))
-          require(budget > 0, s"--budget must be positive, got $budget")
+          val rowBudget = p.flags.get("--budget").map(_.toLong)
+          val rate = p.flags.get("--expansion-rate").map(_.toDouble)
+          if (rowBudget.isDefined == rate.isDefined)
+            throw new IllegalArgumentException("replan needs exactly " +
+              "ONE budget form: --budget <totalPlannedRows> or " +
+              "--expansion-rate <xObservedBaseRows>")
           val logDir = p.flags.get("--log")
             .orElse(QueryLog.configuredDir(spark)).getOrElse(
               throw new IllegalArgumentException("replan needs the " +
@@ -320,9 +324,11 @@ object GraftTool {
           // discipline, load-only re-read, observed-row baseline —
           // identical whether a scheduler's policies run or this CLI
           // triggered it
-          val (next, added) =
-            CubeJson.applyReplan(spark, sfDir, spec, budget, logDir)
-          out(s"replan ${spec.name} budget=$budget " +
+          val (next, added) = CubeJson.applyReplan(spark, sfDir, spec,
+            rowBudget, rate, logDir)
+          val budgetStr = rowBudget.map(_.toString)
+            .getOrElse(s"${rate.get}x")
+          out(s"replan ${spec.name} budget=$budgetStr " +
             s"added=$added cuboids=${next.cube.cuboids.size}")
           0
 

@@ -173,6 +173,62 @@ class CuboidPlannerSpec extends AnyFunSuite {
     assert(again.cube.cuboids.toSet == inst.cube.cuboids.toSet)
   }
 
+  test("the expansion-rate budget form resolves against the OBSERVED " +
+      "base rows (reference expansion-threshold semantics) and exactly " +
+      "one budget form is accepted at parse") {
+    // validation: neither, both, and non-positive forms refuse at parse
+    def doc(lattice: String) =
+      s"""{
+         |  "name": "lattice_rate",
+         |  "model": {"fact": "orders"},
+         |  "flatColumns": [
+         |    {"name": "o_orderstatus"},
+         |    {"name": "o_orderpriority"},
+         |    {"name": "o_month",
+         |     "expr": "date_format(o_orderdate, 'yyyy-MM')"},
+         |    {"name": "o_orderdate"},
+         |    {"name": "o_totalprice"}
+         |  ],
+         |  "dims": ["o_orderstatus", "o_orderpriority", "o_month"],
+         |  "measures": [{"name": "n_orders", "family": "count"}],
+         |  "segmentCol": "o_orderdate",
+         |  "segments": [{"name": "all", "start": "1992-01-01",
+         |                "end": "2003-01-01"}],
+         |  "aggGroups": [{"includes": ["o_orderstatus",
+         |    "o_orderpriority", "o_month"]}],
+         |  "segDayGranular": true,
+         |  "initialLattice": $lattice
+         |}""".stripMargin
+    intercept[IllegalArgumentException](CubeJson.parse(doc("{}")))
+    intercept[IllegalArgumentException](CubeJson.parse(
+      doc("""{"rowBudget": 10, "expansionRate": 2.0}""")))
+    intercept[IllegalArgumentException](CubeJson.parse(
+      doc("""{"expansionRate": -1.0}""")))
+    intercept[IllegalArgumentException](CubeJson.parse(
+      """{"name": "r", "model": {"fact": "orders"},
+        |"dims": ["o_orderstatus"],
+        |"measures": [{"name": "n", "family": "count"}],
+        |"segmentCol": "o_orderdate",
+        |"segments": [{"name": "all", "start": "1992-01-01",
+        |              "end": "2003-01-01"}],
+        |"replanRowBudget": 10, "replanExpansionRate": 2.0}"""
+        .stripMargin))
+
+    // end-to-end: a generous rate (10x the observed base) admits the
+    // whole 7-cuboid candidate lattice — every cuboid aggregates to
+    // at most the base's rows, so the full lattice always fits 10x
+    val spec = CubeJson.parse(doc("""{"expansionRate": 10.0}"""))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      s"${CubeManager.cubeRoot}/${sf.split('/').last}-lattice_rate")): Unit
+    CubeManager.resetMemos()
+    val inst = CubeManager.ensureDeclared(spark, sf, spec)
+    assert(inst.extraCuboids.nonEmpty)
+    assert(inst.cube.cuboids.toSet ==
+      CubeJson.candidateCuboids(spec).toSet,
+      s"a 10x rate must admit the full lattice, got " +
+        s"${inst.cube.cuboids}")
+  }
+
   test("executed routes land in the usage log and feed the planner") {
     // Kylin's query-metrics → cube-planner-phase-2 loop: real routed
     // queries record the dim sets they needed, and the planner can

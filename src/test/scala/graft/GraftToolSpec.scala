@@ -254,6 +254,19 @@ class GraftToolSpec extends AnyFunSuite {
     val (ic, iout) = runTool("replan", sf, "--def", defFile.toString,
       "--budget", "10000000", "--log", logDir)
     assert(ic == 0 && iout.head.contains("added=0"), iout.mkString("\n"))
+
+    // the expansion-rate form resolves against the observed base rows
+    // and reaches the same no-op on the widened lattice
+    val (ec, eout) = runTool("replan", sf, "--def", defFile.toString,
+      "--expansion-rate", "1000", "--log", logDir)
+    assert(ec == 0 && eout.head.contains("added=0") &&
+      eout.head.contains("budget=1000.0x"), eout.mkString("\n"))
+
+    // exactly one budget form: both (or neither) refuse
+    assert(runTool("replan", sf, "--def", defFile.toString,
+      "--budget", "10", "--expansion-rate", "2", "--log", logDir)._1 == 1)
+    assert(runTool("replan", sf, "--def", defFile.toString,
+      "--log", logDir)._1 == 1)
   }
 
   test("a replanRowBudget policy in the document replans from the " +
