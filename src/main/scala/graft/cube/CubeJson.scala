@@ -836,6 +836,26 @@ object CubeJson {
                   budget: Long, logDir: String): (CubeInstance, Int) =
     applyReplan(spark, sfDir, spec, Some(budget), None, logDir)
 
+  /** Resolve a two-form lattice budget (exactly one): absolute
+    * planned rows, or the reference's expansion-rate form — rate ×
+    * the OBSERVED base cuboid rows (`AbstractRecommendAlgorithm
+    * .java:50` spaceLimit = baseCuboidSize × expansionRate). ONE
+    * helper so the doc-policy, CLI, initial-lattice, and replan paths
+    * can never drift on the math; `observedBase` is by-name — the
+    * absolute form never evaluates it. */
+  private[graft] def resolveBudget(rowBudget: Option[Long],
+      expansionRate: Option[Double], observedBase: => Long,
+      what: String): Long = {
+    require(rowBudget.isDefined != expansionRate.isDefined,
+      s"$what needs exactly ONE budget form: an absolute row budget " +
+        "or an expansion rate")
+    rowBudget.foreach(b => require(b > 0,
+      s"$what row budget must be positive, got $b"))
+    expansionRate.foreach(r => require(r > 0,
+      s"$what expansion rate must be positive, got $r"))
+    rowBudget.getOrElse(math.ceil(expansionRate.get * observedBase).toLong)
+  }
+
   /** Budget in either form — exactly one of `rowBudget` (absolute
     * planned rows) or `expansionRate` (× the OBSERVED base cuboid
     * rows, resolved under the lease from the committed meta — the
@@ -844,13 +864,11 @@ object CubeJson {
   def applyReplan(spark: SparkSession, sfDir: String, spec: JsonCube,
                   rowBudget: Option[Long], expansionRate: Option[Double],
                   logDir: String): (CubeInstance, Int) = {
-    require(rowBudget.isDefined != expansionRate.isDefined,
-      "replan needs exactly ONE budget form: an absolute row budget " +
-        "or an expansion rate")
-    rowBudget.foreach(b => require(b > 0,
-      s"replan budget must be positive, got $b"))
-    expansionRate.foreach(r => require(r > 0,
-      s"replan expansion rate must be positive, got $r"))
+    // fail fast on the budget SHAPE before any work (observedBase is
+    // by-name — the probe value is never used); the rate RESOLVES
+    // later, under the lease, against the committed base's counts
+    resolveBudget(rowBudget, expansionRate, observedBase = 1L,
+      "replan"): Unit
     val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
     // cheap pre-check OUTSIDE the lease: with no usable history for
     // this cube the replan is a no-op — don't serialize against real
@@ -876,8 +894,8 @@ object CubeJson {
           (s.name, fresh.cube.cuboidId(c)), 0L)).sum).toMap
       // the rate form resolves against the OBSERVED base rows — the
       // knob an operator can set once and keep as the data grows
-      val budget = rowBudget.getOrElse(
-        math.ceil(expansionRate.get * existing(base)).toLong)
+      val budget =
+        resolveBudget(rowBudget, expansionRate, existing(base), "replan")
       val picked = CuboidPlanner.replanFromStore(spark, logDir,
         baseSegs, base, spec.name, budget, existing)
       val next = CubeBuilder.optimizeCuboids(spark, fresh,

@@ -548,11 +548,11 @@ object CubeManager {
           // relative to the measured base holds at any scale
           val baseObserved = built.cube.segments.map(s =>
             built.rows.getOrElse((s.name, baseId), 0L)).sum
-          val budget = il.rowBudget.getOrElse(
-            math.ceil(il.expansionRate.get * baseObserved).toLong)
+          val budget = CubeJson.resolveBudget(il.rowBudget,
+            il.expansionRate, baseObserved, "initialLattice")
           val picked = CuboidPlanner.recommendFromStats(baseSegs,
             cube.dims.toSet, CubeJson.candidateCuboids(spec),
-            budget)
+            budget, baseRows = Some(baseObserved))
           CubeBuilder.optimizeCuboids(spark, built,
             picked.filterNot(_ == cube.dims.toSet))
         case None => built

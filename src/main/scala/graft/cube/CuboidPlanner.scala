@@ -200,10 +200,21 @@ object CuboidPlanner {
     * time with the just-built base cuboid's per-segment frames. */
   def recommendFromStats(segs: Seq[DataFrame], base: Set[String],
                          candidates: Seq[Set[String]],
-                         rowBudget: Long): Seq[Set[String]] = {
+                         rowBudget: Long,
+                         baseRows: Option[Long] = None): Seq[Set[String]] = {
     val cands = (candidates.filter(c => c.nonEmpty && c.subsetOf(base))
       :+ base).distinct
-    selectUnderBudget(base, estimateRowsBySegment(segs, cands), rowBudget)
+    // when the caller knows the base's OBSERVED rows (the build just
+    // counted them), seed the map with the exact figure instead of
+    // re-estimating: the budget was resolved against the observed
+    // count, and a few-percent HLL error on the base would distort
+    // the effective expansion rate (and can flip admit/deny at the
+    // margin) — it also saves one estimation pass over the base
+    val toEstimate = if (baseRows.isDefined) cands.filterNot(_ == base)
+                     else cands
+    val rows = estimateRowsBySegment(segs, toEstimate) ++
+      baseRows.map(base -> _)
+    selectUnderBudget(base, rows, rowBudget)
   }
 
   /** Model-evolution advice from ROUTING MISSES (the other half of the
