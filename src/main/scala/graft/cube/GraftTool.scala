@@ -34,6 +34,9 @@ import org.apache.spark.sql.SparkSession
   * runMain graft.cube.GraftTool replan    <sfDir> --def f [--member n]
   *                            (--budget N | --expansion-rate R)
   *                            [--log dir]
+  * runMain graft.cube.GraftTool advise    <sfDir> --def f [--member n]
+  *                            [--budget N | --expansion-rate R]
+  *                            [--log dir]
   * runMain graft.cube.GraftTool policies  <sfDir> --def f
   * }}}
   *
@@ -330,6 +333,52 @@ object GraftTool {
             .getOrElse(s"${rate.get}x")
           out(s"replan ${spec.name} budget=$budgetStr " +
             s"added=$added cuboids=${next.cube.cuboids.size}")
+          0
+
+        case "advise" =>
+          // the cube planner's RECOMMENDATION readout (reference: the
+          // optimize-cube proposal operators approve before the job
+          // runs): what a replan under the budget WOULD add, plus the
+          // current lattice's stats — read-only, nothing mutates, no
+          // lease. Defaults to the reference's expansion threshold
+          // (kylin.cube.cubeplanner.expansion-threshold = 15.0) when
+          // no budget form is given.
+          val Seq(sfDir) = p.positional
+          val doc = p.flags.get("--def").map(readDoc).getOrElse(
+            throw new IllegalArgumentException(
+              "advise needs --def <file> (a declared cube document)"))
+          val spec = doc.memberSpec(p)
+          val rowBudget = p.flags.get("--budget").map(_.toLong)
+          val rate0 = p.flags.get("--expansion-rate").map(_.toDouble)
+          val rate = if (rowBudget.isEmpty && rate0.isEmpty) Some(15.0)
+                     else rate0
+          val logDir = p.flags.get("--log")
+            .orElse(QueryLog.configuredDir(spark)).getOrElse(
+              throw new IllegalArgumentException("advise needs the " +
+                "query history: --log <dir> or spark.graft.querylog.dir"))
+          val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
+          val base = inst.cube.dims.toSet
+          val existing = inst.cube.cuboids.map(c => c ->
+            inst.cube.segments.map(s => inst.rows.getOrElse(
+              (s.name, inst.cube.cuboidId(c)), 0L)).sum).toMap
+          val budget = CubeJson.resolveBudget(rowBudget, rate,
+            existing(base), "advise")
+          val log = QueryLog.dimSets(spark, logDir, spec.name)
+            .filter(s => s.nonEmpty && s.subsetOf(base))
+          out(s"advise ${spec.name} logged=${log.size} " +
+            s"shapes=${log.distinct.size}")
+          out(f"current cuboids=${inst.cube.cuboids.size} " +
+            f"rows=${existing.values.sum} " +
+            f"expansion=${existing.values.sum.toDouble /
+              math.max(1L, existing(base))}%.2fx")
+          val baseSegs = inst.cube.segments.map(s => spark.read.parquet(
+            inst.cuboidPath(s.name, inst.cube.cuboidId(base))))
+          val picked = CuboidPlanner.replanFromStore(spark, logDir,
+            baseSegs, base, spec.name, budget, existing)
+          val add = picked.filterNot(existing.contains)
+          out(s"recommend budget=$budget add=${add.size}" +
+            add.map(_.toSeq.sorted.mkString("(", ",", ")"))
+              .sorted.mkString(" ", " ", ""))
           0
 
         case "policies" =>

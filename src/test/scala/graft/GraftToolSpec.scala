@@ -269,6 +269,60 @@ class GraftToolSpec extends AnyFunSuite {
       "--log", logDir)._1 == 1)
   }
 
+  test("advise is the read-only planner recommendation: it reports " +
+      "what a replan would add under the (default expansion-rate) " +
+      "budget without mutating the lattice") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tool-adv")
+    val doc =
+      """{
+        |  "name": "tool_advise",
+        |  "model": {"fact": "orders"},
+        |  "flatColumns": [
+        |    {"name": "o_orderstatus"},
+        |    {"name": "o_orderpriority"},
+        |    {"name": "o_orderdate"},
+        |    {"name": "o_totalprice"}
+        |  ],
+        |  "dims": ["o_orderstatus", "o_orderpriority"],
+        |  "measures": [{"name": "n_orders", "family": "count"}],
+        |  "segmentCol": "o_orderdate",
+        |  "segments": [{"name": "all", "start": "1992-01-01",
+        |                "end": "2003-01-01"}],
+        |  "segDayGranular": true
+        |}""".stripMargin
+    val defFile = dir.resolve("tool_advise.json")
+    java.nio.file.Files.write(defFile, doc.getBytes("UTF-8"))
+    val root = s"${CubeManager.cubeRoot}/${sf.split('/').last}" +
+      "-tool_advise"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root)): Unit
+    CubeManager.resetMemos()
+    val logDir = java.nio.file.Files
+      .createTempDirectory("graft-tool-advlog").toString
+    (1 to QueryLog.FlushEvery).foreach(i =>
+      QueryLog.record(spark, logDir, s"a$i", "cuboid",
+        Some("tool_advise"), Some(Set("o_orderstatus")), 10L, 100L))
+    QueryLog.flush(spark, logDir)
+
+    val (ac, aout) = runTool("advise", sf, "--def", defFile.toString,
+      "--log", logDir)
+    assert(ac == 0, aout.mkString("\n"))
+    assert(aout.exists(_.startsWith(
+      s"advise tool_advise logged=${QueryLog.FlushEvery} shapes=1")),
+      aout.mkString("\n"))
+    assert(aout.exists(_.startsWith("current cuboids=1 ")),
+      aout.mkString("\n"))
+    assert(aout.exists(l => l.startsWith("recommend ") &&
+      l.contains("add=1") && l.contains("(o_orderstatus)")),
+      aout.mkString("\n"))
+
+    // read-only: the recommendation materialized NOTHING
+    val spec = CubeJson.parse(doc)
+    val loaded = CubeMeta.load(spark, CubeJson.toCubeDef(spec), root)
+    assert(loaded.exists(_.inst.extraCuboids.isEmpty),
+      "advise must not mutate the lattice")
+  }
+
   test("a replanRowBudget policy in the document replans from the " +
       "session's configured query log during a policies run — and is " +
       "a silent no-op when no log is configured") {
