@@ -379,6 +379,17 @@ object GraftTool {
           out(s"recommend budget=$budget add=${add.size}" +
             add.map(_.toSeq.sorted.mkString("(", ",", ")"))
               .sorted.mkString(" ", " ", ""))
+          // the other half of the planner's diet: persisted PUSHDOWN
+          // shapes (queries no realization could route) ranked as
+          // model-evolution advice — adding a rowkey dim is an
+          // operator decision, so it surfaces here, never auto-applied
+          val missed = QueryLog.missSets(spark, logDir, spec.name)
+          if (missed.nonEmpty) {
+            val advice = CuboidPlanner.adviseModel(missed)
+            out(s"model-advice misses=${missed.size} " +
+              advice.take(5).map { case (d, n) => s"$d=$n" }
+                .mkString(" "))
+          }
           0
 
         case "policies" =>

@@ -50,11 +50,21 @@ object QueryLog {
     StructField("dims", ArrayType(StringType, containsNull = false),
       nullable = true),
     StructField("scan_rows", LongType, nullable = false),
-    StructField("scan_bytes", LongType, nullable = false)))
+    StructField("scan_bytes", LongType, nullable = false),
+    /** non-null marks a MISS row — a query the cube could not route
+      * because these dims are outside its rowkey, persisted when the
+      * query ultimately fell back (the reference ships pushdown query
+      * metrics the same way; they feed the planner's MODEL advice,
+      * not the cuboid distribution). `dims` then carries the needed
+      * set. Old logs without the column read as null (routed rows)
+      * through the imposed schema. */
+    StructField("unmatched", ArrayType(StringType, containsNull = false),
+      nullable = true)))
 
   private final case class Rec(ts: Long, queryId: String, via: String,
       cube: Option[String], dims: Option[Seq[String]],
-      scanRows: Long, scanBytes: Long)
+      scanRows: Long, scanBytes: Long,
+      unmatched: Option[Seq[String]] = None)
 
   // pending rows per target dir — flushed in batches; guarded by its
   // own monitor so a flush never blocks an unrelated dir's record
@@ -75,9 +85,11 @@ object QueryLog {
     * records (or an explicit `flush`). */
   def record(spark: SparkSession, dir: String, queryId: String,
              via: String, cube: Option[String], dims: Option[Set[String]],
-             scanRows: Long, scanBytes: Long): Unit = {
+             scanRows: Long, scanBytes: Long,
+             unmatched: Option[Set[String]] = None): Unit = {
     val rec = Rec(System.currentTimeMillis(), queryId, via, cube,
-      dims.map(_.toSeq.sorted), scanRows, scanBytes)
+      dims.map(_.toSeq.sorted), scanRows, scanBytes,
+      unmatched.map(_.toSeq.sorted))
     val due = pending.synchronized {
       val buf = pending.getOrElseUpdate(dir, mutable.ArrayBuffer.empty)
       buf += rec
@@ -94,7 +106,8 @@ object QueryLog {
     }
     if (batch.isEmpty) return
     val rows = batch.map(r => Row(r.ts, r.queryId, r.via,
-      r.cube.orNull, r.dims.orNull, r.scanRows, r.scanBytes))
+      r.cube.orNull, r.dims.orNull, r.scanRows, r.scanBytes,
+      r.unmatched.orNull))
     ioLock(dir).synchronized {
       recoverParked(spark, dir)
       spark.createDataFrame(
@@ -170,12 +183,33 @@ object QueryLog {
               cube: String): Seq[Set[String]] = {
     import org.apache.spark.sql.functions.col
     load(spark, dir)
-      .filter(col("cube") === cube && col("dims").isNotNull)
+      // ROUTED rows only: miss rows (unmatched non-null) are model
+      // advice, not cuboid-distribution samples — a replan weighting
+      // shapes the cube cannot answer would spend budget on nothing
+      .filter(col("cube") === cube && col("dims").isNotNull &&
+        col("unmatched").isNull)
       .orderBy(col("ts").desc)
       .limit(MaxRows)
       .collect() // serving-boundary: log ≤ MaxRows by construction —
                  // the planner's bounded workload sample
       .map(_.getAs[Seq[String]]("dims").toSet).toSeq
+  }
+
+  /** Persisted MISS shapes for `cube`, newest first — the
+    * cross-restart equivalent of `QueryRouter.QueryStats.misses`,
+    * feeding `CuboidPlanner.adviseModel` from yesterday's pushdown
+    * history: (neededDims, unmatchedDims) per fallen-back query. */
+  def missSets(spark: SparkSession, dir: String,
+               cube: String): Seq[(Set[String], Set[String])] = {
+    import org.apache.spark.sql.functions.col
+    load(spark, dir)
+      .filter(col("cube") === cube && col("dims").isNotNull &&
+        col("unmatched").isNotNull)
+      .orderBy(col("ts").desc)
+      .limit(MaxRows)
+      .collect() // serving-boundary: bounded like dimSets
+      .map(r => (r.getAs[Seq[String]]("dims").toSet,
+        r.getAs[Seq[String]]("unmatched").toSet)).toSeq
   }
 
   /** test hook — REQUIRES QUIESCENCE: clearing ioLocks while a flush

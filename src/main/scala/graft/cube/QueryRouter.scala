@@ -248,12 +248,30 @@ object QueryRouter {
       : ThreadLocal[scala.collection.mutable.Set[(String, Set[String])]] =
       ThreadLocal.withInitial(() =>
         scala.collection.mutable.Set.empty[(String, Set[String])])
+    // this thread's CURRENT routing pass's misses — the serving layer
+    // reads these after the query resolves to persist pushdown-shape
+    // history (reference: pushdown query metrics feed the planner's
+    // model advice); same lifecycle as passSeen
+    private val passMisses
+      : ThreadLocal[scala.collection.mutable.ArrayBuffer[
+        (String, Set[String], Set[String])]] =
+      ThreadLocal.withInitial(() => scala.collection.mutable
+        .ArrayBuffer.empty[(String, Set[String], Set[String])])
     private[graft] def beginRoutingPass(): Unit = {
-      passSeen.get().clear(); ()
+      passSeen.get().clear(); passMisses.get().clear(); ()
+    }
+    /** consume the thread's current-pass misses (cube, needed,
+      * unmatched); clears on read. The serving layer persists these
+      * only for queries that ultimately FELL BACK — a miss against one
+      * realization of a view another realization then served is not
+      * model-evolution evidence. */
+    def takeMissesForThread(): Seq[(String, Set[String], Set[String])] = {
+      val v = passMisses.get().toSeq; passMisses.get().clear(); v
     }
     def recordMiss(cube: String, needed: Set[String],
                    unmatched: Set[String]): Unit = {
       if (!passSeen.get().add((cube, unmatched))) return
+      passMisses.get() += ((cube, needed, unmatched))
       synchronized {
         missBuf.append((cube, needed, unmatched))
         while (missBuf.size > Cap) { missBuf.removeHead(); () }

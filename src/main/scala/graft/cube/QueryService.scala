@@ -262,9 +262,21 @@ object QueryService {
       // route that answered this query recorded its (cube, dims) on
       // this thread; a cache hit routes nothing and logs without them
       val routeInfo = QueryRouter.QueryStats.takeLastForThread()
+      // consumed unconditionally so one query's misses never leak
+      // into the next query on this handler thread
+      val missInfo = QueryRouter.QueryStats.takeMissesForThread()
       QueryLog.configuredDir(spark).foreach { dir =>
         QueryLog.record(spark, dir, queryId, r.via, routeInfo.map(_._1),
           routeInfo.map(_._2), scanRows, scanBytes)
+        // pushdown-shape history (reference: pushdown query metrics):
+        // a query that ultimately FELL BACK persists what each
+        // realization could not match — the evidence adviseModel
+        // ranks for evolving the model. A miss against one
+        // realization that another then served is not recorded.
+        if (!r.routed) missInfo.foreach { case (c, needed, unmatched) =>
+          QueryLog.record(spark, dir, queryId, "miss", Some(c),
+            Some(needed), 0L, 0L, unmatched = Some(unmatched))
+        }
       }
       Served(queryId, rows, r.routed, r.via, pool, parts, scanRows, scanBytes,
         r.fromCache)

@@ -302,6 +302,10 @@ class GraftToolSpec extends AnyFunSuite {
     (1 to QueryLog.FlushEvery).foreach(i =>
       QueryLog.record(spark, logDir, s"a$i", "cuboid",
         Some("tool_advise"), Some(Set("o_orderstatus")), 10L, 100L))
+    // two persisted pushdown shapes: o_clerk is outside the rowkey
+    (1 to 2).foreach(i => QueryLog.record(spark, logDir, s"am$i", "miss",
+      Some("tool_advise"), Some(Set("o_clerk", "o_orderstatus")), 0L, 0L,
+      unmatched = Some(Set("o_clerk"))))
     QueryLog.flush(spark, logDir)
 
     val (ac, aout) = runTool("advise", sf, "--def", defFile.toString,
@@ -314,6 +318,8 @@ class GraftToolSpec extends AnyFunSuite {
       aout.mkString("\n"))
     assert(aout.exists(l => l.startsWith("recommend ") &&
       l.contains("add=1") && l.contains("(o_orderstatus)")),
+      aout.mkString("\n"))
+    assert(aout.exists(_.startsWith("model-advice misses=2 o_clerk=2")),
       aout.mkString("\n"))
 
     // read-only: the recommendation materialized NOTHING

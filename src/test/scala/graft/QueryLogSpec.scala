@@ -67,6 +67,54 @@ class QueryLogSpec extends AnyFunSuite {
     }
   }
 
+  test("fallen-back queries persist their MISS shapes: missSets feeds " +
+      "adviseModel across a restart and dimSets stays uncontaminated") {
+    GraftSql.registerViews(spark, sf)
+    CubeManager.ensureBuilt(spark, sf)
+    val dir = Files.createTempDirectory("graft-querylog-miss").toString
+    spark.conf.set(QueryLog.DirConf, dir)
+    try {
+      QueryRouter.QueryStats.clear()
+      // l_quantity is outside the star rowkey — unroutable, falls back
+      val s = QueryService.run(spark, sf,
+        """SELECT l_quantity, count(*) AS n FROM graft_star
+          |GROUP BY l_quantity""".stripMargin,
+        queryId = "qlm-1", cached = false)
+      assert(!s.routed)
+      // a ROUTED query on the same handler thread afterwards must not
+      // inherit the previous query's misses
+      val s2 = QueryService.run(spark, sf,
+        """SELECT o_orderstatus, count(*) AS n FROM graft_star
+          |GROUP BY o_orderstatus""".stripMargin,
+        queryId = "qlm-2", cached = false)
+      assert(s2.routed)
+      QueryLog.flush(spark, dir)
+
+      // "restart": only the parquet log survives
+      QueryRouter.QueryStats.clear()
+      QueryService.ServedLog.clear()
+      QueryLog.clearPending()
+
+      val misses = QueryLog.missSets(spark, dir, "star")
+      assert(misses.nonEmpty, "the fallback's miss shapes must persist")
+      assert(misses.forall(_._2.contains("l_quantity")),
+        s"misses: $misses")
+      // the routed distribution the REPLAN feeds on excludes miss rows
+      val sets = QueryLog.dimSets(spark, dir, "star")
+      assert(sets.contains(Set("o_orderstatus")), s"sets: $sets")
+      assert(!sets.exists(_.contains("l_quantity")),
+        "miss rows must never enter the cuboid distribution")
+      // the loop closes: yesterday's pushdown history ranks the
+      // model-evolution advice today
+      val advice = CuboidPlanner.adviseModel(misses)
+      assert(advice.nonEmpty && advice.head._1 == "l_quantity",
+        s"advice: $advice")
+    } finally {
+      spark.conf.unset(QueryLog.DirConf)
+      QueryLog.clearPending()
+    }
+  }
+
   test("a result-cache hit replays its route into the workload log " +
       "and its persisted row carries cube/dims with zero scan") {
     GraftSql.registerViews(spark, sf)
@@ -112,7 +160,8 @@ class QueryLogSpec extends AnyFunSuite {
     val perBatch = QueryLog.MaxRows / QueryLog.CompactAtFiles + 20 // 148
     (0 to QueryLog.CompactAtFiles).foreach { b =>
       val rows = (0 until perBatch).map(i =>
-        Row(b.toLong, s"seed-$b-$i", "test", null, null, 1L, 1L))
+        Row(b.toLong, s"seed-$b-$i", "test", null, null, 1L, 1L,
+          null))
       spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), QueryLog.schema)
         .write.mode("append").parquet(s"$dir/_querylog")
@@ -141,8 +190,8 @@ class QueryLogSpec extends AnyFunSuite {
       "the next flush merges it back instead of shadowing it (ADVICE r13)") {
     val dir = Files.createTempDirectory("graft-querylog-crash").toString
     // a live log with two known rows
-    val rows = Seq(Row(1L, "old-1", "test", null, null, 1L, 1L),
-                   Row(2L, "old-2", "test", null, null, 1L, 1L))
+    val rows = Seq(Row(1L, "old-1", "test", null, null, 1L, 1L, null),
+                   Row(2L, "old-2", "test", null, null, 1L, 1L, null))
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), QueryLog.schema)
       .write.mode("append").parquet(s"$dir/_querylog")
