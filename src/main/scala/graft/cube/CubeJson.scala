@@ -880,24 +880,9 @@ object CubeJson {
     BuildLease.withLease(spark, inst.root,
         spec.name)(Option.empty[(CubeInstance, Int)]) {
       val fresh = reloadCommitted(spark, spec, inst.root, "replan")
-      val base = fresh.cube.dims.toSet
-      // one frame PER SEGMENT: additions materialize one dir per
-      // segment, so the planner's planned-rows unit is the
-      // per-segment sum — comparable to the observed counts below
-      val baseSegs = fresh.cube.segments.map(s => spark.read.parquet(
-        fresh.cuboidPath(s.name, fresh.cube.cuboidId(base))))
-      // existing cuboids enter at their OBSERVED (summed across
-      // segments) row counts — the budget baseline is what is
-      // actually on disk, not an estimate
-      val existing = fresh.cube.cuboids.map(c => c ->
-        fresh.cube.segments.map(s => fresh.rows.getOrElse(
-          (s.name, fresh.cube.cuboidId(c)), 0L)).sum).toMap
-      // the rate form resolves against the OBSERVED base rows — the
-      // knob an operator can set once and keep as the data grows
-      val budget =
-        resolveBudget(rowBudget, expansionRate, existing(base), "replan")
-      val picked = CuboidPlanner.replanFromStore(spark, logDir,
-        baseSegs, base, spec.name, budget, existing)
+      val (existing, picked, _) = replanPick(spark, spec, fresh,
+        rowBudget, expansionRate,
+        QueryLog.dimSets(spark, logDir, spec.name))
       val next = CubeBuilder.optimizeCuboids(spark, fresh,
         picked.filterNot(existing.contains))
       // the added count diffs against the LEASE-SCOPED committed
@@ -905,6 +890,35 @@ object CubeJson {
       // reports its own additions (zero), not the winner's
       (next, next.cube.cuboids.size - fresh.cube.cuboids.size)
     }
+  }
+
+  /** The replan PICK core shared by [[applyReplan]] (mutating, under
+    * the lease) and the CLI's read-only `advise` — ONE implementation,
+    * so the proposal operators preview can never drift from what a
+    * real replan would materialize. Existing cuboids enter at their
+    * OBSERVED (summed-across-segments) row counts — the budget
+    * baseline is what is actually on disk, not an estimate — and the
+    * rate form resolves against the observed base; candidate
+    * estimation opens one frame PER SEGMENT (additions materialize
+    * one dir per segment, so the planned-rows unit is the per-segment
+    * sum), lazily — an unusable log opens no parquet at all. Returns
+    * (existing with observed rows, the picked materialized set, the
+    * resolved budget). */
+  private[cube] def replanPick(spark: SparkSession, spec: JsonCube,
+      inst: CubeInstance, rowBudget: Option[Long],
+      expansionRate: Option[Double], log: Seq[Set[String]])
+      : (Map[Set[String], Long], Seq[Set[String]], Long) = {
+    val base = inst.cube.dims.toSet
+    val existing = inst.cube.cuboids.map(c => c ->
+      inst.cube.segments.map(s => inst.rows.getOrElse(
+        (s.name, inst.cube.cuboidId(c)), 0L)).sum).toMap
+    val budget =
+      resolveBudget(rowBudget, expansionRate, existing(base), "replan")
+    def baseSegs = inst.cube.segments.map(s => spark.read.parquet(
+      inst.cuboidPath(s.name, inst.cube.cuboidId(base))))
+    val picked =
+      CuboidPlanner.replanFromLog(baseSegs, base, log, budget, existing)
+    (existing, picked, budget)
   }
 
   // ── declared STREAMING cubes (the speed layer as data) ────────────

@@ -290,6 +290,12 @@ object CubeManager {
   private def sfName(sfDir: String): String =
     sfDir.replaceAll("/+$", "").split('/').last
 
+  /** the storage root a DECLARED cube lives under — computable without
+    * touching the store, for read-only tools that must not trigger a
+    * first-touch build */
+  def declaredRoot(sfDir: String, cubeName: String): String =
+    s"$cubeRoot/${sfName(sfDir)}-$cubeName"
+
   /** The realization stamp set read straight FROM THE SHARED STORE —
     * one (meta path, cube, committed buildId) triple per committed
     * realization meta under this sf's cube roots, enumerated by
@@ -497,7 +503,7 @@ object CubeManager {
   def ensureDeclared(spark: SparkSession, sfDir: String,
                      spec: CubeJson.JsonCube): CubeInstance = {
     val cube = CubeJson.toCubeDef(spec)
-    val root = s"$cubeRoot/${sfName(sfDir)}-${cube.name}"
+    val root = declaredRoot(sfDir, cube.name)
     ensureFresh(declaredBuilt, spark, s"${cube.name}|$sfDir", root, cube) {
       // the DECLARED segment span is the cube's data universe at
       // deploy time: rows beyond it are future appends, not drops —
@@ -604,7 +610,7 @@ object CubeManager {
     * behind (the retired cube was never built past its cutover).
     * Stamp-aware per member, like [[ensureBuilt]]. */
   def ensureHybrid(spark: SparkSession, sfDir: String): HybridInstance = {
-    def memberRoot(name: String) = s"$cubeRoot/${sfName(sfDir)}-$name"
+    def memberRoot(name: String) = declaredRoot(sfDir, name)
     def stamps() = Seq("star-old", "star-new").map(n =>
       MetaStamp.of(spark, memberRoot(n), n))
     def fresh(): Option[HybridInstance] =

@@ -263,20 +263,31 @@ object CuboidPlanner {
     * returns the existing lattice unchanged — no history, no evidence
     * to spend budget on. */
   def replanFromStore(spark: org.apache.spark.sql.SparkSession,
-                      logDir: String, baseSegs: Seq[DataFrame],
+                      logDir: String, baseSegs: => Seq[DataFrame],
                       base: Set[String], cube: String, rowBudget: Long,
-                      existing: Map[Set[String], Long]): Seq[Set[String]] = {
+                      existing: Map[Set[String], Long]): Seq[Set[String]] =
+    replanFromLog(baseSegs, base, QueryLog.dimSets(spark, logDir, cube),
+      rowBudget, existing)
+
+  /** The pick core over an already-read log (one log read serves both
+    * this and the caller's reporting). `baseSegs` is BY-NAME and only
+    * evaluated when there are fresh candidates to estimate — an
+    * empty/unusable log (or one fully covered by existing layouts)
+    * never opens any parquet. */
+  def replanFromLog(baseSegs: => Seq[DataFrame], base: Set[String],
+                    log: Seq[Set[String]], rowBudget: Long,
+                    existing: Map[Set[String], Long]): Seq[Set[String]] = {
     require(existing.contains(base),
       "existing must carry the base cuboid's observed rows")
-    val log = QueryLog.dimSets(spark, logDir, cube)
-      .filter(s => s.nonEmpty && s.subsetOf(base))
-    if (log.isEmpty) return (base +: existing.keys.toSeq).distinct
-    val total = log.size.toDouble
-    val weighted = log.groupBy(identity).toSeq
+    val usable = log.filter(s => s.nonEmpty && s.subsetOf(base))
+    if (usable.isEmpty) return (base +: existing.keys.toSeq).distinct
+    val total = usable.size.toDouble
+    val weighted = usable.groupBy(identity).toSeq
       .map { case (s, hits) => s -> hits.size / total }
     val fresh = expandCandidates(weighted.map(_._1), base)
       .filterNot(existing.contains)
-    val rows = estimateRowsBySegment(baseSegs, fresh) ++ existing
+    val rows = (if (fresh.isEmpty) Map.empty[Set[String], Long]
+                else estimateRowsBySegment(baseSegs, fresh)) ++ existing
     selectUnderBudgetWeighted(base, rows, rowBudget, weighted,
       existing.keys.toSeq)
   }

@@ -356,25 +356,28 @@ object GraftTool {
             .orElse(QueryLog.configuredDir(spark)).getOrElse(
               throw new IllegalArgumentException("advise needs the " +
                 "query history: --log <dir> or spark.graft.querylog.dir"))
-          val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
+          // READ-ONLY by contract: the committed meta loads directly —
+          // a cube never built refuses instead of triggering the full
+          // first-touch build a preview command must not launch
+          val root = CubeManager.declaredRoot(sfDir, spec.name)
+          val inst = CubeMeta.load(spark, CubeJson.toCubeDef(spec),
+              root).map(_.inst).getOrElse(
+            throw new IllegalStateException(
+              s"advise refused: '${spec.name}' has no committed build " +
+                s"under $root — build it first (any query, 'policies', " +
+                "or 'append'), then ask for advice"))
           val base = inst.cube.dims.toSet
-          val existing = inst.cube.cuboids.map(c => c ->
-            inst.cube.segments.map(s => inst.rows.getOrElse(
-              (s.name, inst.cube.cuboidId(c)), 0L)).sum).toMap
-          val budget = CubeJson.resolveBudget(rowBudget, rate,
-            existing(base), "advise")
+          // ONE log read feeds both the report and the pick
           val log = QueryLog.dimSets(spark, logDir, spec.name)
             .filter(s => s.nonEmpty && s.subsetOf(base))
+          val (existing, picked, budget) = CubeJson.replanPick(spark,
+            spec, inst, rowBudget, rate, log)
           out(s"advise ${spec.name} logged=${log.size} " +
             s"shapes=${log.distinct.size}")
           out(f"current cuboids=${inst.cube.cuboids.size} " +
             f"rows=${existing.values.sum} " +
             f"expansion=${existing.values.sum.toDouble /
               math.max(1L, existing(base))}%.2fx")
-          val baseSegs = inst.cube.segments.map(s => spark.read.parquet(
-            inst.cuboidPath(s.name, inst.cube.cuboidId(base))))
-          val picked = CuboidPlanner.replanFromStore(spark, logDir,
-            baseSegs, base, spec.name, budget, existing)
           val add = picked.filterNot(existing.contains)
           out(s"recommend budget=$budget add=${add.size}" +
             add.map(_.toSeq.sorted.mkString("(", ",", ")"))

@@ -141,10 +141,19 @@ object QueryLog {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
     if (files <= CompactAtFiles) return
+    // newest MaxRows PER CLASS (routed vs miss — total bound is
+    // 2×MaxRows): routed rows are the replan's probability
+    // distribution and miss rows the model advice; one global bound
+    // would let a pushdown-heavy burst (several miss rows per
+    // fallen-back query) evict the entire routed history and
+    // silently no-op the next replan
+    import org.apache.spark.sql.functions.{col, row_number}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("unmatched").isNotNull)
+      .orderBy(col("ts").desc, col("query_id"))
     val keep = spark.read.schema(schema).parquet(logPath(dir))
-      .orderBy(org.apache.spark.sql.functions.col("ts").desc,
-        org.apache.spark.sql.functions.col("query_id"))
-      .limit(MaxRows)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= MaxRows).drop("_rn")
       .coalesce(1)
     val tmp = new Path(s"$dir/_querylog_compact_tmp")
     val old = new Path(s"$dir/_querylog_old")

@@ -97,6 +97,18 @@ final case class ServeGuardRule(session: SparkSession)
         val route =
           if (routed) route0.map { case (c, d) => (c, d.toSeq.sorted) }
           else None
+        // consume the routing pass's misses UNCONDITIONALLY (they must
+        // not leak into the next statement on this thread); embed them
+        // only for statements that fell back — the same
+        // pushdown-history rule as QueryService.run (a miss against a
+        // realization another realization then served is not model
+        // evidence)
+        val misses0 = graft.cube.QueryRouter.QueryStats
+          .takeMissesForThread()
+        val misses =
+          if (routed) Nil
+          else misses0.map { case (c, n, u) =>
+            (c, n.toSeq.sorted, u.toSeq.sorted) }
         val via = route.map(r => s"cube:${r._1}")
           .getOrElse(if (routed) "cube" else "pushdown")
         val pool = QueryService.poolFor(routed, est)
@@ -104,7 +116,7 @@ final case class ServeGuardRule(session: SparkSession)
         // routed, or when the plan never touched a cube view) rides
         // to the exec so the served log can answer "why pushdown?"
         ServeGuard(cap, timeoutSec, pool, via, route,
-          if (routed) None else why, stripped)
+          if (routed) None else why, misses, stripped)
     }
   }
 
@@ -119,6 +131,7 @@ final case class ServeGuard(cap: Long, timeoutSec: Long, pool: String,
                             via: String,
                             route: Option[(String, Seq[String])],
                             reason: Option[String],
+                            misses: Seq[(String, Seq[String], Seq[String])],
                             child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -128,8 +141,9 @@ final case class ServeGuard(cap: Long, timeoutSec: Long, pool: String,
 
 object ServeGuardStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case ServeGuard(cap, timeoutSec, pool, via, route, reason, child) =>
-      ServeGuardExec(cap, timeoutSec, pool, via, route, reason,
+    case ServeGuard(cap, timeoutSec, pool, via, route, reason, misses,
+                    child) =>
+      ServeGuardExec(cap, timeoutSec, pool, via, route, reason, misses,
         planLater(child)) :: Nil
     case _ => Nil
   }
@@ -168,6 +182,8 @@ final case class ServeGuardExec(cap: Long, timeoutSec: Long, pool: String,
                                 via: String,
                                 route: Option[(String, Seq[String])],
                                 reason: Option[String],
+                                misses: Seq[(String, Seq[String],
+                                  Seq[String])],
                                 child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputOrdering: Seq[SortOrder] = child.outputOrdering
@@ -252,6 +268,14 @@ final case class ServeGuardExec(cap: Long, timeoutSec: Long, pool: String,
       graft.cube.QueryLog.configuredDir(session).foreach { dir =>
         graft.cube.QueryLog.record(session, dir, group, via,
           route.map(_._1), route.map(_._2.toSet), scanRows, scanBytes)
+        // pushdown-shape history, same rule as QueryService.run: the
+        // misses the acceleration rule embedded at analysis persist
+        // only for statements that fell back
+        misses.foreach { case (c, needed, unmatched) =>
+          graft.cube.QueryLog.record(session, dir, group, "miss",
+            Some(c), Some(needed.toSet), 0L, 0L,
+            unmatched = Some(unmatched.toSet))
+        }
       }
       out
     } catch {

@@ -308,6 +308,13 @@ class GraftToolSpec extends AnyFunSuite {
       unmatched = Some(Set("o_clerk"))))
     QueryLog.flush(spark, logDir)
 
+    // read-only means READ-ONLY: advising a cube that was never built
+    // refuses instead of launching the first-touch build
+    assert(runTool("advise", sf, "--def", defFile.toString,
+      "--log", logDir)._1 == 1,
+      "advise must refuse an unbuilt cube, not build it")
+    CubeManager.ensureDeclared(spark, sf, CubeJson.parse(doc)): Unit
+
     val (ac, aout) = runTool("advise", sf, "--def", defFile.toString,
       "--log", logDir)
     assert(ac == 0, aout.mkString("\n"))

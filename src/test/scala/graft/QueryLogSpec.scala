@@ -184,6 +184,27 @@ class QueryLogSpec extends AnyFunSuite {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
     assert(files <= 2, s"compaction must rewrite to few files, got $files")
+
+    // the bound is PER CLASS: a pushdown-heavy burst of MISS rows
+    // must not evict the routed history the replan feeds on — under a
+    // single global bound the older routed rows would all vanish here
+    (0 to QueryLog.CompactAtFiles).foreach { b =>
+      val rows = (0 until perBatch).map(i =>
+        Row(1000L + b, s"miss-$b-$i", "miss", null,
+          Seq("l_quantity"), 1L, 1L, Seq("l_quantity")))
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), QueryLog.schema)
+        .write.mode("append").parquet(s"$dir/_querylog")
+    }
+    QueryLog.record(spark, dir, "trip2", "test", None, None, 1L, 1L)
+    QueryLog.flush(spark, dir)
+    val after2 = QueryLog.load(spark, dir)
+    val routed = after2.filter(col("unmatched").isNull).count()
+    val missed = after2.filter(col("unmatched").isNotNull).count()
+    assert(routed == QueryLog.MaxRows,
+      s"the routed class must survive a miss burst intact, got $routed")
+    assert(missed == QueryLog.MaxRows,
+      s"the miss class must trim to MaxRows, got $missed")
   }
 
   test("a crash between the compaction renames parks the history and " +

@@ -146,9 +146,12 @@ class ThriftServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sees "unmatched aggregation stddev(...)", not a bare "pushdown"
     spark.conf.set("spark.graft.accelerate", "true")
     spark.conf.set("spark.graft.serve.guard", "true")
-    val conn = connect()
+    val logDir = java.nio.file.Files
+      .createTempDirectory("graft-jdbc-misslog").toString
+    spark.conf.set(cube.QueryLog.DirConf, logDir)
+    val conn0 = connect()
     try {
-      val rs = conn.createStatement().executeQuery(
+      val rs = conn0.createStatement().executeQuery(
         "SELECT o_orderstatus, stddev(l_quantity) AS s " +
           "FROM graft_star GROUP BY o_orderstatus")
       while (rs.next()) {}
@@ -159,17 +162,33 @@ class ThriftServerSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"got $logged")
       // a ROUTED statement carries no reason (count keeps the exact
       // schema signature, so the swap holds on the JDBC path)
-      val rs2 = conn.createStatement().executeQuery(
+      val rs2 = conn0.createStatement().executeQuery(
         "SELECT n_name, count(*) AS n " +
           "FROM graft_star GROUP BY n_name")
       while (rs2.next()) {}
       val routedRow = cube.QueryService.ServedLog.recent.last
       assert(routedRow._2.startsWith("cube") && routedRow._5.isEmpty,
         s"got $routedRow")
+      // the JDBC path feeds the SAME pushdown-shape history as the
+      // programmatic one: a dims-unroutable statement persists its
+      // miss shapes; the routed statement contributes none
+      val rs3 = conn0.createStatement().executeQuery(
+        "SELECT l_quantity, count(*) AS n " +
+          "FROM graft_star GROUP BY l_quantity")
+      while (rs3.next()) {}
+      cube.QueryLog.flush(spark, logDir)
+      val misses = cube.QueryLog.missSets(spark, logDir, "star")
+      assert(misses.nonEmpty && misses.forall(_._2.contains("l_quantity")),
+        s"JDBC miss shapes must persist, got $misses")
+      assert(!cube.QueryLog.dimSets(spark, logDir, "star")
+        .exists(_.contains("l_quantity")),
+        "miss rows must stay out of the routed distribution")
     } finally {
       spark.conf.set("spark.graft.accelerate", "false")
       spark.conf.unset("spark.graft.serve.guard")
-      conn.close()
+      spark.conf.unset(cube.QueryLog.DirConf)
+      cube.QueryLog.clearPending()
+      conn0.close()
     }
   }
 
