@@ -880,7 +880,7 @@ object CubeJson {
     BuildLease.withLease(spark, inst.root,
         spec.name)(Option.empty[(CubeInstance, Int)]) {
       val fresh = reloadCommitted(spark, spec, inst.root, "replan")
-      val (existing, picked, _) = replanPick(spark, spec, fresh,
+      val (existing, picked, _) = replanPick(spark, fresh,
         rowBudget, expansionRate,
         QueryLog.dimSets(spark, logDir, spec.name))
       val next = CubeBuilder.optimizeCuboids(spark, fresh,
@@ -904,16 +904,17 @@ object CubeJson {
     * sum), lazily — an unusable log opens no parquet at all. Returns
     * (existing with observed rows, the picked materialized set, the
     * resolved budget). */
-  private[cube] def replanPick(spark: SparkSession, spec: JsonCube,
+  private[cube] def replanPick(spark: SparkSession,
       inst: CubeInstance, rowBudget: Option[Long],
-      expansionRate: Option[Double], log: Seq[Set[String]])
+      expansionRate: Option[Double], log: Seq[Set[String]],
+      what: String = "replan")
       : (Map[Set[String], Long], Seq[Set[String]], Long) = {
     val base = inst.cube.dims.toSet
     val existing = inst.cube.cuboids.map(c => c ->
       inst.cube.segments.map(s => inst.rows.getOrElse(
         (s.name, inst.cube.cuboidId(c)), 0L)).sum).toMap
     val budget =
-      resolveBudget(rowBudget, expansionRate, existing(base), "replan")
+      resolveBudget(rowBudget, expansionRate, existing(base), what)
     def baseSegs = inst.cube.segments.map(s => spark.read.parquet(
       inst.cuboidPath(s.name, inst.cube.cuboidId(base))))
     val picked =

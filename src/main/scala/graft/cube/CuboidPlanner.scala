@@ -248,32 +248,20 @@ object CuboidPlanner {
     * PBPUSCalculator.java + CuboidRecommender.java — the cube
     * planner's steady-state form: hit PROBABILITIES from the query
     * history weight each shape's cost saving, existing layouts are
-    * the cost baseline, and the space budget caps the total). Inputs:
-    * the persisted QueryLog (the multiset IS the probability
-    * distribution — each routed query one sample), the live base
-    * cuboid's PER-SEGMENT parquet frames for candidate row estimation
-    * (one estimation pass per segment over pre-aggregated data, never
-    * the flat table — summed, because additions materialize one dir
-    * per segment), and `existing` — the materialized cuboids with
-    * their OBSERVED row counts (no estimate can disagree with parquet
-    * that already exists, and both sides of the budget now share the
+    * the cost baseline, and the space budget caps the total). `log` is
+    * the already-read routed multiset (`QueryLog.dimSets` — each
+    * routed query one probability sample; one read serves both this
+    * and the caller's reporting); `baseSegs` are the live base
+    * cuboid's PER-SEGMENT parquet frames for candidate estimation
+    * (per-segment pass, summed — additions materialize one dir per
+    * segment), BY-NAME and only evaluated when there are fresh
+    * candidates to estimate; `existing` carries the materialized
+    * cuboids at their OBSERVED row counts (no estimate can disagree
+    * with parquet that already exists — both budget sides share the
     * per-segment-sum unit). Returns the full materialized set
     * (existing ++ additions); the caller diffs against `existing` and
     * feeds `CubeBuilder.optimizeCuboids`. An empty/unusable log
-    * returns the existing lattice unchanged — no history, no evidence
-    * to spend budget on. */
-  def replanFromStore(spark: org.apache.spark.sql.SparkSession,
-                      logDir: String, baseSegs: => Seq[DataFrame],
-                      base: Set[String], cube: String, rowBudget: Long,
-                      existing: Map[Set[String], Long]): Seq[Set[String]] =
-    replanFromLog(baseSegs, base, QueryLog.dimSets(spark, logDir, cube),
-      rowBudget, existing)
-
-  /** The pick core over an already-read log (one log read serves both
-    * this and the caller's reporting). `baseSegs` is BY-NAME and only
-    * evaluated when there are fresh candidates to estimate — an
-    * empty/unusable log (or one fully covered by existing layouts)
-    * never opens any parquet. */
+    * returns the existing lattice unchanged — and opens no parquet. */
   def replanFromLog(baseSegs: => Seq[DataFrame], base: Set[String],
                     log: Seq[Set[String]], rowBudget: Long,
                     existing: Map[Set[String], Long]): Seq[Set[String]] = {

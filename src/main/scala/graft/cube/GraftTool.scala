@@ -371,7 +371,7 @@ object GraftTool {
           val log = QueryLog.dimSets(spark, logDir, spec.name)
             .filter(s => s.nonEmpty && s.subsetOf(base))
           val (existing, picked, budget) = CubeJson.replanPick(spark,
-            spec, inst, rowBudget, rate, log)
+            inst, rowBudget, rate, log, what = "advise")
           out(s"advise ${spec.name} logged=${log.size} " +
             s"shapes=${log.distinct.size}")
           out(f"current cuboids=${inst.cube.cuboids.size} " +

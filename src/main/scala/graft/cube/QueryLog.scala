@@ -141,15 +141,18 @@ object QueryLog {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
     if (files <= CompactAtFiles) return
-    // newest MaxRows PER CLASS (routed vs miss — total bound is
-    // 2×MaxRows): routed rows are the replan's probability
-    // distribution and miss rows the model advice; one global bound
-    // would let a pushdown-heavy burst (several miss rows per
-    // fallen-back query) evict the entire routed history and
-    // silently no-op the next replan
+    // newest MaxRows PER CLASS — the classes are (dims?, unmatched?)
+    // nullness pairs, separating ROUTED SAMPLES (dims set, unmatched
+    // null: the replan's probability distribution), MISS rows
+    // (unmatched set: the model advice), and plain pushdown/cache
+    // rows (dims null: served metrics only). One global bound — or
+    // bounding on unmatched alone — would let a pushdown-heavy burst
+    // (each fallen-back query writes a dims-NULL pushdown row plus
+    // miss rows) evict the entire routed history and silently no-op
+    // the next replan. Total bound ≤ 3×MaxRows.
     import org.apache.spark.sql.functions.{col, row_number}
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("unmatched").isNotNull)
+      .partitionBy(col("dims").isNotNull, col("unmatched").isNotNull)
       .orderBy(col("ts").desc, col("query_id"))
     val keep = spark.read.schema(schema).parquet(logPath(dir))
       .withColumn("_rn", row_number().over(w))

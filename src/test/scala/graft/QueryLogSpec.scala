@@ -158,9 +158,11 @@ class QueryLogSpec extends AnyFunSuite {
     // seed CompactAtFiles+1 small appends totalling > MaxRows rows,
     // with a deterministic ts per batch so "newest wins" is checkable
     val perBatch = QueryLog.MaxRows / QueryLog.CompactAtFiles + 20 // 148
+    // the seeds are ROUTED SAMPLES (dims set, unmatched null) — the
+    // class the replan's probability distribution reads
     (0 to QueryLog.CompactAtFiles).foreach { b =>
       val rows = (0 until perBatch).map(i =>
-        Row(b.toLong, s"seed-$b-$i", "test", null, null, 1L, 1L,
+        Row(b.toLong, s"seed-$b-$i", "test", null, Seq("a"), 1L, 1L,
           null))
       spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), QueryLog.schema)
@@ -169,7 +171,8 @@ class QueryLogSpec extends AnyFunSuite {
     val seeded = QueryLog.load(spark, dir).count()
     assert(seeded > QueryLog.MaxRows)
     // one more recorded row trips the flush-side compaction
-    QueryLog.record(spark, dir, "trip", "test", None, None, 1L, 1L)
+    QueryLog.record(spark, dir, "trip", "test", None, Some(Set("a")),
+      1L, 1L)
     QueryLog.flush(spark, dir)
     val after = QueryLog.load(spark, dir)
     val n = after.count()
@@ -185,13 +188,18 @@ class QueryLogSpec extends AnyFunSuite {
     val files = fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
     assert(files <= 2, s"compaction must rewrite to few files, got $files")
 
-    // the bound is PER CLASS: a pushdown-heavy burst of MISS rows
-    // must not evict the routed history the replan feeds on — under a
-    // single global bound the older routed rows would all vanish here
+    // the bound is PER CLASS: a pushdown-heavy burst — each
+    // fallen-back query writes a dims-NULL pushdown row plus MISS
+    // rows — must not evict the routed history the replan feeds on.
+    // Under a single global bound (or one keyed on `unmatched` alone,
+    // which lumps pushdown rows with routed samples) the older routed
+    // rows would all vanish here
     (0 to QueryLog.CompactAtFiles).foreach { b =>
-      val rows = (0 until perBatch).map(i =>
+      val rows = (0 until perBatch).flatMap(i => Seq(
         Row(1000L + b, s"miss-$b-$i", "miss", null,
-          Seq("l_quantity"), 1L, 1L, Seq("l_quantity")))
+          Seq("l_quantity"), 1L, 1L, Seq("l_quantity")),
+        Row(1000L + b, s"pd-$b-$i", "pushdown", null, null, 1L, 1L,
+          null)))
       spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), QueryLog.schema)
         .write.mode("append").parquet(s"$dir/_querylog")
@@ -199,12 +207,17 @@ class QueryLogSpec extends AnyFunSuite {
     QueryLog.record(spark, dir, "trip2", "test", None, None, 1L, 1L)
     QueryLog.flush(spark, dir)
     val after2 = QueryLog.load(spark, dir)
-    val routed = after2.filter(col("unmatched").isNull).count()
+    val routedSamples = after2.filter(
+      col("dims").isNotNull && col("unmatched").isNull).count()
     val missed = after2.filter(col("unmatched").isNotNull).count()
-    assert(routed == QueryLog.MaxRows,
-      s"the routed class must survive a miss burst intact, got $routed")
+    val pushdown = after2.filter(col("dims").isNull).count()
+    assert(routedSamples == QueryLog.MaxRows,
+      s"the routed-sample class must survive a pushdown burst " +
+        s"intact, got $routedSamples")
     assert(missed == QueryLog.MaxRows,
       s"the miss class must trim to MaxRows, got $missed")
+    assert(pushdown == QueryLog.MaxRows,
+      s"the pushdown class must trim to MaxRows, got $pushdown")
   }
 
   test("a crash between the compaction renames parks the history and " +
