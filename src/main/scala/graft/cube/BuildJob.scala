@@ -66,6 +66,10 @@ object BuildJob {
     * lease beside the base build, so their attempt state is separate
     * too */
   val MergeJobFile = "_job-merge.json"
+  /** the REFRESH job's attempt file — a refresh runs under the default
+    * build lease but its staged markers must not collide with a full
+    * build's attempt state */
+  val RefreshJobFile = "_job-refresh.json"
   /** marker inside a completed cuboid dir */
   val CuboidMarker = "_graft_rows.json"
   /** marker inside a completed phase output dir (e.g. the flat table) */
@@ -127,6 +131,15 @@ object BuildJob {
     beginAt(spark, root, cube.name, MergeJobFile,
       s"${CubeMeta.fingerprint(cube)}|base=$baseBuildId|merged=$mergedName",
       run.map(segKey))
+
+  /** a REFRESH attempt: identified by the def fingerprint and the
+    * refreshed segment (name + range). The staged rebuild derives from
+    * SOURCE, not from other cuboids, so no base build id is folded in —
+    * what invalidates staged markers is a def or range change. */
+  def beginRefresh(spark: SparkSession, cube: CubeDef, root: String,
+                   seg: Segment): Job =
+    beginAt(spark, root, cube.name, RefreshJobFile,
+      s"${CubeMeta.fingerprint(cube)}|refresh=${seg.name}", Seq(segKey(seg)))
 
   private def beginAt(spark: SparkSession, root: String, cubeName: String,
       jobFile: String, fp: String, segs: Seq[String]): Job = {

@@ -218,14 +218,27 @@ object CubeBuilder {
     * rename — the live dir is missing, which the next metadata load's
     * base-cuboid spot-check catches (miss ⇒ rebuild); after rename
     * before the meta commit — data is new, row-count ESTIMATES are
-    * stale, which only skews cuboid choice, never answers. */
+    * stale, which only skews cuboid choice, never answers.
+    *
+    * STEP-RESUMABLE like [[build]]: the refresh ATTEMPT — identified
+    * by the def fingerprint and the refreshed segment's range — marks
+    * each completed STAGED cuboid dir, so a crashed refresh re-entered
+    * under the lease redoes only the missing staged cuboids. No base
+    * build id is folded into the attempt key (unlike a merge, the
+    * staging derives from SOURCE, not from other cuboid parquet); a
+    * def or range change mints a fresh id and the stale staged markers
+    * are never trusted. After the swap the live dirs carry the
+    * attempt's markers — harmless, the next full-build attempt has its
+    * own jobId and rewrites via overwrite. */
   def refreshSegment(spark: SparkSession, inst: CubeInstance,
                      flat: DataFrame, segmentName: String): CubeInstance = {
     val seg = inst.cube.segments.find(_.name == segmentName)
       .getOrElse(throw new IllegalArgumentException(
         s"no segment $segmentName to refresh"))
     val staged = seg.copy(name = s"${seg.name}.refreshing")
-    val stagedRows = buildSegment(spark, flat, inst.cube, inst.root, staged)
+    val job = BuildJob.beginRefresh(spark, inst.cube, inst.root, seg)
+    val stagedRows =
+      buildSegment(spark, flat, inst.cube, inst.root, staged, Some(job))
     val live = new Path(s"${inst.root}/${inst.cube.name}/${seg.name}")
     val tmp = new Path(s"${inst.root}/${inst.cube.name}/${staged.name}")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -235,6 +248,7 @@ object CubeBuilder {
     val next = CubeInstance(inst.cube, inst.root, inst.rows ++ rows,
       inst.extraCuboids)
     CubeMeta.save(spark, next)
+    BuildJob.finish(spark, job)
     next
   }
 

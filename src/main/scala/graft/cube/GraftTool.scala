@@ -298,6 +298,57 @@ object GraftTool {
             next.cube.segments.map(_.name).mkString(","))
           0
 
+        case "refresh" =>
+          // rebuild ONE existing segment from (possibly corrected)
+          // source data, staged aside and swapped in whole (reference:
+          // Kylin's REFRESH job over a cube segment) — the lifecycle
+          // answer to "yesterday's source files were fixed" that
+          // neither append (new ranges only) nor a full drift rebuild
+          // (redoes every segment) covers
+          val Seq(sfDir) = p.positional
+          val doc = p.flags.get("--def").map(readDoc).getOrElse(
+            throw new IllegalArgumentException(
+              "refresh needs --def <file> (a declared cube document)"))
+          val spec = doc.memberSpec(p)
+          val segName = p.flags.getOrElse("--segment",
+            throw new IllegalArgumentException(
+              "refresh needs --segment <name> (an existing segment)"))
+          doc.register() // keep routing coherent with the deployment
+          val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
+          // same serialization contract as append: the DEFAULT
+          // '_building' lease (so a refresh never races a first-touch/
+          // drift rebuild, an append, or a replan of the same cube),
+          // a LOAD-ONLY re-read of the committed base under the lease
+          // (never nested ensureDeclared — self-deadlock), and a loud
+          // refusal when the meta drifted away mid-wait
+          val next = BuildLease.withLease(spark, inst.root,
+              spec.name)(Option.empty[CubeInstance]) {
+            val fresh = CubeMeta.load(spark, CubeJson.toCubeDef(spec),
+                inst.root).map(_.inst).getOrElse(
+              throw new IllegalStateException(
+                s"refresh refused: the committed meta for " +
+                  s"'${spec.name}' disappeared or drifted while the " +
+                  "build lease was held — rebuild the cube (any " +
+                  "query or 'policies' run) and retry the refresh"))
+            if (!fresh.cube.segments.exists(_.name == segName))
+              throw new IllegalArgumentException(
+                s"no segment '$segName' in '${spec.name}' — have " +
+                  fresh.cube.segments.map(_.name).mkString(", "))
+            val flat0 = CubeJson.flatBuilder(spec, Some(fresh.root))(
+              spark, sfDir)
+            // corrected source can carry values no segment has seen:
+            // buildOrAppend admits them while every already-assigned
+            // id stays stable, so the untouched segments' bitmap
+            // states remain comparable with the refreshed one's
+            val flat = spec.dictColumns.foldLeft(flat0)((f, c) =>
+              Dictionary.encode(f,
+                Dictionary.buildOrAppend(spark, f, c, fresh.root), c))
+            CubeBuilder.refreshSegment(spark, fresh, flat, segName)
+          }
+          out(s"refreshed $segName segments=" +
+            next.cube.segments.map(_.name).mkString(","))
+          0
+
         case "replan" =>
           // cube-planner phase 2 as an operator job (reference:
           // PBPUSCalculator + CuboidRecommender — the optimize-cube

@@ -558,6 +558,183 @@ class GraftToolSpec extends AnyFunSuite {
       s"policies must proceed once the lease releases (code=$code)")
   }
 
+  /** the refresh tests' shared document: orders fact, two segments,
+    * a dictionary-less sum+count cube over a PRIVATE copy of the
+    * source dir (the tests 'correct' it in place) */
+  private def refreshFixture(): (String, String) = {
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-tool-rf-src").toString
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(sf), new java.io.File(srcDir))
+    val doc =
+      """{
+        |  "name": "tool_rf",
+        |  "model": {"fact": "orders"},
+        |  "flatColumns": [
+        |    {"name": "o_orderstatus"},
+        |    {"name": "o_orderpriority"},
+        |    {"name": "o_orderdate"},
+        |    {"name": "o_totalprice"}
+        |  ],
+        |  "dims": ["o_orderstatus", "o_orderpriority"],
+        |  "cuboids": [["o_orderstatus"], ["o_orderpriority"]],
+        |  "measures": [
+        |    {"name": "price_sum", "family": "sum",
+        |     "column": "o_totalprice", "decimal": true,
+        |     "presentDouble": true},
+        |    {"name": "n_orders", "family": "count"}
+        |  ],
+        |  "segmentCol": "o_orderdate",
+        |  "segments": [
+        |    {"name": "h1", "start": "1992-01-01", "end": "1996-01-01"},
+        |    {"name": "h2", "start": "1996-01-01", "end": "2003-01-01"}]
+        |}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft-tool-rf")
+    val f = dir.resolve("tool_rf.json")
+    java.nio.file.Files.write(f, doc.getBytes("UTF-8"))
+    (srcDir, f.toString)
+  }
+
+  /** double o_totalprice for orders on/after `fromDay` — the
+    * "yesterday's source files were fixed" event a refresh answers */
+  private def correctSource(srcDir: String, fromDay: String): Unit = {
+    val path = s"$srcDir/orders.parquet"
+    val fixed = spark.read.parquet(path)
+      .withColumn("o_totalprice",
+        when(col("o_orderdate").cast("string") >= fromDay,
+          col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+    fixed.write.mode("overwrite").parquet(s"$srcDir/orders_fix.parquet")
+    // the copied source is a single file; the corrected one is a
+    // parquet dir at the same path — Spark reads either form
+    org.apache.commons.io.FileUtils.forceDelete(new java.io.File(path))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(s"$srcDir/orders_fix.parquet"),
+      new java.io.File(path))
+  }
+
+  private def partMtimes(dir: java.io.File): Map[String, Long] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified).toMap
+
+  test("refresh rebuilds ONE segment from corrected source through " +
+      "the CLI: untouched segments keep their parquet verbatim, the " +
+      "swapped segment serves the corrected answers") {
+    val (srcDir, defFile) = refreshFixture()
+    val spec = CubeJson.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(defFile)), "UTF-8"))
+    val inst0 = CubeManager.ensureDeclared(spark, srcDir, spec)
+    val truthBefore = Tables.orders(spark, srcDir)
+      .groupBy("o_orderstatus")
+      .agg(sum(col("o_totalprice").cast("double"))).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+
+    correctSource(srcDir, "1996-01-01")
+    // the cube does NOT chase source edits (drift is about the cube's
+    // own meta) — the routed answer is stale until an operator acts
+    CubeJson.registerJson(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(defFile)), "UTF-8"))
+    GraftSql.registerViews(spark, srcDir)
+    def routed(): Map[String, Double] = {
+      val r = GraftSql.sqlVia(spark, srcDir,
+        """SELECT o_orderstatus, sum(o_totalprice) AS price_sum
+          |FROM graft_tool_rf GROUP BY o_orderstatus""".stripMargin)
+      assert(r.routed && r.via == "cuboid", s"got ${r.via}")
+      r.df.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    }
+    def approxEq(a: Map[String, Double], b: Map[String, Double]) =
+      a.keySet == b.keySet && a.forall { case (k, v) =>
+        math.abs(v - b(k)) <= 1e-6 * math.max(1.0, math.abs(b(k))) }
+    assert(approxEq(routed(), truthBefore),
+      "before the refresh the cube serves the as-built answers")
+
+    val h1 = new java.io.File(s"${inst0.root}/tool_rf/h1/" +
+      s"cuboid=${inst0.cube.cuboidId(inst0.cube.dims.toSet)}")
+    val h1Before = partMtimes(h1)
+    assert(h1Before.nonEmpty)
+    Thread.sleep(1100) // mtime resolution guard
+
+    // an unknown segment refuses with the available names
+    val (uc, _) = runTool("refresh", srcDir, "--def", defFile,
+      "--segment", "nope")
+    assert(uc == 1)
+
+    val (rc, rout) = runTool("refresh", srcDir, "--def", defFile,
+      "--segment", "h2")
+    assert(rc == 0 && rout.head == "refreshed h2 segments=h1,h2",
+      rout.mkString("\n"))
+    val truthAfter = Tables.orders(spark, srcDir)
+      .groupBy("o_orderstatus")
+      .agg(sum(col("o_totalprice").cast("double"))).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(!approxEq(truthAfter, truthBefore),
+      "the correction must actually change the truth")
+    assert(approxEq(routed(), truthAfter),
+      "after the refresh the cube serves the corrected answers")
+    assert(partMtimes(h1) == h1Before,
+      "h1's parquet must not be rewritten by an h2 refresh")
+  }
+
+  test("a crashed refresh RESUMES: staged cuboids committed before " +
+      "the crash are not rewritten, the swap + meta commit complete") {
+    val (srcDir, defFile) = refreshFixture()
+    val spec = CubeJson.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(defFile)), "UTF-8"))
+    val inst0 = CubeManager.ensureDeclared(spark, srcDir, spec)
+    correctSource(srcDir, "1996-01-01")
+
+    // kill the refresh after ONE staged cuboid write commits
+    CubeBuilder.failAfterCuboidWrites.set(1)
+    val crashed = try runTool("refresh", srcDir, "--def", defFile,
+        "--segment", "h2")._1
+      finally CubeBuilder.failAfterCuboidWrites
+        .set(CubeBuilder.DisarmedFailure)
+    assert(crashed == 1, "the injected crash must surface as exit 1")
+
+    val cubeDir = new java.io.File(s"${inst0.root}/tool_rf")
+    val stagedDir = new java.io.File(cubeDir, "h2.refreshing")
+    assert(new java.io.File(cubeDir, BuildJob.RefreshJobFile).exists,
+      "the refresh attempt must persist across the crash")
+    val committed = Option(stagedDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory &&
+        new java.io.File(d, BuildJob.CuboidMarker).exists)
+    assert(committed.size == 1, s"got ${committed.map(_.getName).toSeq}")
+    val before = committed.map(d => d.getName -> partMtimes(d)).toMap
+    assert(before.values.forall(_.nonEmpty))
+    // the live segment still serves while the staging sits crashed
+    assert(CubeMeta.load(spark, CubeJson.toCubeDef(spec), inst0.root)
+      .nonEmpty, "a crashed refresh must never unpublish the cube")
+    Thread.sleep(1100) // mtime resolution guard
+
+    val (rc, rout) = runTool("refresh", srcDir, "--def", defFile,
+      "--segment", "h2")
+    assert(rc == 0 && rout.head == "refreshed h2 segments=h1,h2",
+      rout.mkString("\n"))
+    // the committed staged dir rode the swap into the live segment
+    // with its data files verbatim — the resume never rewrote it
+    before.foreach { case (name, mt) =>
+      assert(partMtimes(new java.io.File(
+        new java.io.File(cubeDir, "h2"), name)) == mt,
+        s"staged $name must survive the resume + swap unrewritten")
+    }
+    assert(!stagedDir.exists, "the staging dir must swap away")
+    assert(!new java.io.File(cubeDir, BuildJob.RefreshJobFile).exists,
+      "a completed refresh must clear its attempt state")
+    // and the refreshed cube answers the corrected truth
+    CubeJson.registerJson(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(defFile)), "UTF-8"))
+    GraftSql.registerViews(spark, srcDir)
+    val r = GraftSql.sqlVia(spark, srcDir,
+      """SELECT sum(o_totalprice) AS price_sum
+        |FROM graft_tool_rf""".stripMargin)
+    assert(r.routed, "the refreshed cube must route")
+    val got = r.df.collect().head.getDouble(0)
+    val want = Tables.orders(spark, srcDir)
+      .agg(sum(col("o_totalprice").cast("double"))).collect()
+      .head.getDouble(0)
+    assert(math.abs(got - want) <= 1e-6 * math.abs(want))
+  }
+
   test("failures surface as exit 1 with the underlying refusal") {
     val (c1, _) = runTool("restore",
       java.nio.file.Files.createTempDirectory("graft-tool-x").toString,
