@@ -31,6 +31,10 @@ import org.apache.spark.sql.SparkSession
   *                            [--overwrite]
   * runMain graft.cube.GraftTool append    <sfDir> --def f [--member n]
   *                            --segment name,start,end
+  * runMain graft.cube.GraftTool refresh   <sfDir> --def f [--member n]
+  *                            --segment name
+  * runMain graft.cube.GraftTool snapshot  <sfDir> --def f [--member n]
+  *                            --lookup table
   * runMain graft.cube.GraftTool replan    <sfDir> --def f [--member n]
   *                            (--budget N | --expansion-rate R)
   *                            [--log dir]
@@ -75,7 +79,7 @@ object GraftTool {
     var i = 0
     val valueFlags = Set("--cube", "--def", "--cubes", "--grace-ms",
       "--keep-backups", "--segment", "--member", "--budget", "--log",
-      "--expansion-rate")
+      "--expansion-rate", "--lookup")
     while (i < args.length) {
       val a = args(i)
       if (valueFlags(a)) {
@@ -347,6 +351,50 @@ object GraftTool {
           }
           out(s"refreshed $segName segments=" +
             next.cube.segments.map(_.name).mkString(","))
+          0
+
+        case "snapshot" =>
+          // rebuild a derived-dim lookup's SNAPSHOT from corrected
+          // source (reference: SnapshotManager.rebuildSnapshot — the
+          // refresh-lookup-snapshot action): snapshots are frozen
+          // write-once at build time, so a corrected dimension table
+          // never reaches derived-dim answers until an operator acts
+          val Seq(sfDir) = p.positional
+          val doc = p.flags.get("--def").map(readDoc).getOrElse(
+            throw new IllegalArgumentException(
+              "snapshot needs --def <file> (a declared cube document)"))
+          val spec = doc.memberSpec(p)
+          val lookup = p.flags.getOrElse("--lookup",
+            throw new IllegalArgumentException(
+              "snapshot needs --lookup <table> (a snapshotted lookup)"))
+          doc.register()
+          val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
+          // the default '_building' lease serializes the swap against
+          // builds (which read snapshots via ensure) and makes the
+          // closing meta commit safe; LOAD-ONLY re-read as everywhere
+          BuildLease.withLease(spark, inst.root,
+              spec.name)(Option.empty[Unit]) {
+            val fresh = CubeMeta.load(spark, CubeJson.toCubeDef(spec),
+                inst.root).map(_.inst).getOrElse(
+              throw new IllegalStateException(
+                s"snapshot refused: the committed meta for " +
+                  s"'${spec.name}' disappeared or drifted while the " +
+                  "build lease was held — rebuild the cube and retry"))
+            val snapped = spec.derived.map(_.lookup).distinct
+            if (!snapped.contains(lookup))
+              throw new IllegalArgumentException(
+                s"'$lookup' has no snapshot under '${spec.name}' — " +
+                  (if (snapped.isEmpty) "no derived dims declare one"
+                   else s"snapshotted lookups: ${snapped.mkString(", ")}"))
+            Snapshot.rebuild(spark, graft.Tables.tbl(spark, sfDir, lookup),
+              fresh.root, lookup)
+            // commit meta LAST (fresh buildId): serving joins the new
+            // snapshot on its next scan anyway, but BOTH result-cache
+            // tiers key on the meta stamp and would replay
+            // pre-correction answers forever without the flip
+            CubeMeta.save(spark, fresh): Unit
+          }
+          out(s"snapshot $lookup rebuilt for ${spec.name}")
           0
 
         case "replan" =>

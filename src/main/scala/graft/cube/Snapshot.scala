@@ -52,4 +52,30 @@ object Snapshot {
     }
     spark.read.parquet(p.toString)
   }
+
+  /** Rebuild `name`'s snapshot from the current `df` (reference:
+    * core-dictionary dict/lookup/SnapshotManager.java:153
+    * `rebuildSnapshot` + core-cube CubeManager.java:1144
+    * `buildSnapshotTable` — Kylin's refresh-lookup-snapshot action):
+    * freeze the corrected lookup beside the live snapshot and swap
+    * whole, so every derived-dim join — queries AND later segment
+    * builds — sees the corrected rows at once. [[ensure]] stays
+    * write-once; this is the operator's explicit correction path.
+    * Callers hold the cube's build lease and MUST commit meta
+    * afterwards: serving reads the snapshot per query (no reload
+    * needed), but cached RESULTS key on meta stamps and would serve
+    * pre-correction answers forever. Crash windows: during staging —
+    * live untouched; between delete and rename — the snapshot is
+    * missing, which the next build's ensure() rewrites and a
+    * mid-window derived-dim query fails loudly (never stale). */
+  def rebuild(spark: SparkSession, df: DataFrame, root: String,
+              name: String): Unit = {
+    val live = new Path(path(root, name))
+    val tmp = new Path(path(root, name) + ".rebuilding")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    markCommitted(fs, tmp)
+    fs.delete(live, true): Unit
+    fs.rename(tmp, live): Unit
+  }
 }

@@ -735,6 +735,84 @@ class GraftToolSpec extends AnyFunSuite {
     assert(math.abs(got - want) <= 1e-6 * math.abs(want))
   }
 
+  test("snapshot rebuild: a corrected lookup reaches derived-dim " +
+      "answers only after the operator's rebuild, which also flips " +
+      "the result caches") {
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-tool-snap-src").toString
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(sf), new java.io.File(srcDir))
+    val doc =
+      """{
+        |  "name": "snap_cube",
+        |  "model": {"fact": "customer", "edges": [
+        |    {"lookup": "nation", "via": "customer",
+        |     "lookupKey": "n_nationkey", "foreignKey": "c_nationkey"}],
+        |    "broadcast": ["nation"]},
+        |  "flatColumns": [
+        |    {"name": "c_mktsegment"},
+        |    {"name": "n_name"},
+        |    {"name": "d", "expr": "CAST('1995-06-01' AS TIMESTAMP)"}
+        |  ],
+        |  "dims": ["n_name"],
+        |  "derived": [
+        |    {"name": "n_regionkey", "host": "n_name", "lookup": "nation"}
+        |  ],
+        |  "measures": [{"name": "n_rows", "family": "count"}],
+        |  "segmentCol": "d",
+        |  "segments": [{"name": "all", "start": "1995-01-01",
+        |                "end": "1996-01-01"}]
+        |}""".stripMargin
+    val defFile = java.nio.file.Files
+      .createTempDirectory("graft-tool-snap").resolve("snap_cube.json")
+    java.nio.file.Files.write(defFile, doc.getBytes("UTF-8"))
+
+    CubeJson.registerJson(doc)
+    GraftSql.registerViews(spark, srcDir)
+    def routed(): Map[Long, Long] = {
+      // the derived dim is not a flat column, so SQL reaches it the
+      // way users write it: the model join, recognized and routed
+      val r = GraftSql.sqlVia(spark, srcDir,
+        """SELECT n_regionkey, count(*) AS n_rows
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_regionkey""".stripMargin)
+      assert(r.routed, "the derived-dim join shape must route")
+      r.df.collect().map(x => x.getAs[Number](0).longValue ->
+        x.getAs[Number](1).longValue).toMap
+    }
+    val before = routed()
+    assert(before.nonEmpty)
+
+    // "correct" the nation table: every region key shifts by 10
+    val nationPath = s"$srcDir/nation.parquet"
+    val fixed = spark.read.parquet(nationPath)
+      .withColumn("n_regionkey", col("n_regionkey") + lit(10))
+    fixed.write.mode("overwrite").parquet(s"$srcDir/nation_fix.parquet")
+    org.apache.commons.io.FileUtils.forceDelete(
+      new java.io.File(nationPath))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(s"$srcDir/nation_fix.parquet"),
+      new java.io.File(nationPath))
+
+    assert(routed() == before,
+      "snapshots freeze the lookup — a source edit must NOT leak " +
+        "into derived-dim answers on its own")
+
+    // a lookup without a snapshot refuses, naming the snapshotted set
+    val (wc, _) = runTool("snapshot", srcDir, "--def",
+      defFile.toString, "--lookup", "region")
+    assert(wc == 1, "a non-snapshotted lookup must refuse")
+
+    val (sc, sout) = runTool("snapshot", srcDir, "--def",
+      defFile.toString, "--lookup", "nation")
+    assert(sc == 0 && sout.head == "snapshot nation rebuilt for " +
+      "snap_cube", sout.mkString("\n"))
+    val want = before.map { case (k, v) => (k + 10) -> v }
+    assert(routed() == want,
+      "after the rebuild every derived-dim answer joins the " +
+        "corrected snapshot — including through the result caches")
+  }
+
   test("failures surface as exit 1 with the underlying refusal") {
     val (c1, _) = runTool("restore",
       java.nio.file.Files.createTempDirectory("graft-tool-x").toString,
