@@ -213,12 +213,21 @@ object CubeBuilder {
     * replacement aside and swaps, leaving every other segment's
     * parquet untouched). STAGED, not in-place: the rebuild lands under
     * `<seg>.refreshing` while the live segment keeps serving; only a
-    * completed rebuild swaps in. Crash windows: during staging — live
-    * untouched, stale staging dir is garbage; between delete and
-    * rename — the live dir is missing, which the next metadata load's
-    * base-cuboid spot-check catches (miss ⇒ rebuild); after rename
-    * before the meta commit — data is new, row-count ESTIMATES are
-    * stale, which only skews cuboid choice, never answers.
+    * completed rebuild swaps in — live renamed ASIDE, staging renamed
+    * in, retired copy deleted last. Both renames are CHECKED (Hadoop
+    * reports most failures as a boolean; unchecked, a failed swap
+    * would commit meta for a segment whose dir vanished — every later
+    * query pays a FULL rebuild while the operator reads success) and
+    * a failed landing restores the retired dir, so the cube never
+    * unpublishes on a reported success. Crash windows: during
+    * staging — live untouched, stale staging dir is garbage; between
+    * the two renames — the live dir is missing but `<seg>.retired`
+    * holds it whole, and the next metadata load's base-cuboid
+    * spot-check catches it (miss ⇒ rebuild; a concurrent reader in
+    * this metadata-sized window fails transiently, same as a drift
+    * rebuild's overwrite); after the swap before the meta commit —
+    * data is new, row-count ESTIMATES are stale, which only skews
+    * cuboid choice, never answers.
     *
     * STEP-RESUMABLE like [[build]]: the refresh ATTEMPT — identified
     * by the def fingerprint and the refreshed segment's range — marks
@@ -241,9 +250,20 @@ object CubeBuilder {
       buildSegment(spark, flat, inst.cube, inst.root, staged, Some(job))
     val live = new Path(s"${inst.root}/${inst.cube.name}/${seg.name}")
     val tmp = new Path(s"${inst.root}/${inst.cube.name}/${staged.name}")
+    val retired =
+      new Path(s"${inst.root}/${inst.cube.name}/${seg.name}.retired")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(live, true)
-    fs.rename(tmp, live)
+    fs.delete(retired, true) // a crashed prior swap's leftover
+    if (fs.exists(live) && !fs.rename(live, retired))
+      throw new IllegalStateException(
+        s"refresh swap failed: could not retire $live")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(retired, live) // restore — the segment stays live
+      throw new IllegalStateException(
+        s"refresh swap failed: could not land $tmp at $live — the " +
+          "previous segment was restored")
+    }
+    fs.delete(retired, true): Unit
     val rows = stagedRows.map { case ((_, id), n) => (seg.name, id) -> n }
     val next = CubeInstance(inst.cube, inst.root, inst.rows ++ rows,
       inst.extraCuboids)

@@ -159,6 +159,29 @@ object GraftTool {
         "need --cube <name> or --def <file>")
     }
 
+  /** The lifecycle subcommands' shared serialization contract
+    * (append/refresh/snapshot): the cube's DEFAULT '_building' lease
+    * (so the op never races a first-touch/drift rebuild, another
+    * lifecycle op, or a replan of the same cube), a LOAD-ONLY re-read
+    * of the committed base under the lease (never nested
+    * ensureDeclared — its miss-path build would re-acquire the very
+    * lease we hold, and BuildLease is not reentrant: a nested acquire
+    * self-deadlocks forever against our own heartbeat), and a loud
+    * refusal when the meta drifted away mid-wait rather than acting
+    * on a base that no longer exists. */
+  private def withCommittedBase[T](spark: SparkSession, root: String,
+      spec: CubeJson.JsonCube, what: String)(
+      body: CubeInstance => T): T =
+    BuildLease.withLease(spark, root, spec.name)(Option.empty[T]) {
+      val fresh = CubeMeta.load(spark, CubeJson.toCubeDef(spec), root)
+        .map(_.inst).getOrElse(throw new IllegalStateException(
+          s"$what refused: the committed meta for '${spec.name}' " +
+            "disappeared or drifted while the build lease was held — " +
+            s"rebuild the cube (any query or 'policies' run) and " +
+            s"retry the $what"))
+      body(fresh)
+    }
+
   /** Dispatch one subcommand. Returns the exit code; prints results
     * through `out` (stdout in main, capturable in specs). */
   def run(spark: SparkSession, args: Seq[String],
@@ -263,34 +286,15 @@ object GraftTool {
           doc.register() // whole document: a group member's append
                          // keeps routing coherent with the deployment
           val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
-          // appends serialize under the cube's DEFAULT build lease
-          // ('_building' — the same file first-touch/drift rebuilds in
-          // CubeManager.ensureFresh take, ADVICE r15: a dedicated
-          // append lease would let an append race a concurrent rebuild
-          // of the same declared cube, last-writer-wins on the meta
-          // commit orphaning one side's work). Two concurrent appends
-          // would likewise both pass the overlap check against the
-          // same base and race the commit. Under the lease, the base
-          // is re-read LOAD-ONLY so a waiter appends onto the winner's
-          // committed list — never through ensureDeclared, whose
-          // miss-path build would re-acquire the very lease we hold
-          // (BuildLease is not reentrant, and our own heartbeat keeps
-          // it alive: a nested acquire self-deadlocks forever). A
-          // load miss under the held lease means a foreign process
-          // drifted/uncommitted the meta mid-append — refuse loudly
-          // rather than append onto a base that no longer exists.
+          // serialization via withCommittedBase (ADVICE r15: two
+          // concurrent appends would both pass the overlap check
+          // against the same base and race the commit; an append
+          // racing a rebuild would last-writer-win the meta).
           // The dictionary encode mirrors the initial declared build
           // (skipping it would build the new segment's bitmap states
           // over raw values, diverging from every other segment).
-          val next = BuildLease.withLease(spark, inst.root,
-              spec.name)(Option.empty[CubeInstance]) {
-            val fresh = CubeMeta.load(spark, CubeJson.toCubeDef(spec),
-                inst.root).map(_.inst).getOrElse(
-              throw new IllegalStateException(
-                s"append refused: the committed meta for " +
-                  s"'${spec.name}' disappeared or drifted while the " +
-                  "build lease was held — rebuild the cube (any " +
-                  "query or 'policies' run) and retry the append"))
+          val next = withCommittedBase(spark, inst.root, spec,
+              "append") { fresh =>
             val flat0 = CubeJson.flatBuilder(spec, Some(fresh.root))(
               spark, sfDir)
             val flat = spec.dictColumns.foldLeft(flat0)((f, c) =>
@@ -319,21 +323,8 @@ object GraftTool {
               "refresh needs --segment <name> (an existing segment)"))
           doc.register() // keep routing coherent with the deployment
           val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
-          // same serialization contract as append: the DEFAULT
-          // '_building' lease (so a refresh never races a first-touch/
-          // drift rebuild, an append, or a replan of the same cube),
-          // a LOAD-ONLY re-read of the committed base under the lease
-          // (never nested ensureDeclared — self-deadlock), and a loud
-          // refusal when the meta drifted away mid-wait
-          val next = BuildLease.withLease(spark, inst.root,
-              spec.name)(Option.empty[CubeInstance]) {
-            val fresh = CubeMeta.load(spark, CubeJson.toCubeDef(spec),
-                inst.root).map(_.inst).getOrElse(
-              throw new IllegalStateException(
-                s"refresh refused: the committed meta for " +
-                  s"'${spec.name}' disappeared or drifted while the " +
-                  "build lease was held — rebuild the cube (any " +
-                  "query or 'policies' run) and retry the refresh"))
+          val next = withCommittedBase(spark, inst.root, spec,
+              "refresh") { fresh =>
             if (!fresh.cube.segments.exists(_.name == segName))
               throw new IllegalArgumentException(
                 s"no segment '$segName' in '${spec.name}' — have " +
@@ -363,38 +354,49 @@ object GraftTool {
           val doc = p.flags.get("--def").map(readDoc).getOrElse(
             throw new IllegalArgumentException(
               "snapshot needs --def <file> (a declared cube document)"))
-          val spec = doc.memberSpec(p)
           val lookup = p.flags.getOrElse("--lookup",
             throw new IllegalArgumentException(
               "snapshot needs --lookup <table> (a snapshotted lookup)"))
-          doc.register()
-          val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
-          // the default '_building' lease serializes the swap against
-          // builds (which read snapshots via ensure) and makes the
-          // closing meta commit safe; LOAD-ONLY re-read as everywhere
-          BuildLease.withLease(spark, inst.root,
-              spec.name)(Option.empty[Unit]) {
-            val fresh = CubeMeta.load(spark, CubeJson.toCubeDef(spec),
-                inst.root).map(_.inst).getOrElse(
-              throw new IllegalStateException(
-                s"snapshot refused: the committed meta for " +
-                  s"'${spec.name}' disappeared or drifted while the " +
-                  "build lease was held — rebuild the cube and retry"))
-            val snapped = spec.derived.map(_.lookup).distinct
-            if (!snapped.contains(lookup))
-              throw new IllegalArgumentException(
-                s"'$lookup' has no snapshot under '${spec.name}' — " +
-                  (if (snapped.isEmpty) "no derived dims declare one"
-                   else s"snapshotted lookups: ${snapped.mkString(", ")}"))
-            Snapshot.rebuild(spark, graft.Tables.tbl(spark, sfDir, lookup),
-              fresh.root, lookup)
-            // commit meta LAST (fresh buildId): serving joins the new
-            // snapshot on its next scan anyway, but BOTH result-cache
-            // tiers key on the meta stamp and would replay
-            // pre-correction answers forever without the flip
-            CubeMeta.save(spark, fresh): Unit
+          // a correction event concerns EVERY member that snapshots
+          // the lookup (each member has its own root, hence its own
+          // frozen copy): default to the 'policies' sweep semantics —
+          // fixing one member of a group while its siblings keep
+          // serving the stale rows would be a silent half-correction.
+          // --member still narrows to one. Validation is pure spec
+          // data, so it runs BEFORE anything registers or builds —
+          // a typo'd lookup on an unbuilt cube must refuse instead of
+          // paying the full first-touch build (append's precedent).
+          val candidates = p.flags.get("--member") match {
+            case Some(_) => Seq(doc.memberSpec(p))
+            case None => doc.allSpecs
           }
-          out(s"snapshot $lookup rebuilt for ${spec.name}")
+          val targets =
+            candidates.filter(_.derived.exists(_.lookup == lookup))
+          if (targets.isEmpty) {
+            val snapped =
+              candidates.flatMap(_.derived.map(_.lookup)).distinct
+            throw new IllegalArgumentException(
+              s"'$lookup' has no snapshot under " +
+                s"${candidates.map(_.name).mkString(", ")} — " +
+                (if (snapped.isEmpty) "no derived dims declare one"
+                 else s"snapshotted lookups: ${snapped.mkString(", ")}"))
+          }
+          doc.register()
+          targets.foreach { spec =>
+            val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
+            withCommittedBase(spark, inst.root, spec,
+                "snapshot") { fresh =>
+              Snapshot.rebuild(spark,
+                graft.Tables.tbl(spark, sfDir, lookup),
+                fresh.root, lookup)
+              // commit meta LAST (fresh buildId): serving joins the
+              // new snapshot on its next scan anyway, but BOTH
+              // result-cache tiers key on the meta stamp and would
+              // replay pre-correction answers forever without the flip
+              CubeMeta.save(spark, fresh): Unit
+            }
+            out(s"snapshot $lookup rebuilt for ${spec.name}")
+          }
           0
 
         case "replan" =>

@@ -64,18 +64,36 @@ object Snapshot {
     * Callers hold the cube's build lease and MUST commit meta
     * afterwards: serving reads the snapshot per query (no reload
     * needed), but cached RESULTS key on meta stamps and would serve
-    * pre-correction answers forever. Crash windows: during staging —
-    * live untouched; between delete and rename — the snapshot is
-    * missing, which the next build's ensure() rewrites and a
-    * mid-window derived-dim query fails loudly (never stale). */
+    * pre-correction answers forever. The swap renames the live
+    * snapshot ASIDE instead of deleting it: the reader-failure window
+    * shrinks to two metadata-only renames (a delete is O(files) on an
+    * object store), every rename is CHECKED (Hadoop reports most
+    * failures as a boolean — unchecked, a failed swap would commit a
+    * fresh buildId claiming the correction landed while the snapshot
+    * is missing), and a failed landing restores the retired copy so
+    * the cube never unpublishes on a reported success. Crash windows:
+    * during staging — live untouched; between the two renames — the
+    * snapshot is missing but the `.retired` dir holds it whole, and
+    * the next build's ensure() rewrites while a mid-window derived-dim
+    * query fails loudly (never stale). */
   def rebuild(spark: SparkSession, df: DataFrame, root: String,
               name: String): Unit = {
     val live = new Path(path(root, name))
     val tmp = new Path(path(root, name) + ".rebuilding")
+    val retired = new Path(path(root, name) + ".retired")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     df.write.mode("overwrite").parquet(tmp.toString)
     markCommitted(fs, tmp)
-    fs.delete(live, true): Unit
-    fs.rename(tmp, live): Unit
+    fs.delete(retired, true) // a crashed prior swap's leftover
+    if (fs.exists(live) && !fs.rename(live, retired))
+      throw new IllegalStateException(
+        s"snapshot swap failed: could not retire $live")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(retired, live) // restore — the cube stays published
+      throw new IllegalStateException(
+        s"snapshot swap failed: could not land $tmp at $live — the " +
+          "previous snapshot was restored")
+    }
+    fs.delete(retired, true): Unit
   }
 }

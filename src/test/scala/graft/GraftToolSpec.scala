@@ -595,22 +595,28 @@ class GraftToolSpec extends AnyFunSuite {
     (srcDir, f.toString)
   }
 
-  /** double o_totalprice for orders on/after `fromDay` — the
-    * "yesterday's source files were fixed" event a refresh answers */
-  private def correctSource(srcDir: String, fromDay: String): Unit = {
-    val path = s"$srcDir/orders.parquet"
-    val fixed = spark.read.parquet(path)
-      .withColumn("o_totalprice",
-        when(col("o_orderdate").cast("string") >= fromDay,
-          col("o_totalprice") * 2).otherwise(col("o_totalprice")))
-    fixed.write.mode("overwrite").parquet(s"$srcDir/orders_fix.parquet")
+  /** rewrite one source table in place through `transform` — the
+    * "yesterday's source files were fixed" event refresh/snapshot
+    * answer */
+  private def correctTable(srcDir: String, table: String)(
+      transform: org.apache.spark.sql.DataFrame
+        => org.apache.spark.sql.DataFrame): Unit = {
+    val path = s"$srcDir/$table.parquet"
+    transform(spark.read.parquet(path))
+      .write.mode("overwrite").parquet(s"$srcDir/${table}_fix.parquet")
     // the copied source is a single file; the corrected one is a
     // parquet dir at the same path — Spark reads either form
     org.apache.commons.io.FileUtils.forceDelete(new java.io.File(path))
     org.apache.commons.io.FileUtils.moveDirectory(
-      new java.io.File(s"$srcDir/orders_fix.parquet"),
+      new java.io.File(s"$srcDir/${table}_fix.parquet"),
       new java.io.File(path))
   }
+
+  /** double o_totalprice for orders on/after `fromDay` */
+  private def correctSource(srcDir: String, fromDay: String): Unit =
+    correctTable(srcDir, "orders")(_.withColumn("o_totalprice",
+      when(col("o_orderdate").cast("string") >= fromDay,
+        col("o_totalprice") * 2).otherwise(col("o_totalprice"))))
 
   private def partMtimes(dir: java.io.File): Map[String, Long] =
     Option(dir.listFiles()).getOrElse(Array.empty)
@@ -784,15 +790,8 @@ class GraftToolSpec extends AnyFunSuite {
     assert(before.nonEmpty)
 
     // "correct" the nation table: every region key shifts by 10
-    val nationPath = s"$srcDir/nation.parquet"
-    val fixed = spark.read.parquet(nationPath)
-      .withColumn("n_regionkey", col("n_regionkey") + lit(10))
-    fixed.write.mode("overwrite").parquet(s"$srcDir/nation_fix.parquet")
-    org.apache.commons.io.FileUtils.forceDelete(
-      new java.io.File(nationPath))
-    org.apache.commons.io.FileUtils.moveDirectory(
-      new java.io.File(s"$srcDir/nation_fix.parquet"),
-      new java.io.File(nationPath))
+    correctTable(srcDir, "nation")(
+      _.withColumn("n_regionkey", col("n_regionkey") + lit(10)))
 
     assert(routed() == before,
       "snapshots freeze the lookup — a source edit must NOT leak " +
@@ -811,6 +810,73 @@ class GraftToolSpec extends AnyFunSuite {
     assert(routed() == want,
       "after the rebuild every derived-dim answer joins the " +
         "corrected snapshot — including through the result caches")
+  }
+
+  test("snapshot without --member sweeps every realization member " +
+      "that snapshots the lookup — one member fixed while siblings " +
+      "serve stale rows would be a silent half-correction") {
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-tool-snapg-src").toString
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(sf), new java.io.File(srcDir))
+    def member(name: String, dims: String) =
+      s"""{
+         |  "name": "$name",
+         |  "model": {"fact": "customer", "edges": [
+         |    {"lookup": "nation", "via": "customer",
+         |     "lookupKey": "n_nationkey", "foreignKey": "c_nationkey"}],
+         |    "broadcast": ["nation"]},
+         |  "flatColumns": [
+         |    {"name": "c_mktsegment"},
+         |    {"name": "n_name"},
+         |    {"name": "d", "expr": "CAST('1995-06-01' AS TIMESTAMP)"}
+         |  ],
+         |  "dims": [$dims],
+         |  "derived": [
+         |    {"name": "n_regionkey", "host": "n_name",
+         |     "lookup": "nation"}
+         |  ],
+         |  "measures": [{"name": "n_rows", "family": "count"}],
+         |  "segmentCol": "d",
+         |  "segments": [{"name": "all", "start": "1995-01-01",
+         |                "end": "1996-01-01"}]
+         |}""".stripMargin
+    val doc =
+      s"""{
+         |  "view": "graft_snap_grp",
+         |  "primary": ${member("snap_a", "\"n_name\"")},
+         |  "alternates": [
+         |    ${member("snap_b", "\"n_name\", \"c_mktsegment\"")}]
+         |}""".stripMargin
+    val defFile = java.nio.file.Files
+      .createTempDirectory("graft-tool-snapg").resolve("grp.json")
+    java.nio.file.Files.write(defFile, doc.getBytes("UTF-8"))
+
+    // build BOTH members against the as-shipped source, THEN correct
+    // it — the sweep below must be a pure swap, not a first-touch
+    // build that would see the corrected rows anyway
+    val specs = CubeJson.parseDoc(doc) match {
+      case Right(r) => Seq(r.primary) ++ r.alternates
+      case Left(_) => fail("expected a realization document")
+    }
+    specs.foreach(CubeManager.ensureDeclared(spark, srcDir, _))
+    correctTable(srcDir, "nation")(
+      _.withColumn("n_regionkey", col("n_regionkey") + lit(10)))
+
+    val (c, lines) = runTool("snapshot", srcDir, "--def",
+      defFile.toString, "--lookup", "nation")
+    assert(c == 0 && lines == Seq(
+      "snapshot nation rebuilt for snap_a",
+      "snapshot nation rebuilt for snap_b"), lines.mkString("\n"))
+    val sfName = srcDir.split('/').last
+    for (name <- Seq("snap_a", "snap_b")) {
+      val keys = spark.read.parquet(
+        s"${CubeManager.cubeRoot}/$sfName-$name/snapshots/nation")
+        .select("n_regionkey").collect()
+        .map(_.getAs[Number](0).longValue)
+      assert(keys.nonEmpty && keys.forall(_ >= 10),
+        s"$name's snapshot must hold the corrected keys")
+    }
   }
 
   test("failures surface as exit 1 with the underlying refusal") {
