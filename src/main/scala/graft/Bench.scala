@@ -179,6 +179,75 @@ object Bench {
       case ex: Exception => s"""{"error":"${ex.getClass.getSimpleName}"}"""
     }
 
+  /** the refresh probe (§2 row 35aa3): a two-segment declared cube —
+    * full build vs a ONE-segment refresh from source. The ratio is
+    * the lifecycle claim itself: a refresh costs the refreshed
+    * segment's rebuild, not the cube's. */
+  private def refreshReport(spark: SparkSession, sfDir: String): String =
+    try {
+      val doc =
+        """{
+          |  "name": "li_refresh_probe",
+          |  "model": {"fact": "lineitem"},
+          |  "flatColumns": [
+          |    {"name": "l_returnflag"},
+          |    {"name": "l_linestatus"},
+          |    {"name": "l_shipdate"},
+          |    {"name": "l_quantity"}
+          |  ],
+          |  "dims": ["l_returnflag", "l_linestatus"],
+          |  "cuboids": [["l_returnflag"], ["l_linestatus"]],
+          |  "measures": [
+          |    {"name": "qty_sum", "family": "sum",
+          |     "column": "l_quantity", "decimal": true,
+          |     "presentDouble": true},
+          |    {"name": "n_items", "family": "count"}
+          |  ],
+          |  "segmentCol": "l_shipdate",
+          |  "segments": [
+          |    {"name": "q1", "start": "1992-01-01", "end": "1993-10-01"},
+          |    {"name": "q2", "start": "1993-10-01", "end": "1995-07-01"},
+          |    {"name": "q3", "start": "1995-07-01", "end": "1997-04-01"},
+          |    {"name": "q4", "start": "1997-04-01", "end": "1999-01-01"}],
+          |  "segDayGranular": true
+          |}""".stripMargin
+      val spec = cube.CubeJson.parse(doc)
+      val sfName = sfDir.split('/').last
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+        s"${cube.CubeManager.cubeRoot}/$sfName-li_refresh_probe")): Unit
+      val tb = System.nanoTime()
+      val inst = cube.CubeManager.ensureDeclared(spark, sfDir, spec)
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      val flat = cube.CubeJson.flatBuilder(spec, Some(inst.root))(
+        spark, sfDir)
+      // the structural claim, not just the wall-clock one (an idle
+      // local[32] builds all four segments CONCURRENTLY, so build
+      // wall ≈ one segment's work; total WORK is what matters at
+      // cluster scale): record every cuboid dir's mtime, refresh one
+      // segment, count which dirs were rewritten.
+      def cuboidDirs(): Map[String, Long] = {
+        val base = new java.io.File(s"${inst.root}/${spec.name}")
+        Option(base.listFiles()).getOrElse(Array.empty)
+          .filter(_.isDirectory)
+          .flatMap(seg => Option(seg.listFiles()).getOrElse(Array.empty)
+            .filter(d => d.isDirectory && d.getName.startsWith("cuboid=")))
+          .map(d => d.getPath -> d.lastModified()).toMap
+      }
+      val before = cuboidDirs()
+      val t0 = System.nanoTime()
+      cube.CubeBuilder.refreshSegment(spark, inst, flat, "q2"): Unit
+      val refreshSec = (System.nanoTime() - t0) / 1e9
+      val after = cuboidDirs()
+      val preserved = before.count { case (p, m) => after.get(p).contains(m) }
+      f"""{"build_sec":$buildSec%.2f,"refresh_sec":$refreshSec%.2f,""" +
+        s""""segments":${inst.cube.segments.size},""" +
+        s""""cuboid_dirs":${after.size},""" +
+        s""""dirs_rewritten":${after.size - preserved},""" +
+        s""""dirs_preserved":$preserved}"""
+    } catch {
+      case ex: Exception => s"""{"error":"${ex.getClass.getSimpleName}"}"""
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -273,8 +342,9 @@ object Bench {
     val cacheReport = resultCacheReport(spark, sfDir)
     val fleetReport = fleetCacheReport(spark, sfDir)
     val replanJson = replanReport(spark, sfDir)
+    val refreshJson = refreshReport(spark, sfDir)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_pass":$qsFirst,"load_avg":$loadJson,"retried":$retriedJson,"cube_build_sec":$cubeBuildSec,"build_phases":$phases,"planner":$planner,"result_cache":$cacheReport,"fleet_cache":$fleetReport,"replan":$replanJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_pass":$qsFirst,"load_avg":$loadJson,"retried":$retriedJson,"cube_build_sec":$cubeBuildSec,"build_phases":$phases,"planner":$planner,"result_cache":$cacheReport,"fleet_cache":$fleetReport,"replan":$replanJson,"refresh":$refreshJson,"sf":"$sfDir"}"""
     println(json)
     // also persist the full map: the driver's stdout tail truncated in
     // round 5 and lost the fast keys from round-over-round comparison.
