@@ -18,7 +18,14 @@ final case class CubeInstance(
       * routing/building, but excluded from the metadata fingerprint —
       * lattice evolution must not read as a CubeDef drift that forces
       * a rebuild */
-    extraCuboids: Seq[Set[String]] = Nil) {
+    extraCuboids: Seq[Set[String]] = Nil,
+    /** (segmentName, dim) → observed value range, collected from each
+      * segment's base cuboid at build/append/refresh and consulted by
+      * QueryRouter.plan to prune segments on NON-time filters
+      * (reference: DimensionRangeInfo.java per-segment min/max +
+      * SegmentPruner.java). Metadata like extraCuboids — outside the
+      * fingerprint; an absent entry means "unknown, scan". */
+    dimRanges: Map[(String, String), DimRanges.DimRange] = Map.empty) {
 
   def cuboidPath(seg: String, id: Long): String =
     s"$root/${cube.name}/$seg/cuboid=$id"
@@ -109,7 +116,13 @@ object CubeBuilder {
     val rows = awaitAll(cube.segments.map(seg =>
       () => buildSegment(spark, flat, cube, root, seg, Some(job))))
       .reduce(_ ++ _)
-    val inst = CubeInstance(cube, root, rows)
+    val built = CubeInstance(cube, root, rows)
+    // dim-range collection rides the build (reference:
+    // UpdateCubeInfoAfterBuildStep.java) — one min/max agg per
+    // segment over the just-committed base cuboid, metadata-scale
+    // next to the build itself
+    val inst = built.copy(
+      dimRanges = DimRanges.collect(spark, built, cube.segments))
     // metadata commit LAST: a crashed build never publishes a partial
     // cube; a restarted process loads this instead of rebuilding
     CubeMeta.save(spark, inst)
@@ -201,9 +214,11 @@ object CubeBuilder {
       s"segment ${seg.name} [${seg.start},${seg.end}) overlaps an existing segment")
     val rows = buildSegment(spark, flat, inst.cube, inst.root, seg)
     val segs = (inst.cube.segments :+ seg).sortBy(_.start)
-    val next =
+    val next0 =
       CubeInstance(inst.cube.copy(segments = segs), inst.root,
-        inst.rows ++ rows, inst.extraCuboids)
+        inst.rows ++ rows, inst.extraCuboids, inst.dimRanges)
+    val next = next0.copy(dimRanges =
+      next0.dimRanges ++ DimRanges.collect(spark, next0, Seq(seg)))
     CubeMeta.save(spark, next) // the appended segment list is the new truth
     next
   }
@@ -265,8 +280,12 @@ object CubeBuilder {
     }
     fs.delete(retired, true): Unit
     val rows = stagedRows.map { case ((_, id), n) => (seg.name, id) -> n }
-    val next = CubeInstance(inst.cube, inst.root, inst.rows ++ rows,
-      inst.extraCuboids)
+    val next0 = CubeInstance(inst.cube, inst.root, inst.rows ++ rows,
+      inst.extraCuboids,
+      // the refreshed segment's old ranges describe the REPLACED data
+      inst.dimRanges.filterNot { case ((s, _), _) => s == seg.name })
+    val next = next0.copy(dimRanges =
+      next0.dimRanges ++ DimRanges.collect(spark, next0, Seq(seg)))
     CubeMeta.save(spark, next)
     BuildJob.finish(spark, job)
     next
@@ -345,9 +364,20 @@ object CubeBuilder {
     val kept = cube.segments.filterNot(run.contains)
     val keptRows = inst.rows.filter { case ((seg, _), _) =>
       !run.exists(_.name == seg) }
+    // merged ranges = union of the run members' (reference:
+    // DimensionRangeInfo.mergeRangeMap:39) — no rescan; a dim any
+    // member lacks stays unknown in the merged segment
+    val runMaps = run.map(s => inst.dimRanges.collect {
+      case ((seg, d), r) if seg == s.name => d -> r })
+    val mergedRanges = runMaps.reduceOption(DimRanges.merge)
+      .getOrElse(Map.empty)
+      .map { case (d, r) => (merged.name, d) -> r }
+    val keptRanges = inst.dimRanges.filter { case ((seg, _), _) =>
+      !run.exists(_.name == seg) }
     CubeInstance(
       cube.copy(segments = (kept :+ merged).sortBy(_.start)),
-      inst.root, keptRows ++ rows, inst.extraCuboids)
+      inst.root, keptRows ++ rows, inst.extraCuboids,
+      keptRanges ++ mergedRanges)
   }
 
   /** Retention policy (reference: CubeDesc.retentionRange +
@@ -371,7 +401,9 @@ object CubeBuilder {
       val keptRows = inst.rows.filter { case ((seg, _), _) =>
         !dropped.exists(_.name == seg) }
       val next = CubeInstance(inst.cube.copy(segments = kept), inst.root,
-        keptRows, inst.extraCuboids)
+        keptRows, inst.extraCuboids,
+        inst.dimRanges.filter { case ((seg, _), _) =>
+          !dropped.exists(_.name == seg) })
       CubeMeta.save(spark, next) // publish the shrunken list first…
       val fs = new Path(inst.root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -438,7 +470,7 @@ object CubeBuilder {
     }))
     segRows.foreach(rows ++= _)
     val next = CubeInstance(cube.copy(cuboids = cube.cuboids ++ fresh),
-      inst.root, rows, inst.extraCuboids ++ fresh)
+      inst.root, rows, inst.extraCuboids ++ fresh, inst.dimRanges)
     CubeMeta.save(spark, next) // commit the widened lattice LAST
     next
   }

@@ -44,7 +44,16 @@ object CubeMeta {
       /** post-build lattice evolution (optimizeCuboids): dim-name
         * lists of the added cuboids, OUTSIDE the fingerprint — a
         * metadata fact, not part of the declared CubeDef */
-      extraCuboids: Option[Seq[Seq[String]]] = None)
+      extraCuboids: Option[Seq[Seq[String]]] = None,
+      /** per-(segment, dim) observed value ranges for query-time
+        * segment pruning (reference: CubeSegment's dimension_range_
+        * info_map, DimensionRangeInfo.java). Outside the fingerprint
+        * like extraCuboids — observed data facts, not declaration;
+        * absent on metas written before the feature (⇒ no pruning) */
+      dimRanges: Option[Seq[DimRangeJson]] = None)
+
+  private final case class DimRangeJson(segment: String, dim: String,
+      dt: String, min: Option[String], max: Option[String])
 
   private implicit val fmts: DefaultFormats = DefaultFormats
 
@@ -92,7 +101,13 @@ object CubeMeta {
         .map { case ((seg, id), n) => RowJson(seg, id, n) },
       extraCuboids =
         if (inst.extraCuboids.isEmpty) None
-        else Some(inst.extraCuboids.map(_.toSeq.sorted)))
+        else Some(inst.extraCuboids.map(_.toSeq.sorted)),
+      dimRanges =
+        if (inst.dimRanges.isEmpty) None
+        else Some(inst.dimRanges.toSeq
+          .sortBy { case ((s, d), _) => (s, d) }
+          .map { case ((s, d), r) =>
+            DimRangeJson(s, d, r.dt, r.min, r.max) }))
     val p = metaPath(inst.root, inst.cube.name, file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // write-then-rename: readers never observe a torn meta file
@@ -186,7 +201,13 @@ object CubeMeta {
             cube.copy(segments = segs, cuboids = cube.cuboids ++ extras),
             root,
             meta.rows.map(r => (r.segment, r.cuboid) -> r.rows).toMap,
-            extras)
+            extras,
+            // ranges for segments no longer in the meta are dropped;
+            // segments without persisted ranges simply never prune
+            meta.dimRanges.getOrElse(Nil)
+              .filter(r => segs.exists(_.name == r.segment))
+              .map(r => (r.segment, r.dim) ->
+                DimRanges.DimRange(r.dt, r.min, r.max)).toMap)
           // spot-check the layout the meta points at: the base cuboid
           // of every segment plus one snapshot per derived-dim lookup
           // (O(n) metadata calls, once per process)

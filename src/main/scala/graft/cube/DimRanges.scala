@@ -1,0 +1,348 @@
+package graft.cube
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.functions.{col, max, min}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, StringType}
+
+/** Per-segment dimension value ranges for query-time segment pruning
+  * (reference: core-cube/src/main/java/org/apache/kylin/cube/
+  * DimensionRangeInfo.java:35 — each READY segment carries a
+  * min/max per dimension, collected by the build's
+  * UpdateCubeInfoAfterBuildStep and consulted by common/
+  * SegmentPruner.java:53 listSegmentsForQuery before any storage is
+  * touched).
+  *
+  * graft already prunes segments on the TIME axis (the segment
+  * column's [start, end) ranges); this closes the OTHER axis: a
+  * filter on any materialized dim skips every segment whose observed
+  * [min, max] for that dim cannot satisfy it. The canonical win is a
+  * second date-ish column correlated with partition time (receipt
+  * date vs ship date): time-partitioned segments then carry tight,
+  * nearly-disjoint ranges, and a receipt-date predicate prunes like a
+  * time predicate even though it is not the partition column. At
+  * 100 TB that is whole segment file-listings and scans skipped from
+  * METADATA alone.
+  *
+  * Semantics follow the reference's SegmentPruner.satisfy/
+  * TupleFilterNode.checkSeg with two deliberate divergences:
+  *  - an all-null range (min and max absent with the segment built)
+  *    PRUNES comparisons instead of scanning: a row-level compare
+  *    against NULL can never evaluate true, and `IS NULL` — the one
+  *    predicate all-null rows do satisfy — is handled as its own
+  *    node (always scan). The reference scans "since the result of
+  *    null comparison is query engine specific" (SegmentPruner.java:
+  *    124-127); here the engine IS Spark, whose three-valued compare
+  *    never selects on NULL.
+  *  - NOT is never inverted: the reference's `!checkSeg(child)`
+  *    (TupleFilterNode.java:68-71) negates a CONSERVATIVE answer,
+  *    which is unsound (a "might match, scan" child turns into
+  *    "prune"). NOT nodes simply scan here.
+  *
+  * Every decision is conservative toward scanning: unrecognized
+  * predicate shapes, dims without collected ranges (segments built
+  * before this feature, or float/double dims whose string round-trip
+  * is lossy), uncastable or inexact filter literals all answer
+  * "might match". Pruning can only SHRINK the scanned segment set of
+  * a query whose row-level filter still applies afterwards, so a
+  * missed prune costs time, never correctness.
+  */
+object DimRanges {
+
+  /** Observed value range of one dim in one segment. `dt` is the
+    * dim's Spark DDL type (ranges are compared in the DIM's type, not
+    * lexically — "10" < "9" as strings); min/max are the typed
+    * min/max cast to string (dates/decimals/integers round-trip
+    * exactly). Both absent ⇔ the segment has no non-null values for
+    * the dim (all-null or zero rows) — the reference's
+    * DimensionRangeInfo null/null convention. */
+  final case class DimRange(dt: String, min: Option[String],
+                            max: Option[String])
+
+  /** Collect ranges for `segs` by scanning each segment's committed
+    * BASE cuboid (it carries every dim; as aggregated output it is
+    * orders of magnitude smaller than the flat table — and the scan
+    * prunes to the dim columns, one min/max agg per segment).
+    * Float/double dims are skipped: their cast-to-string canon can
+    * lose ULPs and an off-by-epsilon bound could wrongly prune a
+    * boundary-equal value. Failures yield no entry (scan-always),
+    * never an error — range info is an optimization, not a
+    * correctness input. */
+  def collect(spark: SparkSession, inst: CubeInstance,
+              segs: Seq[Segment]): Map[(String, String), DimRange] =
+    scala.util.Try {
+      val cube = inst.cube
+      val baseId = cube.cuboidId(cube.dims.toSet)
+      val frames = segs.flatMap { seg =>
+        scala.util.Try(
+          spark.read.parquet(inst.cuboidPath(seg.name, baseId)))
+          .toOption.map(seg -> _)
+      }
+      if (frames.isEmpty) Map.empty[(String, String), DimRange]
+      else {
+        val schema = frames.head._2.schema
+        val dims = cube.dims.filter { d =>
+          schema.find(_.name == d).exists(f =>
+            f.dataType != FloatType && f.dataType != DoubleType &&
+              TypeUtils.checkForOrderingExpr(f.dataType, "dimrange")
+                .isSuccess)
+        }
+        if (dims.isEmpty) Map.empty[(String, String), DimRange]
+        else {
+          val dtOf = dims.map(d =>
+            d -> schema(schema.fieldIndex(d)).dataType.sql).toMap
+          // ONE job for all segments: tag each base-cuboid scan with
+          // its segment name, aggregate per tag — N segments cost one
+          // stage, not N driver-side job round-trips
+          val tagged = frames.map { case (seg, df) =>
+            df.select(org.apache.spark.sql.functions.lit(seg.name)
+              .as("__seg") +: dims.map(col): _*)
+          }.reduce(_ unionByName _)
+          val aggs = dims.flatMap(d => Seq(
+            min(col(d)).cast("string").as(s"min_$d"),
+            max(col(d)).cast("string").as(s"max_$d")))
+          val bySeg = tagged.groupBy(col("__seg"))
+            .agg(aggs.head, aggs.tail: _*)
+            .head(frames.size + 1) // bounded: ≤ one row per segment
+            .map(r => r.getString(0) -> r).toMap
+          frames.flatMap { case (seg, _) =>
+            dims.zipWithIndex.map { case (d, i) =>
+              (seg.name, d) -> (bySeg.get(seg.name) match {
+                case Some(r) => DimRange(dtOf(d),
+                  Option(r.getString(2 * i + 1)),
+                  Option(r.getString(2 * i + 2)))
+                // the scan succeeded and produced NO group row: the
+                // segment has zero rows — the all-null/empty range
+                case None => DimRange(dtOf(d), None, None)
+              })
+            }
+          }.toMap
+        }
+      }
+    }.getOrElse(Map.empty)
+
+  /** Merge two segments' range maps into the merged segment's
+    * (reference: DimensionRangeInfo.mergeRangeMap:39 — min of mins,
+    * max of maxes, an all-null side defers to the other, a dim
+    * missing from EITHER side stays unknown in the result). */
+  def merge(a: Map[String, DimRange], b: Map[String, DimRange])
+      : Map[String, DimRange] =
+    a.keySet.intersect(b.keySet).flatMap { d =>
+      val (ra, rb) = (a(d), b(d))
+      if (ra.dt != rb.dt) None
+      else if (ra.min.isEmpty && ra.max.isEmpty) Some(d -> rb)
+      else if (rb.min.isEmpty && rb.max.isEmpty) Some(d -> ra)
+      else scala.util.Try {
+        val dt = DataType.fromDDL(ra.dt)
+        val ord = TypeUtils.getInterpretedOrdering(dt)
+        def pick(x: Option[String], y: Option[String], lo: Boolean)
+            : Option[String] = (x.flatMap(parse(_, dt)), y.flatMap(parse(_, dt))) match {
+          case (Some(xv), Some(yv)) =>
+            if (ord.lt(xv, yv) == lo) x else y
+          case _ => None
+        }
+        val mn = pick(ra.min, rb.min, lo = true)
+        val mx = pick(ra.max, rb.max, lo = false)
+        if (mn.isEmpty || mx.isEmpty) None else Some(d -> DimRange(ra.dt, mn, mx))
+      }.toOption.flatten
+    }.toMap
+
+  private def zone: Option[String] =
+    Some(java.time.ZoneId.systemDefault().getId)
+
+  /** cast a stored bound string back to the dim's type (TRY semantics:
+    * unparseable ⇒ None ⇒ unknown ⇒ scan) */
+  private def parse(s: String, dt: DataType): Option[Any] =
+    scala.util.Try(Option(Cast(Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType),
+      dt, zone, EvalMode.TRY).eval(null))).toOption.flatten
+
+  /** cast a filter literal into the dim's type, accepting only EXACT
+    * conversions: the value must round-trip back to its own type
+    * unchanged. A lossy cast (10.5 ⇒ INT 10, or "-10.5" ⇒ -10) could
+    * move a bound past a real value and prune a matching segment —
+    * the truncation-toward-zero case is actively unsound for
+    * comparisons against negative bounds. */
+  private def exactCast(lit: Literal, dt: DataType): Option[Any] = {
+    if (lit.value == null) return None
+    if (lit.dataType == dt) return Some(lit.value)
+    scala.util.Try {
+      Option(Cast(lit, dt, zone, EvalMode.TRY).eval(null)).filter { dv =>
+        val back = Option(Cast(Literal(dv, dt), lit.dataType, zone,
+          EvalMode.TRY).eval(null))
+        back.exists(b => scala.util.Try(
+          TypeUtils.getInterpretedOrdering(lit.dataType).equiv(b, lit.value))
+          .getOrElse(false))
+      }
+    }.toOption.flatten
+  }
+
+  /** name of a plain attribute reference, if the expression is one */
+  private def attrName(e: Expression): Option[String] = e match {
+    case u: UnresolvedAttribute => Some(u.nameParts.last)
+    case a: AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  /** One-level normalization: a Column built with the DataFrame API
+    * (`col("d") >= lit(5)`) carries UNRESOLVED FUNCTION nodes named
+    * `>=`/`and`/`in`/…, not the typed Catalyst comparisons a
+    * SQL-parsed predicate carries — map the top node onto its typed
+    * twin so canMatch sees one shape. Children stay as-is: canMatch
+    * re-enters through this for And/Or, and the leaf operands
+    * (attributes, literals) convert identically on both paths. */
+  private def norm(e: Expression): Expression = e match {
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.size == 1 && !f.isDistinct && f.filter.isEmpty =>
+      val a = f.arguments
+      (f.nameParts.head.toLowerCase(java.util.Locale.ROOT), a.size) match {
+        case ("and", 2) => And(a(0), a(1))
+        case ("or", 2) => Or(a(0), a(1))
+        case ("!" | "not", 1) => Not(a(0))
+        case ("=" | "==" | "equalto", 2) => EqualTo(a(0), a(1))
+        case ("<=>", 2) => EqualNullSafe(a(0), a(1))
+        case (">", 2) => GreaterThan(a(0), a(1))
+        case (">=", 2) => GreaterThanOrEqual(a(0), a(1))
+        case ("<", 2) => LessThan(a(0), a(1))
+        case ("<=", 2) => LessThanOrEqual(a(0), a(1))
+        case ("in", n) if n >= 2 => In(a.head, a.tail)
+        case ("isnull", 1) => IsNull(a(0))
+        case ("isnotnull", 1) => IsNotNull(a(0))
+        case ("between", 3) => And(GreaterThanOrEqual(a(0), a(1)),
+          LessThanOrEqual(a(0), a(2)))
+        case _ => f
+      }
+    case other => other
+  }
+
+  /** can `seg` possibly hold a row satisfying `filter`? The
+    * AND/OR recursion of the reference's TupleFilterNode.checkSeg:
+    * AND needs every child possible, OR needs any, a recognized
+    * compare checks the dim's range, anything else answers "possible"
+    * (scan). `ranges` is the segment's dim → range map. */
+  def canMatch(ranges: Map[String, DimRange], filter: Expression): Boolean = {
+
+    // resolve (dim, literal) out of a binary compare, either order;
+    // `flip` is true when the literal is on the LEFT (5 < d ⇔ d > 5)
+    def sides(l: Expression, r: Expression)
+        : Option[(DimRange, Any, Boolean)] =
+      ((l, r) match {
+        case (d, lit: Literal) => attrName(d).map(n => (n, lit, false))
+        case (lit: Literal, d) => attrName(d).map(n => (n, lit, true))
+        case _ => None
+      }).flatMap { case (n, lit, flip) =>
+        ranges.get(n).map((_, lit, flip))
+      }.flatMap { case (rng, lit, flip) =>
+        // all-null segment: no compare can select a row (divergence
+        // from the reference, see the scaladoc) — signal with a null
+        // sentinel the callers below turn into `false`
+        if (rng.min.isEmpty && rng.max.isEmpty) Some((rng, null, flip))
+        else scala.util.Try(DataType.fromDDL(rng.dt)).toOption
+          .flatMap(dt => exactCast(lit, dt).map(v => (rng, v, flip)))
+      }
+
+    def bounds(rng: DimRange): Option[(Any, Any, Ordering[Any])] =
+      scala.util.Try {
+        val dt = DataType.fromDDL(rng.dt)
+        for (mn <- rng.min.flatMap(parse(_, dt));
+             mx <- rng.max.flatMap(parse(_, dt)))
+          yield (mn, mx, TypeUtils.getInterpretedOrdering(dt))
+      }.toOption.flatten
+
+    // range checks, each None ⇒ unknown ⇒ scan
+    def eqPossible(rng: DimRange, v: Any): Boolean =
+      if (v == null) false
+      else bounds(rng).forall { case (mn, mx, ord) =>
+        ord.lteq(mn, v) && ord.lteq(v, mx) }
+    def ltPossible(rng: DimRange, v: Any): Boolean = // some row < v
+      if (v == null) false
+      else bounds(rng).forall { case (mn, _, ord) => ord.lt(mn, v) }
+    def ltePossible(rng: DimRange, v: Any): Boolean =
+      if (v == null) false
+      else bounds(rng).forall { case (mn, _, ord) => ord.lteq(mn, v) }
+    def gtPossible(rng: DimRange, v: Any): Boolean =
+      if (v == null) false
+      else bounds(rng).forall { case (_, mx, ord) => ord.gt(mx, v) }
+    def gtePossible(rng: DimRange, v: Any): Boolean =
+      if (v == null) false
+      else bounds(rng).forall { case (_, mx, ord) => ord.gteq(mx, v) }
+
+    norm(filter) match {
+      case And(l, r) => canMatch(ranges, l) && canMatch(ranges, r)
+      case Or(l, r) => canMatch(ranges, l) || canMatch(ranges, r)
+      case EqualTo(l, r) =>
+        sides(l, r).forall { case (rng, v, _) => eqPossible(rng, v) }
+      case EqualNullSafe(l, r) =>
+        // d <=> NULL selects null rows — ranges can't refute that;
+        // with a non-null literal it behaves exactly like EqualTo
+        ((l, r) match {
+          case (_, lit: Literal) if lit.value == null => None
+          case (lit: Literal, _) if lit.value == null => None
+          case _ => sides(l, r)
+        }).forall { case (rng, v, _) => eqPossible(rng, v) }
+      case LessThan(l, r) => sides(l, r).forall {
+        case (rng, v, false) => ltPossible(rng, v) // d < v
+        case (rng, v, true) => gtPossible(rng, v) // v < d ⇔ d > v
+      }
+      case LessThanOrEqual(l, r) => sides(l, r).forall {
+        case (rng, v, false) => ltePossible(rng, v)
+        case (rng, v, true) => gtePossible(rng, v)
+      }
+      case GreaterThan(l, r) => sides(l, r).forall {
+        case (rng, v, false) => gtPossible(rng, v)
+        case (rng, v, true) => ltPossible(rng, v)
+      }
+      case GreaterThanOrEqual(l, r) => sides(l, r).forall {
+        case (rng, v, false) => gtePossible(rng, v)
+        case (rng, v, true) => ltePossible(rng, v)
+      }
+      case In(d, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        // possible iff ANY in-list value is possible (null list
+        // values never match rows, eqPossible answers false for them)
+        attrName(d).flatMap(ranges.get) match {
+          case None => true
+          case Some(rng) =>
+            if (rng.min.isEmpty && rng.max.isEmpty) false
+            else scala.util.Try(DataType.fromDDL(rng.dt)).toOption match {
+              case None => true
+              case Some(dt) => vs.exists { v =>
+                val lit = v.asInstanceOf[Literal]
+                if (lit.value == null) false
+                else exactCast(lit, dt) match {
+                  case Some(cv) => eqPossible(rng, cv)
+                  case None => true // inexact ⇒ unknown ⇒ possible
+                }
+              }
+            }
+        }
+      case IsNotNull(d) =>
+        // a built segment whose range says "no non-null values"
+        // cannot produce a row passing IS NOT NULL
+        attrName(d).flatMap(ranges.get)
+          .forall(r => r.min.nonEmpty || r.max.nonEmpty)
+      case _ => true // IsNull, Not, functions, non-literal compares, …
+    }
+  }
+
+  /** the plan-time entry point: keep only segments whose ranges might
+    * satisfy the query filter. Metadata-only — no I/O. */
+  def pruneSegments(inst: CubeInstance, segs: Seq[Segment],
+                    filter: Option[org.apache.spark.sql.Column])
+      : Seq[Segment] =
+    filter match {
+      case None => segs
+      case Some(f) =>
+        val expr = scala.util.Try(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expressionTree(f))
+        expr.toOption match {
+          case None => segs
+          case Some(e) => segs.filter { s =>
+            val ranges = inst.dimRanges.collect {
+              case ((seg, d), r) if seg == s.name => d -> r }
+            ranges.isEmpty || canMatch(ranges, e)
+          }
+        }
+    }
+}

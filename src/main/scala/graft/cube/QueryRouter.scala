@@ -137,10 +137,22 @@ object QueryRouter {
     if (extUsed.exists(e => !q.groupBy.contains(e.host))) return None
     val realGroup = q.groupBy.filterNot(n => extUsed.exists(_.name == n))
 
-    // ── segment pruning + residual-filter requirement
-    val overlapping = cube.segments.filter { s =>
+    // ── segment pruning + residual-filter requirement. Three
+    // metadata-only prunes compose: time-range overlap, the empty-
+    // segment skip (reference: SegmentPruner.java:63 — a segment whose
+    // COMMITTED base-cuboid row count is zero holds nothing; entries
+    // missing from the rows map stay, conservatively), and dim-range
+    // pruning on the query's NON-time filter (DimensionRangeInfo —
+    // DimRanges.pruneSegments). All three only SHRINK the scanned set
+    // of a query whose row-level filter still applies afterwards.
+    val baseCuboidId = cube.cuboidId(cube.dims.toSet)
+    val timeOverlap = cube.segments.filter { s =>
       q.timeRange.forall { case (qs, qe) => s.start < qe && qs < s.end }
     }
+    val overlapping = DimRanges.pruneSegments(inst,
+      timeOverlap.filterNot(s =>
+        inst.rows.get((s.name, baseCuboidId)).contains(0L)),
+      q.filter)
     val partial = q.timeRange match {
       case Some((qs, qe)) => overlapping.filterNot(s => qs <= s.start && s.end <= qe)
       case None => Nil

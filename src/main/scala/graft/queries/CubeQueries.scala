@@ -1207,7 +1207,39 @@ object CubeQueries extends QueryGroup {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
              |  COUNT(*) AS n_orders
              |FROM orders GROUP BY o_orderstatus
-             |ORDER BY o_orderstatus""".stripMargin))
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // 33e ─────────────── dimension-range segment pruning (reference:
+    //     DimensionRangeInfo.java + common/SegmentPruner.java): each
+    //     segment's meta carries observed per-dim min/max, and a
+    //     filter on a NON-time dim prunes segments from metadata
+    //     alone. The events table's event_id is assigned in ingest
+    //     order — monotone with ts — so time-partitioned segments
+    //     carry disjoint id ranges and a narrow id window must land in
+    //     ONE of the four weekly segments (asserted on the scanned
+    //     files: the other three are never listed, the 100 TB win).
+    Q("cube_dimrange_prune",
+      (s, d) => {
+        val view = declaredRangesView
+        val r = GraftSql.sqlVia(s, d,
+          s"""SELECT event_type,
+             |  sum(value) AS value_sum, count(*) AS n_events
+             |FROM $view WHERE event_id BETWEEN 400 AND 450
+             |GROUP BY event_type""".stripMargin)
+        assert(r.routed && r.via == "cuboid",
+          s"dim-range cube must route, got ${r.via}")
+        val segs = r.df.inputFiles.flatMap(
+          "events_ranges/(w\\d)/".r.findFirstMatchIn(_).map(_.group(1)))
+          .toSet
+        assert(segs.size == 1,
+          s"a 50-id window must prune to ONE weekly segment, scanned $segs")
+        r.df.orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+             |  COUNT(*) AS n_events
+             |FROM events WHERE event_id BETWEEN 400 AND 450
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 
   /** The operator-authored JSON document behind `cube_json_declared` —
@@ -1277,4 +1309,39 @@ object CubeQueries extends QueryGroup {
 
   lazy val declaredLatticeView: String =
     CubeJson.registerJson(declaredLatticeDoc)
+
+  /** The document behind `cube_dimrange_prune`: four weekly segments
+    * over the events stream, event_id as a materialized dim — its
+    * per-segment [min, max] ranges (DimRanges) are what the router
+    * prunes on. No timeDim on purpose: the query filters ONLY on
+    * event_id, so every pruned segment is the dim-range pruner's
+    * doing, not the time axis's. */
+  val declaredRangesDoc: String =
+    """{
+      |  "name": "events_ranges",
+      |  "model": {"fact": "events"},
+      |  "flatColumns": [
+      |    {"name": "ts"},
+      |    {"name": "event_type"},
+      |    {"name": "event_id"},
+      |    {"name": "value"}
+      |  ],
+      |  "dims": ["event_type", "event_id"],
+      |  "cuboids": [["event_type"]],
+      |  "measures": [
+      |    {"name": "value_sum", "family": "sum", "column": "value",
+      |     "decimal": true, "presentDouble": true},
+      |    {"name": "n_events", "family": "count"}
+      |  ],
+      |  "segmentCol": "ts",
+      |  "segments": [
+      |    {"name": "w1", "start": "2024-01-01", "end": "2024-01-08"},
+      |    {"name": "w2", "start": "2024-01-08", "end": "2024-01-15"},
+      |    {"name": "w3", "start": "2024-01-15", "end": "2024-01-22"},
+      |    {"name": "w4", "start": "2024-01-22", "end": "2024-02-01"}
+      |  ]
+      |}""".stripMargin
+
+  lazy val declaredRangesView: String =
+    CubeJson.registerJson(declaredRangesDoc)
 }
