@@ -179,10 +179,10 @@ object Bench {
       case ex: Exception => s"""{"error":"${ex.getClass.getSimpleName}"}"""
     }
 
-  /** the refresh probe (§2 row 35aa3): a two-segment declared cube —
-    * full build vs a ONE-segment refresh from source. The ratio is
-    * the lifecycle claim itself: a refresh costs the refreshed
-    * segment's rebuild, not the cube's. */
+  /** the refresh probe (§2 row 35aa3): a four-segment declared cube —
+    * full build vs a ONE-segment refresh from source. The dir counts
+    * carry the lifecycle claim itself: a refresh rewrites the
+    * refreshed segment's cuboid dirs, not the cube's. */
   private def refreshReport(spark: SparkSession, sfDir: String): String =
     try {
       val doc =

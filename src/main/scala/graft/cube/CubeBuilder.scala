@@ -240,9 +240,19 @@ object CubeBuilder {
     * holds it whole, and the next metadata load's base-cuboid
     * spot-check catches it (miss ⇒ rebuild; a concurrent reader in
     * this metadata-sized window fails transiently, same as a drift
-    * rebuild's overwrite); after the swap before the meta commit —
-    * data is new, row-count ESTIMATES are stale, which only skews
-    * cuboid choice, never answers.
+    * rebuild's overwrite); after the swap before the final meta
+    * commit — data is new and the metadata is the CONSERVATIVE
+    * pre-swap commit below (the refreshed segment's row counts and
+    * dim ranges stripped), so answers stay correct and only cost
+    * estimates degrade until the final commit lands. Without that
+    * strip, stale metadata would now be a CORRECTNESS hazard, not a
+    * cost one: a rows==0 entry skips the segment entirely and stale
+    * dim ranges can prune the corrected data's new values — a crash
+    * in this window would serve missing rows until the next refresh.
+    * A reader that loaded the pre-strip meta just before the strip
+    * landed has the same exposure for one swap window; that race is
+    * the width of the dir renames themselves, the already-documented
+    * transient.
     *
     * STEP-RESUMABLE like [[build]]: the refresh ATTEMPT — identified
     * by the def fingerprint and the refreshed segment's range — marks
@@ -268,6 +278,16 @@ object CubeBuilder {
     val retired =
       new Path(s"${inst.root}/${inst.cube.name}/${seg.name}.retired")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // conservative PRE-SWAP meta commit: drop the refreshed segment's
+    // row counts and dim ranges so any crash between the swap and the
+    // final commit leaves metadata that says "unknown, scan" instead
+    // of "empty/out-of-range, skip" — the empty-segment skip and
+    // dim-range pruning act on ANSWERS, and the old entries describe
+    // the data this swap is about to replace
+    CubeMeta.save(spark, inst.copy(
+      rows = inst.rows.filterNot { case ((s, _), _) => s == seg.name },
+      dimRanges = inst.dimRanges.filterNot {
+        case ((s, _), _) => s == seg.name })): Unit
     fs.delete(retired, true) // a crashed prior swap's leftover
     if (fs.exists(live) && !fs.rename(live, retired))
       throw new IllegalStateException(

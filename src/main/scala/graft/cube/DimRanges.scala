@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.functions.{col, max, min}
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, FloatType, StringType}
 
 /** Per-segment dimension value ranges for query-time segment pruning
   * (reference: core-cube/src/main/java/org/apache/kylin/cube/
@@ -83,9 +83,13 @@ object DimRanges {
       if (frames.isEmpty) Map.empty[(String, String), DimRange]
       else {
         val schema = frames.head._2.schema
+        // float/double string canon can lose ULPs, binary is not
+        // UTF-8 (cast-to-string mangles non-text bytes) — an
+        // off-by-anything bound wrongly prunes, so neither collects
         val dims = cube.dims.filter { d =>
           schema.find(_.name == d).exists(f =>
             f.dataType != FloatType && f.dataType != DoubleType &&
+              f.dataType != BinaryType &&
               TypeUtils.checkForOrderingExpr(f.dataType, "dimrange")
                 .isSuccess)
         }
@@ -149,8 +153,14 @@ object DimRanges {
       }.toOption.flatten
     }.toMap
 
+  /** the SESSION timezone, not the JVM default: collect renders
+    * TIMESTAMP bounds to string inside a Spark job (session tz), so
+    * re-parsing them through any other zone would shift every bound
+    * and can wrongly prune matching segments. Build and query
+    * sessions must agree on the session timezone — the same contract
+    * the cuboid parquet's own timestamp encoding already carries. */
   private def zone: Option[String] =
-    Some(java.time.ZoneId.systemDefault().getId)
+    Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
 
   /** cast a stored bound string back to the dim's type (TRY semantics:
     * unparseable ⇒ None ⇒ unknown ⇒ scan) */
@@ -338,11 +348,18 @@ object DimRanges {
           org.apache.spark.sql.graftbridge.ColumnBridge.expressionTree(f))
         expr.toOption match {
           case None => segs
-          case Some(e) => segs.filter { s =>
-            val ranges = inst.dimRanges.collect {
-              case ((seg, d), r) if seg == s.name => d -> r }
-            ranges.isEmpty || canMatch(ranges, e)
-          }
+          case Some(e) =>
+            // group ONCE: at thousands of segments a per-segment scan
+            // of the whole (seg, dim) map is O(S²·D) on the plan hot
+            // path — this is O(S·D) total
+            val bySeg = inst.dimRanges.groupMap(_._1._1) {
+              case ((_, d), r) => d -> r }
+            segs.filter { s =>
+              bySeg.get(s.name) match {
+                case None => true
+                case Some(rs) => canMatch(rs.toMap, e)
+              }
+            }
         }
     }
 }

@@ -198,6 +198,37 @@ class DimRangeSpec extends AnyFunSuite {
       s"the range-less segment must survive pruning, got ${r.segments}")
   }
 
+  test("the refresh crash-window meta (stripped entries) scans, never skips") {
+    // refreshSegment commits a conservative meta BEFORE the dir swap:
+    // the refreshed segment's row counts and dim ranges stripped. A
+    // crash between the swap and the final commit leaves exactly that
+    // meta — pin that a plan against it SCANS the segment (unknown)
+    // instead of skipping it on the stale entries the swap replaced.
+    val windowMeta = inst.copy(
+      rows = inst.rows.filterNot { case ((s, _), _) => s == "w2" },
+      dimRanges = inst.dimRanges.filterNot {
+        case ((s, _), _) => s == "w2" })
+    // a filter OUTSIDE w2's old id range — stale ranges would prune
+    // w2, and a stale rows==0 entry would empty-skip it; the stripped
+    // meta must do neither (the corrected data may hold anything)
+    val beyond = inst.dimRanges(("w4", "event_id")).max.get.toLong
+    val q = CubeQuery(Seq("event_type"), Seq("n_events" -> "n"),
+      filter = Some(col("event_id") === beyond),
+      filterDims = Set("event_id"))
+    val p = QueryRouter.plan(windowMeta, q).getOrElse(fail("plan expected"))
+    assert(p.overlapping.map(_.name).contains("w2"),
+      s"the stripped segment must scan, got ${p.overlapping.map(_.name)}")
+  }
+
+  test("an explicitly empty segment is skipped from metadata alone") {
+    val baseId = inst.cube.cuboidId(inst.cube.dims.toSet)
+    val emptied = inst.copy(rows = inst.rows + (("w3", baseId) -> 0L))
+    val q = CubeQuery(Seq("event_type"), Seq("n_events" -> "n"))
+    val p = QueryRouter.plan(emptied, q).getOrElse(fail("plan expected"))
+    assert(p.overlapping.map(_.name) == Seq("w1", "w2", "w4"),
+      s"rows==0 must skip w3, got ${p.overlapping.map(_.name)}")
+  }
+
   test("pruning shrinks estRows vs the same plan without range metadata") {
     val q = CubeQuery(Seq("event_type"), Seq("n_events" -> "n"),
       filter = Some(col("event_id") <= 10L),
