@@ -399,6 +399,61 @@ object GraftTool {
           }
           0
 
+        case "ranges" =>
+          // backfill/recompute per-segment DIM RANGES for an existing
+          // cube (reference: the per-segment DimensionRangeInfo that
+          // UpdateCubeInfoAfterBuildStep collects — for segments built
+          // before the feature, engine-mr's CubeMigrationCLI-era cubes
+          // simply lack the map and never prune). New builds collect
+          // ranges automatically; this is the operator path for cubes
+          // already on disk — at 100 TB nobody rebuilds a cube to gain
+          // metadata, the backfill is one column-pruned min/max agg
+          // over each segment's base cuboid. Recomputing is idempotent
+          // (observed facts), so it doubles as a repair after manual
+          // storage surgery. Defaults to every realization member
+          // (each member root holds its own segments); --member
+          // narrows to one.
+          val Seq(sfDir) = p.positional
+          val doc = p.flags.get("--def").map(readDoc).getOrElse(
+            throw new IllegalArgumentException(
+              "ranges needs --def <file> (a declared cube document)"))
+          val specs = p.flags.get("--member") match {
+            case Some(_) => Seq(doc.memberSpec(p))
+            case None => doc.allSpecs
+          }
+          doc.register()
+          specs.foreach { spec =>
+            // LOAD-ONLY like advise: a cube never built refuses
+            // instead of paying a first-touch build for a metadata
+            // backfill
+            val root = CubeManager.declaredRoot(sfDir, spec.name)
+            CubeMeta.load(spark, CubeJson.toCubeDef(spec), root)
+              .getOrElse(throw new IllegalStateException(
+                s"ranges refused: '${spec.name}' has no committed " +
+                  s"build under $root — build it first (any query, " +
+                  "'policies', or 'append'), then backfill"))
+            // the meta commit serializes under the DEFAULT build
+            // lease with a load-only re-read, like every lifecycle op
+            val updated = withCommittedBase(spark, root, spec,
+                "ranges") { fresh =>
+              val collected = DimRanges.collect(spark, fresh,
+                fresh.cube.segments)
+              val next = fresh.copy(dimRanges = collected)
+              // commit LAST (fresh buildId): answers are unchanged —
+              // pruning only shrinks scans — but stamp-keyed caches
+              // and merged realizations re-chain on the flip, the
+              // price every metadata-evolving lifecycle op pays
+              CubeMeta.save(spark, next): Unit
+              next
+            }
+            val segsCovered = updated.dimRanges.keySet.map(_._1)
+            out(s"ranges ${spec.name} " +
+              s"segments=${segsCovered.size}/" +
+              s"${updated.cube.segments.size} " +
+              s"entries=${updated.dimRanges.size}")
+          }
+          0
+
         case "replan" =>
           // cube-planner phase 2 as an operator job (reference:
           // PBPUSCalculator + CuboidRecommender — the optimize-cube

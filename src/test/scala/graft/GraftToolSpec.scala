@@ -879,6 +879,68 @@ class GraftToolSpec extends AnyFunSuite {
     }
   }
 
+  test("ranges backfills dim ranges for a pre-feature meta under the " +
+      "lease: unbuilt refuses, the backfilled ranges prune") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rangedef")
+    val doc =
+      """{
+        |  "name": "tool_ranges",
+        |  "model": {"fact": "events"},
+        |  "flatColumns": [
+        |    {"name": "ts"},
+        |    {"name": "event_type"},
+        |    {"name": "event_id"}
+        |  ],
+        |  "dims": ["event_type", "event_id"],
+        |  "measures": [{"name": "n_events", "family": "count"}],
+        |  "segmentCol": "ts",
+        |  "segments": [
+        |    {"name": "j1", "start": "2024-01-01", "end": "2024-01-15"},
+        |    {"name": "j2", "start": "2024-01-15", "end": "2024-02-01"}
+        |  ]
+        |}""".stripMargin
+    val defFile = dir.resolve("tool_ranges.json")
+    java.nio.file.Files.write(defFile, doc.getBytes("UTF-8")): Unit
+    // own the declared root (order-independent across suites/runs)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      CubeManager.declaredRoot(sf, "tool_ranges"))): Unit
+    CubeManager.resetMemos()
+
+    // LOAD-ONLY contract: a metadata backfill must not pay (or hide
+    // behind) a first-touch build
+    val (c0, _) = runTool("ranges", sf, "--def", defFile.toString)
+    assert(c0 == 1, "an unbuilt cube must refuse the backfill")
+
+    // build, then simulate a PRE-FEATURE meta: strip the collected
+    // ranges and re-commit — exactly what a cube built by older code
+    // looks like on disk
+    val spec = CubeJson.parse(doc)
+    val built = CubeManager.ensureDeclared(spark, sf, spec)
+    assert(built.dimRanges.nonEmpty, "new builds collect automatically")
+    CubeMeta.save(spark, built.copy(dimRanges = Map.empty)): Unit
+    CubeManager.resetMemos()
+    val stripped = CubeMeta.load(spark, CubeJson.toCubeDef(spec),
+      built.root).getOrElse(fail("meta must load")).inst
+    assert(stripped.dimRanges.isEmpty)
+
+    val (c1, out1) = runTool("ranges", sf, "--def", defFile.toString)
+    assert(c1 == 0 && out1 == Seq(
+      "ranges tool_ranges segments=2/2 entries=4"), out1.mkString("\n"))
+    val back = CubeMeta.load(spark, CubeJson.toCubeDef(spec),
+      built.root).getOrElse(fail("meta must load")).inst
+    assert(back.dimRanges.keySet ==
+      Set(("j1", "event_type"), ("j1", "event_id"),
+        ("j2", "event_type"), ("j2", "event_id")))
+    // the backfilled metadata immediately prunes: the lowest ids live
+    // in the first half of the month
+    val q = CubeQuery(Seq("event_type"), Seq("n_events" -> "n"),
+      filter = Some(col("event_id") <= 1L),
+      filterDims = Set("event_id"))
+    val p = QueryRouter.plan(back, q).getOrElse(fail("plan expected"))
+    assert(p.overlapping.map(_.name) == Seq("j1"),
+      s"backfilled ranges must prune j2, got ${p.overlapping.map(_.name)}")
+  }
+
   test("failures surface as exit 1 with the underlying refusal") {
     val (c1, _) = runTool("restore",
       java.nio.file.Files.createTempDirectory("graft-tool-x").toString,
