@@ -126,6 +126,18 @@ object HealthCheck {
             s"derived filters/group-bys cannot be answered")
     }
 
+    // ── dim-range coverage: segments without collected ranges never
+    // prune on non-time filters (pre-feature builds) — answers stay
+    // correct, scans stay wide; the backfill is one metadata-sized op
+    val rangeless = inst.cube.segments
+      .filterNot(s => inst.dimRanges.keys.exists(_._1 == s.name))
+      .map(_.name)
+    if (rangeless.nonEmpty && rangeless.size < inst.cube.segments.size)
+      out += Finding(Warn, "missing_dim_ranges",
+        s"segment(s) ${rangeless.mkString(", ")} carry no dim-range " +
+          s"metadata while others do: non-time filters scan them " +
+          s"unconditionally — run 'GraftTool ranges' to backfill")
+
     // ── expansion rate (checkDataExpansionRate): materialized rows
     // across the lattice vs base rows
     val baseId = inst.cube.cuboidId(inst.cube.dims.toSet)

@@ -62,6 +62,33 @@ class HealthCheckSpec extends AnyFunSuite {
     assert(f.forall(x => x.message.nonEmpty && x.message.length > 20))
   }
 
+  test("partial dim-range coverage surfaces the backfill remedy; " +
+      "uniform absence stays quiet") {
+    val (inst, root) = build("ranges")
+    assert(HealthCheck.check(spark, CubeManager.eventsCube, root).isEmpty,
+      "a fresh build collects ranges for every segment — healthy")
+    // append a second segment, then strip ONLY its ranges — the
+    // partial state a pre-feature binary or a failed collection leaves
+    val marFlat = CubeManager.eventsFlat(spark, sf)
+      .withColumn("ts", col("ts") + expr("INTERVAL 31 DAYS"))
+      .withColumn("ev_day", date_format(col("ts"), "yyyy-MM-dd"))
+    val appended = CubeBuilder.appendSegment(spark, inst, marFlat,
+      Segment("s2024m2", "2024-02-01", "2024-03-01"))
+    CubeMeta.save(spark, appended.copy(
+      dimRanges = appended.dimRanges.filterNot {
+        case ((s, _), _) => s == "s2024m2" })): Unit
+    val f = HealthCheck.check(spark, CubeManager.eventsCube, root)
+      .filter(_.code == "missing_dim_ranges")
+    assert(f.size == 1 && f.head.message.contains("s2024m2"),
+      f.mkString("\n"))
+    // a fully range-less meta (every segment stripped) is the
+    // pre-feature steady state, or a cube whose dims never collect
+    // (float/double/binary) — not a per-audit nag
+    CubeMeta.save(spark, appended.copy(dimRanges = Map.empty)): Unit
+    assert(HealthCheck.check(spark, CubeManager.eventsCube, root)
+      .forall(_.code != "missing_dim_ranges"))
+  }
+
   test("segment sprawl and lattice expansion thresholds fire") {
     val (_, root) = build("thresh")
     val sprawl = HealthCheck.check(spark, CubeManager.eventsCube, root,
