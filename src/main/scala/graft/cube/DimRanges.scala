@@ -72,6 +72,18 @@ object DimRanges {
     * correctness input. */
   def collect(spark: SparkSession, inst: CubeInstance,
               segs: Seq[Segment]): Map[(String, String), DimRange] =
+    collectWithCounts(spark, inst, segs)._1
+
+  /** like [[collect]], also returning each successfully scanned
+    * segment's observed BASE-CUBOID row count (same job — the count
+    * rides the agg). The backfill CLI cross-checks these against the
+    * committed row stats: ranges derived from a damaged base cuboid
+    * (truncated write, lost part files) would wrongly PRUNE a segment
+    * whose other cuboids still answer, the one failure mode pruning
+    * must never introduce. */
+  def collectWithCounts(spark: SparkSession, inst: CubeInstance,
+                        segs: Seq[Segment])
+      : (Map[(String, String), DimRange], Map[String, Long]) =
     scala.util.Try {
       val cube = inst.cube
       val baseId = cube.cuboidId(cube.dims.toSet)
@@ -80,7 +92,8 @@ object DimRanges {
           spark.read.parquet(inst.cuboidPath(seg.name, baseId)))
           .toOption.map(seg -> _)
       }
-      if (frames.isEmpty) Map.empty[(String, String), DimRange]
+      if (frames.isEmpty)
+        (Map.empty[(String, String), DimRange], Map.empty[String, Long])
       else {
         val schema = frames.head._2.schema
         // float/double string canon can lose ULPs, binary is not
@@ -93,7 +106,8 @@ object DimRanges {
               TypeUtils.checkForOrderingExpr(f.dataType, "dimrange")
                 .isSuccess)
         }
-        if (dims.isEmpty) Map.empty[(String, String), DimRange]
+        if (dims.isEmpty)
+          (Map.empty[(String, String), DimRange], Map.empty[String, Long])
         else {
           val dtOf = dims.map(d =>
             d -> schema(schema.fieldIndex(d)).dataType.sql).toMap
@@ -106,12 +120,14 @@ object DimRanges {
           }.reduce(_ unionByName _)
           val aggs = dims.flatMap(d => Seq(
             min(col(d)).cast("string").as(s"min_$d"),
-            max(col(d)).cast("string").as(s"max_$d")))
+            max(col(d)).cast("string").as(s"max_$d"))) :+
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("__n")
           val bySeg = tagged.groupBy(col("__seg"))
             .agg(aggs.head, aggs.tail: _*)
             .head(frames.size + 1) // bounded: ≤ one row per segment
             .map(r => r.getString(0) -> r).toMap
-          frames.flatMap { case (seg, _) =>
+          val ranges = frames.flatMap { case (seg, _) =>
             dims.zipWithIndex.map { case (d, i) =>
               (seg.name, d) -> (bySeg.get(seg.name) match {
                 case Some(r) => DimRange(dtOf(d),
@@ -123,9 +139,15 @@ object DimRanges {
               })
             }
           }.toMap
+          val counts = frames.map { case (seg, _) =>
+            seg.name -> bySeg.get(seg.name)
+              .map(_.getLong(1 + 2 * dims.size)).getOrElse(0L)
+          }.toMap
+          (ranges, counts)
         }
       }
-    }.getOrElse(Map.empty)
+    }.getOrElse(
+      (Map.empty[(String, String), DimRange], Map.empty[String, Long]))
 
   /** Merge two segments' range maps into the merged segment's
     * (reference: DimensionRangeInfo.mergeRangeMap:39 — min of mins,

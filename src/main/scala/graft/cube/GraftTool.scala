@@ -422,35 +422,78 @@ object GraftTool {
             case None => doc.allSpecs
           }
           doc.register()
+          // sweep atomicity: probe EVERY member's built state before
+          // the first commit — refusing member B after member A's
+          // buildId already flipped would leave a half-applied sweep
+          // behind an exit 1 (the snapshot subcommand's validate-
+          // before-anything posture)
           specs.foreach { spec =>
-            // LOAD-ONLY like advise: a cube never built refuses
-            // instead of paying a first-touch build for a metadata
-            // backfill
             val root = CubeManager.declaredRoot(sfDir, spec.name)
             CubeMeta.load(spark, CubeJson.toCubeDef(spec), root)
               .getOrElse(throw new IllegalStateException(
                 s"ranges refused: '${spec.name}' has no committed " +
                   s"build under $root — build it first (any query, " +
                   "'policies', or 'append'), then backfill"))
+          }
+          specs.foreach { spec =>
+            val root = CubeManager.declaredRoot(sfDir, spec.name)
             // the meta commit serializes under the DEFAULT build
             // lease with a load-only re-read, like every lifecycle op
-            val updated = withCommittedBase(spark, root, spec,
-                "ranges") { fresh =>
-              val collected = DimRanges.collect(spark, fresh,
-                fresh.cube.segments)
-              val next = fresh.copy(dimRanges = collected)
-              // commit LAST (fresh buildId): answers are unchanged —
-              // pruning only shrinks scans — but stamp-keyed caches
-              // and merged realizations re-chain on the flip, the
-              // price every metadata-evolving lifecycle op pays
-              CubeMeta.save(spark, next): Unit
-              next
+            withCommittedBase(spark, root, spec, "ranges") { fresh =>
+              val (collected, counts) = DimRanges.collectWithCounts(
+                spark, fresh, fresh.cube.segments)
+              // collection failures must never DESTROY committed
+              // pruning metadata: refuse (no commit) unless every
+              // segment scanned — collect swallows per-segment store
+              // errors, and a shrunken map would silently widen every
+              // scan while exiting 0
+              val covered = collected.keySet.map(_._1)
+              val missing = fresh.cube.segments.map(_.name)
+                .filterNot(covered)
+              if (missing.nonEmpty)
+                throw new IllegalStateException(
+                  s"ranges refused for '${spec.name}': segment(s) " +
+                    s"${missing.mkString(", ")} did not collect — " +
+                    "no eligible dims (float/double/binary only) or " +
+                    "unreadable base cuboids; nothing was committed")
+              // ranges derived from a DAMAGED base cuboid (truncated
+              // write, lost part files) would wrongly prune a segment
+              // other cuboids still answer — cross-check the scanned
+              // row count against the committed stats and refuse on
+              // any mismatch
+              val baseId = fresh.cube.cuboidId(fresh.cube.dims.toSet)
+              val torn = fresh.cube.segments.map(_.name).filter { s =>
+                fresh.rows.get((s, baseId))
+                  .exists(_ != counts.getOrElse(s, -1L))
+              }
+              if (torn.nonEmpty)
+                throw new IllegalStateException(
+                  s"ranges refused for '${spec.name}': base cuboid " +
+                    s"row count of segment(s) ${torn.mkString(", ")} " +
+                    "does not match the committed stats — the dirs " +
+                    "look damaged; refresh the segment(s) instead of " +
+                    "backfilling ranges from them")
+              // MERGE like the builder's own append/refresh paths —
+              // recollected segments replace their entries, nothing
+              // committed is ever dropped
+              val next = fresh.copy(
+                dimRanges = fresh.dimRanges ++ collected)
+              if (next.dimRanges == fresh.dimRanges)
+                out(s"ranges ${spec.name} unchanged " +
+                  s"entries=${next.dimRanges.size} (no commit)")
+              else {
+                // commit LAST (fresh buildId): answers are unchanged —
+                // pruning only shrinks scans — but stamp-keyed caches
+                // and merged realizations re-chain on the flip, the
+                // price a metadata-CHANGING lifecycle op pays (and an
+                // identical rerun above deliberately does not)
+                CubeMeta.save(spark, next): Unit
+                out(s"ranges ${spec.name} " +
+                  s"segments=${covered.size}/" +
+                  s"${next.cube.segments.size} " +
+                  s"entries=${next.dimRanges.size}")
+              }
             }
-            val segsCovered = updated.dimRanges.keySet.map(_._1)
-            out(s"ranges ${spec.name} " +
-              s"segments=${segsCovered.size}/" +
-              s"${updated.cube.segments.size} " +
-              s"entries=${updated.dimRanges.size}")
           }
           0
 

@@ -129,9 +129,9 @@ object HealthCheck {
     // ── dim-range coverage: segments without collected ranges never
     // prune on non-time filters (pre-feature builds) — answers stay
     // correct, scans stay wide; the backfill is one metadata-sized op
+    val rangeCovered = inst.dimRanges.keySet.map(_._1)
     val rangeless = inst.cube.segments
-      .filterNot(s => inst.dimRanges.keys.exists(_._1 == s.name))
-      .map(_.name)
+      .filterNot(s => rangeCovered(s.name)).map(_.name)
     if (rangeless.nonEmpty && rangeless.size < inst.cube.segments.size)
       out += Finding(Warn, "missing_dim_ranges",
         s"segment(s) ${rangeless.mkString(", ")} carry no dim-range " +

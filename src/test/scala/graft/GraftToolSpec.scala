@@ -926,11 +926,42 @@ class GraftToolSpec extends AnyFunSuite {
     val (c1, out1) = runTool("ranges", sf, "--def", defFile.toString)
     assert(c1 == 0 && out1 == Seq(
       "ranges tool_ranges segments=2/2 entries=4"), out1.mkString("\n"))
-    val back = CubeMeta.load(spark, CubeJson.toCubeDef(spec),
-      built.root).getOrElse(fail("meta must load")).inst
+    val backLoaded = CubeMeta.load(spark, CubeJson.toCubeDef(spec),
+      built.root).getOrElse(fail("meta must load"))
+    val back = backLoaded.inst
     assert(back.dimRanges.keySet ==
       Set(("j1", "event_type"), ("j1", "event_id"),
         ("j2", "event_type"), ("j2", "event_id")))
+
+    // an identical rerun changes no metadata, so it must NOT flip the
+    // buildId (a flip cold-replays both cache tiers and re-chains
+    // merged realizations — churn a no-op has no license to cause)
+    val (c2, out2) = runTool("ranges", sf, "--def", defFile.toString)
+    assert(c2 == 0 && out2 == Seq(
+      "ranges tool_ranges unchanged entries=4 (no commit)"),
+      out2.mkString("\n"))
+    val after = CubeMeta.load(spark, CubeJson.toCubeDef(spec),
+      built.root).getOrElse(fail("meta must load"))
+    assert(after.buildId == backLoaded.buildId,
+      "an unchanged rerun must not commit")
+
+    // a base cuboid whose scanned rows disagree with the committed
+    // stats looks DAMAGED — ranges from it could wrongly prune, so
+    // the backfill refuses and commits nothing
+    val baseId = back.cube.cuboidId(back.cube.dims.toSet)
+    CubeMeta.save(spark, back.copy(
+      rows = back.rows + (("j1", baseId) ->
+        (back.rows(("j1", baseId)) + 7)),
+      dimRanges = Map.empty)): Unit
+    val (c3, _) = runTool("ranges", sf, "--def", defFile.toString)
+    assert(c3 == 1, "a row-stat mismatch must refuse the backfill")
+    val untouched = CubeMeta.load(spark, CubeJson.toCubeDef(spec),
+      built.root).getOrElse(fail("meta must load")).inst
+    assert(untouched.dimRanges.isEmpty,
+      "a refused backfill must not commit partial ranges")
+    // restore honest stats so later plan assertions see pruned truth
+    CubeMeta.save(spark, back): Unit
+    CubeManager.resetMemos()
     // the backfilled metadata immediately prunes: the lowest ids live
     // in the first half of the month
     val q = CubeQuery(Seq("event_type"), Seq("n_events" -> "n"),
