@@ -800,6 +800,48 @@ object CubeJson {
           spec.replanExpansionRate, logDir): Unit
       }
     }
+    // dim-range self-healing (undeclared on purpose — observed data
+    // facts, not policy): segments without collected ranges never
+    // prune on non-time filters (pre-feature builds, restores), so
+    // the scheduled run backfills exactly the MISSING ones — closing
+    // the loop the health audit's missing_dim_ranges finding opens.
+    // Quiet best-effort, never destructive: merge-only, each
+    // segment's scanned base-cuboid count must match the committed
+    // stats (a damaged dir's ranges could wrongly prune — skip it,
+    // the audit keeps flagging), and full coverage short-circuits
+    // before the lease (no buildId churn on the steady-state run —
+    // collect with no eligible dims reads one parquet footer and
+    // launches no job, so an all-float cube retries harmlessly).
+    {
+      val cur0 = CubeMeta.load(spark, toCubeDef(spec), root).map(_.inst)
+      val missing0 = cur0.toSeq.flatMap { c =>
+        val covered = c.dimRanges.keySet.map(_._1)
+        c.cube.segments.filterNot(s => covered(s.name))
+      }
+      if (missing0.nonEmpty) {
+        BuildLease.withLease(spark, root,
+            spec.name)(Option.empty[CubeInstance]) {
+          val cur = reloadCommitted(spark, spec, root, "ranges-heal")
+          val covered = cur.dimRanges.keySet.map(_._1)
+          val missing = cur.cube.segments.filterNot(s => covered(s.name))
+          if (missing.isEmpty) cur
+          else {
+            val (collected, counts) =
+              DimRanges.collectWithCounts(spark, cur, missing)
+            val baseId = cur.cube.cuboidId(cur.cube.dims.toSet)
+            val ok = collected.filter { case ((s, _), _) =>
+              counts.get(s).exists(n =>
+                cur.rows.get((s, baseId)).forall(_ == n)) }
+            if (ok.isEmpty) cur
+            else {
+              val next = cur.copy(dimRanges = cur.dimRanges ++ ok)
+              CubeMeta.save(spark, next): Unit
+              next
+            }
+          }
+        }: Unit
+      }
+    }
     // route through the stamp-aware path: the policy commits changed
     // the buildId, so this reload pairs (instance, stamp) atomically
     CubeManager.ensureDeclared(spark, sfDir, spec)

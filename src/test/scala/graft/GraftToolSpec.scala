@@ -972,6 +972,54 @@ class GraftToolSpec extends AnyFunSuite {
       s"backfilled ranges must prune j2, got ${p.overlapping.map(_.name)}")
   }
 
+  test("policies heals missing dim ranges quietly; full coverage " +
+      "commits nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-healdef")
+    val doc =
+      """{
+        |  "name": "tool_heal",
+        |  "model": {"fact": "events"},
+        |  "flatColumns": [
+        |    {"name": "ts"},
+        |    {"name": "event_type"},
+        |    {"name": "event_id"}
+        |  ],
+        |  "dims": ["event_type", "event_id"],
+        |  "measures": [{"name": "n_events", "family": "count"}],
+        |  "segmentCol": "ts",
+        |  "segments": [
+        |    {"name": "j1", "start": "2024-01-01", "end": "2024-01-15"},
+        |    {"name": "j2", "start": "2024-01-15", "end": "2024-02-01"}
+        |  ]
+        |}""".stripMargin
+    val defFile = dir.resolve("tool_heal.json")
+    java.nio.file.Files.write(defFile, doc.getBytes("UTF-8")): Unit
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      CubeManager.declaredRoot(sf, "tool_heal"))): Unit
+    CubeManager.resetMemos()
+    val spec = CubeJson.parse(doc)
+    val built = CubeManager.ensureDeclared(spark, sf, spec)
+    // simulate a pre-feature meta
+    CubeMeta.save(spark, built.copy(dimRanges = Map.empty)): Unit
+    CubeManager.resetMemos()
+
+    val (c0, _) = runTool("policies", sf, "--def", defFile.toString)
+    assert(c0 == 0)
+    val healed = CubeMeta.load(spark, CubeJson.toCubeDef(spec),
+      built.root).getOrElse(fail("meta must load"))
+    assert(healed.inst.dimRanges.keySet.map(_._1) == Set("j1", "j2"),
+      s"policies must backfill missing ranges, got " +
+        s"${healed.inst.dimRanges.keySet}")
+
+    // the steady-state run finds full coverage and must not commit
+    val (c1, _) = runTool("policies", sf, "--def", defFile.toString)
+    assert(c1 == 0)
+    val after = CubeMeta.load(spark, CubeJson.toCubeDef(spec),
+      built.root).getOrElse(fail("meta must load"))
+    assert(after.buildId == healed.buildId,
+      "a fully covered cube's policies run must not flip the buildId")
+  }
+
   test("failures surface as exit 1 with the underlying refusal") {
     val (c1, _) = runTool("restore",
       java.nio.file.Files.createTempDirectory("graft-tool-x").toString,
