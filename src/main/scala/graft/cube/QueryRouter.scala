@@ -149,10 +149,22 @@ object QueryRouter {
     val timeOverlap = cube.segments.filter { s =>
       q.timeRange.forall { case (qs, qe) => s.start < qe && qs < s.end }
     }
-    val overlapping = DimRanges.pruneSegments(inst,
-      timeOverlap.filterNot(s =>
-        inst.rows.get((s.name, baseCuboidId)).contains(0L)),
-      q.filter)
+    val nonEmpty = timeOverlap.filterNot(s =>
+      inst.rows.get((s.name, baseCuboidId)).contains(0L))
+    val overlapping = DimRanges.pruneSegments(inst, nonEmpty, q.filter)
+    // explainRoute visibility (RealizationCheck parity): pruning is a
+    // silent scan-shrinker, so each axis notes what it dropped — free
+    // unless a serving entry point is collecting a trace
+    if (nonEmpty.size < timeOverlap.size)
+      RouteTrace.note("router", cube.name,
+        s"empty-segment skip dropped " +
+          timeOverlap.filterNot(nonEmpty.contains).map(_.name)
+            .mkString(", "))
+    if (overlapping.size < nonEmpty.size)
+      RouteTrace.note("router", cube.name,
+        s"dim-range pruning dropped " +
+          nonEmpty.filterNot(overlapping.contains).map(_.name)
+            .mkString(", ") + " on the query filter")
     val partial = q.timeRange match {
       case Some((qs, qe)) => overlapping.filterNot(s => qs <= s.start && s.end <= qe)
       case None => Nil

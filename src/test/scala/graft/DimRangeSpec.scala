@@ -229,6 +229,17 @@ class DimRangeSpec extends AnyFunSuite {
       s"rows==0 must skip w3, got ${p.overlapping.map(_.name)}")
   }
 
+  test("the route trace names what each pruning axis dropped") {
+    val q = CubeQuery(Seq("event_type"), Seq("n_events" -> "n"),
+      filter = Some(col("event_id") <= 10L),
+      filterDims = Set("event_id"))
+    val (_, trace) = RouteTrace.collect(QueryRouter.plan(inst, q))
+    val pruneNotes = trace.filter(_.reason.contains("dim-range"))
+    assert(pruneNotes.size == 1 &&
+      Seq("w2", "w3", "w4").forall(pruneNotes.head.reason.contains),
+      trace.mkString("\n"))
+  }
+
   test("pruning shrinks estRows vs the same plan without range metadata") {
     val q = CubeQuery(Seq("event_type"), Seq("n_events" -> "n"),
       filter = Some(col("event_id") <= 10L),
