@@ -818,7 +818,12 @@ object CubeJson {
         val covered = c.dimRanges.keySet.map(_._1)
         c.cube.segments.filterNot(s => covered(s.name))
       }
-      if (missing0.nonEmpty) {
+      // the eligibility probe (one footer read, no job, no lease)
+      // keeps a cube that can NEVER reach coverage — every dim
+      // float/double/binary — from acquiring the build lease on every
+      // scheduled run forever
+      if (missing0.nonEmpty &&
+          cur0.exists(c => DimRanges.anyEligible(spark, c))) {
         BuildLease.withLease(spark, root,
             spec.name)(Option.empty[CubeInstance]) {
           val cur = reloadCommitted(spark, spec, root, "ranges-heal")
@@ -828,10 +833,11 @@ object CubeJson {
           else {
             val (collected, counts) =
               DimRanges.collectWithCounts(spark, cur, missing)
-            val baseId = cur.cube.cuboidId(cur.cube.dims.toSet)
-            val ok = collected.filter { case ((s, _), _) =>
-              counts.get(s).exists(n =>
-                cur.rows.get((s, baseId)).forall(_ == n)) }
+            // the same soundness check the CLI refuses on — here the
+            // torn segments are skipped quietly (the audit keeps
+            // flagging them) and the verified rest still heals
+            val (ok, _) =
+              DimRanges.verifyAgainstStats(cur, collected, counts)
             if (ok.isEmpty) cur
             else {
               val next = cur.copy(dimRanges = cur.dimRanges ++ ok)

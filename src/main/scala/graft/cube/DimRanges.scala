@@ -74,6 +74,60 @@ object DimRanges {
               segs: Seq[Segment]): Map[(String, String), DimRange] =
     collectWithCounts(spark, inst, segs)._1
 
+  /** the dims of `cube` whose ranges are collectable from a base
+    * cuboid with this schema — shared by collection and by the
+    * pre-lease eligibility probe (a cube with NO eligible dims can
+    * never reach coverage, so scheduled healing must not take the
+    * build lease for it on every run). Float/double string canon can
+    * lose ULPs, binary is not UTF-8 (cast-to-string mangles non-text
+    * bytes) — an off-by-anything bound wrongly prunes, so neither
+    * collects. */
+  def eligibleDims(cube: CubeDef,
+                   schema: org.apache.spark.sql.types.StructType)
+      : Seq[String] =
+    cube.dims.filter { d =>
+      schema.find(_.name == d).exists(f =>
+        f.dataType != FloatType && f.dataType != DoubleType &&
+          f.dataType != BinaryType &&
+          TypeUtils.checkForOrderingExpr(f.dataType, "dimrange")
+            .isSuccess)
+    }
+
+  /** cheap schema-only probe: can THIS instance ever collect ranges?
+    * One parquet footer read (first segment's base cuboid), no job.
+    * False ⇔ no dim is eligible (or nothing is readable) — permanent
+    * until the def changes, so callers may skip expensive machinery. */
+  def anyEligible(spark: SparkSession, inst: CubeInstance): Boolean =
+    scala.util.Try {
+      val baseId = inst.cube.cuboidId(inst.cube.dims.toSet)
+      inst.cube.segments.headOption.exists { seg =>
+        val schema = spark.read
+          .parquet(inst.cuboidPath(seg.name, baseId)).schema
+        eligibleDims(inst.cube, schema).nonEmpty
+      }
+    }.getOrElse(false)
+
+  /** Split a collection result into entries whose scanned base-cuboid
+    * row count MATCHES the committed stats (safe to commit) and the
+    * segment names that disagree (the dirs look damaged — ranges from
+    * them could wrongly prune a segment other cuboids still answer).
+    * A segment with no committed stat is accepted: there is nothing
+    * to disagree with, and the scan itself succeeded. One spelling
+    * shared by the CLI backfill (which REFUSES on torn) and the
+    * policies heal (which quietly skips them) — the soundness check
+    * must not fork. */
+  def verifyAgainstStats(inst: CubeInstance,
+                         collected: Map[(String, String), DimRange],
+                         counts: Map[String, Long])
+      : (Map[(String, String), DimRange], Seq[String]) = {
+    val baseId = inst.cube.cuboidId(inst.cube.dims.toSet)
+    def torn(seg: String): Boolean =
+      inst.rows.get((seg, baseId))
+        .exists(committed => !counts.get(seg).contains(committed))
+    val tornSegs = collected.keySet.map(_._1).filter(torn).toSeq.sorted
+    (collected.filterNot { case ((s, _), _) => torn(s) }, tornSegs)
+  }
+
   /** like [[collect]], also returning each successfully scanned
     * segment's observed BASE-CUBOID row count (same job — the count
     * rides the agg). The backfill CLI cross-checks these against the
@@ -96,16 +150,7 @@ object DimRanges {
         (Map.empty[(String, String), DimRange], Map.empty[String, Long])
       else {
         val schema = frames.head._2.schema
-        // float/double string canon can lose ULPs, binary is not
-        // UTF-8 (cast-to-string mangles non-text bytes) — an
-        // off-by-anything bound wrongly prunes, so neither collects
-        val dims = cube.dims.filter { d =>
-          schema.find(_.name == d).exists(f =>
-            f.dataType != FloatType && f.dataType != DoubleType &&
-              f.dataType != BinaryType &&
-              TypeUtils.checkForOrderingExpr(f.dataType, "dimrange")
-                .isSuccess)
-        }
+        val dims = eligibleDims(cube, schema)
         if (dims.isEmpty)
           (Map.empty[(String, String), DimRange], Map.empty[String, Long])
         else {

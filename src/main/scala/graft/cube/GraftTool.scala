@@ -461,11 +461,8 @@ object GraftTool {
               // other cuboids still answer — cross-check the scanned
               // row count against the committed stats and refuse on
               // any mismatch
-              val baseId = fresh.cube.cuboidId(fresh.cube.dims.toSet)
-              val torn = fresh.cube.segments.map(_.name).filter { s =>
-                fresh.rows.get((s, baseId))
-                  .exists(_ != counts.getOrElse(s, -1L))
-              }
+              val (_, torn) =
+                DimRanges.verifyAgainstStats(fresh, collected, counts)
               if (torn.nonEmpty)
                 throw new IllegalStateException(
                   s"ranges refused for '${spec.name}': base cuboid " +

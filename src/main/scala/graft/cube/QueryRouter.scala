@@ -153,18 +153,24 @@ object QueryRouter {
       inst.rows.get((s.name, baseCuboidId)).contains(0L))
     val overlapping = DimRanges.pruneSegments(inst, nonEmpty, q.filter)
     // explainRoute visibility (RealizationCheck parity): pruning is a
-    // silent scan-shrinker, so each axis notes what it dropped — free
-    // unless a serving entry point is collecting a trace
-    if (nonEmpty.size < timeOverlap.size)
+    // silent scan-shrinker, so each axis notes what it dropped. The
+    // serving layer collects a trace on EVERY query, so the dropped
+    // sets are computed via name sets — not Seq.contains scans that
+    // would go quadratic at thousands of segments on this plan path
+    if (nonEmpty.size < timeOverlap.size) {
+      val kept = nonEmpty.iterator.map(_.name).toSet
       RouteTrace.note("router", cube.name,
         s"empty-segment skip dropped " +
-          timeOverlap.filterNot(nonEmpty.contains).map(_.name)
+          timeOverlap.iterator.map(_.name).filterNot(kept)
             .mkString(", "))
-    if (overlapping.size < nonEmpty.size)
+    }
+    if (overlapping.size < nonEmpty.size) {
+      val kept = overlapping.iterator.map(_.name).toSet
       RouteTrace.note("router", cube.name,
         s"dim-range pruning dropped " +
-          nonEmpty.filterNot(overlapping.contains).map(_.name)
+          nonEmpty.iterator.map(_.name).filterNot(kept)
             .mkString(", ") + " on the query filter")
+    }
     val partial = q.timeRange match {
       case Some((qs, qe)) => overlapping.filterNot(s => qs <= s.start && s.end <= qe)
       case None => Nil
