@@ -237,59 +237,87 @@ object DimRanges {
     * of segments is tens of milliseconds per plan for identical
     * strings. Bounded FIFO-ish (clear on overflow): bounds are
     * per-(segment, dim) metadata, a few thousand live entries. */
-  private val parseMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, String), Option[Any]]()
-  private def parse(s: String, dt: DataType): Option[Any] = {
-    // the zone is part of the key: a timestamp bound parses to a
-    // different instant under a different session timezone
-    val key = (s, dt.sql, zone.getOrElse(""))
-    val hit = parseMemo.get(key)
+  /** one spelling of the bounded JVM-wide memo all three plan-path
+    * caches use (clear-on-overflow is fine for pure functions: the
+    * worst case is recomputation). Two hand-rolled copies would have
+    * to evolve together — the fork-risk the verifyAgainstStats
+    * consolidation already condemned. */
+  private def memo[K, V](cache: java.util.concurrent.ConcurrentHashMap[
+      K, Option[V]], max: Int)(k: K)(f: => Option[V]): Option[V] = {
+    val hit = cache.get(k)
     if (hit != null) hit
     else {
-      val v = scala.util.Try(Option(Cast(Literal(
-        org.apache.spark.unsafe.types.UTF8String.fromString(s),
-        StringType), dt, zone, EvalMode.TRY).eval(null)))
-        .toOption.flatten
-      if (parseMemo.size > 65536) parseMemo.clear()
-      parseMemo.put(key, v)
+      val v = f
+      if (cache.size > max) cache.clear()
+      cache.put(k, v)
       v
     }
   }
 
+  private val parseMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), Option[Any]]()
+  private def parse(s: String, dt: DataType): Option[Any] =
+    // the zone is part of the key: a timestamp bound parses to a
+    // different instant under a different session timezone
+    memo(parseMemo, 65536)((s, dt.sql, zone.getOrElse(""))) {
+      scala.util.Try(Option(Cast(Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        StringType), dt, zone, EvalMode.TRY).eval(null)))
+        .toOption.flatten
+    }
+
   /** memoized DDL → DataType: fromDDL runs the SQL parser, tens of µs
     * per call — plan() resolves the same handful of dim types for
-    * every candidate segment of every query */
+    * every candidate segment of every query. The ambiguous timestamp
+    * names are pinned FIRST, conf-independently: `DataType.sql`
+    * rendered "TIMESTAMP" from TimestampType at collect time, but
+    * fromDDL resolves that token through spark.sql.timestampType — a
+    * session running NTZ-by-default would silently reinterpret every
+    * persisted LTZ bound as wall-clock micros (wrong prunes), and a
+    * conf-free cache key would even leak one session's resolution
+    * into another. Pinning restores "parse what collect wrote"
+    * regardless of conf, and makes the bare-string key sound. */
   private val ddlMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Option[DataType]]()
-  private def dtFromDDL(ddl: String): Option[DataType] = {
-    val hit = ddlMemo.get(ddl)
-    if (hit != null) hit
-    else {
-      val v = scala.util.Try(DataType.fromDDL(ddl)).toOption
-      if (ddlMemo.size > 4096) ddlMemo.clear()
-      ddlMemo.put(ddl, v)
-      v
+  private def dtFromDDL(ddl: String): Option[DataType] =
+    ddl.trim.toUpperCase(java.util.Locale.ROOT) match {
+      case "TIMESTAMP" | "TIMESTAMP_LTZ" =>
+        Some(org.apache.spark.sql.types.TimestampType)
+      case "TIMESTAMP_NTZ" =>
+        Some(org.apache.spark.sql.types.TimestampNTZType)
+      case _ => memo(ddlMemo, 4096)(ddl) {
+        scala.util.Try(DataType.fromDDL(ddl)).toOption
+      }
     }
-  }
 
   /** cast a filter literal into the dim's type, accepting only EXACT
     * conversions: the value must round-trip back to its own type
     * unchanged. A lossy cast (10.5 ⇒ INT 10, or "-10.5" ⇒ -10) could
     * move a bound past a real value and prune a matching segment —
     * the truncation-toward-zero case is actively unsound for
-    * comparisons against negative bounds. */
+    * comparisons against negative bounds. Memoized like parse: the
+    * (literal, dim-type) pair does not vary across the candidate
+    * segments of a plan, yet sides() resolves it once per segment —
+    * two Cast evals per compare node per segment adds up at thousands
+    * of segments. Literal internal values (UTF8String, Decimal, Long…)
+    * are value-classes with stable equals/hashCode. */
+  private val castMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Any, String, String, String), Option[Any]]()
   private def exactCast(lit: Literal, dt: DataType): Option[Any] = {
     if (lit.value == null) return None
     if (lit.dataType == dt) return Some(lit.value)
-    scala.util.Try {
-      Option(Cast(lit, dt, zone, EvalMode.TRY).eval(null)).filter { dv =>
-        val back = Option(Cast(Literal(dv, dt), lit.dataType, zone,
-          EvalMode.TRY).eval(null))
-        back.exists(b => scala.util.Try(
-          TypeUtils.getInterpretedOrdering(lit.dataType).equiv(b, lit.value))
-          .getOrElse(false))
-      }
-    }.toOption.flatten
+    memo(castMemo, 65536)(
+      (lit.value, lit.dataType.sql, dt.sql, zone.getOrElse(""))) {
+      scala.util.Try {
+        Option(Cast(lit, dt, zone, EvalMode.TRY).eval(null)).filter { dv =>
+          val back = Option(Cast(Literal(dv, dt), lit.dataType, zone,
+            EvalMode.TRY).eval(null))
+          back.exists(b => scala.util.Try(
+            TypeUtils.getInterpretedOrdering(lit.dataType)
+              .equiv(b, lit.value)).getOrElse(false))
+        }
+      }.toOption.flatten
+    }
   }
 
   /** name of a plain attribute reference, if the expression is one */
