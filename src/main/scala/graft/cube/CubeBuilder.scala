@@ -495,6 +495,51 @@ object CubeBuilder {
     next
   }
 
+  /** TIERED auto-merge (reference: core-metadata Segments.java:212
+    * `autoMergeCubeSegments` + `findMergeOffsetsByDateRange`:260 —
+    * the consumer of CubeDesc.java:179 `auto_merge_time_ranges`):
+    * thresholds are tried LARGEST first; for each starting segment,
+    * collect the contiguous run (no holes) overlapping
+    * [start, start + T days), rejecting any member that alone spans
+    * MORE than T (already-compacted history is not re-merged into
+    * ever-bigger segments past its tier), and merge the first run of
+    * ≥2 segments whose total span reaches T. ONE merge per call — the
+    * reference's scheduler converges the same way, daily segments
+    * into weeklies, weeklies into monthlies under the larger
+    * threshold, each scheduled run taking one step. Returns the
+    * instance unchanged when nothing qualifies. */
+  def autoMergeByDays(spark: SparkSession, inst: CubeInstance,
+                      days: Seq[Int]): CubeInstance = {
+    val segs = inst.cube.segments.sortBy(_.start)
+    def day(x: String) = java.time.LocalDate.parse(x.take(10))
+    def span(s: Segment): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(day(s.start), day(s.end))
+    for (t <- days.distinct.sorted(Ordering[Int].reverse)) {
+      var i = 0
+      while (i < segs.size) {
+        if (span(segs(i)) <= t) {
+          val winEnd = day(segs(i).start).plusDays(t.toLong)
+          var run = List(segs(i))
+          var j = i + 1
+          while (j < segs.size && segs(j).start == run.head.end &&
+              day(segs(j).start).isBefore(winEnd) &&
+              span(segs(j)) <= t) {
+            run ::= segs(j)
+            j += 1
+          }
+          val runAsc = run.reverse
+          val total = java.time.temporal.ChronoUnit.DAYS.between(
+            day(runAsc.head.start), day(runAsc.last.end))
+          if (runAsc.size >= 2 && total >= t)
+            return mergeSegments(spark, inst,
+              s"am-${runAsc.head.name}-${runAsc.last.name}", runAsc)
+        }
+        i += 1
+      }
+    }
+    inst
+  }
+
   /** Auto-merge policy (reference: CubeDesc auto-merge thresholds +
     * SegmentAutoMergeUtil — Kylin compacts old small segments as new
     * ones accumulate): when more than `maxSegments` segments exist,

@@ -175,6 +175,12 @@ object CubeJson {
         * is the scheduled-job entry that enforces them. */
       retentionDays: Option[Int] = None,
       autoMergeMaxSegments: Option[Int] = None,
+      /** tiered time-threshold auto-merge in DAYS (the reference's
+        * auto_merge_time_ranges, CubeDesc.java:179 — e.g. [7, 28]
+        * compacts dailies into weeklies, weeklies into monthlies);
+        * applied by [[applyPolicies]] one merge per run, largest
+        * threshold first */
+      autoMergeDays: Seq[Int] = Nil,
       /** lattice REPLAN policy (cube planner phase 2 as data —
         * reference: the optimize-cube job CuboidRecommender feeds):
         * each policies run re-picks the lattice from the persisted
@@ -295,6 +301,10 @@ object CubeJson {
     }
     j.autoMergeMaxSegments.foreach(n =>
       if (n < 2) fail(s"autoMergeMaxSegments must be >= 2, got $n"))
+    j.autoMergeDays.foreach(d =>
+      if (d <= 0) fail(s"autoMergeDays must be positive, got $d"))
+    if (j.autoMergeDays.distinct.size != j.autoMergeDays.size)
+      fail(s"autoMergeDays must be distinct, got ${j.autoMergeDays}")
     j.replanRowBudget.foreach(b =>
       if (b <= 0) fail(s"replanRowBudget must be positive, got $b"))
     j.replanExpansionRate.foreach(r =>
@@ -735,7 +745,12 @@ object CubeJson {
     *    to the data, not the wall clock — reference semantics);
     *  - `autoMergeMaxSegments`: merge the oldest run down so at most
     *    that many segments remain (count-based trigger over
-    *    [[CubeBuilder.autoMerge]]).
+    *    [[CubeBuilder.autoMerge]]);
+    *  - `autoMergeDays`: the reference's tiered time thresholds
+    *    proper (auto_merge_time_ranges — e.g. [7, 28]): one
+    *    [[CubeBuilder.autoMergeByDays]] step per run, largest
+    *    threshold first, converging dailies → weeklies → monthlies
+    *    across scheduled runs.
     *
     * Each policy is a normal metadata commit, so every stamp-aware
     * process (this one included — the final ensure below reloads
@@ -784,6 +799,22 @@ object CubeJson {
           // autoMerge writes the merged cuboids but leaves the commit
           // to its caller (ensureMerged commits to its own realization
           // file) — here the merged list IS the primary truth
+          if (merged ne cur) CubeMeta.save(spark, merged): Unit
+          merged
+        }
+      }: Unit
+    }
+    if (spec.autoMergeDays.nonEmpty) {
+      // tiered TIME-threshold auto-merge (the reference's actual
+      // auto_merge_time_ranges semantics, beside graft's count form
+      // above) — same lease nesting, one merge step per policies run
+      BuildLease.withLease(spark, root,
+          spec.name)(Option.empty[CubeInstance]) {
+        BuildLease.withLease(spark, root, spec.name,
+            "_building-merged")(Option.empty[CubeInstance]) {
+          val cur = reloadCommitted(spark, spec, root, "auto-merge-days")
+          val merged =
+            CubeBuilder.autoMergeByDays(spark, cur, spec.autoMergeDays)
           if (merged ne cur) CubeMeta.save(spark, merged): Unit
           merged
         }

@@ -1020,6 +1020,80 @@ class GraftToolSpec extends AnyFunSuite {
       "a fully covered cube's policies run must not flip the buildId")
   }
 
+  test("autoMergeDays compacts tiered time thresholds one step per " +
+      "policies run, answers preserved, big segments left alone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-amdays")
+    val segs = (1 to 6).map { d =>
+      s"""{"name": "d0$d", "start": "2024-01-0$d",
+         | "end": "2024-01-0${d + 1}"}""".stripMargin
+    }.mkString(",\n")
+    val doc =
+      s"""{
+         |  "name": "tool_amdays",
+         |  "model": {"fact": "events"},
+         |  "flatColumns": [
+         |    {"name": "ts"}, {"name": "event_type"}, {"name": "value"}
+         |  ],
+         |  "dims": ["event_type"],
+         |  "measures": [
+         |    {"name": "value_sum", "family": "sum", "column": "value",
+         |     "decimal": true, "presentDouble": true},
+         |    {"name": "n_events", "family": "count"}
+         |  ],
+         |  "segmentCol": "ts",
+         |  "segments": [
+         |$segs
+         |  ],
+         |  "autoMergeDays": [3]
+         |}""".stripMargin
+    val defFile = dir.resolve("tool_amdays.json")
+    java.nio.file.Files.write(defFile, doc.getBytes("UTF-8")): Unit
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      CubeManager.declaredRoot(sf, "tool_amdays"))): Unit
+    CubeManager.resetMemos()
+    val spec = CubeJson.parse(doc)
+    val truth = Tables.tbl(spark, sf, "events")
+      .filter(col("ts") < org.apache.spark.sql.functions.lit("2024-01-07")
+        .cast("timestamp"))
+      .count()
+    def segNames(): Seq[String] = CubeMeta.load(spark,
+      CubeJson.toCubeDef(spec),
+      CubeManager.declaredRoot(sf, "tool_amdays"))
+      .getOrElse(fail("meta must load")).inst.cube.segments
+      .sortBy(_.start).map(_.name)
+    def routedCount(): Long = {
+      CubeManager.resetMemos()
+      val inst = CubeManager.ensureDeclared(spark, sf, spec)
+      val r = QueryRouter.route(spark, inst, CubeQuery(
+        Seq("event_type"), Seq("n_events" -> "n")))(fail("must route"))
+      r.df.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    }
+
+    // run 1: six dailies; the first three reach the 3-day threshold
+    val (c1, _) = runTool("policies", sf, "--def", defFile.toString)
+    assert(c1 == 0)
+    assert(segNames() == Seq("am-d01-d03", "d04", "d05", "d06"),
+      segNames().mkString(","))
+    assert(routedCount() == truth)
+
+    // run 2: the merged 3-day segment fills its own window (nothing
+    // else overlaps [d01, d01+3d)), so the NEXT tier-aligned run
+    // d04-d06 compacts — the reference's window math, which keeps
+    // tiers aligned instead of rolling a 4-day segment
+    val (c2, _) = runTool("policies", sf, "--def", defFile.toString)
+    assert(c2 == 0)
+    assert(segNames() == Seq("am-d01-d03", "am-d04-d06"),
+      segNames().mkString(","))
+
+    // run 3: both tiles fill their windows alone — steady state
+    val (c3, _) = runTool("policies", sf, "--def", defFile.toString)
+    assert(c3 == 0)
+    assert(segNames() == Seq("am-d01-d03", "am-d04-d06"),
+      segNames().mkString(","))
+    assert(routedCount() == truth,
+      "compaction must never change routed answers")
+  }
+
   test("failures surface as exit 1 with the underlying refusal") {
     val (c1, _) = runTool("restore",
       java.nio.file.Files.createTempDirectory("graft-tool-x").toString,
