@@ -499,15 +499,20 @@ object CubeBuilder {
     * `autoMergeCubeSegments` + `findMergeOffsetsByDateRange`:260 —
     * the consumer of CubeDesc.java:179 `auto_merge_time_ranges`):
     * thresholds are tried LARGEST first; for each starting segment,
-    * collect the contiguous run (no holes) overlapping
-    * [start, start + T days), rejecting any member that alone spans
-    * MORE than T (already-compacted history is not re-merged into
-    * ever-bigger segments past its tier), and merge the first run of
-    * ≥2 segments whose total span reaches T. ONE merge per call — the
-    * reference's scheduler converges the same way, daily segments
-    * into weeklies, weeklies into monthlies under the larger
-    * threshold, each scheduled run taking one step. Returns the
-    * instance unchanged when nothing qualifies. */
+    * collect the contiguous run (no holes) CONTAINED in
+    * [start, start + T days), and merge the first run of ≥2 segments
+    * whose total span reaches T. ONE merge per call — the reference's
+    * scheduler converges the same way, daily segments into weeklies,
+    * weeklies into monthlies under the larger threshold, each
+    * scheduled run taking one step. Returns the instance unchanged
+    * when nothing qualifies.
+    *
+    * One deliberate divergence: the reference admits any member that
+    * OVERLAPS the window (findMergeOffsetsByDateRange:266), so a
+    * member starting inside but ending past it can mint a merged
+    * segment of up to 2T−1 days — past its own tier, never
+    * compactable again under T. Containment keeps every tile ≤ T,
+    * which is the property the tier ladder exists for. */
   def autoMergeByDays(spark: SparkSession, inst: CubeInstance,
                       days: Seq[Int]): CubeInstance = {
     val segs = inst.cube.segments.sortBy(_.start)
@@ -522,8 +527,7 @@ object CubeBuilder {
           var run = List(segs(i))
           var j = i + 1
           while (j < segs.size && segs(j).start == run.head.end &&
-              day(segs(j).start).isBefore(winEnd) &&
-              span(segs(j)) <= t) {
+              !day(segs(j).end).isAfter(winEnd)) {
             run ::= segs(j)
             j += 1
           }

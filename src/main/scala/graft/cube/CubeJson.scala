@@ -755,8 +755,11 @@ object CubeJson {
     * Each policy is a normal metadata commit, so every stamp-aware
     * process (this one included — the final ensure below reloads
     * through the drifted stamp) picks the shrunken/merged state up
-    * without restarts. Idempotent: a second run finds nothing to drop
-    * or merge. */
+    * without restarts. CONVERGENT over repeated runs, not one-shot
+    * idempotent: autoMergeDays deliberately takes one merge step per
+    * run (the reference scheduler's cadence), reaching a fixed point
+    * once every tier is filled — from there further runs change
+    * nothing and commit nothing. */
   def applyPolicies(spark: SparkSession, sfDir: String,
                     spec: JsonCube): CubeInstance = {
     val root = CubeManager.ensureDeclared(spark, sfDir, spec).root
@@ -783,43 +786,15 @@ object CubeJson {
       }: Unit
     }
     spec.autoMergeMaxSegments.foreach { n =>
-      // the MERGE lease nests INSIDE the default lease (always this
-      // order — '_building' then '_building-merged'; ensureMerged
-      // holds only the latter and never acquires the former, so no
-      // cycle): the merge job's attempt state (_job-merge.json) and
-      // cuboid writes are shared with ensureMerged's full-merge job
-      // and must serialize with it, while the meta.json commit must
-      // serialize with appends/replans/rebuilds under '_building'.
-      BuildLease.withLease(spark, root,
-          spec.name)(Option.empty[CubeInstance]) {
-        BuildLease.withLease(spark, root, spec.name,
-            "_building-merged")(Option.empty[CubeInstance]) {
-          val cur = reloadCommitted(spark, spec, root, "auto-merge")
-          val merged = CubeBuilder.autoMerge(spark, cur, n)
-          // autoMerge writes the merged cuboids but leaves the commit
-          // to its caller (ensureMerged commits to its own realization
-          // file) — here the merged list IS the primary truth
-          if (merged ne cur) CubeMeta.save(spark, merged): Unit
-          merged
-        }
-      }: Unit
+      mergePolicyStep(spark, root, spec, "auto-merge")(
+        CubeBuilder.autoMerge(spark, _, n))
     }
-    if (spec.autoMergeDays.nonEmpty) {
+    if (spec.autoMergeDays.nonEmpty)
       // tiered TIME-threshold auto-merge (the reference's actual
       // auto_merge_time_ranges semantics, beside graft's count form
-      // above) — same lease nesting, one merge step per policies run
-      BuildLease.withLease(spark, root,
-          spec.name)(Option.empty[CubeInstance]) {
-        BuildLease.withLease(spark, root, spec.name,
-            "_building-merged")(Option.empty[CubeInstance]) {
-          val cur = reloadCommitted(spark, spec, root, "auto-merge-days")
-          val merged =
-            CubeBuilder.autoMergeByDays(spark, cur, spec.autoMergeDays)
-          if (merged ne cur) CubeMeta.save(spark, merged): Unit
-          merged
-        }
-      }: Unit
-    }
+      // above) — one merge step per policies run
+      mergePolicyStep(spark, root, spec, "auto-merge-days")(
+        CubeBuilder.autoMergeByDays(spark, _, spec.autoMergeDays))
     if (spec.replanRowBudget.isDefined ||
         spec.replanExpansionRate.isDefined) {
       // phase-2 replan as a policy: only when this process has a
@@ -883,6 +858,31 @@ object CubeJson {
     // the buildId, so this reload pairs (instance, stamp) atomically
     CubeManager.ensureDeclared(spark, sfDir, spec)
   }
+
+  /** One merge-policy step under the full lease discipline, shared by
+    * the count-based and tiered forms (the subtle parts must not fork):
+    * the MERGE lease nests INSIDE the default lease — always this
+    * order, '_building' then '_building-merged'; ensureMerged holds
+    * only the latter and never acquires the former, so no cycle — the
+    * merge job's attempt state (_job-merge.json) and cuboid writes are
+    * shared with ensureMerged's full-merge job and must serialize with
+    * it, while the meta.json commit must serialize with appends/
+    * replans/rebuilds under '_building'. The step's merged cuboids are
+    * written by the callee; here the merged list IS the primary truth,
+    * committed only when the step actually changed the instance. */
+  private def mergePolicyStep(spark: SparkSession, root: String,
+      spec: JsonCube, tag: String)(
+      step: CubeInstance => CubeInstance): Unit =
+    BuildLease.withLease(spark, root,
+        spec.name)(Option.empty[CubeInstance]) {
+      BuildLease.withLease(spark, root, spec.name,
+          "_building-merged")(Option.empty[CubeInstance]) {
+        val cur = reloadCommitted(spark, spec, root, tag)
+        val merged = step(cur)
+        if (merged ne cur) CubeMeta.save(spark, merged): Unit
+        merged
+      }
+    }: Unit
 
   /** Load-only re-read of the committed meta under a HELD lease: every
     * lifecycle step mutates the winner's committed state, never a

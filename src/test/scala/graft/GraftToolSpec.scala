@@ -1092,6 +1092,41 @@ class GraftToolSpec extends AnyFunSuite {
       segNames().mkString(","))
     assert(routedCount() == truth,
       "compaction must never change routed answers")
+
+    // window CONTAINMENT (the deliberate divergence from the
+    // reference's overlap semantics): a 1-day + 3-day pair under [3]
+    // must NOT merge into a 4-day segment that could never compact
+    // again under its tier
+    val doc2 =
+      """{
+        |  "name": "tool_amwide",
+        |  "model": {"fact": "events"},
+        |  "flatColumns": [
+        |    {"name": "ts"}, {"name": "event_type"}
+        |  ],
+        |  "dims": ["event_type"],
+        |  "measures": [{"name": "n_events", "family": "count"}],
+        |  "segmentCol": "ts",
+        |  "segments": [
+        |    {"name": "a", "start": "2024-01-01", "end": "2024-01-02"},
+        |    {"name": "b", "start": "2024-01-02", "end": "2024-01-05"}
+        |  ],
+        |  "autoMergeDays": [3]
+        |}""".stripMargin
+    val defFile2 = dir.resolve("tool_amwide.json")
+    java.nio.file.Files.write(defFile2, doc2.getBytes("UTF-8")): Unit
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      CubeManager.declaredRoot(sf, "tool_amwide"))): Unit
+    CubeManager.resetMemos()
+    val spec2 = CubeJson.parse(doc2)
+    val (cw, _) = runTool("policies", sf, "--def", defFile2.toString)
+    assert(cw == 0)
+    val wide = CubeMeta.load(spark, CubeJson.toCubeDef(spec2),
+      CubeManager.declaredRoot(sf, "tool_amwide"))
+      .getOrElse(fail("meta must load")).inst
+    assert(wide.cube.segments.map(_.name).sorted == Seq("a", "b"),
+      s"a+b span 4 days > the 3-day tier — must stay unmerged, got " +
+        s"${wide.cube.segments.map(_.name)}")
   }
 
   test("failures surface as exit 1 with the underlying refusal") {
