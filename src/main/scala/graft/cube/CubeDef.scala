@@ -194,7 +194,17 @@ final case class CubeDef(
       * `col < d+1day` only when no value can fall strictly between the
       * two instants. A true-timestamp segment column (mid-day values)
       * must leave this false. */
-    segDayGranular: Boolean = false) {
+    segDayGranular: Boolean = false,
+    /** flat-table string columns dictionary-encoded before the build
+      * (each contributes `<col>_id` — [[Dictionary]]'s append-stable
+      * PER-ROOT tree, reference AppendTrieDictionary.java:66). Ids are
+      * assigned by the owning root's append order, so a bitmap state
+      * over `<col>_id` is meaningful only within its own root's id
+      * space — it must never merge with states from another cube's
+      * root. [[CubeJson]] refuses hybrid members that declare these at
+      * deploy time, and [[HybridRouter]] falls back rather than splice
+      * them at query time. */
+    dictColumns: Set[String] = Set.empty) {
 
   require(cuboids.exists(_ == dims.toSet),
     "materialized set must include the base cuboid (all dims)")
@@ -223,6 +233,26 @@ final case class CubeDef(
     : Option[Measure] =
     measures.find(_.answersSumOf.exists(c => ExprCanon.same(
       org.apache.spark.sql.graftbridge.ColumnBridge.expressionTree(c), e)))
+
+  /** Names of measures whose defining aggregate reads a dictionary id
+    * column (`<dictCol>_id`) — their states are root-local (see
+    * `dictColumns`) and must never merge across cube roots. An
+    * uninspectable defining expression counts as dict-encoded when the
+    * cube declares dictColumns at all: the only cost of over-claiming
+    * is a query falling back to the always-consistent source. */
+  def dictEncodedMeasures: Set[String] =
+    if (dictColumns.isEmpty) Set.empty
+    else {
+      val idCols: Set[String] = dictColumns.map(c => s"${c}_id")
+      measures.filter { m =>
+        scala.util.Try(
+          org.apache.spark.sql.graftbridge.ColumnBridge
+            .expressionTree(m.fromRaw).collect {
+              case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                  if idCols.contains(u.nameParts.last) => u
+            }.nonEmpty).getOrElse(true)
+      }.map(_.name).toSet
+    }
 
   def derivedDim(n: String): Option[DerivedDim] = derived.find(_.name == n)
 

@@ -467,7 +467,8 @@ object CubeJson {
       notNull = j.notNull.toSet,
       extended = j.extended.map(e =>
         ExtendedColumn(e.name, e.host, e.measure)),
-      segDayGranular = j.segDayGranular)
+      segDayGranular = j.segDayGranular,
+      dictColumns = j.dictColumns.toSet)
   }
 
   // ── flat-table builder ────────────────────────────────────────────
@@ -687,6 +688,27 @@ object CubeJson {
       if (!h.newCube.segments.forall(_.start >= h.cutover))
         fail(s"hybrid '${h.name}': every new-cube segment must start " +
           s"at or after the cutover ${h.cutover}")
+      // Dictionary-encoded measures cannot splice: each member cube
+      // owns its own append-ordered dictionary tree (Dictionary.scala
+      // — ids are assigned by THAT root's append order), so two
+      // members' id spaces are incompatible by construction — the
+      // exact hazard CubeMigrator refuses on dict-column collisions.
+      // A splice would bitmap_union unrelated ids across the cutover
+      // into silently wrong exact-distinct counts, so the document is
+      // refused at deploy time (reference: HybridInstance.java:53
+      // members share a model, and core-dictionary
+      // AppendTrieDictionary.java:66's consistency contract is
+      // per-dictionary). HLL measures (value-hashed, splice-safe) or
+      // a bitmap over an integer key column express the same query.
+      Seq(h.oldCube, h.newCube).foreach { m =>
+        if (m.dictColumns.nonEmpty)
+          fail(s"hybrid '${h.name}': member '${m.name}' declares " +
+            s"dictColumns [${m.dictColumns.mkString(", ")}] — " +
+            "dictionary id spaces are per-cube-root and cannot merge " +
+            "across the splice (bitmap_union over unrelated ids would " +
+            "silently return wrong exact-distinct counts). Use an " +
+            "'hll' measure or a bitmap over an integer key instead")
+      }
     }
   }
 

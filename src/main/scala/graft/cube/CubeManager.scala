@@ -207,7 +207,10 @@ object CubeManager {
       // TPC-H order dates are calendar days stored at midnight — the
       // partition-column day contract holds, so BETWEEN/<=/= day
       // predicates convert to exact [day, day) segment ranges
-      segDayGranular = true)
+      segDayGranular = true,
+      // the build dictionary-encodes c_name (→ c_name_id, feeding
+      // cname_bitmap) through this root's append-stable tree
+      dictColumns = Set("c_name"))
   }
 
   // ── a second cube over the events stream table: the engine is
@@ -596,7 +599,10 @@ object CubeManager {
       segments = segs,
       cuboids = Seq(dims.toSet, Set("o_orderstatus", "o_month")),
       timeDim = Some(TimeDim.month("o_month")),
-      shardBy = None, derived = Nil, extended = Nil)
+      shardBy = None, derived = Nil, extended = Nil,
+      // the dict-encoded cname_bitmap is NOT carried: dictionary id
+      // spaces are per-root and cannot merge across the splice
+      dictColumns = Set.empty)
   }
 
   /** hybrid memo carries one buildId stamp per member root */

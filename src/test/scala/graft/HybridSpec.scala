@@ -63,6 +63,78 @@ class HybridSpec extends AnyFunSuite {
     assert(r.df.agg(sum("n")).head().getLong(0) == 10) // 5 days x 2 rows
   }
 
+  /** like [[monthCube]] but with a dict-encoded bitmap measure: the
+    * flat table carries `d_day_id` ids assigned in THIS cube's own
+    * order (offset distinguishes the two roots' id spaces, exactly the
+    * state two independently-built members are in) */
+  private def dictCube(name: String, start: String, end: String,
+                       idOffset: Long): CubeInstance = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft-hyd-$name").toString
+    val days = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(start), java.time.LocalDate.parse(end)).toInt
+    val df = spark.range(days * 2L).selectExpr(
+        s"timestampadd(DAY, cast(id / 2 as int), timestamp'$start') as ts")
+      .withColumn("d_day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("d_day_id",
+        expr(s"cast(datediff(ts, timestamp'$start') as bigint) + $idOffset"))
+    val cube = CubeDef(name, Seq("d_day"),
+      Seq(
+        Measure("n", fromRaw = count(lit(1)), fromState = s => sum(col(s))),
+        Measure("day_bitmap",
+          fromRaw = graft.functions.Measures.bitmapAgg(col("d_day_id")),
+          fromState = s => graft.functions.Measures.bitmapUnion(col(s)),
+          present = graft.functions.Measures.bitmapCount(_))),
+      "ts", Seq(Segment("m", start, end)), Seq(Set("d_day")),
+      timeDim = Some(TimeDim("d_day", d => Some(d.substring(0, 10)))),
+      dictColumns = Set("d_day"))
+    CubeBuilder.build(spark, df, cube, root)
+  }
+
+  test("a splice touching two members refuses dict-encoded bitmap " +
+      "states (root-local id spaces) and falls back") {
+    // both members assign d_day_id in their OWN append order — the
+    // id spaces overlap numerically but mean different values, so a
+    // bitmap_union across the cutover would undercount: jan's ids are
+    // 1.. and feb's are 1.. too (idOffset 1 on both = the collision)
+    val h = HybridInstance("dicth", Seq(
+      HybridSlice(dictCube("hdja", "2024-01-01", "2024-02-01", 1L),
+        QueryRouter.MinDay, "2024-02-01"),
+      HybridSlice(dictCube("hdfb", "2024-02-01", "2024-03-01", 1L),
+        "2024-02-01", QueryRouter.MaxDay)))
+    var fell = false
+    val (r, trace) = RouteTrace.collect {
+      HybridRouter.routeStates(spark, h,
+        CubeQuery(Seq.empty, Seq("day_bitmap" -> "days"),
+          timeRange = Some(("2024-01-25", "2024-02-05")))) {
+        fell = true; spark.emptyDataFrame
+      }
+    }
+    assert(r.fallback && fell,
+      "a cross-member splice of dict-encoded bitmaps must fall back " +
+        "- unioning per-root id spaces silently undercounts")
+    assert(trace.exists(e => e.stage == "router" &&
+      e.reason.contains("dictionary-encoded")),
+      s"route trace must name the refusal class, got $trace")
+    // single-member ranges still serve the bitmap: one root's ids are
+    // coherent (7 distinct January days)
+    val one = HybridRouter.routeStates(spark, h,
+      CubeQuery(Seq.empty, Seq("day_bitmap" -> "days"),
+        timeRange = Some(("2024-01-25", "2024-02-01"))))(
+      fail("an in-slice range must not fall back"))
+    assert(!one.fallback)
+    // states mode: union the routed bitmap states, then count
+    val mm = graft.functions.Measures
+    assert(one.df.agg(mm.bitmapUnion(col("days")).as("bm"))
+      .select(mm.bitmapCount(col("bm"))).head().getLong(0) == 7)
+    // and the splice still serves measures that DO merge across roots
+    val n = HybridRouter.routeStates(spark, h,
+      CubeQuery(Seq.empty, Seq("n" -> "n"),
+        timeRange = Some(("2024-01-25", "2024-02-05"))))(
+      fail("a covered range over mergeable states must not fall back"))
+    assert(!n.fallback)
+    assert(n.df.agg(sum("n")).head().getLong(0) == 22) // 7+4 days, 2 rows each
+  }
+
   test("contiguous slices splice across the cutover with no row loss") {
     val h = HybridInstance("contig", Seq(
       HybridSlice(jan, QueryRouter.MinDay, "2024-02-01"),
