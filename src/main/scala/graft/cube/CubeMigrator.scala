@@ -141,8 +141,11 @@ object CubeMigrator {
       // builder wait out a crash-expiry for a build that isn't there
       name == "_building" ||
       // build-attempt state (BuildJob): jobIds are per-root attempts;
-      // carried to the destination they are inert at best
+      // carried to the destination they are inert at best — and a
+      // copied refresh-attempt file could resurrect a stale attempt id
+      // at the destination (ADVICE r16)
       name == BuildJob.JobFile || name == BuildJob.MergeJobFile ||
+      name == BuildJob.RefreshJobFile ||
       name.startsWith("_phase.")
 
   /** Migrate `cube` from `srcRoot` to `dstRoot`. Refuses when the

@@ -320,9 +320,16 @@ object DimRanges {
     }
   }
 
-  /** name of a plain attribute reference, if the expression is one */
+  /** Name of a plain attribute reference, if the expression is one.
+    * A QUALIFIED unresolved name (`t.col`) may reference another
+    * relation that happens to share a cube dim's name — binding it to
+    * that dim's ranges could wrongly PRUNE a segment, the one
+    * unsoundness this scan-conservative module must never commit
+    * (ADVICE r16). Unqualified-only costs nothing in practice: the
+    * routed filters this module sees reference bare view columns. */
   private def attrName(e: Expression): Option[String] = e match {
-    case u: UnresolvedAttribute => Some(u.nameParts.last)
+    case u: UnresolvedAttribute if u.nameParts.size == 1 =>
+      Some(u.nameParts.head)
     case a: AttributeReference => Some(a.name)
     case _ => None
   }

@@ -47,6 +47,21 @@ object Snapshot {
     val p = new Path(path(root, name))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!isCommitted(fs, p)) {
+      // A NON-EMPTY dir with no commit marker is either a crashed
+      // write (heal by rewrite — the desired path) or a complete
+      // pre-marker snapshot written under
+      // mapreduce.fileoutputcommitter.marksuccessfuljobs=false; the
+      // two are indistinguishable from here, so the rewrite proceeds
+      // but LOUDLY (ADVICE r16): if the old dir was whole, the
+      // write-once freeze is being replaced from CURRENT source and
+      // derived-dim answers change without operator action.
+      if (fs.exists(p) &&
+          scala.util.Try(fs.listStatus(p).nonEmpty).getOrElse(false))
+        System.err.println(s"[graft-snapshot] re-freezing $p from the " +
+          "current source: the dir exists with data but no commit " +
+          "marker (crashed write, or a snapshot from before the " +
+          "marker contract) — derived-dim answers will reflect the " +
+          "CURRENT lookup rows; use rebuild() for explicit corrections")
       df.write.mode("overwrite").parquet(p.toString)
       markCommitted(fs, p)
     }

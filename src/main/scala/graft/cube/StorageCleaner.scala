@@ -76,7 +76,17 @@ object StorageCleaner {
     def protocolFile(name: String): Boolean =
       name == CubeMeta.MetaFile || name == CubeMeta.MergedFile ||
         name.endsWith(".tmp") || // an in-flight meta commit's window
-        (name.startsWith("_building") && !name.contains(".broken."))
+        (name.startsWith("_building") && !name.contains(".broken.")) ||
+        // Build-attempt state (BuildJob): a surviving job file means a
+        // crashed attempt awaiting step-resume — begin() overwrites it
+        // and finish() deletes it on success, so it is self-healing
+        // and bounded (≤3 small files + step markers per cube dir).
+        // Sweeping it between crash and re-entry would silently
+        // downgrade the resume to a full rebuild (ADVICE r16) — never
+        // correctness, but exactly the hours-to-minutes win the
+        // attempt files exist for.
+        name == BuildJob.JobFile || name == BuildJob.MergeJobFile ||
+        name == BuildJob.RefreshJobFile || name.startsWith("_phase.")
 
     val removed = Seq.newBuilder[String]
     val inGrace = Seq.newBuilder[String]

@@ -30,10 +30,20 @@ class CubeMigratorSpec extends AnyFunSuite {
     // migration walks the meta's resource list, not the raw dir
     val orphan = new java.io.File(s"$srcRoot/events/s_orphan/cuboid=3")
     assert(orphan.mkdirs())
+    // build-attempt state is process/root-local, never data: none of
+    // the three attempt files may resurrect a stale attempt id at the
+    // destination (the refresh one was the ADVICE r16 gap)
+    val attempts = Seq(BuildJob.JobFile, BuildJob.MergeJobFile,
+      BuildJob.RefreshJobFile)
+    attempts.foreach(f => java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$srcRoot/events/$f"), "{}".getBytes))
 
     val dst = CubeMigrator.migrate(spark, cube, srcRoot, dstRoot)
     assert(!new java.io.File(s"$dstRoot/events/s_orphan").exists(),
       "unreferenced source dirs must stay behind")
+    attempts.foreach(f =>
+      assert(!new java.io.File(s"$dstRoot/events/$f").exists(),
+        s"build-attempt state $f must not travel"))
     assert(dst.root == dstRoot)
     assert(dst.rows == src.rows,
       "per-(segment,cuboid) row stats must travel with the meta")

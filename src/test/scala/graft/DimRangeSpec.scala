@@ -86,6 +86,11 @@ class DimRangeSpec extends AnyFunSuite {
       EqualTo(Upper(attr("flag")), clit("A")))) // function-wrapped dim
     // non-literal right side
     assert(DimRanges.canMatch(intRanges, EqualTo(attr("id"), attr("other"))))
+    // a QUALIFIED name never binds to a dim's range (ADVICE r16): it
+    // may reference ANOTHER relation that shares the dim's name, and
+    // binding it could wrongly prune — out-of-range value answers scan
+    assert(DimRanges.canMatch(intRanges,
+      EqualTo(UnresolvedAttribute(Seq("other_table", "id")), clit(500L))))
   }
 
   test("lossy literal casts never prune (the negative-truncation trap)") {

@@ -56,22 +56,25 @@ class StorageCleanerSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
-  test("orphaned build-attempt state (_job.json / _phase markers from " +
-      "a crash between meta commit and finish) ages out through the " +
-      "file sweep") {
+  test("build-attempt state (_job*.json / _phase markers) is protocol, " +
+      "never swept: reclaiming it between crash and re-entry would " +
+      "downgrade the step-resume to a full rebuild (ADVICE r16)") {
     val (_, root) = build("jobstate")
     val cubeDir = new java.io.File(s"$root/events")
     val job = new java.io.File(cubeDir, BuildJob.JobFile)
+    val refresh = new java.io.File(cubeDir, BuildJob.RefreshJobFile)
     val phase = new java.io.File(cubeDir, "_phase.dict.c.json")
-    Seq(job, phase).foreach(f =>
+    Seq(job, refresh, phase).foreach(f =>
       java.nio.file.Files.write(f.toPath, "{}".getBytes))
-    Seq(job, phase).foreach(age)
+    Seq(job, refresh, phase).foreach(age)
     val r = StorageCleaner.clean(spark, CubeManager.eventsCube, root,
       graceMs = 1000)
-    assert(!job.exists() && !phase.exists(),
-      "aged attempt state must be reclaimed")
-    assert(r.removed.toSet ==
-      Set(job, phase).map(f => "file:" + f.getPath))
+    assert(job.exists() && refresh.exists() && phase.exists(),
+      "attempt state is self-healing (begin overwrites, finish " +
+        "deletes) and must survive the sweep for resume to work")
+    assert(Seq(job, refresh, phase).forall(f =>
+      r.live.contains("file:" + f.getPath)))
+    assert(r.removed.isEmpty)
   }
 
   test("fresh garbage is protected by the grace window; dry run " +
