@@ -85,7 +85,14 @@ object GraftSql {
         * tried BEFORE the plain realizations, mirroring Kylin's
         * RealizationChooser where a hybrid outranks its own member
         * cubes (HybridInstance cost priority) */
-      hybrids: Seq[(SparkSession, String) => HybridInstance] = Nil) {
+      hybrids: Seq[(SparkSession, String) => HybridInstance] = Nil,
+      /** per-raw-table loader OVERRIDES for tables with a declared
+        * batch SOURCE (CubeJson.JsonSource — catalog/JDBC/file): the
+        * view registration resolves these through the source instead
+        * of the `<sfDir>/<table>.parquet` convention, so user-written
+        * joins over source-bound tables route like any other */
+      rawLoaders: Map[String, (SparkSession, String) => DataFrame] =
+        Map.empty) {
     def realizations: Seq[(SparkSession, String) => CubeInstance] =
       instance +: alternates
   }
@@ -380,9 +387,14 @@ object GraftSql {
           }
         bindings.foreach { b =>
           b.flat(spark, sfDir).createOrReplaceTempView(b.view)
-          // raw star tables, so user-written model joins resolve
+          // raw star tables, so user-written model joins resolve —
+          // source-bound tables (rawLoaders) resolve through their
+          // declared source, never the parquet convention
           b.rawTables.foreach(n =>
-            graft.Tables.tbl(spark, sfDir, n).createOrReplaceTempView(n))
+            b.rawLoaders.get(n)
+              .map(_(spark, sfDir))
+              .getOrElse(graft.Tables.tbl(spark, sfDir, n))
+              .createOrReplaceTempView(n))
         }
         Measures.registerIntersectCount(spark)
         viewsPut(spark, sfDir)

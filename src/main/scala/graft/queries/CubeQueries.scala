@@ -1177,6 +1177,84 @@ object CubeQueries extends QueryGroup {
              |FROM orders GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
 
+    // 26k ─────────────── declared batch SOURCES (VERDICT r16 missing
+    //     #1; reference: datasource-sdk behind source-hive/
+    //     HiveSource.java + source-jdbc/JdbcSource.java — a model
+    //     names TABLES, the deployment names where each lives): the
+    //     cube document's `sources` map binds the fact to an embedded
+    //     Derby database (the JDBC path) and the lookup to a
+    //     catalog-registered table (the warehouse path). The model
+    //     table names deliberately have NO parquet under the sf dir —
+    //     a silent fallback to the `<dir>/<table>.parquet` convention
+    //     would fail loudly, so a completed build PROVES the declared
+    //     sources were read.
+    Q("cube_json_sources",
+      (s, d) => {
+        val tag = d.replaceAll("/+$", "").split('/').last
+        val dbDir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
+          s"/graft-derby-cubesrc-$tag"
+        val url = s"jdbc:derby:$dbDir;create=true"
+        val props = new java.util.Properties()
+        props.setProperty("driver",
+          "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+        // stage the fact once per sf (deterministic rows — a repeat
+        // run reuses the db; the cube itself builds only on first
+        // touch anyway)
+        if (!new java.io.File(dbDir).exists())
+          graft.Tables.orders(s, d).write.mode("overwrite")
+            .jdbc(url, "orders", props)
+        GraftCatalog.register(s, d)
+        val view = CubeJson.registerJson(
+          s"""{
+             |  "name": "orders_src",
+             |  "model": {"fact": "orders_jdbc",
+             |    "edges": [{"lookup": "customer_cat", "via": "orders_jdbc",
+             |      "lookupKey": "c_custkey", "foreignKey": "o_custkey"}],
+             |    "broadcast": ["customer_cat"]},
+             |  "sources": {
+             |    "orders_jdbc": {"format": "jdbc", "url": "$url",
+             |      "table": "orders",
+             |      "options": {"driver":
+             |        "org.apache.derby.iapi.jdbc.AutoloadedDriver"}},
+             |    "customer_cat": {"format": "catalog",
+             |      "table": "graft_cat.customer"}
+             |  },
+             |  "flatColumns": [
+             |    {"name": "o_orderstatus"},
+             |    {"name": "c_mktsegment"},
+             |    {"name": "o_orderdate"},
+             |    {"name": "o_totalprice"}
+             |  ],
+             |  "dims": ["o_orderstatus", "c_mktsegment"],
+             |  "measures": [
+             |    {"name": "price_sum", "family": "sum",
+             |     "column": "o_totalprice", "decimal": true,
+             |     "presentDouble": true},
+             |    {"name": "n_orders", "family": "count"}
+             |  ],
+             |  "segmentCol": "o_orderdate",
+             |  "segments": [
+             |    {"name": "all", "start": "1992-01-01", "end": "2003-01-01"}
+             |  ],
+             |  "segDayGranular": true
+             |}""".stripMargin)
+        val r = GraftSql.sqlVia(s, d,
+          s"""SELECT o_orderstatus, c_mktsegment,
+             |  sum(o_totalprice) AS price_sum, count(*) AS n_orders
+             |FROM $view GROUP BY o_orderstatus, c_mktsegment""".stripMargin)
+        assert(r.routed && r.via == "cuboid",
+          s"the source-declared cube must route, got ${r.via}")
+        assert(r.df.inputFiles.exists(_.contains("-orders_src/")),
+          "routed scan must read the declared cube's own root")
+        r.df.orderBy("o_orderstatus", "c_mktsegment")
+      },
+      Some("""SELECT o_orderstatus, c_mktsegment,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+             |  COUNT(*) AS n_orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY o_orderstatus, c_mktsegment
+             |ORDER BY o_orderstatus, c_mktsegment""".stripMargin)),
+
     // 28g ─────────────── log-free INITIAL lattice under a row budget
     //     (cube planner phase 1 — CuboidStats + BPUSCalculator): the
     //     document's cuboid space is a CANDIDATE set; first build

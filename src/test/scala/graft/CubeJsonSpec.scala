@@ -817,6 +817,83 @@ class CubeJsonSpec extends AnyFunSuite {
       .dictColumns == Seq("o_orderstatus"))
   }
 
+  test("declared batch sources: bad entries refuse at deploy with the " +
+      "table and field named") {
+    def doc(sources: String) =
+      s"""{
+         |  "name": "src_bad",
+         |  "model": {"fact": "orders"},
+         |  "sources": $sources,
+         |  "flatColumns": [{"name": "o_orderstatus"},
+         |    {"name": "o_orderdate"}, {"name": "o_totalprice"}],
+         |  "dims": ["o_orderstatus"],
+         |  "measures": [{"name": "n_orders", "family": "count"}],
+         |  "segmentCol": "o_orderdate",
+         |  "segments": [{"name": "all", "start": "1992-01-01",
+         |                "end": "2003-01-01"}]
+         |}""".stripMargin
+    def err(sources: String): String =
+      intercept[IllegalArgumentException](
+        CubeJson.parse(doc(sources))).getMessage
+    // a source for a table the model doesn't have
+    assert(err("""{"nation": {"format": "parquet", "path": "/x"}}""")
+      .contains("not a model table"))
+    // unknown format
+    assert(err("""{"orders": {"format": "hive", "path": "/x"}}""")
+      .contains("unknown format 'hive'"))
+    // per-format required fields
+    assert(err("""{"orders": {"format": "csv"}}""").contains("needs `path`"))
+    assert(err("""{"orders": {"format": "jdbc"}}""").contains("needs `url`"))
+    assert(err("""{"orders": {"format": "catalog"}}""")
+      .contains("needs `table`"))
+    // unparseable schema DDL
+    assert(err("""{"orders": {"format": "csv", "path": "/x",
+        "schema": "not a ddl ((("}}""").contains("unparseable schema"))
+    // a good one parses
+    assert(CubeJson.parse(doc(
+      """{"orders": {"format": "parquet", "path": "${dir}/orders.parquet"}}"""))
+      .sources("orders").format == "parquet")
+  }
+
+  test("a declared source resolves instead of the <dir>/<table>.parquet " +
+      "convention — the model table name has no parquet on purpose") {
+    // fact 'orders_alias' exists ONLY through the declared source: a
+    // fallback to the convention would throw on the missing file, so
+    // a completed build proves source resolution end to end
+    CubeManager.resetMemos()
+    val root = CubeManager.declaredRoot(sf, "orders_viasrc")
+    org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val spec = CubeJson.parse(
+      """{
+        |  "name": "orders_viasrc",
+        |  "model": {"fact": "orders_alias"},
+        |  "sources": {"orders_alias": {"format": "parquet",
+        |    "path": "${dir}/orders.parquet"}},
+        |  "flatColumns": [{"name": "o_orderstatus"},
+        |    {"name": "o_orderdate"}, {"name": "o_totalprice"}],
+        |  "dims": ["o_orderstatus"],
+        |  "measures": [
+        |    {"name": "price_sum", "family": "sum",
+        |     "column": "o_totalprice", "decimal": true,
+        |     "presentDouble": true},
+        |    {"name": "n_orders", "family": "count"}],
+        |  "segmentCol": "o_orderdate",
+        |  "segments": [{"name": "all", "start": "1992-01-01",
+        |                "end": "2003-01-01"}],
+        |  "segDayGranular": true
+        |}""".stripMargin)
+    val inst = CubeManager.ensureDeclared(spark, sf, spec)
+    val got = QueryRouter.route(spark, inst, CubeQuery(
+      Seq("o_orderstatus"), Seq("n_orders" -> "n")))(
+      fail("expected the source-built cube to route"))
+      .df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.orders(spark, sf).groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && want.nonEmpty)
+  }
+
   test("a JSON-declared cube accelerates plain spark.sql through the " +
       "extensions rule") {
     val view = CubeQueries.declaredOrdersView
