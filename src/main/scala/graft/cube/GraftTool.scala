@@ -607,6 +607,31 @@ object GraftTool {
           }
           0
 
+        case "stream-promote" =>
+          // streaming → batch promotion (the scheduled companion of
+          // 'policies' for streaming-bearing documents): every fully
+          // sealed whole day beyond the batch horizon appends as an
+          // ordinary segment — dim ranges collected at commit
+          val Seq(sfDir) = p.positional
+          val doc = p.flags.get("--def").map(readDoc).getOrElse(
+            throw new IllegalArgumentException(
+              "stream-promote needs --def <file> (a declared cube " +
+                "document with a streaming section)"))
+          val spec = doc.memberSpec(p) match {
+            case m if m.streaming.isDefined => m
+            case m => throw new IllegalArgumentException(
+              s"'${m.name}' declares no streaming section — nothing " +
+                "to promote")
+          }
+          doc.register()
+          val (next, seg) = CubeJson.promoteStream(spark, sfDir, spec)
+          out(seg.map(sg =>
+            s"promoted ${sg.name} [${sg.start},${sg.end}) segments=" +
+              next.cube.segments.map(_.name).mkString(","))
+            .getOrElse("nothing to promote: no whole sealed day " +
+              "beyond the batch horizon"))
+          0
+
         case other =>
           System.err.println(s"unknown subcommand '$other'")
           1

@@ -129,4 +129,54 @@ class DeclaredStreamingSpec extends AnyFunSuite {
     assert(spec.streaming.contains(CubeJson.JsonStreaming(
       "file", "12 hours", "2 hours", hotTail = true)))
   }
+
+  test("streaming→batch promotion: sealed whole days beyond the batch " +
+      "horizon append as a NORMAL segment, dim ranges collected at " +
+      "commit (VERDICT r16 item 6), idempotent") {
+    // a document whose batch layer deliberately ends MID-data
+    // (2024-01-10) while the stream seals windows far past it — the
+    // promotable state a live deployment is in between builds
+    val promoDoc = doc
+      .replace("\"name\": \"events_decl\"", "\"name\": \"events_promo\"")
+      .replace("\"end\": \"2024-02-01\"", "\"end\": \"2024-01-10\"")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      s"${CubeManager.cubeRoot}/${sf.split('/').last}-events_promo")): Unit
+    CubeManager.resetMemos()
+    val spec = CubeJson.parse(promoDoc)
+
+    val (next, seg) = CubeJson.promoteStream(spark, sf, spec)
+    assert(seg.nonEmpty, "sealed windows run past 2024-01-10 — a " +
+      "promotable day must exist")
+    val s0 = seg.get
+    assert(s0.start == "2024-01-10" && s0.end > s0.start)
+    assert(next.cube.segments.exists(_.name == s0.name))
+    // THE r16 item-6 assertion: the appended segment's dim ranges are
+    // present at commit — no policies run happened
+    val dims = spec.dims
+    assert(dims.exists(d => next.dimRanges.contains((s0.name, d))),
+      s"promoted segment must carry dim ranges at commit, got " +
+        s"${next.dimRanges.keys.filter(_._1 == s0.name)}")
+    // the promoted history serves through the ordinary router, equal
+    // to the batch recompute over the promoted span
+    val got = QueryRouter.route(spark, next, CubeQuery(
+      Seq("event_type"), Seq("n_events" -> "n"),
+      timeRange = Some((s0.start, s0.end))))(
+      fail("the promoted segment must route"))
+      .df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf)
+      .filter(col("ts") >= lit(s0.start).cast("timestamp") &&
+        col("ts") < lit(s0.end).cast("timestamp"))
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && want.nonEmpty)
+    // idempotent: the horizon hasn't moved, so nothing more commits
+    val (again, seg2) = CubeJson.promoteStream(spark, sf, spec)
+    assert(seg2.isEmpty &&
+      again.cube.segments.map(_.name) == next.cube.segments.map(_.name))
+    // a fresh load (new process shape) serves the promoted segment too
+    CubeManager.resetMemos()
+    val reloaded = CubeManager.ensureDeclared(spark, sf, spec)
+    assert(reloaded.cube.segments.exists(_.name == s0.name))
+    assert(dims.exists(d => reloaded.dimRanges.contains((s0.name, d))))
+  }
 }

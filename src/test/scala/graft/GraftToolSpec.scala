@@ -1129,6 +1129,30 @@ class GraftToolSpec extends AnyFunSuite {
         s"${wide.cube.segments.map(_.name)}")
   }
 
+  test("stream-promote: the CLI promotes sealed whole days into a " +
+      "batch segment and is a polite no-op when there is nothing") {
+    val name = "tool_promo"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      s"${CubeManager.cubeRoot}/${sf.split('/').last}-$name")): Unit
+    CubeManager.resetMemos()
+    val doc = graft.queries.EventQueries.declaredEventsDoc
+      .replace("\"name\": \"events_decl\"", s""""name": "$name"""")
+      .replace("\"end\": \"2024-02-01\"", "\"end\": \"2024-01-10\"")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tool-promo")
+    val f = dir.resolve(s"$name.json")
+    java.nio.file.Files.write(f, doc.getBytes("UTF-8"))
+    val (c1, o1) = runTool("stream-promote", sf, "--def", f.toString)
+    assert(c1 == 0 && o1.exists(_.startsWith("promoted sp_20240110")),
+      s"got $o1")
+    val (c2, o2) = runTool("stream-promote", sf, "--def", f.toString)
+    assert(c2 == 0 && o2.exists(_.startsWith("nothing to promote")))
+    // a document with no streaming section refuses loudly
+    val plain = java.nio.file.Files.createTempDirectory("graft-tool-pl")
+    val pf = writeDef(plain, "tool_promo_plain")
+    val (c3, _) = runTool("stream-promote", sf, "--def", pf)
+    assert(c3 == 1)
+  }
+
   test("failures surface as exit 1 with the underlying refusal") {
     val (c1, _) = runTool("restore",
       java.nio.file.Files.createTempDirectory("graft-tool-x").toString,
