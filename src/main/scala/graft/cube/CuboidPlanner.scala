@@ -143,7 +143,7 @@ object CuboidPlanner {
     * else), even when it alone exceeds the budget. */
   def selectUnderBudget(base: Set[String], rows: Map[Set[String], Long],
                         rowBudget: Long): Seq[Set[String]] =
-    selectUnderBudgetWeighted(base, rows, rowBudget,
+    selectLattice(base, rows, rowBudget,
       rows.keySet.toSeq.map(_ -> 1.0))
 
   /** The PROBABILITY-WEIGHTED budget greedy (reference:
@@ -191,6 +191,111 @@ object CuboidPlanner {
     }
     chosen
   }
+
+  /** GENETIC lattice selection for LARGE candidate spaces (reference:
+    * core-cube/cuboid/algorithm/generic/GeneticAlgorithm.java +
+    * BitsChromosome — Kylin's alternative to the greedy when the
+    * candidate space is too large for the O(picks × candidates ×
+    * workload) greedy loop to search well). Same contract as
+    * [[selectUnderBudgetWeighted]]: base + mandatory always chosen,
+    * additions within `rowBudget`, fitness = the workload-weighted
+    * scan cost the pick leaves behind (lower is better).
+    *
+    * Shape mirrors the reference: a population of candidate-subset
+    * chromosomes, tournament selection, uniform crossover, per-gene
+    * mutation, elite carry-over, fixed generations. Two deliberate
+    * divergences: (1) infeasible individuals are REPAIRED (drop the
+    * worst benefit-per-row genes until within budget) instead of
+    * penalty-scored — every individual in every generation is a
+    * valid deployment; (2) the initial population SEEDS the greedy's
+    * own pick, so the GA's answer can never be worse than the greedy
+    * it replaces. Deterministic: the RNG seed derives from the inputs,
+    * so a replan re-run picks the same lattice (the same property the
+    * rest of the planner machinery leans on for idempotent reruns). */
+  def selectUnderBudgetGA(base: Set[String],
+      rows: Map[Set[String], Long], rowBudget: Long,
+      workload: Seq[(Set[String], Double)],
+      mandatory: Seq[Set[String]] = Nil,
+      population: Int = 24, generations: Int = 60): Seq[Set[String]] = {
+    require(rows.contains(base), "row estimate for the base cuboid required")
+    val fixed = (base +: mandatory.toVector).distinct
+    val genes: Vector[Set[String]] =
+      (rows.keySet -- fixed).toVector.sortBy(c => (rows(c), c.toSeq.sorted
+        .mkString(","))) // stable gene order → stable seeds
+    if (genes.isEmpty) return fixed
+    val fixedSpent = fixed.map(rows).sum
+    def cost(mat: Seq[Set[String]]): Double =
+      workload.map { case (q, w) =>
+        val covering = mat.filter(q.subsetOf(_))
+        w * (if (covering.isEmpty) rows(base) else covering.map(rows).min)
+      }.sum
+    // benefit-per-row of a single gene against the FIXED set — the
+    // repair order (drop worst first) and the seeding bias
+    val fixedCost = cost(fixed)
+    val soloBpr: Map[Int, Double] = genes.indices.map { i =>
+      i -> (fixedCost - cost(fixed :+ genes(i))) /
+        math.max(1L, rows(genes(i))).toDouble
+    }.toMap
+    type Chrom = Vector[Boolean]
+    def spent(c: Chrom): Long =
+      fixedSpent + genes.indices.collect { case i if c(i) => rows(genes(i)) }.sum
+    def repair(c0: Chrom): Chrom = {
+      var c = c0
+      while (spent(c) > rowBudget && c.contains(true)) {
+        val worst = genes.indices.filter(c)
+          .minBy(i => (soloBpr(i), -rows(genes(i)).toDouble))
+        c = c.updated(worst, false)
+      }
+      c
+    }
+    def picked(c: Chrom): Seq[Set[String]] =
+      fixed ++ genes.indices.collect { case i if c(i) => genes(i) }
+    def fitness(c: Chrom): Double = -cost(picked(c))
+    val rng = new scala.util.Random(
+      (genes.map(_.toSeq.sorted.mkString(",")).mkString(";"),
+        rowBudget, workload.size).hashCode.toLong)
+    // seed: the greedy's own answer + random subsets
+    val greedyPick = selectUnderBudgetWeighted(base, rows, rowBudget,
+      workload, mandatory).toSet
+    val seed: Chrom = genes.map(greedyPick.contains)
+    var pop: Vector[Chrom] = seed +: Vector.fill(population - 1) {
+      repair(genes.map(_ => rng.nextDouble() < 0.5).toVector)
+    }
+    def tournament(): Chrom = {
+      val a = pop(rng.nextInt(pop.size)); val b = pop(rng.nextInt(pop.size))
+      if (fitness(a) >= fitness(b)) a else b
+    }
+    (1 to generations).foreach { _ =>
+      val elite = pop.maxBy(fitness)
+      pop = elite +: Vector.fill(population - 1) {
+        val (p1, p2) = (tournament(), tournament())
+        val crossed = genes.indices
+          .map(i => if (rng.nextBoolean()) p1(i) else p2(i)).toVector
+        repair(crossed.map(g =>
+          if (rng.nextDouble() < 1.0 / genes.size) !g else g))
+      }
+    }
+    picked(pop.maxBy(fitness))
+  }
+
+  /** Candidate-count threshold above which [[selectLattice]] dispatches
+    * to the genetic search (reference: CuboidRecommendAlgorithm picks
+    * the GA for large spaces, the greedy otherwise). Below it the
+    * greedy explores the space nearly exhaustively anyway and costs a
+    * fraction of a GA run. */
+  val GaCandidateThreshold = 64
+
+  /** THE budget-selection seam every planner entry point routes
+    * through: the probability-weighted greedy for ordinary candidate
+    * spaces, the genetic search (greedy-seeded, so never worse) when
+    * the space outgrows what the greedy searches well. */
+  def selectLattice(base: Set[String], rows: Map[Set[String], Long],
+      rowBudget: Long, workload: Seq[(Set[String], Double)],
+      mandatory: Seq[Set[String]] = Nil): Seq[Set[String]] =
+    if (rows.size - (base +: mandatory).distinct.size > GaCandidateThreshold)
+      selectUnderBudgetGA(base, rows, rowBudget, workload, mandatory)
+    else
+      selectUnderBudgetWeighted(base, rows, rowBudget, workload, mandatory)
 
   /** End-to-end log-free entry: one estimation pass per SEGMENT over
     * the rule-expanded candidates (planned rows are per-segment sums —
@@ -276,7 +381,7 @@ object CuboidPlanner {
       .filterNot(existing.contains)
     val rows = (if (fresh.isEmpty) Map.empty[Set[String], Long]
                 else estimateRowsBySegment(baseSegs, fresh)) ++ existing
-    selectUnderBudgetWeighted(base, rows, rowBudget, weighted,
+    selectLattice(base, rows, rowBudget, weighted,
       existing.keys.toSeq)
   }
 }

@@ -407,4 +407,53 @@ class CuboidPlannerSpec extends AnyFunSuite {
     assert(coarse.cuboid.exists(_ != base),
       "a logged coarse shape should route below the base cuboid")
   }
+
+  test("genetic lattice selection (GeneticAlgorithm.java analogue): " +
+      "deterministic, budget-feasible, never worse than the greedy " +
+      "it seeds from, and dispatched only for large candidate spaces") {
+    // a 10-dim synthetic space: 2^10-ish candidates would swamp a
+    // greedy's per-pick rescan; build ~120 candidates with structured
+    // row counts so coverage choices genuinely trade off
+    val dims = ('a' to 'j').map(_.toString)
+    val base = dims.toSet
+    val rnd = new scala.util.Random(7)
+    val cands: Seq[Set[String]] = (1 to 150).map { _ =>
+      dims.filter(_ => rnd.nextBoolean()).toSet
+    }.filter(c => c.nonEmpty && c != base).distinct
+    val rows: Map[Set[String], Long] =
+      (cands.map(c => c -> (100L + 900L * c.size * c.size)) :+
+        (base -> 1000000L)).toMap
+    val workload: Seq[(Set[String], Double)] =
+      cands.take(40).map(c => c -> rnd.nextDouble())
+    val budget = 1300000L
+
+    val ga = CuboidPlanner.selectUnderBudgetGA(base, rows, budget, workload)
+    // deterministic: same inputs, same lattice
+    assert(ga == CuboidPlanner.selectUnderBudgetGA(base, rows, budget,
+      workload))
+    // base mandatory, budget respected
+    assert(ga.contains(base))
+    assert(ga.map(rows).sum <= budget)
+    // the greedy seed guarantees the GA never regresses the fitness
+    // (the WEIGHTED workload cost — the quantity both optimize)
+    def wcost(mat: Seq[Set[String]]): Double = workload.map { case (q, w) =>
+      val cov = mat.filter(q.subsetOf(_))
+      w * (if (cov.isEmpty) rows(base) else cov.map(rows).min)
+    }.sum
+    val greedy = CuboidPlanner.selectUnderBudgetWeighted(base, rows,
+      budget, workload)
+    assert(wcost(ga) <= wcost(greedy) + 1e-6,
+      "greedy-seeded GA must never pick a worse lattice than the greedy")
+    // mandatory cuboids survive, like the greedy's contract
+    val must = cands.head
+    assert(CuboidPlanner.selectUnderBudgetGA(base, rows, budget,
+      workload, mandatory = Seq(must)).contains(must))
+    // the seam: small spaces go to the greedy verbatim, large to GA
+    val smallRows = rows.toSeq.take(10).toMap + (base -> 1000000L)
+    assert(CuboidPlanner.selectLattice(base, smallRows, budget, workload)
+      == CuboidPlanner.selectUnderBudgetWeighted(base, smallRows, budget,
+        workload))
+    assert(CuboidPlanner.selectLattice(base, rows, budget, workload)
+      == ga)
+  }
 }
