@@ -30,6 +30,16 @@ final case class CubeInstance(
   def cuboidPath(seg: String, id: Long): String =
     s"$root/${cube.name}/$seg/cuboid=$id"
 
+  /** `dimRanges` regrouped per segment, computed ONCE per instance:
+    * the plan hot path consults a segment's dim→range map for every
+    * candidate segment of every query — regrouping the whole
+    * (segment, dim) map per plan is O(S·D) work per query at
+    * thousands of segments (the metadata SCALE probe's finding). */
+  @transient lazy val rangesBySegment
+      : Map[String, Map[String, DimRanges.DimRange]] =
+    dimRanges.groupMap(_._1._1) { case ((_, d), r) => d -> r }
+      .view.mapValues(_.toMap).toMap
+
   def totalRows(c: Set[String]): Long = {
     val id = cube.cuboidId(c)
     cube.segments.map(s => rows.getOrElse((s.name, id), 0L)).sum

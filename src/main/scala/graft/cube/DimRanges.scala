@@ -254,6 +254,44 @@ object DimRanges {
     }
   }
 
+  /** probe visibility (the metadata SCALE probe): live entry counts of
+    * the plan-path memos against their caps — a single plan whose
+    * working set exceeded a cap would clear-and-rebuild the memo on
+    * every plan (thrash), so the probe asserts headroom at realistic
+    * segment×dim cardinalities instead of guessing. */
+  private[graft] def memoSizes: Map[String, Int] = Map(
+    "parse" -> parseMemo.size, "cast" -> castMemo.size,
+    "ddl" -> ddlMemo.size, "bounds" -> boundsMemo.size)
+
+  /** Interpreted orderings are allocated per `getInterpretedOrdering`
+    * call; the plan path compares against the same handful of dim
+    * types for every candidate segment of every query — cache one
+    * ordering per type (tiny, unbounded is fine: the key space is the
+    * cube's dim types). */
+  private val ordMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Ordering[Any]]()
+
+  /** Memoized segment-bound resolution: (range, zone) → (min, max,
+    * ordering). One CHM hit per (segment, compare) on the plan hot
+    * path instead of two parse lookups + a Try/Option allocation
+    * chain — at thousands of segments this is the difference the
+    * metadata SCALE probe measures. Zone rides the key like parseMemo:
+    * a timestamp bound is a different instant under a different
+    * session timezone. */
+  private val boundsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (DimRange, String), Option[(Any, Any, Ordering[Any])]]()
+  private def boundsOf(rng: DimRange): Option[(Any, Any, Ordering[Any])] =
+    memo(boundsMemo, 65536)((rng, zone.getOrElse(""))) {
+      dtFromDDL(rng.dt).flatMap { dt =>
+        scala.util.Try {
+          for (mn <- rng.min.flatMap(parse(_, dt));
+               mx <- rng.max.flatMap(parse(_, dt)))
+            yield (mn, mx, ordMemo.computeIfAbsent(dt.sql,
+              _ => TypeUtils.getInterpretedOrdering(dt)))
+        }.toOption.flatten
+      }
+    }
+
   private val parseMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String), Option[Any]]()
   private def parse(s: String, dt: DataType): Option[Any] =
@@ -392,13 +430,7 @@ object DimRanges {
       }
 
     def bounds(rng: DimRange): Option[(Any, Any, Ordering[Any])] =
-      dtFromDDL(rng.dt).flatMap { dt =>
-        scala.util.Try {
-          for (mn <- rng.min.flatMap(parse(_, dt));
-               mx <- rng.max.flatMap(parse(_, dt)))
-            yield (mn, mx, TypeUtils.getInterpretedOrdering(dt))
-        }.toOption.flatten
-      }
+      boundsOf(rng)
 
     // range checks, each None ⇒ unknown ⇒ scan
     def eqPossible(rng: DimRange, v: Any): Boolean =
@@ -487,16 +519,21 @@ object DimRanges {
           org.apache.spark.sql.graftbridge.ColumnBridge.expressionTree(f))
         expr.toOption match {
           case None => segs
-          case Some(e) =>
-            // group ONCE: at thousands of segments a per-segment scan
-            // of the whole (seg, dim) map is O(S²·D) on the plan hot
-            // path — this is O(S·D) total
-            val bySeg = inst.dimRanges.groupMap(_._1._1) {
-              case ((_, d), r) => d -> r }
+          case Some(e0) =>
+            // normalize the DataFrame-API function nodes to their
+            // typed twins ONCE: canMatch's per-node norm() would
+            // otherwise RECONSTRUCT the typed tree for every segment
+            // (S × nodes allocations on the plan hot path); after
+            // this pass its per-segment norm is a no-op case-miss
+            val e = e0.transformUp { case x => norm(x) }
+            // per-segment maps come from the instance's ONCE-computed
+            // regrouping (CubeInstance.rangesBySegment): a per-plan
+            // regroup was O(S·D) work per query at thousands of
+            // segments
             segs.filter { s =>
-              bySeg.get(s.name) match {
+              inst.rangesBySegment.get(s.name) match {
                 case None => true
-                case Some(rs) => canMatch(rs.toMap, e)
+                case Some(rs) => canMatch(rs, e)
               }
             }
         }
