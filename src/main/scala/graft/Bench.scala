@@ -267,13 +267,27 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val gateMaxRatio = sys.env.get("SPARK_GRAFT_BENCH_MAX_LOAD")
       .map(_.toDouble).getOrElse(0.15)
-    val gateRatio = gateStartLoad / cpus.toInt
+    // normalize by the MACHINE's processors, not SPARK_GRAFT_CPUS:
+    // loadavg is machine-wide, and the Spark thread count is an
+    // unrelated knob (dividing by its default 4 would refuse a
+    // genuinely idle 32-core box). getSystemLoadAverage returns -1 on
+    // platforms without the metric — a negative ratio passes, and the
+    // record shows ambient -1 so the pass is visibly evidence-free.
+    val gateRatio =
+      gateStartLoad / Runtime.getRuntime.availableProcessors()
     val gatePassed = gateRatio <= gateMaxRatio
-    if (!gatePassed)
+    if (!gatePassed) {
       System.err.println(f"[bench] LOAD GATE FAILED: ambient 1-min " +
-        f"load $gateStartLoad%.2f / $cpus cpus = $gateRatio%.3f > " +
-        f"$gateMaxRatio%.2f — timings will print but target/bench.json " +
-        "will NOT be persisted; rerun on an idle machine")
+        f"load $gateStartLoad%.2f / " +
+        f"${Runtime.getRuntime.availableProcessors()} processors = " +
+        f"$gateRatio%.3f > $gateMaxRatio%.2f — timings will print but " +
+        "target/bench.json will NOT be persisted; rerun idle")
+      // a stale previous record would read passed:true while the
+      // CURRENT machine state is gated — never leave a misleadingly
+      // valid artifact behind a refusal
+      scala.util.Try(java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get("target/bench.json"))): Unit
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

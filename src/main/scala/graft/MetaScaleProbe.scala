@@ -156,7 +156,10 @@ object MetaScaleProbe {
     val memoSizes = DimRanges.memoSizes
     val memoJson = memoSizes.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val memoHeadroom = memoSizes.values.forall(_ < 65536)
+    // headroom = zero clear-on-overflow EVENTS, not small end-state
+    // sizes (a cleared memo reads small again by report time)
+    val memoHeadroom = memoSizes("clears") == 0 &&
+      memoSizes.removed("clears").values.forall(_ < 65536)
 
     // ── FS-backed metadata ops at 2000 segments (meta.json + the
     // segment dirs the load/audit probe — still zero parquet)

@@ -248,8 +248,14 @@ final case class CubeDef(
         scala.util.Try(
           org.apache.spark.sql.graftbridge.ColumnBridge
             .expressionTree(m.fromRaw).collect {
+              // both attribute kinds: col("x_id") stays unresolved,
+              // df("x_id") arrives as a resolved AttributeReference —
+              // missing the latter would let a code-constructed member
+              // slip past the hybrid splice guard
               case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
                   if idCols.contains(u.nameParts.last) => u
+              case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+                  if idCols.contains(a.name) => a
             }.nonEmpty).getOrElse(true)
       }.map(_.name).toSet
     }

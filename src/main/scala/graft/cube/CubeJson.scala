@@ -396,17 +396,34 @@ object CubeJson {
       if (!sourceFormats(src.format))
         fail(s"sources.$t: unknown format '${src.format}' (expected " +
           s"one of ${sourceFormats.toSeq.sorted.mkString(", ")})")
+      // each format's required fields AND a refusal of fields the
+      // format does not consume — accepting (say) a `schema` on a
+      // jdbc source would imply the declared types apply when
+      // readSource never reads them: the deployment would silently
+      // behave differently than declared
+      def refuse(field: String, present: Boolean): Unit =
+        if (present) fail(s"sources.$t: format '${src.format}' does " +
+          s"not consume `$field` — remove it (a declared field that " +
+          "does nothing hides a wrong deployment)")
       src.format match {
         case "catalog" =>
           if (src.table.isEmpty)
             fail(s"sources.$t: format 'catalog' needs `table` (the " +
               "catalog-qualified name)")
+          refuse("path", src.path.nonEmpty)
+          refuse("url", src.url.nonEmpty)
+          refuse("schema", src.schema.nonEmpty)
+          refuse("options", src.options.nonEmpty)
         case "jdbc" =>
           if (src.url.isEmpty)
             fail(s"sources.$t: format 'jdbc' needs `url`")
+          refuse("path", src.path.nonEmpty)
+          refuse("schema", src.schema.nonEmpty)
         case _ =>
           if (src.path.isEmpty)
             fail(s"sources.$t: format '${src.format}' needs `path`")
+          refuse("url", src.url.nonEmpty)
+          refuse("table", src.table.nonEmpty)
       }
       src.schema.foreach(ddl =>
         if (scala.util.Try(
@@ -1219,9 +1236,15 @@ object CubeJson {
       .plus(java.time.Duration.ofDays(iv.days))
       .plus(java.time.Duration.of(iv.microseconds,
         java.time.temporal.ChronoUnit.MICROS))
-    // promote only WHOLE days (segments are day-bounded)
-    val horizon = sealedEnd.atZone(java.time.ZoneOffset.UTC)
-      .toLocalDate.toString
+    // Promote only WHOLE days (segments are day-bounded) — floored in
+    // the SESSION timezone: the segment filter below casts the day
+    // string through the session zone, so a UTC floor under a
+    // non-UTC session would commit a segment spanning hours of event
+    // time the watermark has NOT sealed (late rows arriving for that
+    // tail would be silently frozen out).
+    val sessionZone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    val horizon = sealedEnd.atZone(sessionZone).toLocalDate.toString
     val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
     val root = inst.root
     BuildLease.withLease(spark, root,

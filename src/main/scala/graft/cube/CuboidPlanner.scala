@@ -218,6 +218,8 @@ object CuboidPlanner {
       mandatory: Seq[Set[String]] = Nil,
       population: Int = 24, generations: Int = 60): Seq[Set[String]] = {
     require(rows.contains(base), "row estimate for the base cuboid required")
+    require(mandatory.forall(rows.contains),
+      "row estimates for mandatory cuboids required")
     val fixed = (base +: mandatory.toVector).distinct
     val genes: Vector[Set[String]] =
       (rows.keySet -- fixed).toVector.sortBy(c => (rows(c), c.toSeq.sorted
@@ -292,7 +294,10 @@ object CuboidPlanner {
   def selectLattice(base: Set[String], rows: Map[Set[String], Long],
       rowBudget: Long, workload: Seq[(Set[String], Double)],
       mandatory: Seq[Set[String]] = Nil): Seq[Set[String]] =
-    if (rows.size - (base +: mandatory).distinct.size > GaCandidateThreshold)
+    // candidate count = estimated cuboids NOT already fixed (set
+    // subtraction, not size arithmetic — a mandatory entry missing
+    // from `rows` must not skew the threshold)
+    if ((rows.keySet -- (base +: mandatory)).size > GaCandidateThreshold)
       selectUnderBudgetGA(base, rows, rowBudget, workload, mandatory)
     else
       selectUnderBudgetWeighted(base, rows, rowBudget, workload, mandatory)

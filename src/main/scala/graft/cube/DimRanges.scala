@@ -242,13 +242,18 @@ object DimRanges {
     * worst case is recomputation). Two hand-rolled copies would have
     * to evolve together — the fork-risk the verifyAgainstStats
     * consolidation already condemned. */
+  /** clear-on-overflow events across all plan-path memos: end-state
+    * SIZES cannot prove no-thrash (a cleared memo reads small again by
+    * report time), so the SCALE probe asserts this counter instead */
+  private val memoClears = new java.util.concurrent.atomic.AtomicLong
+
   private def memo[K, V](cache: java.util.concurrent.ConcurrentHashMap[
       K, Option[V]], max: Int)(k: K)(f: => Option[V]): Option[V] = {
     val hit = cache.get(k)
     if (hit != null) hit
     else {
       val v = f
-      if (cache.size > max) cache.clear()
+      if (cache.size > max) { cache.clear(); memoClears.incrementAndGet(): Unit }
       cache.put(k, v)
       v
     }
@@ -261,7 +266,8 @@ object DimRanges {
     * segment×dim cardinalities instead of guessing. */
   private[graft] def memoSizes: Map[String, Int] = Map(
     "parse" -> parseMemo.size, "cast" -> castMemo.size,
-    "ddl" -> ddlMemo.size, "bounds" -> boundsMemo.size)
+    "ddl" -> ddlMemo.size, "bounds" -> boundsMemo.size,
+    "clears" -> memoClears.get().toInt)
 
   /** Interpreted orderings are allocated per `getInterpretedOrdering`
     * call; the plan path compares against the same handful of dim

@@ -1190,7 +1190,13 @@ object CubeQueries extends QueryGroup {
     //     sources were read.
     Q("cube_json_sources",
       (s, d) => {
-        val tag = d.replaceAll("/+$", "").split('/').last
+        // tag on the FULL path (two sf dirs sharing a basename must
+        // not share a staged db), marker-gated like Snapshot's commit
+        // contract: bare dir existence would trust a crashed partial
+        // stage forever
+        val dir0 = d.replaceAll("/+$", "")
+        val tag = dir0.split('/').last + "-" +
+          Integer.toHexString(dir0.hashCode)
         val dbDir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
           s"/graft-derby-cubesrc-$tag"
         val url = s"jdbc:derby:$dbDir;create=true"
@@ -1198,11 +1204,18 @@ object CubeQueries extends QueryGroup {
         props.setProperty("driver",
           "org.apache.derby.iapi.jdbc.AutoloadedDriver")
         // stage the fact once per sf (deterministic rows — a repeat
-        // run reuses the db; the cube itself builds only on first
-        // touch anyway)
-        if (!new java.io.File(dbDir).exists())
+        // run reuses the COMMITTED db; the cube itself builds only on
+        // first touch anyway). A dir without the marker is a crashed
+        // partial stage: delete and restage.
+        val staged = new java.io.File(dbDir, "_graft_staged")
+        if (!staged.exists()) {
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(dbDir)): Unit
           graft.Tables.orders(s, d).write.mode("overwrite")
             .jdbc(url, "orders", props)
+          java.nio.file.Files.write(staged.toPath,
+            Array.emptyByteArray): Unit
+        }
         GraftCatalog.register(s, d)
         val view = CubeJson.registerJson(
           s"""{

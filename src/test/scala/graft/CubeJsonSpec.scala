@@ -849,6 +849,15 @@ class CubeJsonSpec extends AnyFunSuite {
     // unparseable schema DDL
     assert(err("""{"orders": {"format": "csv", "path": "/x",
         "schema": "not a ddl ((("}}""").contains("unparseable schema"))
+    // fields the format does not CONSUME refuse: a declared field
+    // that does nothing hides a wrong deployment (a jdbc `schema`
+    // would imply the declared types apply when they never do)
+    assert(err("""{"orders": {"format": "jdbc", "url": "u",
+        "schema": "a INT"}}""").contains("does not consume"))
+    assert(err("""{"orders": {"format": "catalog", "table": "t",
+        "options": {"x": "y"}}}""").contains("does not consume"))
+    assert(err("""{"orders": {"format": "parquet", "path": "/x",
+        "url": "u"}}""").contains("does not consume"))
     // a good one parses
     assert(CubeJson.parse(doc(
       """{"orders": {"format": "parquet", "path": "${dir}/orders.parquet"}}"""))

@@ -145,5 +145,16 @@ class DictionarySpec extends AnyFunSuite {
     assert(c.dictEncodedMeasures == Set("cname_bitmap"))
     // a cube with no dictColumns claims nothing, whatever its measures
     assert(c.copy(dictColumns = Set.empty).dictEncodedMeasures.isEmpty)
+    // a measure built from a RESOLVED column (df("col") — an
+    // AttributeReference, not col("col")'s UnresolvedAttribute) is
+    // detected too: code-constructed members must not slip past the
+    // hybrid splice guard
+    val df = Tables.nation(spark, sf).withColumn("n_name_id", lit(1L))
+    val resolved = Measure("res_bitmap",
+      fromRaw = Measures.bitmapAgg(df("n_name_id")),
+      fromState = s => Measures.bitmapUnion(col(s)))
+    assert(c.copy(measures = c.measures :+ resolved,
+        dictColumns = Set("n_name"))
+      .dictEncodedMeasures.contains("res_bitmap"))
   }
 }
