@@ -1198,6 +1198,24 @@ object CubeJson {
       .getOrElse(spark.read.parquet(closed))
   }
 
+  /** The declared cube's FRESH TAIL: the lambda read restricted to
+    * windows at or past the committed BATCH horizon — the serving
+    * composition [[promoteStream]] leaves behind (reference: the
+    * stream-core query path unions HISTORICAL segments with receiver
+    * fragments, never both for one window). Promotion does not rewrite
+    * the speed layer's sealed cuboid, so a reader unioning the batch
+    * route with the raw [[declaredLambda]] would double-count every
+    * promoted window; this read is the safe other half: history routes
+    * through the batch segments (cuboid choice, pruning, mergeable
+    * measures), only the unpromoted tail reads the speed layer. */
+  def declaredTail(spark: SparkSession, sfDir: String,
+                   spec: JsonCube): org.apache.spark.sql.DataFrame = {
+    val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
+    val horizon = inst.cube.segments.map(_.end).max
+    declaredLambda(spark, sfDir, spec)
+      .filter(col("w_start") >= lit(horizon).cast("timestamp"))
+  }
+
   /** STREAMING → BATCH segment promotion (reference: kylin
     * stream-core's coordinator turns receiver fragments into ordinary
     * HISTORICAL segments once their windows seal — StreamingSegment

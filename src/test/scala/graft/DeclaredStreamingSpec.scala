@@ -173,6 +173,24 @@ class DeclaredStreamingSpec extends AnyFunSuite {
     val (again, seg2) = CubeJson.promoteStream(spark, sf, spec)
     assert(seg2.isEmpty &&
       again.cube.segments.map(_.name) == next.cube.segments.map(_.name))
+    // the serving composition promotion leaves behind: the TAIL read
+    // starts at the batch horizon (no window served twice), and
+    // batch route + tail together cover every sealed window exactly
+    val tail = CubeJson.declaredTail(spark, sf, spec)
+    val horizonTs = java.sql.Timestamp.valueOf(s0.end + " 00:00:00")
+    assert(tail.agg(min(col("w_start"))).head().getTimestamp(0)
+      .compareTo(horizonTs) >= 0,
+      "the tail must not re-serve promoted windows")
+    val batchN = QueryRouter.route(spark, next, CubeQuery(
+      Seq.empty, Seq("n_events" -> "n"),
+      timeRange = Some(("2024-01-01", s0.end))))(
+      fail("batch history must route")).df.head().getLong(0)
+    val tailN = tail.agg(sum(col("n_events"))).head().getLong(0)
+    val lambdaN = CubeJson.declaredLambda(spark, sf, spec)
+      .agg(sum(col("n_events"))).head().getLong(0)
+    assert(batchN + tailN == lambdaN,
+      s"batch($batchN) + tail($tailN) must equal one full lambda " +
+        s"read($lambdaN) - a window counted twice or dropped breaks this")
     // a fresh load (new process shape) serves the promoted segment too
     CubeManager.resetMemos()
     val reloaded = CubeManager.ensureDeclared(spark, sf, spec)
