@@ -708,6 +708,16 @@ object CubeJson {
 
   def register(spec: JsonCube): String = {
     validate(spec)
+    // Identical re-deploys are process-wide NO-OPS (the CLI registers
+    // its document on EVERY subcommand; a routed query fn may register
+    // per call): re-binding an unchanged declaration would drop every
+    // cached result and force a full view re-registration pass for
+    // nothing. A raw registerBinding for the same view INVALIDATES
+    // this memo (GraftSql.registerBinding → invalidateRegisteredSpec),
+    // so a foreign re-bind is never masked by the skip.
+    val canon = render(spec)
+    if (registeredSpecs.get(spec.viewName).contains(canon))
+      return spec.viewName
     val fp = CubeMeta.fingerprint(toCubeDef(spec)) // fail fast on
     // lattice/dim errors, at deploy time
     guardCompiledCollision(spec)
@@ -724,6 +734,7 @@ object CubeJson {
           (spec.model.fact +: spec.model.edges.map(_.lookup)).distinct
         else Nil,
       rawLoaders = sourceLoaders(spec)))
+    registeredSpecs.put(spec.viewName, canon): Unit
     spec.viewName
   }
 
@@ -843,6 +854,9 @@ object CubeJson {
     * front-end; this just declares the set). Returns the view name. */
   def registerRealization(r: JsonRealization): String = {
     validateRealization(r)
+    // identical re-deploys are no-ops, like register (see there)
+    val canon = renderRealization(r)
+    if (registeredSpecs.get(r.view).contains(canon)) return r.view
     (Seq(r.primary) ++ r.alternates).foreach(toCubeDef)
     val members = Seq(r.primary) ++ r.alternates ++
       r.hybrid.toSeq.flatMap(h => Seq(h.oldCube, h.newCube))
@@ -868,6 +882,7 @@ object CubeJson {
         (s: SparkSession, d: String) => CubeManager.ensureDeclared(s, d, a)),
       hybrids = r.hybrid.toSeq.map(h =>
         (s: SparkSession, d: String) => ensureDeclaredHybrid(s, d, h))))
+    registeredSpecs.put(r.view, canon): Unit
     r.view
   }
 
@@ -1290,6 +1305,13 @@ object CubeJson {
   /** view → rendered spec, to make re-registration of an UNCHANGED
     * declaration a no-op (re-registering would drop the SQL result
     * cache on every scan pass) */
+  /** a raw registerBinding replaced this view's binding outside the
+    * declaration path — the unchanged-doc skip in register /
+    * registerRealization must not mask it */
+  private[cube] def invalidateRegisteredSpec(view: String): Unit = {
+    registeredSpecs.remove(view): Unit
+  }
+
   private val registeredSpecs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 

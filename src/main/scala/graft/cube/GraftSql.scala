@@ -105,6 +105,12 @@ object GraftSql {
     scala.collection.concurrent.TrieMap.empty[String, Binding]
 
   def registerBinding(b: Binding): Unit = {
+    // a raw re-bind invalidates the declaration layer's unchanged-doc
+    // memo for this view: the next register of an identical document
+    // must actually re-register, not read the foreign binding as its
+    // own (harmless for the declaration path itself — register() puts
+    // its memo entry back right after this call)
+    CubeJson.invalidateRegisteredSpec(b.view)
     extraBindings.put(b.view, b)
     viewsRegistered.synchronized(viewsRegistered.clear()) // force view re-registration on next query
     // a (re-)registered binding changes what queries route to: drop

@@ -427,6 +427,15 @@ class CubeJsonSpec extends AnyFunSuite {
         "an unchanged store dir must not drop the result cache")
       // the rescan itself registers nothing on an unchanged dir
       assert(CubeJson.registerDir(spark, dir.toString).isEmpty)
+      // and a DIRECT register of the identical document is the same
+      // no-op (the CLI registers its doc on every subcommand; a
+      // per-call registerJson must not drop every cached result):
+      // the cached hit survives an explicit identical re-register
+      val doc2 = new String(java.nio.file.Files.readAllBytes(
+        dir.resolve("ttl_cube.json")), "UTF-8")
+      CubeJson.registerJson(doc2): Unit
+      assert(GraftSql.sqlCached(spark, sf, q).fromCache,
+        "an identical re-register must not drop the result cache")
     } finally {
       spark.conf.unset(GraftSql.CubeDefDirConf)
       spark.conf.unset(GraftSql.CubeDefRescanConf)
