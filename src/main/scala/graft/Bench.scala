@@ -284,9 +284,14 @@ object Bench {
         "target/bench.json will NOT be persisted; rerun idle")
       // a stale previous record would read passed:true while the
       // CURRENT machine state is gated — never leave a misleadingly
-      // valid artifact behind a refusal
+      // valid artifact behind a refusal (and never FAIL silently at
+      // removing it: an undeletable stale record is exactly the
+      // artifact the gate exists to keep out of the pipeline)
       scala.util.Try(java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get("target/bench.json"))): Unit
+        java.nio.file.Paths.get("target/bench.json")))
+        .failed.foreach(e => System.err.println(
+          s"[bench] could not remove the stale target/bench.json: $e " +
+            "— that record predates this gated run; do not commit it"))
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

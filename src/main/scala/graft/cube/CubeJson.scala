@@ -706,8 +706,17 @@ object CubeJson {
           "every touch; rename the declaration")
   }
 
+  /** Serializes the check → bind → memo-put of register /
+    * registerRealization: concurrent registers of DIFFERENT documents
+    * for one view could otherwise leave the memo claiming doc A while
+    * doc B's binding serves — later identical-doc-A registers would
+    * then short-circuit on a lie. Registration is rare; a global lock
+    * costs nothing. */
+  private val registerLock = new Object
+
   def register(spec: JsonCube): String = {
     validate(spec)
+    registerLock.synchronized {
     // Identical re-deploys are process-wide NO-OPS (the CLI registers
     // its document on EVERY subcommand; a routed query fn may register
     // per call): re-binding an unchanged declaration would drop every
@@ -736,6 +745,7 @@ object CubeJson {
       rawLoaders = sourceLoaders(spec)))
     registeredSpecs.put(spec.viewName, canon): Unit
     spec.viewName
+    }
   }
 
   /** per-table loaders for the spec's declared sources (the binding's
@@ -854,6 +864,7 @@ object CubeJson {
     * front-end; this just declares the set). Returns the view name. */
   def registerRealization(r: JsonRealization): String = {
     validateRealization(r)
+    registerLock.synchronized {
     // identical re-deploys are no-ops, like register (see there)
     val canon = renderRealization(r)
     if (registeredSpecs.get(r.view).contains(canon)) return r.view
@@ -884,6 +895,7 @@ object CubeJson {
         (s: SparkSession, d: String) => ensureDeclaredHybrid(s, d, h))))
     registeredSpecs.put(r.view, canon): Unit
     r.view
+    }
   }
 
   /** Enforce the declaration's lifecycle POLICIES on the built
@@ -1277,7 +1289,28 @@ object CubeJson {
     // tail would be silently frozen out).
     val sessionZone = java.time.ZoneId.of(
       spark.sessionState.conf.sessionLocalTimeZone)
-    val horizon = sealedEnd.atZone(sessionZone).toLocalDate.toString
+    // The horizon must ALSO be a window boundary: Spark's tumbling
+    // windows are epoch-aligned instants, and a window STRADDLING the
+    // horizon cannot be split between the batch segment (ts <
+    // horizon) and the tail read (w_start >= horizon) — its
+    // post-horizon rows would be served by NEITHER half. Walk the
+    // candidate day back until the day-boundary instant is
+    // window-aligned; a session zone whose day boundaries never align
+    // with the window (e.g. +05:30 with 12h windows) legitimately
+    // never promotes rather than silently losing rows.
+    val winMicros = iv.days * 86400000000L + iv.microseconds
+    def aligned(day: java.time.LocalDate): Boolean = {
+      val us = day.atStartOfDay(sessionZone).toInstant.toEpochMilli * 1000L
+      winMicros > 0 && us % winMicros == 0
+    }
+    var horizonDay = sealedEnd.atZone(sessionZone).toLocalDate
+    var walked = 0
+    while (!aligned(horizonDay) && walked < 366) {
+      horizonDay = horizonDay.minusDays(1); walked += 1
+    }
+    if (!aligned(horizonDay)) return (
+      CubeManager.ensureDeclared(spark, sfDir, spec), None)
+    val horizon = horizonDay.toString
     val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
     val root = inst.root
     BuildLease.withLease(spark, root,
@@ -1374,8 +1407,10 @@ object CubeJson {
           }
           if (registeredSpecs.get(viewName).contains(canon)) None
           else {
+            // register()/registerRealization() maintain the memo
+            // themselves (one owner — a second put here would fork
+            // the bookkeeping the skip depends on)
             doRegister()
-            registeredSpecs.put(viewName, canon)
             Some(viewName)
           }
         } catch {

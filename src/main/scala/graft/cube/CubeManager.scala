@@ -293,9 +293,14 @@ object CubeManager {
   private def sfName(sfDir: String): String =
     sfDir.replaceAll("/+$", "").split('/').last
 
-  /** the storage root a DECLARED cube lives under — computable without
+  /** The storage root a DECLARED cube lives under — computable without
     * touching the store, for read-only tools that must not trigger a
-    * first-touch build */
+    * first-touch build. CONTRACT: the root embeds the sf dir's
+    * BASENAME only, so two dataset dirs sharing a basename (/a/sf1 and
+    * /b/sf1) would share every declared root and cross-serve each
+    * other's data — deployments must give dataset dirs distinct
+    * basenames (true of every driver sf dir; a fleet pointing many
+    * same-named warehouses at one cube root has bigger problems). */
   def declaredRoot(sfDir: String, cubeName: String): String =
     s"$cubeRoot/${sfName(sfDir)}-$cubeName"
 

@@ -1209,6 +1209,14 @@ object CubeQueries extends QueryGroup {
         // partial stage: delete and restage.
         val staged = new java.io.File(dbDir, "_graft_staged")
         if (!staged.exists()) {
+          // shut the engine's booted copy down BEFORE deleting the
+          // files: a crashed earlier stage in THIS JVM left the db
+          // booted, and deleting under a live engine corrupts the
+          // retry until process restart (Derby's shutdown=true
+          // reports success via an exception — discard it)
+          if (new java.io.File(dbDir).exists())
+            scala.util.Try(java.sql.DriverManager.getConnection(
+              s"jdbc:derby:$dbDir;shutdown=true")): Unit
           org.apache.commons.io.FileUtils.deleteQuietly(
             new java.io.File(dbDir)): Unit
           graft.Tables.orders(s, d).write.mode("overwrite")

@@ -177,7 +177,13 @@ class DeclaredStreamingSpec extends AnyFunSuite {
     // starts at the batch horizon (no window served twice), and
     // batch route + tail together cover every sealed window exactly
     val tail = CubeJson.declaredTail(spark, sf, spec)
-    val horizonTs = java.sql.Timestamp.valueOf(s0.end + " 00:00:00")
+    // the horizon instant derives through the SESSION zone like
+    // declaredTail itself — Timestamp.valueOf would read the day in
+    // the JVM default zone and mis-assert on any non-UTC JVM
+    val horizonTs = java.sql.Timestamp.from(
+      java.time.LocalDate.parse(s0.end).atStartOfDay(
+        java.time.ZoneId.of(
+          spark.sessionState.conf.sessionLocalTimeZone)).toInstant)
     assert(tail.agg(min(col("w_start"))).head().getTimestamp(0)
       .compareTo(horizonTs) >= 0,
       "the tail must not re-serve promoted windows")
