@@ -936,6 +936,15 @@ object CubeJson {
     // last-writer-win over a concurrent append's commit, silently
     // dropping its segment: the parquet orphans, the rows stop
     // serving.
+    // streaming-bearing documents PROMOTE first (reference: the
+    // streaming coordinator's segment build runs on the same
+    // scheduler cadence as retention/merge): newly promoted history
+    // then participates in this very run's retention and merge steps.
+    // promoteStream serializes under the cube's own lease and is
+    // idempotent — a run with no new whole sealed day commits nothing.
+    spec.streaming.foreach { _ =>
+      promoteStream(spark, sfDir, spec): Unit
+    }
     spec.retentionDays.foreach { days =>
       BuildLease.withLease(spark, root,
           spec.name)(Option.empty[CubeInstance]) {

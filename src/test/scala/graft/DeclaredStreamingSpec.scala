@@ -130,6 +130,21 @@ class DeclaredStreamingSpec extends AnyFunSuite {
       "file", "12 hours", "2 hours", hotTail = true)))
   }
 
+  test("a policies run on a streaming-bearing document PROMOTES first " +
+      "— the scheduled entry covers the whole lifecycle") {
+    val promoDoc = doc
+      .replace("\"name\": \"events_decl\"", "\"name\": \"events_promo2\"")
+      .replace("\"end\": \"2024-02-01\"", "\"end\": \"2024-01-10\"")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      s"${CubeManager.cubeRoot}/${sf.split('/').last}-events_promo2")): Unit
+    CubeManager.resetMemos()
+    val spec = CubeJson.parse(promoDoc)
+    val inst = CubeJson.applyPolicies(spark, sf, spec)
+    assert(inst.cube.segments.exists(_.name.startsWith("sp_")),
+      s"policies must promote sealed days, got " +
+        s"${inst.cube.segments.map(_.name)}")
+  }
+
   test("streaming→batch promotion: sealed whole days beyond the batch " +
       "horizon append as a NORMAL segment, dim ranges collected at " +
       "commit (VERDICT r16 item 6), idempotent") {
