@@ -942,8 +942,18 @@ object CubeJson {
     // then participates in this very run's retention and merge steps.
     // promoteStream serializes under the cube's own lease and is
     // idempotent — a run with no new whole sealed day commits nothing.
+    // ISOLATED like the replan step below: a speed-layer outage (the
+    // broker down at the scheduled run) must not abort the batch
+    // lifecycle — retention/merge/heal still run, promotion retries
+    // next cadence
     spec.streaming.foreach { _ =>
-      promoteStream(spark, sfDir, spec): Unit
+      try promoteStream(spark, sfDir, spec): Unit
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft-policies] stream promotion for " +
+            s"'${spec.name}' failed (${e.getMessage}) — batch " +
+            "policies proceed; promotion retries next run")
+      }
     }
     spec.retentionDays.foreach { days =>
       BuildLease.withLease(spark, root,

@@ -130,34 +130,47 @@ class DeclaredStreamingSpec extends AnyFunSuite {
       "file", "12 hours", "2 hours", hotTail = true)))
   }
 
-  test("a policies run on a streaming-bearing document PROMOTES first " +
-      "— the scheduled entry covers the whole lifecycle") {
+  /** the shared promotion fixture: the batch layer deliberately ends
+    * MID-data (2024-01-10) while the stream seals windows far past it
+    * — the promotable state a live deployment is in between builds.
+    * `extra` injects additional document fields (e.g. a policy). */
+  private def promoFixture(name: String,
+                           extra: String = ""): CubeJson.JsonCube = {
     val promoDoc = doc
-      .replace("\"name\": \"events_decl\"", "\"name\": \"events_promo2\"")
+      .replace("\"name\": \"events_decl\"", s""""name": "$name"""")
       .replace("\"end\": \"2024-02-01\"", "\"end\": \"2024-01-10\"")
+      .replace("\"streaming\": {", extra + "\"streaming\": {")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
-      s"${CubeManager.cubeRoot}/${sf.split('/').last}-events_promo2")): Unit
+      s"${CubeManager.cubeRoot}/${sf.split('/').last}-$name")): Unit
     CubeManager.resetMemos()
-    val spec = CubeJson.parse(promoDoc)
+    CubeJson.parse(promoDoc)
+  }
+
+  test("a policies run on a streaming-bearing document PROMOTES first " +
+      "and the promoted history participates in the SAME run's " +
+      "retention — one scheduled entry covers the whole lifecycle") {
+    // retention is data-relative (cutoff = newest committed end - N
+    // days): promoted FIRST, the horizon lands near the data's end and
+    // the 10-day cutoff drops the original pre-promotion segment in
+    // the SAME run; promoted after (or not at all), the cutoff would
+    // derive from 2024-01-10 and drop nothing — so the assertions pin
+    // the ORDER, not just that promotion happened
+    val spec = promoFixture("events_promo2",
+      extra = "\"retentionDays\": 10, ")
     val inst = CubeJson.applyPolicies(spark, sf, spec)
     assert(inst.cube.segments.exists(_.name.startsWith("sp_")),
       s"policies must promote sealed days, got " +
+        s"${inst.cube.segments.map(_.name)}")
+    assert(!inst.cube.segments.exists(_.name == "s2024m1"),
+      "the same run's retention must see the promoted horizon and " +
+        s"drop the aged original segment, got " +
         s"${inst.cube.segments.map(_.name)}")
   }
 
   test("streaming→batch promotion: sealed whole days beyond the batch " +
       "horizon append as a NORMAL segment, dim ranges collected at " +
       "commit (VERDICT r16 item 6), idempotent") {
-    // a document whose batch layer deliberately ends MID-data
-    // (2024-01-10) while the stream seals windows far past it — the
-    // promotable state a live deployment is in between builds
-    val promoDoc = doc
-      .replace("\"name\": \"events_decl\"", "\"name\": \"events_promo\"")
-      .replace("\"end\": \"2024-02-01\"", "\"end\": \"2024-01-10\"")
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
-      s"${CubeManager.cubeRoot}/${sf.split('/').last}-events_promo")): Unit
-    CubeManager.resetMemos()
-    val spec = CubeJson.parse(promoDoc)
+    val spec = promoFixture("events_promo")
 
     val (next, seg) = CubeJson.promoteStream(spark, sf, spec)
     assert(seg.nonEmpty, "sealed windows run past 2024-01-10 — a " +
