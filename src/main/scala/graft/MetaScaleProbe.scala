@@ -16,7 +16,7 @@ import graft.cube._
   *    the marginal cost per added segment must be flat across the
   *    doubling ladder, or pruning has a super-linear planner tax;
   *  - the plan-path memo population (DimRanges parse/cast/ddl memos,
-  *    cap 65536 with clear-on-overflow): a single plan whose working
+  *    clear-on-overflow caps, DimRanges.MemoCap): a single plan whose working
   *    set exceeded a cap would clear-and-rebuild every plan — the
   *    probe reports live entry counts against the caps at the full
   *    2000×10 cardinality;
@@ -159,7 +159,30 @@ object MetaScaleProbe {
     // headroom = zero clear-on-overflow EVENTS, not small end-state
     // sizes (a cleared memo reads small again by report time)
     val memoHeadroom = memoSizes("clears") == 0 &&
-      memoSizes.removed("clears").values.forall(_ < 65536)
+      memoSizes.removed("clears").values.forall(_ < DimRanges.MemoCap)
+
+    // ── thrash boundary: a 10-dim conjunction filter at 4000 segments
+    // has a per-plan memo working set of 2 × 4000 × 10 = 80k bound
+    // strings — ABOVE a 65,536 cap that would clear-and-rebuild on
+    // every plan. The caps are sized for this (see DimRanges.memo);
+    // the probe proves zero clears and a steady per-plan cost at the
+    // worst realistic shape.
+    val big = mkInst(4000, withRanges = true, root = "/nowhere")
+    val allDimFilter = dims.zipWithIndex.map { case (dd, di) =>
+      val off = di * 100000000L
+      col(dd) >= lit(off) && col(dd) <= lit(off + 1500L)
+    }.reduce(_ && _)
+    val bigQ = CubeQuery(Seq("d2"), Seq("n" -> "n"),
+      filter = Some(allDimFilter), filterDims = dims.toSet)
+    val clearsBefore = DimRanges.memoSizes("clears")
+    timePlanUs(big, bigQ, 3): Unit // populate
+    val tBig = timePlanUs(big, bigQ, 20)
+    val clearsAfter = DimRanges.memoSizes("clears")
+    val thrashJson =
+      f"""{"segments":4000,"filtered_dims":$NDims,""" +
+        f""""working_set":${2 * 4000 * NDims},""" +
+        f""""plan_us":$tBig%.1f,""" +
+        s""""clears_during":${clearsAfter - clearsBefore}}"""
 
     // ── FS-backed metadata ops at 2000 segments (meta.json + the
     // segment dirs the load/audit probe — still zero parquet)
@@ -189,8 +212,8 @@ object MetaScaleProbe {
     val json =
       s"""{"metric":"meta_scale","dims":$NDims,""" +
         s""""ladder":$ladderJson,"marginal":$marginal,""" +
-        s""""memo_entries":$memoJson,"memo_cap":65536,""" +
-        s""""memo_headroom":$memoHeadroom,""" +
+        s""""memo_entries":$memoJson,"memo_cap":${DimRanges.MemoCap},""" +
+        s""""memo_headroom":$memoHeadroom,"thrash_probe":$thrashJson,""" +
         f""""meta2000":{"segments":${SegLadder.max},""" +
         f""""save_ms":$saveMs%.1f,"load_ms":$loadMs%.1f,""" +
         f""""stamp_ms":$stampMs%.1f,"audit_ms":$auditMs%.1f,""" +

@@ -242,6 +242,18 @@ object DimRanges {
     * worst case is recomputation). Two hand-rolled copies would have
     * to evolve together — the fork-risk the verifyAgainstStats
     * consolidation already condemned. */
+  /** Cap of the per-value plan-path memos (parse/cast/bounds). SIZING
+    * RULE: the cap must exceed the largest single PLAN's working set —
+    * 2 bound strings × segments × filtered dims — or the
+    * clear-on-overflow eviction fires mid-plan and every later plan
+    * re-parses the whole set (thrash, measured by the SCALE probe's
+    * 4000-segment × 10-dim conjunction shape: an 80k working set over
+    * a 65,536 cap cleared per plan). 262,144 covers ~13,000 segments
+    * × 10 filtered dims at a bounded worst-case memory cost (entries
+    * are short strings + boxed primitives — tens of MB, paid only by
+    * metadata-heavy serving processes that benefit most). */
+  private[graft] val MemoCap = 262144
+
   /** clear-on-overflow events across all plan-path memos: end-state
     * SIZES cannot prove no-thrash (a cleared memo reads small again by
     * report time), so the SCALE probe asserts this counter instead */
@@ -287,7 +299,7 @@ object DimRanges {
   private val boundsMemo = new java.util.concurrent.ConcurrentHashMap[
     (DimRange, String), Option[(Any, Any, Ordering[Any])]]()
   private def boundsOf(rng: DimRange): Option[(Any, Any, Ordering[Any])] =
-    memo(boundsMemo, 65536)((rng, zone.getOrElse(""))) {
+    memo(boundsMemo, MemoCap)((rng, zone.getOrElse(""))) {
       dtFromDDL(rng.dt).flatMap { dt =>
         scala.util.Try {
           for (mn <- rng.min.flatMap(parse(_, dt));
@@ -303,7 +315,7 @@ object DimRanges {
   private def parse(s: String, dt: DataType): Option[Any] =
     // the zone is part of the key: a timestamp bound parses to a
     // different instant under a different session timezone
-    memo(parseMemo, 65536)((s, dt.sql, zone.getOrElse(""))) {
+    memo(parseMemo, MemoCap)((s, dt.sql, zone.getOrElse(""))) {
       scala.util.Try(Option(Cast(Literal(
         org.apache.spark.unsafe.types.UTF8String.fromString(s),
         StringType), dt, zone, EvalMode.TRY).eval(null)))
@@ -350,7 +362,7 @@ object DimRanges {
   private def exactCast(lit: Literal, dt: DataType): Option[Any] = {
     if (lit.value == null) return None
     if (lit.dataType == dt) return Some(lit.value)
-    memo(castMemo, 65536)(
+    memo(castMemo, MemoCap)(
       (lit.value, lit.dataType.sql, dt.sql, zone.getOrElse(""))) {
       scala.util.Try {
         Option(Cast(lit, dt, zone, EvalMode.TRY).eval(null)).filter { dv =>
