@@ -250,7 +250,22 @@ object CubeJson {
         * convention. Outside the fingerprint like the reference: a
         * source location names the same logical table; moving it is a
         * data event (refresh territory), not a layout change. */
-      sources: Map[String, JsonSource] = Map.empty) {
+      sources: Map[String, JsonSource] = Map.empty,
+      /** Optional shared STORAGE-ROOT scope: this cube's root becomes
+        * `<cubeRoot>/<sf>-<rootScope>` instead of `…-<name>`, so
+        * several declarations share ONE multi-cube root (each cube
+        * still owns its `<root>/<name>/` subtree; the root-level
+        * `dict/` and `snapshots/` trees are COMMON — the layout
+        * CubeMigrator documents for multi-cube destinations). The one
+        * semantic this buys: dictionaries under a shared root are one
+        * append-stable id space, so dict-encoded bitmap states from
+        * the scoped cubes MERGE soundly — the requirement for a
+        * hybrid's members to serve exact string-keyed distincts
+        * across the cutover (validateRealization enforces equal
+        * scopes there). Outside the fingerprint: the root PATH
+        * changes with the scope, so a re-scoped declaration builds
+        * fresh — stale cross-reads are impossible by construction. */
+      rootScope: Option[String] = None) {
     def viewName: String = view.getOrElse(s"graft_$name")
   }
 
@@ -289,6 +304,10 @@ object CubeJson {
     j.view.foreach(v =>
       if (!v.matches("[A-Za-z0-9_]+"))
         fail(s"view '$v' must be a plain SQL identifier"))
+    j.rootScope.foreach(sc =>
+      if (!sc.matches("[A-Za-z0-9_]+"))
+        fail(s"rootScope '$sc' must be alphanumeric/underscore only " +
+          "(it becomes a storage directory)"))
     if (j.dims.isEmpty) fail("no dims")
     if (j.dims.distinct.size != j.dims.size) fail("duplicate dims")
     if (j.segments.isEmpty) fail("no segments")
@@ -822,26 +841,35 @@ object CubeJson {
       if (!h.newCube.segments.forall(_.start >= h.cutover))
         fail(s"hybrid '${h.name}': every new-cube segment must start " +
           s"at or after the cutover ${h.cutover}")
-      // Dictionary-encoded measures cannot splice: each member cube
-      // owns its own append-ordered dictionary tree (Dictionary.scala
-      // — ids are assigned by THAT root's append order), so two
-      // members' id spaces are incompatible by construction — the
-      // exact hazard CubeMigrator refuses on dict-column collisions.
-      // A splice would bitmap_union unrelated ids across the cutover
-      // into silently wrong exact-distinct counts, so the document is
-      // refused at deploy time (reference: HybridInstance.java:53
-      // members share a model, and core-dictionary
-      // AppendTrieDictionary.java:66's consistency contract is
-      // per-dictionary). HLL measures (value-hashed, splice-safe) or
-      // a bitmap over an integer key column express the same query.
-      Seq(h.oldCube, h.newCube).foreach { m =>
-        if (m.dictColumns.nonEmpty)
+      // Dictionary-encoded measures can only splice when the members
+      // share ONE dictionary id space: by default each member cube
+      // owns its own append-ordered dict tree (Dictionary.scala — ids
+      // are assigned by THAT root's append order), so two members' id
+      // spaces are incompatible by construction — the exact hazard
+      // CubeMigrator refuses on dict-column collisions; a splice
+      // would bitmap_union unrelated ids across the cutover into
+      // silently wrong exact-distinct counts (reference:
+      // HybridInstance.java:53 members share a model, and
+      // core-dictionary AppendTrieDictionary.java:66's consistency
+      // contract is per-dictionary). The SOUND form: both members
+      // declare the same `rootScope` — they then share one multi-cube
+      // root whose root-level dict tree is one append-stable id
+      // space, and the splice merges exactly. Anything else refuses
+      // at deploy.
+      if (Seq(h.oldCube, h.newCube).exists(_.dictColumns.nonEmpty)) {
+        val scopes = Seq(h.oldCube, h.newCube).map(_.rootScope)
+        if (scopes.exists(_.isEmpty) || scopes.distinct.size != 1) {
+          val m = Seq(h.oldCube, h.newCube)
+            .find(_.dictColumns.nonEmpty).get
           fail(s"hybrid '${h.name}': member '${m.name}' declares " +
-            s"dictColumns [${m.dictColumns.mkString(", ")}] — " +
-            "dictionary id spaces are per-cube-root and cannot merge " +
-            "across the splice (bitmap_union over unrelated ids would " +
-            "silently return wrong exact-distinct counts). Use an " +
-            "'hll' measure or a bitmap over an integer key instead")
+            s"dictColumns [${m.dictColumns.mkString(", ")}] but the " +
+            "members do not share a rootScope — per-member dictionary " +
+            "id spaces cannot merge across the splice (bitmap_union " +
+            "over unrelated ids would silently return wrong " +
+            "exact-distinct counts). Declare the SAME `rootScope` on " +
+            "both members (one shared append-stable dictionary), or " +
+            "use an 'hll' measure / a bitmap over an integer key")
+        }
       }
     }
   }
@@ -1343,9 +1371,7 @@ object CubeJson {
           .filter(col(spec.segmentCol) >=
               lit(seg.start).cast("timestamp") &&
             col(spec.segmentCol) < lit(seg.end).cast("timestamp"))
-        val flat = spec.dictColumns.foldLeft(flat0)((f, c) =>
-          Dictionary.encode(f,
-            Dictionary.buildOrAppend(spark, f, c, root), c))
+        val flat = CubeManager.dictEncode(spark, spec, flat0, root)
         if (flat.isEmpty) (fresh, None) // an empty day: nothing to commit
         else (CubeBuilder.appendSegment(spark, fresh, flat, seg), Some(seg))
       }

@@ -304,6 +304,13 @@ object CubeManager {
   def declaredRoot(sfDir: String, cubeName: String): String =
     s"$cubeRoot/${sfName(sfDir)}-$cubeName"
 
+  /** the storage root of a DECLARED document, honoring its optional
+    * `rootScope` (several declarations — e.g. a hybrid's members —
+    * share one multi-cube root so the root-level dictionary is one
+    * append-stable id space; see CubeJson.JsonCube.rootScope) */
+  def declaredRootOf(sfDir: String, spec: CubeJson.JsonCube): String =
+    declaredRoot(sfDir, spec.rootScope.getOrElse(spec.name))
+
   /** The realization stamp set read straight FROM THE SHARED STORE —
     * one (meta path, cube, committed buildId) triple per committed
     * realization meta under this sf's cube roots, enumerated by
@@ -508,10 +515,34 @@ object CubeManager {
     * declared columns, snapshotting derived-dim lookups). Roots are
     * per-declaration (`<cubeRoot>/<sf>-<name>`), so declared cubes
     * never collide with the compiled ones or each other. */
+  /** Dictionary-encode `flat0` through the root's trees — under the
+    * root-level `dict` lease when the spec declares a shared
+    * `rootScope`: several member builds hold DIFFERENT cube leases on
+    * one root, and unserialized buildOrAppend races could both mint
+    * the same next version — one side's new ids would vanish
+    * (encode-to-null, silently undercounted bitmaps). Unscoped roots
+    * skip the extra lease: the cube's own build lease already
+    * serializes same-root dict appends. ONE spelling for the declared
+    * build, the CLI append, and the CLI refresh — the race guard must
+    * not fork. */
+  private[cube] def dictEncode(spark: SparkSession,
+      spec: CubeJson.JsonCube, flat0: DataFrame,
+      root: String): DataFrame =
+    if (spec.dictColumns.isEmpty) flat0
+    else {
+      def fold() = spec.dictColumns.foldLeft(flat0)((f, c) =>
+        Dictionary.encode(f,
+          Dictionary.buildOrAppend(spark, f, c, root), c))
+      if (spec.rootScope.isDefined)
+        BuildLease.withLease(spark, root, "dict")(
+          Option.empty[DataFrame])(fold())
+      else fold()
+    }
+
   def ensureDeclared(spark: SparkSession, sfDir: String,
                      spec: CubeJson.JsonCube): CubeInstance = {
     val cube = CubeJson.toCubeDef(spec)
-    val root = declaredRoot(sfDir, cube.name)
+    val root = declaredRootOf(sfDir, spec)
     ensureFresh(declaredBuilt, spark, s"${cube.name}|$sfDir", root, cube) {
       // the DECLARED segment span is the cube's data universe at
       // deploy time: rows beyond it are future appends, not drops —
@@ -530,9 +561,7 @@ object CubeManager {
       // a skip-marker would freeze the dictionary and encode them to
       // null, undercounting bitmaps) and cheap relative to the
       // flat/cuboid phases the resume actually skips
-      val flat = spec.dictColumns.foldLeft(flat0)((f, c) =>
-        Dictionary.encode(f,
-          Dictionary.buildOrAppend(spark, f, c, root), c))
+      val flat = dictEncode(spark, spec, flat0, root)
       val built = CubeBuilder.build(spark, flat, cube, root)
       // day-zero lattice under a budget (cube planner phase 1,
       // VERDICT r15 item 5): the document's cuboid space is the

@@ -297,9 +297,8 @@ object GraftTool {
               "append") { fresh =>
             val flat0 = CubeJson.flatBuilder(spec, Some(fresh.root))(
               spark, sfDir)
-            val flat = spec.dictColumns.foldLeft(flat0)((f, c) =>
-              Dictionary.encode(f,
-                Dictionary.buildOrAppend(spark, f, c, fresh.root), c))
+            val flat = CubeManager.dictEncode(spark, spec, flat0,
+              fresh.root)
             CubeBuilder.appendSegment(spark, fresh, flat, seg)
           }
           out(s"appended ${seg.name} segments=" +
@@ -335,9 +334,8 @@ object GraftTool {
             // buildOrAppend admits them while every already-assigned
             // id stays stable, so the untouched segments' bitmap
             // states remain comparable with the refreshed one's
-            val flat = spec.dictColumns.foldLeft(flat0)((f, c) =>
-              Dictionary.encode(f,
-                Dictionary.buildOrAppend(spark, f, c, fresh.root), c))
+            val flat = CubeManager.dictEncode(spark, spec, flat0,
+              fresh.root)
             CubeBuilder.refreshSegment(spark, fresh, flat, segName)
           }
           out(s"refreshed $segName segments=" +
@@ -428,7 +426,7 @@ object GraftTool {
           // behind an exit 1 (the snapshot subcommand's validate-
           // before-anything posture)
           specs.foreach { spec =>
-            val root = CubeManager.declaredRoot(sfDir, spec.name)
+            val root = CubeManager.declaredRootOf(sfDir, spec)
             CubeMeta.load(spark, CubeJson.toCubeDef(spec), root)
               .getOrElse(throw new IllegalStateException(
                 s"ranges refused: '${spec.name}' has no committed " +
@@ -436,7 +434,7 @@ object GraftTool {
                   "'policies', or 'append'), then backfill"))
           }
           specs.foreach { spec =>
-            val root = CubeManager.declaredRoot(sfDir, spec.name)
+            val root = CubeManager.declaredRootOf(sfDir, spec)
             // the meta commit serializes under the DEFAULT build
             // lease with a load-only re-read, like every lifecycle op
             withCommittedBase(spark, root, spec, "ranges") { fresh =>
@@ -555,7 +553,7 @@ object GraftTool {
           // READ-ONLY by contract: the committed meta loads directly —
           // a cube never built refuses instead of triggering the full
           // first-touch build a preview command must not launch
-          val root = CubeManager.declaredRoot(sfDir, spec.name)
+          val root = CubeManager.declaredRootOf(sfDir, spec)
           val inst = CubeMeta.load(spark, CubeJson.toCubeDef(spec),
               root).map(_.inst).getOrElse(
             throw new IllegalStateException(

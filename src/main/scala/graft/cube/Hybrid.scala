@@ -97,12 +97,16 @@ object HybridRouter {
     // Dictionary-encoded bitmap states are ROOT-LOCAL (ids assigned by
     // each member's own dictionary append order — CubeDef.dictColumns):
     // unioning them across members would bitmap_union unrelated ids
-    // into silently wrong exact-distinct counts. Declared hybrids are
-    // refused at deploy time (CubeJson.validateRealization); this
-    // guards code-constructed hybrids the same way — a splice touching
-    // more than one member falls back to the always-consistent source.
-    // One touched member is fine: a single root's ids are coherent.
-    if (parts.size > 1) {
+    // into silently wrong exact-distinct counts. Unscoped declared
+    // hybrids are refused at deploy time (CubeJson.validateRealization)
+    // and this guards code-constructed hybrids the same way — a splice
+    // touching more than one member falls back to the always-consistent
+    // source. Two escapes are sound: one touched member (a single
+    // root's ids are coherent) and members sharing ONE storage root
+    // (the rootScope form — the shared root's dict tree IS one
+    // append-stable id space, so the states merge exactly).
+    if (parts.size > 1 &&
+        parts.map(_._1.inst.root).distinct.size > 1) {
       val hazardous = parts.flatMap { case (s, _) =>
         val enc = s.inst.cube.dictEncodedMeasures
         q.measures.collect { case (m, _) if enc(m) =>

@@ -1133,6 +1133,41 @@ object CubeQueries extends QueryGroup {
              |  AND o_orderdate < TIMESTAMP '2001-01-01'
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // 35i3 ────────────── EXACT string-keyed distinct ACROSS the
+    //     hybrid cutover (VERDICT r16 top_next, the shared-dictionary
+    //     road): both members declare the same `rootScope`, so their
+    //     dict-encoded bitmap states live in ONE append-stable id
+    //     space (the shared root's dict tree) and the splice's
+    //     bitmap_union is exact — customers active in BOTH eras must
+    //     count once. Reference: HybridInstance.java splicing +
+    //     AppendTrieDictionary.java:66's per-dictionary consistency
+    //     contract, satisfied by making it one dictionary.
+    Q("cube_sql_hybrid_bitmap",
+      (s, d) => {
+        val view = hybridBitmapView
+        val r = GraftSql.sqlVia(s, d,
+          s"""SELECT o_orderstatus, count(DISTINCT c_name) AS n_names,
+             |  count(*) AS n_orders
+             |FROM $view
+             |WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01'
+             |  AND TIMESTAMP '2000-12-31'
+             |GROUP BY o_orderstatus""".stripMargin)
+        assert(r.routed && r.via == "hybrid",
+          s"expected the shared-dict hybrid to answer, got ${r.via}")
+        val files = r.df.inputFiles
+        assert(files.exists(_.contains("-hbm_shared/hbm_old/")) &&
+          files.exists(_.contains("-hbm_shared/hbm_new/")),
+          s"both members must serve from the SHARED root, got " +
+            s"${files.take(3).toSeq}")
+        r.df.orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(DISTINCT c_name) AS n_names,
+             |  COUNT(*) AS n_orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01'
+             |  AND TIMESTAMP '2000-12-31'
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // 36 ──────────────── RAW measure: per-group value collection
     //     carried through the cube (reference measure/raw)
     Q("cube_raw_measure",
@@ -1344,6 +1379,84 @@ object CubeQueries extends QueryGroup {
   /** The operator-authored JSON document behind `cube_json_declared` —
     * registered once per JVM (re-registration would needlessly drop
     * the SQL result cache on every query run). */
+  /** The realization behind `cube_sql_hybrid_bitmap`: a hybrid whose
+    * members share ONE storage root (`rootScope`) so their
+    * dictionary-encoded bitmap states live in one append-stable id
+    * space — the sound form of exact string-keyed distinct across a
+    * cutover (unscoped dictColumns on hybrid members refuse at
+    * deploy). The eras split mid-data at 1999-01-01; each member's
+    * model filterExpr scopes its own era like a real evolution. */
+  lazy val hybridBitmapView: String = CubeJson.registerRealization(
+    CubeJson.parseRealization {
+      def member(name: String, filt: String, segName: String,
+                 start: String, end: String): String =
+        s"""{
+           |  "name": "$name",
+           |  "rootScope": "hbm_shared",
+           |  "model": {"fact": "orders",
+           |    "edges": [{"lookup": "customer", "via": "orders",
+           |      "lookupKey": "c_custkey", "foreignKey": "o_custkey"}],
+           |    "broadcast": ["customer"],
+           |    "filterExpr": "$filt"},
+           |  "flatColumns": [
+           |    {"name": "o_month",
+           |     "expr": "date_format(o_orderdate, 'yyyy-MM')"},
+           |    {"name": "o_orderstatus"},
+           |    {"name": "o_orderdate"},
+           |    {"name": "c_name"}
+           |  ],
+           |  "dims": ["o_month", "o_orderstatus"],
+           |  "measures": [
+           |    {"name": "cust_nameset", "family": "bitmap",
+           |     "column": "c_name_id", "answers": "countDistinct:c_name"},
+           |    {"name": "n_orders", "family": "count"}
+           |  ],
+           |  "dictColumns": ["c_name"],
+           |  "segmentCol": "o_orderdate",
+           |  "segments": [{"name": "$segName", "start": "$start",
+           |                "end": "$end"}],
+           |  "timeDim": {"name": "o_month", "granularity": "month"},
+           |  "segDayGranular": true
+           |}""".stripMargin
+      s"""{
+         |  "view": "graft_hybrid_bitmap",
+         |  "primary": {
+         |    "name": "hbm_wide",
+         |    "model": {"fact": "orders",
+         |      "edges": [{"lookup": "customer", "via": "orders",
+         |        "lookupKey": "c_custkey", "foreignKey": "o_custkey"}],
+         |      "broadcast": ["customer"]},
+         |    "flatColumns": [
+         |      {"name": "o_orderstatus"},
+         |      {"name": "o_orderdate"},
+         |      {"name": "o_totalprice"},
+         |      {"name": "c_name"}
+         |    ],
+         |    "dims": ["o_orderstatus"],
+         |    "measures": [
+         |      {"name": "price_sum", "family": "sum",
+         |       "column": "o_totalprice", "decimal": true,
+         |       "presentDouble": true},
+         |      {"name": "n_orders", "family": "count"}
+         |    ],
+         |    "segmentCol": "o_orderdate",
+         |    "segments": [{"name": "all", "start": "1992-01-01",
+         |                  "end": "2003-01-01"}],
+         |    "segDayGranular": true
+         |  },
+         |  "hybrid": {
+         |    "name": "hbm",
+         |    "cutover": "1999-01-01",
+         |    "oldCube": ${member("hbm_old",
+                "o_orderdate < TIMESTAMP '1999-01-01'",
+                "old", "1992-01-01", "1999-01-01")},
+         |    "newCube": ${member("hbm_new",
+                "o_orderdate >= TIMESTAMP '1999-01-01'",
+                "new", "1999-01-01", "2003-01-01")}
+         |  }
+         |}""".stripMargin
+    })
+
   lazy val declaredOrdersView: String = CubeJson.registerJson(
     """{
       |  "name": "orders_json",

@@ -824,6 +824,24 @@ class CubeJsonSpec extends AnyFunSuite {
       "\"name\": \"salesx_narrow\", \"dictColumns\": [\"o_orderstatus\"],")
     assert(CubeJson.parseRealization(okAlt).alternates.head
       .dictColumns == Seq("o_orderstatus"))
+    // the SOUND form: members sharing a rootScope share ONE
+    // append-stable dictionary, so dict-encoded states merge exactly
+    // across the splice - the document validates
+    val okScoped = doc
+      .replace("\"name\": \"salesx_old\",",
+        "\"name\": \"salesx_old\", \"dictColumns\": [\"o_month\"], " +
+          "\"rootScope\": \"salesx_scope\",")
+      .replace("\"name\": \"salesx_new\",",
+        "\"name\": \"salesx_new\", \"rootScope\": \"salesx_scope\",")
+    assert(CubeJson.parseRealization(okScoped)
+      .hybrid.get.oldCube.rootScope.contains("salesx_scope"))
+    // MISMATCHED scopes are two different roots - still refused
+    val badScoped = okScoped.replace(
+      "\"name\": \"salesx_new\", \"rootScope\": \"salesx_scope\",",
+      "\"name\": \"salesx_new\", \"rootScope\": \"other_scope\",")
+    assert(intercept[IllegalArgumentException](
+      CubeJson.parseRealization(badScoped)).getMessage
+      .contains("do not share a rootScope"))
   }
 
   test("declared batch sources: bad entries refuse at deploy with the " +

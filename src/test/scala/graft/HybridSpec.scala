@@ -68,8 +68,10 @@ class HybridSpec extends AnyFunSuite {
     * order (offset distinguishes the two roots' id spaces, exactly the
     * state two independently-built members are in) */
   private def dictCube(name: String, start: String, end: String,
-                       idOffset: Long): CubeInstance = {
-    val root = java.nio.file.Files.createTempDirectory(s"graft-hyd-$name").toString
+                       idOffset: Long,
+                       root: Option[String] = None): CubeInstance = {
+    val rootDir = root.getOrElse(java.nio.file.Files
+      .createTempDirectory(s"graft-hyd-$name").toString)
     val days = java.time.temporal.ChronoUnit.DAYS.between(
       java.time.LocalDate.parse(start), java.time.LocalDate.parse(end)).toInt
     val df = spark.range(days * 2L).selectExpr(
@@ -87,7 +89,7 @@ class HybridSpec extends AnyFunSuite {
       "ts", Seq(Segment("m", start, end)), Seq(Set("d_day")),
       timeDim = Some(TimeDim("d_day", d => Some(d.substring(0, 10)))),
       dictColumns = Set("d_day"))
-    CubeBuilder.build(spark, df, cube, root)
+    CubeBuilder.build(spark, df, cube, rootDir)
   }
 
   test("a splice touching two members refuses dict-encoded bitmap " +
@@ -133,6 +135,25 @@ class HybridSpec extends AnyFunSuite {
       fail("a covered range over mergeable states must not fall back"))
     assert(!n.fallback)
     assert(n.df.agg(sum("n")).head().getLong(0) == 22) // 7+4 days, 2 rows each
+    // the SHARED-ROOT escape: members living in ONE root share its
+    // dict tree (one append-stable id space), so the dict-encoded
+    // splice is sound and must NOT fall back (the rootScope form)
+    val shared = java.nio.file.Files
+      .createTempDirectory("graft-hyd-shared").toString
+    val h2 = HybridInstance("dicth2", Seq(
+      HybridSlice(dictCube("hdja2", "2024-01-01", "2024-02-01", 1L,
+        root = Some(shared)), QueryRouter.MinDay, "2024-02-01"),
+      HybridSlice(dictCube("hdfb2", "2024-02-01", "2024-03-01", 32L,
+        root = Some(shared)), "2024-02-01", QueryRouter.MaxDay)))
+    val ok = HybridRouter.routeStates(spark, h2,
+      CubeQuery(Seq.empty, Seq("day_bitmap" -> "days"),
+        timeRange = Some(("2024-01-25", "2024-02-05"))))(
+      fail("a shared-root dict splice must route"))
+    assert(!ok.fallback)
+    // ids were laid out disjointly (as one shared dictionary would):
+    // 7 January days + 4 February days = 11 distinct
+    assert(ok.df.agg(mm.bitmapUnion(col("days")).as("bm"))
+      .select(mm.bitmapCount(col("bm"))).head().getLong(0) == 11)
   }
 
   test("contiguous slices splice across the cutover with no row loss") {
