@@ -204,7 +204,15 @@ final case class CubeDef(
       * root. [[CubeJson]] refuses hybrid members that declare these at
       * deploy time, and [[HybridRouter]] falls back rather than splice
       * them at query time. */
-    dictColumns: Set[String] = Set.empty) {
+    dictColumns: Set[String] = Set.empty,
+    /** true when this cube's dictionary ids are GUARANTEED to come
+      * from its root's shared dict tree — the declared `rootScope`
+      * build path (CubeManager.dictEncode against the scoped root).
+      * [[HybridRouter]]'s splice guard treats same-root members' dict
+      * states as one id space only under this flag: merely sharing a
+      * directory proves nothing about where a code-constructed cube's
+      * ids came from. */
+    sharedDictRoot: Boolean = false) {
 
   require(cuboids.exists(_ == dims.toSet),
     "materialized set must include the base cuboid (all dims)")

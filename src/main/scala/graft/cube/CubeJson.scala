@@ -584,7 +584,8 @@ object CubeJson {
       extended = j.extended.map(e =>
         ExtendedColumn(e.name, e.host, e.measure)),
       segDayGranular = j.segDayGranular,
-      dictColumns = j.dictColumns.toSet)
+      dictColumns = j.dictColumns.toSet,
+      sharedDictRoot = j.rootScope.isDefined)
   }
 
   // ── flat-table builder ────────────────────────────────────────────
@@ -603,20 +604,34 @@ object CubeJson {
     val snapLookups: Set[String] =
       if (snapshotRoot.isDefined) j.derived.map(_.lookup).toSet
       else Set.empty
-    val load = (n: String) => {
-      val live = j.sources.get(n)
-        .map(src => readSource(s, dir, n, src))
-        .getOrElse(graft.Tables.tbl(s, dir, n))
-      val frame = snapshotRoot match {
-        case Some(root) if snapLookups(n) => Snapshot.ensure(s, live, root, n)
-        case _ => live
+    def construct(): DataFrame = {
+      val load = (n: String) => {
+        val live = j.sources.get(n)
+          .map(src => readSource(s, dir, n, src))
+          .getOrElse(graft.Tables.tbl(s, dir, n))
+        val frame = snapshotRoot match {
+          case Some(root) if snapLookups(n) =>
+            Snapshot.ensure(s, live, root, n)
+          case _ => live
+        }
+        if (j.model.broadcast.contains(n)) broadcast(frame) else frame
       }
-      if (j.model.broadcast.contains(n)) broadcast(frame) else frame
+      val base = toModel(j.model).flatten(load)
+      if (j.flatColumns.isEmpty) base
+      else base.select(j.flatColumns.map(fc =>
+        fc.expr.map(e => expr(e).as(fc.name)).getOrElse(col(fc.name))): _*)
     }
-    val base = toModel(j.model).flatten(load)
-    if (j.flatColumns.isEmpty) base
-    else base.select(j.flatColumns.map(fc =>
-      fc.expr.map(e => expr(e).as(fc.name)).getOrElse(col(fc.name))): _*)
+    // Snapshot.ensure is check-then-overwrite: on a SHARED root
+    // (rootScope) two member builds hold different cube leases and
+    // could both see !isCommitted for the same lookup and overwrite
+    // each other's write mid-flight — a corrupted freeze served
+    // forever. Same posture as CubeManager.dictEncode: the root-level
+    // tree gets its own root-level lease, unconditionally (scope-ness
+    // is a document property, not a root property).
+    if (snapLookups.nonEmpty)
+      BuildLease.withLease(s, snapshotRoot.get, "snapshots")(
+        Option.empty[DataFrame])(construct())
+    else construct()
   }
 
   // ── runtime registration ──────────────────────────────────────────
@@ -665,6 +680,14 @@ object CubeJson {
   private val declaredNames =
     scala.collection.mutable.HashMap.empty[String, (String, Set[String])]
 
+  /** the registry key is the cube's STORAGE identity — root key
+    * (rootScope or name) + cube dir — because the ping-pong hazard is
+    * two declarations owning the same meta path with different
+    * fingerprints; a same-named cube under a DIFFERENT scope lives in
+    * a disjoint root and is a legal deployment */
+  private def storageKey(m: JsonCube): String =
+    s"${m.rootScope.getOrElse(m.name)}/${m.name}"
+
   private def recordDeclaredNames(view: String,
       members: Seq[(JsonCube, String)]): Unit = declaredNames.synchronized {
     // judge conflicts against the registry AS IF this view's prior
@@ -679,7 +702,7 @@ object CubeJson {
         if (rest.isEmpty) None else Some(n -> (fp, rest))
       }
     members.foreach { case (m, fp) =>
-      without.get(m.name).foreach { case (ofp, views) =>
+      without.get(storageKey(m)).foreach { case (ofp, views) =>
         if (ofp != fp)
           throw new IllegalArgumentException(
             s"cube '${m.name}': already declared with a different " +
@@ -694,8 +717,9 @@ object CubeJson {
     declaredNames.clear()
     without.foreach { case (n, v) => declaredNames.put(n, v): Unit }
     members.foreach { case (m, fp) =>
-      val views = declaredNames.get(m.name).map(_._2).getOrElse(Set.empty)
-      declaredNames.put(m.name, (fp, views + view)): Unit
+      val views =
+        declaredNames.get(storageKey(m)).map(_._2).getOrElse(Set.empty)
+      declaredNames.put(storageKey(m), (fp, views + view)): Unit
     }
   }
 
@@ -723,6 +747,14 @@ object CubeJson {
           "same storage root — an identical fingerprint may take it " +
           "over, but a differing one would ping-pong rebuilds on " +
           "every touch; rename the declaration")
+    // a rootScope lands the whole document on `<sf>-<scope>` — scoping
+    // onto a compiled realization's root would co-root with machinery
+    // that knows nothing of multi-cube roots' shared-tree leases
+    spec.rootScope.foreach(sc =>
+      if (sc == "events")
+        throw new IllegalArgumentException(
+          s"cube '${spec.name}': rootScope 'events' collides with the " +
+            "compiled events cube's storage root; pick another scope"))
   }
 
   /** Serializes the check → bind → memo-put of register /

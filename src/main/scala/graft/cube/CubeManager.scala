@@ -507,38 +507,43 @@ object CubeManager {
       CubeBuilder.build(spark, eventsFlat(spark, sfDir), eventsCube, root))
   }
 
+  /** Dictionary-encode `flat0` through the root's trees — ALWAYS
+    * under the root-level `dict` lease: a shared root (rootScope)
+    * hosts several cubes whose builds hold DIFFERENT member leases,
+    * and unserialized buildOrAppend races could both mint the same
+    * next version — one side's new ids would vanish (encode-to-null,
+    * silently undercounted bitmaps). The lease is unconditional
+    * because scope-ness is a property of the DOCUMENT, not the root:
+    * an unscoped declaration whose name equals another document's
+    * rootScope lands on the same root, and a forked guard (leased for
+    * one, not the other) would reintroduce the exact race. Cost on a
+    * private root: one lease acquire per dictionary-bearing build —
+    * milliseconds against the build. ONE spelling for the declared
+    * build, the CLI append/refresh, and stream promotion — the race
+    * guard must not fork. */
+  private[cube] def dictEncode(spark: SparkSession,
+      spec: CubeJson.JsonCube, flat0: DataFrame,
+      root: String): DataFrame =
+    if (spec.dictColumns.isEmpty) flat0
+    else BuildLease.withLease(spark, root, "dict")(
+      Option.empty[DataFrame]) {
+      spec.dictColumns.foldLeft(flat0)((f, c) =>
+        Dictionary.encode(f,
+          Dictionary.buildOrAppend(spark, f, c, root), c))
+    }
+
   /** Load-or-build a JSON-declared cube ([[CubeJson]]) — the runtime
     * half of declarative deployment: the spec constructs the CubeDef
     * (closures included) on every call, the stamp-aware memo serves
     * the committed instance, and only a metadata miss pays the build
     * (flat table from the declared model, dictionary-encoding the
-    * declared columns, snapshotting derived-dim lookups). Roots are
-    * per-declaration (`<cubeRoot>/<sf>-<name>`), so declared cubes
-    * never collide with the compiled ones or each other. */
-  /** Dictionary-encode `flat0` through the root's trees — under the
-    * root-level `dict` lease when the spec declares a shared
-    * `rootScope`: several member builds hold DIFFERENT cube leases on
-    * one root, and unserialized buildOrAppend races could both mint
-    * the same next version — one side's new ids would vanish
-    * (encode-to-null, silently undercounted bitmaps). Unscoped roots
-    * skip the extra lease: the cube's own build lease already
-    * serializes same-root dict appends. ONE spelling for the declared
-    * build, the CLI append, and the CLI refresh — the race guard must
-    * not fork. */
-  private[cube] def dictEncode(spark: SparkSession,
-      spec: CubeJson.JsonCube, flat0: DataFrame,
-      root: String): DataFrame =
-    if (spec.dictColumns.isEmpty) flat0
-    else {
-      def fold() = spec.dictColumns.foldLeft(flat0)((f, c) =>
-        Dictionary.encode(f,
-          Dictionary.buildOrAppend(spark, f, c, root), c))
-      if (spec.rootScope.isDefined)
-        BuildLease.withLease(spark, root, "dict")(
-          Option.empty[DataFrame])(fold())
-      else fold()
-    }
-
+    * declared columns, snapshotting derived-dim lookups). Roots
+    * default per-declaration (`<cubeRoot>/<sf>-<name>`); a declared
+    * `rootScope` deliberately CO-ROOTS several declarations on one
+    * multi-cube root (shared dict/snapshot trees — see
+    * CubeJson.JsonCube.rootScope), which is why the dictionary and
+    * snapshot phases serialize under root-level leases rather than
+    * assuming the cube lease owns the root. */
   def ensureDeclared(spark: SparkSession, sfDir: String,
                      spec: CubeJson.JsonCube): CubeInstance = {
     val cube = CubeJson.toCubeDef(spec)

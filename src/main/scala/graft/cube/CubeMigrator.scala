@@ -109,6 +109,32 @@ object CubeMigrator {
       else if (!skip(s.getPath.getName)) copyFile(srcFs, dstFs, s.getPath, t)
     }
 
+  /** Append-stable COMPATIBILITY of two dictionary lineages for one
+    * column: every shared VALUE maps to the same id and every shared
+    * ID to the same value — true exactly when one side's newest map
+    * is a sub-map of the other's, i.e. the same lineage at different
+    * append points. File-size signatures cannot decide this (two
+    * foreign one-value dicts are byte-length-identical while mapping
+    * different values to id 1), so the MAPPINGS are joined directly —
+    * dictionaries are metadata-sized next to a migration's data copy. */
+  private def dictCompatible(spark: SparkSession, srcRoot: String,
+                             dstRoot: String, column: String): Boolean =
+    (Dictionary.load(spark, srcRoot, column),
+      Dictionary.load(spark, dstRoot, column)) match {
+      case (Some(a), Some(b)) =>
+        import org.apache.spark.sql.functions.col
+        val x = a.select(col(column).as("v"), col("dict_id").as("ia"))
+        val y = b.select(col(column).as("v"), col("dict_id").as("ib"))
+        val valueClash = x.join(y, "v")
+          .filter(col("ia") =!= col("ib")).limit(1).count() > 0
+        val xi = a.select(col("dict_id").as("id"), col(column).as("va"))
+        val yi = b.select(col("dict_id").as("id"), col(column).as("vb"))
+        val idClash = xi.join(yi, "id")
+          .filter(col("va") =!= col("vb")).limit(1).count() > 0
+        !valueClash && !idClash
+      case _ => false // a torn/absent lineage: refuse, never merge
+    }
+
   /** Cheap content signature of a tree: the sorted multiset of
     * (relative dir, file length) over non-hidden files — enough to
     * tell "the same write-once snapshot freeze" from a different one
@@ -217,16 +243,30 @@ object CubeMigrator {
     val mayReplaceShared = overwrite && otherCommitted.isEmpty
     val srcDictDir = new Path(srcP, "dict")
     if (srcFs.exists(srcDictDir) && !mayReplaceShared) {
+      // COMPATIBLE lineages pass: a shared-root (rootScope) hybrid
+      // migrates member by member, and the second member's dict tree
+      // IS the one the first member's migration already carried — one
+      // shared append-stable dictionary, not two independent id
+      // spaces. Compatibility is checked on the MAPPINGS (every
+      // shared value → the same id, every shared id → the same
+      // value), not on file-size signatures: two foreign one-value
+      // dicts can have byte-identical sizes while mapping different
+      // values to id 1 — merging them is exactly the corruption this
+      // refusal exists for.
       val conflicts = srcFs.listStatus(srcDictDir).toSeq
         .filter(_.isDirectory).map(_.getPath.getName)
-        .filter(c => dstFs.exists(new Path(dstP, s"dict/$c")))
+        .filter(c => dstFs.exists(new Path(dstP, s"dict/$c")) &&
+          !dictCompatible(spark, srcRoot, dstRoot, c))
       if (conflicts.nonEmpty)
         throw new IllegalStateException(
           s"migration refused: dictionary column(s) " +
             s"${conflicts.mkString(", ")} already exist under $dstRoot " +
-            "— independently assigned id spaces cannot merge (this " +
-            "includes a prior deployment of the same cube); migrate " +
-            "to a fresh root or rebuild at the destination")
+            "with an INCOMPATIBLE id mapping — independently assigned " +
+            "id spaces cannot merge (this includes a prior deployment " +
+            "of the same cube); migrate to a fresh root or rebuild at " +
+            "the destination (a compatible lineage — e.g. the shared " +
+            "dictionary of an already-migrated rootScope sibling — " +
+            "passes, and absent versions copy additively)")
     }
     if (!mayReplaceShared) {
       src.cube.derived.map(_.lookup).distinct.foreach { l =>

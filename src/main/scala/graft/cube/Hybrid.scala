@@ -103,10 +103,14 @@ object HybridRouter {
     // touching more than one member falls back to the always-consistent
     // source. Two escapes are sound: one touched member (a single
     // root's ids are coherent) and members sharing ONE storage root
-    // (the rootScope form — the shared root's dict tree IS one
-    // append-stable id space, so the states merge exactly).
-    if (parts.size > 1 &&
-        parts.map(_._1.inst.root).distinct.size > 1) {
+    // whose defs GUARANTEE shared-tree encoding (the rootScope form —
+    // CubeDef.sharedDictRoot; a bare same-directory coincidence
+    // proves nothing about where a code-constructed cube's ids came
+    // from, so it does not escape).
+    val sharedIdSpace =
+      parts.map(_._1.inst.root).distinct.size == 1 &&
+        parts.forall(_._1.inst.cube.sharedDictRoot)
+    if (parts.size > 1 && !sharedIdSpace) {
       val hazardous = parts.flatMap { case (s, _) =>
         val enc = s.inst.cube.dictEncodedMeasures
         q.measures.collect { case (m, _) if enc(m) =>

@@ -206,6 +206,33 @@ class CubeMigratorSpec extends AnyFunSuite {
       "the other cube's dict lineage must be untouched")
   }
 
+  test("an IDENTICAL destination dict tree passes: a shared-root " +
+      "(rootScope) hybrid migrates member by member — the second " +
+      "member's dictionary is the one the first already carried") {
+    val srcRoot = freshRoot("dictsame-src")
+    val dstRoot = freshRoot("dictsame-dst")
+    // two cubes sharing ONE source root and ONE dict tree (the
+    // rootScope layout)
+    buildNationCube("m1", srcRoot)
+    buildNationCube("m2", srcRoot)
+    Dictionary.buildOrAppend(spark, Seq("a", "b").toDF("c"), "c", srcRoot)
+    CubeMigrator.migrate(spark, nationCube("m1"), srcRoot, dstRoot)
+    assert(new java.io.File(s"$dstRoot/dict/c").exists(),
+      "the first member's migration carries the shared dict tree")
+    // the second member must NOT refuse on its own shared tree
+    val dst2 = CubeMigrator.migrate(spark, nationCube("m2"), srcRoot,
+      dstRoot)
+    assert(dst2.root == dstRoot)
+    assert(new java.io.File(s"$dstRoot/m1").exists() &&
+      new java.io.File(s"$dstRoot/m2").exists())
+    // the shared tree's ids are byte-identical to the source's
+    val src = Dictionary.load(spark, srcRoot, "c").get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dst = Dictionary.load(spark, dstRoot, "c").get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dst == src)
+  }
+
   test("shared trees copy additively under other committed cubes: " +
       "existing snapshots/dict columns are kept, absent ones travel") {
     val srcRoot = freshRoot("addsrc")

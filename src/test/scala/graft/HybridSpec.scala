@@ -69,7 +69,8 @@ class HybridSpec extends AnyFunSuite {
     * state two independently-built members are in) */
   private def dictCube(name: String, start: String, end: String,
                        idOffset: Long,
-                       root: Option[String] = None): CubeInstance = {
+                       root: Option[String] = None,
+                       sharedDict: Boolean = false): CubeInstance = {
     val rootDir = root.getOrElse(java.nio.file.Files
       .createTempDirectory(s"graft-hyd-$name").toString)
     val days = java.time.temporal.ChronoUnit.DAYS.between(
@@ -88,7 +89,7 @@ class HybridSpec extends AnyFunSuite {
           present = graft.functions.Measures.bitmapCount(_))),
       "ts", Seq(Segment("m", start, end)), Seq(Set("d_day")),
       timeDim = Some(TimeDim("d_day", d => Some(d.substring(0, 10)))),
-      dictColumns = Set("d_day"))
+      dictColumns = Set("d_day"), sharedDictRoot = sharedDict)
     CubeBuilder.build(spark, df, cube, rootDir)
   }
 
@@ -135,16 +136,18 @@ class HybridSpec extends AnyFunSuite {
       fail("a covered range over mergeable states must not fall back"))
     assert(!n.fallback)
     assert(n.df.agg(sum("n")).head().getLong(0) == 22) // 7+4 days, 2 rows each
-    // the SHARED-ROOT escape: members living in ONE root share its
-    // dict tree (one append-stable id space), so the dict-encoded
-    // splice is sound and must NOT fall back (the rootScope form)
+    // the SHARED-ID-SPACE escape: members in ONE root whose defs
+    // GUARANTEE shared-tree encoding (sharedDictRoot — the rootScope
+    // build) splice soundly and must NOT fall back
     val shared = java.nio.file.Files
       .createTempDirectory("graft-hyd-shared").toString
     val h2 = HybridInstance("dicth2", Seq(
       HybridSlice(dictCube("hdja2", "2024-01-01", "2024-02-01", 1L,
-        root = Some(shared)), QueryRouter.MinDay, "2024-02-01"),
+        root = Some(shared), sharedDict = true),
+        QueryRouter.MinDay, "2024-02-01"),
       HybridSlice(dictCube("hdfb2", "2024-02-01", "2024-03-01", 32L,
-        root = Some(shared)), "2024-02-01", QueryRouter.MaxDay)))
+        root = Some(shared), sharedDict = true),
+        "2024-02-01", QueryRouter.MaxDay)))
     val ok = HybridRouter.routeStates(spark, h2,
       CubeQuery(Seq.empty, Seq("day_bitmap" -> "days"),
         timeRange = Some(("2024-01-25", "2024-02-05"))))(
@@ -154,6 +157,19 @@ class HybridSpec extends AnyFunSuite {
     // 7 January days + 4 February days = 11 distinct
     assert(ok.df.agg(mm.bitmapUnion(col("days")).as("bm"))
       .select(mm.bitmapCount(col("bm"))).head().getLong(0) == 11)
+    // a bare same-DIRECTORY coincidence without the guarantee still
+    // falls back: sharing a root proves nothing about id provenance
+    val h3 = HybridInstance("dicth3", Seq(
+      HybridSlice(dictCube("hdja3", "2024-01-01", "2024-02-01", 1L,
+        root = Some(shared)), QueryRouter.MinDay, "2024-02-01"),
+      HybridSlice(dictCube("hdfb3", "2024-02-01", "2024-03-01", 1L,
+        root = Some(shared)), "2024-02-01", QueryRouter.MaxDay)))
+    val refused = HybridRouter.routeStates(spark, h3,
+      CubeQuery(Seq.empty, Seq("day_bitmap" -> "days"),
+        timeRange = Some(("2024-01-25", "2024-02-05"))))(
+      spark.emptyDataFrame)
+    assert(refused.fallback,
+      "same directory without the shared-tree guarantee must refuse")
   }
 
   test("contiguous slices splice across the cutover with no row loss") {
