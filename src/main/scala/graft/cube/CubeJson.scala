@@ -301,6 +301,13 @@ object CubeJson {
     if (!j.name.matches("[A-Za-z0-9_]+"))
       fail(s"name '${j.name}' must be alphanumeric/underscore only " +
         "(it becomes a storage directory and a SQL view identifier)")
+    // the cube's dir lives BESIDE the root-level shared trees: a cube
+    // named like one would merge its segment layout into the dict/
+    // snapshot/backup tree (and its '_building' lease file is the
+    // same path the root-level tree leases use — a nested acquire
+    // self-deadlocks, BuildLease is not reentrant)
+    if (Set("dict", "snapshots", "_backups")(j.name))
+      fail(s"name '${j.name}' is a reserved root-level directory name")
     j.view.foreach(v =>
       if (!v.matches("[A-Za-z0-9_]+"))
         fail(s"view '$v' must be a plain SQL identifier"))
@@ -599,6 +606,16 @@ object CubeJson {
     * catalog, JDBC, or a file path/format — instead of the
     * `<sfDir>/<table>.parquet` convention; builds AND the pushdown
     * fallback both resolve through here, so the two read one truth. */
+  /** the LIVE frame of one model table, through its declared source
+    * when the document binds one — every reader of a model table (the
+    * flat builder, the CLI snapshot rebuild) must resolve through the
+    * same truth, or a source-bound lookup would silently re-freeze
+    * from the parquet convention */
+  def loadTable(s: SparkSession, dir: String, j: JsonCube,
+                n: String): DataFrame =
+    j.sources.get(n).map(src => readSource(s, dir, n, src))
+      .getOrElse(graft.Tables.tbl(s, dir, n))
+
   def flatBuilder(j: JsonCube, snapshotRoot: Option[String] = None)
       : (SparkSession, String) => DataFrame = (s, dir) => {
     val snapLookups: Set[String] =
@@ -606,9 +623,7 @@ object CubeJson {
       else Set.empty
     def construct(): DataFrame = {
       val load = (n: String) => {
-        val live = j.sources.get(n)
-          .map(src => readSource(s, dir, n, src))
-          .getOrElse(graft.Tables.tbl(s, dir, n))
+        val live = loadTable(s, dir, j, n)
         val frame = snapshotRoot match {
           case Some(root) if snapLookups(n) =>
             Snapshot.ensure(s, live, root, n)
@@ -739,7 +754,9 @@ object CubeJson {
     // unreachable by construction: declared names cannot contain a
     // dash, which the name validation enforces for SQL-identifier
     // reasons anyway)
-    if (spec.name == "events" &&
+    // a SCOPED 'events' lives at `<sf>-<scope>/events` — disjoint from
+    // the compiled events root, so only the unscoped name collides
+    if (spec.rootScope.isEmpty && spec.name == "events" &&
         CubeMeta.fingerprint(toCubeDef(spec)) !=
           CubeMeta.fingerprint(CubeManager.eventsCube))
       throw new IllegalArgumentException(

@@ -118,7 +118,12 @@ object CubeMigrator {
     * different values to id 1), so the MAPPINGS are joined directly —
     * dictionaries are metadata-sized next to a migration's data copy. */
   private def dictCompatible(spark: SparkSession, srcRoot: String,
-                             dstRoot: String, column: String): Boolean =
+                             dstRoot: String, column: String): Boolean = {
+    // NO treeSignature fast path on purpose: two foreign one-value
+    // dictionaries are byte-LENGTH-identical while mapping different
+    // values to id 1 — the signature would bless exactly the merge
+    // this check refuses. Dictionaries are metadata-sized next to a
+    // migration's data copy; the joins are the price of soundness.
     (Dictionary.load(spark, srcRoot, column),
       Dictionary.load(spark, dstRoot, column)) match {
       case (Some(a), Some(b)) =>
@@ -134,6 +139,7 @@ object CubeMigrator {
         !valueClash && !idClash
       case _ => false // a torn/absent lineage: refuse, never merge
     }
+  }
 
   /** Cheap content signature of a tree: the sorted multiset of
     * (relative dir, file length) over non-hidden files — enough to
@@ -371,6 +377,19 @@ object CubeMigrator {
         val to = new Path(dstP, s"dict/${c.getPath.getName}")
         if (!dstFs.exists(to)) copyTree(srcFs, dstFs, c.getPath, to)
         else if (mayReplaceShared) replaceTree(srcFs, dstFs, c.getPath, to)
+        else {
+          // compatible lineage (the refusal above already verified the
+          // mappings agree) where the SOURCE may be ahead: absent
+          // VERSION dirs copy additively — skipping them would leave
+          // the migrated cube's states referencing ids the destination
+          // dictionary cannot resolve, and a later destination append
+          // would re-mint those ids for different values (the exact
+          // corruption the compatibility check exists to prevent)
+          srcFs.listStatus(c.getPath).filter(_.isDirectory).foreach { v =>
+            val vto = new Path(to, v.getPath.getName)
+            if (!dstFs.exists(vto)) copyTree(srcFs, dstFs, v.getPath, vto)
+          }
+        }
       }
     }
 

@@ -384,9 +384,20 @@ object GraftTool {
             val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
             withCommittedBase(spark, inst.root, spec,
                 "snapshot") { fresh =>
-              Snapshot.rebuild(spark,
-                graft.Tables.tbl(spark, sfDir, lookup),
-                fresh.root, lookup)
+              // the root-level snapshots lease, like flatBuilder's
+              // ensure path: on a SHARED root (rootScope) a sibling
+              // member's build could be mid-ensure on the same
+              // lookup, and rebuild's swap racing it would tear the
+              // freeze. The lookup reads through the document's
+              // declared SOURCE when one is bound — rebuilding from
+              // the parquet convention would silently re-freeze
+              // different rows than the build reads.
+              BuildLease.withLease(spark, fresh.root,
+                  "snapshots")(Option.empty[Unit]) {
+                Snapshot.rebuild(spark,
+                  CubeJson.loadTable(spark, sfDir, spec, lookup),
+                  fresh.root, lookup)
+              }
               // commit meta LAST (fresh buildId): serving joins the
               // new snapshot on its next scan anyway, but BOTH
               // result-cache tiers key on the meta stamp and would
