@@ -597,15 +597,6 @@ object CubeJson {
 
   // ── flat-table builder ────────────────────────────────────────────
 
-  /** The declared flat table over live source tables (the registered
-    * view / pushdown fallback). With `snapshotRoot` set (the BUILD
-    * path), lookups referenced by derived dims read through write-once
-    * snapshots under the cube root, so segment rebuilds join the
-    * dimension rows the cube was built with (DFSnapshotBuilder).
-    * Tables with a declared SOURCE ([[JsonSource]]) read from it —
-    * catalog, JDBC, or a file path/format — instead of the
-    * `<sfDir>/<table>.parquet` convention; builds AND the pushdown
-    * fallback both resolve through here, so the two read one truth. */
   /** the LIVE frame of one model table, through its declared source
     * when the document binds one — every reader of a model table (the
     * flat builder, the CLI snapshot rebuild) must resolve through the
@@ -616,6 +607,15 @@ object CubeJson {
     j.sources.get(n).map(src => readSource(s, dir, n, src))
       .getOrElse(graft.Tables.tbl(s, dir, n))
 
+  /** The declared flat table over live source tables (the registered
+    * view / pushdown fallback). With `snapshotRoot` set (the BUILD
+    * path), lookups referenced by derived dims read through write-once
+    * snapshots under the cube root, so segment rebuilds join the
+    * dimension rows the cube was built with (DFSnapshotBuilder).
+    * Tables with a declared SOURCE ([[JsonSource]]) read from it —
+    * catalog, JDBC, or a file path/format — instead of the
+    * `<sfDir>/<table>.parquet` convention; builds AND the pushdown
+    * fallback both resolve through here, so the two read one truth. */
   def flatBuilder(j: JsonCube, snapshotRoot: Option[String] = None)
       : (SparkSession, String) => DataFrame = (s, dir) => {
     val snapLookups: Set[String] =

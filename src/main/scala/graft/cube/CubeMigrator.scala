@@ -136,7 +136,16 @@ object CubeMigrator {
         val yi = b.select(col("dict_id").as("id"), col(column).as("vb"))
         val idClash = xi.join(yi, "id")
           .filter(col("va") =!= col("vb")).limit(1).count() > 0
-        !valueClash && !idClash
+        // the destination must already RESOLVE every id the migrated
+        // states may reference: src ⊆ dst. A source that appended
+        // since the sibling migrated would need version dirs copied
+        // INTO a live column — a crash/divergence minefield (a torn
+        // copy-in corrupts cubes already serving through the tree) —
+        // so the ahead case refuses instead: re-migrate after
+        // aligning, never patch a live dictionary in place.
+        val srcAhead = x.join(y, Seq("v"), "left_anti")
+          .limit(1).count() > 0
+        !valueClash && !idClash && !srcAhead
       case _ => false // a torn/absent lineage: refuse, never merge
     }
   }
@@ -267,12 +276,15 @@ object CubeMigrator {
         throw new IllegalStateException(
           s"migration refused: dictionary column(s) " +
             s"${conflicts.mkString(", ")} already exist under $dstRoot " +
-            "with an INCOMPATIBLE id mapping — independently assigned " +
-            "id spaces cannot merge (this includes a prior deployment " +
-            "of the same cube); migrate to a fresh root or rebuild at " +
-            "the destination (a compatible lineage — e.g. the shared " +
-            "dictionary of an already-migrated rootScope sibling — " +
-            "passes, and absent versions copy additively)")
+            "with an id mapping the destination cannot serve — either " +
+            "INCOMPATIBLE (independently assigned id spaces cannot " +
+            "merge, including a prior deployment of the same cube) or " +
+            "BEHIND a source that appended since (patching a live " +
+            "dictionary in place is never attempted); migrate to a " +
+            "fresh root, rebuild at the destination, or re-migrate " +
+            "the sibling that carried the tree first (a destination " +
+            "already resolving every source id — e.g. a just-migrated " +
+            "rootScope sibling's shared dictionary — passes)")
     }
     if (!mayReplaceShared) {
       src.cube.derived.map(_.lookup).distinct.foreach { l =>
@@ -377,19 +389,11 @@ object CubeMigrator {
         val to = new Path(dstP, s"dict/${c.getPath.getName}")
         if (!dstFs.exists(to)) copyTree(srcFs, dstFs, c.getPath, to)
         else if (mayReplaceShared) replaceTree(srcFs, dstFs, c.getPath, to)
-        else {
-          // compatible lineage (the refusal above already verified the
-          // mappings agree) where the SOURCE may be ahead: absent
-          // VERSION dirs copy additively — skipping them would leave
-          // the migrated cube's states referencing ids the destination
-          // dictionary cannot resolve, and a later destination append
-          // would re-mint those ids for different values (the exact
-          // corruption the compatibility check exists to prevent)
-          srcFs.listStatus(c.getPath).filter(_.isDirectory).foreach { v =>
-            val vto = new Path(to, v.getPath.getName)
-            if (!dstFs.exists(vto)) copyTree(srcFs, dstFs, v.getPath, vto)
-          }
-        }
+        // else: the compatibility refusal above guaranteed the
+        // destination already resolves every source id (src ⊆ dst) —
+        // nothing to copy, and patching version dirs into a LIVE
+        // column other committed cubes decode through is a
+        // crash-window the migrator deliberately never opens
       }
     }
 

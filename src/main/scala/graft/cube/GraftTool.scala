@@ -380,8 +380,18 @@ object GraftTool {
                  else s"snapshotted lookups: ${snapped.mkString(", ")}"))
           }
           doc.register()
+          // ONE rebuild per distinct ROOT: scoped members share the
+          // frozen copy, so rebuilding it once per member would pay N
+          // full re-freezes and open N swap windows; the siblings only
+          // need their meta stamps flipped (both result-cache tiers
+          // key on them and would replay pre-correction answers)
+          val rebuiltRoots = scala.collection.mutable.Set.empty[String]
           targets.foreach { spec =>
             val inst = CubeManager.ensureDeclared(spark, sfDir, spec)
+            // first member per ROOT rebuilds (scoped members share the
+            // frozen copy); siblings only flip their meta stamps —
+            // declaration order preserved for deterministic output
+            val first = rebuiltRoots.add(inst.root)
             withCommittedBase(spark, inst.root, spec,
                 "snapshot") { fresh =>
               // the root-level snapshots lease, like flatBuilder's
@@ -389,22 +399,23 @@ object GraftTool {
               // member's build could be mid-ensure on the same
               // lookup, and rebuild's swap racing it would tear the
               // freeze. The lookup reads through the document's
-              // declared SOURCE when one is bound — rebuilding from
-              // the parquet convention would silently re-freeze
-              // different rows than the build reads.
-              BuildLease.withLease(spark, fresh.root,
-                  "snapshots")(Option.empty[Unit]) {
-                Snapshot.rebuild(spark,
-                  CubeJson.loadTable(spark, sfDir, spec, lookup),
-                  fresh.root, lookup)
-              }
-              // commit meta LAST (fresh buildId): serving joins the
-              // new snapshot on its next scan anyway, but BOTH
-              // result-cache tiers key on the meta stamp and would
-              // replay pre-correction answers forever without the flip
+              // declared SOURCE when one is bound — the parquet
+              // convention could re-freeze different rows than the
+              // build reads.
+              if (first)
+                BuildLease.withLease(spark, fresh.root,
+                    "snapshots")(Option.empty[Unit]) {
+                  Snapshot.rebuild(spark,
+                    CubeJson.loadTable(spark, sfDir, spec, lookup),
+                    fresh.root, lookup)
+                }
+              // commit meta LAST (fresh buildId) for EVERY member
+              // that reads the freeze
               CubeMeta.save(spark, fresh): Unit
             }
-            out(s"snapshot $lookup rebuilt for ${spec.name}")
+            out(s"snapshot $lookup " +
+              s"${if (first) "rebuilt" else "recommitted"} " +
+              s"for ${spec.name}")
           }
           0
 

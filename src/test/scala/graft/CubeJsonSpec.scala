@@ -844,6 +844,32 @@ class CubeJsonSpec extends AnyFunSuite {
       .contains("do not share a rootScope"))
   }
 
+  test("reserved root-level directory names refuse; a SCOPED 'events' " +
+      "is legal (its root is disjoint from the compiled one)") {
+    def doc(name: String, extra: String = "") =
+      s"""{"name": "$name", $extra"model": {"fact": "orders"},
+         |"flatColumns": [{"name": "o_orderstatus"},
+         |  {"name": "o_orderdate"}],
+         |"dims": ["o_orderstatus"],
+         |"measures": [{"name": "n", "family": "count"}],
+         |"segmentCol": "o_orderdate",
+         |"segments": [{"name": "all", "start": "1992-01-01",
+         |              "end": "2003-01-01"}]}""".stripMargin
+    // a cube dir named like a shared root-level tree would merge into
+    // it — and its lease file IS the root-level lease path
+    Seq("dict", "snapshots", "_backups").foreach(n =>
+      assert(intercept[IllegalArgumentException](CubeJson.parse(doc(n)))
+        .getMessage.contains("reserved"), s"name '$n' must refuse"))
+    // unscoped 'events' with a foreign fingerprint refuses (compiled
+    // root collision)...
+    assert(intercept[IllegalArgumentException](
+      CubeJson.register(CubeJson.parse(doc("events")))).getMessage
+      .contains("compiled events cube"))
+    // ...but a SCOPED 'events' lives at <sf>-<scope>/events — disjoint
+    assert(CubeJson.register(CubeJson.parse(
+      doc("events", "\"rootScope\": \"crm\", "))) == "graft_events")
+  }
+
   test("declared batch sources: bad entries refuse at deploy with the " +
       "table and field named") {
     def doc(sources: String) =

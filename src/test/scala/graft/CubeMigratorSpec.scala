@@ -233,6 +233,25 @@ class CubeMigratorSpec extends AnyFunSuite {
     assert(dst == src)
   }
 
+  test("a source dictionary AHEAD of the destination's refuses: the " +
+      "migrator never patches version dirs into a live column") {
+    val srcRoot = freshRoot("dictahead-src")
+    val dstRoot = freshRoot("dictahead-dst")
+    buildNationCube("m1", srcRoot)
+    buildNationCube("m2", srcRoot)
+    Dictionary.buildOrAppend(spark, Seq("a", "b").toDF("c"), "c", srcRoot)
+    CubeMigrator.migrate(spark, nationCube("m1"), srcRoot, dstRoot)
+    // the SOURCE appends after the sibling migrated: its states may
+    // reference ids the destination cannot resolve
+    Dictionary.buildOrAppend(spark, Seq("z").toDF("c"), "c", srcRoot)
+    val e = intercept[IllegalStateException] {
+      CubeMigrator.migrate(spark, nationCube("m2"), srcRoot, dstRoot)
+    }
+    assert(e.getMessage.contains("cannot serve"), e.getMessage)
+    assert(!new java.io.File(s"$dstRoot/m2").exists(),
+      "the refusal must come before any copy")
+  }
+
   test("shared trees copy additively under other committed cubes: " +
       "existing snapshots/dict columns are kept, absent ones travel") {
     val srcRoot = freshRoot("addsrc")
