@@ -37,7 +37,10 @@ class BuildLeaseSpec extends AnyFunSuite {
     try {
       val fa = pool.submit(() => ensureLikeAProcess())
       val fb = pool.submit(() => ensureLikeAProcess())
-      val (a, b) = (fa.get(), fb.get())
+      // BOUNDED gets: a lease-timing flake under machine load must FAIL
+      // loudly, never hang the whole suite
+      val (a, b) = (fa.get(60, java.util.concurrent.TimeUnit.SECONDS),
+        fb.get(60, java.util.concurrent.TimeUnit.SECONDS))
       assert(builds.get() == 1,
         s"exactly one build must execute, got ${builds.get()}")
       assert(a.rows == b.rows && a.rows.nonEmpty,
@@ -181,7 +184,7 @@ class BuildLeaseSpec extends AnyFunSuite {
           java.nio.file.Files.readAllBytes(lease.toPath), "UTF-8")
         assert(body.linesIterator.next() == "foreign-successor",
           s"the old holder's heartbeat must not stomp, got: $body")
-        assert(holder.get() == "done")
+        assert(holder.get(60, java.util.concurrent.TimeUnit.SECONDS) == "done")
         // releaseOwned refused too: the successor's lease survives
         assert(lease.exists() && new String(
           java.nio.file.Files.readAllBytes(lease.toPath), "UTF-8")
@@ -245,8 +248,10 @@ class BuildLeaseSpec extends AnyFunSuite {
           if (!sawTick) Thread.sleep(50)
         }
         assert(sawTick, "the fallback heartbeat must rewrite the body")
-        assert(holder.get() == "holder-built")
-        assert(waiter.get() == "holder-built",
+        assert(holder.get(60,
+          java.util.concurrent.TimeUnit.SECONDS) == "holder-built")
+        assert(waiter.get(60,
+          java.util.concurrent.TimeUnit.SECONDS) == "holder-built",
           "the waiter must serve the holder's result, not take over")
         assert(builds.get() == 1,
           s"the live holder must never be broken, got ${builds.get()} builds")
