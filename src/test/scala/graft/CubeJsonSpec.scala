@@ -866,8 +866,12 @@ class CubeJsonSpec extends AnyFunSuite {
       CubeJson.register(CubeJson.parse(doc("events")))).getMessage
       .contains("compiled events cube"))
     // ...but a SCOPED 'events' lives at <sf>-<scope>/events — disjoint
+    // (a custom view name on purpose: the DEFAULT would be
+    // graft_events, and registering it would steal the compiled
+    // events binding out from under every later suite)
     assert(CubeJson.register(CubeJson.parse(
-      doc("events", "\"rootScope\": \"crm\", "))) == "graft_events")
+      doc("events", "\"rootScope\": \"crm\", " +
+        "\"view\": \"events_crm_view\", "))) == "events_crm_view")
   }
 
   test("declared batch sources: bad entries refuse at deploy with the " +
