@@ -383,7 +383,7 @@ object DimRanges {
     * unsoundness this scan-conservative module must never commit
     * (ADVICE r16). Unqualified-only costs nothing in practice: the
     * routed filters this module sees reference bare view columns. */
-  private def attrName(e: Expression): Option[String] = e match {
+  private[cube] def attrName(e: Expression): Option[String] = e match {
     case u: UnresolvedAttribute if u.nameParts.size == 1 =>
       Some(u.nameParts.head)
     case a: AttributeReference => Some(a.name)
@@ -397,7 +397,7 @@ object DimRanges {
     * twin so canMatch sees one shape. Children stay as-is: canMatch
     * re-enters through this for And/Or, and the leaf operands
     * (attributes, literals) convert identically on both paths. */
-  private def norm(e: Expression): Expression = e match {
+  private[cube] def norm(e: Expression): Expression = e match {
     case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
         if f.nameParts.size == 1 && !f.isDistinct && f.filter.isEmpty =>
       val a = f.arguments
@@ -521,6 +521,12 @@ object DimRanges {
         // cannot produce a row passing IS NOT NULL
         attrName(d).flatMap(ranges.get)
           .forall(r => r.min.nonEmpty || r.max.nonEmpty)
+      case l @ Literal(_, org.apache.spark.sql.types.BooleanType) =>
+        // a literally-FALSE (or null) boolean conjunct selects no row
+        // anywhere — the derived-filter translator emits FALSE when a
+        // lookup predicate matches NO snapshot row, so no fact row can
+        // ever pass the post-attach filter either
+        l.value == true
       case _ => true // IsNull, Not, functions, non-literal compares, …
     }
   }

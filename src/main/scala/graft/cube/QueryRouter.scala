@@ -46,7 +46,15 @@ final case class RoutePlan(
     estRows: Long,
     /** the cuboid-relevant dim set this query needs (derived dims
       * replaced by hosts) — what the usage log records */
-    needed: Set[String] = Set.empty)
+    needed: Set[String] = Set.empty,
+    /** scan-side host-dim predicate from the derived-filter
+      * translation ([[DerivedFilterTranslator.scanPrune]]): applied
+      * right after the cuboid read, BEFORE the snapshot attach, so it
+      * reaches the parquet scan — shard-dir pruning when the host is
+      * the shardBy dim, sorted-row-group skipping otherwise. Purely an
+      * over-approximation of the row filter that still applies after
+      * the attach. */
+    hostPrune: Option[Column] = None)
 
 /** Smallest-covering-cuboid routing (reference:
   * CuboidLayoutChooser.scala:25 selectLayoutForBuild, query side
@@ -145,13 +153,32 @@ object QueryRouter {
     // pruning on the query's NON-time filter (DimensionRangeInfo —
     // DimRanges.pruneSegments). All three only SHRINK the scanned set
     // of a query whose row-level filter still applies afterwards.
+    // derived dims in the FILTER are resolved FIRST (they feed the
+    // dim-range prune below): reference cube/kv/RowKeyDecoder +
+    // DerivedFilterTranslator — Kylin answers lookup-attribute
+    // predicates through the snapshot on the host. The cuboid only
+    // needs the HOSTS; the lookup attaches before the predicate
+    // applies. Unknown filter names → no plan.
+    if (!q.filterDims.forall(n =>
+        cube.dims.contains(n) || cube.derivedDim(n).isDefined))
+      return None
+    val filterDerived = q.filterDims.toSeq.flatMap(cube.derivedDim).distinct
+
     val baseCuboidId = cube.cuboidId(cube.dims.toSet)
     val timeOverlap = cube.segments.filter { s =>
       q.timeRange.forall { case (qs, qe) => s.start < qe && qs < s.end }
     }
     val nonEmpty = timeOverlap.filterNot(s =>
       inst.rows.get((s.name, baseCuboidId)).contains(0L))
-    val overlapping = DimRanges.pruneSegments(inst, nonEmpty, q.filter)
+    // lookup-attribute predicates translate onto their host dims
+    // through the snapshot before pruning — segments carry ranges
+    // only for materialized dims, so an untranslated derived filter
+    // prunes nothing (reference: DerivedFilterTranslator.java feeding
+    // common/SegmentPruner.java)
+    val pruneFilter =
+      if (filterDerived.isEmpty) q.filter
+      else q.filter.map(DerivedFilterTranslator.pruneColumn(inst, _))
+    val overlapping = DimRanges.pruneSegments(inst, nonEmpty, pruneFilter)
     // explainRoute visibility (RealizationCheck parity): pruning is a
     // silent scan-shrinker, so each axis notes what it dropped. The
     // serving layer collects a trace on EVERY query, so the dropped
@@ -199,16 +226,6 @@ object QueryRouter {
         case _ => return None
       }
 
-    // ── derived dims in the FILTER route the same way (reference:
-    // cube/kv/RowKeyDecoder + DerivedFilterTranslator — Kylin answers
-    // lookup-attribute predicates through the snapshot on the host):
-    // the cuboid only needs the HOSTS; the lookup attaches before the
-    // predicate applies. Unknown filter names → no plan.
-    if (!q.filterDims.forall(n =>
-        cube.dims.contains(n) || cube.derivedDim(n).isDefined))
-      return None
-    val filterDerived = q.filterDims.toSeq.flatMap(cube.derivedDim).distinct
-
     // ── cuboid choice: must cover groupBy (derived dims replaced by
     // their hosts, extended columns dropped — their hosts are already
     // grouped) ∪ filter dims (derived → hosts) ∪ residual dim
@@ -223,8 +240,11 @@ object QueryRouter {
     val estRows =
       if (emptyScan) 0L
       else overlapping.map(s => inst.rows.getOrElse((s.name, id), 0L)).sum
+    val hostPrune =
+      if (filterDerived.isEmpty) None
+      else DerivedFilterTranslator.scanPrune(inst, q.filter)
     Some(RoutePlan(chosen, overlapping, emptyScan, residual, derivedUsed,
-      filterDerived, extUsed, realGroup, estRows, needed))
+      filterDerived, extUsed, realGroup, estRows, needed, hostPrune))
   }
 
   /** Bounded per-JVM query-shape log (reference: Kylin's query metrics
@@ -356,6 +376,10 @@ object QueryRouter {
       else spark.read.parquet(paths: _*)
     if (p.emptyScan) df = df.filter(lit(false))
     p.residual.foreach { case (_, pred) => df = df.filter(pred) }
+    // translated host-dim prune BEFORE the snapshot attach: lands on
+    // the bare cuboid scan where parquet can act on it (shard dirs,
+    // sorted row groups); the real filter still applies below
+    p.hostPrune.foreach(c => df = df.filter(c))
 
     // ── attach derived dims (grouped AND filtered ones): broadcast-
     // join the lookup snapshot on the host dim (snapshots are written

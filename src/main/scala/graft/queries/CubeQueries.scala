@@ -1373,7 +1373,47 @@ object CubeQueries extends QueryGroup {
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
              |  COUNT(*) AS n_events
              |FROM events WHERE event_id BETWEEN 400 AND 450
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // 33h ─────────────── derived-filter → host-dim segment pruning
+    //     (reference: core-cube/.../model/DerivedFilterTranslator.java
+    //     driving common/SegmentPruner.java): a predicate on a lookup
+    //     ATTRIBUTE (c_name, not materialized anywhere) is evaluated
+    //     against the broadcast-small customer snapshot, the matching
+    //     c_custkey host keys become an IN-set, and the per-segment
+    //     host ranges (DimRanges) prune from metadata alone. The cube's
+    //     segments slice the CUSTOMER-KEY space (an entity-sliced
+    //     layout: per-tenant backfill batches, not time), so the name
+    //     prefix 'Customer#00000000' (keys 0-9) provably lands in the
+    //     first slice — asserted on the scanned files: the other two
+    //     segment dirs are never listed. Without the translation this
+    //     query prunes NOTHING (segments carry no c_name ranges).
+    Q("cube_derived_prune",
+      (s, d) => {
+        val view = declaredDerivedPruneView
+        assert(view == "orders_dprune_v", s"unexpected view $view")
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT o_orderstatus,
+            |  sum(o_totalprice) AS price_sum, count(*) AS n_orders
+            |FROM orders JOIN customer ON o_custkey = c_custkey
+            |WHERE c_name LIKE 'Customer#00000000%'
+            |GROUP BY o_orderstatus""".stripMargin)
+        assert(r.routed && r.via == "cuboid",
+          s"derived-prune cube must route, got ${r.via}")
+        val segs = r.df.inputFiles.flatMap(
+          "orders_dprune/(k\\d)/".r.findFirstMatchIn(_).map(_.group(1)))
+          .toSet
+        assert(segs == Set("k1"),
+          s"the 10-customer host set must prune to segment k1 from " +
+            s"metadata alone, scanned $segs")
+        r.df.orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+             |  COUNT(*) AS n_orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE c_name LIKE 'Customer#00000000%'
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 
   /** The operator-authored JSON document behind `cube_json_declared` —
@@ -1556,4 +1596,47 @@ object CubeQueries extends QueryGroup {
 
   lazy val declaredRangesView: String =
     CubeJson.registerJson(declaredRangesDoc)
+
+  /** The document behind `cube_derived_prune`: segments slice the
+    * CUSTOMER-KEY space (encoded for the declared path as days offset
+    * from 2020-01-01 — key k maps to day 2020-01-01+k, so the k1/k2/k3
+    * bounds below are keys [0,15), [15,115), [115,…)). c_name is a
+    * DERIVED dim hosted on c_custkey: a c_name predicate only prunes
+    * through the snapshot translation, which is exactly what the key
+    * asserts. No timeDim, no cuboid beyond base — every pruned segment
+    * is the derived-filter translator's doing. */
+  val declaredDerivedPruneDoc: String =
+    """{
+      |  "name": "orders_dprune",
+      |  "view": "orders_dprune_v",
+      |  "model": {"fact": "orders",
+      |    "edges": [{"lookup": "customer", "via": "orders",
+      |               "lookupKey": "c_custkey", "foreignKey": "o_custkey"}],
+      |    "broadcast": ["customer"]},
+      |  "flatColumns": [
+      |    {"name": "c_day",
+      |     "expr": "date_add(date'2020-01-01', cast(c_custkey as int))"},
+      |    {"name": "c_custkey"},
+      |    {"name": "o_orderstatus"},
+      |    {"name": "o_totalprice"}
+      |  ],
+      |  "dims": ["o_orderstatus", "c_custkey"],
+      |  "measures": [
+      |    {"name": "price_sum", "family": "sum", "column": "o_totalprice",
+      |     "decimal": true, "presentDouble": true},
+      |    {"name": "n_orders", "family": "count"}
+      |  ],
+      |  "derived": [
+      |    {"name": "c_name", "host": "c_custkey", "lookup": "customer"}
+      |  ],
+      |  "segmentCol": "c_day",
+      |  "segments": [
+      |    {"name": "k1", "start": "2020-01-01", "end": "2020-01-16"},
+      |    {"name": "k2", "start": "2020-01-16", "end": "2020-04-25"},
+      |    {"name": "k3", "start": "2020-04-25", "end": "2999-12-31"}
+      |  ]
+      |}""".stripMargin
+
+  lazy val declaredDerivedPruneView: String =
+    CubeJson.registerJson(declaredDerivedPruneDoc)
 }
