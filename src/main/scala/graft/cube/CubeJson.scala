@@ -238,6 +238,17 @@ object CubeJson {
         * still means something at 100 TB). */
       replanRowBudget: Option[Long] = None,
       replanExpansionRate: Option[Double] = None,
+      /** replan BENEFIT POLICY (reference: the BenefitPolicy family —
+        * BPUSCalculator / PBPUSCalculator / SPBPUSCalculator under
+        * core-cube/cuboid/algorithm, a deployment config choice
+        * there): `"pbpus"` (default) prices every shape by estimated
+        * cuboid rows; `"spbpus"` additionally floors each shape's
+        * cost at the scan_rows the query log MEASURED for it, so
+        * shapes the live lattice already serves cheaply (pruning an
+        * estimate can't see) draw no budget. Outside the fingerprint
+        * like the budget itself — policy shapes future additions,
+        * never the committed layout. */
+      replanPolicy: Option[String] = None,
       /** optional speed layer (see [[JsonStreaming]]): outside the
         * fingerprint — it shapes the STREAMING cuboid dirs under the
         * JVM tmp root, never the batch segment layout */
@@ -388,6 +399,13 @@ object CubeJson {
     if (j.replanRowBudget.isDefined && j.replanExpansionRate.isDefined)
       fail("pick ONE replan budget form: replanRowBudget (absolute " +
         "planned rows) or replanExpansionRate (x observed base rows)")
+    j.replanPolicy.foreach(pol =>
+      if (!Set("pbpus", "spbpus")(pol))
+        fail(s"unknown replanPolicy '$pol' (pbpus or spbpus)"))
+    if (j.replanPolicy.isDefined && j.replanRowBudget.isEmpty &&
+        j.replanExpansionRate.isEmpty)
+      fail("replanPolicy without a replan budget does nothing — " +
+        "declare replanRowBudget or replanExpansionRate too")
     j.derived.foreach(d =>
       if (j.model.edges.forall(_.lookup != d.lookup) &&
           j.model.fact != d.lookup)
@@ -1220,7 +1238,8 @@ object CubeJson {
       val fresh = reloadCommitted(spark, spec, inst.root, "replan")
       val (existing, picked, _) = replanPick(spark, fresh,
         rowBudget, expansionRate,
-        QueryLog.dimSets(spark, logDir, spec.name))
+        QueryLog.dimSets(spark, logDir, spec.name),
+        observed = replanObserved(spark, spec, logDir))
       val next = CubeBuilder.optimizeCuboids(spark, fresh,
         picked.filterNot(existing.contains))
       // the added count diffs against the LEASE-SCOPED committed
@@ -1245,7 +1264,8 @@ object CubeJson {
   private[cube] def replanPick(spark: SparkSession,
       inst: CubeInstance, rowBudget: Option[Long],
       expansionRate: Option[Double], log: Seq[Set[String]],
-      what: String = "replan")
+      what: String = "replan",
+      observed: Map[Set[String], Double] = Map.empty)
       : (Map[Set[String], Long], Seq[Set[String]], Long) = {
     val base = inst.cube.dims.toSet
     val existing = inst.cube.cuboids.map(c => c ->
@@ -1255,10 +1275,21 @@ object CubeJson {
       resolveBudget(rowBudget, expansionRate, existing(base), what)
     def baseSegs = inst.cube.segments.map(s => spark.read.parquet(
       inst.cuboidPath(s.name, inst.cube.cuboidId(base))))
-    val picked =
-      CuboidPlanner.replanFromLog(baseSegs, base, log, budget, existing)
+    val picked = CuboidPlanner.replanFromLog(baseSegs, base, log,
+      budget, existing, observed)
     (existing, picked, budget)
   }
+
+  /** The SPBPUS cost baseline for a replan/advise of `spec`: measured
+    * per-shape scan costs when the document declares the policy, the
+    * empty map (≡ PBPUS pricing) otherwise — ONE helper so the
+    * policies run and the CLI preview can never disagree on which
+    * policy a document gets. */
+  private[cube] def replanObserved(spark: SparkSession, spec: JsonCube,
+      logDir: String): Map[Set[String], Double] =
+    if (spec.replanPolicy.contains("spbpus"))
+      QueryLog.shapeCosts(spark, logDir, spec.name)
+    else Map.empty
 
   // ── declared STREAMING cubes (the speed layer as data) ────────────
 

@@ -146,6 +146,28 @@ object CuboidPlanner {
     selectLattice(base, rows, rowBudget,
       rows.keySet.toSeq.map(_ -> 1.0))
 
+  /** Workload-weighted scan cost of a materialized set — the ONE
+    * objective the greedy and genetic selections share. `observed`
+    * (the SPBPUS policy — reference SPBPUSCalculator.java:36-39
+    * overrides getCuboidCost to CuboidStats.getCuboidQueryCost, the
+    * scan count query history actually measured, where BPUS/PBPUS
+    * price by estimated row count) FLOORS each shape's current cost
+    * at its measured serving cost: a shape the live lattice already
+    * answers cheaply — segment/shard/dim-range pruning a whole-cuboid
+    * row estimate cannot see — draws no benefit from a new cuboid
+    * that cannot beat the measurement, so the budget flows to shapes
+    * that are measurably expensive. An empty map is exactly PBPUS. */
+  private def workloadScanCost(base: Set[String],
+      rows: Map[Set[String], Long],
+      workload: Seq[(Set[String], Double)],
+      observed: Map[Set[String], Double])(mat: Seq[Set[String]]): Double =
+    workload.map { case (q, w) =>
+      val covering = mat.filter(q.subsetOf(_))
+      val est = if (covering.isEmpty) rows(base).toDouble
+                else covering.map(rows).min.toDouble
+      w * observed.get(q).fold(est)(math.min(est, _))
+    }.sum
+
   /** The PROBABILITY-WEIGHTED budget greedy (reference:
     * PBPUSCalculator.java — benefit per unit space where each
     * descendant's cost saving is scaled by its observed hit
@@ -156,19 +178,18 @@ object CuboidPlanner {
     * shapes they already answer cheaply contribute no benefit (the
     * greedy never re-picks a near-duplicate of an existing layout).
     * Mandatory cuboids are kept even when they alone exceed the
-    * budget — they exist; the budget gates additions only. */
+    * budget — they exist; the budget gates additions only.
+    * `observed` switches the cost baseline to the SPBPUS policy
+    * ([[workloadScanCost]]). */
   def selectUnderBudgetWeighted(base: Set[String],
       rows: Map[Set[String], Long], rowBudget: Long,
       workload: Seq[(Set[String], Double)],
-      mandatory: Seq[Set[String]] = Nil): Seq[Set[String]] = {
+      mandatory: Seq[Set[String]] = Nil,
+      observed: Map[Set[String], Double] = Map.empty): Seq[Set[String]] = {
     require(rows.contains(base), "row estimate for the base cuboid required")
     require(mandatory.forall(rows.contains),
       "row estimates for mandatory cuboids required")
-    def cost(mat: Seq[Set[String]]): Double =
-      workload.map { case (q, w) =>
-        val covering = mat.filter(q.subsetOf(_))
-        w * (if (covering.isEmpty) rows(base) else covering.map(rows).min)
-      }.sum
+    val cost = workloadScanCost(base, rows, workload, observed) _
     var chosen = (base +: mandatory.toVector).distinct
     var spent = chosen.map(rows).sum
     var cands = rows.keySet -- chosen
@@ -216,7 +237,8 @@ object CuboidPlanner {
       rows: Map[Set[String], Long], rowBudget: Long,
       workload: Seq[(Set[String], Double)],
       mandatory: Seq[Set[String]] = Nil,
-      population: Int = 24, generations: Int = 60): Seq[Set[String]] = {
+      population: Int = 24, generations: Int = 60,
+      observed: Map[Set[String], Double] = Map.empty): Seq[Set[String]] = {
     require(rows.contains(base), "row estimate for the base cuboid required")
     require(mandatory.forall(rows.contains),
       "row estimates for mandatory cuboids required")
@@ -226,11 +248,7 @@ object CuboidPlanner {
         .mkString(","))) // stable gene order → stable seeds
     if (genes.isEmpty) return fixed
     val fixedSpent = fixed.map(rows).sum
-    def cost(mat: Seq[Set[String]]): Double =
-      workload.map { case (q, w) =>
-        val covering = mat.filter(q.subsetOf(_))
-        w * (if (covering.isEmpty) rows(base) else covering.map(rows).min)
-      }.sum
+    val cost = workloadScanCost(base, rows, workload, observed) _
     // benefit-per-row of a single gene against the FIXED set — the
     // repair order (drop worst first) and the seeding bias
     val fixedCost = cost(fixed)
@@ -258,7 +276,7 @@ object CuboidPlanner {
         rowBudget, workload.size).hashCode.toLong)
     // seed: the greedy's own answer + random subsets
     val greedyPick = selectUnderBudgetWeighted(base, rows, rowBudget,
-      workload, mandatory).toSet
+      workload, mandatory, observed).toSet
     val seed: Chrom = genes.map(greedyPick.contains)
     var pop: Vector[Chrom] = seed +: Vector.fill(population - 1) {
       repair(genes.map(_ => rng.nextDouble() < 0.5).toVector)
@@ -290,17 +308,22 @@ object CuboidPlanner {
   /** THE budget-selection seam every planner entry point routes
     * through: the probability-weighted greedy for ordinary candidate
     * spaces, the genetic search (greedy-seeded, so never worse) when
-    * the space outgrows what the greedy searches well. */
+    * the space outgrows what the greedy searches well. A non-empty
+    * `observed` (measured per-shape scan costs) selects the SPBPUS
+    * cost baseline in either engine ([[workloadScanCost]]). */
   def selectLattice(base: Set[String], rows: Map[Set[String], Long],
       rowBudget: Long, workload: Seq[(Set[String], Double)],
-      mandatory: Seq[Set[String]] = Nil): Seq[Set[String]] =
+      mandatory: Seq[Set[String]] = Nil,
+      observed: Map[Set[String], Double] = Map.empty): Seq[Set[String]] =
     // candidate count = estimated cuboids NOT already fixed (set
     // subtraction, not size arithmetic — a mandatory entry missing
     // from `rows` must not skew the threshold)
     if ((rows.keySet -- (base +: mandatory)).size > GaCandidateThreshold)
-      selectUnderBudgetGA(base, rows, rowBudget, workload, mandatory)
+      selectUnderBudgetGA(base, rows, rowBudget, workload, mandatory,
+        observed = observed)
     else
-      selectUnderBudgetWeighted(base, rows, rowBudget, workload, mandatory)
+      selectUnderBudgetWeighted(base, rows, rowBudget, workload,
+        mandatory, observed)
 
   /** End-to-end log-free entry: one estimation pass per SEGMENT over
     * the rule-expanded candidates (planned rows are per-segment sums —
@@ -374,7 +397,9 @@ object CuboidPlanner {
     * returns the existing lattice unchanged — and opens no parquet. */
   def replanFromLog(baseSegs: => Seq[DataFrame], base: Set[String],
                     log: Seq[Set[String]], rowBudget: Long,
-                    existing: Map[Set[String], Long]): Seq[Set[String]] = {
+                    existing: Map[Set[String], Long],
+                    observed: Map[Set[String], Double] = Map.empty)
+      : Seq[Set[String]] = {
     require(existing.contains(base),
       "existing must carry the base cuboid's observed rows")
     val usable = log.filter(s => s.nonEmpty && s.subsetOf(base))
@@ -387,6 +412,10 @@ object CuboidPlanner {
     val rows = (if (fresh.isEmpty) Map.empty[Set[String], Long]
                 else estimateRowsBySegment(baseSegs, fresh)) ++ existing
     selectLattice(base, rows, rowBudget, weighted,
-      existing.keys.toSeq)
+      existing.keys.toSeq,
+      // shapes outside the cube's answerable space never reach the
+      // objective; dropping them here keeps the map aligned with
+      // `weighted`
+      observed.filter { case (q, _) => q.nonEmpty && q.subsetOf(base) })
   }
 }

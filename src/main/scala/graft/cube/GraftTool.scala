@@ -587,7 +587,8 @@ object GraftTool {
           val log = QueryLog.dimSets(spark, logDir, spec.name)
             .filter(s => s.nonEmpty && s.subsetOf(base))
           val (existing, picked, budget) = CubeJson.replanPick(spark,
-            inst, rowBudget, rate, log, what = "advise")
+            inst, rowBudget, rate, log, what = "advise",
+            observed = CubeJson.replanObserved(spark, spec, logDir))
           out(s"advise ${spec.name} logged=${log.size} " +
             s"shapes=${log.distinct.size}")
           out(f"current cuboids=${inst.cube.cuboids.size} " +

@@ -207,6 +207,27 @@ object QueryLog {
       .map(_.getAs[Seq[String]]("dims").toSet).toSeq
   }
 
+  /** MEASURED per-shape serving cost for `cube` from the persisted
+    * log (reference: CuboidStats.java:263 getCuboidQueryCost over the
+    * cuboidScanCountMap that query metrics feed — the SPBPUS policy's
+    * cost baseline): routed rows only, same newest-`MaxRows` window as
+    * [[dimSets]] so the costs describe the same sample the replan
+    * weights, averaged scan_rows per dim-set. */
+  def shapeCosts(spark: SparkSession, dir: String,
+                 cube: String): Map[Set[String], Double] = {
+    import org.apache.spark.sql.functions.col
+    load(spark, dir)
+      .filter(col("cube") === cube && col("dims").isNotNull &&
+        col("unmatched").isNull)
+      .orderBy(col("ts").desc)
+      .limit(MaxRows)
+      .collect() // serving-boundary: bounded like dimSets
+      .map(r => (r.getAs[Seq[String]]("dims").toSet,
+        r.getAs[Long]("scan_rows").toDouble))
+      .groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(_._2).sum / xs.size }
+  }
+
   /** Persisted MISS shapes for `cube`, newest first — the
     * cross-restart equivalent of `QueryRouter.QueryStats.misses`,
     * feeding `CuboidPlanner.adviseModel` from yesterday's pushdown

@@ -114,6 +114,67 @@ class CuboidPlannerSpec extends AnyFunSuite {
       Set(base, Set("a", "b")))
   }
 
+  test("SPBPUS policy (SPBPUSCalculator.java analogue): a measured " +
+      "serving cost floors a shape's benefit and redirects the " +
+      "budget; no measurements is exactly PBPUS") {
+    val base = Set("a", "b", "c")
+    val rows = Map(base -> 10000L, Set("a") -> 400L, Set("b") -> 500L)
+    val budget = 10600L // fits ONE of the two candidates beside base
+    val wl = Seq(Set("a") -> 0.5, Set("b") -> 0.5)
+    // PBPUS prices both shapes at a 10000-row base scan: {a} saves
+    // 0.5·9600 over 400 rows (12/row), beating {b}'s 0.5·9500/500
+    val pb = CuboidPlanner.selectLattice(base, rows, budget, wl)
+    assert(pb.toSet == Set(base, Set("a")), s"got $pb")
+    // …but serving MEASURED shape {a} at 300 rows (segment/shard
+    // pruning a whole-cuboid row estimate cannot see): a 400-row
+    // cuboid cannot beat the measurement, so {a}'s benefit is zero
+    // and the budget flows to {b}
+    val sp = CuboidPlanner.selectLattice(base, rows, budget, wl,
+      observed = Map(Set("a") -> 300.0))
+    assert(sp.toSet == Set(base, Set("b")), s"got $sp")
+    // a measurement WORSE than the estimate changes nothing — the
+    // shape's cost is min(estimate, measured), never inflated
+    assert(CuboidPlanner.selectLattice(base, rows, budget, wl,
+      observed = Map(Set("a") -> 50000.0)).toSet == pb.toSet)
+    // the empty map is PBPUS, pick for pick
+    assert(CuboidPlanner.selectLattice(base, rows, budget, wl,
+      observed = Map.empty) == pb)
+
+    // the persisted-log reader behind the policy: per-shape averaged
+    // scan_rows over ROUTED rows only (misses are model advice, not
+    // serving costs)
+    val dir = Files.createTempDirectory("graft-shapecosts").toString
+    QueryLog.record(spark, dir, "q1", "cube", Some("spc"),
+      Some(Set("a")), 100L, 1L)
+    QueryLog.record(spark, dir, "q2", "cube", Some("spc"),
+      Some(Set("a")), 300L, 1L)
+    QueryLog.record(spark, dir, "q3", "cube", Some("spc"),
+      Some(Set("b")), 700L, 1L)
+    QueryLog.record(spark, dir, "q4", "pushdown", Some("spc"),
+      Some(Set("b")), 999999L, 1L, unmatched = Some(Set("x")))
+    QueryLog.flush(spark, dir)
+    val costs = QueryLog.shapeCosts(spark, dir, "spc")
+    assert(costs == Map(Set("a") -> 200.0, Set("b") -> 700.0),
+      s"got $costs")
+
+    // document validation: the policy name is checked at parse, and a
+    // policy without a replan budget is refused as dead configuration
+    def doc(extra: String) =
+      s"""{"name": "sp_pol", "model": {"fact": "orders"},
+         |"dims": ["o_orderstatus"],
+         |"measures": [{"name": "n", "family": "count"}],
+         |"segmentCol": "o_orderdate",
+         |"segments": [{"name": "all", "start": "1992-01-01",
+         |              "end": "2003-01-01"}]$extra}""".stripMargin
+    intercept[IllegalArgumentException](CubeJson.parse(
+      doc(""","replanPolicy": "greedy", "replanRowBudget": 10""")))
+    intercept[IllegalArgumentException](CubeJson.parse(
+      doc(""","replanPolicy": "spbpus"""")))
+    assert(CubeJson.parse(doc(
+      ""","replanPolicy": "spbpus", "replanRowBudget": 10"""))
+      .replanPolicy.contains("spbpus"))
+  }
+
   test("a DECLARED cube with an initialLattice budget builds the " +
       "planner-picked subset as extraCuboids metadata and reloads it " +
       "across a restart") {
