@@ -1,0 +1,361 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cube._
+
+/** CUBE-path scale probe (VERDICT r17 item 1, carried through r18):
+  * the pipeline suite has its 10×/100× probes (ScaleProbe) and the
+  * metadata path has MetaScaleProbe, but the cube engine's
+  * build/dict/merge/refresh path only ever had sf0.1 wall numbers.
+  * This main measures the full star lifecycle at sf0.1 and at a 10×
+  * replica (≈ sf1: 6M lineitem, 1.5M orders, 150k distinct dictionary
+  * values) and reports per-phase ratios — the evidence that the build
+  * path's cost curves track the data, not something super-linear.
+  *
+  * Replication is deterministic and key-consistent: copy i>0 offsets
+  * every join key by i×(max+1) on BOTH sides of each FK edge, so the
+  * star join structure (rows per order, orders per customer, …)
+  * reproduces exactly and the fact table scales linearly. `c_name` is
+  * suffixed `_i`, so the dictionary's distinct-value count scales 10×
+  * with the data — the axis `Dictionary.buildOrAppend`'s per-partition
+  * rank+offset must stay window-free on. Dates are untouched: each
+  * declared segment grows 10× instead of new segments appearing,
+  * matching how a production cube's segments grow with daily volume.
+  * nation/region stay single copies (bounded real-world cardinality).
+  *
+  * Phases come from [[CubeBuilder.phaseTotals]] diffs around each
+  * build: `snapshots` (star join definition + lookup freeze), `
+  * `dictionary` (buildOrAppend over the flat), `flat-write` (encoded
+  * flat materialization), `cuboid` (all segments × all cuboids —
+  * accumulated across CONCURRENT segment builds, so the sum can
+  * exceed wall; the ratio of sums is still the scaling signal).
+  *
+  * The dictionary probe additionally times an APPEND at each scale —
+  * N fresh values appended to an N-value tree (the daily-ingest
+  * posture, and the shared-root form's hot path) — separately from
+  * the initial build the build phase already covers.
+  */
+object CubeScaleProbe {
+
+  val Copies = 10
+
+  /** routed-query latency sample: keys served by the default star
+    * cube via ensureBuilt (no declared/JSON side-builds), covering an
+    * exact-match hit, a re-aggregation, two sketch measures, segment
+    * pruning, and the SQL route front door. */
+  val RoutedKeys: Seq[String] = Seq(
+    "cube_exact_match", "cube_reagg", "cube_bitmap_distinct",
+    "cube_shard_prune", "cube_segment_prune", "cube_sql_route")
+
+  private def fs(spark: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+
+  private def rm(spark: SparkSession, dir: String): Unit =
+    fs(spark).delete(new org.apache.hadoop.fs.Path(dir), true): Unit
+
+  /** Replicate the sf dir's STAR tables `copies`× under outDir with
+    * consistent key offsets; marker-guarded like ScaleProbe.replicate
+    * (records source + copies — a marker for different inputs rebuilds). */
+  def replicate(spark: SparkSession, sfDir: String, outDir: String,
+                copies: Int): Unit = {
+    val f = fs(spark)
+    val marker = new org.apache.hadoop.fs.Path(s"$outDir/_done")
+    val want = s"${sfDir.replaceAll("/+$", "")}|$copies|star-ev"
+    if (f.exists(marker)) {
+      val in = f.open(marker)
+      val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (got == want) return
+    }
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head.getLong(0) + 1
+    val li = Tables.lineitem(spark, sfDir)
+    val od = Tables.orders(spark, sfDir)
+    val cu = Tables.customer(spark, sfDir)
+    val su = Tables.supplier(spark, sfDir)
+    val pa = Tables.part(spark, sfDir)
+    val (sOrd, sCust, sSupp, sPart) =
+      (stride(od, "o_orderkey"), stride(cu, "c_custkey"),
+        stride(su, "s_suppkey"), stride(pa, "p_partkey"))
+    def copiesOf(df: DataFrame)(shift: (DataFrame, Int) => DataFrame)
+        : DataFrame =
+      (0 until copies).map(i => if (i == 0) df else shift(df, i))
+        .reduce(_ unionByName _)
+    copiesOf(li)((d, i) => d
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * sOrd))
+      .withColumn("l_partkey", col("l_partkey") + lit(i * sPart))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(i * sSupp)))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    copiesOf(od)((d, i) => d
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * sOrd))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * sCust)))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    copiesOf(cu)((d, i) => d
+      .withColumn("c_custkey", col("c_custkey") + lit(i * sCust))
+      .withColumn("c_name", concat(col("c_name"), lit(s"_$i"))))
+      .coalesce(4)
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    copiesOf(su)((d, i) => d
+      .withColumn("s_suppkey", col("s_suppkey") + lit(i * sSupp)))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+    copiesOf(pa)((d, i) => d
+      .withColumn("p_partkey", col("p_partkey") + lit(i * sPart)))
+      .coalesce(2)
+      .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+    Tables.nation(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/nation.parquet")
+    Tables.region(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/region.parquet")
+    // the SQL front door registers a view per binding, so the events
+    // schema must be readable from the dir; the star keys never scan
+    // it, so a single-copy link suffices (replica scaling is about the
+    // star build, not the events cube)
+    val evLink = java.nio.file.Paths.get(outDir, "events.parquet")
+    if (!java.nio.file.Files.exists(evLink))
+      java.nio.file.Files.createSymbolicLink(evLink,
+        java.nio.file.Paths.get(sfDir, "events.parquet"))
+    val out = f.create(marker, true)
+    out.write(want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  private def sec[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** delete-and-rebuild the default star cube for `dir` at the SAME
+    * root ensureBuilt uses, so the routed-key pass loads the
+    * just-committed meta instead of rebuilding. Returns (instance,
+    * wall, per-phase seconds for this build alone). */
+  private def timedBuild(spark: SparkSession, dir: String)
+      : (CubeInstance, Double, Map[String, Double]) = {
+    val root = s"${CubeManager.cubeRoot}/${dir.replaceAll("/+$", "")
+      .split('/').last}"
+    rm(spark, root)
+    val before = CubeBuilder.phaseTotals
+    val (inst, wall) = sec(CubeManager.buildStar(spark, dir, root))
+    val after = CubeBuilder.phaseTotals
+    val phases = after.map { case (k, v) =>
+      k -> (v - before.getOrElse(k, 0.0)) }.filter(_._2 > 1e-3)
+    (inst, wall, phases)
+  }
+
+  /** initial-build + append timing of the dictionary tree at `dir`'s
+    * cardinality: N distinct c_name values built fresh, then N NEW
+    * values appended to the N-value tree. Min of three passes each —
+    * these are sub-second jobs where a single GC pause would dominate
+    * a one-shot reading (the same min-of-passes discipline as Bench). */
+  private def dictProbe(spark: SparkSession, dir: String, tag: String)
+      : (Long, Double, Double) = {
+    val cust = Tables.customer(spark, dir)
+    val n = cust.select("c_name").distinct().count()
+    val fresh = cust.withColumn("c_name",
+      concat(col("c_name"), lit("_appended")))
+    val runs = (1 to 3).map { i =>
+      val droot = s"target/cubescale-dict-$tag-$i"
+      rm(spark, droot)
+      val (_, tBuild) = sec(
+        Dictionary.buildOrAppend(spark, cust, "c_name", droot))
+      val (_, tAppend) = sec(
+        Dictionary.buildOrAppend(spark, fresh, "c_name", droot))
+      (tBuild, tAppend)
+    }
+    (n, runs.map(_._1).min, runs.map(_._2).min)
+  }
+
+  /** Race two shared-root member builds over `dir` and report, from
+    * the phase trace: each member's serialized dictionary-phase
+    * seconds, the gap between lease release and the loser's dict
+    * start (lease handoff latency), the overlap of the two builds'
+    * windows (proof the builds themselves ran concurrently), and the
+    * combined wall. */
+  private def contentionProbe(spark: SparkSession, dir: String): String = {
+    def doc(name: String) =
+      s"""{
+         |  "name": "$name",
+         |  "rootScope": "cs_controot",
+         |  "model": {
+         |    "fact": "orders",
+         |    "edges": [
+         |      {"lookup": "customer", "via": "orders",
+         |       "lookupKey": "c_custkey", "foreignKey": "o_custkey"}
+         |    ],
+         |    "broadcast": ["customer"]
+         |  },
+         |  "flatColumns": [
+         |    {"name": "o_orderstatus"},
+         |    {"name": "c_mktsegment"},
+         |    {"name": "c_name"},
+         |    {"name": "o_orderdate"}
+         |  ],
+         |  "dims": ["o_orderstatus", "c_mktsegment"],
+         |  "measures": [
+         |    {"name": "n_orders", "family": "count"},
+         |    {"name": "cname_bitmap", "family": "bitmap",
+         |     "column": "c_name_id", "answers": "none"}
+         |  ],
+         |  "segmentCol": "o_orderdate",
+         |  "segments": [
+         |    {"name": "s1995", "start": "1995-01-01", "end": "1997-01-01"},
+         |    {"name": "s1997", "start": "1997-01-01", "end": "1999-01-01"},
+         |    {"name": "s1999", "start": "1999-01-01", "end": "2001-01-01"},
+         |    {"name": "s2001", "start": "2001-01-01", "end": "2003-01-01"}
+         |  ],
+         |  "segDayGranular": true,
+         |  "dictColumns": ["c_name"]
+         |}""".stripMargin
+    val names = Seq("cs_cont_a", "cs_cont_b")
+    val specs = names.map(n => cube.CubeJson.parse(doc(n)))
+    rm(spark, s"${CubeManager.cubeRoot}/${dir.replaceAll("/+$", "")
+      .split('/').last}-cs_controot")
+    CubeBuilder.clearTrace()
+    CubeBuilder.traceArmed.set(true)
+    val wall = try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      sec(Await.result(Future.sequence(specs.map(s =>
+        Future(CubeManager.ensureDeclared(spark, dir, s)))),
+        1800.seconds))._2
+    } finally CubeBuilder.traceArmed.set(false)
+    val trace = {
+      import scala.jdk.CollectionConverters._
+      CubeBuilder.phaseTrace.asScala.toSeq
+    }
+    def dictOf(n: String) = trace.collectFirst {
+      case ("dictionary", d, s, e) if d == n => (s, e) }.get
+    def windowOf(n: String) = {
+      val xs = trace.filter(t => t._2 == n || t._2.startsWith(s"$n/"))
+      (xs.map(_._3).min, xs.map(_._4).max)
+    }
+    val Seq(d1, d2) = names.map(dictOf).sortBy(_._1)
+    val Seq(w1, w2) = names.map(windowOf)
+    val overlap = math.max(0L,
+      math.min(w1._2, w2._2) - math.max(w1._1, w2._1)) / 1e9
+    f"""{"dict_first_sec":${(d1._2 - d1._1) / 1e9}%.2f,""" +
+      f""""dict_second_sec":${(d2._2 - d2._1) / 1e9}%.2f,""" +
+      f""""dict_serialized":${d2._1 >= d1._2},""" +
+      f""""lease_handoff_sec":${math.max(0L, d2._1 - d1._2) / 1e9}%.2f,""" +
+      f""""build_overlap_sec":$overlap%.1f,""" +
+      f""""wall_both_sec":$wall%.1f}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val out10 = "target/cubescale10"
+    val probeOut = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT",
+      "target/cube_scale_probe.json")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+    replicate(spark, sfDir, out10, Copies)
+
+    // ── refresh one segment, then merge the first two — shared by the
+    // warmup and both timed passes
+    def lifecycle(inst: CubeInstance): (Double, Double) = {
+      val flat = spark.read.parquet(s"${inst.root}/flat")
+      val (afterRefresh, tRefresh) = sec(
+        CubeBuilder.refreshSegment(spark, inst, flat, "s1999"))
+      val firstTwo = afterRefresh.cube.segments.sortBy(_.start).take(2)
+      val (_, tMerge) = sec(CubeBuilder.mergeSegments(spark,
+        afterRefresh, "m_probe", firstTwo))
+      (tRefresh, tMerge)
+    }
+
+    // untimed warmup: the full build + lifecycle + routed keys at
+    // sf0.001 JIT the codegen classes and kernel paths, so the sf0.1
+    // pass (first timed) is not charged compilation the 10× pass
+    // never pays
+    val (warmInst, _, _) = timedBuild(spark, warmDir)
+    RoutedKeys.foreach { k =>
+      try Bench.materialize(SparkEntry.queries(k)(spark, warmDir))
+      catch { case _: Throwable => () }
+    }
+    dictProbe(spark, warmDir, "warm"): Unit
+    lifecycle(warmInst): Unit
+
+    val loadBefore = loadAvg()
+    // ── build at both scales (fresh roots, same session)
+    val (inst01, wall01, ph01) = timedBuild(spark, sfDir)
+    val (inst10, wall10, ph10) = timedBuild(spark, out10)
+    // ── routed-key latency against the just-committed cubes
+    def timeKeys(dir: String): Seq[(String, Double)] =
+      RoutedKeys.map { k =>
+        val (_, t) = sec(
+          Bench.materialize(SparkEntry.queries(k)(spark, dir)))
+        k -> t
+      }
+    val q01 = timeKeys(sfDir).toMap
+    val q10 = timeKeys(out10)
+    // ── dictionary initial-build + append at both cardinalities
+    val (n01, db01, da01) = dictProbe(spark, sfDir, "sf01")
+    val (n10, db10, da10) = dictProbe(spark, out10, "x10")
+    // ── refresh + merge at both scales
+    val (rf01, mg01) = lifecycle(inst01)
+    val (rf10, mg10) = lifecycle(inst10)
+    // ── shared-root dict-lease contention at 10× dictionary
+    // cardinality (VERDICT r17 item 4): two member cubes co-rooted by
+    // rootScope race their builds; the root-level dict lease must
+    // serialize ONLY the dictionary phases (150k values each here)
+    // while the cuboid phases overlap — the contract
+    // DictLeaseContentionSpec pins at sf0.001, measured here at scale
+    val contention = contentionProbe(spark, out10)
+    val loadAfter = loadAvg()
+
+    def r(a: Double, b: Double): Double = b / math.max(a, 1e-9)
+    val phaseRows = ph10.keys.toSeq.sorted.map { k =>
+      val a = ph01.getOrElse(k, 0.0); val b = ph10(k)
+      f""""$k":{"sf01_sec":$a%.2f,"x10_sec":$b%.2f,""" +
+        f""""ratio":${r(a, b)}%.2f}"""
+    }
+    val qRows = q10.map { case (k, t10) =>
+      val t1 = q01(k)
+      f"""{"key":"$k","sf01_sec":$t1%.3f,"x10_sec":$t10%.3f,""" +
+        f""""ratio":${r(t1, t10)}%.2f}"""
+    }
+    val json =
+      s"""{"metric":"cube_scale10","copies":$Copies,""" +
+        f""""load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,""" +
+        f""""build":{"sf01_wall":$wall01%.1f,"x10_wall":$wall10%.1f,""" +
+        f""""wall_ratio":${r(wall01, wall10)}%.2f,""" +
+        s""""phases":{${phaseRows.mkString(",")}}},""" +
+        f""""dict":{"values_sf01":$n01,"values_x10":$n10,""" +
+        f""""sf01_build":$db01%.2f,"x10_build":$db10%.2f,""" +
+        f""""build_ratio":${r(db01, db10)}%.2f,""" +
+        f""""sf01_append":$da01%.2f,"x10_append":$da10%.2f,""" +
+        f""""append_ratio":${r(da01, da10)}%.2f},""" +
+        f""""refresh":{"sf01_sec":$rf01%.1f,"x10_sec":$rf10%.1f,""" +
+        f""""ratio":${r(rf01, rf10)}%.2f},""" +
+        f""""merge":{"sf01_sec":$mg01%.1f,"x10_sec":$mg10%.1f,""" +
+        f""""ratio":${r(mg01, mg10)}%.2f},""" +
+        s""""contention_x10":$contention,""" +
+        s""""queries":[${qRows.mkString(",")}]}"""
+    println(json)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(probeOut),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () }
+    spark.stop()
+  }
+}

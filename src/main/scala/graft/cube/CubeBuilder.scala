@@ -75,10 +75,24 @@ object CubeBuilder {
     System.err.println(f"[graft-build] $phase $detail ${sec}%.1fs")
   }
 
+  /** spec/probe instrumentation: when armed, every [[timed]] phase
+    * also appends (phase, detail, startNs, endNs) — how the
+    * dict-lease contention spec/probe prove which phases of two
+    * CONCURRENT builds serialized (dictionary, under the root-level
+    * lease) and which overlapped (everything else). Off by default:
+    * production builds pay one AtomicBoolean read per phase. */
+  private[graft] val traceArmed =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private[graft] val phaseTrace = new java.util.concurrent
+    .ConcurrentLinkedQueue[(String, String, Long, Long)]()
+  private[graft] def clearTrace(): Unit = phaseTrace.clear()
+
   private[cube] def timed[T](phase: String, detail: String)(body: => T): T = {
     val t0 = System.nanoTime()
     val r = body
-    logPhase(phase, detail, (System.nanoTime() - t0) / 1e9)
+    val t1 = System.nanoTime()
+    if (traceArmed.get()) phaseTrace.add((phase, detail, t0, t1)): Unit
+    logPhase(phase, detail, (t1 - t0) / 1e9)
     r
   }
 

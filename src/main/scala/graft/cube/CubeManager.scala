@@ -266,6 +266,21 @@ object CubeManager {
     TrieMap.empty[String, (CubeInstance, String, String)]
   private val lock = new Object
 
+  /** PER-(root, cube) build locks for [[ensureFresh]] — the in-JVM
+    * mirror of the cross-process `_building` lease granularity
+    * (root/<cube>/_building): one JVM deploying several cubes must
+    * build them CONCURRENTLY (two members of a shared root overlap
+    * everything but their dict phases — DictLeaseContentionSpec),
+    * which a single global build lock silently forbade. Same-cube
+    * callers still serialize (one build per miss); the rare
+    * lifecycle ops that guard their own memos (retain / ensureMerged
+    * / ensureHybrid) keep the coarse `lock` and only ever take a
+    * build lock NESTED INSIDE it, so lock ordering is global → key
+    * and cannot deadlock. */
+  private val buildLocks = TrieMap.empty[String, Object]
+  private def buildLock(root: String, cubeName: String): Object =
+    buildLocks.getOrElseUpdate(s"$root/$cubeName", new Object)
+
   /** drop the per-JVM memo (simulated process restart in specs): the
     * next ensure* must come back through CubeMeta.load, not a rebuild.
     * The SQL result cache keys on these instances' stamps, so it must
@@ -273,6 +288,10 @@ object CubeManager {
   private[graft] def resetMemos(): Unit = {
     built.clear(); evBuilt.clear(); mergedCache.clear(); hybridBuilt.clear()
     declaredBuilt.clear(); fleetEnum.clear()
+    // buildLocks deliberately NOT cleared: minting a fresh lock object
+    // while a build holds the old one would let a same-cube build run
+    // concurrently (the ioLocks/clearPending hazard); the map is
+    // bounded at one Object per (root, cube) ever touched
     GraftSql.clearResultCache()
   }
 
@@ -396,7 +415,7 @@ object CubeManager {
     def stamp() = MetaStamp.of(spark, root, cube.name)
     memo.get(key) match {
       case Some((inst, id)) if stampServes(stamp(), id) => inst
-      case _ => lock.synchronized {
+      case _ => buildLock(root, cube.name).synchronized {
         // double-check under the lock (another thread may have
         // refreshed while we waited)
         memo.get(key).filter { case (_, id) => stampServes(stamp(), id) }
@@ -527,9 +546,16 @@ object CubeManager {
     if (spec.dictColumns.isEmpty) flat0
     else BuildLease.withLease(spark, root, "dict")(
       Option.empty[DataFrame]) {
-      spec.dictColumns.foldLeft(flat0)((f, c) =>
-        Dictionary.encode(f,
-          Dictionary.buildOrAppend(spark, f, c, root), c))
+      // timed INSIDE the lease: the phase interval is the dictionary
+      // work itself, so the contention spec/probe can separate lease
+      // WAIT (before this interval) from dict cost (the interval) —
+      // and declared builds report a `dictionary` build phase like
+      // the compiled star build does
+      CubeBuilder.timed("dictionary", spec.name) {
+        spec.dictColumns.foldLeft(flat0)((f, c) =>
+          Dictionary.encode(f,
+            Dictionary.buildOrAppend(spark, f, c, root), c))
+      }
     }
 
   /** Load-or-build a JSON-declared cube ([[CubeJson]]) — the runtime
@@ -707,6 +733,12 @@ object CubeManager {
     * broken, so the next ensureMerged re-merges). */
   def retain(spark: SparkSession, sfDir: String,
              cutoff: String): CubeInstance = lock.synchronized {
+   // nested build lock (global → key order): retention swaps the same
+   // `built` memo entry ensureFresh writes, and without this a
+   // concurrent first-touch load could publish a pre-retention
+   // instance routing to just-deleted dirs until the stamp heals it
+   buildLock(s"$cubeRoot/${sfName(sfDir)}", defaultCube.name)
+       .synchronized {
     val next =
       CubeBuilder.applyRetention(spark, ensureBuilt(spark, sfDir), cutoff)
     // pair the memoized (instance, stamp) from ONE meta read — the
@@ -722,7 +754,7 @@ object CubeManager {
     built.put(sfDir, (inst, id))
     mergedCache.remove(sfDir)
     inst
-  }
+  }}
 
   /** All segments merged into one (cube_segment_merge path). The merged
     * realization persists alongside the primary (meta-merged.json) and
