@@ -171,6 +171,63 @@ object CubeScaleProbe {
     (n, runs.map(_._1).min, runs.map(_._2).min)
   }
 
+  /** The two-member shared-root contention fixture — ONE builder for
+    * the probe (measured at 10× cardinality here) and
+    * DictLeaseContentionSpec (contract pinned at sf0.001), so the two
+    * halves of the same contract can never drift apart. */
+  private[graft] def contentionDoc(name: String,
+                                   rootScope: String): String =
+    s"""{
+       |  "name": "$name",
+       |  "rootScope": "$rootScope",
+       |  "model": {
+       |    "fact": "orders",
+       |    "edges": [
+       |      {"lookup": "customer", "via": "orders",
+       |       "lookupKey": "c_custkey", "foreignKey": "o_custkey"}
+       |    ],
+       |    "broadcast": ["customer"]
+       |  },
+       |  "flatColumns": [
+       |    {"name": "o_orderstatus"},
+       |    {"name": "c_mktsegment"},
+       |    {"name": "c_name"},
+       |    {"name": "o_orderdate"}
+       |  ],
+       |  "dims": ["o_orderstatus", "c_mktsegment"],
+       |  "measures": [
+       |    {"name": "n_orders", "family": "count"},
+       |    {"name": "cname_bitmap", "family": "bitmap",
+       |     "column": "c_name_id", "answers": "none"}
+       |  ],
+       |  "segmentCol": "o_orderdate",
+       |  "segments": [
+       |    {"name": "s1995", "start": "1995-01-01", "end": "1997-01-01"},
+       |    {"name": "s1997", "start": "1997-01-01", "end": "1999-01-01"},
+       |    {"name": "s1999", "start": "1999-01-01", "end": "2001-01-01"},
+       |    {"name": "s2001", "start": "2001-01-01", "end": "2003-01-01"}
+       |  ],
+       |  "segDayGranular": true,
+       |  "dictColumns": ["c_name"]
+       |}""".stripMargin
+
+  /** A dedicated 2-thread pool for racing exactly two builds: the
+    * global ExecutionContext sizes to the CPU count, and on a 1-CPU
+    * runner the two blocking build bodies would run strictly one
+    * after the other — a fake serialization the measurement (and the
+    * spec's overlap assertion) must not inherit. */
+  private[graft] def raceTwo[T](a: => T, b: => T, timeoutSec: Int)
+      : Seq[T] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try Await.result(
+      Future.sequence(Seq(Future(a), Future(b))), timeoutSec.seconds)
+    finally pool.shutdown()
+  }
+
   /** Race two shared-root member builds over `dir` and report, from
     * the phase trace: each member's serialized dictionary-phase
     * seconds, the gap between lease release and the loser's dict
@@ -178,53 +235,17 @@ object CubeScaleProbe {
     * windows (proof the builds themselves ran concurrently), and the
     * combined wall. */
   private def contentionProbe(spark: SparkSession, dir: String): String = {
-    def doc(name: String) =
-      s"""{
-         |  "name": "$name",
-         |  "rootScope": "cs_controot",
-         |  "model": {
-         |    "fact": "orders",
-         |    "edges": [
-         |      {"lookup": "customer", "via": "orders",
-         |       "lookupKey": "c_custkey", "foreignKey": "o_custkey"}
-         |    ],
-         |    "broadcast": ["customer"]
-         |  },
-         |  "flatColumns": [
-         |    {"name": "o_orderstatus"},
-         |    {"name": "c_mktsegment"},
-         |    {"name": "c_name"},
-         |    {"name": "o_orderdate"}
-         |  ],
-         |  "dims": ["o_orderstatus", "c_mktsegment"],
-         |  "measures": [
-         |    {"name": "n_orders", "family": "count"},
-         |    {"name": "cname_bitmap", "family": "bitmap",
-         |     "column": "c_name_id", "answers": "none"}
-         |  ],
-         |  "segmentCol": "o_orderdate",
-         |  "segments": [
-         |    {"name": "s1995", "start": "1995-01-01", "end": "1997-01-01"},
-         |    {"name": "s1997", "start": "1997-01-01", "end": "1999-01-01"},
-         |    {"name": "s1999", "start": "1999-01-01", "end": "2001-01-01"},
-         |    {"name": "s2001", "start": "2001-01-01", "end": "2003-01-01"}
-         |  ],
-         |  "segDayGranular": true,
-         |  "dictColumns": ["c_name"]
-         |}""".stripMargin
     val names = Seq("cs_cont_a", "cs_cont_b")
-    val specs = names.map(n => cube.CubeJson.parse(doc(n)))
+    val specs = names.map(n =>
+      cube.CubeJson.parse(contentionDoc(n, "cs_controot")))
     rm(spark, s"${CubeManager.cubeRoot}/${dir.replaceAll("/+$", "")
       .split('/').last}-cs_controot")
     CubeBuilder.clearTrace()
     CubeBuilder.traceArmed.set(true)
     val wall = try {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration._
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      sec(Await.result(Future.sequence(specs.map(s =>
-        Future(CubeManager.ensureDeclared(spark, dir, s)))),
-        1800.seconds))._2
+      sec(raceTwo(
+        CubeManager.ensureDeclared(spark, dir, specs.head),
+        CubeManager.ensureDeclared(spark, dir, specs.last), 1800))._2
     } finally CubeBuilder.traceArmed.set(false)
     val trace = {
       import scala.jdk.CollectionConverters._

@@ -399,13 +399,13 @@ object CubeJson {
     if (j.replanRowBudget.isDefined && j.replanExpansionRate.isDefined)
       fail("pick ONE replan budget form: replanRowBudget (absolute " +
         "planned rows) or replanExpansionRate (x observed base rows)")
+    // NOTE: replanPolicy WITHOUT a replan budget is legitimate — the
+    // CLI `advise` honors the policy with its own --budget/--rate
+    // flags (default expansion threshold 15.0) while replans stay
+    // manual, so only the NAME is validated here
     j.replanPolicy.foreach(pol =>
       if (!Set("pbpus", "spbpus")(pol))
         fail(s"unknown replanPolicy '$pol' (pbpus or spbpus)"))
-    if (j.replanPolicy.isDefined && j.replanRowBudget.isEmpty &&
-        j.replanExpansionRate.isEmpty)
-      fail("replanPolicy without a replan budget does nothing — " +
-        "declare replanRowBudget or replanExpansionRate too")
     j.derived.foreach(d =>
       if (j.model.edges.forall(_.lookup != d.lookup) &&
           j.model.fact != d.lookup)
@@ -1236,10 +1236,11 @@ object CubeJson {
     BuildLease.withLease(spark, inst.root,
         spec.name)(Option.empty[(CubeInstance, Int)]) {
       val fresh = reloadCommitted(spark, spec, inst.root, "replan")
+      // ONE log read feeds both the distribution and the SPBPUS costs
+      val samples = QueryLog.routedSamples(spark, logDir, spec.name)
       val (existing, picked, _) = replanPick(spark, fresh,
-        rowBudget, expansionRate,
-        QueryLog.dimSets(spark, logDir, spec.name),
-        observed = replanObserved(spark, spec, logDir))
+        rowBudget, expansionRate, samples.map(_._1),
+        observed = replanObserved(spec, samples))
       val next = CubeBuilder.optimizeCuboids(spark, fresh,
         picked.filterNot(existing.contains))
       // the added count diffs against the LEASE-SCOPED committed
@@ -1281,14 +1282,14 @@ object CubeJson {
   }
 
   /** The SPBPUS cost baseline for a replan/advise of `spec`: measured
-    * per-shape scan costs when the document declares the policy, the
-    * empty map (≡ PBPUS pricing) otherwise — ONE helper so the
-    * policies run and the CLI preview can never disagree on which
-    * policy a document gets. */
-  private[cube] def replanObserved(spark: SparkSession, spec: JsonCube,
-      logDir: String): Map[Set[String], Double] =
-    if (spec.replanPolicy.contains("spbpus"))
-      QueryLog.shapeCosts(spark, logDir, spec.name)
+    * per-shape scan costs (over the one routed-sample read the caller
+    * already made) when the document declares the policy, the empty
+    * map (≡ PBPUS pricing) otherwise — ONE helper so the policies run
+    * and the CLI preview can never disagree on which policy a
+    * document gets. */
+  private[cube] def replanObserved(spec: JsonCube,
+      samples: Seq[(Set[String], Long)]): Map[Set[String], Double] =
+    if (spec.replanPolicy.contains("spbpus")) QueryLog.shapeCosts(samples)
     else Map.empty
 
   // ── declared STREAMING cubes (the speed layer as data) ────────────

@@ -64,16 +64,44 @@ object DerivedFilterTranslator {
     (String, Long, String, Int), Option[Seq[Literal]]]()
   private val MemoMax = 4096
 
-  private def markerStamp(spark: SparkSession, dir: String): Long =
-    scala.util.Try {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(p, Snapshot.CommitMarker)
-      val succ = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
-      if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
-      else if (fs.exists(succ)) fs.getFileStatus(succ).getModificationTime
-      else fs.getFileStatus(p).getModificationTime
-    }.getOrElse(0L)
+  /** how long a freshly-read snapshot stamp is trusted before the
+    * next filesystem re-check (the MetaStamp recheck-window pattern):
+    * the translator runs on the routing hot path — twice per plan per
+    * candidate realization — and without a window even memo HITS pay
+    * several metadata RPCs per query just to validate a cache that
+    * only a rare Snapshot.rebuild invalidates. Override per session
+    * via `graft.derivedFilter.stampRecheckMs` (0 = stat every call). */
+  val DefaultStampRecheckMs = 5000L
+
+  private def stampRecheckMs(spark: SparkSession): Long =
+    scala.util.Try(
+      spark.conf.get("graft.derivedFilter.stampRecheckMs").toLong)
+      .getOrElse(DefaultStampRecheckMs)
+
+  /** dir → (stamp, locally observed at) — bounded by the snapshot
+    * count, cleared with the host memo */
+  private val stampCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def markerStamp(spark: SparkSession, dir: String): Long = {
+    val now = System.currentTimeMillis()
+    val window = stampRecheckMs(spark)
+    val cached = stampCache.get(dir)
+    if (cached != null && now - cached._2 < window) cached._1
+    else {
+      val fresh = scala.util.Try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(p, Snapshot.CommitMarker)
+        val succ = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+        if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
+        else if (fs.exists(succ)) fs.getFileStatus(succ).getModificationTime
+        else fs.getFileStatus(p).getModificationTime
+      }.getOrElse(0L)
+      stampCache.put(dir, (fresh, now))
+      fresh
+    }
+  }
 
   /** a leaf predicate translatable through ONE derived dim: the top
     * node is a whitelisted null-rejecting shape over a bare derived
@@ -220,5 +248,8 @@ object DerivedFilterTranslator {
 
   /** spec/probe visibility */
   private[graft] def memoSize: Int = memo.size
-  private[graft] def clearMemo(): Unit = memo.clear()
+  private[graft] def clearMemo(): Unit = {
+    memo.clear()
+    stampCache.clear()
+  }
 }

@@ -583,12 +583,14 @@ object GraftTool {
                 s"under $root — build it first (any query, 'policies', " +
                 "or 'append'), then ask for advice"))
           val base = inst.cube.dims.toSet
-          // ONE log read feeds both the report and the pick
-          val log = QueryLog.dimSets(spark, logDir, spec.name)
+          // ONE log read feeds the report, the pick, AND the SPBPUS
+          // cost baseline
+          val samples = QueryLog.routedSamples(spark, logDir, spec.name)
+          val log = samples.map(_._1)
             .filter(s => s.nonEmpty && s.subsetOf(base))
           val (existing, picked, budget) = CubeJson.replanPick(spark,
             inst, rowBudget, rate, log, what = "advise",
-            observed = CubeJson.replanObserved(spark, spec, logDir))
+            observed = CubeJson.replanObserved(spec, samples))
           out(s"advise ${spec.name} logged=${log.size} " +
             s"shapes=${log.distinct.size}")
           out(f"current cuboids=${inst.cube.cuboids.size} " +

@@ -189,44 +189,44 @@ object QueryLog {
       spark.sparkContext.emptyRDD[Row], schema)
   }
 
-  /** Routed dim-sets for `cube` from the persisted log, newest first —
-    * the cross-restart equivalent of `QueryRouter.QueryStats.log`. */
-  def dimSets(spark: SparkSession, dir: String,
-              cube: String): Seq[Set[String]] = {
+  /** ROUTED (dims, scan_rows) samples for `cube` from the persisted
+    * log, newest first, bounded to `MaxRows` — THE one read behind
+    * both [[dimSets]] (the replan's probability distribution) and
+    * [[shapeCosts]] (the SPBPUS cost baseline). One collect on
+    * purpose: the two views must describe the SAME sample window, and
+    * a flush landing between two separate reads would let them
+    * diverge — besides paying the log scan twice per replan. Miss
+    * rows (unmatched non-null) are model advice, not samples. */
+  def routedSamples(spark: SparkSession, dir: String,
+                    cube: String): Seq[(Set[String], Long)] = {
     import org.apache.spark.sql.functions.col
     load(spark, dir)
-      // ROUTED rows only: miss rows (unmatched non-null) are model
-      // advice, not cuboid-distribution samples — a replan weighting
-      // shapes the cube cannot answer would spend budget on nothing
       .filter(col("cube") === cube && col("dims").isNotNull &&
         col("unmatched").isNull)
       .orderBy(col("ts").desc)
       .limit(MaxRows)
       .collect() // serving-boundary: log ≤ MaxRows by construction —
                  // the planner's bounded workload sample
-      .map(_.getAs[Seq[String]]("dims").toSet).toSeq
+      .map(r => (r.getAs[Seq[String]]("dims").toSet,
+        r.getAs[Long]("scan_rows"))).toSeq
   }
 
-  /** MEASURED per-shape serving cost for `cube` from the persisted
-    * log (reference: CuboidStats.java:263 getCuboidQueryCost over the
+  /** Routed dim-sets for `cube` from the persisted log, newest first —
+    * the cross-restart equivalent of `QueryRouter.QueryStats.log`. */
+  def dimSets(spark: SparkSession, dir: String,
+              cube: String): Seq[Set[String]] =
+    routedSamples(spark, dir, cube).map(_._1)
+
+  /** MEASURED per-shape serving cost over one routed sample set
+    * (reference: CuboidStats.java:263 getCuboidQueryCost over the
     * cuboidScanCountMap that query metrics feed — the SPBPUS policy's
-    * cost baseline): routed rows only, same newest-`MaxRows` window as
-    * [[dimSets]] so the costs describe the same sample the replan
-    * weights, averaged scan_rows per dim-set. */
-  def shapeCosts(spark: SparkSession, dir: String,
-                 cube: String): Map[Set[String], Double] = {
-    import org.apache.spark.sql.functions.col
-    load(spark, dir)
-      .filter(col("cube") === cube && col("dims").isNotNull &&
-        col("unmatched").isNull)
-      .orderBy(col("ts").desc)
-      .limit(MaxRows)
-      .collect() // serving-boundary: bounded like dimSets
-      .map(r => (r.getAs[Seq[String]]("dims").toSet,
-        r.getAs[Long]("scan_rows").toDouble))
-      .groupBy(_._1)
-      .map { case (s, xs) => s -> xs.map(_._2).sum / xs.size }
-  }
+    * cost baseline): averaged scan_rows per dim-set. Takes the
+    * samples, not a dir — callers that also need the dim multiset
+    * read the log ONCE via [[routedSamples]] and derive both. */
+  def shapeCosts(samples: Seq[(Set[String], Long)])
+      : Map[Set[String], Double] =
+    samples.groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(_._2.toDouble).sum / xs.size }
 
   /** Persisted MISS shapes for `cube`, newest first — the
     * cross-restart equivalent of `QueryRouter.QueryStats.misses`,

@@ -22,40 +22,11 @@ import graft.cube._
 class DictLeaseContentionSpec extends AnyFunSuite {
   import TestSpark._
 
+  // the SAME fixture CubeScaleProbe's contention_x10 measures at 10×
+  // cardinality — shared so the pinned contract and the measured
+  // shape can never drift apart
   private def doc(name: String): String =
-    s"""{
-       |  "name": "$name",
-       |  "rootScope": "controot",
-       |  "model": {
-       |    "fact": "orders",
-       |    "edges": [
-       |      {"lookup": "customer", "via": "orders",
-       |       "lookupKey": "c_custkey", "foreignKey": "o_custkey"}
-       |    ],
-       |    "broadcast": ["customer"]
-       |  },
-       |  "flatColumns": [
-       |    {"name": "o_orderstatus"},
-       |    {"name": "c_mktsegment"},
-       |    {"name": "c_name"},
-       |    {"name": "o_orderdate"}
-       |  ],
-       |  "dims": ["o_orderstatus", "c_mktsegment"],
-       |  "measures": [
-       |    {"name": "n_orders", "family": "count"},
-       |    {"name": "cname_bitmap", "family": "bitmap",
-       |     "column": "c_name_id", "answers": "none"}
-       |  ],
-       |  "segmentCol": "o_orderdate",
-       |  "segments": [
-       |    {"name": "s1995", "start": "1995-01-01", "end": "1997-01-01"},
-       |    {"name": "s1997", "start": "1997-01-01", "end": "1999-01-01"},
-       |    {"name": "s1999", "start": "1999-01-01", "end": "2001-01-01"},
-       |    {"name": "s2001", "start": "2001-01-01", "end": "2003-01-01"}
-       |  ],
-       |  "segDayGranular": true,
-       |  "dictColumns": ["c_name"]
-       |}""".stripMargin
+    CubeScaleProbe.contentionDoc(name, "controot")
 
   test("two shared-root member builds serialize ONLY their dictionary " +
       "phases; the cuboid phases overlap (the lease scopes the dict " +
@@ -69,12 +40,12 @@ class DictLeaseContentionSpec extends AnyFunSuite {
     CubeBuilder.clearTrace()
     CubeBuilder.traceArmed.set(true)
     try {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration._
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val builds = specs.map(s =>
-        Future(CubeManager.ensureDeclared(spark, sf, s)))
-      val insts = Await.result(Future.sequence(builds), 300.seconds)
+      // a dedicated 2-thread pool: on a 1-CPU runner the global EC
+      // would run the two blocking builds one after the other and the
+      // overlap assertion below would fail spuriously
+      val insts = CubeScaleProbe.raceTwo(
+        CubeManager.ensureDeclared(spark, sf, specs.head),
+        CubeManager.ensureDeclared(spark, sf, specs.last), 300)
       assert(insts.map(_.cube.name).toSet == Set(a, b))
       // both builds share ONE dictionary tree under the root scope
       assert(insts.map(_.root).distinct.size == 1,

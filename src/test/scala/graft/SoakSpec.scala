@@ -138,11 +138,15 @@ class SoakSpec extends AnyFunSuite {
       drain.setDaemon(true)
       drain.start()
 
-      // ── serve + audit while the child mutates
+      // ── serve + audit while the child mutates. The loop carries its
+      // OWN deadline: without one, a lease deadlock in the child keeps
+      // isAlive true forever and the waitFor timeout below never runs —
+      // the 'no lease deadlock' invariant must be able to FAIL
+      val deadlineNs = System.nanoTime() + 180L * 1000 * 1000 * 1000
       var serves = 0
       var transientFailures = 0
       var audits = 0
-      while (child.isAlive) {
+      while (child.isAlive && System.nanoTime() < deadlineNs) {
         try {
           val r = QueryService.run(spark, sf, q,
             s"soak-$seed-$serves", cached = false)
@@ -169,8 +173,14 @@ class SoakSpec extends AnyFunSuite {
         }
         Thread.sleep(50)
       }
-      assert(child.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
-        "soak child did not finish — lease deadlock?")
+      if (child.isAlive) {
+        child.destroyForcibly(): Unit
+        fail("soak child still running at the serve-loop deadline — " +
+          s"lease deadlock? child output:\n" +
+          childOut.toString.takeRight(3000))
+      }
+      assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS),
+        "soak child did not reap after exiting the serve loop")
       assert(child.exitValue() == 0,
         s"soak child failed:\n${childOut.toString.takeRight(3000)}")
       assert(childOut.toString.contains("CHILD_SOAK_OK"),
