@@ -342,9 +342,46 @@ object CubeScaleProbe {
     // while the cuboid phases overlap — the contract
     // DictLeaseContentionSpec pins at sf0.001, measured here at scale
     val contention = contentionProbe(spark, out10)
-    val loadAfter = loadAvg()
 
     def r(a: Double, b: Double): Double = b / math.max(a, 1e-9)
+
+    // ── OPTIONAL second decade (SPARK_GRAFT_CUBESCALE100=1): the same
+    // lifecycle at 100× (60M lineitem, 1.5M distinct dictionary
+    // values) — the curvature check. Ratios are reported vs the x10
+    // pass (another 10× of data), so "≈10 or under" is linear-or-
+    // better; the x10 numbers sit well under their own decade's ratio
+    // because fixed per-cuboid costs still dominate there.
+    val x100 : Option[String] =
+      if (!sys.env.get("SPARK_GRAFT_CUBESCALE100").contains("1")) None
+      else {
+        val out100 = "target/cubescale100"
+        replicate(spark, sfDir, out100, Copies * 10)
+        val (inst100, wall100, ph100) = timedBuild(spark, out100)
+        val q100 = timeKeys(out100)
+        val (n100, db100, da100) = dictProbe(spark, out100, "x100")
+        val (rf100, mg100) = lifecycle(inst100)
+        val phaseRows100 = ph100.keys.toSeq.sorted.map { k =>
+          val a = ph10.getOrElse(k, 0.0); val b = ph100(k)
+          f""""$k":{"x10_sec":$a%.2f,"x100_sec":$b%.2f,""" +
+            f""""ratio_vs_x10":${r(a, b)}%.2f}"""
+        }
+        val qRows100 = q100.map { case (k, t100) =>
+          val t10 = q10.toMap.apply(k)
+          f"""{"key":"$k","x10_sec":$t10%.3f,"x100_sec":$t100%.3f,""" +
+            f""""ratio_vs_x10":${r(t10, t100)}%.2f}"""
+        }
+        Some(
+          f"""{"build":{"x10_wall":$wall10%.1f,"x100_wall":$wall100%.1f,""" +
+          f""""wall_ratio_vs_x10":${r(wall10, wall100)}%.2f,""" +
+          s""""phases":{${phaseRows100.mkString(",")}}},""" +
+          f""""dict":{"values_x100":$n100,""" +
+          f""""x100_build":$db100%.2f,"build_ratio_vs_x10":${r(db10, db100)}%.2f,""" +
+          f""""x100_append":$da100%.2f,"append_ratio_vs_x10":${r(da10, da100)}%.2f},""" +
+          f""""refresh":{"x100_sec":$rf100%.1f,"ratio_vs_x10":${r(rf10, rf100)}%.2f},""" +
+          f""""merge":{"x100_sec":$mg100%.1f,"ratio_vs_x10":${r(mg10, mg100)}%.2f},""" +
+          s""""queries":[${qRows100.mkString(",")}]}""")
+      }
+    val loadAfter = loadAvg()
     val phaseRows = ph10.keys.toSeq.sorted.map { k =>
       val a = ph01.getOrElse(k, 0.0); val b = ph10(k)
       f""""$k":{"sf01_sec":$a%.2f,"x10_sec":$b%.2f,""" +
@@ -371,6 +408,7 @@ object CubeScaleProbe {
         f""""merge":{"sf01_sec":$mg01%.1f,"x10_sec":$mg10%.1f,""" +
         f""""ratio":${r(mg01, mg10)}%.2f},""" +
         s""""contention_x10":$contention,""" +
+        x100.map(s => s""""x100":$s,""").getOrElse("") +
         s""""queries":[${qRows.mkString(",")}]}"""
     println(json)
     try java.nio.file.Files.write(

@@ -40,12 +40,19 @@ object CubeManager {
                     region: DataFrame, supplier: DataFrame,
                     part: DataFrame): DataFrame =
     // joins come from the MODEL (each edge's declared inner/left type),
-    // so the built flat table and the SQL matcher can never disagree;
-    // bounded-cardinality lookups are broadcast-hinted here
+    // so the built flat table and the SQL matcher can never disagree.
+    // Only the BOUNDED lookups are broadcast-hinted: nation/region
+    // have fixed real-world cardinality (25/5 rows at any SF), but
+    // supplier and part GROW with the fact table — the cube-path 100×
+    // probe caught the old unconditional hint turning the flat write
+    // super-linear (a 2M-row forced broadcast; at 100 TB it would be
+    // billions of rows and an OOM). Size-based auto-broadcast + AQE
+    // still broadcast them whenever they are actually small, so the
+    // plan is unchanged at bench scale and correct at every scale.
     starModel.flatten(Map(
       "lineitem" -> lineitem, "orders" -> orders, "customer" -> customer,
       "nation" -> broadcast(nation), "region" -> broadcast(region),
-      "supplier" -> broadcast(supplier), "part" -> broadcast(part)))
+      "supplier" -> supplier, "part" -> part))
       .select(
         col("l_orderkey"), col("l_linenumber"),
         col("r_name"), col("n_name"), col("c_mktsegment"),
