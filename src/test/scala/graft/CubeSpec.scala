@@ -56,6 +56,41 @@ class CubeSpec extends AnyFunSuite {
       s"expected partition pruning on r_name, plan:\n${plan.take(2000)}")
   }
 
+  test("the flat table force-broadcasts ONLY the bounded lookups — " +
+      "supplier/part scale with SF and must stay size-decided (the " +
+      "100x probe's super-linear flat-write finding)") {
+    // disable size-based auto-broadcast: whatever still broadcasts is
+    // a HINT. nation/region (25/5 rows at any SF) must; supplier/part
+    // grow with the fact table — a forced broadcast is a 100 TB OOM
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = scala.util.Try(spark.conf.get(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")).toOption
+      .filter(_ != null) // unset optional conf reads back as null
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val plan = CubeManager.flatTable(spark, sf)
+        .queryExecution.executedPlan.toString
+      val hinted = "BroadcastHashJoin".r.findAllIn(plan).length
+      val shuffled = "SortMergeJoin|ShuffledHashJoin".r
+        .findAllIn(plan).length
+      assert(hinted == 2,
+        s"exactly nation+region must be hint-broadcast, got $hinted " +
+          s"broadcast joins in:\n${plan.take(2000)}")
+      assert(shuffled == 4,
+        s"orders/customer/supplier/part must be size-decided (4 " +
+          s"shuffle joins with auto-broadcast off), got $shuffled")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      savedAqe match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("lookup-table snapshots are written once under the cube root") {
     val root = inst.root
     Seq("customer", "nation", "region", "supplier", "part").foreach { n =>
