@@ -199,6 +199,32 @@ object QueryService {
       runImpl(spark, sfDir, sql, queryId, maxRows, cached, timeout)
     }
 
+  /** backoff before the one swap-window retry — longer than the
+    * two-rename absence window by orders of magnitude, short enough
+    * to be invisible against any real query's latency */
+  private val SwapRetryBackoffMs = 150L
+
+  /** a scan failure whose cause is a file/path that VANISHED between
+    * plan and read — the signature of a concurrent refresh or
+    * snapshot-rebuild swap (rename-aside retires the dirs the plan
+    * pinned). Walks the cause chain: Spark wraps the executor-side
+    * FileNotFoundException in task/stage/SparkException layers with
+    * the FAILED_READ_FILE condition; a plan-time listing that caught
+    * the absence window instead surfaces PATH_NOT_FOUND. */
+  private def isSwapWindowRead(e: Throwable): Boolean = {
+    var c: Throwable = e
+    var hops = 0
+    while (c != null && hops < 16) {
+      val msg = Option(c.getMessage).getOrElse("")
+      if (c.isInstanceOf[java.io.FileNotFoundException] ||
+          msg.contains("FAILED_READ_FILE") ||
+          msg.contains("PATH_NOT_FOUND")) return true
+      c = if (c.getCause eq c) null else c.getCause
+      hops += 1
+    }
+    false
+  }
+
   private def runImpl(spark: SparkSession, sfDir: String, sql: String,
           queryId: String, maxRows: Int, cached: Boolean,
           timeout: Duration): Served = {
@@ -225,6 +251,7 @@ object QueryService {
         }
       }, deadline.toMillis, TimeUnit.MILLISECONDS))
     try {
+      def attempt(): Served = {
       // collect the route trace so a fallback can say WHY (same
       // BadQueryDetector posture as the JDBC guard; a routed result —
       // cached ones are always routed — carries no reason)
@@ -280,6 +307,25 @@ object QueryService {
       }
       Served(queryId, rows, r.routed, r.via, pool, parts, scanRows, scanBytes,
         r.fromCache)
+      }
+      try attempt()
+      catch {
+        case e: Throwable if isSwapWindowRead(e) &&
+            !timedOutIds.contains(queryId) &&
+            !cancelledIds.contains(queryId) =>
+          // a refresh / snapshot-rebuild swap moved committed dirs
+          // between this query's plan (which pinned concrete file
+          // paths) and its scan — the documented two-rename reader
+          // window. Every swap commits meta with a fresh buildId
+          // BEFORE or AT the renames, so the stamp-aware re-route
+          // below plans against the new layout; the serving layer
+          // masks the window instead of surfacing it to the client
+          // (the reference's serving path reloads metadata on the
+          // same signal). ONE retry only — a second vanished-file
+          // failure is a real storage problem and must propagate.
+          Thread.sleep(SwapRetryBackoffMs)
+          attempt()
+      }
     } catch {
       case e: Throwable if timedOutIds.contains(queryId) =>
         throw new QueryTimedOut(queryId, deadline, e)
