@@ -204,21 +204,26 @@ object QueryService {
     * to be invisible against any real query's latency */
   private val SwapRetryBackoffMs = 150L
 
-  /** a scan failure whose cause is a file/path that VANISHED between
-    * plan and read — the signature of a concurrent refresh or
-    * snapshot-rebuild swap (rename-aside retires the dirs the plan
-    * pinned). Walks the cause chain: Spark wraps the executor-side
-    * FileNotFoundException in task/stage/SparkException layers with
-    * the FAILED_READ_FILE condition; a plan-time listing that caught
-    * the absence window instead surfaces PATH_NOT_FOUND. */
+  /** a scan failure whose cause is a file/path under MANAGED cube
+    * storage that VANISHED between plan and read — the signature of a
+    * concurrent refresh or snapshot-rebuild swap (rename-aside retires
+    * the dirs the plan pinned). Walks the cause chain: Spark wraps the
+    * executor-side FileNotFoundException in task/stage/SparkException
+    * layers with the FAILED_READ_FILE condition; a plan-time listing
+    * that caught the absence window instead surfaces PATH_NOT_FOUND.
+    * The cube-root scoping keeps a permanently-missing SOURCE path (a
+    * misconfigured sf dir, a dropped pushdown table) from paying a
+    * pointless backoff + full duplicate execution: only managed dirs
+    * are swapped by lifecycle ops, so only they can heal on retry. */
   private def isSwapWindowRead(e: Throwable): Boolean = {
+    val root = CubeManager.cubeRoot
     var c: Throwable = e
     var hops = 0
     while (c != null && hops < 16) {
       val msg = Option(c.getMessage).getOrElse("")
-      if (c.isInstanceOf[java.io.FileNotFoundException] ||
-          msg.contains("FAILED_READ_FILE") ||
-          msg.contains("PATH_NOT_FOUND")) return true
+      val vanished = c.isInstanceOf[java.io.FileNotFoundException] ||
+        msg.contains("FAILED_READ_FILE") || msg.contains("PATH_NOT_FOUND")
+      if (vanished && msg.contains(root)) return true
       c = if (c.getCause eq c) null else c.getCause
       hops += 1
     }
@@ -251,32 +256,74 @@ object QueryService {
         }
       }, deadline.toMillis, TimeUnit.MILLISECONDS))
     try {
-      def attempt(): Served = {
-      // collect the route trace so a fallback can say WHY (same
-      // BadQueryDetector posture as the JDBC guard; a routed result —
-      // cached ones are always routed — carries no reason)
-      val (r, trace) = RouteTrace.collect(
-        if (cached) GraftSql.sqlCached(spark, sfDir, sql)
-        else GraftSql.sqlVia(spark, sfDir, sql))
-      val est = if (r.routed) r.estRows else None
-      val pool = poolFor(r.routed, est)
-      sc.setLocalProperty("spark.scheduler.pool", pool)
-      val parts = shufflePartitionsFor(spark, r.routed, est)
-      val limited = r.df.limit(maxRows + 1)
-      // serving-boundary: the bounded cap+1 materialization handing a
-      // finished result to the client (ResultPlan.scala:94 parity)
-      val rows = ConfBridge.withShufflePartitions(spark, parts) {
-        limited.collect() // serving-boundary: cap+1
+      // the RETRYABLE section: route + collect only. The recording
+      // tail (ServedLog/QueryLog, whose due-flush does its own parquet
+      // I/O) runs ONCE, after the retry block — a vanished-file error
+      // from the log store must never re-execute an already-successful
+      // query and double-record it.
+      def attempt()
+          : (GraftSql.SqlResult, Seq[RouteTrace.Entry], Array[Row],
+             String, Option[Int], org.apache.spark.sql.DataFrame) = {
+        // collect the route trace so a fallback can say WHY (same
+        // BadQueryDetector posture as the JDBC guard; a routed result —
+        // cached ones are always routed — carries no reason)
+        val (r, trace) = RouteTrace.collect(
+          if (cached) GraftSql.sqlCached(spark, sfDir, sql)
+          else GraftSql.sqlVia(spark, sfDir, sql))
+        val est = if (r.routed) r.estRows else None
+        val pool = poolFor(r.routed, est)
+        sc.setLocalProperty("spark.scheduler.pool", pool)
+        val parts = shufflePartitionsFor(spark, r.routed, est)
+        val limited = r.df.limit(maxRows + 1)
+        // serving-boundary: the bounded cap+1 materialization handing a
+        // finished result to the client (ResultPlan.scala:94 parity)
+        val rows = ConfBridge.withShufflePartitions(spark, parts) {
+          limited.collect() // serving-boundary: cap+1
+        }
+        if (rows.length > maxRows)
+          throw new ResultCapExceeded(queryId, maxRows)
+        // a deadline (or cancel) that fired while no Spark job was
+        // active is a no-op for cancelJobGroup — the collect can still
+        // complete normally, so the contract is enforced here too: a
+        // query whose deadline elapsed must not return a result
+        if (timedOutIds.contains(queryId))
+          throw new QueryTimedOut(queryId, deadline, null)
+        if (cancelledIds.contains(queryId))
+          throw new QueryCancelled(queryId, null)
+        (r, trace, rows, pool, parts, limited)
       }
-      if (rows.length > maxRows) throw new ResultCapExceeded(queryId, maxRows)
-      // a deadline (or cancel) that fired while no Spark job was
-      // active is a no-op for cancelJobGroup — the collect can still
-      // complete normally, so the contract is enforced here too: a
-      // query whose deadline elapsed must not return a result
-      if (timedOutIds.contains(queryId))
-        throw new QueryTimedOut(queryId, deadline, null)
-      if (cancelledIds.contains(queryId))
-        throw new QueryCancelled(queryId, null)
+      val (r, trace, rows, pool, parts, limited) =
+        try attempt()
+        catch {
+          case e: Throwable if isSwapWindowRead(e) &&
+              !timedOutIds.contains(queryId) &&
+              !cancelledIds.contains(queryId) =>
+            // a refresh / snapshot-rebuild swap moved committed dirs
+            // between this query's plan (which pinned concrete file
+            // paths) and its scan — the documented two-rename reader
+            // window. Every swap commits meta with a fresh buildId
+            // BEFORE or AT the renames, so the stamp-aware re-route
+            // below plans against the new layout; the serving layer
+            // masks the window instead of surfacing it to the client
+            // (the reference's serving path reloads metadata on the
+            // same signal). ONE retry only — a second vanished-file
+            // failure is a real storage problem and must propagate.
+            // (The failed pass's route landed in QueryStats' global
+            // demand log; one duplicate sample per rare retry is
+            // noise the bounded log absorbs.)
+            try Thread.sleep(SwapRetryBackoffMs)
+            catch {
+              case _: InterruptedException =>
+                // keep the interrupt AND the real failure
+                Thread.currentThread().interrupt(); throw e
+            }
+            // a deadline/cancel that fired DURING the backoff must not
+            // buy a whole second execution past it — rethrow the
+            // original; the outer classifiers map it
+            if (timedOutIds.contains(queryId) ||
+                cancelledIds.contains(queryId)) throw e
+            attempt()
+        }
       // a result-cache hit read zero files — reporting the cached
       // plan's build metrics would overstate every hit's scan work
       // (ADVICE r12); hits report 0/0 and carry the fromCache flag
@@ -305,27 +352,8 @@ object QueryService {
             Some(needed), 0L, 0L, unmatched = Some(unmatched))
         }
       }
-      Served(queryId, rows, r.routed, r.via, pool, parts, scanRows, scanBytes,
-        r.fromCache)
-      }
-      try attempt()
-      catch {
-        case e: Throwable if isSwapWindowRead(e) &&
-            !timedOutIds.contains(queryId) &&
-            !cancelledIds.contains(queryId) =>
-          // a refresh / snapshot-rebuild swap moved committed dirs
-          // between this query's plan (which pinned concrete file
-          // paths) and its scan — the documented two-rename reader
-          // window. Every swap commits meta with a fresh buildId
-          // BEFORE or AT the renames, so the stamp-aware re-route
-          // below plans against the new layout; the serving layer
-          // masks the window instead of surfacing it to the client
-          // (the reference's serving path reloads metadata on the
-          // same signal). ONE retry only — a second vanished-file
-          // failure is a real storage problem and must propagate.
-          Thread.sleep(SwapRetryBackoffMs)
-          attempt()
-      }
+      Served(queryId, rows, r.routed, r.via, pool, parts, scanRows,
+        scanBytes, r.fromCache)
     } catch {
       case e: Throwable if timedOutIds.contains(queryId) =>
         throw new QueryTimedOut(queryId, deadline, e)
