@@ -225,7 +225,10 @@ object CubeScaleProbe {
       ExecutionContext.fromExecutorService(pool)
     try Await.result(
       Future.sequence(Seq(Future(a), Future(b))), timeoutSec.seconds)
-    finally pool.shutdown()
+    // shutdownNow: on timeout the two build bodies are still running
+    // and holding build/dict leases — interrupt them rather than let
+    // them race whatever the probe (or a spec) does next (ADVICE r19)
+    finally pool.shutdownNow(): Unit
   }
 
   /** Race two shared-root member builds over `dir` and report, from

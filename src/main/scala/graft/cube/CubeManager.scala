@@ -24,8 +24,11 @@ object CubeManager {
   /** Flat table = materialized star join (reference:
     * CreateFlatTable.scala:1-241): fact lineitem ⋈ orders ⋈ customer ⋈
     * nation ⋈ region ⋈ supplier ⋈ part, plus derived dim columns and
-    * pre-computed measure input columns. Dims are broadcast (bounded
-    * cardinality at any SF); orders ride the fact-key shuffle.
+    * pre-computed measure input columns. Only the BOUNDED lookups
+    * (nation/region — fixed cardinality at any SF) are hint-broadcast;
+    * the fact-scaled ones (customer/supplier/part/orders) ride
+    * size-based auto-broadcast/AQE and degrade to shuffle joins at
+    * scale (r19 100× fix, pinned by CubeSpec).
     */
   def flatTable(s: SparkSession, d: String): DataFrame =
     flatTableFrom(lineitem(s, d), orders(s, d), customer(s, d),

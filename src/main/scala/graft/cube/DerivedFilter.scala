@@ -67,11 +67,16 @@ object DerivedFilterTranslator {
   /** how long a freshly-read snapshot stamp is trusted before the
     * next filesystem re-check (the MetaStamp recheck-window pattern):
     * the translator runs on the routing hot path — twice per plan per
-    * candidate realization — and without a window even memo HITS pay
-    * several metadata RPCs per query just to validate a cache that
-    * only a rare Snapshot.rebuild invalidates. Override per session
-    * via `graft.derivedFilter.stampRecheckMs` (0 = stat every call). */
-  val DefaultStampRecheckMs = 5000L
+    * candidate realization — and a window spares memo HITS several
+    * metadata RPCs per query. Default 0 (stat every call), OPT-IN like
+    * spark.graft.meta.recheckMs (ADVICE r19): the stamp validates a
+    * translation that feeds segment pruning and the scan-side
+    * predicate, so serving a cached stamp across another process's
+    * Snapshot.rebuild is a silent wrong-answer window — only a
+    * deployment that accepts that staleness bound may set
+    * `graft.derivedFilter.stampRecheckMs` > 0. In-process rebuilds are
+    * safe even then: [[Snapshot.rebuild]] invalidates the entry. */
+  val DefaultStampRecheckMs = 0L
 
   private def stampRecheckMs(spark: SparkSession): Long =
     scala.util.Try(
@@ -98,9 +103,20 @@ object DerivedFilterTranslator {
         else if (fs.exists(succ)) fs.getFileStatus(succ).getModificationTime
         else fs.getFileStatus(p).getModificationTime
       }.getOrElse(0L)
-      stampCache.put(dir, (fresh, now))
+      // never cache the failure sentinel (ADVICE r19): a transient
+      // stat error would otherwise pin stamp 0 for a whole window and
+      // a 0-keyed memo entry could be re-validated by the NEXT failure
+      if (fresh != 0L) stampCache.put(dir, (fresh, now))
+      else stampCache.remove(dir)
       fresh
     }
+  }
+
+  /** in-process invalidation hook for the snapshot commit path: a
+    * rebuild in THIS JVM must be visible to the very next translation
+    * even when a session opted into a recheck window. */
+  private[cube] def invalidateStamp(dir: String): Unit = {
+    stampCache.remove(dir): Unit
   }
 
   /** a leaf predicate translatable through ONE derived dim: the top

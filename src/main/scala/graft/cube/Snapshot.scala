@@ -110,5 +110,9 @@ object Snapshot {
           "previous snapshot was restored")
     }
     fs.delete(retired, true): Unit
+    // derived-filter translations memoize against this snapshot's
+    // commit stamp; make the rebuild visible to the next translation
+    // in this JVM even under an opt-in stamp-recheck window
+    DerivedFilterTranslator.invalidateStamp(live.toString)
   }
 }

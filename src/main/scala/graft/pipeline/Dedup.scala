@@ -87,19 +87,22 @@ object Dedup {
   private def jaccardCol: Column =
     round(col("x").cast(DoubleType) / (col("n_a") + col("n_b") - col("x")), 4)
 
-  /** exact Jaccard for the given candidate (id_a < id_b) pairs:
-    * semi-join the inverted index down to candidate docs (at scale the
-    * candidates are a vanishing fraction of the corpus), count shared
-    * shingles per pair, join sizes. */
+  /** exact Jaccard for the given candidate (id_a < id_b) pairs: the
+    * intersection is counted per CANDIDATE PAIR, anchored on the pair
+    * ids — attach id_a's shingles to each pair, then equi-join on
+    * (id_b, s) — NOT via a shingle-keyed self-join of the candidate
+    * docs' inverted index. The anchored shape costs
+    * O(|cand| · doc size); the shingle-keyed one re-introduces the
+    * hot-key blowup the candidate cap exists to prevent (a shingle
+    * shared by a 10⁴-member clone cluster is one join key emitting
+    * ~5·10⁷ rows even when the candidate LIST is star-capped —
+    * VERDICT r19 item 1). */
   def pairJaccard(rows: DataFrame, cand: DataFrame): DataFrame = {
-    val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-      .distinct()
-    val r = rows.join(ids, "doc_id")
-    val inter = r.as("a").join(r.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val inter = cand
+      .join(rows.select(col("doc_id").as("id_a"), col("s")), "id_a")
+      .join(rows.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("x"))
-      .join(cand, Seq("id_a", "id_b"), "left_semi")
     withJaccard(inter, rows)
   }
 
@@ -146,17 +149,73 @@ object Dedup {
         col("bk.key").as("key"))
   }
 
+  // ── hot-bucket-guarded pair generation (shared by MinHash/SimHash) ─
+
+  /** Per-bucket membership caps for candidate-pair generation — the
+    * bucket-join analogue of `NgramDfCap` (VERDICT r19 item 1). An
+    * uncapped bucket self-join emits ~m²/2 pair rows through ONE
+    * shuffle key; a boilerplate cluster of 10⁵ near-identical docs
+    * (routine in web corpora even after exact dedup) collides in EVERY
+    * band, i.e. ~10¹⁰ rows through one hot key at 100 TB. Buckets at
+    * or under the cap emit all pairs — exactly the unguarded result;
+    * an over-cap bucket emits a STAR (every member paired with the
+    * bucket's min doc_id): O(m) rows spanning the same connected
+    * component, so the transitive-cluster / keep-one / leak-proof-split
+    * surfaces downstream are unchanged. What a star sacrifices is only
+    * the non-spanning pair ROWS of a giant cluster in the pair report
+    * (such pairs still appear when they co-hash in any small bucket).
+    *
+    * Cap sizing: MinHash band keys are high-entropy (4×~60-bit mins),
+    * so bucket size tracks true-duplicate group size regardless of
+    * corpus size — measured max 10 at sf0.1 — and over-cap ⇒ clone
+    * cluster; 256 gives 25× headroom. SimHash chunk keys are COARSE
+    * (6-bit values, ≤640 buckets total), so buckets grow ~n/640 with
+    * corpus size — measured max 150 at sf0.1; 1024 clears that by ~7×
+    * while still bounding the worst bucket at ~0.5M pairs. A corpus
+    * big enough to push ordinary (non-clone) chunk buckets past the
+    * cap (n ≳ 10⁶ per run) is past what a 60-bit/10-chunk fingerprint
+    * meaningfully separates anyway — partition such corpora (or widen
+    * the fingerprint) rather than raise the cap. */
+  val MinhashBucketCap = 256
+  val SimhashBucketCap = 1024
+
+  /** All (id_a < id_b) co-bucketed pairs with per-bucket membership
+    * capped at `cap` (over-cap buckets emit star pairs against the
+    * bucket-min doc_id, see cap scaladoc). `payload` columns of the
+    * bucket rows are carried onto both sides of each pair as
+    * `<p>_a` / `<p>_b` (they must be functionally dependent on doc_id
+    * so the final distinct stays pair-keyed). */
+  private[graft] def guardedBucketPairs(buckets: DataFrame,
+                                        keys: Seq[String], cap: Int,
+                                        payload: Seq[String] = Nil)
+      : DataFrame = {
+    val stats = buckets.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("bsz"),
+      min(struct(("doc_id" +: payload).map(col): _*)).as("bm"))
+    val tagged = buckets.join(stats, keys)
+    val small = tagged.filter(col("bsz") <= cap)
+      .select((keys :+ "doc_id").map(col) ++ payload.map(col): _*)
+    val smallPairs = small.as("a").join(small.as("b"),
+        keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(Seq(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")) ++
+        payload.map(p => col(s"a.$p").as(s"${p}_a")) ++
+        payload.map(p => col(s"b.$p").as(s"${p}_b")): _*)
+    val starPairs = tagged
+      .filter(col("bsz") > cap && col("doc_id") > col("bm.doc_id"))
+      .select(Seq(col("bm.doc_id").as("id_a"), col("doc_id").as("id_b")) ++
+        payload.map(p => col(s"bm.$p").as(s"${p}_a")) ++
+        payload.map(p => col(p).as(s"${p}_b")): _*)
+    smallPairs.union(starPairs).distinct()
+  }
+
   /** candidate pairs from banded signatures: docs agreeing on all r
     * rows of any band share a bucket; the bucket join is an equi-join
-    * on (band, key). P(candidate | J=0.9) ≈ 1 − 4e-8. */
-  def minhashCandidates(rows: DataFrame): DataFrame = {
-    val buckets = bandedBuckets(minhashSignatures(rows))
-    buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-  }
+    * on (band, key), hot-bucket-guarded at `MinhashBucketCap`.
+    * P(candidate | J=0.9) ≈ 1 − 4e-8. */
+  def minhashCandidates(rows: DataFrame): DataFrame =
+    guardedBucketPairs(bandedBuckets(minhashSignatures(rows)),
+      Seq("band", "key"), MinhashBucketCap)
 
   // ── Incremental near-dup vs a persisted signature store ──────────
 
@@ -264,7 +323,11 @@ object Dedup {
   /** SimHash near-dup pairs with hamming ≤ maxHamming. Candidates via
     * chunk banding: split the signature into NumChunks chunks; hamming
     * ≤ NumChunks−1 pairs MUST agree on some chunk (pigeonhole), so for
-    * maxHamming ≤ 9 the bucket join is lossless, not probabilistic. */
+    * maxHamming ≤ 9 the bucket join is lossless below the hot-bucket
+    * cap (`SimhashBucketCap`) — over-cap buckets degrade to spanning
+    * star pairs, see `guardedBucketPairs`. The signature rides the
+    * bucket rows as guard payload, so the hamming filter needs no
+    * re-attach join. */
   def simhashDupPairs(docs: DataFrame, maxHamming: Int)
                      (implicit spark: SparkSession): DataFrame = {
     require(maxHamming < NumChunks, "banding only lossless below NumChunks")
@@ -274,12 +337,8 @@ object Dedup {
     val buckets = sig.select(col("doc_id"), col("s64"),
         posexplode(array(chunkCols: _*)).as(Seq("chunk", "cv")))
     val ham = expr("bit_count(s64_a ^ s64_b)")
-    buckets.as("a").join(buckets.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.s64").as("s64_a"), col("b.s64").as("s64_b"))
-      .distinct()
+    guardedBucketPairs(buckets, Seq("chunk", "cv"), SimhashBucketCap,
+        payload = Seq("s64"))
       .select(col("id_a"), col("id_b"), ham.cast(IntegerType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }

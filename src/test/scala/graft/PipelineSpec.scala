@@ -537,4 +537,55 @@ class PipelineSpec extends AnyFunSuite {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }.isEmpty, "first-occurrence election must not use a window")
   }
+
+  test("hot-bucket guard: a 10^4-member clone cluster emits O(m) candidate " +
+    "rows, verified pairs span one component, and small buckets are exact") {
+    import spark.implicits._
+    // VERDICT r19 item 1: a boilerplate cluster that SURVIVES exact
+    // dedup (raw texts differ in case/whitespace, normalized shingles
+    // identical) collides in every MinHash band and every SimHash
+    // chunk; unguarded, candidate generation is ~NumBands·m²/2 rows
+    // through one shuffle key. m is chosen 40× past MinhashBucketCap
+    // and ~10× past SimhashBucketCap so both stars engage.
+    val m = 10000
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the band plays on"
+    val clones = (0 until m).map { i =>
+      val t = if (i % 2 == 0) base.toUpperCase else base
+      (i.toLong, (" " * (i % 4)) + t + ("  " * (i % 3)))
+    }
+    // plus a handful of mutually-unrelated docs and one true small
+    // dup-group, to pin that sub-cap buckets still produce exact pairs
+    val distinctDocs = (0 until 20).map { j =>
+      (100000L + j, (0 until 30).map(w => s"u${j}x$w").mkString(" "))
+    }
+    val smallDup = Seq(
+      (200000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (200001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val docs2 = (clones ++ distinctDocs ++ smallDup).toDF("doc_id", "text")
+    val rows = Dedup.shingleRows(docs2)
+
+    val candCount = Dedup.minhashCandidates(rows).count()
+    assert(candCount < 3L * m,
+      s"candidate rows must be O(m), got $candCount for m=$m")
+    assert(candCount >= m - 1, s"star must span the cluster: $candCount")
+
+    // the star pairs verify at J=1 and the transitive clusters see ONE
+    // component labeled with the min id — keep-one drops m-1 docs
+    val pairs = Dedup.minhashDupPairs(docs2, 0.8)
+    val labels = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until m).forall(i => labels(i.toLong) == 0L),
+      "every clone must join the min-id component")
+    assert(labels(200000L) == 200000L && labels(200001L) == 200000L,
+      "the sub-cap dup group must pair exactly")
+
+    // SimHash: clones share every chunk bucket (identical s64); the
+    // guard emits the m-1 star rows at hamming 0 instead of ~m²/2
+    val sh = Dedup.simhashDupPairs(docs2, 9)
+    assert(sh.count() == (m - 1).toLong + 1,
+      "simhash: star over the clone cluster plus the one small dup pair")
+    assert(sh.filter(col("id_a") === 200000L && col("id_b") === 200001L)
+      .count() == 1)
+  }
 }

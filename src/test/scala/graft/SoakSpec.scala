@@ -158,7 +158,19 @@ class SoakSpec extends AnyFunSuite {
           serves += 1
         } catch {
           case e: org.scalatest.exceptions.TestFailedException => throw e
-          case _: Throwable => transientFailures += 1
+          case _: Throwable =>
+            // a transient serve failure (scheduler stall outlasting the
+            // swap-retry backoff, Unavailable stamp at exactly the
+            // retry) must HEAL on the immediate next serve — that, not
+            // a timing-based count cap, is the serving invariant
+            // (ADVICE r19). An unhealed failure is a real defect.
+            transientFailures += 1
+            val r2 = QueryService.run(spark, sf, q,
+              s"soak-$seed-$serves-heal", cached = false)
+            assert(r2.routed && prefixMaps.contains(servedMap(r2.rows)),
+              s"transient serve failure #$transientFailures did not " +
+                "heal on the immediate follow-up serve")
+            serves += 1
         }
         if (serves % 5 == 0) {
           // flush the serving metrics so the child's SPBPUS replan has
@@ -188,14 +200,15 @@ class SoakSpec extends AnyFunSuite {
       assert(serves > 0, "the soak must have served during the churn")
       // QueryService masks the refresh-swap reader window (one
       // stamp-driven re-route on a vanished-file scan), so serves
-      // through the churn succeed — at most ONE residual failure is
-      // tolerated per soak (the retry's own documented tail: a stamp
-      // read returning Unavailable at exactly the retry serves the
-      // stale layout once; a >150 ms scheduler stall between the
-      // swap's two renames can outlast the backoff). More than one
-      // means the classifier missed a transient class or something
-      // genuinely broke mid-swap.
-      assert(transientFailures <= 1,
+      // through the churn succeed. Residual failures past the retry
+      // are timing-bound (a >150 ms scheduler stall between the swap's
+      // two renames outlasts the backoff; an Unavailable stamp at
+      // exactly the retry), so a loaded CI runner may see several —
+      // each was already re-verified IN the loop to heal on the very
+      // next serve (an unhealed one threw there). Here only a
+      // serve-count-scaled sanity bound remains: a failure RATE means
+      // the classifier missed a transient class or the swap is torn.
+      assert(transientFailures <= math.max(2, serves / 50),
         s"$transientFailures serves failed through the swap-window " +
           s"retry (successes: $serves)")
 
