@@ -696,6 +696,52 @@ object CubeQueries extends QueryGroup {
              |    JOIN orders ON l_orderkey = o_orderkey
              |    WHERE strftime(o_orderdate, '%Y-%m') = '1996-03') AS BIGINT) AS n_first""".stripMargin)),
 
+    // 29c2 ────────────── N-ary retention (reference
+    //     RetentionPartialResult.java chains N children): a grouped
+    //     3-way intersect whose months straddle the s1995/s1997
+    //     SEGMENT boundary — bitmap states merge across segments
+    //     before the AND, and groups empty in every val come back as 0
+    Q("cube_intersect3",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT r_name,
+            |  intersect_count(o_custkey, o_month,
+            |    array('1996-12', '1997-01', '1997-02')) AS n_all3,
+            |  intersect_count(o_custkey, o_month,
+            |    array('1996-12', '1997-01')) AS n_cross2
+            |FROM graft_star GROUP BY r_name""".stripMargin)
+        assert(r.routed && r.via == "intersect-count",
+          s"expected the intersect-count rewrite, got ${r.via}")
+        r.df.orderBy("r_name")
+      },
+      Some("""WITH star AS (
+             |  SELECT o_custkey, r_name,
+             |    strftime(o_orderdate, '%Y-%m') AS o_month
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey),
+             |a3 AS (SELECT r_name, COUNT(*) AS n FROM (
+             |  SELECT DISTINCT r_name, o_custkey FROM star WHERE o_month = '1996-12'
+             |  INTERSECT
+             |  SELECT DISTINCT r_name, o_custkey FROM star WHERE o_month = '1997-01'
+             |  INTERSECT
+             |  SELECT DISTINCT r_name, o_custkey FROM star WHERE o_month = '1997-02'
+             |) GROUP BY 1),
+             |a2 AS (SELECT r_name, COUNT(*) AS n FROM (
+             |  SELECT DISTINCT r_name, o_custkey FROM star WHERE o_month = '1996-12'
+             |  INTERSECT
+             |  SELECT DISTINCT r_name, o_custkey FROM star WHERE o_month = '1997-01'
+             |) GROUP BY 1)
+             |SELECT k.r_name,
+             |  CAST(COALESCE(a3.n, 0) AS BIGINT) AS n_all3,
+             |  CAST(COALESCE(a2.n, 0) AS BIGINT) AS n_cross2
+             |FROM (SELECT DISTINCT r_name FROM star) k
+             |LEFT JOIN a3 ON k.r_name = a3.r_name
+             |LEFT JOIN a2 ON k.r_name = a2.r_name
+             |ORDER BY k.r_name""".stripMargin)),
+
     // 29f ─────────────── DimCountDistinct (reference measure/dim):
     //     exact distinct of a low-cardinality column carried as its
     //     value SET through re-aggregation — no dictionary, no bitmap
@@ -837,6 +883,36 @@ object CubeQueries extends QueryGroup {
              |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |      GROUP BY o_orderstatus)
              |ORDER BY rnk, o_orderstatus""".stripMargin)),
+
+    // 35f2 ────────────── window-rewrite generality (reference
+    //     OLAPWindowRule accepts ANY window over the aggregate): lag,
+    //     dense_rank, and a rolling-frame SUM computed over routed
+    //     month cells — three distinct window specs above one cuboid
+    Q("cube_sql_window2",
+      (s, d) => {
+        val r = GraftSql.sqlVia(s, d,
+          """SELECT o_month, revenue,
+            |  lag(revenue) OVER (ORDER BY o_month) AS prev_rev,
+            |  dense_rank() OVER (ORDER BY revenue DESC) AS drnk,
+            |  sum(revenue) OVER (ORDER BY o_month
+            |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rev_3mo
+            |FROM (SELECT o_month, sum(disc_price) AS revenue
+            |      FROM graft_star GROUP BY o_month)
+            |ORDER BY o_month""".stripMargin)
+        assert(r.routed && r.via == "cuboid",
+          s"expected the windows to ride the routed aggregate, got ${r.via}")
+        r.df
+      },
+      Some("""SELECT o_month, revenue,
+             |  LAG(revenue) OVER (ORDER BY o_month) AS prev_rev,
+             |  CAST(DENSE_RANK() OVER (ORDER BY revenue DESC) AS BIGINT) AS drnk,
+             |  SUM(revenue) OVER (ORDER BY o_month
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rev_3mo
+             |FROM (SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+             |        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+             |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |      GROUP BY 1)
+             |ORDER BY o_month""".stripMargin)),
 
     // 35c ─────────────── SQL routing fallback: unsupported measure /
     //     non-cube dim → Spark answers from the view (Kylin pushdown)
