@@ -81,16 +81,40 @@ final case class FrameSource(df: DataFrame) extends StreamSource {
 final case class KafkaEventSource(bootstrapServers: String, topic: String,
                                   startingOffsets: String = "earliest")
     extends StreamSource {
-  def load(spark: SparkSession): DataFrame =
+  def load(spark: SparkSession): DataFrame = {
+    KafkaEventSource.requireConnector()
     KafkaEventSource.decodeJson(
       spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrapServers)
         .option("subscribe", topic)
         .option("startingOffsets", startingOffsets)
         .load())
+  }
 }
 
 object KafkaEventSource {
+  /** the connector's registered DataSourceRegister implementation —
+    * present iff spark-sql-kafka is on the classpath */
+  private val ProviderClass =
+    "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+
+  /** Fail loud and NAMED when the Kafka connector jar is missing: a
+    * misconfigured deployment otherwise surfaces Spark's raw
+    * "Failed to find data source: kafka" ClassNotFound at stream start,
+    * with no hint which artifact to ship. The refusal names the exact
+    * jar so an operator can fix the deployment without reading Spark
+    * internals. */
+  private[streaming] def requireConnector(): Unit =
+    if (!connectorPresent) throw new IllegalStateException(
+      "KafkaEventSource requires the spark-sql-kafka connector on the " +
+        s"classpath ($ProviderClass not found). Deploy " +
+        "org.apache.spark:spark-sql-kafka-0-10_2.13 matching this " +
+        "build's Spark version, or use FileEventSource/FrameSource.")
+
+  def connectorPresent: Boolean =
+    try { Class.forName(ProviderClass); true }
+    catch { case _: ClassNotFoundException => false }
+
   /** kafka record frame (key/value binary, ...) → canonical event
     * frame; works identically on batch frames, which is how the spec
     * checks it without a broker */

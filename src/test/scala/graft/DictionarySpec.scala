@@ -135,6 +135,57 @@ class DictionarySpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("id space stays collision-free and bitmaps exact past 2^31") {
+    // Headroom contract (reference AppendTrieDictionary.java:66 caps at
+    // Integer.MAX_VALUE; graft ids are Longs end to end): seed a
+    // persisted dictionary version whose ids already STRADDLE 2^31 —
+    // written directly as the versioned parquet the append path reads,
+    // so no 2-billion-row build is needed — then append through the
+    // real buildOrAppend and prove (a) existing ids survive unchanged,
+    // (b) new ids land strictly above the >2^31 max with no collision
+    // (no Int truncation anywhere in base+rank+offset arithmetic), and
+    // (c) Roaring64-backed bitmap states over >2^31 ids count exactly.
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-dict-2g").toString
+    val boundary = Int.MaxValue.toLong + 1 // 2^31
+
+    // v1: 100 values with ids 2^31-50 .. 2^31+49 (persisted exactly as
+    // Dictionary.persist lays them out; Spark's _SUCCESS commits it)
+    val seeded = (0 until 100)
+      .map(i => (f"v$i%04d", boundary - 50 + i)).toDF("v", "dict_id")
+    seeded.write.parquet(s"$root/dict/v/v1")
+    assert(Dictionary.latestVersion(spark, root, "v") == 1)
+
+    // append: 100 existing + 100 new values through the public path
+    val incoming = (0 until 200).map(i => f"v$i%04d").toDF("v")
+    val d2 = Dictionary.buildOrAppend(spark, incoming, "v", root)
+    val m2 = d2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m2.size == 200 && m2.values.toSet.size == 200, "injective")
+    (0 until 100).foreach { i =>
+      assert(m2(f"v$i%04d") == boundary - 50 + i,
+        "existing ids across the 2^31 boundary must not change")
+    }
+    val newIds = (100 until 200).map(i => m2(f"v$i%04d"))
+    assert(newIds.forall(_ > boundary + 49), "new ids above the old max")
+    assert(newIds.toSet.size == 100)
+    // Int truncation would collide ids 2^31-50+i with their wrapped
+    // negatives; prove the full 200-id set survives a round trip
+    // through the bitmap state with exact cardinality and intersection
+    val ids = m2.values.toSeq.toDF("id")
+    val st = ids.agg(Measures.bitmapAgg(col("id")).as("st"))
+    assert(st.select(Measures.bitmapCount(col("st")).as("n"))
+      .head().getLong(0) == 200L)
+    val lo = ids.filter(col("id") < boundary)
+      .agg(Measures.bitmapAgg(col("id")).as("a"))
+    val hi = ids.filter(col("id") >= boundary - 10)
+      .agg(Measures.bitmapAgg(col("id")).as("b"))
+    val overlap = lo.crossJoin(hi)
+      .select(Measures.bitmapAndCount(col("a"), col("b")).as("n"))
+      .head().getLong(0)
+    assert(overlap == 10L,
+      "intersection spanning the 2^31 boundary must be exact")
+  }
+
   test("dictEncodedMeasures names exactly the measures reading a " +
       "dictionary id column") {
     // the star cube dict-encodes c_name: cname_bitmap reads c_name_id
