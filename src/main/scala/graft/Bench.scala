@@ -20,6 +20,24 @@ object Bench {
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** the 36 queries of the pinned round-2 baseline (BASELINE.md:
+    * "compare per-query times for the 36 baseline keys") — the compact
+    * stdout record reports exactly these so the round-over-round
+    * comparison survives the driver's 2000-char stdout tail */
+  val BaselineKeys: Seq[String] = Seq(
+    "cube_bitmap_distinct", "cube_exact_match", "cube_flat_table",
+    "cube_hll_distinct", "cube_percentile", "cube_pushdown_fallback",
+    "cube_raw_measure", "cube_reagg", "cube_segment_merge",
+    "cube_segment_prune", "cube_topn_measure",
+    "q01_scan_filter", "q02_agg_pricing", "q03_join_revenue",
+    "q04_exists_semijoin", "q05_star_join", "q06_selective_filter",
+    "q07_topn_per_group", "q08_rollup", "q09_grouping_sets",
+    "q10_count_distinct", "q11_window_running", "q12_percentile",
+    "q13_having", "q14_case_when", "q15_string_funcs", "q16_date_funcs",
+    "q17_in_subquery", "q18_anti_join", "q19_union", "q20_order_limit",
+    "q21_avg_ratio", "q22_distinct", "q23_left_join",
+    "q24_scalar_subquery", "q25_approx_distinct")
+
   /** Usage-log → planner loop over the REAL workload the bench just
     * ran (reference: CuboidRecommendAlgorithm, cube planner phase 2):
     * every route the two timed passes executed is in
@@ -391,6 +409,28 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_pass":$qsFirst,"load_avg":$loadJson,"load_gate":$gateJson,"retried":$retriedJson,"cube_build_sec":$cubeBuildSec,"build_phases":$phases,"planner":$planner,"result_cache":$cacheReport,"fleet_cache":$fleetReport,"replan":$replanJson,"refresh":$refreshJson,"sf":"$sfDir"}"""
     println(json)
+    // The driver keeps only the last ~2000 chars of stdout, and the full
+    // record above (134 queries × two maps + sub-reports, ~10 KB) has
+    // never fit — BENCH_r14..r19 all read parsed:null. Emit a final
+    // COMPACT line that fits the tail window whole: the 36 pinned
+    // baseline keys (BASELINE.md's comparison rule — later rounds are
+    // graded on these, not the raw total) at 3 decimals, plus
+    // suite-level summary. The full per-query map stays in
+    // target/bench.json (committed per round as BENCH_local_rN.json).
+    val resMap = results.toMap
+    val qsCompact = BaselineKeys.filter(resMap.contains)
+      .map(k => "\"" + k + "\":" + f"${resMap(k)}%.3f")
+      .mkString("{", ",", "}")
+    val baselineTotal = BaselineKeys.flatMap(resMap.get).sum
+    println(
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
+      s""""queries":$qsCompact,""" +
+      s""""queries_note":"36 pinned baseline keys; full ${resMap.size}-key map in target/bench.json",""" +
+      f""""baseline_total_sec":$baselineTotal%.2f,""" +
+      s""""n_queries":${resMap.size},""" +
+      f""""mean_sec":${total / resMap.size}%.3f,""" +
+      f""""cube_build_sec":$cubeBuildSec%.2f,""" +
+      s""""gate_passed":$gatePassed,"sf":"$sfDir"}""")
     // also persist the full map: the driver's stdout tail truncated in
     // round 5 and lost the fast keys from round-over-round comparison.
     // Write-then-ATOMIC_MOVE (VERDICT r12 item 7): a reader — or a

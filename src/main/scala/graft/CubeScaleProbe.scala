@@ -49,6 +49,92 @@ object CubeScaleProbe {
     "cube_exact_match", "cube_reagg", "cube_bitmap_distinct",
     "cube_shard_prune", "cube_segment_prune", "cube_sql_route")
 
+  /** the keys whose x10 ANSWERS are hash-compared against independent
+    * recomputation (VERDICT r19 item 2): the six timed routed keys
+    * plus one bitmap/hll/topn key each (bitmap is already in
+    * RoutedKeys) — correctness-at-scale, not just wall-time-at-scale */
+  private[graft] val AnswerKeys: Seq[String] =
+    RoutedKeys ++ Seq("cube_hll_distinct", "cube_topn_measure")
+
+  /** Independent plain-Spark recomputation of a routed key's semantics
+    * over the replicated star: flatTable is a raw star JOIN over the
+    * parquet tables — no cuboid, no routed state, no dictionary — so a
+    * match proves the 10× build+route pipeline end to end (the soak's
+    * recount posture, SoakSpec; the reference's kylin-it build-then-
+    * query ITs make the same check at their scale). Aggregation
+    * algebra mirrors each key's DuckDB oracle exactly (decimal sums
+    * presented as double), so answers are bit-comparable. */
+  private def recount(spark: SparkSession, dir: String,
+                      key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import graft.Exact._
+    val flat = CubeManager.flatTable(spark, dir)
+    def rev = sum(col("disc_price")).cast(DoubleType)
+    key match {
+      case "cube_exact_match" =>
+        flat.groupBy("o_orderstatus", "l_returnflag")
+          .agg(rev.as("revenue"), count(lit(1)).as("n_rows"))
+          .orderBy("o_orderstatus", "l_returnflag")
+      case "cube_reagg" =>
+        flat.groupBy("l_returnflag")
+          .agg(rev.as("revenue"),
+            sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag")
+      case "cube_bitmap_distinct" =>
+        flat.groupBy("r_name")
+          .agg(countDistinct(col("o_custkey")).as("n_cust"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("r_name")
+      case "cube_shard_prune" =>
+        flat.filter(col("r_name") === "ASIA")
+          .groupBy("n_name")
+          .agg(rev.as("revenue"), count(lit(1)).as("n_rows"))
+          .orderBy("n_name")
+      case "cube_segment_prune" =>
+        flat.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+          .groupBy("o_month")
+          .agg(rev.as("revenue"), count(lit(1)).as("n_rows"))
+          .orderBy("o_month")
+      case "cube_sql_route" =>
+        flat.filter(col("r_name") === "ASIA")
+          .groupBy("n_name")
+          .agg(rev.as("revenue"), count(lit(1)).as("n_rows"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+          .orderBy("n_name")
+      case "cube_hll_distinct" =>
+        // the routed key already joins its HLL estimate against the
+        // exact flat count and reduces to a tolerance bool — the
+        // recount pins that every group's estimate stays within the
+        // 5% contract at 10× cardinality
+        flat.groupBy("c_mktsegment")
+          .agg(countDistinct(col("o_custkey")).as("exact_cust"))
+          .withColumn("hll_ok", lit(true))
+          .orderBy("c_mktsegment")
+      case "cube_topn_measure" =>
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("rev_dec").desc, col("p_brand"))
+        flat.groupBy("l_returnflag", "p_brand")
+          .agg(sum(col("disc_price")).as("rev_dec"))
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .filter(col("rn") <= 5)
+          .select(col("l_returnflag"), col("rn"), col("p_brand"),
+            col("rev_dec").cast(DoubleType).as("brand_rev"))
+          .orderBy("l_returnflag", "rn")
+      case other => sys.error(s"no recount defined for $other")
+    }
+  }
+
+  /** both frames are ordered by their keys; equality is row-by-row on
+    * the collected values (doubles bit-exact — the algebra matches) */
+  private def sameAnswer(routed: DataFrame, expect: DataFrame): Boolean = {
+    val (ra, rb) = (routed.collect(), expect.collect())
+    ra.length == rb.length && ra.length > 0 &&
+      ra.map(_.toSeq).sameElements(rb.map(_.toSeq))
+  }
+
   private def fs(spark: SparkSession) =
     org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -272,6 +358,88 @@ object CubeScaleProbe {
       f""""wall_both_sec":$wall%.1f}"""
   }
 
+  /** AQE skew-join certification of the flat build's fact-scaled
+    * shuffle joins (VERDICT r19 item 3). The r19 100× fix made
+    * customer/supplier/part/orders SHUFFLE joins at scale (only
+    * bounded nation/region stay hint-broadcast) — this probe proves
+    * that posture self-heals under key skew: plant one customer
+    * owning 20% of orders at x10, force the 100 TB join regime
+    * (auto-broadcast off, so the lookup joins are genuine shuffles),
+    * and check that OptimizeSkewedJoin splits the hot partition and
+    * keeps the skewed flat materialization near the unskewed wall.
+    * The skew thresholds are lowered to probe scale (hot partition
+    * here is tens of MB, not the default 256 MB gate) — what's being
+    * certified is that the PLAN SHAPE admits the AQE split (no
+    * forced-broadcast hint, no custom partitioning in the way), which
+    * is scale-independent; at 100 TB the default thresholds trip on
+    * their own. Engine conf posture matches the reference
+    * (kylin-spark-engine job conf enables AQE + skew join). */
+  private[graft] def skewProbe(spark: SparkSession, dir: String): String = {
+    val od = Tables.orders(spark, dir)
+    val hot = od.agg(min(col("o_custkey"))).head.getLong(0)
+    val skewed = od.withColumn("o_custkey",
+      when(pmod(col("o_orderkey"), lit(5)) === 0, lit(hot))
+        .otherwise(col("o_custkey")))
+    def flatOf(orders: DataFrame): DataFrame = CubeManager.flatTableFrom(
+      Tables.lineitem(spark, dir), orders, Tables.customer(spark, dir),
+      Tables.nation(spark, dir), Tables.region(spark, dir),
+      Tables.supplier(spark, dir), Tables.part(spark, dir))
+    val confs = Seq(
+      // the 100 TB regime: fact-scaled lookups don't fit a broadcast
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      // sized to the probe's shuffle geometry: median partition ≈19 MB
+      // at x10/32 partitions, the hot one ≈240 MB — the 32m/2× gate
+      // admits only the hot partition, and the 16m advisory splits it
+      // ~15 ways (a 1m advisory was measured to over-split into ~240
+      // sub-reads whose fixed costs alone pushed the skewed run past
+      // the bound)
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = (confs.map(_._1) :+ "spark.sql.adaptive.skewJoin.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // materialize through the dataset's OWN QueryExecution so the
+      // post-run executedPlan is the AQE final plan — NOT
+      // Dataset.foreachPartition, which executes the separate
+      // rddQueryExecution and leaves this plan isFinalPlan=false,
+      // and NOT a write, which re-plans on a fresh QueryExecution
+      def run(df: DataFrame): (Double, Boolean) = {
+        val qe = df.queryExecution
+        val (_, t) = sec(qe.toRdd.foreachPartition(_ => ()))
+        (t, qe.executedPlan.toString.contains("skew=true"))
+      }
+      run(flatOf(od)): Unit // warmup this conf posture's codegen
+      // three INTERLEAVED rounds of (plain, skewed-with-split,
+      // skewed-split-off), min per series: this is a multi-second job
+      // on a shared box — interleaving puts ambient drift on all three
+      // series equally, and the split-off series shows the STRAGGLER
+      // cost the split removes (one task owning ~20% of the shuffle)
+      val rounds = (1 to 3).map { _ =>
+        val (p, _) = run(flatOf(od))
+        val (s, fired) = run(flatOf(skewed))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        val (off, _) = run(flatOf(skewed))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        (p, s, off, fired)
+      }
+      val plain = rounds.map(_._1).min
+      val skew = rounds.map(_._2).min
+      val noSplit = rounds.map(_._3).min
+      val fired = rounds.forall(_._4)
+      val ratio = skew / math.max(plain, 1e-9)
+      f"""{"hot_share":0.20,"skew_fired":$fired,""" +
+        f""""plain_sec":$plain%.1f,"skewed_sec":$skew%.1f,""" +
+        f""""skewed_nosplit_sec":$noSplit%.1f,""" +
+        f""""ratio":$ratio%.2f,""" +
+        f""""split_benefit":${noSplit / math.max(skew, 1e-9)}%.2f,""" +
+        f""""passed":${fired && ratio <= 1.5}}"""
+    } finally saved.foreach { case (k, vo) =>
+      vo.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
@@ -338,6 +506,23 @@ object CubeScaleProbe {
     // ── refresh + merge at both scales
     val (rf01, mg01) = lifecycle(inst01)
     val (rf10, mg10) = lifecycle(inst10)
+    // ── x10 ANSWERS (VERDICT r19 item 2): every probed key's 10×
+    // result hash-compared against an independent plain-Spark
+    // recomputation over the replicated star — the wall-clock ratios
+    // above mean nothing if the 10× answers drifted
+    val answers = AnswerKeys.map { k =>
+      val ok =
+        try sameAnswer(SparkEntry.queries(k)(spark, out10),
+          recount(spark, out10, k))
+        catch { case e: Exception =>
+          System.err.println(s"[cubescale] answer check $k: $e"); false }
+      k -> ok
+    }
+    val answersJson =
+      s"""{"all_match":${answers.forall(_._2)},"keys":{""" +
+        answers.map { case (k, ok) => s""""$k":$ok""" }.mkString(",") + "}}"
+    // ── AQE skew-join certification at x10 (VERDICT r19 item 3)
+    val skewJson = skewProbe(spark, out10)
     // ── shared-root dict-lease contention at 10× dictionary
     // cardinality (VERDICT r17 item 4): two member cubes co-rooted by
     // rootScope race their builds; the root-level dict lease must
@@ -410,6 +595,8 @@ object CubeScaleProbe {
         f""""ratio":${r(rf01, rf10)}%.2f},""" +
         f""""merge":{"sf01_sec":$mg01%.1f,"x10_sec":$mg10%.1f,""" +
         f""""ratio":${r(mg01, mg10)}%.2f},""" +
+        s""""answers_x10":$answersJson,""" +
+        s""""skew_x10":$skewJson,""" +
         s""""contention_x10":$contention,""" +
         x100.map(s => s""""x100":$s,""").getOrElse("") +
         s""""queries":[${qRows.mkString(",")}]}"""
