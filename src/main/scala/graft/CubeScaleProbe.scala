@@ -548,6 +548,21 @@ object CubeScaleProbe {
         val q100 = timeKeys(out100)
         val (n100, db100, da100) = dictProbe(spark, out100, "x100")
         val (rf100, mg100) = lifecycle(inst100)
+        // the same independent-answer check as answers_x10, at the
+        // second decade: the 100× build's routed answers recomputed
+        // from the raw replicated star
+        val answers100 = AnswerKeys.map { k =>
+          val ok =
+            try sameAnswer(SparkEntry.queries(k)(spark, out100),
+              recount(spark, out100, k))
+            catch { case e: Exception =>
+              System.err.println(s"[cubescale] x100 answer $k: $e"); false }
+          k -> ok
+        }
+        val answers100Json =
+          s"""{"all_match":${answers100.forall(_._2)},"keys":{""" +
+            answers100.map { case (k, ok) => s""""$k":$ok""" }
+              .mkString(",") + "}}"
         val phaseRows100 = ph100.keys.toSeq.sorted.map { k =>
           val a = ph10.getOrElse(k, 0.0); val b = ph100(k)
           f""""$k":{"x10_sec":$a%.2f,"x100_sec":$b%.2f,""" +
@@ -567,6 +582,7 @@ object CubeScaleProbe {
           f""""x100_append":$da100%.2f,"append_ratio_vs_x10":${r(da10, da100)}%.2f},""" +
           f""""refresh":{"x100_sec":$rf100%.1f,"ratio_vs_x10":${r(rf10, rf100)}%.2f},""" +
           f""""merge":{"x100_sec":$mg100%.1f,"ratio_vs_x10":${r(mg10, mg100)}%.2f},""" +
+          s""""answers_x100":$answers100Json,""" +
           s""""queries":[${qRows100.mkString(",")}]}""")
       }
     val loadAfter = loadAvg()
