@@ -320,6 +320,32 @@ object Dedup {
           .reduce(_ + _).as("s64"))
   }
 
+  /** simhash bucket rows behind a bounded memo: `guardedBucketPairs`
+    * references its input in FOUR plan branches (bucket stats, both
+    * self-join sides, the star branch), and Catalyst duplicates the
+    * subtree per consumer — unpersisted, the 60-bit-sum signature agg
+    * recomputes per branch (measured +1.0 s on doc_simhash at sf0.1
+    * when the guard landed). Same pattern and rationale as the
+    * shingle/minhash-pair memos above. */
+  private val SimBucketCacheCap = 4
+  private val simBucketCache = new graft.BoundedMemo[
+    (SparkSession,
+     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    DataFrame](SimBucketCacheCap)(_.unpersist(blocking = false))
+
+  private def cachedSimhashBuckets(docs: DataFrame)
+                                  (implicit spark: SparkSession): DataFrame =
+    simBucketCache.getOrElseUpdate(
+      (spark, docs.queryExecution.analyzed.canonicalized), {
+        val sig = simhashSignatures(cachedShingleRows(docs))
+        val chunkCols = (0 until NumChunks).map(c =>
+          shiftright(col("s64"), c * ChunkBits)
+            .bitwiseAND((1 << ChunkBits) - 1))
+        sig.select(col("doc_id"), col("s64"),
+            posexplode(array(chunkCols: _*)).as(Seq("chunk", "cv")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
+
   /** SimHash near-dup pairs with hamming ≤ maxHamming. Candidates via
     * chunk banding: split the signature into NumChunks chunks; hamming
     * ≤ NumChunks−1 pairs MUST agree on some chunk (pigeonhole), so for
@@ -331,14 +357,9 @@ object Dedup {
   def simhashDupPairs(docs: DataFrame, maxHamming: Int)
                      (implicit spark: SparkSession): DataFrame = {
     require(maxHamming < NumChunks, "banding only lossless below NumChunks")
-    val sig = simhashSignatures(cachedShingleRows(docs))
-    val chunkCols = (0 until NumChunks).map(c =>
-      shiftright(col("s64"), c * ChunkBits).bitwiseAND((1 << ChunkBits) - 1))
-    val buckets = sig.select(col("doc_id"), col("s64"),
-        posexplode(array(chunkCols: _*)).as(Seq("chunk", "cv")))
     val ham = expr("bit_count(s64_a ^ s64_b)")
-    guardedBucketPairs(buckets, Seq("chunk", "cv"), SimhashBucketCap,
-        payload = Seq("s64"))
+    guardedBucketPairs(cachedSimhashBuckets(docs), Seq("chunk", "cv"),
+        SimhashBucketCap, payload = Seq("s64"))
       .select(col("id_a"), col("id_b"), ham.cast(IntegerType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
