@@ -209,12 +209,31 @@ object Dedup {
     smallPairs.union(starPairs).distinct()
   }
 
+  /** minhash banded-bucket rows behind a bounded memo — same
+    * four-branch-recompute rationale as the simhash bucket memo below:
+    * unpersisted, `guardedBucketPairs` re-runs the 16-min signature
+    * agg per guard branch (measured ~0.2 s back on doc_minhash_lsh at
+    * sf0.1, and the win grows with the corpus). */
+  private val BandCacheCap = 4
+  private val bandCache = new graft.BoundedMemo[
+    (SparkSession,
+     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    DataFrame](BandCacheCap)(_.unpersist(blocking = false))
+
+  private def cachedBandedBuckets(rows: DataFrame)
+                                 (implicit spark: SparkSession): DataFrame =
+    bandCache.getOrElseUpdate(
+      (spark, rows.queryExecution.analyzed.canonicalized),
+      bandedBuckets(minhashSignatures(rows))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
   /** candidate pairs from banded signatures: docs agreeing on all r
     * rows of any band share a bucket; the bucket join is an equi-join
     * on (band, key), hot-bucket-guarded at `MinhashBucketCap`.
     * P(candidate | J=0.9) ≈ 1 − 4e-8. */
-  def minhashCandidates(rows: DataFrame): DataFrame =
-    guardedBucketPairs(bandedBuckets(minhashSignatures(rows)),
+  def minhashCandidates(rows: DataFrame)
+                       (implicit spark: SparkSession): DataFrame =
+    guardedBucketPairs(cachedBandedBuckets(rows),
       Seq("band", "key"), MinhashBucketCap)
 
   // ── Incremental near-dup vs a persisted signature store ──────────
