@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's FINAL stdout line as JSON; sbt's
+// default forked-output strategy prefixes child stdout with "[info] "
+// and then prints "[success] Total time ..." after it — both defeat
+// that parser (BENCH_r14..r20 all read parsed:null, ADVICE r20).
+// Pass the child's stdout/stderr through verbatim and drop the
+// success banner, so the bench's compact JSON record is the literal
+// last clean stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -40,10 +40,20 @@ import org.apache.spark.sql.SparkSession
   *
   * Object stores (ADVICE r14): `setTimes` is unsupported on s3a-like
   * stores, so the heartbeat falls back — permanently, on its first
-  * setTimes failure — to rewriting the lease body (a new object PUT
-  * changes mtime and length on any store); the waiter tracks
-  * quiescence of the (mtime, len) PAIR so the tick is visible even
-  * under coarse mtime granularity. Note also that
+  * setTimes failure — to PUTting a changing tick into a SIBLING
+  * `_building.tick` file; the waiter tracks quiescence of the
+  * (mtime, len) pairs of BOTH files, so the tick is visible even
+  * under coarse mtime granularity. The lease body itself is immutable
+  * from acquire to release (VERDICT r20 wrong #1): the old fallback
+  * rewrote the lease body after an ownership read, and a successor
+  * that broke the stalled lease inside that read→PUT window was
+  * stomped — permanently, because the stomped body re-named the old
+  * holder and every later `stillOurs` read then passed. With ticks in
+  * a sibling file there is no write to the lease at all, so the stomp
+  * class is structurally gone; a zombie's worst case is one stray
+  * tick PUT (making the successor's lease look alive a little longer)
+  * before its next ownership read sees the foreign body and stops.
+  * Note also that
   * `create(overwrite=false)` is NOT an atomic mutual-exclusion
   * primitive on s3a (list-after-write consistency does not make
   * create exclusive): there, two racers can both "acquire", and the
@@ -67,10 +77,20 @@ object BuildLease {
   private val owner =
     s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
 
-  /** lease body = owner line, optionally followed by heartbeat ticks
-    * (the rewrite-mode heartbeat appends a changing second line) */
+  /** test seam (BuildLeaseSpec): invoked on the heartbeat thread
+    * between the tick-mode ownership read and the tick write — the
+    * window the old body-rewrite fallback could stomp a successor in.
+    * The spec injects a foreign re-acquire here and proves the lease
+    * body survives untouched. Production no-op. */
+  private[graft] var tickWindowHook: () => Unit = () => ()
+
+  /** lease body = the owner line (immutable from acquire to release) */
   private def ownerOf(body: String): String =
     body.linesIterator.nextOption().getOrElse("")
+
+  /** sibling file carrying object-store heartbeat ticks; never
+    * consulted for ownership, only for liveness */
+  private def tickPath(p: Path): Path = new Path(p.toString + ".tick")
 
   private def tryAcquire(fs: FileSystem, p: Path): Boolean =
     try {
@@ -97,7 +117,12 @@ object BuildLease {
     scala.util.Try {
       val parked = new Path(
         p.toString + ".broken." + java.util.UUID.randomUUID())
-      if (fs.rename(p, parked)) fs.delete(parked, false): Unit
+      if (fs.rename(p, parked)) {
+        fs.delete(parked, false): Unit
+        // retire the crashed holder's tick file with its lease so the
+        // next epoch starts with a clean liveness signal
+        fs.delete(tickPath(p), false): Unit
+      }
     }: Unit
 
   /** release only a lease this process still owns — a lease that was
@@ -111,7 +136,10 @@ object BuildLease {
       val in = fs.open(p)
       val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      if (ownerOf(body) == owner) fs.delete(p, false): Unit
+      if (ownerOf(body) == owner) {
+        fs.delete(p, false): Unit
+        fs.delete(tickPath(p), false): Unit
+      }
     }: Unit
 
   /** Run `build` under the cube's build lease (`leaseFile` names the
@@ -125,13 +153,18 @@ object BuildLease {
       loadCommitted: => Option[T])(build: => T): T = {
     val p = new Path(s"$root/$cubeName/$leaseFile")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // ((mtime, len), first locally observed at) — quiescence tracking.
-    // Length rides along because the object-store heartbeat rewrites
-    // the body (PUT), so a store with coarse mtime still shows the
-    // tick through the changing length.
-    var observed: Option[((Long, Long), Long)] = None
+    // ((lease mtime, lease len, tick mtime, tick len), first locally
+    // observed at) — quiescence tracking. The tick file's signature
+    // rides along because the object-store heartbeat PUTs a sibling
+    // tick (the lease itself is immutable), and its length changes
+    // even on stores with coarse mtime granularity.
+    var observed: Option[((Long, Long, Long, Long), Long)] = None
     while (true) {
       if (tryAcquire(fs, p)) {
+        // a prior epoch's tick file may have survived its lease (its
+        // delete is best-effort) — clear it so this epoch's liveness
+        // signal starts clean
+        scala.util.Try(fs.delete(tickPath(p), false)): Unit
         // we hold the lease — keep it alive for the build's duration;
         // a failed touch is retried next tick (a transient FS error
         // must not silently kill the heartbeat and invite takeover).
@@ -139,34 +172,26 @@ object BuildLease {
         // which would have made EVERY touch a silent no-op inside the
         // old Try and any build longer than ExpiryMs look crashed
         // (ADVICE r14). On the first setTimes failure the heartbeat
-        // permanently falls back to REWRITING the lease body (owner
-        // line + a changing tick line): a new object PUT changes
-        // mtime and length on every store, which is exactly what the
-        // waiter's (mtime, len) quiescence tracking watches.
+        // permanently falls back to tick mode: PUT a changing body
+        // into the SIBLING tick file — a new object PUT changes mtime
+        // and length on every store, which the waiter's quiescence
+        // signature watches alongside the lease. The lease body is
+        // NEVER rewritten (VERDICT r20 wrong #1: the old read→PUT
+        // body rewrite could stomp a successor that broke this lease
+        // inside the window, and the stomp was a permanent
+        // re-capture). The ownership read before each tick only
+        // decides whether to KEEP ticking: once the body names a
+        // successor, this holder goes quiet and lets its epoch end.
         val hb = new Thread(() => {
-          var rewriteMode = false
+          var tickMode = false
           try {
             while (!Thread.currentThread().isInterrupted) {
               Thread.sleep(HeartbeatMs)
-              if (!rewriteMode &&
+              if (!tickMode &&
                   scala.util.Try(fs.setTimes(p,
                     System.currentTimeMillis(), -1)).isFailure)
-                rewriteMode = true
-              if (rewriteMode) scala.util.Try {
-                // verify the lease is still OURS before the rewrite: a
-                // holder that stalled past ExpiryMs may have been
-                // broken and succeeded by another builder, and a blind
-                // create(overwrite) would stomp the successor's live
-                // lease (and our releaseOwned would then delete it).
-                // A failed/negative read skips this tick — erring
-                // toward letting our lease lapse (a duplicate build at
-                // worst). The read→PUT pair is not atomic, so a
-                // successor landing exactly inside that window can
-                // still be stomped — the same crash-rare class as
-                // releaseOwned's documented read-then-delete window
-                // (it requires this holder to have already stalled
-                // past ExpiryMs), narrowed here from "every tick" to
-                // "one racing tick".
+                tickMode = true
+              if (tickMode) scala.util.Try {
                 val stillOurs = scala.util.Try {
                   val in = fs.open(p)
                   val body = try scala.io.Source
@@ -175,7 +200,12 @@ object BuildLease {
                   ownerOf(body) == owner
                 }.getOrElse(false)
                 if (stillOurs) {
-                  val out = fs.create(p, true) // overwrite our own lease
+                  tickWindowHook()
+                  // tick the sibling — even a successor acquiring the
+                  // lease inside this window loses nothing: the lease
+                  // body is untouched, and the stray tick at worst
+                  // delays a later staleness verdict by one window
+                  val out = fs.create(tickPath(p), true)
                   try out.write(
                     s"$owner\n${System.nanoTime()}".getBytes("UTF-8"))
                   finally out.close()
@@ -196,7 +226,13 @@ object BuildLease {
       } else {
         scala.util.Try {
           val st = fs.getFileStatus(p)
-          (st.getModificationTime, st.getLen)
+          // the tick sibling is absent in setTimes mode — fold its
+          // signature in as (-1, -1) so mode changes show as activity
+          val tick = scala.util.Try {
+            val ts = fs.getFileStatus(tickPath(p))
+            (ts.getModificationTime, ts.getLen)
+          }.getOrElse((-1L, -1L))
+          (st.getModificationTime, st.getLen, tick._1, tick._2)
         }.toOption match {
           case None =>
             // gone between create-fail and stat: fall through to the

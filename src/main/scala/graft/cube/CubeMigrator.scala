@@ -180,7 +180,7 @@ object CubeMigrator {
       // a build lease is process-local state, never data: carrying a
       // live source lease to the destination would make the first dst
       // builder wait out a crash-expiry for a build that isn't there
-      name == "_building" ||
+      name == "_building" || name == "_building.tick" ||
       // build-attempt state (BuildJob): jobIds are per-root attempts;
       // carried to the destination they are inert at best — and a
       // copied refresh-attempt file could resurrect a stale attempt id

@@ -154,8 +154,9 @@ class BuildLeaseSpec extends AnyFunSuite {
     assert(builds.get() == 0 && inst.rows == winner.rows)
   }
 
-  test("a rewrite-mode heartbeat never stomps a lease it no longer " +
-      "owns (a broken-and-reacquired lease stays the successor's)") {
+  test("a tick-mode heartbeat never stomps a lease it no longer owns — " +
+      "a foreign re-acquire INSIDE the read→write window survives " +
+      "(the r20 stomp window is structurally gone)") {
     val localDir = java.nio.file.Files
       .createTempDirectory("graft-lease-stomp").toString
     spark.sparkContext.hadoopConfiguration.set("fs.failtimes.impl",
@@ -163,27 +164,44 @@ class BuildLeaseSpec extends AnyFunSuite {
     val root = s"failtimes://$localDir"
     val saved = (BuildLease.ExpiryMs, BuildLease.HeartbeatMs,
       BuildLease.PollMs)
+    val lease = new java.io.File(s"$localDir/events/_building")
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
     try {
       BuildLease.ExpiryMs = 10000L // no waiter; never expires here
       BuildLease.HeartbeatMs = 100L
+      // DETERMINISTIC stomp probe (VERDICT r20 item 1): the hook runs
+      // on the heartbeat thread AFTER its ownership read said "ours"
+      // and BEFORE its tick write — exactly the window the old
+      // body-rewrite fallback stomped. Inject the foreign successor
+      // right there; with ticks in the sibling file the lease body
+      // must survive even a write landing inside the window.
+      BuildLease.tickWindowHook = () =>
+        if (injected.compareAndSet(false, true))
+          java.nio.file.Files.write(lease.toPath,
+            "foreign-successor\n0".getBytes("UTF-8")): Unit
       val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
       try {
         val holder = pool.submit(() =>
           BuildLease.withLease(spark, root, "events")(None) {
             Thread.sleep(1500); "done"
           })
-        Thread.sleep(400) // rewrite-mode heartbeats running
-        val lease = new java.io.File(s"$localDir/events/_building")
-        assert(lease.exists())
-        // simulate a successor having broken + re-acquired: the body
-        // now names a FOREIGN owner
-        java.nio.file.Files.write(lease.toPath,
-          "foreign-successor\n0".getBytes("UTF-8"))
-        Thread.sleep(400) // several heartbeat ticks
+        val deadline = System.currentTimeMillis() + 5000
+        while (!injected.get && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+        assert(injected.get, "the heartbeat must reach tick mode")
+        Thread.sleep(400) // several heartbeat ticks after the injection
         val body = new String(
           java.nio.file.Files.readAllBytes(lease.toPath), "UTF-8")
         assert(body.linesIterator.next() == "foreign-successor",
           s"the old holder's heartbeat must not stomp, got: $body")
+        // once ownership is lost the heartbeat goes quiet: the tick
+        // sibling stops changing (at most the one in-window write)
+        val tick = new java.io.File(s"$localDir/events/_building.tick")
+        val sig0 = (tick.exists(), tick.lastModified(), tick.length())
+        Thread.sleep(400)
+        val sig1 = (tick.exists(), tick.lastModified(), tick.length())
+        assert(sig0 == sig1,
+          "a heartbeat that lost its lease must stop ticking")
         assert(holder.get(60, java.util.concurrent.TimeUnit.SECONDS) == "done")
         // releaseOwned refused too: the successor's lease survives
         assert(lease.exists() && new String(
@@ -192,6 +210,7 @@ class BuildLeaseSpec extends AnyFunSuite {
         lease.delete(): Unit
       } finally pool.shutdownNow()
     } finally {
+      BuildLease.tickWindowHook = () => ()
       BuildLease.ExpiryMs = saved._1
       BuildLease.HeartbeatMs = saved._2
       BuildLease.PollMs = saved._3
@@ -236,18 +255,21 @@ class BuildLeaseSpec extends AnyFunSuite {
             builds.incrementAndGet()
             "waiter-built"
           })
-        // mid-build, the rewrite heartbeat is observable: the body
-        // grows a tick line under the owner line
+        // mid-build, the tick-mode heartbeat is observable: the
+        // SIBLING tick file appears (the lease body stays immutable)
         val leaseFile = new java.io.File(s"$localDir/events/_building")
+        val tickFile = new java.io.File(s"$localDir/events/_building.tick")
         val deadline = System.currentTimeMillis() + 1500
         var sawTick = false
         while (!sawTick && System.currentTimeMillis() < deadline) {
-          sawTick = leaseFile.exists() && new String(
-            java.nio.file.Files.readAllBytes(leaseFile.toPath),
-            "UTF-8").linesIterator.size > 1
+          sawTick = tickFile.exists() && tickFile.length() > 0
           if (!sawTick) Thread.sleep(50)
         }
-        assert(sawTick, "the fallback heartbeat must rewrite the body")
+        assert(sawTick, "the fallback heartbeat must tick the sibling")
+        assert(new String(
+          java.nio.file.Files.readAllBytes(leaseFile.toPath), "UTF-8")
+          .linesIterator.size == 1,
+          "the lease body must stay the immutable owner line")
         assert(holder.get(60,
           java.util.concurrent.TimeUnit.SECONDS) == "holder-built")
         assert(waiter.get(60,
@@ -256,6 +278,7 @@ class BuildLeaseSpec extends AnyFunSuite {
         assert(builds.get() == 1,
           s"the live holder must never be broken, got ${builds.get()} builds")
         assert(!leaseFile.exists(), "the lease must be released")
+        assert(!tickFile.exists(), "release must retire the tick sibling")
       } finally pool.shutdownNow()
     } finally {
       BuildLease.ExpiryMs = saved._1
