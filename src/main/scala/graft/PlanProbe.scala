@@ -38,7 +38,8 @@ object PlanProbe {
     }
 
     case class St(id: Int, name: String, runMs: Long, shRead: Long,
-                  shWrite: Long, tasks: Int)
+                  shWrite: Long, tasks: Int, gcMs: Long, fetchMs: Long,
+                  cpuMs: Long)
     val stages = new scala.collection.mutable.ArrayBuffer[St]
     var jobs = 0
     val listener = new SparkListener {
@@ -50,7 +51,9 @@ object PlanProbe {
           val m = si.taskMetrics
           stages += St(si.stageId, si.name.takeWhile(_ != '\n').take(70),
             m.executorRunTime, m.shuffleReadMetrics.totalBytesRead,
-            m.shuffleWriteMetrics.bytesWritten, si.numTasks)
+            m.shuffleWriteMetrics.bytesWritten, si.numTasks,
+            m.jvmGCTime, m.shuffleReadMetrics.fetchWaitTime,
+            m.executorCpuTime / 1000000)
         }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -77,8 +80,9 @@ object PlanProbe {
         f"stages=${ss.size}  execRunSum=${ss.map(_.runMs).sum / 1e3}%.2f s")
       ss.sortBy(-_.runMs).take(12).foreach { s =>
         println(f"   stage ${s.id}%4d run=${s.runMs / 1e3}%7.3f s  " +
-          f"tasks=${s.tasks}%3d  shR=${s.shRead / 1024}%8d KB  " +
-          f"shW=${s.shWrite / 1024}%8d KB  ${s.name}")
+          f"cpu=${s.cpuMs / 1e3}%7.3f s  gc=${s.gcMs / 1e3}%6.3f s  " +
+          f"fw=${s.fetchMs / 1e3}%6.3f s  tasks=${s.tasks}%3d  " +
+          f"shR=${s.shRead / 1024}%8d KB  shW=${s.shWrite / 1024}%8d KB")
       }
       // plan dump
       val df = fn(spark, sfDir)

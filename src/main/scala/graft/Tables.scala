@@ -14,8 +14,68 @@ import org.apache.spark.sql.types._
   * with an explicit `broadcast(...)` hint at call sites.
   */
 object Tables {
+  /** Fresh relation per call — `tbl` must NOT be memoized: lifecycle
+    * surfaces (GraftTool refresh/snapshot) legitimately REWRITE a
+    * source dir and re-read it, and a cached DataFrame pins the first
+    * read's file listing (FAILED_READ_FILE on the rewritten dir —
+    * 4 GraftToolSpec tests caught exactly that when r21 briefly cached
+    * here). Only the pipeline corpora below are identity-shared. */
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** One DataFrame PER (session, dir, table) for the PIPELINE corpora
+    * (ADVICE r20 item 4). Every `spark.read.parquet` call builds a
+    * fresh HadoopFsRelation whose FileIndex compares by identity, so
+    * two reads of the same path yield logical plans even
+    * `canonicalized` cannot unify — which made every plan-keyed
+    * bounded memo downstream (shingle rows, banded buckets, simhash
+    * buckets, cosine pairs) MISS across calls and re-persist duplicate
+    * copies of identical frames. Sharing the loader frame makes those
+    * memo keys hit by construction. Scoped to documents/embeddings
+    * only: they are static test corpora no lifecycle op rewrites,
+    * while star tables must stay fresh-per-call (see `tbl`). */
+  private val tblMemo = new graft.BoundedMemo[
+    (SparkSession, String, String), DataFrame](64)(_ => ())
+
+  private def cachedTbl(spark: SparkSession, dir: String,
+                        name: String): DataFrame =
+    tblMemo.getOrElseUpdate((spark, dir, name), tbl(spark, dir, name))
+
+  /** Parallelism floor for unsplittable scans (optimization guide §2.5,
+    * "input skew: one huge unsplittable file … repartition immediately
+    * after the read"). The driver's test parquet is single-row-group,
+    * so no split configuration can parallelize the scan — every
+    * scan-rooted compute stage (decimal partial aggregates, shingling,
+    * vector quantization) otherwise serializes on ONE core of 32
+    * (measured: q02's 2.0 s of executor time ran as one 3-task stage
+    * with two empty tasks). When the scan already plans at least the
+    * session's default parallelism — any realistic multi-file table,
+    * and certainly a 100 TB one — this is a NO-OP: no exchange is
+    * added, the plan is unchanged. Safety: the round-robin repartition
+    * keeps sortBeforeRepartition semantics (task retries reproduce the
+    * same assignment), and filter/column pushdown still reaches the
+    * scan through RepartitionOperation (verified in plans/r21). */
+  private val widenMemo = new graft.BoundedMemo[
+    (SparkSession, String, String), DataFrame](64)(_ => ())
+
+  /** `tbl` widened to the session's default parallelism when the scan
+    * plans fewer partitions — a no-op at any realistic scale (multi-
+    * file tables plan thousands of splits). Opt-IN per consumer, not
+    * wired into the plain loaders: the A/B bench showed the extra
+    * round-robin exchange only pays for itself where the per-row work
+    * downstream is heavy (decimal aggregate sweeps, shingling,
+    * quantization, wide sorts); light consumers (simple joins, windows,
+    * order-limit) lose more to the exchange + per-task overhead than
+    * they gain (BENCH_local_r21_before vs the widen-all A/B run). */
+  def widened(s: SparkSession, d: String, name: String): DataFrame =
+    widenMemo.getOrElseUpdate((s, d, name), widenFrame(tbl(s, d, name)))
+
+  /** frame-level variant for kernels fed arbitrary inputs (shingling,
+    * quantization): same no-op-at-scale guard as `widened` */
+  def widenFrame(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = tbl(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame   = tbl(s, d, "orders")
@@ -46,8 +106,10 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    cachedTbl(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    cachedTbl(s, d, "embeddings")
 }
 
 /** Oracle-parity helpers.

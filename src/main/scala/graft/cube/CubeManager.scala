@@ -494,8 +494,15 @@ object CubeManager {
     val flatPath = s"$root/flat"
     if (!BuildJob.dirDone(spark, job, flatPath)) {
       val flat = CubeBuilder.timed("snapshots", "star") {
+        // fact scan widened (guide §2.5; no-op at scale): the 6-way
+        // join + dictionary distinct + encoded flat WRITE otherwise
+        // serialize on the single-row-group test scan, and the flat
+        // parquet then lands as 1-3 single-row-group files that
+        // re-serialize every segment's BASE cuboid aggregate (the
+        // heaviest build stage — 8 measure states incl. bitmap/HLL).
         flatTableFrom(
-          lineitem(spark, sfDir), orders(spark, sfDir), snap("customer"),
+          graft.Tables.widened(spark, sfDir, "lineitem"),
+          orders(spark, sfDir), snap("customer"),
           snap("nation"), snap("region"), snap("supplier"), snap("part"))
       }
       // dictionary-encode string bitmap inputs before the build

@@ -30,7 +30,13 @@ object Dedup {
     * tokenization exactly (ASCII data). */
   def shingleRows(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // widen an unsplittable scan before the kernel (guide §2.5): the
+    // flatMap + per-shingle hashing is the pipeline's heaviest per-row
+    // sweep and otherwise runs on ONE task over single-row-group input
+    // (measured 1.5 s serial at sf0.1); no-op when the input already
+    // plans >= default parallelism (any at-scale corpus)
+    graft.Tables.widenFrame(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         val ws = text.trim.toLowerCase.split("\\s+")
         if (ws.length < 3) Iterator.empty
@@ -66,11 +72,26 @@ object Dedup {
 
   private[graft] def shingleCacheSize: Int = shingleCache.size
 
+  /** persist + EAGERLY materialize a memoized frame. Lazy persist left
+    * the first action's multi-branch plan (guard stats + both self-join
+    * sides + star branch reference the same memoized frame) to
+    * race-compute every cached partition from several stages at once —
+    * each racer serializing on the per-block compute lock (measured on
+    * doc_simhash: three concurrent 32-task stages each charging the
+    * full signature-agg time as blocked executor time). One count()
+    * materializes the cache in a single pass; every downstream branch
+    * then reads built blocks. */
+  private[pipeline] def materialized(df: DataFrame): DataFrame = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count(): Unit
+    df
+  }
+
   def cachedShingleRows(docs: DataFrame)
                        (implicit spark: SparkSession): DataFrame =
     shingleCache.getOrElseUpdate(
       docs.queryExecution.analyzed.canonicalized,
-      shingleRows(docs).persist(StorageLevel.MEMORY_AND_DISK))
+      materialized(shingleRows(docs)))
 
   /** 60-bit hash of a string via md5's first 15 hex chars — the one
     * hash primitive both Spark and DuckDB compute identically. Computed
@@ -224,8 +245,7 @@ object Dedup {
                                  (implicit spark: SparkSession): DataFrame =
     bandCache.getOrElseUpdate(
       (spark, rows.queryExecution.analyzed.canonicalized),
-      bandedBuckets(minhashSignatures(rows))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+      materialized(bandedBuckets(minhashSignatures(rows))))
 
   /** candidate pairs from banded signatures: docs agreeing on all r
     * rows of any band share a bucket; the bucket join is an equi-join
@@ -316,8 +336,7 @@ object Dedup {
                            (implicit spark: SparkSession): DataFrame =
     minhashPairCache.getOrElseUpdate(
       (spark, docs.queryExecution.analyzed.canonicalized, minJaccard),
-      minhashDupPairs(docs, minJaccard)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+      materialized(minhashDupPairs(docs, minJaccard)))
 
   // ── SimHash ──────────────────────────────────────────────────────
 
@@ -325,19 +344,55 @@ object Dedup {
   val ChunkBits = 6
   val NumChunks: Int = SimBits / ChunkBits   // 10 chunks ⇒ hamming ≤ 9
                                              // provably yields a chunk match
+  /** One typed aggregator for all 60 simhash bit-sums. The previous
+    * formulation built 60 SEPARATE sum(when(shiftright…)) aggregate
+    * columns — 60 buffer slots updated through 60 generated expression
+    * evaluations per shingle row, measured as the single heaviest
+    * stage of doc_simhash (≈7 s executor time at sf0.1). This folds
+    * the row into a primitive long[60] in one loop. Exact-equivalence
+    * contract with the old algebra, including the null edge: the old
+    * `when(bit === 1, 1).otherwise(-1)` sent a NULL hash to the
+    * otherwise branch (−1 on every bit), so a null input decrements
+    * all 60 counters here too (h60 over shingle rows never yields
+    * null in practice). */
+  private object SimhashAggregator
+      extends org.apache.spark.sql.expressions.Aggregator[
+        java.lang.Long, Array[Long], Long] {
+    def zero: Array[Long] = new Array[Long](SimBits)
+    def reduce(b: Array[Long], hv: java.lang.Long): Array[Long] = {
+      var j = 0
+      if (hv == null) while (j < SimBits) { b(j) -= 1; j += 1 }
+      else {
+        val v = hv.longValue()
+        while (j < SimBits) { b(j) += (((v >>> j) & 1L) * 2 - 1); j += 1 }
+      }
+      b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var j = 0
+      while (j < SimBits) { x(j) += y(j); j += 1 }
+      x
+    }
+    def finish(b: Array[Long]): Long = {
+      var s = 0L
+      var j = 0
+      while (j < SimBits) { if (b(j) >= 0) s |= (1L << j); j += 1 }
+      s
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  private lazy val simhashAgg = org.apache.spark.sql.functions.udaf(
+    SimhashAggregator, org.apache.spark.sql.Encoders.LONG)
+
   /** per-doc 60-bit simhash: bit j set iff Σ over shingles of
     * (±1 by hash bit j) ≥ 0. One hash-agg over shingle rows. */
-  def simhashSignatures(rows: DataFrame): DataFrame = {
-    val hashed = rows.select(col("doc_id"), h60(col("s")).as("hv"))
-    val bitSums = (0 until SimBits).map(j =>
-      sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$j"))
-    hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until SimBits).map(j =>
-          when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("s64"))
-  }
+  def simhashSignatures(rows: DataFrame): DataFrame =
+    rows.select(col("doc_id"), h60(col("s")).as("hv"))
+      .groupBy("doc_id").agg(simhashAgg(col("hv")).as("s64"))
 
   /** simhash bucket rows behind a bounded memo: `guardedBucketPairs`
     * references its input in FOUR plan branches (bucket stats, both
@@ -360,9 +415,9 @@ object Dedup {
         val chunkCols = (0 until NumChunks).map(c =>
           shiftright(col("s64"), c * ChunkBits)
             .bitwiseAND((1 << ChunkBits) - 1))
-        sig.select(col("doc_id"), col("s64"),
-            posexplode(array(chunkCols: _*)).as(Seq("chunk", "cv")))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        materialized(
+          sig.select(col("doc_id"), col("s64"),
+            posexplode(array(chunkCols: _*)).as(Seq("chunk", "cv"))))
       })
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming. Candidates via

@@ -28,18 +28,30 @@ object EmbeddingSearch {
   def quantize(e: Column): Column =
     transform(e, v => floor(v.cast(DoubleType) * Scale).cast(LongType))
 
-  /** exact integer dot product (≤ 2^46 for 64 dims of ≤ 2^20) */
+  /** exact integer dot product (≤ 2^46 for 64 dims of ≤ 2^20).
+    * Computed by the native LongDot expression — bit-identical to the
+    * old `aggregate(zip_with(a, b, _*_), 0L, _+_)` fold, but codegen'd
+    * (higher-order functions are interpreted per element; this is the
+    * hot expression of every emb_* key — 32 evaluations per row in the
+    * LSH bucket projection alone). */
   def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.LongDot(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
   /** cosine from integer dot + squared norms, rounded to 6 dp */
   def cosine(dot: Column, n2a: Column, n2b: Column): Column =
     round(dot.cast(DoubleType) /
       sqrt(n2a.cast(DoubleType) * n2b.cast(DoubleType)), 6)
 
-  /** (vec_id, q, n2): quantized vector + its squared norm */
+  /** (vec_id, q, n2): quantized vector + its squared norm. The input is
+    * widened first (guide §2.5): quantization + the downstream dot/
+    * bucket expressions are per-row heavy and a single-row-group scan
+    * otherwise serializes them on one task (no-op at scale). */
   def quantized(embs: DataFrame): DataFrame =
-    embs.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    graft.Tables.widenFrame(embs)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("n2", idot(col("q"), col("q")))
 
   private def pairCosine(a: String, b: String): Column =
@@ -127,9 +139,15 @@ object EmbeddingSearch {
                            blocks: Int = CosineBlocks)
                           (implicit spark: SparkSession): DataFrame =
     pairCache.getOrElseUpdate(
-      (spark, embs.queryExecution.analyzed.canonicalized, minCos, blocks),
-      cosineDupPairs(embs, minCos, blocks)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      (spark, embs.queryExecution.analyzed.canonicalized, minCos, blocks), {
+        // persist + eager count: see Dedup.materialized — a lazy
+        // persisted frame referenced by several branches of one plan
+        // race-computes its partitions from concurrent stages
+        val df = cosineDupPairs(embs, minCos, blocks)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count(): Unit
+        df
+      })
 
   /** same arithmetic as the Catalyst path: exact int64 dot, one double
     * divide/sqrt, Spark-style half-up rounding to 6 dp */
@@ -438,10 +456,13 @@ object EmbeddingSearch {
   val PqOverfetch = 4
 
   /** exact integer squared-L2 between two subvectors (≤ 2^46 for 16
-    * dims of diffs ≤ 2^21 — no overflow) */
+    * dims of diffs ≤ 2^21 — no overflow); native codegen'd expression,
+    * same rationale and bit-identity as `idot` */
   private def il2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.LongSqDist(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
   /** per-subspace rows (id, m, sub): subvector m spans dims
     * [m·PqSubDim, (m+1)·PqSubDim) */

@@ -23,8 +23,17 @@ object CubeQueries extends QueryGroup {
 
     // 26 ──────────────── flat-table build (star join materialization;
     //     reference CreateFlatTable.scala:1-241)
+    //     (widened fact scan: the 6-way join probe + wide projection +
+    //     total sort otherwise serialize on the single-row-group scan —
+    //     measured −2.7 s in the r21 widen A/B; guide §2.5, no-op at
+    //     scale. The shared CubeManager.flatTable stays unwidened: its
+    //     light-aggregate consumers measured slower with the exchange.)
     Q("cube_flat_table",
-      (s, d) => CubeManager.flatTable(s, d)
+      (s, d) => CubeManager.flatTableFrom(
+          graft.Tables.widened(s, d, "lineitem"), graft.Tables.orders(s, d),
+          graft.Tables.customer(s, d), graft.Tables.nation(s, d),
+          graft.Tables.region(s, d), graft.Tables.supplier(s, d),
+          graft.Tables.part(s, d))
         .select(col("l_orderkey"), col("l_linenumber"), col("r_name"),
                 col("p_brand"), col("o_orderstatus"),
                 col("disc_price").cast(DoubleType).as("revenue"))

@@ -297,7 +297,7 @@ object TextQueries extends QueryGroup {
     Q("doc_lang_id",
       (s, d) => {
         val ws = words(col("text"))
-        val scored = documents(s, d).select(
+        val scored = widened(s, d, "documents").select(
           col("doc_id") +: Stopwords.map { case (l, _) =>
             stopHits(ws, l).as(s"s_$l") }: _*)
         val Seq(en, de, es, fr) = Stopwords.map(p => col(s"s_${p._1}"))
@@ -331,7 +331,7 @@ object TextQueries extends QueryGroup {
     Q("doc_quality",
       (s, d) => {
         val ws = words(col("text"))
-        documents(s, d).select(
+        widened(s, d, "documents").select(
             col("doc_id"),
             length(col("text")).cast(LongType).as("len_chars"),
             size(ws).cast(LongType).as("n_words"),
@@ -385,7 +385,7 @@ object TextQueries extends QueryGroup {
           } :+ lit(0)): _*).cast(LongType)
         val known = Stopwords.map(_._1)
           .map(col("lang") === _).reduce(_ || _)
-        documents(s, d).select(col("doc_id"), col("lang"),
+        widened(s, d, "documents").select(col("doc_id"), col("lang"),
             size(ws).cast(LongType).as("n_words"),
             ownHits.as("n_stop_own"), known.as("has_stops"))
           .select(col("doc_id"), col("lang"), col("n_words"),
