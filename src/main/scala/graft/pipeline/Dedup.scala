@@ -28,14 +28,19 @@ object Dedup {
     * text, one row per shingle. Matches the SQL oracle's
     * string_split(regexp_replace(lower(trim(text)),'\s+',' ','g'),' ')
     * tokenization exactly (ASCII data). */
-  def shingleRows(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+  def shingleRows(docs: DataFrame, widen: Boolean = true)
+                 (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     // widen an unsplittable scan before the kernel (guide §2.5): the
     // flatMap + per-shingle hashing is the pipeline's heaviest per-row
     // sweep and otherwise runs on ONE task over single-row-group input
     // (measured 1.5 s serial at sf0.1); no-op when the input already
-    // plans >= default parallelism (any at-scale corpus)
-    graft.Tables.widenFrame(docs.select(col("doc_id"), col("text")))
+    // plans >= default parallelism (any at-scale corpus). Callers whose
+    // downstream is a single light streaming pass (contamination's
+    // corpus side) opt out — there the exchange costs more than the
+    // parallelism returns (measured +0.3-0.6 s on doc_contamination).
+    val base = docs.select(col("doc_id"), col("text"))
+    (if (widen) graft.Tables.widenFrame(base) else base)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val ws = text.trim.toLowerCase.split("\\s+")
@@ -521,7 +526,7 @@ object Dedup {
     val evalRows = cachedShingleRows(evalDocs)
     val sizes = shingleSizes(evalRows)
     val evalShingles = evalRows.select("s").distinct()
-    val leaked = shingleRows(corpus)
+    val leaked = shingleRows(corpus, widen = false)
       .join(broadcast(evalShingles), Seq("s"), "left_semi")
       .select("s").distinct()
     val hits = evalRows.join(leaked, Seq("s"), "left_semi")

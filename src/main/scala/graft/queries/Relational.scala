@@ -274,6 +274,14 @@ object Relational extends QueryGroup {
           round(element_at(col("qty_pcts"), 1), 4).as("median_qty"),
           round(element_at(col("qty_pcts"), 2), 4).as("p90_qty"),
           col("p25_price"))
+        // single-partition shuffle before the sort: a range sort SAMPLES
+        // its child first, re-executing the expensive percentile final
+        // merge twice (two ~1.5 s stages reading the same 5 MB exchange
+        // in plans/r21). The output is one row per l_returnflag — a few
+        // rows at ANY scale — so one partition satisfies the sort's
+        // required distribution and the merge runs once, with no
+        // sampling pass. The aggregation itself stays parallel.
+        .repartition(1)
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
              |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
@@ -467,19 +475,34 @@ object Relational extends QueryGroup {
     //      specific, so the hash-checked output carries the EXACT counts
     //      plus a boolean asserting the HLL estimate is within 5% of
     //      exact — giving the approx path a real D oracle.
+    //      Rewritten from one 4-aggregate groupBy (planned as Expand ×3:
+    //      every row tripled, then two-level distinct aggregation — the
+    //      heaviest CPU+GC stage of the relational suite) into one
+    //      distinct-first pipeline per key column. count(*) over the
+    //      distinct (flag, key) pairs IS the exact distinct count, and
+    //      feeding approx_count_distinct each distinct value once yields
+    //      a bit-identical HLL state (registers are a max — duplicates
+    //      never change them). Same rows, same schema; plan has no
+    //      Expand and shuffles distinct pairs instead of tripled rows
+    //      (guide §2.3 "aggregate before you shuffle").
     Q("q25_approx_distinct",
-      (s, d) => widened(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-             countDistinct(col("l_suppkey")).as("exact_supps"),
-             approx_count_distinct(col("l_partkey")).as("ap"),
-             approx_count_distinct(col("l_suppkey")).as("as_"))
-        .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
-          (abs(col("ap") - col("exact_parts")) <=
-             col("exact_parts") * 0.05 &&
-           abs(col("as_") - col("exact_supps")) <=
-             col("exact_supps") * 0.05).as("approx_ok"))
-        .orderBy("l_returnflag"),
+      (s, d) => {
+        val li = widened(s, d, "lineitem")
+        def side(key: String, exact: String, ap: String) =
+          li.select(col("l_returnflag"), col(key)).distinct()
+            .groupBy("l_returnflag")
+            .agg(count(lit(1)).as(exact),
+                 approx_count_distinct(col(key)).as(ap))
+        side("l_partkey", "exact_parts", "ap")
+          .join(side("l_suppkey", "exact_supps", "as_"),
+                Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+            (abs(col("ap") - col("exact_parts")) <=
+               col("exact_parts") * 0.05 &&
+             abs(col("as_") - col("exact_supps")) <=
+               col("exact_supps") * 0.05).as("approx_ok"))
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag,
              |  COUNT(DISTINCT l_partkey) AS exact_parts,
              |  COUNT(DISTINCT l_suppkey) AS exact_supps,

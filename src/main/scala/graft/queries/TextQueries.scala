@@ -232,11 +232,24 @@ object TextQueries extends QueryGroup {
     Q("doc_top_terms",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val tf = documents(s, d)
+        val tf = widened(s, d, "documents")
           .select(col("doc_id"), explode(words(col("text"))).as("token"))
           .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        // df counts tf ROWS (distinct per doc): tf = count(*) >= 1, so
+        // count(when(tf >= 1, 1)) == count(*). Spelled that way ON
+        // PURPOSE: with count(*) (or even count(tf), which the optimizer
+        // rewrites to a distinct aggregate) column pruning drops tf from
+        // THIS branch's copy of the tf aggregate, the two branches'
+        // partial-agg exchanges stop being identical, and ReuseExchange
+        // cannot unify them — the word explode + tf aggregation then
+        // runs TWICE (two duplicate stages in plans/r21 before). The
+        // opaque-to-the-optimizer predicate keeps tf referenced, both
+        // branches byte-identical below the exchange, and the corpus
+        // pass single (the initial explain still prints both subtrees;
+        // AQE's exchange reuse unifies them at runtime — the probe shows
+        // one explode stage instead of two).
         val dfreq = tf.groupBy("token")
-          .agg(count(lit(1)).as("df")) // tf rows are distinct per doc
+          .agg(count(when(col("tf") >= 1, lit(1))).as("df"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("token"))
         tf.join(dfreq, "token")
