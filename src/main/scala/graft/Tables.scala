@@ -70,11 +70,24 @@ object Tables {
   def widened(s: SparkSession, d: String, name: String): DataFrame =
     widenMemo.getOrElseUpdate((s, d, name), widenFrame(tbl(s, d, name)))
 
+  /** Minimum estimated bytes per widened partition: widening a TINY
+    * frame (a filtered 500-doc batch) to full core count pays ~32 task
+    * launches for sub-millisecond work each — measured as a net loss on
+    * the incremental-ingest key. Sizing the width by the optimizer's
+    * byte estimate keeps small frames at a few tasks and lets genuinely
+    * large serial scans reach full parallelism. */
+  private val WidenBytesPerPartition = 64L * 1024
+
   /** frame-level variant for kernels fed arbitrary inputs (shingling,
-    * quantization): same no-op-at-scale guard as `widened` */
+    * quantization): same no-op-at-scale guard as `widened`, width scaled
+    * to the frame's estimated size (never above default parallelism) */
   def widenFrame(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // BigInt: join-heavy plans can estimate past Long.MaxValue
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = (est / WidenBytesPerPartition)
+      .min(BigInt(p)).max(BigInt(1)).toInt
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = tbl(s, d, "lineitem")
