@@ -58,7 +58,8 @@ object PlanProbe {
     }
     spark.sparkContext.addSparkListener(listener)
 
-    val planDir = java.nio.file.Paths.get("plans/r21")
+    val planDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r22"))
     java.nio.file.Files.createDirectories(planDir)
 
     keys.foreach { key =>
