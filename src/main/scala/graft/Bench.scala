@@ -38,6 +38,21 @@ object Bench {
     "q21_avg_ratio", "q22_distinct", "q23_left_join",
     "q24_scalar_subquery", "q25_approx_distinct")
 
+  /** ADDITIONS-ONLY extension of the compact record (VERDICT r21 next
+    * #2): the 36 baseline keys are all relational/cube, so none of the
+    * pipeline-side optimizations (doc/emb/ev) were ever
+    * driver-visible. These are the 16 heaviest doc/emb/ev/src keys of
+    * the r22 baseline run (BENCH_local_r22_before.json), pinned as a
+    * FIXED set so later rounds compare like with like. Existing keys
+    * are untouched — the compact line stays ~1.5 KB, inside the
+    * driver's ~2 KB stdout tail. */
+  val PipelineKeys: Seq[String] = Seq(
+    "doc_contamination", "doc_fingerprint", "doc_incremental_dedup",
+    "doc_ngram_jaccard", "doc_passage_dedup", "doc_simhash",
+    "doc_top_terms", "emb_topk_corpus", "emb_topk_ivf", "emb_topk_ivfpq",
+    "emb_topk_lsh", "emb_topk_pq", "ev_session_window", "ev_sessionize",
+    "src_jdbc_roundtrip", "src_orc_roundtrip")
+
   /** Usage-log → planner loop over the REAL workload the bench just
     * ran (reference: CuboidRecommendAlgorithm, cube planner phase 2):
     * every route the two timed passes executed is in
@@ -418,14 +433,14 @@ object Bench {
     // suite-level summary. The full per-query map stays in
     // target/bench.json (committed per round as BENCH_local_rN.json).
     val resMap = results.toMap
-    val qsCompact = BaselineKeys.filter(resMap.contains)
+    val qsCompact = (BaselineKeys ++ PipelineKeys).filter(resMap.contains)
       .map(k => "\"" + k + "\":" + f"${resMap(k)}%.3f")
       .mkString("{", ",", "}")
     val baselineTotal = BaselineKeys.flatMap(resMap.get).sum
     println(
       s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
       s""""queries":$qsCompact,""" +
-      s""""queries_note":"36 pinned baseline keys; full ${resMap.size}-key map in target/bench.json",""" +
+      s""""queries_note":"36 baseline + 16 pipeline keys; full ${resMap.size}-key map in target/bench.json",""" +
       f""""baseline_total_sec":$baselineTotal%.2f,""" +
       s""""n_queries":${resMap.size},""" +
       f""""mean_sec":${total / resMap.size}%.3f,""" +

@@ -39,7 +39,10 @@ final class BoundedMemo[K, V](cap: Int)(onEvict: V => Unit) {
     * the burst-per-dataset access pattern these memos see makes
     * cross-key miss concurrency worth nothing next to those failure
     * modes. A future caller that needs concurrent misses should use
-    * its own memo instance with a side-effect-free compute. */
+    * its own memo instance with a side-effect-free compute. Owners
+    * whose compute is a multi-second Spark job (the pipeline persist
+    * memos) store a [[LazyCell]] instead, so the monitor only creates
+    * the cell and the job runs outside it (ADVICE r21). */
   def getOrElseUpdate(k: K, v: => V): V = synchronized {
     m.remove(k) match {
       case Some(x) =>

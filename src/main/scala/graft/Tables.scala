@@ -56,7 +56,7 @@ object Tables {
     * same assignment), and filter/column pushdown still reaches the
     * scan through RepartitionOperation (verified in plans/r21). */
   private val widenMemo = new graft.BoundedMemo[
-    (SparkSession, String, String), DataFrame](64)(_ => ())
+    (SparkSession, String, String), Option[Int]](64)(_ => ())
 
   /** `tbl` widened to the session's default parallelism when the scan
     * plans fewer partitions — a no-op at any realistic scale (multi-
@@ -66,9 +66,21 @@ object Tables {
     * downstream is heavy (decimal aggregate sweeps, shingling,
     * quantization, wide sorts); light consumers (simple joins, windows,
     * order-limit) lose more to the exchange + per-task overhead than
-    * they gain (BENCH_local_r21_before vs the widen-all A/B run). */
-  def widened(s: SparkSession, d: String, name: String): DataFrame =
-    widenMemo.getOrElseUpdate((s, d, name), widenFrame(tbl(s, d, name)))
+    * they gain (BENCH_local_r21_before vs the widen-all A/B run).
+    *
+    * Only the widen DECISION (target width) is memoized — the frame is
+    * rebuilt through `tbl` on every call (ADVICE r21: a cached frame
+    * over a star table pins the first read's file listing, and
+    * GraftTool refresh/snapshot legitimately rewrites source dirs in
+    * place; a stale WIDTH after a rewrite is merely suboptimal, a stale
+    * LISTING is FAILED_READ_FILE). */
+  def widened(s: SparkSession, d: String, name: String): DataFrame = {
+    val df = tbl(s, d, name)
+    widenMemo.getOrElseUpdate((s, d, name), widenTarget(df)) match {
+      case Some(n) => df.repartition(n)
+      case None => df
+    }
+  }
 
   /** Minimum estimated bytes per widened partition: widening a TINY
     * frame (a filtered 500-doc batch) to full core count pays ~32 task
@@ -80,14 +92,36 @@ object Tables {
 
   /** frame-level variant for kernels fed arbitrary inputs (shingling,
     * quantization): same no-op-at-scale guard as `widened`, width scaled
-    * to the frame's estimated size (never above default parallelism) */
-  def widenFrame(df: DataFrame): DataFrame = {
+    * to the frame's estimated size (never above default parallelism).
+    * The decision is memoized per canonicalized plan: reading the
+    * current partition count forces physical planning + RDD DAG
+    * construction on the driver (ADVICE r21), which repeat callers
+    * (shingling / quantization kernels over memoized loader frames)
+    * would otherwise pay on every invocation. */
+  private val frameWidenMemo = new graft.BoundedMemo[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    Option[Int]](64)(_ => ())
+
+  def widenFrame(df: DataFrame): DataFrame =
+    frameWidenMemo.getOrElseUpdate(
+      df.queryExecution.analyzed.canonicalized, widenTarget(df)) match {
+      case Some(n) => df.repartition(n)
+      case None => df
+    }
+
+  /** Some(target) when the frame plans fewer partitions than its
+    * byte-scaled target — the only case a round-robin widen pays. The
+    * `target > 1` short-circuit skips the driver-side `.rdd` partition
+    * count entirely for small frames (target 1 can never exceed a
+    * positive partition count). */
+  private def widenTarget(df: DataFrame): Option[Int] = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     // BigInt: join-heavy plans can estimate past Long.MaxValue
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val target = (est / WidenBytesPerPartition)
       .min(BigInt(p)).max(BigInt(1)).toInt
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (target > 1 && df.rdd.getNumPartitions < target) Some(target)
+    else None
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = tbl(s, d, "lineitem")

@@ -31,8 +31,16 @@ object CubeManager {
     * scale (r19 100× fix, pinned by CubeSpec).
     */
   def flatTable(s: SparkSession, d: String): DataFrame =
-    flatTableFrom(lineitem(s, d), orders(s, d), customer(s, d),
-      nation(s, d), region(s, d), supplier(s, d), part(s, d))
+    // widened fact side (guide §2.5, no-op at scale): every timed
+    // consumer of the shared flat table (pushdown fallback, the
+    // hll/percentile/sketch exact sides) showed a 0.35–1.44 s
+    // SERIAL 3-task join+aggregate stage in the r22 probe
+    // (plans/r22/PROBE_before_stage_attribution.txt) — the
+    // single-row-group fact scan serializes the 6-way join probe
+    // exactly as it did for q02/q14/cube_flat_table in r21
+    flatTableFrom(graft.Tables.widened(s, d, "lineitem"), orders(s, d),
+      customer(s, d), nation(s, d), region(s, d), supplier(s, d),
+      part(s, d))
 
   /** flat table over explicit inputs — the build path passes
     * snapshot-backed lookup tables (reference DFSnapshotBuilder) so a

@@ -394,6 +394,30 @@ object QueryRouter {
     }
     q.filter.foreach(f => df = df.filter(f))
 
+    // ── lightweight-scan fast path (guide §2.4 "remove shuffles
+    // outright"; reference: ResultPlan.scala sizes a routed query's
+    // parallelism from its planned scan, a dashboard point-query must
+    // not pay fact-scan-sized exchanges): when the chosen cuboid's
+    // COMMITTED row counts bound the scan under the serving layer's
+    // light/heavy line, coalesce the scan to est/PartitionSplitRows+1
+    // partitions. At ≤ PartitionSplitRows the scan becomes ONE
+    // partition, which satisfies every downstream distribution — the
+    // re-aggregation groupBy and the caller's total-order sort then
+    // plan ZERO exchanges (no shuffle, no AQE stage materialization
+    // cascade, no range-sampling pass: the r22 probe measured 5–22
+    // jobs per sub-second routed query, almost all fixed per-stage
+    // overhead). Scale-safe: a cuboid whose committed counts exceed
+    // the threshold — or whose counts are missing (unknown ≠ small) —
+    // keeps the full scan parallelism, and `coalesce(n)` with n ≥
+    // current partitions is a no-op, never a widen.
+    val knownRows = !p.emptyScan &&
+      p.overlapping.forall(s => inst.rows.contains((s.name, id)))
+    if (knownRows && p.estRows <= QueryService.HeavyRowThreshold) {
+      val target =
+        (p.estRows / QueryService.PartitionSplitRows + 1).toInt
+      df = df.coalesce(target)
+    }
+
     // ── exact-match short-circuit (the reference's storage fast path:
     // when the cuboid's dims equal the query group-by on a single
     // segment with no derived/extended/residual processing, each group

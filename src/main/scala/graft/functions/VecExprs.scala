@@ -44,9 +44,17 @@ case class LongDot(left: Expression, right: Expression)
 
 object LongDot {
   /** Σ a(i)·b(i) over two long arrays — the exact fold
-    * aggregate(zip_with(a,b,_*_),0,_+_) computes, in primitive code */
+    * aggregate(zip_with(a,b,_*_),0,_+_) computes, in primitive code.
+    * Length contract asserted loudly (ADVICE r21): the replaced
+    * zip_with padded a shorter side with nulls (NULL result), while an
+    * unchecked getLong past the end reads garbage — both sides are
+    * 64-dim quantize outputs by construction, so a mismatch here is a
+    * caller bug that must fail, not return a wrong number. */
   def dot(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"LongDot: mismatched vector lengths $n vs ${b.numElements()}")
     var s = 0L
     var i = 0
     while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
@@ -75,8 +83,12 @@ case class LongSqDist(left: Expression, right: Expression)
 }
 
 object LongSqDist {
+  /** length contract asserted loudly — see [[LongDot.dot]] */
   def d2(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"LongSqDist: mismatched vector lengths $n vs ${b.numElements()}")
     var s = 0L
     var i = 0
     while (i < n) {

@@ -72,8 +72,9 @@ object Dedup {
     * memo every call would build and materialize its own cache copy. */
   private val ShingleCacheCap = 8
   private val shingleCache = new graft.BoundedMemo[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
-    ShingleCacheCap)(_.unpersist(blocking = false))
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    graft.LazyCell[DataFrame]](
+    ShingleCacheCap)(_.ifForced(_.unpersist(blocking = false)))
 
   private[graft] def shingleCacheSize: Int = shingleCache.size
 
@@ -96,7 +97,7 @@ object Dedup {
                        (implicit spark: SparkSession): DataFrame =
     shingleCache.getOrElseUpdate(
       docs.queryExecution.analyzed.canonicalized,
-      materialized(shingleRows(docs)))
+      new graft.LazyCell(materialized(shingleRows(docs)))).value
 
   /** 60-bit hash of a string via md5's first 15 hex chars — the one
     * hash primitive both Spark and DuckDB compute identically. Computed
@@ -244,13 +245,15 @@ object Dedup {
   private val bandCache = new graft.BoundedMemo[
     (SparkSession,
      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
-    DataFrame](BandCacheCap)(_.unpersist(blocking = false))
+    graft.LazyCell[DataFrame]](BandCacheCap)(
+    _.ifForced(_.unpersist(blocking = false)))
 
   private def cachedBandedBuckets(rows: DataFrame)
                                  (implicit spark: SparkSession): DataFrame =
     bandCache.getOrElseUpdate(
       (spark, rows.queryExecution.analyzed.canonicalized),
-      materialized(bandedBuckets(minhashSignatures(rows))))
+      new graft.LazyCell(
+        materialized(bandedBuckets(minhashSignatures(rows))))).value
 
   /** candidate pairs from banded signatures: docs agreeing on all r
     * rows of any band share a bucket; the bucket join is an equi-join
@@ -335,13 +338,15 @@ object Dedup {
   private val minhashPairCache = new graft.BoundedMemo[
     (SparkSession,
      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double),
-    DataFrame](PairCacheCap)(_.unpersist(blocking = false))
+    graft.LazyCell[DataFrame]](PairCacheCap)(
+    _.ifForced(_.unpersist(blocking = false)))
 
   def cachedMinhashDupPairs(docs: DataFrame, minJaccard: Double)
                            (implicit spark: SparkSession): DataFrame =
     minhashPairCache.getOrElseUpdate(
       (spark, docs.queryExecution.analyzed.canonicalized, minJaccard),
-      materialized(minhashDupPairs(docs, minJaccard)))
+      new graft.LazyCell(
+        materialized(minhashDupPairs(docs, minJaccard)))).value
 
   // ── SimHash ──────────────────────────────────────────────────────
 
@@ -410,12 +415,14 @@ object Dedup {
   private val simBucketCache = new graft.BoundedMemo[
     (SparkSession,
      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
-    DataFrame](SimBucketCacheCap)(_.unpersist(blocking = false))
+    graft.LazyCell[DataFrame]](SimBucketCacheCap)(
+    _.ifForced(_.unpersist(blocking = false)))
 
   private def cachedSimhashBuckets(docs: DataFrame)
                                   (implicit spark: SparkSession): DataFrame =
     simBucketCache.getOrElseUpdate(
-      (spark, docs.queryExecution.analyzed.canonicalized), {
+      (spark, docs.queryExecution.analyzed.canonicalized),
+      new graft.LazyCell({
         val sig = simhashSignatures(cachedShingleRows(docs))
         val chunkCols = (0 until NumChunks).map(c =>
           shiftright(col("s64"), c * ChunkBits)
@@ -423,7 +430,7 @@ object Dedup {
         materialized(
           sig.select(col("doc_id"), col("s64"),
             posexplode(array(chunkCols: _*)).as(Seq("chunk", "cv"))))
-      })
+      })).value
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming. Candidates via
     * chunk banding: split the signature into NumChunks chunks; hamming

@@ -133,13 +133,15 @@ object EmbeddingSearch {
   private val pairCache = new graft.BoundedMemo[
     (org.apache.spark.sql.SparkSession,
      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double, Int),
-    DataFrame](PairCacheCap)(_.unpersist(blocking = false))
+    graft.LazyCell[DataFrame]](PairCacheCap)(
+    _.ifForced(_.unpersist(blocking = false)))
 
   def cachedCosineDupPairs(embs: DataFrame, minCos: Double,
                            blocks: Int = CosineBlocks)
                           (implicit spark: SparkSession): DataFrame =
     pairCache.getOrElseUpdate(
-      (spark, embs.queryExecution.analyzed.canonicalized, minCos, blocks), {
+      (spark, embs.queryExecution.analyzed.canonicalized, minCos, blocks),
+      new graft.LazyCell({
         // persist + eager count: see Dedup.materialized — a lazy
         // persisted frame referenced by several branches of one plan
         // race-computes its partitions from concurrent stages
@@ -147,7 +149,7 @@ object EmbeddingSearch {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         df.count(): Unit
         df
-      })
+      })).value
 
   /** same arithmetic as the Catalyst path: exact int64 dot, one double
     * divide/sqrt, Spark-style half-up rounding to 6 dp */

@@ -164,6 +164,13 @@ object Relational extends QueryGroup {
     // 7 ───────────────────────── window top-N per group
     Q("q07_topn_per_group",
       (s, d) => {
+        // NOT widened (examined r21 + re-measured r22): the probe shows
+        // one serial 3-task stage carrying 0.92 s CPU, but the widen A/B
+        // regressed warm 1.44 → 4.03 s — the round-robin exchange ships
+        // the full 8.5 MB row set and the 32-way partial aggregate over
+        // 20k (brand, partkey) groups reduces almost nothing while
+        // paying 1.9 s GC; plan already has Partial+Final
+        // WindowGroupLimit, one exchange per step (plans/r22)
         val rev = lineitem(s, d)
           .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
           .groupBy("p_brand", "p_partkey")
@@ -475,34 +482,30 @@ object Relational extends QueryGroup {
     //      specific, so the hash-checked output carries the EXACT counts
     //      plus a boolean asserting the HLL estimate is within 5% of
     //      exact — giving the approx path a real D oracle.
-    //      Rewritten from one 4-aggregate groupBy (planned as Expand ×3:
-    //      every row tripled, then two-level distinct aggregation — the
-    //      heaviest CPU+GC stage of the relational suite) into one
-    //      distinct-first pipeline per key column. count(*) over the
-    //      distinct (flag, key) pairs IS the exact distinct count, and
-    //      feeding approx_count_distinct each distinct value once yields
-    //      a bit-identical HLL state (registers are a max — duplicates
-    //      never change them). Same rows, same schema; plan has no
-    //      Expand and shuffles distinct pairs instead of tripled rows
-    //      (guide §2.3 "aggregate before you shuffle").
+    //      FORM (re-decided r22): the single 4-aggregate groupBy over
+    //      the PLAIN scan — planned as Expand ×3 + two-level distinct
+    //      aggregation. r21 rewrote this into a distinct-first pipeline
+    //      per key column (two column-pruned scans + two distinct
+    //      shuffles + a join); the driver measured that 18% SLOWER
+    //      (VERDICT r21 wrong #2), and the r22 idle-box A/B loop agrees:
+    //      expand/plain min 1.56 s vs distinct-first 2.45 s vs
+    //      expand/widened 2.00 s (4 runs each, same session). One scan
+    //      beats two, and the Expand's first exchange already
+    //      parallelizes the distinct work — so the widen's extra
+    //      round-robin exchange only adds cost.
     Q("q25_approx_distinct",
-      (s, d) => {
-        val li = widened(s, d, "lineitem")
-        def side(key: String, exact: String, ap: String) =
-          li.select(col("l_returnflag"), col(key)).distinct()
-            .groupBy("l_returnflag")
-            .agg(count(lit(1)).as(exact),
-                 approx_count_distinct(col(key)).as(ap))
-        side("l_partkey", "exact_parts", "ap")
-          .join(side("l_suppkey", "exact_supps", "as_"),
-                Seq("l_returnflag"))
-          .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
-            (abs(col("ap") - col("exact_parts")) <=
-               col("exact_parts") * 0.05 &&
-             abs(col("as_") - col("exact_supps")) <=
-               col("exact_supps") * 0.05).as("approx_ok"))
-          .orderBy("l_returnflag")
-      },
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+             countDistinct(col("l_suppkey")).as("exact_supps"),
+             approx_count_distinct(col("l_partkey")).as("ap"),
+             approx_count_distinct(col("l_suppkey")).as("as_"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+          (abs(col("ap") - col("exact_parts")) <=
+             col("exact_parts") * 0.05 &&
+           abs(col("as_") - col("exact_supps")) <=
+             col("exact_supps") * 0.05).as("approx_ok"))
+        .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
              |  COUNT(DISTINCT l_partkey) AS exact_parts,
              |  COUNT(DISTINCT l_suppkey) AS exact_supps,

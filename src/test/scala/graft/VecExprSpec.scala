@@ -51,6 +51,26 @@ class VecExprSpec extends AnyFunSuite {
       col("nl2") =!= col("il2")).count() === 0)
   }
 
+  test("LongDot/LongSqDist refuse mismatched vector lengths loudly") {
+    import spark.implicits._
+    // the replaced zip_with padded the short side with nulls (NULL
+    // result); an unchecked primitive loop would read garbage — the
+    // kernels must FAIL instead (ADVICE r21 contract pin)
+    val df = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+    val eDot = intercept[Exception] {
+      df.select(EmbeddingSearch.idot(col("a"), col("b"))).collect()
+    }
+    val eL2 = intercept[Exception] {
+      df.select(nativeL2(col("a"), col("b"))).collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c = t; while (c.getCause != null && (c.getCause ne c)) c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    assert(rootMsg(eDot).contains("mismatched vector lengths"))
+    assert(rootMsg(eL2).contains("mismatched vector lengths"))
+  }
+
   test("simhash typed aggregator equals the 60-column when/sum algebra") {
     import spark.implicits._
     implicit val s: org.apache.spark.sql.SparkSession = spark
