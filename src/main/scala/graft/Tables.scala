@@ -68,15 +68,23 @@ object Tables {
     * order-limit) lose more to the exchange + per-task overhead than
     * they gain (BENCH_local_r21_before vs the widen-all A/B run).
     *
-    * Only the widen DECISION (target width) is memoized — the frame is
-    * rebuilt through `tbl` on every call (ADVICE r21: a cached frame
-    * over a star table pins the first read's file listing, and
-    * GraftTool refresh/snapshot legitimately rewrites source dirs in
-    * place; a stale WIDTH after a rewrite is merely suboptimal, a stale
-    * LISTING is FAILED_READ_FILE). */
+    * Only the widen DECISION (target width) is memoized — star-table
+    * frames are rebuilt through `tbl` on every call (ADVICE r21: a
+    * cached frame over a star table pins the first read's file listing,
+    * and GraftTool refresh/snapshot legitimately rewrites source dirs
+    * in place; a stale WIDTH after a rewrite is merely suboptimal, a
+    * stale LISTING is FAILED_READ_FILE). The PIPELINE corpora ride
+    * their identity-shared loader (`cachedTbl`) exactly like the plain
+    * `documents`/`embeddings` accessors, so a widened-corpus plan stays
+    * canonicalized-stable across calls and the plan-keyed persist memos
+    * downstream (doc_top_terms' tf frame) can hit — a fresh
+    * HadoopFsRelation per call would defeat them by identity. */
   def widened(s: SparkSession, d: String, name: String): DataFrame = {
-    val df = tbl(s, d, name)
-    widenMemo.getOrElseUpdate((s, d, name), widenTarget(df)) match {
+    val df =
+      if (name == "documents" || name == "embeddings") cachedTbl(s, d, name)
+      else tbl(s, d, name)
+    widenMemo.getOrElseUpdate((s, d, name),
+        widenTarget(df, WidenBytesPerPartition)) match {
       case Some(n) => df.repartition(n)
       case None => df
     }
@@ -99,12 +107,13 @@ object Tables {
     * (shingling / quantization kernels over memoized loader frames)
     * would otherwise pay on every invocation. */
   private val frameWidenMemo = new graft.BoundedMemo[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long),
     Option[Int]](64)(_ => ())
 
   def widenFrame(df: DataFrame): DataFrame =
     frameWidenMemo.getOrElseUpdate(
-      df.queryExecution.analyzed.canonicalized, widenTarget(df)) match {
+      (df.queryExecution.analyzed.canonicalized, WidenBytesPerPartition),
+      widenTarget(df, WidenBytesPerPartition)) match {
       case Some(n) => df.repartition(n)
       case None => df
     }
@@ -114,11 +123,12 @@ object Tables {
     * `target > 1` short-circuit skips the driver-side `.rdd` partition
     * count entirely for small frames (target 1 can never exceed a
     * positive partition count). */
-  private def widenTarget(df: DataFrame): Option[Int] = {
+  private def widenTarget(df: DataFrame,
+                          bytesPerPartition: Long): Option[Int] = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     // BigInt: join-heavy plans can estimate past Long.MaxValue
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val target = (est / WidenBytesPerPartition)
+    val target = (est / bytesPerPartition)
       .min(BigInt(p)).max(BigInt(1)).toInt
     if (target > 1 && df.rdd.getNumPartitions < target) Some(target)
     else None

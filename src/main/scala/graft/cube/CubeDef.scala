@@ -25,7 +25,15 @@ final case class Measure(
       * written `SUM(<expr>)` by canonicalized tree equality (reference:
       * FunctionDesc parameter matching) in addition to the plain-column
       * `answers` shape */
-    answersSumOf: Option[Column] = None) {
+    answersSumOf: Option[Column] = None,
+    /** per-cell state is orders of magnitude heavier than a scalar
+      * (dense HLL register arrays) — a cost the router's estRows proxy
+      * cannot see. The lightweight-scan fast path skips single-partition
+      * coalescing when a requested measure carries this flag: the r22
+      * min-of-6 A/B measured serializing the HLL merge at +15–40% on
+      * cube_hll_distinct while every scalar/bitmap/topn/kll key was
+      * flat-to-−34%. */
+    heavyState: Boolean = false) {
   /** state column name in cuboid parquet */
   def stateCol: String = s"m_$name"
 }

@@ -541,7 +541,7 @@ object CubeJson {
       case "hll" =>
         Measure(j.name, Measures.hllAgg(c),
           s => Measures.hllUnion(col(s)),
-          Measures.hllEstimate(_), answers)
+          Measures.hllEstimate(_), answers, heavyState = true)
       case "kll" =>
         Measure(j.name, Measures.kllAgg(c),
           s => Measures.kllUnion(col(s)),

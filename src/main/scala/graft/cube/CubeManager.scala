@@ -31,13 +31,24 @@ object CubeManager {
     * scale (r19 100× fix, pinned by CubeSpec).
     */
   def flatTable(s: SparkSession, d: String): DataFrame =
-    // widened fact side (guide §2.5, no-op at scale): every timed
-    // consumer of the shared flat table (pushdown fallback, the
-    // hll/percentile/sketch exact sides) showed a 0.35–1.44 s
-    // SERIAL 3-task join+aggregate stage in the r22 probe
-    // (plans/r22/PROBE_before_stage_attribution.txt) — the
-    // single-row-group fact scan serializes the 6-way join probe
-    // exactly as it did for q02/q14/cube_flat_table in r21
+    flatTableFrom(lineitem(s, d), orders(s, d), customer(s, d),
+      nation(s, d), region(s, d), supplier(s, d), part(s, d))
+
+  /** flat table over a WIDENED fact scan (guide §2.5, no-op at scale) —
+    * opt-IN per consumer, exactly like Tables.widened: the r22 probe
+    * showed every flat-table consumer paying a 0.35–1.44 s serial
+    * 3-task join stage on the single-row-group fact scan, but the r22
+    * bench A/B of widening flatTable ITSELF split the consumers two
+    * ways: heavy per-row aggregates (the pushdown fallback's decimal
+    * sum, the percentile exact sides' value→count maps) win 1.1–2×,
+    * while light/distinct-shaped ones (cube_sql_fallback's min/count,
+    * the hll/approx exact sides whose distinct shuffle already
+    * parallelizes after its first exchange) consistently LOSE 1.3–1.7×
+    * to the extra round-robin exchange (two gated runs,
+    * BENCH_local_r22_before vs the widen-all mid runs). The shared
+    * `flatTable` — which also backs the GraftSql pushdown view, where
+    * query weight is unknowable — therefore stays UNWIDENED. */
+  def flatTableWidened(s: SparkSession, d: String): DataFrame =
     flatTableFrom(graft.Tables.widened(s, d, "lineitem"), orders(s, d),
       customer(s, d), nation(s, d), region(s, d), supplier(s, d),
       part(s, d))
@@ -168,7 +179,8 @@ object CubeManager {
         fromRaw = Measures.hllAgg(col("o_custkey")),
         fromState = s => Measures.hllUnion(col(s)),
         present = Measures.hllEstimate(_),
-        answers = Some(SqlAgg.ApproxDistinctOf("o_custkey"))),
+        answers = Some(SqlAgg.ApproxDistinctOf("o_custkey")),
+        heavyState = true),
       Measure("brand_topn",
         fromRaw = Measures.topnAgg(col("p_brand"), col("disc_price_micros")),
         fromState = s => Measures.topnUnion(col(s)),

@@ -77,6 +77,12 @@ final case class RoutePlan(
   */
 object QueryRouter {
 
+  /** deployment kill-switch for the lightweight-scan fast path below
+    * (export GRAFT_ROUTE_LIGHT_COALESCE=off) — scale knob kept
+    * parameterised per the optimization-round rules; default ON */
+  private val LightCoalesce: Boolean =
+    sys.env.get("GRAFT_ROUTE_LIGHT_COALESCE").forall(_ != "off")
+
   /** open-range sentinels for one-sided derived time ranges: lexical
     * min/max of ISO days, so the string overlap math needs no special
     * cases — but residual-filter construction must NOT require them to
@@ -412,7 +418,15 @@ object QueryRouter {
     // current partitions is a no-op, never a widen.
     val knownRows = !p.emptyScan &&
       p.overlapping.forall(s => inst.rows.contains((s.name, id)))
-    if (knownRows && p.estRows <= QueryService.HeavyRowThreshold) {
+    // heavy-state gate: estRows counts CELLS, but a dense-HLL state is
+    // orders of magnitude more merge work per cell than a scalar —
+    // serializing that merge measured +15–40% (min-of-6 A/B,
+    // cube_hll_distinct) while every scalar/bitmap/topn/kll key was
+    // flat-to-−34%, so only heavy-state queries keep the parallel agg
+    val heavyMeasure = (q.measures.map(_._1) ++ p.extUsed.map(_.measure))
+      .exists(m => cube.measure(m).heavyState)
+    if (LightCoalesce && knownRows && !heavyMeasure &&
+        p.estRows <= QueryService.HeavyRowThreshold) {
       val target =
         (p.estRows / QueryService.PartitionSplitRows + 1).toInt
       df = df.coalesce(target)

@@ -236,7 +236,9 @@ object CubeQueries extends QueryGroup {
         val inst = CubeManager.ensureBuilt(s, d)
         val approx = QueryRouter.route(s, inst, CubeQuery(
           Seq("o_orderstatus"), Seq("qty_kll" -> "approx_p50")))(noFallback).df
-        val exact = CubeManager.flatTable(s, d)
+        // widened exact side: percentile's per-group value→count map is
+        // the heavy-aggregate case flatTableWidened exists for
+        val exact = CubeManager.flatTableWidened(s, d)
           .groupBy("o_orderstatus")
           .agg(expr("percentile(l_quantity, 0.5)").as("ex"))
         exact.join(approx, "o_orderstatus")
@@ -661,7 +663,9 @@ object CubeQueries extends QueryGroup {
             |FROM graft_star GROUP BY o_orderstatus""".stripMargin)
         assert(r.routed && r.via == "cuboid",
           s"expected percentile_approx to route to the kll measure, got ${r.via}")
-        val exact = CubeManager.flatTable(s, d)
+        // widened exact side — same heavy-aggregate case as
+        // cube_percentile (bench: 1.57 → 1.21/1.41 s across both runs)
+        val exact = CubeManager.flatTableWidened(s, d)
           .groupBy("o_orderstatus")
           .agg(expr("percentile(l_quantity, 0.25)").as("ex"))
         exact.join(r.df, "o_orderstatus")
@@ -965,7 +969,10 @@ object CubeQueries extends QueryGroup {
         val r = QueryRouter.route(s, inst, CubeQuery(
           Seq("o_orderpriority"),
           Seq("revenue" -> "revenue", "nrows" -> "n_rows"))) {
-          CubeManager.flatTable(s, d)
+          // widened fact side (guide §2.5): the decimal-sum sweep over
+          // the whole star join is the heaviest pushdown in the suite
+          // and ran serial (1.44 s CPU / 3 tasks, r22 probe)
+          CubeManager.flatTableWidened(s, d)
             .groupBy("o_orderpriority")
             .agg(sum(col("disc_price")).cast(DoubleType).as("revenue"),
                  count(lit(1)).as("n_rows"))
