@@ -40,6 +40,13 @@ object Dedup {
     // corpus side) opt out — there the exchange costs more than the
     // parallelism returns (measured +0.3-0.6 s on doc_contamination).
     val base = docs.select(col("doc_id"), col("text"))
+    // width stays at the GLOBAL 64 KB/partition target: an 8× finer
+    // shingle-specific width was A/B'd in r22 (the persisted frame's 3
+    // partitions feed downstream joins serially, so more width looked
+    // attractive) and lost decisively — min-of-6 doc_ngram_jaccard
+    // 1.56 → 3.04 s, doc_simhash 1.04 → 1.75 s, doc_incremental_dedup
+    // 1.29 → 1.88 s: per-task fixed cost on the many small stages that
+    // reread the cached frame swamps the kernel-parallelism gain.
     (if (widen) graft.Tables.widenFrame(base) else base)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
