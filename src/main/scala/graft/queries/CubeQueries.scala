@@ -37,8 +37,15 @@ object CubeQueries extends QueryGroup {
         .select(col("l_orderkey"), col("l_linenumber"), col("r_name"),
                 col("p_brand"), col("o_orderstatus"),
                 col("disc_price").cast(DoubleType).as("revenue"))
-        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
-        // data — order by every output column for a total sort
+        // exchange boundary BEFORE the total sort (guide §2.4 / the q12
+        // lesson): a range sort SAMPLES its child, and with the sort
+        // sitting directly on the join subtree the whole 6-way join
+        // re-executed for the sampling pass (r22 probe: a duplicate
+        // 10.3 s-CPU join stage reading the same widen exchange, zero
+        // shuffle write). A keyed repartition — no explicit count, so
+        // AQE sizes it at any scale — materializes the join ONCE; the
+        // sampler then reads shuffle output instead of re-joining.
+        .repartition(col("l_orderkey"), col("l_linenumber"))
         .orderBy("l_orderkey", "l_linenumber", "r_name", "p_brand",
                  "o_orderstatus", "revenue"),
       Some("""SELECT l_orderkey, l_linenumber, r_name, p_brand, o_orderstatus,
